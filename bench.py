@@ -1,0 +1,90 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Reports steady-state timings (one warm-up pass of the parquet page cache /
+JIT via a cheap count, then per-query wall time draining the query with a
+count-style action) and examples/sec in the reference's log format
+(/root/reference/trainer.py:352-358) for comparability.
+
+Prints ONE JSON line:
+  {"metric": "total_headline_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_regional_revenue",
+    "q10_top_customers",
+    "q_window_topk_per_group",
+    "q_json_extract",
+    "q_time_buckets",
+    "q_sessionize",
+    "q_posexplode_tokens",
+    "q_dedup_minhash_lsh",
+    "q_similarity_topk",
+    "q_text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entrymod
+    from columnar_estimator_sample_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # warm-up: JVM + parquet footers + page cache, one pass over big tables
+    t0 = time.time()
+    for t in ["lineitem", "orders", "events", "documents", "embeddings"]:
+        from columnar_estimator_sample_spark.sources.tables import table
+        table(spark, sf_dir, t).count()
+    warmup = time.time() - t0
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        n = len(fn(spark, sf_dir).collect())
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        rows[name] = n
+        print(f"# {name}: {n} rows in {dt:.3f}s", file=sys.stderr)
+
+    # reference-format throughput line (trainer.py:352-358): rows/sec of
+    # the single-column probe over lineitem
+    from columnar_estimator_sample_spark.sources.tables import table
+    li = table(spark, sf_dir, "lineitem")
+    t0 = time.time()
+    n_rows = li.count()
+    dt = max(time.time() - t0, 1e-9)
+    print(f"Processed {n_rows} examples, average {n_rows / dt:.2f} "
+          f"examples per second", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "warmup_sec": round(warmup, 3),
+        "rows": rows,
+        "examples_per_sec": round(n_rows / dt, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Event-log analytics: JSON extraction, time bucketing, sessionization.
+
+The reference's analytics tier ingests JSON event documents and aggregates
+durations over them (/root/reference/README.md:145-222, notebook cells
+3-13); its event stream carries raw int64 timestamps (README.md:93,107).
+This module is the batch side of that tier over the driver's ``events``
+table (the streaming twin lives in ``streaming/``).
+
+Timestamp design: ``events.ts`` is nanosecond-precision; the loader
+(sources/tables.py::events_table) surfaces it as integer epoch
+microseconds (``us``). Every computation here is integer arithmetic on
+``us`` — exact, and invariant to whatever session timezone the driver's
+SparkSession happens to use. Calendar bucketing derives a DateType (which
+is timezone-free) from the epoch day number.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from columnar_estimator_sample_spark.functions.exact import davg, dsum, sql_davg, sql_dsum
+from columnar_estimator_sample_spark.registry import register
+from columnar_estimator_sample_spark.sources.tables import table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "q_json_extract",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           {sql_davg("value", "avg_value", 6)},
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON ``props`` payload (schema-on-read, the reference's
+    autodetect-JSON pattern README.md:151-163) and aggregate per type."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            davg(F.col("value"), "avg_value", 6),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_time_buckets",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", "total_value", 6)}
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+)
+def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling daily windows — the batch expression of the streaming
+    windowed aggregation (streaming twin in streaming/). The bucket is the
+    epoch day number, restated as a (timezone-free) date string.
+
+    Scale: bucketing is a projection + hash agg; no extra shuffle."""
+    ev = table(spark, sf_dir, "events")
+    day = F.date_add(
+        F.lit("1970-01-01").cast("date"),
+        F.expr(f"CAST(us div {US_PER_DAY} AS INT)")).cast("string")
+    return (
+        ev.groupBy(day.alias("day"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum(F.col("value"), "total_value", 6))
+        .orderBy("day", "event_type")
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN us - LAG(us) OVER w > {SESSION_GAP_US}
+                      OR LAG(us) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+        SELECT user_id, us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(us) AS start_us,
+           MAX(us) - MIN(us) AS duration_us
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands): a new session starts after 30
+    minutes of inactivity. Batch twin of streaming session windows.
+
+    Scale: one shuffle on user_id; both window passes share the same
+    partitioning so Catalyst plans a single exchange. Skewed users would be
+    handled by AQE or a two-level (user_id, coarse-time) pre-split.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "us")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.select(
+        "user_id", "us", "event_id",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US)
+            | F.lag("us").over(w).isNull(), 1).otherwise(0).alias("new_s"),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.select(
+        "user_id", "us", F.sum("new_s").over(wc).alias("session_id"))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("us").alias("start_us"),
+             (F.max("us") - F.min("us")).alias("duration_us"))
+        .orderBy("user_id", "session_id")
+    )

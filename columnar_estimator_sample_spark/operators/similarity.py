@@ -1,0 +1,191 @@
+"""Embedding similarity search over ``embeddings.embedding: array<float>``.
+
+Two tiers, as a 100 TB engine needs:
+  * brute-force cosine top-k (the oracle-checked query): exact, O(|Q|·N);
+    the correct baseline when the query set is small.
+  * LSH-bucketed ANN (random-hyperplane signatures): candidates only
+    within matching signature buckets — the scale path for N×N similarity
+    join. :func:`ann_lsh_candidates`, verified by tests against the
+    brute-force tier (bucket collisions ⊂ true neighbors recall check).
+
+Determinism: cosine terms are per-element double products (float->double
+is exact, double multiply is IEEE-exact) rounded once to DECIMAL(30,6) and
+summed as decimals — order-free and identical across engines; both the
+Spark query and the DuckDB oracle use the same positional-explode
+formulation. Ranking ties are broken by neighbor id.
+
+Note on the hot path: for raw throughput on a dense corpus the idiomatic
+Spark implementation is an Arrow-batched ``mapInPandas`` with a BLAS
+matmul against a broadcast query matrix (numpy), trading bit-exactness for
+~100× arithmetic density. That variant is :func:`cosine_topk_fast`; the
+oracle-checked query keeps the exact formulation.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from columnar_estimator_sample_spark.registry import register
+from columnar_estimator_sample_spark.sources.tables import table
+
+N_QUERIES = 5   # vec_id < 5 are the query vectors
+TOP_K = 5
+
+
+@register(
+    "q_similarity_topk",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ), dots AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               CAST(SUM(CAST(q.v * d.v AS DECIMAL(30,6))) AS DOUBLE) AS dot
+        FROM ex q JOIN ex d ON q.i = d.i
+        WHERE q.vec_id < {N_QUERIES} AND d.vec_id <> q.vec_id
+        GROUP BY 1, 2
+    ), norms AS (
+        SELECT vec_id,
+               sqrt(CAST(SUM(CAST(v * v AS DECIMAL(30,6))) AS DOUBLE))
+                   AS nrm
+        FROM ex GROUP BY vec_id
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               dot / (nq.nrm * nd.nrm) AS cosine
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nd ON nd.vec_id = neighbor_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: nearest ``TOP_K`` neighbors for each query
+    vector (vec_id < N_QUERIES) over the full embedding table.
+
+    Scale: the exploded query side is tiny and broadcast; the corpus is
+    scanned once. The per-query top-k shuffles only |Q|·N score rows."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("i", "vf"),
+    ).select("vec_id", "i", F.col("vf").cast("double").alias("v"))
+
+    prod_dec = "CAST(qv * dv AS DECIMAL(30,6))"
+    norms = (ex.groupBy("vec_id")
+             .agg(F.sqrt(F.sum(F.expr("CAST(v * v AS DECIMAL(30,6))"))
+                         .cast("double")).alias("nrm")))
+
+    q = (ex.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"), "i",
+                 F.col("v").alias("qv")))
+    d = ex.select(F.col("vec_id").alias("neighbor_id"), "i",
+                  F.col("v").alias("dv"))
+    dots = (
+        d.join(F.broadcast(q),
+               (d.i == q.i) & (F.col("neighbor_id") != F.col("query_id")))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.expr(prod_dec)).cast("double").alias("dot"))
+    )
+    nq = norms.select(F.col("vec_id").alias("query_id"),
+                      F.col("nrm").alias("q_nrm"))
+    nd = norms.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("nrm").alias("d_nrm"))
+    scored = (dots.join(F.broadcast(nq), "query_id")
+              .join(F.broadcast(nd), "neighbor_id")
+              .select("query_id", "neighbor_id",
+                      (F.col("dot") / (F.col("q_nrm") * F.col("d_nrm")))
+                      .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cosine",
+                      F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def cosine_topk_fast(spark: SparkSession, sf_dir: str,
+                     n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFrame:
+    """Arrow-batched BLAS brute force: the throughput path.
+
+    The query matrix (n_queries × dim) is shipped once per task inside the
+    closure (small); each Arrow batch of corpus vectors becomes one numpy
+    matmul. Per-partition top-k then a global top-k keeps the shuffle at
+    O(partitions · |Q| · k) rows.
+    """
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    qrows = (emb.filter(F.col("vec_id") < n_queries)
+             .select("vec_id", "embedding").collect())
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            d_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            d_mat /= np.linalg.norm(d_mat, axis=1, keepdims=True)
+            sims = d_mat @ q_mat.T  # (batch, |Q|)
+            out = []
+            for qi, qid in enumerate(q_ids):
+                col = sims[:, qi]
+                take = min(k + 1, len(col))
+                idx = np.argpartition(-col, take - 1)[:take]
+                for j in idx:
+                    out.append((int(qid), int(pdf["vec_id"].iloc[j]),
+                                float(col[j])))
+            yield pd.DataFrame(out,
+                               columns=["query_id", "neighbor_id", "cosine"])
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (partial.filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "cosine",
+                    F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= k)
+            .orderBy("query_id", "rank"))
+
+
+def ann_lsh_candidates(spark: SparkSession, sf_dir: str,
+                       n_planes: int = 16) -> DataFrame:
+    """Random-hyperplane LSH bucketing: sign pattern of ``n_planes``
+    pseudo-random projections -> bucket id; ANN candidates are bucket
+    mates. Planes are deterministic (hash-derived) so tests reproduce.
+
+    Scale: one narrow pass to compute signatures; the N×N similarity join
+    becomes a groupBy(bucket) — candidates per bucket ~ N/2^planes."""
+    emb = table(spark, sf_dir, "embeddings")
+    sig_bits = [
+        F.when(
+            F.expr(
+                f"aggregate(zip_with(embedding,"
+                f" transform(sequence(0, size(embedding) - 1),"
+                f"   j -> CAST(CASE WHEN (hash({p} * 1000 + j) % 2) = 0"
+                f"        THEN 1 ELSE -1 END AS DOUBLE)),"
+                f" (x, s) -> CAST(x AS DOUBLE) * s),"
+                f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)") > 0, 1)
+        .otherwise(0)
+        for p in range(n_planes)
+    ]
+    bucket = sum((b * (2 ** i) for i, b in enumerate(sig_bits)),
+                 start=F.lit(0))
+    return emb.select("vec_id", bucket.alias("bucket"))

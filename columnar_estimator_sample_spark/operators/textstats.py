@@ -1,0 +1,150 @@
+"""Text-analysis operators: token stats, quality scoring, language signals,
+document fingerprints.
+
+All pure Catalyst expressions (split/regexp/aggregate) — no Python UDFs in
+the hot path; at 100 TB these run entirely inside whole-stage codegen.
+Regex patterns are restricted to constructs with identical semantics in
+Java regex (Spark) and RE2-ish DuckDB regex (character classes only), and
+DuckDB's regexp_replace gets the 'g' flag to match Java's replace-all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnar_estimator_sample_spark.functions.exact import davg, sql_davg
+from columnar_estimator_sample_spark.registry import register
+from columnar_estimator_sample_spark.sources.tables import table
+
+# A small English stopword list; used as the "English-likeness" signal in
+# the language-ID heuristic and the quality score.
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+@register(
+    "q_text_token_stats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars,
+               string_split(text, ' ') AS toks
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               AS type_token_ratio,
+           CAST(n_chars AS DOUBLE) / len(toks) AS chars_per_token
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts, vocabulary size, type-token ratio."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return (
+        docs.select(
+            "doc_id", "lang",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+            (F.size(F.array_distinct(toks)).cast("double") / F.size(toks))
+            .alias("type_token_ratio"),
+            (F.col("n_chars").cast("double") / F.size(toks))
+            .alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, source,
+               length(text) AS len_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(regexp_replace(text, '[^aeiou]', '', 'g'))
+                   AS n_vowels,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains({STOPWORDS!r}, t))) AS n_stopwords
+        FROM documents
+    )
+    SELECT doc_id, source, len_chars, n_tokens,
+           CAST(n_vowels AS DOUBLE) / len_chars AS vowel_ratio,
+           CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+           CASE WHEN n_tokens >= 20
+                 AND CAST(n_stopwords AS DOUBLE) / n_tokens > 0.05
+                THEN 1 ELSE 0 END AS quality_keep
+    FROM q
+    ORDER BY doc_id
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length, vowel ratio, stopword ratio and
+    a keep/drop gate — the shape of a C4/Gopher-style quality filter."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw = F.array([F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_vowels = F.length(F.regexp_replace("text", "[^aeiou]", ""))
+    q = docs.select(
+        "doc_id", "source",
+        F.length("text").alias("len_chars"),
+        F.size(toks).alias("n_tokens"),
+        n_vowels.alias("n_vowels"),
+        n_stop.alias("n_stopwords"),
+    )
+    return (
+        q.select(
+            "doc_id", "source", "len_chars", "n_tokens",
+            (F.col("n_vowels").cast("double") / F.col("len_chars"))
+            .alias("vowel_ratio"),
+            (F.col("n_stopwords").cast("double") / F.col("n_tokens"))
+            .alias("stopword_ratio"),
+            F.when((F.col("n_tokens") >= 20)
+                   & (F.col("n_stopwords").cast("double")
+                      / F.col("n_tokens") > 0.05), 1)
+            .otherwise(0).alias("quality_keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+    WITH s AS (
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               {sql_davg("CAST(len(list_filter(string_split(text, ' '), "
+                         f"t -> list_contains({STOPWORDS!r}, t))) AS DOUBLE)"
+                         " / len(string_split(text, ' '))",
+                         "avg_en_signal", 6)},
+               {sql_davg("CAST(length(regexp_replace(text, '[^aeiou]', '', 'g'))"
+                         " AS DOUBLE) / length(text)", "avg_vowel_ratio", 6)}
+        FROM documents
+        GROUP BY lang
+    )
+    SELECT * FROM s ORDER BY lang
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-signal profile per labeled language: the n-gram/stopword
+    heuristic signals a language-ID filter would threshold on. (The corpus
+    is synthetic so signals, not predictions, are the checkable output.)"""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw = F.array([F.lit(s) for s in STOPWORDS])
+    en_signal = (F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+                 .cast("double") / F.size(toks))
+    vowel_ratio = (F.length(F.regexp_replace("text", "[^aeiou]", ""))
+                   .cast("double") / F.length("text"))
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             davg(en_signal, "avg_en_signal", 6),
+             davg(vowel_ratio, "avg_vowel_ratio", 6))
+        .orderBy("lang")
+    )

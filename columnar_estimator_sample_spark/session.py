@@ -1,0 +1,55 @@
+"""SparkSession construction for the engine.
+
+The reference hand-tunes its pipeline with thread counts, prefetch and
+sloppiness knobs (/root/reference/trainer.py:189-246); on Spark all of that
+is runtime-level and comes from a handful of session configs. This module
+centralizes them so tests, bench and the driver entry all run the same way.
+
+Scale notes (100 TB / 1000-executor design intent):
+  * AQE on -> runtime coalescing, skew-join splitting, dynamic broadcast.
+  * CBO + histogram stats on -> join reordering fed by the stats module
+    (plans/stats.py), the Spark-native analogue of the reference's
+    hand-maintained cardinality catalog (trainer.py:91-118).
+  * Arrow on -> columnar exchange for every pandas-UDF operator.
+  * UTC session timezone -> timestamp semantics identical to the DuckDB
+    oracle and independent of host TZ.
+  * shuffle partitions default to the local core count; on a real cluster
+    AQE's coalescing makes the initial number non-critical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def get_spark(app_name: str = "columnar_estimator_sample_spark",
+              parallelism: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession."""
+    cores = parallelism or default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_MASTER", f"local[{cores}]"))
+        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
+        .config("spark.sql.statistics.histogram.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,59 @@
+"""Table access over the driver's parquet testdata.
+
+The reference's scan layer expands a file glob and reads schema'd records
+with per-column defaults (/root/reference/trainer.py:175-246). Spark globs
+natively and parquet carries its schema, so a table load is one line; this
+module adds the small conveniences the query suite needs (cached handles per
+(session, sf_dir), temp-view registration for SQL-side queries).
+
+Scale note: loads are plain ``spark.read.parquet`` so Catalyst column
+pruning and predicate pushdown reach the scan untouched. Nothing here
+materializes or collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame (lazy; no action)."""
+    if name == "events":
+        return events_table(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load ``events`` with nanosecond-timestamp handling.
+
+    The events parquet stores ``ts`` as INT64 TIMESTAMP(NANOS), which
+    Spark's parquet reader rejects outright; with the legacy flag it
+    surfaces as a raw int64 nanosecond count — which we keep, deriving
+    ``us`` (epoch microseconds, ``ts div 1000``, matching DuckDB's
+    truncation to TIMESTAMP) and a µs-precision ``ts`` restated as the
+    original wall-clock instant. Working in integer µs keeps every
+    downstream computation exact and independent of the session timezone
+    (the reference stores trace times the same way — raw int64 µs,
+    /root/reference/README.md:93,107).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = (df.withColumnRenamed("ts", "ts_ns")
+              .withColumn("us", F.expr("ts_ns div 1000")))
+    else:  # future-proof: already a timestamp type
+        df = df.withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: list[str] | None = None) -> None:
+    """Register testdata tables as temp views for ``spark.sql`` queries."""
+    for name in names or TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,182 @@
+"""Unit tests for operator modules beyond the registry contract: the trace
+MVP golden pipeline, dedup/similarity internals, feature engineering, and
+the statistics module."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+class TestTraceAnalytics:
+    def test_flatten_preserves_ordinal(self, spark):
+        from columnar_estimator_sample_spark.operators.flatten import (
+            flatten_trace,
+        )
+        flat = flatten_trace(spark)
+        # 50 docs x 200 events (fixture contract)
+        assert flat.count() == 10_000
+        # ordinals are 0..199 within each doc
+        assert flat.agg(F.min("index"), F.max("index")).collect()[0] == (0, 199)
+        assert flat.columns == ["index", "ph", "cat", "name", "pid", "tid",
+                                "ts", "dur", "arg_name", "arg_op"]
+
+    def test_top_ops_shape(self, spark):
+        from columnar_estimator_sample_spark.operators.flatten import (
+            flatten_trace, trace_top_ops,
+        )
+        top = trace_top_ops(flatten_trace(spark), k=20).collect()
+        assert len(top) == 20
+        durs = [r["total_dur"] for r in top]
+        assert durs == sorted(durs, reverse=True)
+
+    def test_ctas_roundtrip(self, spark):
+        from columnar_estimator_sample_spark.operators.flatten import (
+            materialize_trace_table,
+        )
+        tbl = materialize_trace_table(spark, name="traces_test")
+        assert tbl.count() == 10_000
+        spark.sql("DROP TABLE traces_test")
+
+
+class TestDedup:
+    def test_shingles(self, spark):
+        from columnar_estimator_sample_spark.operators.dedup import (
+            _shingles_expr,
+        )
+        df = spark.createDataFrame([("abcdefghij",)], ["text"])
+        out = df.select(_shingles_expr("text", 8).alias("s")).collect()[0]["s"]
+        assert out == ["abcdefgh", "bcdefghi", "cdefghij"]
+
+    def test_minhash_detects_near_dups(self, spark, sf_dir):
+        # two near-identical synthetic docs must land in the same band
+        from columnar_estimator_sample_spark.registry import queries
+        import pandas as pd  # noqa: F401
+        df = queries()["q_dedup_minhash_lsh"](spark, sf_dir)
+        # contract: (doc_a < doc_b), jaccard >= threshold
+        rows = df.collect()
+        for r in rows:
+            assert r["doc_a"] < r["doc_b"]
+            assert r["jaccard"] >= 0.12
+
+    def test_simhash_hamming_neighbors(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.registry import queries
+        fp = queries()["q_dedup_simhash"](spark, sf_dir)
+        vals = [r["simhash"] for r in fp.collect()]
+        assert all(0 <= v < 2 ** 32 for v in vals)
+
+
+class TestSimilarity:
+    def test_fast_path_matches_exact_ids(self, spark, sf_dir):
+        """BLAS mapInPandas top-k must agree with the oracle-checked exact
+        query on neighbor IDs (scores may differ in final ulps)."""
+        from columnar_estimator_sample_spark.operators.similarity import (
+            cosine_topk_fast,
+        )
+        from columnar_estimator_sample_spark.registry import queries
+        exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+                 for r in queries()["q_similarity_topk"](spark, sf_dir).collect()}
+        fast = {(r["query_id"], r["rank"]): r["neighbor_id"]
+                for r in cosine_topk_fast(spark, sf_dir).collect()}
+        assert exact == fast
+
+    def test_lsh_buckets_deterministic(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.similarity import (
+            ann_lsh_candidates,
+        )
+        a = sorted((r["vec_id"], r["bucket"])
+                   for r in ann_lsh_candidates(spark, sf_dir).collect())
+        b = sorted((r["vec_id"], r["bucket"])
+                   for r in ann_lsh_candidates(spark, sf_dir).collect())
+        assert a == b
+
+
+class TestFeatures:
+    def test_columns_by_type(self, spark, sf_dir):
+        import pyspark.sql.types as T
+        from columnar_estimator_sample_spark.operators.features import (
+            columns_by_type,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        li = table(spark, sf_dir, "lineitem")
+        strs = columns_by_type(li, T.StringType)
+        assert set(strs) == {"l_returnflag", "l_linestatus"}
+        nums = columns_by_type(li, T.DoubleType, exclude=("l_tax",))
+        assert "l_quantity" in nums and "l_tax" not in nums
+
+    def test_normalize_contract(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.features import (
+            normalize,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        li = table(spark, sf_dir, "lineitem")
+        out = normalize(li, ["l_quantity"])
+        stats = out.agg(F.avg("l_quantity_norm"),
+                        F.stddev_samp("l_quantity_norm")).collect()[0]
+        assert abs(stats[0]) < 1e-9
+        assert abs(stats[1] - 1.0) < 1e-6
+
+    def test_hashed_feature_columns(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.features import (
+            hashed_feature_columns,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        cust = table(spark, sf_dir, "customer")
+        out = hashed_feature_columns(cust, {"c_mktsegment": 5})
+        assert "c_mktsegment_bucket" in out.columns
+        mx = out.agg(F.max("c_mktsegment_bucket")).collect()[0][0]
+        assert 0 <= mx < 25
+
+
+class TestStats:
+    def test_ndv_catalog_exact_vs_approx(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.plans.stats import ndv_catalog
+        from columnar_estimator_sample_spark.sources.tables import table
+        cust = table(spark, sf_dir, "customer")
+        exact = ndv_catalog(cust, ["c_mktsegment", "c_nationkey"], exact=True)
+        approx = ndv_catalog(cust, ["c_mktsegment", "c_nationkey"])
+        assert exact["c_mktsegment"] == 5
+        for c in exact:
+            assert abs(approx[c] - exact[c]) <= max(1, 0.05 * exact[c])
+
+    def test_hash_bucket_sizes(self):
+        from columnar_estimator_sample_spark.plans.stats import (
+            hash_bucket_sizes,
+        )
+        # trainer.py:264 rule on the reference's own vocab_size values
+        assert hash_bucket_sizes({"cat1": 98, "cat9": 3}) == {
+            "cat1": 490, "cat9": 15}
+
+    def test_analyze_and_cbo_stats(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.plans.stats import (
+            analyze_tables, column_stats,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        table(spark, sf_dir, "nation").write.mode("overwrite") \
+            .saveAsTable("nation_stats_test")
+        analyze_tables(spark, ["nation_stats_test"])
+        cs = column_stats(spark, "nation_stats_test", "n_nationkey")
+        assert int(cs.get("distinct_count", "0")) >= 20
+        spark.sql("DROP TABLE nation_stats_test")
+
+    def test_estimation_report(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.plans.stats import (
+            actual_vs_estimated,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 10)
+        rep = actual_vs_estimated(li)
+        assert rep["actual_rows"] > 0
+        assert rep["root_stats"] is not None
+
+
+class TestEventsTable:
+    def test_nanos_surface(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.sources.tables import (
+            events_table,
+        )
+        ev = events_table(spark, sf_dir)
+        assert "us" in ev.columns
+        r = ev.select(F.min("us"), F.max("us")).collect()[0]
+        # Jan 2024 epoch range
+        assert 1_704_000_000_000_000 < r[0] < r[1] < 1_707_000_000_000_000

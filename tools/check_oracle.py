@@ -1,0 +1,138 @@
+"""Self-verification harness replicating the driver's correctness gate.
+
+Runs every registered query on Spark AND its DuckDB oracle at the given
+scale factor, compares row count, column names, and order-insensitive
+values (columns sorted by name, rows sorted, exact cell equality with a
+small float report for diagnosis). Run this before every commit:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+
+def run_duckdb(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con.execute(sql).fetchdf()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"columns differ: spark={sorted(sdf.columns)} "
+                        f"oracle={sorted(odf.columns)}")
+        return problems
+    if len(sdf) != len(odf):
+        problems.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
+    s, o = normalize(sdf), normalize(odf)
+    if len(s) == len(o):
+        for c in s.columns:
+            sv, ov = s[c], o[c]
+            try:
+                if sv.dtype.kind == "f" or ov.dtype.kind == "f":
+                    svf = sv.astype(float)
+                    ovf = ov.astype(float)
+                    neq = ~((svf == ovf) | (svf.isna() & ovf.isna()))
+                    if neq.any():
+                        i = neq.idxmax()
+                        diff = abs(svf[neq] - ovf[neq]).max()
+                        problems.append(
+                            f"col {c}: {int(neq.sum())} cells differ "
+                            f"(max |diff|={diff:.3e}; first at row {i}: "
+                            f"spark={svf[i]!r} oracle={ovf[i]!r})")
+                else:
+                    sv2 = sv.astype(object).where(~sv.isna(), None)
+                    ov2 = ov.astype(object).where(~ov.isna(), None)
+                    neq = [i for i in range(len(sv2))
+                           if not _eq(sv2.iloc[i], ov2.iloc[i])]
+                    if neq:
+                        i = neq[0]
+                        problems.append(
+                            f"col {c}: {len(neq)} cells differ (first at row "
+                            f"{i}: spark={sv2.iloc[i]!r} oracle={ov2.iloc[i]!r})")
+            except Exception as e:  # noqa: BLE001
+                problems.append(f"col {c}: compare error {e}")
+    return problems
+
+
+def _eq(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or (math.isnan(a) and math.isnan(b))
+    try:
+        return bool(a == b)
+    except Exception:  # noqa: BLE001
+        return str(a) == str(b)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from columnar_estimator_sample_spark.session import get_spark
+
+    spark = get_spark("check_oracle")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    failed, passed, rows_only = [], [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            rows_only.append(name)
+            print(f"ROWS-ONLY {name}: {len(sdf)} rows "
+                  f"({time.time() - t0:.1f}s)")
+            continue
+        try:
+            odf = run_duckdb(oracles[name], sf_dir)
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: oracle error: {e}")
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            failed.append(name)
+            print(f"FAIL {name} ({len(sdf)} rows, {time.time() - t0:.1f}s)")
+            for p in problems:
+                print(f"   - {p}")
+        else:
+            passed.append(name)
+            print(f"PASS {name} ({len(sdf)} rows, {time.time() - t0:.1f}s)")
+
+    print(f"\n{len(passed)} passed, {len(failed)} failed, "
+          f"{len(rows_only)} rows-only")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
