@@ -129,20 +129,39 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = docs.select(
         "doc_id", _shingles_expr("text").alias("shingles"))
-    xs = F.expr(
-        f"transform(shingles, s -> "
-        f"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % {MERSENNE_P})")
-    hashed = sh.select("doc_id", "shingles", xs.alias("xs"))
 
-    sig_elems = [
-        F.expr(f"array_min(transform(xs, x -> ({a[i]}L * x + {b[i]}L) % {MERSENNE_P}))")
+    # Signature via explode + K codegen'd MIN aggregates. Higher-order
+    # array lambdas are interpreted (outside whole-stage codegen), so a
+    # min-fold over transform() costs ~an order of magnitude more than
+    # exploding shingle positions into rows and letting the hash
+    # aggregation do K mins with map-side partial aggregation — which is
+    # also the right 100 TB shape (shuffle is O(docs · K), not O(shingles)).
+    # Duplicate shingles are harmless under MIN, so no distinct pass here.
+    ex = docs.select(
+        "doc_id",
+        F.expr(f"explode(sequence(1, greatest(length(text) - {SHINGLE_K - 1},"
+               f" 1)))").alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        F.expr(f"CAST(conv(substring(md5(substring(text, i, {SHINGLE_K})),"
+               f" 1, 15), 16, 10) AS BIGINT) % {MERSENNE_P}").alias("x"),
+    )
+    mins = [
+        F.min(F.expr(f"({a[i]}L * x + {b[i]}L) % {MERSENNE_P}"))
+         .alias(f"s{i}")
         for i in range(MINHASH_K)
     ]
-    sigd = hashed.select("doc_id", "shingles",
-                         F.array(*sig_elems).alias("sig"))
+    sigd = (ex.groupBy("doc_id").agg(*mins)
+            .select("doc_id",
+                    F.array(*[f"s{i}" for i in range(MINHASH_K)])
+                    .alias("sig")))
 
+    # Bands carry ONLY (doc_id, band, band_key): the candidate self-join
+    # shuffles 3 narrow columns, never the shingle arrays (which would
+    # multiply the shuffle payload by the document size).
     bands = sigd.select(
-        "doc_id", "shingles",
+        "doc_id",
         F.posexplode(
             F.expr(f"transform(sequence(0, {LSH_BANDS - 1}), "
                    f"b -> md5(array_join(slice(sig, b * {LSH_ROWS} + 1, {LSH_ROWS}), '-')))")
@@ -157,16 +176,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                   & (F.col("l.band_key") == F.col("r.band_key"))
                   & (F.col("l.doc_id") < F.col("r.doc_id")))
         .select(F.col("l.doc_id").alias("doc_a"),
-                F.col("r.doc_id").alias("doc_b"),
-                F.col("l.shingles").alias("sh_a"),
-                F.col("r.shingles").alias("sh_b"))
+                F.col("r.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+    # Verification joins shingle sets back in for the (few) candidates.
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"),
+                     F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"),
+                     F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.select("doc_a", "doc_b",
-                    (inter.cast("double") / union).alias("jaccard"))
+        cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
+        .select("doc_a", "doc_b",
+                (inter.cast("double") / union).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
         .orderBy("doc_a", "doc_b")
     )

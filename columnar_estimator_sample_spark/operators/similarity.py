@@ -38,6 +38,17 @@ N_QUERIES = 5   # vec_id < 5 are the query vectors
 TOP_K = 5
 
 
+def _dot_dec(a: str, b: str) -> F.Column:
+    """Exact one-expression dot product of two array<float> columns:
+    per-element double products rounded once to DECIMAL(30,6), folded into
+    a DECIMAL(38,6) accumulator (exact, order-free — Spark's sequential
+    fold and DuckDB's unordered SUM see the same rounded terms)."""
+    return F.expr(
+        f"CAST(aggregate(zip_with({a}, {b}, (x, y) ->"
+        f" CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,6))),"
+        f" CAST(0 AS DECIMAL(38,6)), (acc, v) -> acc + v) AS DOUBLE)")
+
+
 @register(
     "q_similarity_topk",
     oracle=f"""
@@ -77,39 +88,26 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: nearest ``TOP_K`` neighbors for each query
     vector (vec_id < N_QUERIES) over the full embedding table.
 
-    Scale: the exploded query side is tiny and broadcast; the corpus is
-    scanned once. The per-query top-k shuffles only |Q|·N score rows."""
+    Scale: one narrow scan of the corpus — norms and dots are single
+    whole-stage-codegen expressions per (query, corpus) pair against the
+    broadcast query set; the only shuffle is the final per-query top-k
+    over |Q|·N score rows."""
     emb = table(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        "vec_id",
-        F.posexplode("embedding").alias("i", "vf"),
-    ).select("vec_id", "i", F.col("vf").cast("double").alias("v"))
-
-    prod_dec = "CAST(qv * dv AS DECIMAL(30,6))"
-    norms = (ex.groupBy("vec_id")
-             .agg(F.sqrt(F.sum(F.expr("CAST(v * v AS DECIMAL(30,6))"))
-                         .cast("double")).alias("nrm")))
-
-    q = (ex.filter(F.col("vec_id") < N_QUERIES)
-         .select(F.col("vec_id").alias("query_id"), "i",
-                 F.col("v").alias("qv")))
-    d = ex.select(F.col("vec_id").alias("neighbor_id"), "i",
-                  F.col("v").alias("dv"))
-    dots = (
-        d.join(F.broadcast(q),
-               (d.i == q.i) & (F.col("neighbor_id") != F.col("query_id")))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum(F.expr(prod_dec)).cast("double").alias("dot"))
+    nrm = F.sqrt(_dot_dec("embedding", "embedding"))
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("d_emb"),
+                        nrm.alias("d_nrm"))
+    queries = (emb.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_emb"),
+                       nrm.alias("q_nrm")))
+    scored = (
+        corpus.join(F.broadcast(queries),
+                    F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                (_dot_dec("q_emb", "d_emb")
+                 / (F.col("q_nrm") * F.col("d_nrm"))).alias("cosine"))
     )
-    nq = norms.select(F.col("vec_id").alias("query_id"),
-                      F.col("nrm").alias("q_nrm"))
-    nd = norms.select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("nrm").alias("d_nrm"))
-    scored = (dots.join(F.broadcast(nq), "query_id")
-              .join(F.broadcast(nd), "neighbor_id")
-              .select("query_id", "neighbor_id",
-                      (F.col("dot") / (F.col("q_nrm") * F.col("d_nrm")))
-                      .alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("neighbor_id"))
     return (
