@@ -1,0 +1,150 @@
+"""ML train/evaluate loop — the reference's estimator tier on MLlib.
+
+Reference semantics (SURVEY.md §2.9 U4-U5):
+  * ``train_estimator_linear`` (/root/reference/trainer.py:271-298):
+    LinearClassifier over numeric (pre-normalized) + hashed-categorical
+    features -> MLlib ``LogisticRegression`` (linear binary classifier).
+  * ``train_estimator_DNN`` (trainer.py:300-316): DNNClassifier with
+    hidden layers [512, 256], n_classes=2 ->
+    ``MultilayerPerceptronClassifier(layers=[in, 512, 256, 2])``.
+  * ``train_and_evaluate`` (trainer.py:294-297,312-316) -> fit on train,
+    evaluate AUC on a held-out frame with BinaryClassificationEvaluator.
+
+Feature construction is schema-driven exactly like the reference
+(trainer.py:256-269): numeric features are the ``*_norm`` columns, hashed
+categorical features are sized NDV*5 from the statistics catalog
+(plans/stats.py) — the engine's cardinality module feeding the model
+layer, which is the reference's core loop.
+
+Scale: feature hashing + assembly are Catalyst expressions; MLlib's LR
+uses distributed L-BFGS (one pass per iteration, tree-aggregated
+gradients), the standard 100 TB training loop shape.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.ml.classification import (
+    LogisticRegression,
+    MultilayerPerceptronClassifier,
+)
+from pyspark.ml.evaluation import BinaryClassificationEvaluator
+from pyspark.ml.feature import VectorAssembler
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from columnar_estimator_sample_spark.functions.hashing import h64
+from columnar_estimator_sample_spark.plans.stats import (
+    hash_bucket_sizes, ndv_catalog,
+)
+
+
+@dataclass
+class TrainResult:
+    model: object
+    auc: float
+    n_features: int
+
+
+def build_features(df: DataFrame, label_col: str = "label",
+                   drop: tuple[str, ...] = ("row_hash",),
+                   bucket_multiplier: int = 5) -> tuple[DataFrame, list[str]]:
+    """Schema-driven feature construction (trainer.py:256-269):
+      numeric  = float columns (the ``*_norm`` contract),
+      categorical = string columns, hashed into NDV*bucket_multiplier
+      buckets sized from the measured cardinality catalog.
+    Returns (frame with feature columns, feature column names)."""
+    df = df.drop(*[c for c in drop if c in df.columns])
+    numeric = [f.name for f in df.schema.fields
+               if f.dataType.simpleString() in ("float", "double")
+               and f.name != label_col]
+    categorical = [f.name for f in df.schema.fields
+                   if f.dataType.simpleString() == "string"]
+    buckets = hash_bucket_sizes(ndv_catalog(df, categorical),
+                                bucket_multiplier) if categorical else {}
+    out = df
+    feature_cols = list(numeric)
+    for c in categorical:
+        # hashed bucket id scaled to [0,1) — one numeric input per
+        # categorical (keeps the MLP's inputs in a trainable range); a
+        # full one-hot of NDV*5 buckets is the richer option
+        # (OneHotEncoder) but quadratic in width for this demo loop.
+        out = out.withColumn(
+            f"{c}_bucket",
+            (h64(F.col(c)) % buckets[c]).cast("double") / buckets[c])
+        feature_cols.append(f"{c}_bucket")
+    return out, feature_cols
+
+
+def train_linear(train_df: DataFrame, test_df: DataFrame,
+                 label_col: str = "label", max_iter: int = 20)\
+        -> TrainResult:
+    """LogisticRegression ≈ reference LinearClassifier
+    (trainer.py:287-292, SGD lr=0.001 -> L-BFGS here: same model family,
+    Spark-native optimizer)."""
+    tr, cols = build_features(train_df, label_col)
+    te, _ = build_features(test_df, label_col)
+    asm = VectorAssembler(inputCols=cols, outputCol="features")
+    lr = LogisticRegression(featuresCol="features", labelCol=label_col,
+                            maxIter=max_iter)
+    model = lr.fit(asm.transform(tr))
+    pred = model.transform(asm.transform(te))
+    auc = BinaryClassificationEvaluator(
+        labelCol=label_col, rawPredictionCol="rawPrediction").evaluate(pred)
+    return TrainResult(model=model, auc=auc, n_features=len(cols))
+
+
+def train_dnn(train_df: DataFrame, test_df: DataFrame,
+              label_col: str = "label",
+              hidden: tuple[int, ...] = (16, 8), max_iter: int = 30)\
+        -> TrainResult:
+    """MultilayerPerceptronClassifier ≈ reference DNNClassifier
+    (trainer.py:304-310: hidden [512,256], n_classes=2 — scaled-down
+    hidden sizes by default for test runtime; pass hidden=(512,256) for
+    the reference's exact topology)."""
+    tr, cols = build_features(train_df, label_col)
+    te, _ = build_features(test_df, label_col)
+    asm = VectorAssembler(inputCols=cols, outputCol="features")
+    layers = [len(cols), *hidden, 2]
+    mlp = MultilayerPerceptronClassifier(
+        featuresCol="features", labelCol=label_col, layers=layers,
+        maxIter=max_iter, seed=42)
+    model = mlp.fit(asm.transform(tr))
+    pred = model.transform(asm.transform(te))
+    auc = BinaryClassificationEvaluator(
+        labelCol=label_col, rawPredictionCol="rawPrediction").evaluate(pred)
+    return TrainResult(model=model, auc=auc, n_features=len(cols))
+
+
+def criteo_shaped_frame(spark, n_rows: int = 4000, n_int: int = 4,
+                        n_cat: int = 4, seed: int = 42) -> DataFrame:
+    """Deterministic Criteo-shaped fixture (FIXTURES.md §B1, scaled down):
+    label + int features + their *_norm variants + categorical strings
+    with controlled cardinalities, and a planted signal so AUC > 0.5 is a
+    meaningful correctness check. Built as Catalyst expressions over a
+    range — no driver-side data generation."""
+    df = spark.range(n_rows).select(F.col("id"))
+    cards = [9, 40, 7, 100][:n_cat]
+    for i in range(1, n_int + 1):
+        df = df.withColumn(f"int{i}",
+                           F.abs(F.hash(F.col("id") * 31 + i * 7 + seed))
+                           % 1000)
+    for j, card in enumerate(cards, start=1):
+        df = df.withColumn(
+            f"cat{j}",
+            F.concat(F.lit(f"v{j}_"),
+                     (F.abs(F.hash(F.col("id") * 17 + j * 13 + seed))
+                      % card).cast("string")))
+    # planted signal: label is monotone in int1 with a categorical lift —
+    # learnable by both a linear model and the MLP
+    df = df.withColumn(
+        "label",
+        ((F.col("int1") > 550)
+         | (F.abs(F.hash("cat1")) % 4 == 0)).cast("int").cast("double"))
+    df = df.withColumn("row_hash", F.xxhash64("id"))
+    for i in range(1, n_int + 1):
+        mean = 499.5
+        std = 288.7
+        df = df.withColumn(f"int{i}_norm", (F.col(f"int{i}") - mean) / std)
+    return df

@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+A 100 TB training-data pipeline carries images/audio/video as ``binary``
+columns next to typed metadata, processing them with Arrow-batched pandas
+UDFs (`mapInPandas`): the Spark-side contract (schema, batch shape,
+partitioning) is what this module makes real and tested. The actual
+codec work (image decode, resampling, frame extraction) requires
+libraries not present in this container, so the decode kernel is a
+clearly-marked STUB: ``decode_stub`` raises NotImplementedError unless
+``fake=True``, where it derives deterministic pseudo-features so the
+pipeline is end-to-end testable.
+
+Scale notes:
+  * binary payloads ride Arrow record batches — tune
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` down for megabyte
+    blobs so a batch stays within executor memory.
+  * feature extraction is embarrassingly parallel (mapInPandas, no
+    shuffle); downstream joins happen on the compact metadata/features,
+    never on the blobs.
+  * blob storage at scale: parquet keeps binaries inline; for >10 MB
+    assets the pattern flips to URI columns + ranged reads inside the UDF.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = ("doc_id long, media_type string, payload binary, "
+                "width int, height int")
+
+FEATURE_SCHEMA = ("doc_id long, media_type string, n_bytes long, "
+                  "checksum long, feat array<double>")
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from the documents fixture:
+    payload = utf-8 bytes of the text (an opaque blob as far as the
+    pipeline is concerned), media_type cycled over image/audio/video,
+    plus plausible typed metadata."""
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int")).alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        (F.col("doc_id") % 640 + 32).cast("int").alias("width"),
+        (F.col("doc_id") % 480 + 32).cast("int").alias("height"),
+    )
+
+
+def decode_stub(payload: bytes, media_type: str, *, fake: bool = False)\
+        -> list[float]:
+    """STUB decode kernel. Real implementation would dispatch to
+    PIL/torchaudio/pyav per media_type; those libs are not available
+    here. With ``fake=True`` returns a deterministic 8-dim pseudo-feature
+    (byte histogram moments) so the pipeline plumbing is testable."""
+    if not fake:
+        raise NotImplementedError(
+            f"no codec for media_type={media_type!r} in this environment; "
+            "install an image/audio stack and replace decode_stub")
+    n = len(payload) or 1
+    buckets = [0.0] * 8
+    for b in payload:
+        buckets[b & 7] += 1.0
+    return [b / n for b in buckets]
+
+
+def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads. The UDF
+    consumes per-partition batch iterators (mapInPandas, SURVEY §2.6 D5:
+    batching is the runtime's concern, surfaced only as batch shape)."""
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_stub(p, m, fake=True)
+                     for p, m in zip(pdf["payload"], pdf["media_type"])]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["payload"].map(len),
+                "checksum": pdf["payload"].map(
+                    lambda b: sum(b) % 2_147_483_647),
+                "feat": feats,
+            })
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame index
+    (the decode of the actual frame is the stubbed kernel). Demonstrates
+    the explode-based fan-out shape for frame-level datasets."""
+    return (media.filter(F.col("media_type") == "video")
+            .select("doc_id",
+                    F.explode(F.sequence(
+                        F.lit(0),
+                        F.least((F.length("payload") / every_n).cast("int"),
+                                F.lit(50)))).alias("frame_idx")))

@@ -1,0 +1,125 @@
+"""Readers/writers: the engine's ingest layer.
+
+Re-expresses the reference's scan stack (SURVEY.md §2.1) Spark-first:
+
+  * S1 glob scan           (trainer.py:177-179,213,231)  -> native path
+    globs + ``input_file_name`` provenance.
+  * S2/S3 compressed record scan with fused parse/batch
+    (trainer.py:185-208)                                 -> format readers;
+    batching/parallelism are runtime concerns (maxPartitionBytes), never
+    user-visible operators.
+  * S4 schema'd parse with per-column defaults
+    (trainer.py:120-173)                                 -> explicit
+    StructType + ``fillna`` defaults derived from the schema.
+  * S5 NDJSON with schema autodetect (README.md:151-171) -> spark.read.json
+    (inference on by default), plus a normalizer that rewrites pretty
+    JSON to one-doc-per-line (trainer.py:372's replace('\\n',' ')).
+  * S6 CTAS (README.md:177,196-198)                      -> saveAsTable /
+    CREATE TABLE AS SELECT.
+  * S9 JSON file sink (trainer.py:370-381)               -> write.json.
+
+Scale: every reader returns a lazy DataFrame; filters/projections land in
+the scan via Catalyst. Defaults are ``coalesce``-style projections, fused
+into whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan; ``path`` may contain globs (S1)."""
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType,
+             defaults: dict[str, object] | None = None,
+             header: bool = True, sep: str = ",") -> DataFrame:
+    """Schema'd CSV scan with per-column defaults (S4: the
+    ``FixedLenFeature(default_value=...)`` contract of trainer.py:120-163).
+    Missing/null fields become their declared defaults."""
+    df = spark.read.csv(path, schema=schema, header=header, sep=sep)
+    return apply_defaults(df, defaults or {})
+
+
+def read_ndjson(spark: SparkSession, path: str,
+                schema: T.StructType | None = None) -> DataFrame:
+    """NDJSON load; schema inferred when not given (S5 autodetect)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def apply_defaults(df: DataFrame, defaults: dict[str, object]) -> DataFrame:
+    """Replace nulls with declared per-column defaults (trainer.py:122-162
+    semantics: 0 for ints, 0.0 for floats, "" for strings)."""
+    present = {k: v for k, v in defaults.items() if k in df.columns}
+    return df.fillna(present) if present else df
+
+
+def schema_defaults(schema: T.StructType) -> dict[str, object]:
+    """Derive the reference's default-value convention from a schema:
+    numeric -> 0/0.0, string -> "" (trainer.py:124-162)."""
+    out: dict[str, object] = {}
+    for f in schema.fields:
+        if isinstance(f.dataType, (T.IntegerType, T.LongType, T.ShortType)):
+            out[f.name] = 0
+        elif isinstance(f.dataType, (T.FloatType, T.DoubleType)):
+            out[f.name] = 0.0
+        elif isinstance(f.dataType, T.StringType):
+            out[f.name] = ""
+    return out
+
+
+def with_provenance(df: DataFrame,
+                    col_name: str = "_source_file") -> DataFrame:
+    """Attach the originating file per row — the glob-scan provenance the
+    reference loses when it interleaves files (trainer.py:216-219)."""
+    return df.withColumn(col_name, F.input_file_name())
+
+
+def normalize_json_lines(src_path: str, dst_path: str) -> int:
+    """Rewrite a (possibly pretty-printed) JSON document file to NDJSON:
+    one document per line (trainer.py:372,378 replace('\\n', ' ')).
+    Driver-side utility, used before handing a path to spark.read.json.
+    Returns the number of documents written."""
+    with open(src_path) as f:
+        text = f.read().strip()
+    docs: list[object]
+    try:
+        docs = [json.loads(line) for line in text.splitlines() if line.strip()]
+    except json.JSONDecodeError:
+        parsed = json.loads(text)  # single pretty-printed document
+        docs = parsed if isinstance(parsed, list) else [parsed]
+    with open(dst_path, "w") as f:
+        for d in docs:
+            f.write(json.dumps(d, separators=(",", ":")) + "\n")
+    return len(docs)
+
+
+def ctas(spark: SparkSession, name: str, df: DataFrame,
+         mode: str = "overwrite") -> DataFrame:
+    """CREATE TABLE AS SELECT into the session catalog (S6; the
+    reference's --destination_table). Statistics can then be ANALYZEd for
+    CBO (plans/stats.py)."""
+    df.write.mode(mode).saveAsTable(name)
+    return spark.table(name)
+
+
+def write_json(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """JSON sink (S9). ``single_file`` coalesces to one output file — only
+    for small results; a 100 TB write keeps its natural partitioning."""
+    (df.coalesce(1) if single_file else df).write.mode("overwrite").json(path)
+
+
+def write_partitioned_parquet(df: DataFrame, path: str,
+                              partition_by: list[str]) -> None:
+    """Partition-pruned parquet layout: the 100 TB-scale sink. Readers
+    filtering on ``partition_by`` columns scan only matching directories."""
+    df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)

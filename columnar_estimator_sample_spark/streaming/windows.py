@@ -1,0 +1,117 @@
+"""Structured Streaming tier over the events stream.
+
+The reference is batch-only (SURVEY.md §2.8); its closest streaming
+analogue is the append-only trace-event log with monotonically increasing
+``ts`` (/root/reference/README.md:93,107). This module is the green-field
+streaming surface a production engine needs, built so that every streaming
+aggregation has a batch twin in operators/events.py whose results it must
+match (tested with the ``availableNow`` trigger, which drains the source
+deterministically and terminates).
+
+Scale notes:
+  * watermarks bound state: 1 day of lateness over (window, event_type)
+    keys is O(types · days) state per executor — trivial; per-user session
+    state is O(active users), the standard sizing concern.
+  * ``foreachBatch`` sinks reuse the batch writers (sources/io.py), giving
+    exactly-once via checkpoint + idempotent overwrite per epoch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnar_estimator_sample_spark.functions.exact import dsum
+
+US_PER_DAY = 86_400_000_000
+
+
+def events_stream(spark: SparkSession, sf_dir: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """The events table as a file stream (one parquet file = one
+    micro-batch unit). Restates nanosecond ``ts`` as a timestamp for
+    watermarking, plus integer ``us`` for exact arithmetic."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # file streams take a directory; pathGlobFilter selects the table
+    df = (spark.readStream.schema(static.schema)
+          .option("maxFilesPerTrigger", max_files_per_trigger or 1)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sf_dir))
+    return (df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("us", F.expr("ts_ns div 1000"))
+            .withColumn("ts", F.timestamp_micros(F.col("us"))))
+
+
+def daily_counts_stream(events: DataFrame,
+                        watermark: str = "1 day") -> DataFrame:
+    """Watermarked tumbling daily aggregation — the streaming twin of
+    q_time_buckets. Late events beyond the watermark are dropped; state
+    per (day, event_type) window is evicted once the watermark passes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum(F.col("value"), "total_value", 6))
+        .select(
+            F.date_add(F.lit("1970-01-01").cast("date"),
+                       F.expr(f"CAST(unix_micros(w.start) div {US_PER_DAY}"
+                              f" AS INT)")).cast("string").alias("day"),
+            "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_value_stream(events: DataFrame,
+                         window: str = "1 hour",
+                         slide: str = "30 minutes") -> DataFrame:
+    """Sliding-window aggregation (each event lands in window/slide
+    overlapping windows)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum(F.col("value"), "total_value", 6))
+        .select(F.col("w.start").cast("long").alias("win_start_s"),
+                "n_events", "total_value")
+    )
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (``session_window``): the streaming
+    equivalent of the batch gaps-and-islands sessionization
+    (operators/events.py::q_sessionize). State = one open window per
+    active user, merged/closed by the watermark."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("us").alias("start_us"),
+             (F.max("us") - F.min("us")).alias("duration_us"))
+        .select("user_id", "n_events", "start_us", "duration_us")
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    the streaming twin of the batch hash-dedup. State is the id set inside
+    the watermark window."""
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicates(["event_id"]))
+
+
+def run_to_completion(stream_df: DataFrame, checkpoint_dir: str,
+                      out_table: str, mode: str = "complete") -> DataFrame:
+    """Drain the stream deterministically with availableNow into a memory
+    sink table; returns the result as a DataFrame. Used by tests to prove
+    stream/batch parity. ``mode``: "complete" for aggregations, "append"
+    for row streams (dedup)."""
+    q = (stream_df.writeStream
+         .format("memory")
+         .queryName(out_table)
+         .outputMode(mode)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(out_table)

@@ -1,0 +1,100 @@
+"""ML loop + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+class TestML:
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        from columnar_estimator_sample_spark.ml.train import (
+            criteo_shaped_frame,
+        )
+        df = criteo_shaped_frame(spark, n_rows=3000)
+        train = df.filter(F.col("id") % 5 != 0).cache()
+        test = df.filter(F.col("id") % 5 == 0).cache()
+        return train, test
+
+    def test_criteo_frame_shape(self, spark):
+        from columnar_estimator_sample_spark.ml.train import (
+            criteo_shaped_frame,
+        )
+        df = criteo_shaped_frame(spark, n_rows=500)
+        cols = set(df.columns)
+        assert {"label", "row_hash", "int1", "int1_norm", "cat1"} <= cols
+        # label is binary, both classes present
+        labels = {r[0] for r in df.select("label").distinct().collect()}
+        assert labels == {0.0, 1.0}
+
+    def test_build_features_schema_driven(self, frames):
+        from columnar_estimator_sample_spark.ml.train import build_features
+        train, _ = frames
+        out, cols = build_features(train)
+        assert "row_hash" not in out.columns  # dropped (trainer.py:165-168)
+        assert all(c.endswith("_norm") or c.endswith("_bucket")
+                   for c in cols)
+        assert any(c.endswith("_bucket") for c in cols)
+
+    def test_linear_learns_signal(self, frames):
+        from columnar_estimator_sample_spark.ml.train import train_linear
+        train, test = frames
+        res = train_linear(train, test)
+        assert res.auc > 0.55, f"AUC {res.auc} — planted signal not learned"
+
+    def test_dnn_learns_signal(self, frames):
+        from columnar_estimator_sample_spark.ml.train import train_dnn
+        train, test = frames
+        res = train_dnn(train, test, max_iter=15)
+        assert res.auc > 0.55, f"AUC {res.auc}"
+
+
+class TestMultimodal:
+    def test_media_schema(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.multimodal import (
+            documents_as_media,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        media = documents_as_media(table(spark, sf_dir, "documents"))
+        assert dict(media.dtypes)["payload"] == "binary"
+        types = {r[0] for r in media.select("media_type").distinct().collect()}
+        assert types == {"image", "audio", "video"}
+
+    def test_decode_stub_contract(self):
+        from columnar_estimator_sample_spark.operators.multimodal import (
+            decode_stub,
+        )
+        with pytest.raises(NotImplementedError):
+            decode_stub(b"abc", "image")
+        feat = decode_stub(b"abcdefgh", "image", fake=True)
+        assert len(feat) == 8
+        assert abs(sum(feat) - 1.0) < 1e-9
+
+    def test_extract_features_end_to_end(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.multimodal import (
+            documents_as_media, extract_features,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        docs = table(spark, sf_dir, "documents")
+        media = documents_as_media(docs)
+        feats = extract_features(media)
+        rows = feats.collect()
+        assert len(rows) == docs.count()
+        r = rows[0]
+        assert r["n_bytes"] > 0 and len(r["feat"]) == 8
+        # deterministic: run twice, same checksums
+        again = {x["doc_id"]: x["checksum"]
+                 for x in extract_features(media).collect()}
+        assert all(again[x["doc_id"]] == x["checksum"] for x in rows)
+
+    def test_frame_sample_plan(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.multimodal import (
+            documents_as_media, frame_sample_plan,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        media = documents_as_media(table(spark, sf_dir, "documents"))
+        frames = frame_sample_plan(media)
+        n_videos = media.filter(F.col("media_type") == "video").count()
+        assert frames.select("doc_id").distinct().count() == n_videos
+        assert frames.count() > n_videos  # fan-out happened

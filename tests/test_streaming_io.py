@@ -1,0 +1,149 @@
+"""Streaming tier + IO layer tests.
+
+The streaming contract: every streaming aggregation must reproduce its
+batch twin's results when drained with availableNow (deterministic,
+terminating)."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+import pytest
+
+
+@pytest.fixture()
+def ckpt(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+class TestStreaming:
+    def test_daily_counts_matches_batch(self, spark, sf_dir, ckpt):
+        from columnar_estimator_sample_spark.registry import queries
+        from columnar_estimator_sample_spark.streaming.windows import (
+            daily_counts_stream, events_stream, run_to_completion,
+        )
+        stream = daily_counts_stream(events_stream(spark, sf_dir))
+        got = run_to_completion(stream, ckpt, "stream_daily")
+        batch = queries()["q_time_buckets"](spark, sf_dir)
+        s = {(r["day"], r["event_type"]): (r["n_events"], r["total_value"])
+             for r in got.collect()}
+        b = {(r["day"], r["event_type"]): (r["n_events"], r["total_value"])
+             for r in batch.collect()}
+        assert s == b
+
+    def test_session_stream_total_events(self, spark, sf_dir, ckpt):
+        from columnar_estimator_sample_spark.streaming.windows import (
+            events_stream, run_to_completion, session_stream,
+        )
+        got = run_to_completion(
+            session_stream(events_stream(spark, sf_dir)), ckpt,
+            "stream_sessions")
+        # session windows partition all events: totals must be preserved
+        n = got.agg(F.sum("n_events")).collect()[0][0]
+        from columnar_estimator_sample_spark.sources.tables import table
+        assert n == table(spark, sf_dir, "events").count()
+
+    def test_session_stream_matches_batch_sessionize(self, spark, sf_dir,
+                                                     ckpt):
+        """session_window(gap) must produce the same (start_us, n_events)
+        session set as the batch gaps-and-islands implementation."""
+        from columnar_estimator_sample_spark.registry import queries
+        from columnar_estimator_sample_spark.streaming.windows import (
+            events_stream, run_to_completion, session_stream,
+        )
+        got = run_to_completion(
+            session_stream(events_stream(spark, sf_dir)), ckpt,
+            "stream_sessions_parity")
+        s = sorted((r["user_id"], r["start_us"], r["n_events"],
+                    r["duration_us"]) for r in got.collect())
+        b = sorted((r["user_id"], r["start_us"], r["n_events"],
+                    r["duration_us"])
+                   for r in queries()["q_sessionize"](spark, sf_dir).collect())
+        assert s == b
+
+    def test_dedup_stream(self, spark, sf_dir, ckpt):
+        from columnar_estimator_sample_spark.streaming.windows import (
+            dedup_stream, events_stream, run_to_completion,
+        )
+        got = run_to_completion(
+            dedup_stream(events_stream(spark, sf_dir)), ckpt,
+            "stream_dedup", mode="append")
+        from columnar_estimator_sample_spark.sources.tables import table
+        n_src = table(spark, sf_dir, "events").count()
+        assert got.count() == n_src  # event_ids are unique in testdata
+        assert got.select("event_id").distinct().count() == n_src
+
+
+class TestIO:
+    def test_csv_defaults(self, spark, tmp_path):
+        from columnar_estimator_sample_spark.sources.io import (
+            read_csv, schema_defaults,
+        )
+        p = tmp_path / "in.csv"
+        p.write_text("a,b,c\n1,,x\n,2.5,\n")
+        schema = T.StructType([
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.DoubleType()),
+            T.StructField("c", T.StringType()),
+        ])
+        df = read_csv(spark, str(p), schema, schema_defaults(schema))
+        rows = sorted(df.collect(), key=lambda r: (r["a"], r["b"]))
+        assert rows[0]["a"] == 0 and rows[0]["b"] == 2.5 and rows[0]["c"] == ""
+        assert rows[1]["a"] == 1 and rows[1]["b"] == 0.0 and rows[1]["c"] == "x"
+
+    def test_ndjson_normalize_roundtrip(self, spark, tmp_path):
+        from columnar_estimator_sample_spark.sources.io import (
+            normalize_json_lines, read_ndjson,
+        )
+        src = tmp_path / "pretty.json"
+        src.write_text(json.dumps([{"x": 1, "y": {"z": "a"}},
+                                   {"x": 2, "y": {"z": "b"}}], indent=2))
+        dst = tmp_path / "lines.ndjson"
+        n = normalize_json_lines(str(src), str(dst))
+        assert n == 2
+        df = read_ndjson(spark, str(dst))
+        assert df.count() == 2
+        assert df.select("y.z").orderBy("x").rdd.map(
+            lambda r: r[0]).collect() == ["a", "b"]
+
+    def test_provenance_and_glob(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.sources.io import (
+            read_parquet, with_provenance,
+        )
+        df = with_provenance(read_parquet(spark, f"{sf_dir}/nation.parquet"))
+        files = df.select("_source_file").distinct().collect()
+        assert len(files) >= 1
+        assert "nation.parquet" in files[0][0]
+
+    def test_ctas_and_write_json(self, spark, sf_dir, tmp_path):
+        from columnar_estimator_sample_spark.sources.io import (
+            ctas, read_parquet, write_json,
+        )
+        nation = read_parquet(spark, f"{sf_dir}/nation.parquet")
+        tbl = ctas(spark, "nation_ctas_test", nation.filter(
+            F.col("n_regionkey") == 0))
+        assert tbl.count() == nation.filter(F.col("n_regionkey") == 0).count()
+        out = str(tmp_path / "out_json")
+        write_json(tbl, out, single_file=True)
+        written = [f for f in os.listdir(out) if f.endswith(".json")]
+        assert len(written) == 1
+        spark.sql("DROP TABLE nation_ctas_test")
+
+    def test_partitioned_write_prunes(self, spark, sf_dir, tmp_path):
+        from columnar_estimator_sample_spark.sources.io import (
+            read_parquet, write_partitioned_parquet,
+        )
+        orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+        out = str(tmp_path / "orders_part")
+        write_partitioned_parquet(orders, out, ["o_orderstatus"])
+        assert sorted(d for d in os.listdir(out)
+                      if d.startswith("o_orderstatus=")) == [
+            "o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"]
+        back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(o_orderstatus" in plan \
+            or back.count() > 0
