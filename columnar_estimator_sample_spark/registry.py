@@ -30,6 +30,7 @@ _ORACLES: dict[str, str] = {}
 # optional module can't silently drop the whole registry.
 _OPERATOR_MODULES = [
     "columnar_estimator_sample_spark.operators.relational",
+    "columnar_estimator_sample_spark.operators.relational2",
     "columnar_estimator_sample_spark.operators.flatten",
     "columnar_estimator_sample_spark.operators.events",
     "columnar_estimator_sample_spark.operators.dedup",

@@ -32,6 +32,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype(str)
+        elif df[c].map(lambda v: isinstance(v, (list, tuple))
+                       or type(v).__name__ == "ndarray").any():
+            df[c] = df[c].map(lambda v: str(list(v)) if v is not None else None)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
