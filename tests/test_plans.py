@@ -1,0 +1,116 @@
+"""Physical-plan shape tests: the scale claims, asserted.
+
+Each operator's docstring makes claims about its 100 TB behavior
+(broadcasts, shuffle counts, pushdown, pruning, top-k). These tests pin
+them against the actual executed plan so a regression (lost broadcast,
+un-pushed filter, widened scan) fails CI rather than surfacing as a 10×
+slowdown on a cluster.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from columnar_estimator_sample_spark.registry import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name):
+    df = queries()[name](spark, SF)
+    df.collect()  # let AQE finalize
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE plan strings append the discarded "Initial Plan" — count only
+    # what actually ran
+    return plan.split("== Initial Plan ==")[0]
+
+
+def n_shuffles(plan: str) -> int:
+    return (plan.count("Exchange hashpartitioning")
+            + plan.count("Exchange rangepartitioning")
+            + plan.count("Exchange SinglePartition"))
+
+
+def scan_widths(plan: str) -> list[int]:
+    return [len(s.split(",")) for s in
+            re.findall(r"ReadSchema: struct<([^>]*)>", plan) if s]
+
+
+class TestPlanShapes:
+    def test_q03_broadcasts_dims_and_topk(self, spark):
+        plan = plan_of(spark, "q03_shipping_priority")
+        assert plan.count("BroadcastExchange") >= 1
+        assert "TakeOrderedAndProject" in plan  # top-k, no global sort
+        assert n_shuffles(plan) <= 2  # only the fact-fact join + agg
+
+    def test_q05_star_join_broadcasts_all_dims(self, spark):
+        plan = plan_of(spark, "q05_regional_revenue")
+        # region/nation/customer/supplier all broadcast: only lineitem???
+        # orders shuffle remains
+        assert plan.count("BroadcastExchange") >= 4
+        assert n_shuffles(plan) <= 3
+
+    def test_q01_filter_pushdown(self, spark):
+        plan = plan_of(spark, "q01_pricing_summary")
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+    def test_single_column_probe_prunes_scan(self, spark):
+        plan = plan_of(spark, "q_single_column_probe")
+        widths = scan_widths(plan)
+        assert widths and max(widths) == 1  # 1 of 11 lineitem columns read
+
+    def test_join_scans_are_pruned(self, spark):
+        plan = plan_of(spark, "q10_top_customers")
+        widths = scan_widths(plan)
+        assert widths and max(widths) <= 4  # no full-width scans anywhere
+
+    def test_sessionize_single_user_shuffle(self, spark):
+        plan = plan_of(spark, "q_sessionize")
+        # both window passes + the session aggregation reuse ONE
+        # hashpartitioning(user_id) exchange; the trailing range exchange
+        # is the output orderBy
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_semi_join_stays_semi(self, spark):
+        plan = plan_of(spark, "q_semi_join")
+        assert "LeftSemi" in plan
+
+    def test_anti_join_stays_anti(self, spark):
+        plan = plan_of(spark, "q_anti_join")
+        assert "LeftAnti" in plan
+
+    def test_minhash_band_join_narrow_shuffle(self, spark):
+        plan = plan_of(spark, "q_dedup_minhash_lsh")
+        # the band self-join must not shuffle the shingles arrays: no
+        # exchange whose output carries the `shingles` column
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "shingles" not in m.group(1)
+
+    def test_whole_stage_codegen_everywhere(self, spark):
+        # every headline relational query keeps its core in codegen
+        for q in ["q01_pricing_summary", "q_time_buckets",
+                  "q_text_quality"]:
+            plan = plan_of(spark, q)
+            # codegen'd operators carry the "*(n)" stage prefix
+            assert plan.count("*(") >= 1, q
+
+
+class TestAQEAndStats:
+    def test_aqe_enabled(self, spark):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert spark.conf.get("spark.sql.cbo.enabled") == "true"
+
+    def test_broadcast_hint_survives(self, spark):
+        from columnar_estimator_sample_spark.sources.tables import table
+        import pyspark.sql.functions as F
+        li = table(spark, SF, "lineitem")
+        nation = table(spark, SF, "nation")
+        cust = table(spark, SF, "customer")
+        j = (li.join(cust, li.l_orderkey % 1500 == cust.c_custkey)
+             .join(F.broadcast(nation),
+                   cust.c_nationkey == nation.n_nationkey))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
