@@ -31,6 +31,7 @@ _ORACLES: dict[str, str] = {}
 _OPERATOR_MODULES = [
     "columnar_estimator_sample_spark.operators.relational",
     "columnar_estimator_sample_spark.operators.relational2",
+    "columnar_estimator_sample_spark.operators.relational3",
     "columnar_estimator_sample_spark.operators.flatten",
     "columnar_estimator_sample_spark.operators.events",
     "columnar_estimator_sample_spark.operators.dedup",
