@@ -24,7 +24,9 @@ HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_regional_revenue",
+    "q06_forecast_revenue",
     "q10_top_customers",
+    "q19_disjunctive_predicates",
     "q_window_topk_per_group",
     "q_json_extract",
     "q_time_buckets",
