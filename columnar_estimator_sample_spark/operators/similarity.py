@@ -187,3 +187,70 @@ def ann_lsh_candidates(spark: SparkSession, sf_dir: str,
     bucket = sum((b * (2 ** i) for i, b in enumerate(sig_bits)),
                  start=F.lit(0))
     return emb.select("vec_id", bucket.alias("bucket"))
+
+
+@register(
+    "q_dedup_embedding_cosine",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings WHERE vec_id < 1000
+    ), dots AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,6))) AS DOUBLE) AS dot
+        FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    ), norms AS (
+        SELECT vec_id,
+               sqrt(CAST(SUM(CAST(v * v AS DECIMAL(30,6))) AS DOUBLE)) AS n
+        FROM ex GROUP BY vec_id
+    )
+    SELECT vec_a, vec_b, dot / (na.n * nb.n) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE dot / (na.n * nb.n) >= 0.35
+    ORDER BY vec_a, vec_b
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) pairs with
+    cosine >= 0.35 (bounded to vec_id < 1000 — this brute-force baseline
+    is quadratic; :func:`ann_lsh_candidates` is the 100 TB path, where
+    only hyperplane-bucket mates are scored).
+
+    Formulated as a positional-explode join + decimal-sum aggregation:
+    all codegen'd (the zip_with/aggregate HOF variant is interpreted and
+    ~10× slower on the all-pairs workload)."""
+    emb = (table(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 1000))
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "vf")
+    ).select("vec_id", "i", F.col("vf").cast("double").alias("v"))
+    norms = (ex.groupBy("vec_id")
+             .agg(F.sqrt(F.sum(F.expr("CAST(v * v AS DECIMAL(30,6))"))
+                         .cast("double")).alias("n")))
+    a = ex.select(F.col("vec_id").alias("vec_a"), "i",
+                  F.col("v").alias("va"))
+    b = ex.select(F.col("vec_id").alias("vec_b"), "i",
+                  F.col("v").alias("vb"))
+    dots = (
+        a.join(b, (a.i == b.i) & (F.col("vec_a") < F.col("vec_b")))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum(F.expr("CAST(va * vb AS DECIMAL(30,6))"))
+             .cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("vec_a"),
+                      F.col("n").alias("n_a"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"),
+                      F.col("n").alias("n_b"))
+    return (
+        dots.join(F.broadcast(na), "vec_a")
+        .join(F.broadcast(nb), "vec_b")
+        .select("vec_a", "vec_b",
+                (F.col("dot") / (F.col("n_a") * F.col("n_b")))
+                .alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+        .orderBy("vec_a", "vec_b")
+    )

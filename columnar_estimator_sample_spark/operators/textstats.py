@@ -148,3 +148,65 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
              davg(vowel_ratio, "avg_vowel_ratio", 6))
         .orderBy("lang")
     )
+
+
+@register(
+    "q_text_bpe_tokens",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS DOUBLE)
+           / len(string_split(text, ' ')) AS tokens_per_word
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish: a subword-style regex (letter runs, digit
+    runs, single punctuation) next to whitespace tokens — the cheap
+    pre-tokenizer pass that estimates LLM token budgets at corpus scale.
+    Pattern restricted to classes with identical Java/RE2 semantics."""
+    docs = table(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all(
+        "text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0))
+    ws = F.size(F.split("text", " "))
+    return (docs.select(
+        "doc_id",
+        bpe.alias("n_bpe_tokens"),
+        ws.alias("n_ws_tokens"),
+        (bpe.cast("double") / ws).alias("tokens_per_word"))
+        .orderBy("doc_id"))
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '),
+                       t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+                            % 2147483647)),
+               (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint,
+           md5(text) AS exact_digest
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via order-sensitive rolling hash over the
+    token stream (h = h*31 + hash(tok) mod P): equal only for identical
+    token sequences — the positional complement of the bag-of-words
+    fingerprint (q_dedup_fingerprint). Both engines left-fold."""
+    docs = table(spark, sf_dir, "documents")
+    fp = F.expr(
+        "aggregate(transform(split(text, ' '), t ->"
+        " CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
+        " % 2147483647),"
+        " CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 2147483647)")
+    return (docs.select("doc_id", fp.alias("fingerprint"),
+                        F.md5("text").alias("exact_digest"))
+            .orderBy("doc_id"))
