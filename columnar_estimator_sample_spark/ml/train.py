@@ -49,11 +49,21 @@ class TrainResult:
 
 def build_features(df: DataFrame, label_col: str = "label",
                    drop: tuple[str, ...] = ("row_hash",),
-                   bucket_multiplier: int = 5) -> tuple[DataFrame, list[str]]:
+                   bucket_multiplier: int = 5,
+                   buckets: dict[str, int] | None = None)\
+        -> tuple[DataFrame, list[str]]:
     """Schema-driven feature construction (trainer.py:256-269):
       numeric  = float columns (the ``*_norm`` contract),
       categorical = string columns, hashed into NDV*bucket_multiplier
       buckets sized from the measured cardinality catalog.
+
+    ``buckets`` (column -> bucket count) pins the hash space: the trainer
+    computes it ONCE (on the training frame) and passes the same catalog
+    for the eval frame — the reference's fixed ``vocab_size`` dict
+    (trainer.py:91-118). Re-measuring NDV per frame would map the same
+    categorical value to different buckets in train vs test (train/serve
+    skew).
+
     Returns (frame with feature columns, feature column names)."""
     df = df.drop(*[c for c in drop if c in df.columns])
     numeric = [f.name for f in df.schema.fields
@@ -61,8 +71,9 @@ def build_features(df: DataFrame, label_col: str = "label",
                and f.name != label_col]
     categorical = [f.name for f in df.schema.fields
                    if f.dataType.simpleString() == "string"]
-    buckets = hash_bucket_sizes(ndv_catalog(df, categorical),
-                                bucket_multiplier) if categorical else {}
+    if buckets is None:
+        buckets = hash_bucket_sizes(ndv_catalog(df, categorical),
+                                    bucket_multiplier) if categorical else {}
     out = df
     feature_cols = list(numeric)
     for c in categorical:
@@ -77,14 +88,27 @@ def build_features(df: DataFrame, label_col: str = "label",
     return out, feature_cols
 
 
+def measure_buckets(df: DataFrame, drop: tuple[str, ...] = ("row_hash",),
+                    bucket_multiplier: int = 5) -> dict[str, int]:
+    """Measure the NDV*multiplier bucket catalog once (reference
+    ``vocab_size``, trainer.py:91-118) — shared by train AND eval frames
+    so the hash feature space is identical across both."""
+    categorical = [f.name for f in df.schema.fields
+                   if f.dataType.simpleString() == "string"
+                   and f.name not in drop]
+    return (hash_bucket_sizes(ndv_catalog(df, categorical),
+                              bucket_multiplier) if categorical else {})
+
+
 def train_linear(train_df: DataFrame, test_df: DataFrame,
                  label_col: str = "label", max_iter: int = 20)\
         -> TrainResult:
     """LogisticRegression ≈ reference LinearClassifier
     (trainer.py:287-292, SGD lr=0.001 -> L-BFGS here: same model family,
     Spark-native optimizer)."""
-    tr, cols = build_features(train_df, label_col)
-    te, _ = build_features(test_df, label_col)
+    buckets = measure_buckets(train_df)
+    tr, cols = build_features(train_df, label_col, buckets=buckets)
+    te, _ = build_features(test_df, label_col, buckets=buckets)
     asm = VectorAssembler(inputCols=cols, outputCol="features")
     lr = LogisticRegression(featuresCol="features", labelCol=label_col,
                             maxIter=max_iter)
@@ -103,8 +127,9 @@ def train_dnn(train_df: DataFrame, test_df: DataFrame,
     (trainer.py:304-310: hidden [512,256], n_classes=2 — scaled-down
     hidden sizes by default for test runtime; pass hidden=(512,256) for
     the reference's exact topology)."""
-    tr, cols = build_features(train_df, label_col)
-    te, _ = build_features(test_df, label_col)
+    buckets = measure_buckets(train_df)
+    tr, cols = build_features(train_df, label_col, buckets=buckets)
+    te, _ = build_features(test_df, label_col, buckets=buckets)
     asm = VectorAssembler(inputCols=cols, outputCol="features")
     layers = [len(cols), *hidden, 2]
     mlp = MultilayerPerceptronClassifier(

@@ -315,8 +315,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (32-bit, token-level): each token votes ±1 per
     bit position of its hash; the sign pattern is the fingerprint.
-    Near-dup pairs are then fingerprints within small Hamming distance
-    (bit_count(a ^ b)) — banded by fingerprint chunks at scale."""
+    Near-dup pairs (``q_dedup_simhash_pairs``) are fingerprints within
+    small Hamming distance, banded by fingerprint chunks."""
+    return _simhash_fingerprints(spark, sf_dir).orderBy("doc_id")
+
+
+def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): the 32-bit token-vote fingerprint pipeline —
+    explode distinct tokens, hash, per-bit ±1 votes, majority sign."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -335,5 +341,76 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bitvals.groupBy("doc_id")
         .agg(F.sum(F.col("bitval").cast("long")
                    * F.expr("CAST(1 AS BIGINT) << bit")).alias("simhash"))
-        .orderBy("doc_id")
+    )
+
+
+SIMHASH_CHUNKS = 4     # 4 chunks x 8 bits over the 32-bit fingerprint
+SIMHASH_HAM_T = 3      # pairs within this Hamming distance are near-dups
+
+
+_SIMHASH_FP_CTE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ), th AS (
+        SELECT doc_id, {sql_h64('tok')} AS h FROM toks
+    ), bits AS (
+        SELECT doc_id, b.bit,
+               CASE WHEN SUM(CASE WHEN (h >> b.bit) & 1 = 1
+                                  THEN 1 ELSE -1 END) > 0
+                    THEN 1 ELSE 0 END AS bitval
+        FROM th, (SELECT unnest(range(0, 32)) AS bit) b
+        GROUP BY doc_id, b.bit
+    ), fp AS (
+        SELECT doc_id,
+               CAST(SUM(bitval * (1::BIGINT << bit)) AS BIGINT) AS simhash
+        FROM bits
+        GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "q_dedup_simhash_pairs",
+    # The oracle brute-forces all pairs — fine at oracle scale, and an
+    # INDEPENDENT formulation: it proves the banded Spark plan loses no
+    # pair (pigeonhole: <= 3 differing bits cannot touch all 4 chunks).
+    oracle=_SIMHASH_FP_CTE + f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_T}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: fingerprints within Hamming distance
+    ``SIMHASH_HAM_T``, found by banding the 32-bit fingerprint into
+    ``SIMHASH_CHUNKS`` chunks and self-joining on chunk equality.
+
+    The banding is LOSSLESS for t < chunks (pigeonhole: ≤3 differing bits
+    leave at least one of 4 chunks identical), so this returns exactly the
+    brute-force answer while shuffling only (doc_id, chunk, value) — the
+    100 TB shape; candidate verification is one integer xor+bit_count."""
+    fp = _simhash_fingerprints(spark, sf_dir)
+    chunks = fp.select(
+        "doc_id", "simhash",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {SIMHASH_CHUNKS - 1}),"
+            f" c -> (simhash >> (c * {32 // SIMHASH_CHUNKS}))"
+            f" & {(1 << (32 // SIMHASH_CHUNKS)) - 1})"))
+        .alias("chunk", "chunk_val"))
+    left, right = chunks.alias("l"), chunks.alias("r")
+    return (
+        left.join(right,
+                  (F.col("l.chunk") == F.col("r.chunk"))
+                  & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+                  & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+                F.bit_count(F.expr("l.simhash ^ r.simhash"))
+                .cast("int").alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= SIMHASH_HAM_T)
+        .orderBy("doc_a", "doc_b")
     )

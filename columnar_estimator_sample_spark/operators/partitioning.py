@@ -40,16 +40,28 @@ def bucketed_ctas(spark: SparkSession, name: str, df: DataFrame,
 def salted_join(big: DataFrame, small: DataFrame, key: str,
                 n_salts: int = 8, how: str = "inner") -> DataFrame:
     """Skew-resistant equi-join: replicate the small side ``n_salts``
-    times, scatter the big side uniformly by a deterministic salt, join on
+    times, scatter the big side uniformly by a PER-ROW salt, join on
     (key, salt). Output columns = big's columns + small's non-key columns.
+
+    The salt must be independent of the join key — a key-derived salt
+    sends every row of a hot key to the same (key, salt) task and spreads
+    nothing. ``monotonically_increasing_id`` is per-row (partition id in
+    the high bits, row index in the low bits), so a hot key's rows land on
+    all ``n_salts`` replicas.
+
+    Only inner/left joins are supported: for right/full joins the
+    unmatched small-side rows would surface once per salt replica.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r} "
+            "(outer small-side rows would duplicate per salt replica)")
     salted_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     salted_big = big.withColumn(
-        "__salt", (F.xxhash64(F.col(key)) % n_salts + n_salts) % n_salts)
-    out = salted_big.join(
-        salted_small,
-        [key, "__salt"] if how != "cross" else None, how)
+        "__salt", F.pmod(F.monotonically_increasing_id(),
+                         F.lit(n_salts)).cast("int"))
+    out = salted_big.join(salted_small, [key, "__salt"], how)
     return out.drop("__salt")
 
 

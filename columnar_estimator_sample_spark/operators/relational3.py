@@ -292,7 +292,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str)\
     )
     SELECT c.l_partkey AS partkey,
            MIN(c.l_suppkey) AS suppkey,
-           MIN(s.s_name) AS supplier_name,
+           min_by(s.s_name, c.l_suppkey) AS supplier_name,
            c.min_price AS price
     FROM costs c
     JOIN best b ON c.l_partkey = b.l_partkey
@@ -305,7 +305,13 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str)\
 )
 def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: min-per-group + join-back (the cheapest supplier
-    per part), tie-resolved by min suppkey for determinism."""
+    per part), tie-resolved by min suppkey for determinism.
+
+    ``supplier_name`` is taken with ``min_by(name, suppkey)`` so it is the
+    name OF the reported suppkey — independent MIN(name)/MIN(suppkey)
+    could disagree when two suppliers tie on best price. ``l_suppkey`` is
+    unique within each (partkey, price) group, so min_by is deterministic.
+    """
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice")
     costs = (li.groupBy("l_partkey", "l_suppkey")
@@ -321,7 +327,7 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("partkey"),
                  F.col("min_price").alias("price"))
         .agg(F.min("l_suppkey").alias("suppkey"),
-             F.min("s_name").alias("supplier_name"))
+             F.min_by("s_name", "l_suppkey").alias("supplier_name"))
         .select("partkey", "suppkey", "supplier_name", "price")
         .orderBy("partkey")
     )

@@ -163,30 +163,180 @@ def cosine_topk_fast(spark: SparkSession, sf_dir: str,
             .orderBy("query_id", "rank"))
 
 
-def ann_lsh_candidates(spark: SparkSession, sf_dir: str,
-                       n_planes: int = 16) -> DataFrame:
-    """Random-hyperplane LSH bucketing: sign pattern of ``n_planes``
-    pseudo-random projections -> bucket id; ANN candidates are bucket
-    mates. Planes are deterministic (hash-derived) so tests reproduce.
+# Random-hyperplane LSH parameters. ±1 plane components come from md5
+# parity of ("pl{plane}_{dim-index}") — portable, so the DuckDB oracle
+# reproduces the exact buckets. 8 bands × 6 rows was chosen by measuring
+# this corpus (tools + tests): its near-dup tier sits at cosine 0.35-0.51
+# (weak-similarity regime: plane-agreement probability ≈ 0.61, barely
+# above the 0.5 of random pairs), where this config scores ~13% of all
+# pairs at ~0.4 recall; tighter thresholds would give the usual ≫10×
+# pruning at high recall.
+ANN_PLANES = 48
+ANN_BANDS = 8
+ANN_ROWS = ANN_PLANES // ANN_BANDS  # 6
+ANN_COS_T = 0.35
 
-    Scale: one narrow pass to compute signatures; the N×N similarity join
-    becomes a groupBy(bucket) — candidates per bucket ~ N/2^planes."""
+
+def _plane_parity(p: int) -> str:
+    """SQL boolean: md5-parity sign of hyperplane ``p`` at element ``i``
+    (column in scope). Mirrors functions/hashing.h64."""
+    return (f"CAST(conv(substring(md5(concat('pl{p}_', CAST(i AS STRING))),"
+            f" 1, 15), 16, 10) AS BIGINT) % 2 = 0")
+
+
+def _exploded(emb: DataFrame) -> DataFrame:
+    """(vec_id, i, v): 0-based positional explode of the embedding."""
+    return (emb.select("vec_id", F.posexplode("embedding").alias("i", "vf"))
+            .select("vec_id", "i", F.col("vf").cast("double").alias("v")))
+
+
+def ann_signatures(spark: SparkSession, sf_dir: str,
+                   n_planes: int = ANN_PLANES) -> DataFrame:
+    """Sign bits of ``n_planes`` deterministic ±1 hyperplane projections:
+    (vec_id, b0..b{n-1}).
+
+    Shape: ONE posexplode + ONE grouped aggregation computing every plane
+    sum (map-side partial, whole-stage codegen) — the same explode+agg
+    formulation as the MinHash signatures. The earlier
+    ``aggregate(zip_with(...))`` higher-order-function variant ran one
+    interpreted pass per plane (~10× slower, measured). Projections are
+    decimal-summed so Spark and DuckDB see identical order-free totals.
+    """
     emb = table(spark, sf_dir, "embeddings")
-    sig_bits = [
-        F.when(
-            F.expr(
-                f"aggregate(zip_with(embedding,"
-                f" transform(sequence(0, size(embedding) - 1),"
-                f"   j -> CAST(CASE WHEN (hash({p} * 1000 + j) % 2) = 0"
-                f"        THEN 1 ELSE -1 END AS DOUBLE)),"
-                f" (x, s) -> CAST(x AS DOUBLE) * s),"
-                f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)") > 0, 1)
-        .otherwise(0)
+    sums = [
+        F.sum(F.expr(f"CAST(CASE WHEN {_plane_parity(p)} THEN v ELSE -v END"
+                     f" AS DECIMAL(30,6))")).alias(f"s{p}")
         for p in range(n_planes)
     ]
-    bucket = sum((b * (2 ** i) for i, b in enumerate(sig_bits)),
+    agg = _exploded(emb).groupBy("vec_id").agg(*sums)
+    return agg.select(
+        "vec_id",
+        *[F.when(F.col(f"s{p}") > 0, 1).otherwise(0).alias(f"b{p}")
+          for p in range(n_planes)])
+
+
+def ann_lsh_candidates(spark: SparkSession, sf_dir: str,
+                       n_planes: int = 16) -> DataFrame:
+    """Single-bucket LSH view: the ``n_planes``-bit sign pattern packed
+    into one integer bucket id (vec_id, bucket). ANN candidates within a
+    bucket; :func:`ann_candidate_pairs` is the banded multi-probe variant
+    actually used for dedup."""
+    bits = ann_signatures(spark, sf_dir, n_planes)
+    bucket = sum((F.col(f"b{p}") * (2 ** p) for p in range(n_planes)),
                  start=F.lit(0))
-    return emb.select("vec_id", bucket.alias("bucket"))
+    return bits.select("vec_id", bucket.alias("bucket"))
+
+
+def ann_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate generation: (vec_a, vec_b) pairs sharing at
+    least one of the ``ANN_BANDS`` band keys. The self-join shuffles only
+    (vec_id, band, band_key) — never embeddings — and the pair count is a
+    measured ~13% of N²/2 on this corpus (tests assert the bound)."""
+    bits = ann_signatures(spark, sf_dir, ANN_PLANES)
+    band_keys = [
+        sum((F.col(f"b{b * ANN_ROWS + r}") * (2 ** r)
+             for r in range(ANN_ROWS)), start=F.lit(0))
+        for b in range(ANN_BANDS)
+    ]
+    bands = bits.select(
+        "vec_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key"))
+    left, right = bands.alias("l"), bands.alias("r")
+    return (
+        left.join(right,
+                  (F.col("l.band") == F.col("r.band"))
+                  & (F.col("l.band_key") == F.col("r.band_key"))
+                  & (F.col("l.vec_id") < F.col("r.vec_id")))
+        .select(F.col("l.vec_id").alias("vec_a"),
+                F.col("r.vec_id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
+def _ann_oracle() -> str:
+    return f"""
+    WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ), terms AS (
+        SELECT vec_id, p.p,
+               CAST(CASE WHEN CAST(('0x' || substr(md5('pl' || p.p || '_'
+                         || ex.i), 1, 15)) AS BIGINT) % 2 = 0
+                    THEN v ELSE -v END AS DECIMAL(30,6)) AS t
+        FROM ex, (SELECT unnest(range(0, {ANN_PLANES})) AS p) p
+    ), sums AS (
+        SELECT vec_id, p, SUM(t) AS s FROM terms GROUP BY vec_id, p
+    ), bands AS (
+        SELECT vec_id, p // {ANN_ROWS} AS band,
+               SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END
+                   * (1::BIGINT << (p % {ANN_ROWS}))) AS band_key
+        FROM sums GROUP BY vec_id, p // {ANN_ROWS}
+    ), cand AS (
+        SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.band_key = r.band_key
+         AND l.vec_id < r.vec_id
+    ), dots AS (
+        SELECT c.vec_a, c.vec_b,
+               CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,6))) AS DOUBLE) AS dot
+        FROM cand c
+        JOIN ex a ON a.vec_id = c.vec_a
+        JOIN ex b ON b.vec_id = c.vec_b AND b.i = a.i
+        GROUP BY 1, 2
+    ), norms AS (
+        SELECT vec_id,
+               sqrt(CAST(SUM(CAST(v * v AS DECIMAL(30,6))) AS DOUBLE)) AS n
+        FROM ex GROUP BY vec_id
+    )
+    SELECT vec_a, vec_b, dot / (na.n * nb.n) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE dot / (na.n * nb.n) >= {ANN_COS_T}
+    ORDER BY vec_a, vec_b
+    """
+
+
+@register("q_dedup_embedding_lsh", oracle=_ann_oracle())
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via banded hyperplane LSH — the 100 TB
+    path: exact cosine is computed ONLY for bucket-mate candidate pairs
+    (~13% of all pairs here; the quadratic
+    :func:`q_dedup_embedding_cosine` is the small-N recall baseline).
+
+    Scale: signatures are one explode+agg pass (shuffle O(N·planes)
+    decimals); candidates shuffle 3 narrow columns; scoring joins the
+    exploded vectors back for candidates only — O(candidates·dim), never
+    O(N²·dim)."""
+    cand = ann_candidate_pairs(spark, sf_dir)
+    ex = _exploded(table(spark, sf_dir, "embeddings"))
+    norms = (ex.groupBy("vec_id")
+             .agg(F.sqrt(F.sum(F.expr("CAST(v * v AS DECIMAL(30,6))"))
+                         .cast("double")).alias("n")))
+    a = ex.select(F.col("vec_id").alias("vec_a"), "i",
+                  F.col("v").alias("va"))
+    b = ex.select(F.col("vec_id").alias("vec_b"), "i",
+                  F.col("v").alias("vb"))
+    dots = (
+        cand.join(a, "vec_a")
+        .join(b, ["vec_b", "i"])
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum(F.expr("CAST(va * vb AS DECIMAL(30,6))"))
+             .cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("vec_a"),
+                      F.col("n").alias("n_a"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"),
+                      F.col("n").alias("n_b"))
+    return (
+        dots.join(F.broadcast(na), "vec_a")
+        .join(F.broadcast(nb), "vec_b")
+        .select("vec_a", "vec_b",
+                (F.col("dot") / (F.col("n_a") * F.col("n_b")))
+                .alias("cosine"))
+        .filter(F.col("cosine") >= ANN_COS_T)
+        .orderBy("vec_a", "vec_b")
+    )
 
 
 @register(

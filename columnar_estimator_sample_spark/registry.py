@@ -39,6 +39,7 @@ _OPERATOR_MODULES = [
     "columnar_estimator_sample_spark.operators.textstats",
     "columnar_estimator_sample_spark.operators.features",
     "columnar_estimator_sample_spark.plans.stats_queries",
+    "columnar_estimator_sample_spark.sources.tfrecord",
 ]
 
 _loaded = False
@@ -61,9 +62,12 @@ def _load() -> None:
     global _loaded
     if _loaded:
         return
-    _loaded = True
+    # Mark loaded only after every module imported: a failing import must
+    # propagate on EVERY call, not silently yield a partial registry on the
+    # second one.
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
+    _loaded = True
 
 
 def queries() -> dict[str, QueryFn]:

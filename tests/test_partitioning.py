@@ -83,20 +83,26 @@ class TestSalting:
             F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
         out = salted_join(big, small, "k", n_salts=8)
         assert out.count() == 10_000  # every big row matched exactly once
-        # salts actually scattered the hot key across partitions
+        # the per-row salt actually scatters the hot key: its 9k rows must
+        # touch every one of the 8 (key, salt) buckets
         dist = (big.withColumn(
-            "__salt", (F.xxhash64(F.col("k")) % 8 + 8) % 8)
+            "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(8)))
             .filter(F.col("k") == 1)
             .select("__salt").distinct().count())
-        assert dist == 1  # same key -> same salt on the big side (hash)
-        # ...which is why the SMALL side is the exploded one:
-        from columnar_estimator_sample_spark.operators.partitioning import (
-            salted_join as _sj,
-        )
+        assert dist == 8
         # smoke: different n_salts give identical results
-        a = _sj(big, small, "k", n_salts=2).count()
-        b = _sj(big, small, "k", n_salts=16).count()
+        a = salted_join(big, small, "k", n_salts=2).count()
+        b = salted_join(big, small, "k", n_salts=16).count()
         assert a == b == 10_000
+
+    def test_salted_join_rejects_outer(self, spark):
+        import pytest as _pytest
+        from columnar_estimator_sample_spark.operators.partitioning import (
+            salted_join,
+        )
+        df = spark.range(4).select(F.col("id").alias("k"))
+        with _pytest.raises(ValueError):
+            salted_join(df, df, "k", how="full")
 
 
 class TestSkewProfile:
