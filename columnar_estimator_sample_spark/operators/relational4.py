@@ -1,0 +1,536 @@
+"""Relational operator suite, part 4: the remaining TPC-H query shapes
+(Q7/Q8/Q9/Q11/Q13/Q15/Q17/Q18/Q20/Q21 analogues adapted to the testdata
+schema — no partsupp/commitdate columns exist, so those queries keep their
+*relational shape* with substituted measures). The value is breadth of
+multi-join + correlated-aggregate patterns: nation-pair volume, market
+share, profit rollup, group-HAVING-over-global-scalar, distribution
+counting, argmax-by-view, correlated-average filters, large-volume
+semi-joins, and the double-EXISTS "sole late supplier" shape.
+
+Every query: dimensions broadcast, fact-fact joins shuffle on natural
+keys, decimal-exact money math (functions/exact.py), deterministic
+ordering with tie-breakers, and a value-exact DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnar_estimator_sample_spark.functions.exact import dec
+from columnar_estimator_sample_spark.registry import register
+from columnar_estimator_sample_spark.sources.tables import table
+
+_TS = "timestamp_ntz"
+
+
+def _rev() -> F.Column:
+    """Exact revenue term: decimal(extendedprice) * decimal(1 - discount)."""
+    return (F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1).cast("decimal(12,2)")
+               - F.col("l_discount").cast("decimal(4,2)")))
+
+
+_SQL_REV = ("CAST(l_extendedprice AS DECIMAL(12,2))"
+            " * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2)))")
+
+
+@register(
+    "q07_nation_volume",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS l_year,
+           CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+        OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between a nation pair per year —
+    two fact-fact joins plus four broadcast dimensions, symmetric
+    OR-of-ANDs pair predicate."""
+    li = (table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00")
+                   .cast(_TS))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00")
+                     .cast(_TS)))
+          .select("l_orderkey", "l_suppkey", "l_shipdate",
+                  "l_extendedprice", "l_discount"))
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = table(spark, sf_dir, "nation")
+    sn = nat.select(F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"))
+    cn = nat.select(F.col("n_nationkey").alias("cn_key"),
+                    F.col("n_name").alias("cust_nation"))
+    pair = (((F.col("supp_nation") == "NATION_3")
+             & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7")
+               & (F.col("cust_nation") == "NATION_3")))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q08_market_share",
+    oracle=f"""
+    WITH vol AS (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               {_SQL_REV} AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation cn ON cn.n_nationkey = c_nationkey
+        JOIN region    ON r_regionkey = cn.n_regionkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM vol
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's revenue share within a region per
+    year — conditional-sum ratio over a 6-table star join."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = (table(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00")
+                       .cast(_TS))
+                      & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00")
+                         .cast(_TS)))
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = table(spark, sf_dir, "nation")
+    region = (table(spark, sf_dir, "region")
+              .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    cn = (nat.join(F.broadcast(region),
+                   nat.n_regionkey == F.col("r_regionkey"))
+          .select(F.col("n_nationkey").alias("cn_key")))
+    sn = nat.select(F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"))
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(F.year("o_orderdate").alias("o_year"),
+                _rev().alias("volume"), "supp_nation")
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        vol.groupBy("o_year")
+        .agg((F.sum(F.when(F.col("supp_nation") == "NATION_2",
+                           F.col("volume")).otherwise(zero)).cast("double")
+              / F.sum("volume").cast("double")).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q09_product_profit",
+    oracle="""
+    SELECT sn.n_name AS nation,
+           EXTRACT(year FROM l_shipdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2))
+                       - CAST(l_discount AS DECIMAL(4,2)))
+                    - CAST(p_retailprice AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(0.1 AS DECIMAL(4,2))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for parts
+    matching a name pattern (no partsupp table in the testdata schema, so
+    supply cost is modeled as 10% of retail price x quantity — the join
+    topology and aggregation shape are Q9's)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate", "l_quantity",
+        "l_extendedprice", "l_discount")
+    part = (table(spark, sf_dir, "part")
+            .filter(F.col("p_name").like("%gear%"))
+            .select("p_partkey", "p_retailprice"))
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation"))
+    cost = (F.col("p_retailprice").cast("decimal(12,2)")
+            * F.col("l_quantity").cast("decimal(12,2)")
+            * F.lit(0.1).cast("decimal(4,2)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy("nation", F.year("l_shipdate").alias("o_year"))
+        .agg(F.sum(_rev() - cost).cast("double").alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH vals AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   AS part_value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_5'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, part_value
+    FROM vals
+    WHERE part_value > (SELECT SUM(part_value) * 0.002 FROM vals)
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value filtered against a global scalar
+    (fraction of the total) — group-HAVING over a scalar subquery on the
+    same aggregate. No partsupp table: value = extendedprice x quantity
+    supplied from one nation's suppliers."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = (table(spark, sf_dir, "nation")
+           .filter(F.col("n_name") == "NATION_5").select("n_nationkey"))
+    val = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * F.col("l_quantity").cast("decimal(12,2)"))
+    vals = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(val).cast("double").alias("part_value"))
+    )
+    total = vals.agg((F.sum("part_value") * 0.002).alias("threshold"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("partkey"), "part_value")
+        .orderBy(F.desc("part_value"), F.asc("partkey"))
+    )
+
+
+@register(
+    "q13_order_distribution",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON o_custkey = c_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: two-level aggregation — customers bucketed by how
+    many (non-urgent) orders they placed, including zero via the outer
+    join (the comment-filter of real Q13 becomes a priority filter)."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") != "1-URGENT")
+              .select("o_orderkey", "o_custkey"))
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM({_SQL_REV}) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax over an aggregated view — supplier(s)
+    achieving the maximum quarterly revenue, via a scalar-subquery
+    equality (ties all returned, ordered by key)."""
+    li = (table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00")
+                   .cast(_TS))
+                  & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00")
+                     .cast(_TS))))
+    revenue = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+               .agg(F.sum(_rev()).cast("double").alias("total_revenue")))
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp),
+              F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pq AS (
+        SELECT l_partkey AS avg_partkey,
+               0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                           AS DOUBLE) / COUNT(l_quantity)) AS half_avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               / 7.0 AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pq   ON avg_partkey = l_partkey
+    WHERE p_brand = 'Brand#12'
+      AND l_quantity < half_avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str)\
+        -> DataFrame:
+    """TPC-H Q17 shape: rows below a correlated per-group average (small
+    orders of one brand), with the correlated subquery decorrelated into
+    an aggregate + join. Decimal-exact sum; the avg is one double
+    division per part."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    pq = (li.groupBy(F.col("l_partkey").alias("avg_partkey"))
+          .agg((F.lit(0.5) * (F.sum(dec(F.col("l_quantity"), 2))
+                              .cast("double") / F.count("l_quantity")))
+               .alias("half_avg_qty")))
+    part = (table(spark, sf_dir, "part")
+            .filter(F.col("p_brand") == "Brand#12").select("p_partkey"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pq, F.col("l_partkey") == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg((F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+              .cast("double") / 7.0).alias("avg_yearly"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 210
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_qty
+    FROM lineitem
+    JOIN big      USING (l_orderkey)
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str)\
+        -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (HAVING over a fact aggregate used as a semi-join), joined back to
+    customers, top-100."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(dec(F.col("l_quantity"), 2)).alias("sq"))
+           .filter(F.col("sq") > 210)
+           .select(li.l_orderkey.alias("big_key")))
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(big, li.l_orderkey == F.col("big_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
+        .agg(F.sum(dec(F.col("l_quantity"), 2)).cast("double")
+             .alias("total_qty"))
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+    WITH sp AS (
+        SELECT l_suppkey, l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS supplied
+        FROM lineitem GROUP BY l_suppkey, l_partkey
+    ), pavg AS (
+        SELECT l_partkey AS pk, SUM(supplied) * 0.1 AS threshold
+        FROM sp GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_11', 'NATION_21')
+      AND s_suppkey IN (SELECT l_suppkey FROM sp JOIN pavg ON pk = l_partkey
+                        WHERE supplied > threshold)
+    ORDER BY s_suppkey
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who carry an outsized share (>10%) of
+    some part's total supplied quantity, restricted to a nation list —
+    an IN-subquery (semi-join) over a two-level aggregate."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity")
+    sp = (li.groupBy("l_suppkey", "l_partkey")
+          .agg(F.sum(dec(F.col("l_quantity"), 2)).alias("supplied")))
+    pavg = (sp.groupBy(F.col("l_partkey").alias("pk"))
+            .agg((F.sum("supplied") * F.lit(0.1).cast("decimal(12,2)"))
+                 .alias("threshold")))
+    excess = (sp.join(pavg, sp.l_partkey == pavg.pk)
+              .filter(F.col("supplied") > F.col("threshold"))
+              .select("l_suppkey"))
+    nat = (table(spark, sf_dir, "nation")
+           .filter(F.col("n_name").isin("NATION_1", "NATION_11",
+                                        "NATION_21"))
+           .select("n_nationkey"))
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey")
+    return (
+        supp.join(F.broadcast(nat),
+                  supp.s_nationkey == F.col("n_nationkey"))
+        .join(excess, supp.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_sole_late_supplier",
+    oracle="""
+    WITH order_supps AS (
+        SELECT l.l_orderkey,
+               COUNT(DISTINCT l.l_suppkey) AS n_supps,
+               COUNT(DISTINCT CASE WHEN l.l_shipdate > o.o_orderdate
+                                   THEN l.l_suppkey END) AS n_late
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY l.l_orderkey
+    ), sole_late AS (
+        SELECT DISTINCT l.l_suppkey, l.l_orderkey
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN order_supps os ON os.l_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate
+          AND os.n_supps > 1
+          AND os.n_late = 1
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM sole_late JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 50
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the double-EXISTS "suppliers who alone kept an
+    order waiting" — another supplier participated (EXISTS) but none of
+    the others was late (NOT EXISTS). Without commit/receipt dates the
+    lateness predicate is shipdate > orderdate; the EXISTS pair is
+    decorrelated into per-order distinct-supplier counts (the standard
+    scale-out formulation: one aggregate instead of two correlated
+    self-joins of the fact table)."""
+    orders = (table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    late = F.col("l_shipdate") > F.col("o_orderdate")
+    order_supps = (
+        lo.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supps"),
+             F.countDistinct(F.when(late, F.col("l_suppkey")))
+             .alias("n_late"))
+    )
+    sole_late = (
+        lo.filter(late)
+        .join(order_supps.filter((F.col("n_supps") > 1)
+                                 & (F.col("n_late") == 1)),
+              "l_orderkey", "left_semi")
+        .select("l_suppkey", "l_orderkey")
+        .dropDuplicates(["l_suppkey", "l_orderkey"])
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(supp),
+                       sole_late.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(50)
+    )

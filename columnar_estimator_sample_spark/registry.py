@@ -32,6 +32,7 @@ _OPERATOR_MODULES = [
     "columnar_estimator_sample_spark.operators.relational",
     "columnar_estimator_sample_spark.operators.relational2",
     "columnar_estimator_sample_spark.operators.relational3",
+    "columnar_estimator_sample_spark.operators.relational4",
     "columnar_estimator_sample_spark.operators.flatten",
     "columnar_estimator_sample_spark.operators.events",
     "columnar_estimator_sample_spark.operators.dedup",

@@ -116,3 +116,46 @@ class TestSkewProfile:
         assert len(prof) == 5
         assert all(0 < r["share"] < 1 for r in prof)
         assert prof[0]["n_rows"] >= prof[-1]["n_rows"]
+
+
+class TestAQESkewJoin:
+    def test_aqe_splits_skewed_partition(self, spark):
+        """A hot key large enough (with test-scaled thresholds) must make
+        AQE's skew-join split the pathological partition: the executed
+        plan carries SortMergeJoin(skew=true) and a skewed AQEShuffleRead.
+        This is the runtime half of the skew toolkit (salted_join is the
+        deterministic fallback)."""
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+                "16KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        }
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            big = spark.range(400_000).select(
+                F.when(F.col("id") < 360_000, F.lit(1))
+                .otherwise(F.col("id")).alias("k"),
+                F.lpad(F.lit("x"), 32, "y").alias("pad"))
+            small = spark.range(50_000).select(
+                F.col("id").alias("k"),
+                F.col("id").cast("double").alias("w"))
+            j = big.join(small, "k")
+            # execute THIS query execution (df.count() builds another one)
+            plan_obj = j._jdf.queryExecution().executedPlan()
+            n = plan_obj.execute().count()
+            # only the hot key matches the small side (ids >= 360k don't)
+            assert n == 360_000
+            plan = plan_obj.toString()
+            assert "SortMergeJoin(skew=true)" in plan
+            assert "skewed" in plan  # AQEShuffleRead ... skewed
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)

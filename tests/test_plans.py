@@ -114,3 +114,92 @@ class TestAQEAndStats:
         j.collect()
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestProfiler:
+    def test_collect_plan_metrics_reports_real_operators(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+        from columnar_estimator_sample_spark.plans.profiler import (
+            collect_plan_metrics,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        df = (table(spark, sf_dir, "lineitem")
+              .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")))
+        recs = collect_plan_metrics(df)
+        ops = [r["op"] for r in recs]
+        assert any("HashAggregate" in o for o in ops)
+        assert any("Scan" in o for o in ops)
+        # actual task metrics present: the final agg counted its output rows
+        agg = next(r for r in recs if "HashAggregate" in r["op"])
+        assert agg["metrics"]["numOutputRows"][1] >= 1
+
+    def test_dogfood_trace_loop(self, spark, sf_dir, tmp_path):
+        """Profile a query, write the reference-shaped timeline, analyze
+        it with the engine's OWN flatten->agg->top-k pipeline, and find
+        the profiled operators in the result (trainer.py:361-381 loop)."""
+        import pyspark.sql.functions as F
+        from columnar_estimator_sample_spark.plans.profiler import (
+            profile_to_top_ops,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        df = (table(spark, sf_dir, "lineitem")
+              .join(table(spark, sf_dir, "orders"),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+              .groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q")))
+        top = profile_to_top_ops(spark, df, str(tmp_path / "timeline.json"))
+        names = {r["arg_name"] for r in top.collect()}
+        assert any("HashAggregate" in n for n in names)
+        assert any("Join" in n for n in names)
+        # schema matches the trace-analytics contract
+        assert set(top.columns) == {"arg_name", "total_dur", "avg_dur",
+                                    "min_dur", "max_dur"}
+
+
+class TestCBOJoinReorder:
+    def test_stats_change_join_order(self, spark, sf_dir):
+        """The north-star claim, pinned: ANALYZE'd statistics + CBO must
+        actually change the optimized join order of a 3-way join — the
+        selective filtered dimension is joined before the wide fact-fact
+        join once the optimizer can see row counts."""
+        import re
+        from columnar_estimator_sample_spark.plans.stats import (
+            analyze_tables,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        sources = {"cbo_li": ("lineitem", ["l_orderkey", "l_suppkey",
+                                           "l_quantity"]),
+                   "cbo_ord": ("orders", ["o_orderkey", "o_custkey"]),
+                   "cbo_sup": ("supplier", ["s_suppkey", "s_nationkey"])}
+        for name, (src, cols) in sources.items():
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (table(spark, sf_dir, src)
+             .select(*cols).write.mode("overwrite").saveAsTable(name))
+        sql = """
+            SELECT COUNT(*) AS n
+            FROM cbo_li l
+            JOIN cbo_ord o ON l.l_orderkey = o.o_orderkey
+            JOIN cbo_sup s ON l.l_suppkey = s.s_suppkey
+            WHERE s.s_nationkey = 3
+        """
+
+        def join_order(plan: str) -> list[str]:
+            return re.findall(r"cbo_(\w+)", plan)
+
+        try:
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+            p_off = (spark.sql(sql)._jdf.queryExecution()
+                     .optimizedPlan().toString())
+            analyze_tables(spark, ["cbo_li", "cbo_ord", "cbo_sup"])
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+            p_on = (spark.sql(sql)._jdf.queryExecution()
+                    .optimizedPlan().toString())
+            assert join_order(p_off) == ["li", "ord", "sup"]  # as written
+            # reordered: the selective supplier join now precedes orders
+            assert join_order(p_on) == ["li", "sup", "ord"]
+            # and the answer is identical either way
+            assert (spark.sql(sql).collect()[0]["n"]
+                    == spark.sql(sql).collect()[0]["n"])
+        finally:
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+            for t in ["cbo_li", "cbo_ord", "cbo_sup"]:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
