@@ -196,13 +196,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_pair_ctes() -> str:
+    """CTE list computing the verified MinHash-LSH near-dup pairs, ending in
+    ``pairs(doc_a, doc_b, jaccard)``. Shared by :func:`_minhash_oracle` and
+    the connected-components oracle in ``operators/graph.py``."""
     a, bq = minhash_params(MINHASH_K)
     a_lit = "[{}]".format(",".join(str(v) for v in a))
     b_lit = "[{}]".format(",".join(str(v) for v in bq))
     shingles = _sql_shingles("text")
-    return f"""
-    WITH sh AS (
+    return f"""sh AS (
         SELECT doc_id, {shingles} AS shingles FROM documents
     ), hx AS (
         SELECT doc_id, shingles,
@@ -229,15 +231,23 @@ def _minhash_oracle() -> str:
         FROM bands l JOIN bands r
           ON l.band = r.band AND l.band_key = r.band_key
          AND l.doc_id < r.doc_id
-    )
-    SELECT doc_a, doc_b,
-           CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-           / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
-               AS jaccard
-    FROM cand
-    WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-          / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
-          >= {JACCARD_T}
+    ), pairs AS (
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+               / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+                   AS jaccard
+        FROM cand
+        WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+              / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+              >= {JACCARD_T}
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_pair_ctes()}
+    SELECT doc_a, doc_b, jaccard
+    FROM pairs
     ORDER BY doc_a, doc_b
     """
 

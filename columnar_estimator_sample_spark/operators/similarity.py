@@ -373,6 +373,174 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF (inverted-file) ANN -------------------------------------------
+# Coarse quantizer: NLIST deterministic seed centroids (the vectors with
+# vec_id < NLIST stand in for a trained codebook — at 100 TB the codebook
+# comes from a sampled k-means and is broadcast exactly the same way).
+# Every vector is assigned to its nearest centroid (one narrow pass);
+# a query probes only the NPROBE nearest cells, scoring |probed cells|
+# vectors instead of N. This is the classic FAISS-style IVF layout
+# re-expressed relationally: the "inverted file" IS the assignment table,
+# cells are hash partitions, and the probe is a semi-join.
+IVF_NLIST = 16
+IVF_NPROBE = 4
+
+
+def _ivf_cells(spark: SparkSession, sf_dir: str):
+    """(ranked, norms, ex): centroid-distance ranking for every vector.
+
+    ``ranked`` holds (vec_id, centroid_id, rnk) where rnk orders centroids
+    by exact cosine (desc, centroid_id tiebreak) — rnk=1 is the vector's
+    cell assignment; rnk<=NPROBE for a query vector is its probe list.
+    One broadcast join against the NLIST exploded centroids; shuffle is
+    O(N · NLIST) narrow rows.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    ex = _exploded(emb)
+    norms = (ex.groupBy("vec_id")
+             .agg(F.sum(F.col("vi") * F.col("vi")).alias("n_s")))
+    cex = (ex.filter(F.col("vec_id") < IVF_NLIST)
+           .select(F.col("vec_id").alias("centroid_id"), "i",
+                   F.col("vi").alias("ci")))
+    vc = (ex.join(F.broadcast(cex), "i")
+          .groupBy("vec_id", "centroid_id")
+          .agg(F.sum(F.col("vi") * F.col("ci")).alias("dot_s")))
+    nv = norms.select("vec_id", F.col("n_s").alias("nv_s"))
+    nc = norms.select(F.col("vec_id").alias("centroid_id"),
+                      F.col("n_s").alias("nc_s"))
+    scored = (
+        vc.join(F.broadcast(nv), "vec_id")
+        .join(F.broadcast(nc), "centroid_id")
+        .select("vec_id", "centroid_id",
+                (F.col("dot_s").cast("double")
+                 / (F.sqrt(F.col("nv_s").cast("double"))
+                    * F.sqrt(F.col("nc_s").cast("double"))))
+                .alias("ccos")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"),
+                                             F.asc("centroid_id"))
+    ranked = scored.select("vec_id", "centroid_id",
+                           F.row_number().over(w).alias("rnk"))
+    return ranked, norms, ex
+
+
+@register(
+    "q_ann_ivf_topk",
+    oracle=f"""
+    WITH ex AS ({_SQL_EX}
+    ), norms AS (
+        SELECT vec_id, CAST(SUM(vi * vi) AS BIGINT) AS n_s
+        FROM ex GROUP BY vec_id
+    ), cex AS (
+        SELECT vec_id AS centroid_id, i, vi AS ci
+        FROM ex WHERE vec_id < {IVF_NLIST}
+    ), vc AS (
+        SELECT e.vec_id, c.centroid_id,
+               CAST(SUM(e.vi * c.ci) AS BIGINT) AS dot_s
+        FROM ex e JOIN cex c ON c.i = e.i
+        GROUP BY 1, 2
+    ), cscored AS (
+        SELECT vc.vec_id, vc.centroid_id,
+               CAST(dot_s AS DOUBLE)
+               / (sqrt(CAST(nv.n_s AS DOUBLE))
+                  * sqrt(CAST(nc.n_s AS DOUBLE))) AS ccos
+        FROM vc
+        JOIN norms nv ON nv.vec_id = vc.vec_id
+        JOIN norms nc ON nc.vec_id = vc.centroid_id
+    ), ranked AS (
+        SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, centroid_id) AS rnk
+        FROM cscored
+    ), assign AS (
+        SELECT vec_id, centroid_id FROM ranked WHERE rnk = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, centroid_id
+        FROM ranked WHERE vec_id < {N_QUERIES} AND rnk <= {IVF_NPROBE}
+    ), cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+        WHERE a.vec_id <> p.query_id
+    ), dots AS (
+        SELECT c.query_id, c.neighbor_id,
+               CAST(SUM(q.vi * d.vi) AS BIGINT) AS dot_s
+        FROM cand c
+        JOIN ex q ON q.vec_id = c.query_id
+        JOIN ex d ON d.vec_id = c.neighbor_id AND d.i = q.i
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               CAST(dot_s AS DOUBLE)
+               / (sqrt(CAST(nq.n_s AS DOUBLE))
+                  * sqrt(CAST(nd.n_s AS DOUBLE))) AS cosine
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nd ON nd.vec_id = neighbor_id
+    ), final AS (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM final WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: each query probes its {IVF_NPROBE} nearest
+    of {IVF_NLIST} coarse cells and scores ONLY the vectors assigned
+    there — the FAISS-IVF layout as a relational plan.
+
+    Scale: assignment is one broadcast-join pass O(N·NLIST); the probe
+    is a semi-join on centroid_id (at 100 TB the assignment table is
+    written bucketed BY centroid_id, so the probe prunes partitions);
+    exact scoring touches O(candidates·dim), never O(N·dim) per query.
+    The brute-force :func:`q_similarity_topk` is the recall baseline;
+    tests measure overlap.
+    """
+    ranked, norms, ex = _ivf_cells(spark, sf_dir)
+    assign = ranked.filter(F.col("rnk") == 1).select("vec_id", "centroid_id")
+    probes = (ranked.filter((F.col("vec_id") < N_QUERIES)
+                            & (F.col("rnk") <= IVF_NPROBE))
+              .select(F.col("vec_id").alias("query_id"), "centroid_id"))
+    cand = (
+        probes.join(assign, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    q = ex.select(F.col("vec_id").alias("query_id"), "i",
+                  F.col("vi").alias("qv"))
+    d = ex.select(F.col("vec_id").alias("neighbor_id"), "i",
+                  F.col("vi").alias("dv"))
+    dots = (
+        cand.join(q, "query_id")
+        .join(d, ["neighbor_id", "i"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("qv") * F.col("dv")).alias("dot_s"))
+    )
+    nq = norms.select(F.col("vec_id").alias("query_id"),
+                      F.col("n_s").alias("nq_s"))
+    nd = norms.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("n_s").alias("nd_s"))
+    scored = (
+        dots.join(F.broadcast(nq), "query_id")
+        .join(F.broadcast(nd), "neighbor_id")
+        .select("query_id", "neighbor_id",
+                (F.col("dot_s").cast("double")
+                 / (F.sqrt(F.col("nq_s").cast("double"))
+                    * F.sqrt(F.col("nd_s").cast("double"))))
+                .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cosine",
+                      F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
 @register(
     "q_dedup_embedding_cosine",
     oracle=f"""

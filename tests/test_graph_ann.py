@@ -1,0 +1,105 @@
+"""Tests for the graph (connected-components dedup clusters) and IVF ANN
+operators: synthetic-graph exactness, union-find equivalence on real
+pairs, and IVF pruning/recall against the brute-force baseline."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+class TestConnectedComponents:
+    def test_synthetic_chain_and_island(self, spark):
+        from columnar_estimator_sample_spark.operators.graph import (
+            connected_components,
+        )
+        # chain 1-2-3-4 (transitive, no direct 1-4 edge) + island 10-11
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"])
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_clusters_match_union_find(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.dedup import (
+            q_dedup_minhash_lsh,
+        )
+        from columnar_estimator_sample_spark.operators.graph import (
+            q_dedup_clusters,
+        )
+        raw = [(r["doc_a"], r["doc_b"])
+               for r in q_dedup_minhash_lsh(spark, sf_dir).collect()]
+        expect = _union_find(raw)
+        rows = q_dedup_clusters(spark, sf_dir).collect()
+        got = {r["doc_id"]: r["cluster_id"] for r in rows}
+        assert got == expect
+        # cluster_id is the component minimum; sizes are consistent
+        sizes = {}
+        for r in rows:
+            sizes.setdefault(r["cluster_id"], 0)
+            sizes[r["cluster_id"]] += 1
+        for r in rows:
+            assert r["cluster_id"] <= r["doc_id"]
+            assert r["cluster_size"] == sizes[r["cluster_id"]]
+
+
+class TestIvfAnn:
+    def test_ivf_prunes_candidates(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.similarity import (
+            IVF_NPROBE, N_QUERIES, _ivf_cells,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        n = table(spark, sf_dir, "embeddings").count()
+        ranked, _, _ = _ivf_cells(spark, sf_dir)
+        assign = ranked.filter(F.col("rnk") == 1)
+        probes = ranked.filter((F.col("vec_id") < N_QUERIES)
+                               & (F.col("rnk") <= IVF_NPROBE))
+        # every vector lands in exactly one cell
+        assert assign.count() == n
+        # per-query candidate set is a strict subset of the corpus
+        cand_per_q = (
+            probes.select(F.col("vec_id").alias("query_id"), "centroid_id")
+            .join(assign.select(F.col("vec_id").alias("neighbor_id"),
+                                "centroid_id"), "centroid_id")
+            .groupBy("query_id").count().collect())
+        assert len(cand_per_q) == N_QUERIES
+        for r in cand_per_q:
+            assert r["count"] < n
+
+    def test_ivf_recall_vs_brute_force(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.similarity import (
+            q_ann_ivf_topk, q_similarity_topk,
+        )
+        brute = q_similarity_topk(spark, sf_dir).collect()
+        ivf = q_ann_ivf_topk(spark, sf_dir).collect()
+        exact = {(r["query_id"], r["neighbor_id"]) for r in brute}
+        approx = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+        # approximate search trades recall for pruning but must overlap
+        assert len(exact & approx) > 0
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.2
+        # contract: ranks 1..k per query, cosine non-increasing per query
+        by_q = {}
+        for r in ivf:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for rows in by_q.values():
+            rows.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+            cosines = [r["cosine"] for r in rows]
+            assert cosines == sorted(cosines, reverse=True)
