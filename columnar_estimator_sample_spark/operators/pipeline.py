@@ -1,0 +1,144 @@
+"""End-to-end corpus-preparation pipeline: the composed funnel a
+training-data pipeline runs over raw documents before tokenization.
+
+    raw docs -> quality gate -> exact dedup -> near-dup (bag-of-words)
+            -> per-language corpus accounting
+
+Each stage reuses the primitives registered individually (textstats
+quality signals, dedup digests/fingerprints); this query is the proof
+they COMPOSE — one Catalyst plan, no materialization between stages.
+
+Scale: the funnel is two narrow projection passes (signals + digests)
+and two window-min dedup passes. Both windows partition by a hash key
+(digest / fingerprint), so at 100 TB they are hash-partition-local:
+survivor selection is a shuffle of (digest, doc_id) pairs, never text.
+The final accounting is a per-language rollup joined from per-stage
+aggregates (each map-side combinable; the join keys are ~languages,
+broadcast-sized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from columnar_estimator_sample_spark.functions.exact import davg, sql_davg
+from columnar_estimator_sample_spark.operators.textstats import STOPWORDS
+from columnar_estimator_sample_spark.registry import register
+from columnar_estimator_sample_spark.sources.tables import table
+
+MIN_TOKENS = 20
+MIN_STOP_RATIO = 0.05
+
+
+@register(
+    "q_corpus_prep_pipeline",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains({STOPWORDS!r}, t))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+               md5(text) AS digest,
+               md5(array_to_string(
+                   list_sort(list_distinct(string_split(text, ' '))),
+                   ' ')) AS fingerprint
+        FROM documents
+    ), quality AS (
+        SELECT * FROM base
+        WHERE n_tokens >= {MIN_TOKENS} AND stop_ratio > {MIN_STOP_RATIO}
+    ), exact_uniq AS (
+        SELECT * FROM (
+            SELECT *, MIN(doc_id) OVER (PARTITION BY digest) AS keep_id
+            FROM quality)
+        WHERE doc_id = keep_id
+    ), near_uniq AS (
+        SELECT * FROM (
+            SELECT *, MIN(doc_id) OVER (PARTITION BY fingerprint) AS nkeep_id
+            FROM exact_uniq)
+        WHERE doc_id = nkeep_id
+    ), s0 AS (
+        SELECT lang, COUNT(*) AS n_raw FROM base GROUP BY lang
+    ), s1 AS (
+        SELECT lang, COUNT(*) AS n_quality FROM quality GROUP BY lang
+    ), s2 AS (
+        SELECT lang, COUNT(*) AS n_exact_unique FROM exact_uniq GROUP BY lang
+    ), s3 AS (
+        SELECT lang, COUNT(*) AS n_kept,
+               SUM(n_bpe_tokens) AS kept_bpe_tokens,
+               {sql_davg("stop_ratio", "avg_stop_ratio", 6)}
+        FROM near_uniq GROUP BY lang
+    )
+    SELECT s0.lang, n_raw,
+           COALESCE(n_quality, 0) AS n_quality,
+           COALESCE(n_exact_unique, 0) AS n_exact_unique,
+           COALESCE(n_kept, 0) AS n_kept,
+           COALESCE(kept_bpe_tokens, 0) AS kept_bpe_tokens,
+           avg_stop_ratio
+    FROM s0
+    LEFT JOIN s1 USING (lang)
+    LEFT JOIN s2 USING (lang)
+    LEFT JOIN s3 USING (lang)
+    ORDER BY lang
+    """,
+)
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-prep funnel with per-language accounting:
+    raw -> quality gate -> exact-dup removal -> bag-of-words near-dup
+    removal, reporting per-stage survivor counts, the kept BPE token
+    budget, and the kept-set average stopword ratio."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw = F.array([F.lit(s) for s in STOPWORDS])
+    stop_ratio = (F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+                  .cast("double") / F.size(toks))
+    bpe = F.size(F.regexp_extract_all(
+        "text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0))
+    base = docs.select(
+        "doc_id", "lang",
+        F.size(toks).alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        bpe.alias("n_bpe_tokens"),
+        F.md5("text").alias("digest"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+        .alias("fingerprint"),
+    )
+    quality = base.filter((F.col("n_tokens") >= MIN_TOKENS)
+                          & (F.col("stop_ratio") > MIN_STOP_RATIO))
+    exact_uniq = (
+        quality.withColumn(
+            "keep_id", F.min("doc_id").over(Window.partitionBy("digest")))
+        .filter(F.col("doc_id") == F.col("keep_id")))
+    near_uniq = (
+        exact_uniq.withColumn(
+            "nkeep_id",
+            F.min("doc_id").over(Window.partitionBy("fingerprint")))
+        .filter(F.col("doc_id") == F.col("nkeep_id")))
+
+    s0 = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n_raw"))
+    s1 = quality.groupBy("lang").agg(F.count(F.lit(1)).alias("n_quality"))
+    s2 = (exact_uniq.groupBy("lang")
+          .agg(F.count(F.lit(1)).alias("n_exact_unique")))
+    s3 = near_uniq.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_bpe_tokens").alias("kept_bpe_tokens"),
+        davg(F.col("stop_ratio"), "avg_stop_ratio", 6),
+    )
+    return (
+        s0.join(s1, "lang", "left")
+        .join(s2, "lang", "left")
+        .join(s3, "lang", "left")
+        .select(
+            "lang", "n_raw",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_exact_unique", F.lit(0)).alias("n_exact_unique"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_bpe_tokens", F.lit(0)).alias("kept_bpe_tokens"),
+            "avg_stop_ratio",
+        )
+        .orderBy("lang")
+    )

@@ -37,6 +37,7 @@ _OPERATOR_MODULES = [
     "columnar_estimator_sample_spark.operators.events",
     "columnar_estimator_sample_spark.operators.dedup",
     "columnar_estimator_sample_spark.operators.graph",
+    "columnar_estimator_sample_spark.operators.pipeline",
     "columnar_estimator_sample_spark.operators.similarity",
     "columnar_estimator_sample_spark.operators.textstats",
     "columnar_estimator_sample_spark.operators.features",

@@ -118,6 +118,24 @@ def write_json(df: DataFrame, path: str, single_file: bool = False) -> None:
     (df.coalesce(1) if single_file else df).write.mode("overwrite").json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC columnar scan (glob-able like S1). ORC carries the same
+    pushdown surface as parquet in Spark (predicate pushdown, column
+    pruning, vectorized reader) — a second warehouse-native format so the
+    engine isn't parquet-only."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str,
+              partition_by: list[str] | None = None) -> None:
+    """ORC sink, optionally hive-partitioned (same layout contract as
+    :func:`write_partitioned_parquet`)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_partitioned_parquet(df: DataFrame, path: str,
                               partition_by: list[str]) -> None:
     """Partition-pruned parquet layout: the 100 TB-scale sink. Readers

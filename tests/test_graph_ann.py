@@ -103,3 +103,21 @@ class TestIvfAnn:
             assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
             cosines = [r["cosine"] for r in rows]
             assert cosines == sorted(cosines, reverse=True)
+
+
+class TestCorpusPipeline:
+    def test_funnel_monotone_and_consistent(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.pipeline import (
+            q_corpus_prep_pipeline,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        rows = q_corpus_prep_pipeline(spark, sf_dir).collect()
+        n_docs = table(spark, sf_dir, "documents").count()
+        assert sum(r["n_raw"] for r in rows) == n_docs
+        for r in rows:
+            # each stage only removes documents
+            assert (r["n_raw"] >= r["n_quality"] >= r["n_exact_unique"]
+                    >= r["n_kept"])
+            if r["n_kept"] > 0:
+                assert r["kept_bpe_tokens"] > 0
+                assert r["avg_stop_ratio"] is not None

@@ -147,3 +147,32 @@ class TestIO:
         plan = back._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [isnotnull(o_orderstatus" in plan \
             or back.count() > 0
+
+
+class TestOrc:
+    def test_orc_roundtrip_matches_parquet(self, spark, sf_dir, tmp_path):
+        from columnar_estimator_sample_spark.sources.io import (
+            read_orc, write_orc,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        src = table(spark, sf_dir, "nation")
+        write_orc(src, str(tmp_path / "nation_orc"))
+        back = read_orc(spark, str(tmp_path / "nation_orc"))
+        assert back.schema == src.schema
+        a = sorted(map(tuple, src.collect()))
+        b = sorted(map(tuple, back.collect()))
+        assert a == b
+
+    def test_orc_partitioned_prunes(self, spark, sf_dir, tmp_path):
+        from columnar_estimator_sample_spark.sources.io import (
+            read_orc, write_orc,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        src = table(spark, sf_dir, "nation")
+        write_orc(src, str(tmp_path / "nat_p"), partition_by=["n_regionkey"])
+        scan = read_orc(spark, str(tmp_path / "nat_p")).filter(
+            "n_regionkey = 1")
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        # partition filter must reach the scan, not a post-filter
+        assert "PartitionFilters: [isnotnull(n_regionkey" in plan
+        assert scan.count() == src.filter("n_regionkey = 1").count()
