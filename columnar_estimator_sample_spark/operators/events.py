@@ -26,6 +26,7 @@ from columnar_estimator_sample_spark.sources.tables import table
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 US_PER_DAY = 86_400_000_000
+NEARBY_US = 60 * 1_000_000            # co-activity radius (±60 s)
 
 
 @register(
@@ -142,4 +143,67 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("us").alias("start_us"),
              (F.max("us") - F.min("us")).alias("duration_us"))
         .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "q_range_join_binned",
+    oracle=f"""
+    SELECT l.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(l.n_nearby) AS BIGINT) AS total_nearby,
+           MAX(l.n_nearby) AS max_nearby
+    FROM (
+        SELECT a.event_id, a.event_type,
+               COUNT(b.event_id) AS n_nearby
+        FROM events a
+        LEFT JOIN events b
+          ON b.user_id <> a.user_id
+         AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= {NEARBY_US}
+        GROUP BY a.event_id, a.event_type
+    ) l
+    GROUP BY l.event_type
+    ORDER BY l.event_type
+    """,
+)
+def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range interval join, binned: for every event, count co-activity
+    (events of OTHER users within ±60 s), summarized per event type.
+
+    Scale design — the standard banded range-join rewrite: a naive
+    |Δt| <= r predicate forces a cartesian/BNL join (O(N²) comparisons).
+    Instead each probe row joins only its own 60 s time bin and the two
+    neighbors: the build side is replicated 3× onto (bin-1, bin, bin+1)
+    and the join becomes an EQUI-join on bin — hash-partitionable,
+    shuffle O(3N), comparisons only within ±2 bins of true candidates.
+    The DuckDB oracle states the same semantics as the raw inequality
+    join (its IEJoin handles it at test scale), so the rewrite is
+    verified equivalent, not assumed.
+    """
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id",
+                                               "event_type", "us")
+    probe = ev.select("event_id", "event_type", "user_id", "us",
+                      F.expr(f"us div {NEARBY_US}").alias("bin"))
+    build = (ev.select(F.col("event_id").alias("b_id"),
+                       F.col("user_id").alias("b_user"),
+                       F.col("us").alias("b_us"),
+                       F.explode(F.array(
+                           F.expr(f"us div {NEARBY_US} - 1"),
+                           F.expr(f"us div {NEARBY_US}"),
+                           F.expr(f"us div {NEARBY_US} + 1"))).alias("bin")))
+    nearby = (
+        probe.join(build,
+                   (probe.bin == build.bin)
+                   & (F.col("b_user") != F.col("user_id"))
+                   & (F.abs(F.col("b_us") - F.col("us")) <= NEARBY_US),
+                   "left")
+        .groupBy("event_id", "event_type")
+        .agg(F.count("b_id").alias("n_nearby"))
+    )
+    return (
+        nearby.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("n_nearby").alias("total_nearby"),
+             F.max("n_nearby").alias("max_nearby"))
+        .orderBy("event_type")
     )

@@ -38,6 +38,7 @@ _OPERATOR_MODULES = [
     "columnar_estimator_sample_spark.operators.dedup",
     "columnar_estimator_sample_spark.operators.graph",
     "columnar_estimator_sample_spark.operators.pipeline",
+    "columnar_estimator_sample_spark.operators.merge",
     "columnar_estimator_sample_spark.operators.similarity",
     "columnar_estimator_sample_spark.operators.textstats",
     "columnar_estimator_sample_spark.operators.features",

@@ -121,3 +121,58 @@ class TestCorpusPipeline:
             if r["n_kept"] > 0:
                 assert r["kept_bpe_tokens"] > 0
                 assert r["avg_stop_ratio"] is not None
+
+
+class TestMergeUpsert:
+    def test_merge_semantics_synthetic(self, spark):
+        from columnar_estimator_sample_spark.operators.merge import (
+            merge_upsert,
+        )
+        target = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            ["k", "name", "v"])
+        source = spark.createDataFrame(
+            [(2, "B", 99.0), (4, "d", 40.0)], ["k", "name", "v"])
+        got = {r["k"]: (r["name"], r["v"])
+               for r in merge_upsert(target, source, ["k"]).collect()}
+        assert got == {1: ("a", 10.0), 2: ("B", 99.0),
+                       3: ("c", 30.0), 4: ("d", 40.0)}
+
+    def test_merge_counts(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.merge import (
+            INSERT_MOD, q_merge_upsert,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        orders = table(spark, sf_dir, "orders")
+        n = orders.count()
+        n_ins = orders.filter(f"o_orderkey % {INSERT_MOD} = 0").count()
+        rows = q_merge_upsert(spark, sf_dir).collect()
+        assert sum(r["n_orders"] for r in rows) == n + n_ins
+        by_status = {r["o_orderstatus"]: r["n_orders"] for r in rows}
+        assert by_status.get("N", 0) == n_ins
+
+
+class TestRangeJoin:
+    def test_binned_rewrite_matches_naive(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+        from columnar_estimator_sample_spark.operators.events import (
+            NEARBY_US, q_range_join_binned,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        ev = table(spark, sf_dir, "events").select("event_id", "user_id",
+                                                   "event_type", "us")
+        a, b = ev.alias("a"), ev.alias("b")
+        naive = (
+            a.join(b, (F.col("b.user_id") != F.col("a.user_id"))
+                   & (F.abs(F.col("b.us") - F.col("a.us")) <= NEARBY_US),
+                   "left")
+            .groupBy(F.col("a.event_id"), F.col("a.event_type"))
+            .agg(F.count(F.col("b.event_id")).alias("n_nearby"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("n_nearby").alias("total_nearby"),
+                 F.max("n_nearby").alias("max_nearby"))
+            .orderBy("event_type"))
+        assert (sorted(map(tuple, q_range_join_binned(spark, sf_dir)
+                           .collect()))
+                == sorted(map(tuple, naive.collect())))
