@@ -99,6 +99,38 @@ def dedup_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
             .dropDuplicates(["event_id"]))
 
 
+def stream_stream_join(left: DataFrame, right: DataFrame,
+                       within: str = "10 minutes") -> DataFrame:
+    """Watermarked stream-stream inner join: pair each left event with
+    right events of the SAME user within ``within`` AFTER it — the
+    view→click attribution shape.
+
+    Both sides are watermarked so the join state is bounded: a buffered
+    left row can be evicted once the right watermark passes its
+    ``ts + within`` horizon (Spark derives the eviction bound from the
+    time-range join condition — without it, stream-stream join state
+    grows forever). Equi-key user_id keeps the join hash-partitioned;
+    the range predicate only gates matches inside a partition.
+    """
+    lw = (left.withWatermark("ts", "1 hour")
+          .select(F.col("user_id").alias("l_user"),
+                  F.col("event_id").alias("l_id"),
+                  F.col("ts").alias("l_ts"),
+                  F.col("us").alias("l_us")))
+    rw = (right.withWatermark("ts", "1 hour")
+          .select(F.col("user_id").alias("r_user"),
+                  F.col("event_id").alias("r_id"),
+                  F.col("ts").alias("r_ts"),
+                  F.col("us").alias("r_us")))
+    return lw.join(
+        rw,
+        F.expr(f"l_user = r_user AND r_ts >= l_ts"
+               f" AND r_ts <= l_ts + interval {within}"),
+        "inner",
+    ).select("l_user", "l_id", "r_id", (F.col("r_us") - F.col("l_us"))
+             .alias("lag_us"))
+
+
 def run_to_completion(stream_df: DataFrame, checkpoint_dir: str,
                       out_table: str, mode: str = "complete") -> DataFrame:
     """Drain the stream deterministically with availableNow into a memory

@@ -203,3 +203,41 @@ class TestCBOJoinReorder:
             spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
             for t in ["cbo_li", "cbo_ord", "cbo_sup"]:
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+class TestRuntimeBloomFilter:
+    """Runtime row-level filtering: a selective dimension predicate is
+    turned into a bloom filter probed by the fact-side scan — at 100 TB
+    this prunes shuffle input by orders of magnitude when the dim filter
+    is selective. Thresholds are lowered because the trigger sizes are
+    tuned for cluster-scale inputs (application side >= 10 GB)."""
+
+    def test_selective_dim_injects_bloom_filter(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.sources.tables import table
+        confs = {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+                "100MB",
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        old = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            li = table(spark, sf_dir, "lineitem")
+            orders = (table(spark, sf_dir, "orders")
+                      .filter("o_orderpriority = '1-URGENT'"))
+            q = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+                "o_orderpriority").count()
+            plan = q._jdf.queryExecution().optimizedPlan().toString()
+            # fact side probes the dim-derived filter before the shuffle
+            assert "might_contain" in plan
+            assert "bloom_filter_agg" in plan
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)

@@ -176,3 +176,36 @@ class TestOrc:
         # partition filter must reach the scan, not a post-filter
         assert "PartitionFilters: [isnotnull(n_regionkey" in plan
         assert scan.count() == src.filter("n_regionkey = 1").count()
+
+
+class TestStreamStreamJoin:
+    def test_view_click_attribution_matches_batch(self, spark, sf_dir,
+                                                  ckpt):
+        from columnar_estimator_sample_spark.streaming.windows import (
+            events_stream, run_to_completion, stream_stream_join,
+        )
+        ev = events_stream(spark, sf_dir)
+        views = ev.filter(F.col("event_type") == "view")
+        clicks = ev.filter(F.col("event_type") == "click")
+        joined = stream_stream_join(views, clicks, within="10 minutes")
+        got = run_to_completion(joined, ckpt, "ssj_out", mode="append")
+
+        # batch twin: same predicate on the static table
+        from columnar_estimator_sample_spark.sources.tables import table
+        b = table(spark, sf_dir, "events")
+        bv = (b.filter("event_type = 'view'")
+              .select(F.col("user_id").alias("l_user"),
+                      F.col("event_id").alias("l_id"),
+                      F.col("us").alias("l_us")))
+        bc = (b.filter("event_type = 'click'")
+              .select(F.col("user_id").alias("r_user"),
+                      F.col("event_id").alias("r_id"),
+                      F.col("us").alias("r_us")))
+        batch = (bv.join(bc, (F.col("l_user") == F.col("r_user"))
+                         & (F.col("r_us") >= F.col("l_us"))
+                         & (F.col("r_us") <= F.col("l_us") + 600_000_000))
+                 .select("l_user", "l_id", "r_id",
+                         (F.col("r_us") - F.col("l_us")).alias("lag_us")))
+        assert (sorted(map(tuple, got.collect()))
+                == sorted(map(tuple, batch.collect())))
+        assert got.count() > 0
