@@ -18,6 +18,16 @@ identical bits. This mirrors how production warehouses aggregate money
 columns; decimal(27+10,4) has ~23 integer digits of headroom, enough for
 sums over 100 TB of rows.
 
+Numeric contract: inputs are FIXED-POINT data (money/measure values
+exactly representable at scale <= 4), which is what every oracle-checked
+column in the suite carries. For arbitrary doubles, the double->decimal
+rounding PATH differs between engines — Spark rounds the shortest decimal
+string representation (Java ``BigDecimal.valueOf``) while DuckDB rounds
+the binary value scaled by 10^s — so a double lying within half an ulp of
+a decimal tie point (e.g. 3435974.5858500004) can legally round to
+different scale-4 decimals. Fixed-point inputs are never in that band:
+both paths recover the exact stored value.
+
 AVG is decimal-sum divided by COUNT in double: one deterministic IEEE
 division on identical inputs.
 """

@@ -7,9 +7,13 @@ The whole correctness model rests on two claims:
   2. the md5-based portable hash produces identical values for arbitrary
      strings.
 
-These tests generate adversarial inputs (denormals excluded, NaN/inf
-excluded — out of the engine's numeric contract) and check the invariants
-hold on both engines.
+These tests generate adversarial inputs within the engine's numeric
+contract (functions/exact.py): fixed-point values exactly representable
+at scale <= 4 — money-like data, which is what every oracle-checked
+column carries. Arbitrary doubles are deliberately OUT of contract: a
+double within half an ulp of a decimal tie point (hypothesis found
+3435974.5858500004) legally rounds to different scale-4 decimals in
+Spark (shortest-string path) vs DuckDB (scaled-binary path).
 """
 
 from __future__ import annotations
@@ -18,9 +22,16 @@ import duckdb
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
-finite_doubles = st.floats(
-    allow_nan=False, allow_infinity=False,
-    min_value=-1e9, max_value=1e9, width=64)
+# Fixed-point doubles: n / 10^d for d <= 4, |value| <= 1e9 — the
+# decimal-exact tier's input contract. Both engines recover n exactly
+# from the double, and any 40-term sum stays under 2^53/10^4 so the
+# final decimal->double cast is exact-integer-then-one-division in both
+# engines (beyond that, DuckDB's int128->double->/10^4 double-rounds
+# while Spark's BigDecimal.toDouble single-rounds).
+finite_doubles = st.builds(
+    lambda n, d: n / (10 ** d),
+    st.integers(min_value=-10**9, max_value=10**9),
+    st.integers(min_value=0, max_value=4))
 
 text_strat = st.text(
     alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60)
