@@ -1,0 +1,345 @@
+"""Training-corpus preparation operators: sequence packing, stratified
+sampling, quantile gating, PII redaction, benchmark-contamination checks.
+
+These extend the engine beyond the reference's feature pipeline
+(/root/reference/trainer.py:236-267 stops at per-example feature
+transforms) with the corpus-level passes an LLM training-data pipeline
+runs between raw documents and the trainer: pack documents into
+fixed-size context windows, rebalance languages, gate on per-group
+length quantiles, scrub PII-shaped spans, and screen the training split
+against an eval set for n-gram contamination.
+
+Everything is pure Catalyst (split/regexp/window/hash-agg — no Python
+UDFs), and every shuffle is keyed so the plan survives 100 TB:
+
+* packing uses a TWO-PHASE cumulative sum (per-range-partition local
+  cumsum + a tiny partition-offset table broadcast back) instead of a
+  single global window, so no task ever sees more than one range
+  partition of the corpus;
+* sampling/redaction are stateless maps that fold into the scan;
+* the contamination join explodes n-grams only on the (small) eval side
+  into a broadcast, so the 100 TB training side is never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from columnar_estimator_sample_spark.functions.hashing import h64, sql_h64
+from columnar_estimator_sample_spark.registry import register
+from columnar_estimator_sample_spark.sources.tables import table
+
+# Context-window size (tokens) for sequence packing.
+CTX = 256
+
+# Per-language keep rates (permille) for stratified sampling: downsample
+# the dominant language, keep the tail.
+EN_PERMILLE = 100
+OTHER_PERMILLE = 500
+
+
+def two_phase_cumsum(df: DataFrame, order_col: str, value_col: str,
+                     out_col: str, n_parts: int = 32) -> DataFrame:
+    """Global running sum of ``value_col`` in ``order_col`` order WITHOUT
+    a single-partition window.
+
+    Phase 1 range-partitions on the order column and computes a local
+    cumsum per partition (each task scans only its slice). Phase 2
+    aggregates one total per partition — a ``n_parts``-row frame — runs
+    the offset cumsum on that tiny frame, and broadcasts it back. This is
+    the standard scalable prefix-sum shape: the only global ordering work
+    happens on ``n_parts`` rows, so it holds at any corpus size, unlike
+    ``Window.orderBy(...)`` with no partitionBy (which Spark executes as
+    ONE task holding the whole table).
+
+    Rows within equal ``order_col`` values must be unique (here: doc_id).
+    """
+    ranged = df.repartitionByRange(n_parts, order_col).withColumn(
+        "__pid", F.spark_partition_id())
+    w_local = (Window.partitionBy("__pid").orderBy(order_col)
+               .rowsBetween(Window.unboundedPreceding, 0))
+    local = ranged.withColumn("__local_cum", F.sum(value_col).over(w_local))
+    # n_parts rows: safe to window globally and broadcast.
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (local.groupBy("__pid")
+               .agg(F.sum(value_col).alias("__pid_total"))
+               .withColumn("__offset",
+                           F.coalesce(F.sum("__pid_total").over(w_off),
+                                      F.lit(0)))
+               .select("__pid", "__offset"))
+    return (local.join(F.broadcast(offsets), "__pid")
+            .withColumn(out_col, F.col("__local_cum") + F.col("__offset"))
+            .drop("__pid", "__local_cum"))
+
+
+@register(
+    "q_pack_chunks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS start
+        FROM t
+    )
+    SELECT CAST(FLOOR(start / {CTX}.0) AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc,
+           CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
+    FROM c
+    GROUP BY 1
+    ORDER BY chunk_id
+    """,
+)
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, concatenate-and-chunk flavor: documents are
+    concatenated in doc_id order into one token stream and cut into
+    fixed CTX-token context windows; each document is attributed to the
+    chunk containing its first token. Per chunk: document count, id
+    range, and token mass.
+
+    The global token-offset prefix sum uses :func:`two_phase_cumsum`, so
+    the plan has no single-task global window — the 100 TB shape.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    cum = two_phase_cumsum(toks, "doc_id", "n_tokens", "cum_tokens")
+    packed = cum.withColumn(
+        "chunk_id",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(CTX)))
+    return (
+        packed.groupBy("chunk_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.min("doc_id").alias("first_doc"),
+             F.max("doc_id").alias("last_doc"),
+             F.sum("n_tokens").alias("chunk_tokens"))
+        .orderBy("chunk_id")
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    WITH s AS (
+        SELECT lang,
+               CASE WHEN lang = 'en' THEN {EN_PERMILLE}
+                    ELSE {OTHER_PERMILLE} END AS target_permille,
+               CASE WHEN {sql_h64("'strat|' || CAST(doc_id AS VARCHAR)")}
+                         % 1000
+                    < CASE WHEN lang = 'en' THEN {EN_PERMILLE}
+                           ELSE {OTHER_PERMILLE} END
+                    THEN 1 ELSE 0 END AS kept
+        FROM documents
+    )
+    SELECT lang,
+           CAST(MIN(target_permille) AS BIGINT) AS target_permille,
+           COUNT(*) AS n_total,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS observed_rate
+    FROM s
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates
+    (downsample dominant 'en', keep the tail) decided by a salted
+    portable hash of the doc id — reproducible across engines and runs,
+    no RNG state. The decision is a stateless map folded into the scan;
+    only per-language counters shuffle.
+    """
+    docs = table(spark, sf_dir, "documents")
+    rate = (F.when(F.col("lang") == "en", F.lit(EN_PERMILLE))
+            .otherwise(F.lit(OTHER_PERMILLE)))
+    h = h64(F.concat(F.lit("strat|"), F.col("doc_id").cast("string")))
+    kept = F.when(F.pmod(h, F.lit(1000)) < rate, 1).otherwise(0)
+    return (
+        docs.select("lang", rate.alias("target_permille"),
+                    kept.alias("kept"))
+        .groupBy("lang")
+        .agg(F.min("target_permille").cast("long").alias("target_permille"),
+             F.count("*").alias("n_total"),
+             F.sum("kept").cast("long").alias("n_kept"),
+             (F.sum("kept").cast("double") / F.count("*"))
+             .alias("observed_rate"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_quantile_filter",
+    oracle="""
+    WITH r AS (
+        SELECT lang, doc_id, n_chars,
+               percent_rank() OVER (PARTITION BY lang
+                                    ORDER BY n_chars, doc_id) AS pr
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM r
+    WHERE pr >= 0.1 AND pr <= 0.9
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-quantile gate: drop documents below the p10 or
+    above the p90 of their language's length distribution (the shape of a
+    Gopher-style outlier filter), then summarize what survives.
+
+    ``percent_rank`` is computed per language, so the only shuffle is the
+    lang-keyed exchange; ties are broken by doc_id so the rank (and the
+    kept set) is deterministic in both engines. At 100 TB a language is
+    still one partition's worth of WINDOW state — for truly skewed
+    single-language corpora, swap in approx_percentile thresholds
+    computed in a first aggregate pass (same plan shape as q_percentiles).
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select("lang", "doc_id", "n_chars",
+                         F.percent_rank().over(w).alias("pr"))
+    return (
+        ranked.filter((F.col("pr") >= 0.1) & (F.col("pr") <= 0.9))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"),
+             F.min("n_chars").cast("long").alias("min_chars"),
+             F.max("n_chars").cast("long").alias("max_chars"),
+             (F.sum("n_chars").cast("double") / F.count("*"))
+             .alias("avg_chars"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_pii_redaction",
+    oracle="""
+    WITH lines AS (
+        SELECT event_type,
+               event_type || ' user=' || CAST(user_id AS VARCHAR)
+                          || ' props=' || props AS line
+        FROM events
+    ),
+    red AS (
+        SELECT event_type,
+               len(regexp_extract_all(line, '[0-9]+')) AS n_spans,
+               regexp_replace(line, '[0-9]+', '<NUM>', 'g') AS redacted
+        FROM lines
+    )
+    SELECT event_type,
+           COUNT(*) AS n_lines,
+           CAST(SUM(n_spans) AS BIGINT) AS n_redacted_spans,
+           COUNT(DISTINCT redacted) AS n_distinct_redacted,
+           MIN(redacted) AS sample_redacted
+    FROM red
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-shaped span scrubbing over event log lines: every numeric run
+    (ids, counters — the stand-in for phones/SSNs in this synthetic
+    corpus) is replaced with a ``<NUM>`` sentinel, and the pass reports
+    span counts and the distinct redacted shapes per event type.
+
+    regexp_extract_all + regexp_replace are whole-stage-codegen'd; the
+    redaction is a stateless map, so at 100 TB this is scan-speed. The
+    regex sticks to character classes, which behave identically in Java
+    (Spark) and DuckDB ('g' flag = Java's replace-all).
+    """
+    ev = table(spark, sf_dir, "events")
+    line = F.concat(F.col("event_type"), F.lit(" user="),
+                    F.col("user_id").cast("string"),
+                    F.lit(" props="), F.col("props"))
+    red = ev.select(
+        "event_type",
+        F.size(F.regexp_extract_all(line, F.lit("[0-9]+"), 0))
+        .alias("n_spans"),
+        F.regexp_replace(line, "[0-9]+", "<NUM>").alias("redacted"))
+    return (
+        red.groupBy("event_type")
+        .agg(F.count("*").alias("n_lines"),
+             F.sum("n_spans").cast("long").alias("n_redacted_spans"),
+             F.countDistinct("redacted").alias("n_distinct_redacted"),
+             F.min("redacted").alias("sample_redacted"))
+        .orderBy("event_type")
+    )
+
+
+# Word-trigram helpers for contamination screening. Spark and DuckDB
+# slice semantics are both 1-based; short docs degrade to one partial
+# n-gram in both engines.
+def _word3_expr(toks: str) -> F.Column:
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({toks}) - 2, 1)),"
+        f" i -> array_join(slice({toks}, i, 3), ' ')))")
+
+
+_SQL_WORD3 = ("list_distinct(list_transform("
+              "range(1, greatest(len(toks) - 2, 1) + 1),"
+              " i -> array_to_string(toks[i:i+2], ' ')))")
+
+
+@register(
+    "q_contamination_check",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id, {_SQL_WORD3} AS ngrams FROM d
+    ),
+    e AS (
+        SELECT doc_id AS eval_doc, unnest(ngrams) AS ngram
+        FROM g WHERE doc_id % 50 = 0
+    ),
+    t AS (
+        SELECT doc_id AS train_doc, unnest(ngrams) AS ngram
+        FROM g WHERE doc_id % 50 <> 0
+    )
+    SELECT t.train_doc, e.eval_doc, COUNT(*) AS n_shared
+    FROM t JOIN e USING (ngram)
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    ORDER BY n_shared DESC, train_doc, eval_doc
+    LIMIT 20
+    """,
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: find training documents sharing
+    >= 3 distinct word trigrams with any held-out eval document (here:
+    every 50th doc plays the eval set). Top-20 most-contaminated pairs
+    with a full deterministic tiebreak.
+
+    Scale shape: only the SMALL eval side's n-grams are exploded into the
+    join build side and broadcast — the training corpus streams through
+    map-side, is exploded per-row, hash-joins against the broadcast, and
+    only surviving (train_doc, eval_doc) pairs shuffle into the count
+    aggregate. The 100 TB training table never repartitions.
+    """
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", F.explode(_word3_expr("toks")).alias("ngram"))
+    ev = (grams.filter(F.col("doc_id") % 50 == 0)
+          .withColumnRenamed("doc_id", "eval_doc"))
+    tr = (grams.filter(F.col("doc_id") % 50 != 0)
+          .withColumnRenamed("doc_id", "train_doc"))
+    return (
+        tr.join(F.broadcast(ev), "ngram")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .orderBy(F.desc("n_shared"), "train_doc", "eval_doc")
+        .limit(20)
+    )

@@ -1,0 +1,81 @@
+"""Corpus-prep operator tests: two-phase cumsum equivalence + the
+scale-shape claims of the packing/sampling/contamination plans."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+from columnar_estimator_sample_spark.operators.corpus import (
+    two_phase_cumsum,
+)
+from columnar_estimator_sample_spark.registry import queries
+
+from test_plans import SF, n_shuffles, plan_of
+
+
+def test_two_phase_cumsum_matches_global_window(spark):
+    """The scalable prefix sum must equal the naive single-task global
+    window on an adversarial frame (dup values, skewed gaps)."""
+    rows = [(i, (i * 7919) % 13) for i in range(1, 1001)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(11)
+    got = {r["k"]: r["c"] for r in
+           two_phase_cumsum(df, "k", "v", "c", n_parts=7).collect()}
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r["k"]: r["c"] for r in
+            df.withColumn("c", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+def test_two_phase_cumsum_single_partition_frame(spark):
+    """Degenerate case: fewer rows than partitions."""
+    df = spark.createDataFrame([(1, 10), (2, 5)], "k long, v long")
+    got = sorted((r["k"], r["c"]) for r in
+                 two_phase_cumsum(df, "k", "v", "c", n_parts=8).collect())
+    assert got == [(1, 10), (2, 15)]
+
+
+class TestCorpusPlanShapes:
+    def test_pack_chunks_no_global_window_over_data(self, spark):
+        """The doc-level window must be partitioned (by __pid); the only
+        unpartitioned window runs on the n_parts-row offset frame, which
+        reaches it through a hash aggregate, never a raw scan."""
+        plan = plan_of(spark, "q_pack_chunks")
+        # Every SinglePartition exchange must feed from the tiny
+        # per-partition aggregate (post-HashAggregate), not the documents
+        # scan: its input side carries __pid_total.
+        for seg in plan.split("Exchange SinglePartition")[1:]:
+            head = seg[:400]
+            assert "__pid_total" in head or "HashAggregate" in head, plan
+
+    def test_contamination_broadcasts_eval_side(self, spark):
+        plan = plan_of(spark, "q_contamination_check")
+        assert "BroadcastExchange" in plan
+        assert "TakeOrderedAndProject" in plan
+        # train side: scan -> explode -> broadcast-join without a
+        # repartition of the exploded training n-grams before the join;
+        # the only hash exchange is the pair-count aggregate.
+        assert n_shuffles(plan) <= 1, plan
+
+    def test_stratified_sampling_is_scan_plus_one_exchange(self, spark):
+        plan = plan_of(spark, "q_sample_stratified")
+        assert n_shuffles(plan) <= 2, plan  # lang agg + global sort
+
+    def test_pii_redaction_stays_codegen(self, spark):
+        plan = plan_of(spark, "q_pii_redaction")
+        assert plan.count("*(") >= 1  # codegen'd stages carry "*(n)"
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def test_pack_chunks_covers_all_docs(spark):
+    """Chunk doc counts must partition the corpus: every doc lands in
+    exactly one chunk and chunk id ranges are contiguous from 0."""
+    df = queries()["q_pack_chunks"](spark, SF)
+    rows = df.collect()
+    total = sum(r["n_docs"] for r in rows)
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert total == n_docs
+    ids = [r["chunk_id"] for r in rows]
+    assert ids[0] == 0 and ids == sorted(ids)
