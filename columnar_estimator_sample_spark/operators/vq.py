@@ -1,0 +1,208 @@
+"""Vector quantization: iterative spherical k-means (Lloyd) over the
+embedding table.
+
+The IVF index (similarity.q_ann_ivf_topk) assigns vectors to FIXED coarse
+centroids; real IVF training refines those centroids by iteration. This
+module adds the training step as a relational plan:
+
+  assign   : every vector goes to its max-cosine centroid
+             (argmax via window rank, ties to the lower centroid id)
+  update   : new centroid direction = SUM of member vectors — for cosine
+             assignment the sum is equivalent to the mean (scale
+             invariance), and integer sums keep the arithmetic EXACT,
+             so the oracle reproduces it bit-for-bit
+  repeat
+
+``q_vq_refine`` is the oracle-checked 2-iteration unrolling (assign →
+update → re-assign), entirely expressible in SQL; :func:`kmeans_fit` is
+the open-ended driver loop (reference-style epoch iteration,
+/root/reference/trainer.py:296-308 runs the same cached-input loop shape
+for training) verified by a convergence pytest.
+
+Exactness: embedding elements ride the integer-scaled lane of
+similarity._exploded (1e-6-rounded × 1e6 as int64), so dots and norms are
+exact integer/decimal sums in BOTH engines; the only floating step is the
+final dot/(|a||b|) — one IEEE division of identical inputs. Iter-1
+centroid norms use DECIMAL(38,0): summed components reach ~|members|·1e6,
+whose square can exceed int64 (the docstring bound in _exploded covers
+raw vectors only). At cluster sizes beyond ~1e6 members the production
+path rescales centroid sums by member count (cosine is scale-invariant;
+only int64 headroom is at stake), at the cost of leaving the exactness
+contract — the registered query keeps exact sums.
+
+Scale shape: one pass is a broadcast of K·dim centroid components joined
+against the exploded vectors — O(N·K) aggregate rows, map-side partial;
+no all-pairs anything. Per-iteration cost is a scan + one keyed shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from columnar_estimator_sample_spark.operators.similarity import _exploded
+from columnar_estimator_sample_spark.registry import register
+from columnar_estimator_sample_spark.sources.tables import table
+
+K = 8  # coarse cells, matching similarity.IVF_NLIST's scale
+
+
+def _assign(ex: DataFrame, norms: DataFrame, cex: DataFrame,
+            decimal_cnorm: bool) -> DataFrame:
+    """Argmax-cosine assignment of every vector to one of the centroids
+    in ``cex`` (centroid_id, i, ci). Returns (vec_id, centroid_id, cos)."""
+    csq = (F.sum(F.col("ci").cast("decimal(38,0)") * F.col("ci"))
+           if decimal_cnorm else F.sum(F.col("ci") * F.col("ci")))
+    cnorms = cex.groupBy("centroid_id").agg(csq.alias("c_s"))
+    dots = (ex.join(F.broadcast(cex), "i")
+            .groupBy("vec_id", "centroid_id")
+            .agg(F.sum(F.col("vi") * F.col("ci")).alias("dot_s")))
+    scored = (dots.join(norms, "vec_id")
+              .join(F.broadcast(cnorms), "centroid_id")
+              .withColumn(
+                  "cos",
+                  F.col("dot_s").cast("double")
+                  / (F.sqrt(F.col("n_s").cast("double"))
+                     * F.sqrt(F.col("c_s").cast("double")))))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "centroid_id")
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("vec_id", "centroid_id", "cos"))
+
+
+def _update(ex: DataFrame, assign: DataFrame) -> DataFrame:
+    """New centroid components: per-dimension integer SUM over members."""
+    return (ex.join(assign.select("vec_id", "centroid_id"), "vec_id")
+            .groupBy("centroid_id", "i")
+            .agg(F.sum("vi").alias("ci")))
+
+
+@register(
+    "q_vq_refine",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(CAST(CAST(unnest(embedding) AS DOUBLE)
+                         AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vi
+        FROM embeddings
+    ), norms AS (
+        SELECT vec_id, CAST(SUM(vi * vi) AS BIGINT) AS n_s
+        FROM ex GROUP BY vec_id
+    ), cex0 AS (
+        SELECT vec_id AS centroid_id, i, vi AS ci FROM ex
+        WHERE vec_id < {K}
+    ), cn0 AS (
+        SELECT centroid_id, CAST(SUM(ci * ci) AS BIGINT) AS c_s
+        FROM cex0 GROUP BY centroid_id
+    ), d0 AS (
+        SELECT e.vec_id, c.centroid_id,
+               CAST(SUM(e.vi * c.ci) AS BIGINT) AS dot_s
+        FROM ex e JOIN cex0 c ON c.i = e.i
+        GROUP BY 1, 2
+    ), a0 AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT d0.vec_id, d0.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d0.vec_id
+                       ORDER BY CAST(dot_s AS DOUBLE)
+                                / (sqrt(CAST(n.n_s AS DOUBLE))
+                                   * sqrt(CAST(cn0.c_s AS DOUBLE))) DESC,
+                                d0.centroid_id) AS rnk
+            FROM d0
+            JOIN norms n ON n.vec_id = d0.vec_id
+            JOIN cn0 ON cn0.centroid_id = d0.centroid_id
+        ) WHERE rnk = 1
+    ), cex1 AS (
+        SELECT a0.centroid_id, e.i, CAST(SUM(e.vi) AS BIGINT) AS ci
+        FROM ex e JOIN a0 ON a0.vec_id = e.vec_id
+        GROUP BY 1, 2
+    ), cn1 AS (
+        SELECT centroid_id,
+               SUM(CAST(ci AS DECIMAL(38,0)) * ci) AS c_s
+        FROM cex1 GROUP BY centroid_id
+    ), d1 AS (
+        SELECT e.vec_id, c.centroid_id,
+               CAST(SUM(e.vi * c.ci) AS BIGINT) AS dot_s
+        FROM ex e JOIN cex1 c ON c.i = e.i
+        GROUP BY 1, 2
+    ), a1 AS (
+        SELECT vec_id, centroid_id, cos FROM (
+            SELECT d1.vec_id, d1.centroid_id,
+                   CAST(dot_s AS DOUBLE)
+                   / (sqrt(CAST(n.n_s AS DOUBLE))
+                      * sqrt(CAST(cn1.c_s AS DOUBLE))) AS cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d1.vec_id
+                       ORDER BY CAST(dot_s AS DOUBLE)
+                                / (sqrt(CAST(n.n_s AS DOUBLE))
+                                   * sqrt(CAST(cn1.c_s AS DOUBLE))) DESC,
+                                d1.centroid_id) AS rnk
+            FROM d1
+            JOIN norms n ON n.vec_id = d1.vec_id
+            JOIN cn1 ON cn1.centroid_id = d1.centroid_id
+        ) WHERE rnk = 1
+    )
+    SELECT a1.centroid_id,
+           COUNT(*) AS n_assigned,
+           CAST(SUM(CASE WHEN a1.centroid_id <> a0.centroid_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in,
+           MIN(a1.cos) AS min_cos,
+           MAX(a1.cos) AS max_cos
+    FROM a1 JOIN a0 ON a0.vec_id = a1.vec_id
+    GROUP BY a1.centroid_id
+    ORDER BY a1.centroid_id
+    """,
+)
+def q_vq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd refinement of the IVF coarse quantizer, oracle-checked:
+    assign to the {K} seed centroids (vec_id < {K}), rebuild centroids as
+    member sums, re-assign, and report per-cell population, churn
+    (vectors that moved in), and the cosine range after refinement.
+    """
+    ex = _exploded(table(spark, sf_dir, "embeddings"))
+    norms = ex.groupBy("vec_id").agg(
+        F.sum(F.col("vi") * F.col("vi")).alias("n_s"))
+    cex0 = (ex.filter(F.col("vec_id") < K)
+            .select(F.col("vec_id").alias("centroid_id"), "i",
+                    F.col("vi").alias("ci")))
+    a0 = _assign(ex, norms, cex0, decimal_cnorm=False)
+    cex1 = _update(ex, a0)
+    a1 = _assign(ex, norms, cex1, decimal_cnorm=True)
+    moved = (a1.alias("a1")
+             .join(a0.select("vec_id",
+                             F.col("centroid_id").alias("prev")), "vec_id"))
+    return (
+        moved.groupBy("centroid_id")
+        .agg(F.count("*").alias("n_assigned"),
+             F.sum(F.when(F.col("centroid_id") != F.col("prev"), 1)
+                   .otherwise(0)).cast("long").alias("n_moved_in"),
+             F.min("cos").alias("min_cos"),
+             F.max("cos").alias("max_cos"))
+        .orderBy("centroid_id")
+    )
+
+
+def kmeans_fit(spark: SparkSession, sf_dir: str,
+               k: int = K, n_iter: int = 5) -> tuple[DataFrame, list[float]]:
+    """Open-ended spherical k-means: iterate assign/update ``n_iter``
+    times over the CACHED exploded embeddings (the reference's cached
+    epoch-loop shape) and return (final assignment, objective history).
+
+    Objective = mean cosine of each vector to its centroid; spherical
+    k-means ascends it monotonically (up to exact ties), which the
+    convergence test pins.
+    """
+    ex = _exploded(table(spark, sf_dir, "embeddings")).cache()
+    norms = ex.groupBy("vec_id").agg(
+        F.sum(F.col("vi") * F.col("vi")).alias("n_s")).cache()
+    cex = (ex.filter(F.col("vec_id") < k)
+           .select(F.col("vec_id").alias("centroid_id"), "i",
+                   F.col("vi").alias("ci")))
+    history: list[float] = []
+    assign = None
+    for it in range(n_iter):
+        assign = _assign(ex, norms, cex, decimal_cnorm=it > 0)
+        history.append(
+            assign.agg(F.avg("cos")).collect()[0][0])
+        cex = _update(ex, assign)
+    return assign, history
