@@ -42,6 +42,8 @@ HEADLINE = [
     "q_dedup_minhash_lsh",
     "q_similarity_topk",
     "q_text_quality",
+    "q_pack_chunks",
+    "q_contamination_check",
 ]
 
 

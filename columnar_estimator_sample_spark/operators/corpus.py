@@ -276,6 +276,96 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_split_by_user",
+    oracle=f"""
+    WITH s AS (
+        SELECT CASE WHEN {sql_h64("'split|' || CAST(user_id AS VARCHAR)")}
+                         % 100 < 80
+                    THEN 'train' ELSE 'heldout' END AS split,
+               user_id, event_id
+        FROM events
+    )
+    SELECT split,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM s
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def q_split_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/heldout split: the split decision hashes the
+    USER, not the event, so every event of a user lands on the same side
+    — no cross-split identity leakage, the property a random row-level
+    split silently violates. Deterministic (salted portable hash), so the
+    split is reproducible run-to-run and engine-to-engine.
+
+    Scale: a stateless map + one two-column aggregate; nothing about the
+    100 TB event log is ordered or windowed.
+    """
+    from columnar_estimator_sample_spark.sources.tables import events_table
+    ev = events_table(spark, sf_dir)
+    h = h64(F.concat(F.lit("split|"), F.col("user_id").cast("string")))
+    split = (F.when(F.pmod(h, F.lit(100)) < 80, "train")
+             .otherwise("heldout"))
+    return (
+        ev.select(split.alias("split"), "user_id", "event_id")
+        .groupBy("split")
+        .agg(F.countDistinct("user_id").alias("n_users"),
+             F.count("*").alias("n_events"))
+        .orderBy("split")
+    )
+
+
+@register(
+    "q_seqlen_histogram",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(len(string_split(text, ' ')) // 8 * 8 AS BIGINT)
+                   AS bin_lo
+        FROM documents
+    ),
+    b AS (
+        SELECT bin_lo, COUNT(*) AS n_docs FROM t GROUP BY bin_lo
+    )
+    SELECT bin_lo, n_docs,
+           CAST(SUM(n_docs) OVER (ORDER BY bin_lo
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_docs,
+           CAST(SUM(n_docs) OVER (ORDER BY bin_lo
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / SUM(n_docs) OVER () AS cum_frac
+    FROM b
+    ORDER BY bin_lo
+    """,
+)
+def q_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution in 8-token bins with cumulative
+    share — the packing-efficiency diagnostic (how much of the corpus
+    fits a CTX window, where truncation would bite).
+
+    The global window runs over the BINNED aggregate (a few hundred rows
+    at any corpus size), not the documents — histogram first, cumsum on
+    the histogram.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bins = (docs.select(
+        (F.floor(F.size(F.split("text", " ")) / 8) * 8)
+        .cast("long").alias("bin_lo"))
+        .groupBy("bin_lo").agg(F.count("*").alias("n_docs")))
+    w_cum = Window.orderBy("bin_lo").rowsBetween(
+        Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return (
+        bins.withColumn("cum_docs", F.sum("n_docs").over(w_cum))
+        .withColumn("cum_frac",
+                    F.col("cum_docs").cast("double")
+                    / F.sum("n_docs").over(w_all))
+        .orderBy("bin_lo")
+    )
+
+
 # Word-trigram helpers for contamination screening. Spark and DuckDB
 # slice semantics are both 1-based; short docs degrade to one partial
 # n-gram in both engines.

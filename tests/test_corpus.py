@@ -69,6 +69,29 @@ class TestCorpusPlanShapes:
         assert "ArrowEvalPython" not in plan
 
 
+def test_split_by_user_no_leakage(spark):
+    """The defining property: no user appears on both sides."""
+    from columnar_estimator_sample_spark.functions.hashing import h64
+    from columnar_estimator_sample_spark.sources.tables import events_table
+    ev = events_table(spark, SF)
+    h = h64(F.concat(F.lit("split|"), F.col("user_id").cast("string")))
+    per_user = (ev.select("user_id",
+                          F.pmod(h, F.lit(100)).alias("b"))
+                .groupBy("user_id")
+                .agg(F.countDistinct((F.col("b") < 80).cast("int"))
+                     .alias("n_sides")))
+    assert per_user.filter(F.col("n_sides") > 1).count() == 0
+    # and both sides are populated
+    q = queries()["q_split_by_user"](spark, SF)
+    assert {r["split"] for r in q.collect()} == {"train", "heldout"}
+
+
+def test_seqlen_histogram_cum_frac_reaches_one(spark):
+    rows = queries()["q_seqlen_histogram"](spark, SF).collect()
+    assert abs(rows[-1]["cum_frac"] - 1.0) < 1e-12
+    assert rows[-1]["cum_docs"] == sum(r["n_docs"] for r in rows)
+
+
 def test_pack_chunks_covers_all_docs(spark):
     """Chunk doc counts must partition the corpus: every doc lands in
     exactly one chunk and chunk id ranges are contiguous from 0."""
