@@ -27,8 +27,11 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from columnar_estimator_sample_spark.registry import register
+from columnar_estimator_sample_spark.sources.tables import table
 
 MEDIA_SCHEMA = ("doc_id long, media_type string, payload binary, "
                 "width int, height int")
@@ -92,6 +95,75 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
             })
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+@register(
+    "q_media_metadata",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1]
+                   AS media_type,
+               octet_length(encode(text)) AS n_bytes,
+               CAST(doc_id % 640 + 32 AS BIGINT) AS width,
+               CAST(doc_id % 480 + 32 AS BIGINT) AS height
+        FROM documents
+    )
+    SELECT media_type,
+           COUNT(*) AS n_assets,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(MAX(n_bytes) AS BIGINT) AS max_bytes,
+           CAST(SUM(width * height) AS BIGINT) AS total_pixels
+    FROM m
+    GROUP BY media_type
+    ORDER BY media_type
+    """,
+)
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata accounting over the opaque binary media column:
+    per-modality asset counts, blob byte mass (octet_length of the
+    payload — the real thing, multi-byte UTF-8 and all), and pixel
+    budget. This is the catalog pass a media pipeline runs before
+    deciding decode fan-out; blobs are scanned only for their length,
+    never shuffled.
+    """
+    media = documents_as_media(table(spark, sf_dir, "documents"))
+    return (
+        media.select(
+            "media_type",
+            F.length("payload").alias("n_bytes"),
+            (F.col("width").cast("long") * F.col("height"))
+            .alias("pixels"))
+        .groupBy("media_type")
+        .agg(F.count("*").alias("n_assets"),
+             F.sum("n_bytes").cast("long").alias("total_bytes"),
+             F.max("n_bytes").cast("long").alias("max_bytes"),
+             F.sum("pixels").cast("long").alias("total_pixels"))
+        .orderBy("media_type")
+    )
+
+
+@register("q_media_features")  # no SQL oracle: Arrow mapInPandas pipeline
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal feature pipeline (rows-only check): binary
+    payloads ride Arrow batches through the stubbed decode kernel
+    (deterministic fake features), then aggregate per modality. The
+    pandas UDF is the one genuinely non-SQL-expressible step in the
+    engine; the driver records row-count/schema stability.
+    """
+    media = documents_as_media(table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return (
+        feats.select("media_type", "n_bytes", "checksum",
+                     F.element_at("feat", 1).alias("f0"))
+        .groupBy("media_type")
+        .agg(F.count("*").alias("n_assets"),
+             F.sum("n_bytes").cast("long").alias("total_bytes"),
+             F.sum("checksum").cast("long").alias("checksum_sum"),
+             F.min("f0").alias("min_f0"),
+             F.max("f0").alias("max_f0"))
+        .orderBy("media_type")
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
