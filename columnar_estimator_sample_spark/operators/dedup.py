@@ -109,6 +109,51 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_bands(docs: DataFrame, k: int = MINHASH_K,
+                  n_bands: int = LSH_BANDS) -> DataFrame:
+    """(doc_id, band, band_key) LSH band keys for ``docs(doc_id, text)``.
+
+    Signature via explode + k codegen'd MIN aggregates. Higher-order
+    array lambdas are interpreted (outside whole-stage codegen), so a
+    min-fold over transform() costs ~an order of magnitude more than
+    exploding shingle positions into rows and letting the hash
+    aggregation do k mins with map-side partial aggregation — which is
+    also the right 100 TB shape (shuffle is O(docs · k), not O(shingles)).
+    Duplicate shingles are harmless under MIN, so no distinct pass here.
+
+    Bands carry ONLY (doc_id, band, band_key): candidate joins shuffle 3
+    narrow columns, never the shingle arrays (which would multiply the
+    shuffle payload by the document size).
+    """
+    a, b = minhash_params(k)
+    rows = k // n_bands
+    ex = docs.select(
+        "doc_id",
+        F.expr(f"explode(sequence(1, greatest(length(text) - {SHINGLE_K - 1},"
+               f" 1)))").alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        F.expr(f"CAST(conv(substring(md5(substring(text, i, {SHINGLE_K})),"
+               f" 1, 15), 16, 10) AS BIGINT) % {MERSENNE_P}").alias("x"),
+    )
+    mins = [
+        F.min(F.expr(f"({a[i]}L * x + {b[i]}L) % {MERSENNE_P}"))
+         .alias(f"s{i}")
+        for i in range(k)
+    ]
+    sigd = (ex.groupBy("doc_id").agg(*mins)
+            .select("doc_id",
+                    F.array(*[f"s{i}" for i in range(k)]).alias("sig")))
+    return sigd.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"transform(sequence(0, {n_bands - 1}), "
+                   f"b -> md5(array_join(slice(sig, b * {rows} + 1, {rows}), '-')))")
+        ).alias("band", "band_key"),
+    )
+
+
 @register(
     "q_dedup_minhash_lsh",
     oracle=None,  # supplied below via _minhash_oracle() after definition
@@ -125,48 +170,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       5. verify candidates with exact Jaccard over shingle sets
     Returns (doc_a, doc_b, jaccard) for verified pairs.
     """
-    a, b = minhash_params(MINHASH_K)
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = docs.select(
         "doc_id", _shingles_expr("text").alias("shingles"))
-
-    # Signature via explode + K codegen'd MIN aggregates. Higher-order
-    # array lambdas are interpreted (outside whole-stage codegen), so a
-    # min-fold over transform() costs ~an order of magnitude more than
-    # exploding shingle positions into rows and letting the hash
-    # aggregation do K mins with map-side partial aggregation — which is
-    # also the right 100 TB shape (shuffle is O(docs · K), not O(shingles)).
-    # Duplicate shingles are harmless under MIN, so no distinct pass here.
-    ex = docs.select(
-        "doc_id",
-        F.expr(f"explode(sequence(1, greatest(length(text) - {SHINGLE_K - 1},"
-               f" 1)))").alias("i"),
-        "text",
-    ).select(
-        "doc_id",
-        F.expr(f"CAST(conv(substring(md5(substring(text, i, {SHINGLE_K})),"
-               f" 1, 15), 16, 10) AS BIGINT) % {MERSENNE_P}").alias("x"),
-    )
-    mins = [
-        F.min(F.expr(f"({a[i]}L * x + {b[i]}L) % {MERSENNE_P}"))
-         .alias(f"s{i}")
-        for i in range(MINHASH_K)
-    ]
-    sigd = (ex.groupBy("doc_id").agg(*mins)
-            .select("doc_id",
-                    F.array(*[f"s{i}" for i in range(MINHASH_K)])
-                    .alias("sig")))
-
-    # Bands carry ONLY (doc_id, band, band_key): the candidate self-join
-    # shuffles 3 narrow columns, never the shingle arrays (which would
-    # multiply the shuffle payload by the document size).
-    bands = sigd.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(f"transform(sequence(0, {LSH_BANDS - 1}), "
-                   f"b -> md5(array_join(slice(sig, b * {LSH_ROWS} + 1, {LSH_ROWS}), '-')))")
-        ).alias("band", "band_key"),
-    )
+    bands = minhash_bands(docs)
 
     left = bands.alias("l")
     right = bands.alias("r")
@@ -196,13 +203,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_pair_ctes() -> str:
+def _minhash_pair_ctes(k: int = MINHASH_K, n_bands: int = LSH_BANDS) -> str:
     """CTE list computing the verified MinHash-LSH near-dup pairs, ending in
-    ``pairs(doc_a, doc_b, jaccard)``. Shared by :func:`_minhash_oracle` and
-    the connected-components oracle in ``operators/graph.py``."""
-    a, bq = minhash_params(MINHASH_K)
+    ``pairs(doc_a, doc_b, jaccard)``. Shared by :func:`_minhash_oracle`,
+    the connected-components oracle in ``operators/graph.py``, and (at
+    k=16/4 bands) the incremental-ingest oracle."""
+    a, bq = minhash_params(k)
     a_lit = "[{}]".format(",".join(str(v) for v in a))
     b_lit = "[{}]".format(",".join(str(v) for v in bq))
+    rows = k // n_bands
     shingles = _sql_shingles("text")
     return f"""sh AS (
         SELECT doc_id, {shingles} AS shingles FROM documents
@@ -213,7 +222,7 @@ def _minhash_pair_ctes() -> str:
         FROM sh
     ), sigs AS (
         SELECT doc_id, shingles,
-               list_transform(range(1, {MINHASH_K} + 1),
+               list_transform(range(1, {k} + 1),
                    i -> list_min(list_transform(xs,
                         x -> (({a_lit}[CAST(i AS INT)] * x
                                + {b_lit}[CAST(i AS INT)]) % {MERSENNE_P})))
@@ -222,9 +231,9 @@ def _minhash_pair_ctes() -> str:
     ), bands AS (
         SELECT doc_id, shingles, b.band,
                md5(array_to_string(
-                   sig[b.band * {LSH_ROWS} + 1 : (b.band + 1) * {LSH_ROWS}],
+                   sig[b.band * {rows} + 1 : (b.band + 1) * {rows}],
                    '-')) AS band_key
-        FROM sigs, (SELECT unnest(range(0, {LSH_BANDS})) AS band) b
+        FROM sigs, (SELECT unnest(range(0, {n_bands})) AS band) b
     ), cand AS (
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
                l.shingles AS sh_a, r.shingles AS sh_b
@@ -255,6 +264,94 @@ def _minhash_oracle() -> str:
 # attach the generated oracle (kept next to the implementation for review)
 from columnar_estimator_sample_spark import registry as _registry  # noqa: E402
 _registry._ORACLES["q_dedup_minhash_lsh"] = _minhash_oracle()
+
+# Incremental ingest: cheaper sketch (16 hashes, 4 bands x 4 rows) — the
+# per-batch admission check doesn't need the full offline sketch budget.
+INC_K = 16
+INC_BANDS = 4
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH {_minhash_pair_ctes(INC_K, INC_BANDS)},
+    cross_pairs AS (
+        SELECT CASE WHEN doc_a % 10 = 7 THEN doc_a ELSE doc_b END
+                   AS new_doc,
+               jaccard
+        FROM pairs
+        WHERE (doc_a % 10 = 7) <> (doc_b % 10 = 7)
+    ),
+    agg AS (
+        SELECT new_doc, COUNT(*) AS n_near_dups,
+               MAX(jaccard) AS best_jaccard
+        FROM cross_pairs GROUP BY new_doc
+    )
+    SELECT d.doc_id AS new_doc,
+           CAST(COALESCE(a.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+           a.best_jaccard,
+           CASE WHEN a.new_doc IS NULL THEN 1 ELSE 0 END AS admit
+    FROM documents d LEFT JOIN agg a ON a.new_doc = d.doc_id
+    WHERE d.doc_id % 10 = 7
+    ORDER BY new_doc
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest admission check: an arriving batch (docs with
+    id % 10 = 7 stand in for today's crawl) is screened against the
+    existing corpus for near-duplicates; per new doc: how many corpus
+    near-dups, the best Jaccard, and the admit/reject decision.
+
+    This is the shape that makes dedup tractable at a 100 TB corpus with
+    daily arrivals: corpus band keys are precomputed once and stored
+    (here derived in-plan from the same table; production reads the
+    signature store), so per-batch cost is O(batch) sketching + a banded
+    join that touches only matching buckets — the corpus is never
+    re-sketched or self-joined. Candidates verify with exact Jaccard,
+    and only batch×corpus pairs are considered (batch-internal dups are
+    the next day's corpus problem).
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_batch = F.col("doc_id") % 10 == 7
+    bands = minhash_bands(docs, k=INC_K, n_bands=INC_BANDS)
+    batch_bands = bands.filter(is_batch)
+    corpus_bands = bands.filter(~is_batch)
+    cand = (
+        batch_bands.alias("n").join(
+            corpus_bands.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.band_key") == F.col("c.band_key")))
+        .select(F.col("n.doc_id").alias("new_doc"),
+                F.col("c.doc_id").alias("corpus_doc"))
+        .dropDuplicates(["new_doc", "corpus_doc"])
+    )
+    sh = docs.select("doc_id", _shingles_expr("text").alias("shingles"))
+    sh_n = sh.select(F.col("doc_id").alias("new_doc"),
+                     F.col("shingles").alias("sh_n"))
+    sh_c = sh.select(F.col("doc_id").alias("corpus_doc"),
+                     F.col("shingles").alias("sh_c"))
+    inter = F.size(F.array_intersect("sh_n", "sh_c"))
+    union = F.size("sh_n") + F.size("sh_c") - inter
+    verified = (
+        cand.join(sh_n, "new_doc").join(sh_c, "corpus_doc")
+        .select("new_doc",
+                (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .groupBy("new_doc")
+        .agg(F.count("*").alias("n_near_dups"),
+             F.max("jaccard").alias("best_jaccard"))
+    )
+    batch = docs.filter(is_batch).select(F.col("doc_id").alias("new_doc"))
+    return (
+        batch.join(verified, "new_doc", "left")
+        .select("new_doc",
+                F.coalesce("n_near_dups", F.lit(0)).cast("long")
+                .alias("n_near_dups"),
+                "best_jaccard",
+                F.when(F.col("n_near_dups").isNull(), 1).otherwise(0)
+                .alias("admit"))
+        .orderBy("new_doc")
+    )
 
 
 @register(
