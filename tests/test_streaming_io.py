@@ -209,3 +209,21 @@ class TestStreamStreamJoin:
         assert (sorted(map(tuple, got.collect()))
                 == sorted(map(tuple, batch.collect())))
         assert got.count() > 0
+
+
+class TestStreamingCorpus:
+    def test_corpus_ingest_matches_batch(self, spark, sf_dir, ckpt):
+        from columnar_estimator_sample_spark.streaming.corpus import (
+            corpus_ingest_batch, corpus_ingest_stream, documents_stream,
+        )
+        from columnar_estimator_sample_spark.streaming.windows import (
+            run_to_completion,
+        )
+        got = run_to_completion(
+            corpus_ingest_stream(documents_stream(spark, sf_dir)),
+            ckpt, "corpus_ingest", mode="complete")
+        want = corpus_ingest_batch(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        g = {tuple(r) for r in got.collect()}
+        w = {tuple(r) for r in want.collect()}
+        assert g == w and len(g) > 0
