@@ -277,6 +277,74 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_source_mixture",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    mx AS (SELECT MAX(n_docs) AS max_n FROM counts),
+    w AS (
+        SELECT source, n_docs,
+               CAST(mx.max_n * 1000 // n_docs AS BIGINT) AS weight_permille
+        FROM counts, mx
+    ),
+    rep AS (
+        SELECT d.source, w.n_docs, w.weight_permille,
+               w.weight_permille // 1000
+               + CASE WHEN {sql_h64("'mix|' || CAST(d.doc_id AS VARCHAR)")}
+                           % 1000 < w.weight_permille % 1000
+                      THEN 1 ELSE 0 END AS n_rep
+        FROM documents d JOIN w ON w.source = d.source
+    )
+    SELECT source,
+           CAST(MIN(n_docs) AS BIGINT) AS n_docs,
+           CAST(MIN(weight_permille) AS BIGINT) AS weight_permille,
+           CAST(SUM(n_rep) AS BIGINT) AS n_emitted
+    FROM rep
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing by oversampling: every source is repeated up
+    to the LARGEST source's count (uniform target mixture). Per-document
+    repeat = floor(weight) epochs plus one fractional epoch admitted by
+    a salted hash — the distributed form of the reference's repeat()
+    stage (epoch iteration, /root/reference/trainer.py:219-224), with
+    integer-permille arithmetic so both engines agree exactly.
+
+    The Spark side MATERIALIZES the oversampled stream (explode over a
+    repeat sequence — what a trainer would consume) and then audits it;
+    at 100 TB the explode is a narrow map (no shuffle) and the audit
+    aggregate is the only exchange.
+    """
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    max_n = counts.agg(F.max("n_docs").alias("max_n"))
+    w = (counts.crossJoin(F.broadcast(max_n))
+         .withColumn("weight_permille",
+                     F.expr("max_n * 1000 DIV n_docs"))
+         .select("source", "n_docs", "weight_permille"))
+    h = h64(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")))
+    rep = (docs.join(F.broadcast(w), "source")
+           .withColumn(
+               "n_rep",
+               F.expr("weight_permille DIV 1000")
+               + F.when(F.pmod(h, F.lit(1000))
+                        < F.col("weight_permille") % 1000, 1).otherwise(0)))
+    emitted = rep.select(
+        "source", "n_docs", "weight_permille", "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n_rep"))).alias("epoch"))
+    return (
+        emitted.groupBy("source")
+        .agg(F.min("n_docs").cast("long").alias("n_docs"),
+             F.min("weight_permille").cast("long").alias("weight_permille"),
+             F.count("*").cast("long").alias("n_emitted"))
+        .orderBy("source")
+    )
+
+
+@register(
     "q_split_by_user",
     oracle=f"""
     WITH s AS (

@@ -141,3 +141,37 @@ def write_partitioned_parquet(df: DataFrame, path: str,
     """Partition-pruned parquet layout: the 100 TB-scale sink. Readers
     filtering on ``partition_by`` columns scan only matching directories."""
     df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
+def compact_write(df: DataFrame, path: str, target_mb: int = 512,
+                  sort_by: list[str] | None = None) -> int:
+    """Small-file compaction sink: rewrite ``df`` as parquet sized to
+    ``target_mb`` per file. Returns the number of files written.
+
+    The small-files problem is THE operational failure mode of long-lived
+    100 TB tables (every micro-batch/task leaves a file; scans then pay a
+    per-file open + footer parse, and the driver's file index balloons).
+    The fix is what this does: estimate bytes from a sample-free plan
+    (Spark's own size statistics for the input), choose
+    ceil(bytes / target), and ``repartition(n)`` — or range-partition by
+    ``sort_by`` so each output file additionally carries tight min/max
+    column stats for row-group skipping (poor man's clustering).
+
+    At warehouse scale this runs per partition-directory (compact
+    yesterday's partition, swap atomically); the unit here demonstrates
+    the sizing + layout contract.
+    """
+    import math
+
+    size_bytes = (df.sparkSession._jsparkSession.sessionState()
+                  .executePlan(df._jdf.queryExecution().logical(),
+                               df._jdf.queryExecution().mode())
+                  .optimizedPlan().stats().sizeInBytes())
+    n_files = max(1, math.ceil(float(str(size_bytes)) /
+                               (target_mb * 1024 * 1024)))
+    if sort_by:
+        out = df.repartitionByRange(n_files, *sort_by)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(path)
+    return n_files

@@ -227,3 +227,37 @@ class TestStreamingCorpus:
         g = {tuple(r) for r in got.collect()}
         w = {tuple(r) for r in want.collect()}
         assert g == w and len(g) > 0
+
+class TestCompaction:
+    def test_compact_write_sizes_files(self, spark, sf_dir, tmp_path):
+        from columnar_estimator_sample_spark.sources.io import (
+            compact_write, read_parquet,
+        )
+        li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+        # fragment the table (the small-files disease), then compact
+        frag = str(tmp_path / "frag")
+        li.repartition(40).write.parquet(frag)
+        assert len([f for f in os.listdir(frag)
+                    if f.endswith(".parquet")]) == 40
+        out = str(tmp_path / "compact")
+        n = compact_write(spark.read.parquet(frag), out, target_mb=512)
+        files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+        assert len(files) == n  # sized, not per-task
+        assert n < 40
+        back = spark.read.parquet(out)
+        assert back.count() == li.count()
+
+    def test_compact_write_range_layout_skips(self, spark, sf_dir,
+                                              tmp_path):
+        """sort_by gives each file a tight key range: reading one key's
+        worth of rows must match the unsorted baseline exactly."""
+        from columnar_estimator_sample_spark.sources.io import (
+            compact_write, read_parquet,
+        )
+        ev = read_parquet(spark, f"{sf_dir}/orders.parquet")
+        out = str(tmp_path / "sorted")
+        compact_write(ev, out, target_mb=1, sort_by=["o_custkey"])
+        back = spark.read.parquet(out)
+        assert back.count() == ev.count()
+        want = ev.filter(F.col("o_custkey") == 7).count()
+        assert back.filter(F.col("o_custkey") == 7).count() == want
