@@ -265,6 +265,58 @@ def _minhash_oracle() -> str:
 from columnar_estimator_sample_spark import registry as _registry  # noqa: E402
 _registry._ORACLES["q_dedup_minhash_lsh"] = _minhash_oracle()
 
+@register(
+    "q_substring_hotspots",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(length(text) - 15, 1) + 1),
+                   i -> substr(text, CAST(i AS INT), 16))) AS gram
+        FROM documents
+    )
+    SELECT gram,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           MIN(doc_id) AS first_doc
+    FROM sh
+    GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= 10
+    ORDER BY n_docs DESC, n_occurrences DESC, gram
+    LIMIT 25
+    """,
+)
+def q_substring_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring hot-spots: 16-char grams appearing in >= 10
+    distinct documents, ranked by spread. This is the exact-substring
+    side of dedup (boilerplate, licenses, navigation chrome — the spans
+    a model would memorize verbatim), complementing the document-level
+    pair detectors.
+
+    Scale: one explode + one hash aggregate keyed by the gram — the
+    shuffle carries (gram, doc_id) pairs with map-side partial
+    aggregation, and the HAVING threshold prunes before the top-k. At
+    100 TB the gram is carried as its 8-byte hash with a verify-join for
+    the surfaced survivors (here the raw gram stays oracle-comparable).
+    """
+    docs = table(spark, sf_dir, "documents")
+    # NON-distinct grams (unlike _shingles_expr): occurrence counts
+    # need every position, not the per-doc set.
+    grams = docs.select(
+        "doc_id",
+        F.expr("explode(transform(sequence(1, greatest(length(text) - 15,"
+               " 1)), i -> substring(text, i, 16)))").alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.count("*").alias("n_occurrences"),
+             F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") >= 10)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "gram")
+        .limit(25)
+    )
+
+
 # Incremental ingest: cheaper sketch (16 hashes, 4 bands x 4 rows) — the
 # per-batch admission check doesn't need the full offline sketch budget.
 INC_K = 16
