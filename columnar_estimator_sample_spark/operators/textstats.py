@@ -23,6 +23,78 @@ STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
 
 
 @register(
+    "q_token_bigrams",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(
+                   range(1, greatest(len(toks) - 1, 1) + 1),
+                   i -> toks[CAST(i AS INT)] || ' '
+                        || coalesce(toks[CAST(i AS INT) + 1], ''))) AS bigram
+        FROM t
+        WHERE len(toks) >= 2
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bg
+    WHERE bigram NOT LIKE '% '
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 25
+    """,
+)
+def q_token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token pair frequencies, top 25 — the counting step of
+    BPE/WordPiece vocabulary induction (which pair to merge next) run
+    corpus-wide.
+
+    Scale: bigrams form in a narrow transform (no self-join on position),
+    explode feeds a gram-keyed aggregate with map-side partials, top-k is
+    TakeOrderedAndProject. The same plan at 100 TB shuffles only partial
+    (bigram, count) pairs.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 1)),"
+        " i -> concat(toks[i-1], ' ', coalesce(toks[i], '')))")
+    return (
+        docs.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .filter(~F.col("bigram").endswith(" "))
+        .groupBy("bigram").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(25)
+    )
+
+
+@register(
+    "q_label_balance",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+           / (SELECT COUNT(*) FROM embeddings) AS share
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance report over the labeled embeddings — the sanity
+    pass before a training run (share per label; skew here means a
+    weighted sampler or the mixture operator is needed)."""
+    emb = table(spark, sf_dir, "embeddings")
+    total = emb.count()
+    return (emb.groupBy("label")
+            .agg(F.count("*").alias("n"),
+                 (F.count("*").cast("double") / F.lit(total)).alias("share"))
+            .orderBy("label"))
+
+
+@register(
     "q_text_token_stats",
     oracle="""
     WITH t AS (

@@ -102,3 +102,32 @@ def test_pack_chunks_covers_all_docs(spark):
     assert total == n_docs
     ids = [r["chunk_id"] for r in rows]
     assert ids[0] == 0 and ids == sorted(ids)
+
+
+class TestRound2PlanShapes:
+    def test_source_mixture_broadcasts_weights(self, spark):
+        plan = plan_of(spark, "q_source_mixture")
+        assert "BroadcastExchange" in plan
+        # the docs side explodes without repartitioning first
+        assert "BatchEvalPython" not in plan
+
+    def test_token_bigrams_topk(self, spark):
+        plan = plan_of(spark, "q_token_bigrams")
+        assert "TakeOrderedAndProject" in plan
+        assert n_shuffles(plan) <= 1, plan  # one gram-keyed aggregate
+
+    def test_substring_hotspots_topk(self, spark):
+        plan = plan_of(spark, "q_substring_hotspots")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_incremental_dedup_no_corpus_self_join(self, spark):
+        """Candidate generation joins batch bands against corpus bands;
+        there must be exactly one pair-producing join of band tables and
+        it must be batch-vs-corpus (predicate filters, not doc_id<doc_id
+        self-pairing)."""
+        import re
+        plan = plan_of(spark, "q_dedup_incremental")
+        # the offline pair query HAS this predicate; incremental must not
+        assert not re.search(r"doc_id#\d+L? < doc_id#\d+", plan), plan
+        offline = plan_of(spark, "q_dedup_minhash_lsh")
+        assert re.search(r"doc_id#\d+L? < doc_id#\d+", offline)
