@@ -434,6 +434,102 @@ def q_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+@register(
+    "q_chunk_sliding",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 50
+    ),
+    c AS (
+        SELECT doc_id,
+               unnest(range(0, greatest(
+                   (len(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                       // {CHUNK_STRIDE} + 1, 1))) AS chunk_idx,
+               toks
+        FROM t
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(toks[chunk_idx * {CHUNK_STRIDE} + 1 :
+                     chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}])
+                AS BIGINT) AS n_tokens,
+           md5(array_to_string(
+               toks[chunk_idx * {CHUNK_STRIDE} + 1 :
+                    chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' '))
+               AS chunk_digest
+    FROM c
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (size {CHUNK_TOKENS}, stride
+    {CHUNK_STRIDE}) — the RAG/embedding-indexing shape where consecutive
+    chunks share {CHUNK_TOKENS}-{CHUNK_STRIDE} tokens of context. Emits
+    (doc, chunk_idx, token count, content digest) per chunk; bounded to
+    doc_id < 50 to keep the oracle surface small — the plan is identical
+    unbounded.
+
+    Scale: chunk fan-out is a narrow explode over a per-doc index
+    sequence + array slice — no shuffle at all until a downstream
+    consumer aggregates; chunks inherit the scan's partitioning.
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    n_chunks = F.expr(
+        f"greatest((size(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)"
+        f" DIV {CHUNK_STRIDE} + 1, 1)")
+    chunk = F.expr(
+        f"slice(toks, chunk_idx * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS})")
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", "toks",
+                F.explode(F.sequence(F.lit(0), n_chunks - 1))
+                .alias("chunk_idx"))
+        .select("doc_id",
+                F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                F.size(chunk).cast("long").alias("n_tokens"),
+                F.md5(F.array_join(chunk, " ")).alias("chunk_digest"))
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@register(
+    "q_sample_exact_k",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {sql_h64("'exk|' || CAST(doc_id AS VARCHAR)")},
+                            doc_id) AS rk
+        FROM documents
+    )
+    SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 5
+    ORDER BY lang, rk
+    """,
+)
+def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sampling (k=5 per language): rank documents
+    by a salted hash inside each stratum and keep the first k — the
+    deterministic, engine-portable equivalent of per-group reservoir
+    sampling (uniform because the hash order is independent of content).
+
+    Scale: one lang-keyed exchange; the rank window never holds more
+    than a stratum per task, and k rows per stratum survive.
+    """
+    docs = table(spark, sf_dir, "documents")
+    h = h64(F.concat(F.lit("exk|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (docs.select("lang", "doc_id",
+                        F.row_number().over(w).cast("long").alias("rk"))
+            .filter(F.col("rk") <= 5)
+            .orderBy("lang", "rk"))
+
+
 # Word-trigram helpers for contamination screening. Spark and DuckDB
 # slice semantics are both 1-based; short docs degrade to one partial
 # n-gram in both engines.

@@ -71,6 +71,65 @@ def q_token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_tfidf_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT lang, term, COUNT(*) AS tf FROM tok GROUP BY lang, term
+    ),
+    df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.lang, tf.term,
+               CAST(tf.tf AS BIGINT) AS tf,
+               CAST(df.df AS BIGINT) AS df,
+               CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+        FROM tf JOIN df USING (term), n
+    )
+    SELECT lang, term, tf, df, score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY score DESC, term) AS rk
+        FROM scored)
+    WHERE rk <= 5
+    ORDER BY lang, score DESC, term
+    """,
+)
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per language by tf·idf with a RATIONAL
+    idf (tf·N/df instead of tf·ln(N/df)): ln() is libm-dependent and can
+    differ in the last ulp between engines, while integer-product /
+    integer division is one deterministic IEEE op. Rank order is
+    identical since ln is monotone.
+
+    Scale: explode -> two hash aggregates (lang-term and term) + a
+    term-keyed join of two already-aggregated sides, then a lang-window
+    rank over the (small) per-lang term lists.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", "lang",
+                      F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    from pyspark.sql import Window as W
+    scored = (tf.join(df, "term")
+              .select("lang", "term",
+                      F.col("tf").cast("long").alias("tf"),
+                      F.col("df").cast("long").alias("df"),
+                      ((F.col("tf") * F.lit(n_docs)).cast("double")
+                       / F.col("df")).alias("score")))
+    w = W.partitionBy("lang").orderBy(F.desc("score"), "term")
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5).drop("rk")
+            .orderBy("lang", F.desc("score"), "term"))
+
+
+@register(
     "q_label_balance",
     oracle="""
     SELECT label,
