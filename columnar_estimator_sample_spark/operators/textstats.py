@@ -341,3 +341,153 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.select("doc_id", fp.alias("fingerprint"),
                         F.md5("text").alias("exact_digest"))
             .orderBy("doc_id"))
+
+
+@register(
+    "q_repetition_ratios",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    tc AS (
+        SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t
+    ),
+    tstats AS (
+        SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_token_count
+        FROM tc GROUP BY doc_id
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(string_split(text, ' '))),
+                   i -> string_split(text, ' ')[CAST(i AS INT)] || ' '
+                        || string_split(text, ' ')[CAST(i AS INT) + 1]))
+                   AS b
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bc AS (
+        SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b
+    ),
+    bstats AS (
+        SELECT doc_id, SUM(c) AS n_bigrams,
+               COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS dup_bigram_occ
+        FROM bc GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_tokens, t.top_token_count,
+           CAST(t.top_token_count AS DOUBLE) / t.n_tokens AS top_token_frac,
+           b.dup_bigram_occ,
+           CAST(b.dup_bigram_occ AS DOUBLE) / b.n_bigrams AS dup_bigram_frac,
+           CASE WHEN CAST(t.top_token_count AS DOUBLE) / t.n_tokens <= 0.2
+                 AND CAST(b.dup_bigram_occ AS DOUBLE) / b.n_bigrams <= 0.6
+                THEN 1 ELSE 0 END AS repetition_keep
+    FROM tstats t JOIN bstats b ON t.doc_id = b.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def q_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the fraction
+    of tokens that are the single most frequent token, and the fraction of
+    bigram occurrences that are duplicated within the document — the two
+    classic "degenerate repetition" filters an LLM corpus pipeline runs
+    before training (Rae et al. 2021 §A1 use exactly these shapes).
+
+    Scale: two narrow explode->per-(doc,gram) hash-agg->per-doc hash-agg
+    chains joined on doc_id. Every aggregate has map-side partials; no
+    token ever crosses the shuffle unaggregated twice; the doc_id join is
+    between two already-reduced per-doc frames. Ratios are single integer
+    divisions (deterministic IEEE on identical int inputs both engines).
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    tok = docs.select("doc_id", F.explode(toks).alias("t"))
+    tc = tok.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    tstats = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_token_count"))
+
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> concat(element_at(split(text, ' '), i), ' ',"
+        "             element_at(split(text, ' '), i + 1)))")
+    bg = (docs.filter(F.size(toks) >= 2)
+          .select("doc_id", F.explode(bigrams).alias("b")))
+    bc = bg.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    bstats = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
+        .alias("dup_bigram_occ"))
+
+    top_frac = (F.col("top_token_count").cast("double")
+                / F.col("n_tokens"))
+    dup_frac = (F.col("dup_bigram_occ").cast("double")
+                / F.col("n_bigrams"))
+    return (
+        tstats.join(bstats, "doc_id")
+        .select(
+            "doc_id", "n_tokens", "top_token_count",
+            top_frac.alias("top_token_frac"),
+            "dup_bigram_occ",
+            dup_frac.alias("dup_bigram_frac"),
+            F.when((top_frac <= 0.2) & (dup_frac <= 0.6), 1)
+            .otherwise(0).alias("repetition_keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Induced-vocabulary size for the OOV-coverage report (the corpus has ~31
+# distinct tokens at every SF, so a 16-entry vocab leaves a real OOV tail).
+VOCAB_K = 16
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    vocab AS (
+        SELECT t FROM tok GROUP BY t
+        ORDER BY COUNT(*) DESC, t LIMIT {VOCAB_K}
+    )
+    SELECT lang,
+           COUNT(*) AS total_tokens,
+           COALESCE(SUM(CASE WHEN v.t IS NULL THEN 1 END), 0) AS oov_tokens,
+           COALESCE(SUM(CASE WHEN v.t IS NULL THEN 1 END), 0) * 1000
+               // COUNT(*) AS oov_permille
+    FROM tok LEFT JOIN vocab v USING (t)
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: induce a top-K token vocabulary
+    corpus-wide, then report per-language out-of-vocabulary token rates —
+    the check a training pipeline runs to decide whether a tokenizer's
+    vocab serves every language slice.
+
+    Scale: the vocab is a K-row aggregate (map-side partial counts, then
+    TakeOrdered over distinct tokens), BROADCAST back against the token
+    stream; the big side shuffles only for the final per-lang aggregate
+    (5 groups, map-side combine). OOV rate is integer permille — exact in
+    both engines.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(F.split("text", " ")).alias("t"))
+    vocab = (tok.groupBy("t").agg(F.count("*").alias("c"))
+             .orderBy(F.desc("c"), "t").limit(VOCAB_K).select("t"))
+    oov = F.coalesce(
+        F.sum(F.when(F.col("v_t").isNull(), 1)), F.lit(0))
+    return (
+        tok.join(F.broadcast(vocab.withColumnRenamed("t", "v_t")),
+                 tok["t"] == F.col("v_t"), "left")
+        .groupBy("lang")
+        .agg(F.count("*").alias("total_tokens"),
+             oov.alias("oov_tokens"),
+             (oov * 1000).cast("bigint").alias("_oov_k"))
+        .select("lang", "total_tokens", "oov_tokens",
+                F.expr("_oov_k DIV total_tokens").alias("oov_permille"))
+        .orderBy("lang")
+    )

@@ -40,7 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from columnar_estimator_sample_spark.operators.similarity import _exploded
+from columnar_estimator_sample_spark.operators.similarity import (
+    _SQL_EX, _exploded)
 from columnar_estimator_sample_spark.registry import register
 from columnar_estimator_sample_spark.sources.tables import table
 
@@ -206,3 +207,76 @@ def kmeans_fit(spark: SparkSession, sf_dir: str,
             assign.agg(F.avg("cos")).collect()[0][0])
         cex = _update(ex, assign)
     return assign, history
+
+
+@register(
+    "q_embed_quantize",
+    oracle=f"""
+    WITH ex AS ({_SQL_EX}
+    ),
+    dims AS (
+        SELECT i, MIN(vi) AS min_vi, MAX(vi) AS max_vi FROM ex GROUP BY i
+    ),
+    q AS (
+        SELECT ex.vec_id, ex.i, d.min_vi, d.max_vi,
+               CASE WHEN d.max_vi = d.min_vi THEN 0
+                    ELSE (2 * (ex.vi - d.min_vi) * 255
+                          + (d.max_vi - d.min_vi))
+                         // (2 * (d.max_vi - d.min_vi)) END AS code,
+               CASE WHEN d.max_vi = d.min_vi THEN 0
+                    ELSE abs((ex.vi - d.min_vi) * 255
+                             - ((2 * (ex.vi - d.min_vi) * 255
+                                 + (d.max_vi - d.min_vi))
+                                // (2 * (d.max_vi - d.min_vi)))
+                               * (d.max_vi - d.min_vi)) END AS err255
+        FROM ex JOIN dims d ON ex.i = d.i
+    )
+    SELECT i, MIN(min_vi) AS min_vi, MIN(max_vi) AS max_vi,
+           COUNT(*) AS n, MIN(code) AS min_code, MAX(code) AS max_code,
+           SUM(err255) AS sum_abs_err255, MAX(err255) AS max_abs_err255
+    FROM q
+    GROUP BY i
+    ORDER BY i
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 scalar quantization of the embedding table (the compression
+    step before an ANN index ships to serving): per-dimension min/max
+    calibration, round-half-up affine codes in [0, 255], and the exact
+    reconstruction-error census per dimension.
+
+    All arithmetic is int64 — codes via the integer round-half-up
+    identity floor((2·num·255 + range) / (2·range)) and errors measured
+    in 1/255-of-range units (err255 = |255·(v−min) − code·range|) — so
+    Spark and DuckDB agree bit-for-bit with no float in the pipeline.
+
+    Scale shape: one explode feeds TWO aggregates — a dim-count-row
+    min/max calibration table broadcast back onto the stream, then the
+    per-dim error census (map-side partial). The embedding column itself
+    is never shuffled; at 100 TB the only wide exchange carries
+    (i, partial-agg) rows bounded by dim × partitions.
+    """
+    ex = _exploded(table(spark, sf_dir, "embeddings"))
+    dims = ex.groupBy("i").agg(F.min("vi").alias("min_vi"),
+                               F.max("vi").alias("max_vi"))
+    rng = F.col("max_vi") - F.col("min_vi")
+    num = (F.col("vi") - F.col("min_vi")) * 255
+    code = F.when(rng == 0, F.lit(0)).otherwise(
+        F.expr("(2 * (vi - min_vi) * 255 + (max_vi - min_vi))"
+               " DIV (2 * (max_vi - min_vi))"))
+    q = (ex.join(F.broadcast(dims), "i")
+         .withColumn("code", code)
+         .withColumn("err255",
+                     F.when(rng == 0, F.lit(0))
+                     .otherwise(F.abs(num - F.col("code") * rng))))
+    return (
+        q.groupBy("i")
+        .agg(F.min("min_vi").alias("min_vi"),
+             F.min("max_vi").alias("max_vi"),
+             F.count("*").alias("n"),
+             F.min("code").alias("min_code"),
+             F.max("code").alias("max_code"),
+             F.sum("err255").alias("sum_abs_err255"),
+             F.max("err255").alias("max_abs_err255"))
+        .orderBy("i")
+    )

@@ -131,3 +131,67 @@ class TestRound2PlanShapes:
         assert not re.search(r"doc_id#\d+L? < doc_id#\d+", plan), plan
         offline = plan_of(spark, "q_dedup_minhash_lsh")
         assert re.search(r"doc_id#\d+L? < doc_id#\d+", offline)
+
+
+class TestQualityAndQuantization:
+    """Round-2b additions: repetition filters, vocab coverage, blocked
+    edit-distance dedup, int8 scalar quantization."""
+
+    def test_repetition_ratios_bounds_and_coverage(self, spark):
+        df = queries()["q_repetition_ratios"](spark, SF)
+        rows = df.collect()
+        n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+        assert len(rows) == n_docs
+        for r in rows[:50]:
+            assert 0.0 < r["top_token_frac"] <= 1.0
+            assert 0.0 <= r["dup_bigram_frac"] <= 1.0
+        # stays fully JVM-side
+        plan = plan_of(spark, "q_repetition_ratios")
+        assert "BatchEvalPython" not in plan
+
+    def test_vocab_coverage_broadcast_and_conservation(self, spark):
+        plan = plan_of(spark, "q_vocab_coverage")
+        # the induced vocab must come back as a broadcast, never a
+        # shuffled join against the token stream
+        assert "BroadcastExchange" in plan
+        rows = queries()["q_vocab_coverage"](spark, SF).collect()
+        total = sum(r["total_tokens"] for r in rows)
+        corpus_tokens = (
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .select(F.size(F.split("text", " ")).alias("n"))
+            .agg(F.sum("n")).collect()[0][0])
+        assert total == corpus_tokens
+        for r in rows:
+            assert 0 <= r["oov_tokens"] <= r["total_tokens"]
+            assert 0 <= r["oov_permille"] <= 1000
+
+    def test_editdistance_blocked_not_cartesian(self, spark):
+        plan = plan_of(spark, "q_dedup_editdistance")
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        # candidate pairs well under n^2/2: blocking must be effective
+        from columnar_estimator_sample_spark.operators.dedup import (
+            ED_MAX_DIST)
+        rows = queries()["q_dedup_editdistance"](spark, SF).collect()
+        n = spark.read.parquet(f"{SF}/documents.parquet").count()
+        assert len(rows) < n * (n - 1) / 20
+        for r in rows:
+            assert r["doc_a"] < r["doc_b"]
+            assert 0 <= r["edit_dist"] <= ED_MAX_DIST
+
+    def test_embed_quantize_code_range_and_error_bound(self, spark):
+        rows = queries()["q_embed_quantize"](spark, SF).collect()
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        dim = emb.select(F.max(F.size("embedding"))).collect()[0][0]
+        assert len(rows) == dim
+        for r in rows:
+            rng = r["max_vi"] - r["min_vi"]
+            # min/max calibration pins the code endpoints
+            assert r["min_code"] == 0 and r["max_code"] == 255
+            # round-half-up error is at most half a quantization step
+            # (err255 is measured in 1/255-of-range units)
+            assert r["max_abs_err255"] <= rng / 2 + 1
+            assert r["n"] == emb.count()
+        plan = plan_of(spark, "q_embed_quantize")
+        assert "BatchEvalPython" not in plan
+        assert "BroadcastExchange" in plan  # dim calibration broadcast
