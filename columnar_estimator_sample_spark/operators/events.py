@@ -207,3 +207,152 @@ def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("n_nearby").alias("max_nearby"))
         .orderBy("event_type")
     )
+
+
+# Funnel stage order: each stage's first hit must strictly follow the
+# previous stage's first hit for the same user.
+FUNNEL = ["view", "click", "purchase"]
+
+DAY_US = 86_400_000_000
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS v_us FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.v_us
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_us
+        GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM v
+    UNION ALL
+    SELECT 2, 'click', COUNT(*) FROM c
+    UNION ALL
+    SELECT 3, 'purchase', COUNT(*) FROM p
+    ORDER BY stage
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user counts
+    at stage k only if their first stage-k event strictly follows their
+    first stage-(k-1) event. The classic product-analytics query.
+
+    Scale: each stage is a per-user MIN aggregate joined to the previous
+    stage's per-user frame — every shuffle is keyed on user_id, so
+    Catalyst reuses one hash partitioning across the whole chain, and the
+    per-stage frames shrink monotonically. All timestamps are integer µs
+    (timezone-free, exact)."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "us")
+    stages = []
+    prev = None
+    for k, et in enumerate(FUNNEL, start=1):
+        cur = ev.filter(F.col("event_type") == et)
+        if prev is not None:
+            cur = (cur.join(prev, "user_id")
+                   .filter(F.col("us") > F.col("prev_us")))
+        cur = cur.groupBy("user_id").agg(F.min("us").alias("prev_us"))
+        stages.append(cur.agg(
+            F.lit(k).alias("stage"), F.lit(et).alias("event_type"),
+            F.count("*").alias("n_users")))
+        prev = cur
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("stage")
+
+
+@register(
+    "q_cohort_retention",
+    oracle=f"""
+    WITH d AS (
+        SELECT user_id, epoch_us(ts) // {DAY_US} AS day FROM events
+    ), cohort AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id, day FROM d
+    )
+    SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    WHERE a.day - c.cohort_day <= 7
+    GROUP BY c.cohort_day, day_offset
+    ORDER BY c.cohort_day, day_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted on each subsequent activity day (offsets 0..7) — the standard
+    growth-analytics rollup.
+
+    Scale: cohort assignment and the distinct-activity frame are both
+    user_id-keyed aggregates over the same scan; the join is user_id to
+    user_id (co-partitioned), and the final aggregate's key space is
+    bounded by days × offsets, not data size. Day arithmetic is integer
+    µs // day — timezone-free in both engines."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"us div {DAY_US}").alias("day"))
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = ev.distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .withColumn("day_offset", F.col("day") - F.col("cohort_day"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@register(
+    "q_scd2_history",
+    oracle="""
+    WITH upd AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id, value
+        FROM events WHERE event_type = 'signup'
+    )
+    SELECT user_id, value AS attr_value, us AS valid_from_us,
+           COALESCE(LEAD(us) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id),
+                    9223372036854775807) AS valid_to_us,
+           CASE WHEN LEAD(us) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM upd
+    ORDER BY user_id, valid_from_us, event_id
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: turn an update stream
+    (signup events carrying an attribute value) into validity intervals
+    [valid_from, valid_to) per user with an is_current flag — how a
+    warehouse derives dimension history from CDC feeds.
+
+    Scale: one user_id-keyed window (LEAD) over the filtered update
+    stream; the filter prunes at the scan, the single exchange is the
+    window's, and the output is written without any further wide step.
+    The open interval's sentinel is int64 max — exact in both engines."""
+    ev = table(spark, sf_dir, "events")
+    upd = (ev.filter(F.col("event_type") == "signup")
+           .select("user_id", "us", "event_id", "value"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    nxt = F.lead("us").over(w)
+    return (
+        upd.select(
+            "user_id", F.col("value").alias("attr_value"),
+            F.col("us").alias("valid_from_us"),
+            F.coalesce(nxt, F.lit(9223372036854775807))
+            .alias("valid_to_us"),
+            F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+            "event_id")
+        .orderBy("user_id", "valid_from_us", "event_id")
+        .drop("event_id")
+    )

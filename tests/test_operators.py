@@ -228,3 +228,54 @@ class TestEventsTable:
         r = ev.select(F.min("us"), F.max("us")).collect()[0]
         # Jan 2024 epoch range
         assert 1_704_000_000_000_000 < r[0] < r[1] < 1_707_000_000_000_000
+
+
+class TestEventAnalytics:
+    """Funnel / cohort / SCD2: monotone-stage invariants and one-exchange
+    plan shapes."""
+
+    def test_funnel_stages_monotone(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.registry import queries
+        rows = queries()["q_funnel"](spark, sf_dir).collect()
+        counts = [r["n_users"] for r in rows]
+        assert len(counts) == 3
+        # each stage can only lose users
+        assert counts == sorted(counts, reverse=True)
+        assert counts[0] > 0
+
+    def test_cohort_offsets_bounded(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.registry import queries
+        rows = queries()["q_cohort_retention"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r["day_offset"] <= 7
+            assert r["n_users"] > 0
+        # offset-0 row of a cohort dominates every later offset
+        by_cohort = {}
+        for r in rows:
+            by_cohort.setdefault(r["cohort_day"], {})[r["day_offset"]] = (
+                r["n_users"])
+        for offs in by_cohort.values():
+            if 0 in offs:
+                assert all(v <= offs[0] for v in offs.values())
+
+    def test_scd2_intervals_partition_time(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.registry import queries
+        rows = queries()["q_scd2_history"](spark, sf_dir).collect()
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(r)
+        for uid, hist in list(by_user.items())[:50]:
+            # intervals are adjacent, non-overlapping, exactly one open
+            for a, b in zip(hist, hist[1:]):
+                assert a["valid_to_us"] == b["valid_from_us"]
+                assert a["is_current"] == 0
+            assert hist[-1]["is_current"] == 1
+            assert hist[-1]["valid_to_us"] == 9223372036854775807
+
+    def test_scd2_single_exchange(self, spark):
+        from test_plans import plan_of
+        plan = plan_of(spark, "q_scd2_history")
+        # one user_id window exchange + the output range sort only
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "BatchEvalPython" not in plan
