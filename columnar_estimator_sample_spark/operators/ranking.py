@@ -1,0 +1,195 @@
+"""Full-text ranking over the document corpus: inverted index + BM25.
+
+The reference's analytics tier is "load documents into a warehouse, then
+rank aggregates" (top-20 ops by total duration, /root/reference/README.md:
+210-222). This module is the text-retrieval expression of the same shape
+over the driver's ``documents`` table: build a token->postings index with
+one explode + hash aggregates, then score a keyword query with BM25.
+
+Numeric design: BM25's (k1=1.2, b=0.75) scoring is restated in EXACT
+integer arithmetic — every factor is a rational with a small denominator,
+so each per-term score is one integer division producing a "permicro"
+(1e-6) fixed-point long. Integer sums/divisions are order-independent and
+bit-identical across engines, which keeps these queries on the oracle's
+exact-hash surface (same trick as the rational idf in
+textstats.q_tfidf_terms). ln()-based idf would rank identically (ln is
+monotone) but costs cross-engine ulp risk for zero fidelity gain.
+
+Scale: the token explode is a narrow map; everything after is hash
+aggregation on (term) / (doc_id, term) keys plus a broadcast-size join of
+per-term df stats onto per-doc-term tf stats. No all-pairs anything; at
+100 TB the only shuffle is the (term)-keyed aggregate, and skewed hot
+terms are bounded by the per-doc tf cap (a doc contributes one row per
+distinct term).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from columnar_estimator_sample_spark.registry import register
+from columnar_estimator_sample_spark.sources.tables import table
+
+# The standing keyword query scored by q_bm25_search (3 mid-frequency
+# corpus terms; any list works — scores are data-derived).
+QUERY_TERMS = ("join", "vector", "stream")
+
+TOP_TOKENS = 25
+TOP_DOCS = 15
+
+
+def _sql_terms() -> str:
+    return ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+
+@register(
+    "q_inverted_index",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT term, doc_id, COUNT(*) AS tf
+        FROM tok GROUP BY term, doc_id
+    ),
+    post AS (
+        SELECT term,
+               COUNT(*) AS df,
+               CAST(SUM(tf) AS BIGINT) AS cf,
+               CAST(MAX(tf) AS BIGINT) AS max_tf
+        FROM tf GROUP BY term
+    ),
+    best AS (
+        SELECT term, doc_id AS top_doc FROM (
+            SELECT term, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY term
+                                      ORDER BY tf DESC, doc_id) AS rk
+            FROM tf)
+        WHERE rk = 1
+    )
+    SELECT post.term, df, cf, max_tf, top_doc
+    FROM post JOIN best ON post.term = best.term
+    ORDER BY cf DESC, post.term
+    LIMIT {TOP_TOKENS}
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postings catalog: per term, document frequency, collection
+    frequency, peak within-doc tf, and the argmax document (deterministic
+    tie-break on doc_id). This is the index-build side of retrieval; the
+    (doc_id, term) aggregate is map-side-combinable and the per-term
+    rollup shuffles only one row per distinct (doc, term)."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    post = tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.max("tf").cast("long").alias("max_tf"),
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), "doc_id")
+    best = (tf.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("term", F.col("doc_id").alias("top_doc")))
+    return (post.join(best, "term")
+            .select("term", "df", "cf", "max_tf", "top_doc")
+            .orderBy(F.desc("cf"), "term")
+            .limit(TOP_TOKENS))
+
+
+@register(
+    "q_bm25_search",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+    ),
+    corpus AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dl) AS BIGINT) AS l FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM tok WHERE term IN ({_sql_terms()})
+        GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               (44 * corpus.l * tf.tf * (2 * corpus.n - 2 * df.df + 1)
+                * 1000000)
+               // ((20 * corpus.l * tf.tf + 6 * corpus.l
+                    + 18 * dl.dl * corpus.n) * (2 * df.df + 1))
+               AS term_score
+        FROM tf
+        JOIN df ON tf.term = df.term
+        JOIN dl ON tf.doc_id = dl.doc_id, corpus
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(term_score) AS BIGINT) AS score_micro
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT {TOP_DOCS}
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_DOCS} documents for the standing keyword query under BM25
+    (k1=1.2, b=0.75), in exact permicro fixed point.
+
+    Derivation of the integer form — per-term BM25 is
+
+        idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    with avgdl = L/N (L = corpus token count, N = docs) and the standard
+    rational idf (N - df + 1/2)/(df + 1/2). Multiplying numerator and
+    denominator by 20*L and by 2 clears every fraction:
+
+        num = 44*L*tf * (2N - 2df + 1)
+        den = (20*L*tf + 6*L + 18*dl*N) * (2df + 1)
+        score_micro = (num * 1_000_000) div den      -- one integer division
+
+    All factors are positive longs, so Spark's ``DIV`` and DuckDB's ``//``
+    agree exactly, and the per-doc score is an exact integer SUM of term
+    scores (order-free — no float association hazard). Headroom: num peaks
+    near 1e6·44·L·tf·2N; L·N is bounded by ~1e13 before int64 overflow —
+    beyond that, swap the longs for decimal(38,0) without changing shape.
+
+    Scale: filters the token stream to the query terms BEFORE any shuffle
+    (predicate on the exploded term — a narrow filter), aggregates
+    (doc_id, term), broadcasts the tiny per-term df table and the 1-row
+    corpus stats; one (doc_id)-keyed join against per-doc lengths.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs, corpus_len = dl.agg(
+        F.count("*").cast("long"), F.sum("dl").cast("long")).first()
+    tf = (tok.filter(F.col("term").isin(*QUERY_TERMS))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n, l = F.lit(n_docs), F.lit(corpus_len)
+    num = (F.lit(44) * l * F.col("tf")
+           * (2 * n - 2 * F.col("df") + 1) * F.lit(1_000_000))
+    den = ((F.lit(20) * l * F.col("tf") + F.lit(6) * l
+            + F.lit(18) * F.col("dl") * n) * (2 * F.col("df") + 1))
+    scored = (tf.join(F.broadcast(df), "term")
+              .join(dl, "doc_id")
+              .select("doc_id",
+                      num.cast("long").alias("num"),
+                      den.cast("long").alias("den"))
+              .select("doc_id", F.expr("num DIV den").alias("term_score")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_terms"),
+                 F.sum("term_score").cast("long").alias("score_micro"))
+            .orderBy(F.desc("score_micro"), "doc_id")
+            .limit(TOP_DOCS))

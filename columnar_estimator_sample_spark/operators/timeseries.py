@@ -1,0 +1,219 @@
+"""Time-series operators over the event log: resampling, gap filling,
+exponentially weighted smoothing.
+
+The reference's trace events are an append-only time series of raw int64
+timestamps aggregated by time-ish keys (/root/reference/README.md:93,107,
+210-222). This module adds the standard time-series toolkit a warehouse
+user expects on such a log. All time math is integer epoch-microsecond
+arithmetic on the loader's ``us`` column (timezone-invariant by
+construction, see operators/events.py docstring).
+
+Cross-engine exactness notes:
+  * OHLC open/close are picked by ROW_NUMBER over (us, event_id) — a
+    total order, so both engines pick the identical row.
+  * Gap-fill carries doubles forward verbatim (a copy, no arithmetic).
+  * The EWMA uses power-of-two weights (8/4/2/1): ``8*v`` is EXACT in
+    IEEE doubles, and the numerator is the same fixed expression tree in
+    both engines, so the single final division is bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from columnar_estimator_sample_spark.functions.exact import (
+    davg, dsum, sql_davg, sql_dsum)
+from columnar_estimator_sample_spark.registry import register
+from columnar_estimator_sample_spark.sources.tables import table
+
+US_PER_HOUR = 3_600_000_000
+US_PER_DAY = 86_400_000_000
+EWMA_USERS = 20  # report cap: users 0..19
+
+
+@register(
+    "q_resample_ohlc",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, event_type, value,
+               epoch_us(ts) AS us,
+               epoch_us(ts) // {US_PER_HOUR} AS hr
+        FROM events
+    ),
+    rk AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY hr, event_type
+                                  ORDER BY us, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY hr, event_type
+                                  ORDER BY us DESC, event_id DESC) AS rn_d
+        FROM ev
+    )
+    SELECT hr, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           {sql_dsum("value", "total")}
+    FROM rk
+    GROUP BY hr, event_type
+    ORDER BY hr, event_type
+    """,
+)
+def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC resample of ``value`` per event type — the classic
+    downsampling operator (candlesticks / metric rollups). Open and close
+    are the first/last observation under the total order (us, event_id),
+    picked via two ROW_NUMBERs that share one (hr, event_type) exchange;
+    high/low/count/total are plain hash aggregates.
+
+    Scale: one shuffle on the bucket key; window + aggregate reuse it.
+    The bucket key (hour × type) has high cardinality at 100 TB, so the
+    aggregate is well spread; no global sort until the final (small)
+    presentation ORDER BY."""
+    ev = (table(spark, sf_dir, "events")
+          .select("event_id", "event_type", "value", "us",
+                  F.expr(f"us DIV {US_PER_HOUR}").alias("hr")))
+    pw = Window.partitionBy("hr", "event_type")
+    rk = (ev
+          .withColumn("rn_a", F.row_number().over(
+              pw.orderBy("us", "event_id")))
+          .withColumn("rn_d", F.row_number().over(
+              pw.orderBy(F.desc("us"), F.desc("event_id")))))
+    return (rk.groupBy("hr", "event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.max(F.when(F.col("rn_a") == 1, F.col("value")))
+                 .alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max(F.when(F.col("rn_d") == 1, F.col("value")))
+                 .alias("close"),
+                 dsum(F.col("value"), "total"))
+            .orderBy("hr", "event_type"))
+
+
+@register(
+    "q_gap_fill",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, epoch_us(ts) // {US_PER_DAY} AS day_num, value
+        FROM events
+    ),
+    daily AS (
+        SELECT event_type, day_num,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_davg("value", "avg_value", 6)}
+        FROM ev GROUP BY event_type, day_num
+    ),
+    bounds AS (
+        SELECT MIN(day_num) AS mn, MAX(day_num) AS mx FROM ev
+    ),
+    grid AS (
+        SELECT t.event_type, g.day_num
+        FROM (SELECT DISTINCT event_type FROM ev) t,
+             (SELECT unnest(generate_series(mn, mx)) AS day_num
+              FROM bounds) g
+    )
+    SELECT event_type, day_num,
+           COALESCE(n_events, 0) AS n_events,
+           last_value(avg_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day_num
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS avg_value_ffill
+    FROM grid LEFT JOIN daily USING (event_type, day_num)
+    ORDER BY event_type, day_num
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series per event type: a generated day grid
+    (min..max) LEFT JOINed onto the actual daily aggregates, missing
+    counts zero-filled and the daily average carried forward
+    (last-observation-carried-forward). The standard prep step before
+    charting or training on regular time steps.
+
+    Scale: the grid is |types| × |days| — tiny relative to the event
+    log — and the heavy side is ONE hash aggregate of the raw events.
+    The forward fill is a per-type ordered window; day counts per type
+    are bounded (years, not rows), so the window partition never
+    explodes with data volume."""
+    ev = (table(spark, sf_dir, "events")
+          .select("event_type",
+                  F.expr(f"us DIV {US_PER_DAY}").alias("day_num"),
+                  "value"))
+    daily = (ev.groupBy("event_type", "day_num")
+             .agg(F.count("*").cast("long").alias("n_events"),
+                  davg(F.col("value"), "avg_value", 6)))
+    mn, mx = ev.agg(F.min("day_num"), F.max("day_num")).first()
+    grid = (ev.select("event_type").distinct()
+            .crossJoin(spark.range(mn, mx + 1)
+                       .select(F.col("id").alias("day_num"))))
+    w = (Window.partitionBy("event_type").orderBy("day_num")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(daily, ["event_type", "day_num"], "left")
+            .select("event_type", "day_num",
+                    F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                    F.last("avg_value", ignorenulls=True).over(w)
+                    .alias("avg_value_ffill"))
+            .orderBy("event_type", "day_num"))
+
+
+@register(
+    "q_ewma",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us, value
+        FROM events WHERE user_id < {EWMA_USERS}
+    ),
+    lagged AS (
+        SELECT user_id, event_id, us, value,
+               lag(value, 1) OVER w AS v1,
+               lag(value, 2) OVER w AS v2,
+               lag(value, 3) OVER w AS v3
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    )
+    SELECT user_id, event_id, us,
+           (8 * value
+            + COALESCE(4 * v1, 0)
+            + COALESCE(2 * v2, 0)
+            + COALESCE(1 * v3, 0))
+           / CAST(8 + (CASE WHEN v1 IS NULL THEN 0 ELSE 4 END)
+                    + (CASE WHEN v2 IS NULL THEN 0 ELSE 2 END)
+                    + (CASE WHEN v3 IS NULL THEN 0 ELSE 1 END)
+                  AS DOUBLE) AS ewma
+    FROM lagged
+    ORDER BY user_id, us, event_id
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (half-life = 1 step) of
+    ``value`` per user, truncated at 4 taps with power-of-two weights
+    8/4/2/1 — the fixed-expression-tree form whose doubles are
+    bit-identical across engines (see module docstring). Early rows
+    renormalize over the weights actually present, the standard
+    'adjust=True' EWMA convention.
+
+    Scale: one (user_id)-keyed window; the report cap (user_id <
+    {EWMA_USERS}) is presentation-only — the operator itself is a single
+    partitioned sort that spreads across the cluster by user."""
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("user_id") < EWMA_USERS)
+          .select("user_id", "event_id", "us", "value"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    lagged = (ev
+              .withColumn("v1", F.lag("value", 1).over(w))
+              .withColumn("v2", F.lag("value", 2).over(w))
+              .withColumn("v3", F.lag("value", 3).over(w)))
+    num = (F.lit(8) * F.col("value")
+           + F.coalesce(F.lit(4) * F.col("v1"), F.lit(0))
+           + F.coalesce(F.lit(2) * F.col("v2"), F.lit(0))
+           + F.coalesce(F.lit(1) * F.col("v3"), F.lit(0)))
+    den = (F.lit(8)
+           + F.when(F.col("v1").isNull(), 0).otherwise(4)
+           + F.when(F.col("v2").isNull(), 0).otherwise(2)
+           + F.when(F.col("v3").isNull(), 0).otherwise(1))
+    return (lagged.select("user_id", "event_id", "us",
+                          (num / den.cast("double")).alias("ewma"))
+            .orderBy("user_id", "us", "event_id"))

@@ -1,0 +1,106 @@
+"""Property and plan tests for the ranking and time-series tiers.
+
+The DuckDB oracle pins cross-engine value equality; these tests pin the
+*semantic invariants* the oracle can't express (score monotonicity, OHLC
+bounds, forward-fill completeness, EWMA convexity) plus plan shapes that
+matter at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_estimator_sample_spark.operators import ranking, timeseries
+from columnar_estimator_sample_spark.sources.tables import table
+
+
+class TestRanking:
+    def test_inverted_index_invariants(self, spark, sf_dir):
+        n_docs = table(spark, sf_dir, "documents").count()
+        rows = ranking.q_inverted_index(spark, sf_dir).collect()
+        assert rows, "index is non-empty"
+        for r in rows:
+            assert 1 <= r.df <= n_docs
+            assert r.cf >= r.df          # cf counts every occurrence
+            assert r.max_tf >= 1
+        # presentation order: cf desc, term asc
+        cfs = [(-r.cf, r.term) for r in rows]
+        assert cfs == sorted(cfs)
+
+    def test_bm25_scores_positive_and_ranked(self, spark, sf_dir):
+        rows = ranking.q_bm25_search(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.score_micro > 0
+            assert 1 <= r.n_terms <= len(ranking.QUERY_TERMS)
+        scores = [(-r.score_micro, r.doc_id) for r in rows]
+        assert scores == sorted(scores)
+
+    def test_bm25_no_cartesian_in_plan(self, spark, sf_dir):
+        plan = ranking.q_bm25_search(spark, sf_dir)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        # the per-term df side must broadcast, not shuffle
+        assert "BroadcastHashJoin" in plan
+
+
+class TestTimeseries:
+    def test_ohlc_bounds(self, spark, sf_dir):
+        rows = timeseries.q_resample_ohlc(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.low <= r.high
+            assert r.low <= r.open <= r.high
+            assert r.low <= r.close <= r.high
+            assert r.n >= 1
+            if r.n == 1:
+                assert r.open == r.close == r.high == r.low
+
+    def test_gap_fill_dense_and_conserving(self, spark, sf_dir):
+        out = timeseries.q_gap_fill(spark, sf_dir)
+        rows = out.collect()
+        ev = (table(spark, sf_dir, "events")
+              .select(F.expr(f"us DIV {timeseries.US_PER_DAY}")
+                      .alias("day_num")))
+        mn, mx = ev.agg(F.min("day_num"), F.max("day_num")).first()
+        n_types = (table(spark, sf_dir, "events")
+                   .select("event_type").distinct().count())
+        # dense grid: every (type, day) cell present exactly once
+        assert len(rows) == n_types * (mx - mn + 1)
+        # count conservation: zero-filled grid still sums to the raw total
+        assert (sum(r.n_events for r in rows)
+                == table(spark, sf_dir, "events").count())
+        # after a type's first observed day, the ffill is never null
+        seen = set()
+        for r in sorted(rows, key=lambda r: (r.event_type, r.day_num)):
+            if r.n_events > 0:
+                seen.add(r.event_type)
+            if r.event_type in seen:
+                assert r.avg_value_ffill is not None
+
+    def test_ewma_is_convex_combination(self, spark, sf_dir):
+        rows = (timeseries.q_ewma(spark, sf_dir)
+                .orderBy("user_id", "us", "event_id").collect())
+        assert rows
+        ev = (table(spark, sf_dir, "events")
+              .filter(F.col("user_id") < timeseries.EWMA_USERS)
+              .orderBy("user_id", "us", "event_id")
+              .select("user_id", "value").collect())
+        hist: dict[int, list[float]] = {}
+        for r, e in zip(rows, ev):
+            assert r.user_id == e.user_id
+            tail = hist.setdefault(e.user_id, [])
+            tail.append(e.value)
+            window = tail[-4:]
+            lo, hi = min(window), max(window)
+            assert lo - 1e-9 <= r.ewma <= hi + 1e-9
+
+    def test_ohlc_single_exchange_for_windows(self, spark, sf_dir):
+        # both ROW_NUMBER passes and the aggregate share one hash
+        # partitioning on (hr, event_type): exactly one shuffle of the
+        # event rows (plus the tiny presentation sort).
+        plan = (timeseries.q_resample_ohlc(spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+        n_hashpart = plan.count("hashpartitioning")
+        assert n_hashpart <= 1, plan
