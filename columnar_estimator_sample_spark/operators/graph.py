@@ -132,3 +132,133 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
         .orderBy("cluster_id", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the derived trade graph
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 1_000_000_000   # PageRank mass fixed-point scale (1e-9 units)
+PPM = 1_000_000            # edge-probability scale (parts per million)
+PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    damp_num, damp_den = 17, 20  # damping 0.85 as a rational
+    ctes = ["""
+    edges AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders   o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, SUM(w) AS tw FROM edges GROUP BY src),
+    p AS (
+        SELECT src, dst, (w * %(ppm)d) // tw AS p_ppm
+        FROM edges JOIN outw USING (src)
+    ),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    base AS (
+        SELECT (3 * CAST(%(scale)d AS BIGINT)) // (%(den)d * n) AS b,
+               %(scale)d // n AS init
+        FROM nn
+    ),
+    it0 AS (SELECT node, (SELECT init FROM base) AS pr FROM nodes)
+    """ % {"ppm": PPM, "scale": PR_SCALE, "den": damp_den}]
+    for i in range(PR_ITERS):
+        ctes.append("""
+    dang%(cur)d AS (
+        SELECT COALESCE(SUM(pr), 0) // (SELECT n FROM nn) AS dshare
+        FROM it%(cur)d
+        WHERE node NOT IN (SELECT DISTINCT src FROM p)
+    ),
+    it%(nxt)d AS (
+        SELECT n.node,
+               (SELECT b FROM base)
+               + (%(num)d * (COALESCE(s.s, 0)
+                             + (SELECT dshare FROM dang%(cur)d)))
+                 // %(den)d AS pr
+        FROM nodes n LEFT JOIN (
+            SELECT dst, SUM((pr * p_ppm) // %(ppm)d) AS s
+            FROM p JOIN it%(cur)d ON p.src = it%(cur)d.node
+            GROUP BY dst) s
+        ON n.node = s.dst
+    )""" % {"cur": i, "nxt": i + 1, "num": damp_num, "den": damp_den,
+            "ppm": PPM})
+    return ("WITH " + ",".join(ctes) + f"""
+    SELECT n_name, pr AS pr_scaled
+    FROM it{PR_ITERS} JOIN nation ON node = n_nationkey
+    ORDER BY pr_scaled DESC, n_name
+    """)
+
+
+@register("q_pagerank", oracle=_pagerank_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 unrolled iterations) over the nation
+    trade graph: a directed edge supplier-nation -> customer-nation per
+    lineitem, weighted by shipment count.
+
+    Exactness: mass is a fixed-point long (1e-9 units) and edge
+    probabilities are parts-per-million longs; every step is integer
+    multiply + floor-division + exact integer SUM, so both engines
+    produce identical bits — no float accumulation anywhere. Dangling
+    nodes (nations with no suppliers at small SF) redistribute their
+    mass uniformly each superstep — the standard dangling-mass fix —
+    so total mass is conserved up to bounded floor-division loss (the
+    invariant the test pins).
+
+    Scale: the expensive part is distilling 100 TB of lineitems into the
+    |nations|² weighted edge list — three key joins (dimension sides
+    broadcast) and one hash aggregate. The iteration loop then runs on
+    the aggregated graph, whose size is independent of data volume; each
+    superstep is a (src)-keyed broadcast join + (dst)-keyed aggregate,
+    the same shape as connected_components above.
+    """
+    from columnar_estimator_sample_spark.sources.tables import table
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation")
+
+    edges = (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+             .join(orders, li.l_orderkey == orders.o_orderkey)
+             .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+             .groupBy(F.col("s_nationkey").alias("src"),
+                      F.col("c_nationkey").alias("dst"))
+             .agg(F.count("*").cast("long").alias("w")))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
+    p = (edges.join(outw, "src")
+         .select("src", "dst",
+                 F.expr(f"(w * {PPM}) DIV tw").alias("p_ppm"))
+         .cache())
+
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    n_nodes = nodes.count()
+    init = PR_SCALE // n_nodes
+    base = (3 * PR_SCALE) // (20 * n_nodes)
+
+    pr = nodes.select("node", F.lit(init).cast("long").alias("pr"))
+    src_nodes = p.select("src").distinct()
+    for _ in range(PR_ITERS):
+        # dangling nodes redistribute their mass uniformly (scalar, tiny)
+        dang = (pr.join(src_nodes, pr.node == src_nodes.src, "left_anti")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0)).alias("dtot"))
+                .select(F.expr(f"dtot DIV {n_nodes}").alias("dshare")))
+        contrib = (p.join(pr, p.src == pr.node)
+                   .select("dst", F.expr(f"(pr * p_ppm) DIV {PPM}")
+                           .alias("c"))
+                   .groupBy("dst").agg(F.sum("c").alias("s")))
+        pr = (nodes.join(contrib, nodes.node == contrib.dst, "left")
+              .crossJoin(F.broadcast(dang))
+              .select("node",
+                      (F.lit(base)
+                       + F.expr("(17 * (COALESCE(s, 0) + dshare)) DIV 20"))
+                      .cast("long").alias("pr")))
+    return (pr.join(F.broadcast(nation), pr.node == nation.n_nationkey)
+            .select("n_name", F.col("pr").alias("pr_scaled"))
+            .orderBy(F.desc("pr_scaled"), "n_name"))

@@ -1,0 +1,134 @@
+"""Data-quality expectations: a constraint audit over the warehouse.
+
+The reference validates its data informally — pinned row counts
+(/root/reference/trainer.py:36-37) and a held-out eval pass — and its
+parse spec encodes per-column contracts (required label, typed defaults,
+trainer.py:120-163). This module turns that idea into the standard
+declarative data-quality audit (the Deequ / dbt-test / expectations
+shape): each check yields (check_name, violations, total, pass) and the
+query returns the whole scorecard in one DataFrame.
+
+Scale design: checks are FUSED per table — all row-level predicates on
+``lineitem`` are conditional sums inside ONE scan/aggregate, then
+unpivoted to rows; only checks that need a different shape (referential
+anti-join, key-uniqueness group-by, cross-table comparison) get their own
+plan. At 100 TB you pay one pass per table plus one join per FK check,
+not one pass per check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnar_estimator_sample_spark.registry import register
+from columnar_estimator_sample_spark.sources.tables import table
+
+
+@register(
+    "q_expectations",
+    oracle="""
+    WITH li AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(SUM(CASE WHEN l_orderkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v_null_key,
+               CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v_qty_range,
+               CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v_disc_range,
+               CAST(SUM(CASE WHEN l_extendedprice <= 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v_price_pos
+        FROM lineitem
+    ),
+    pk AS (
+        SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS dups,
+               CAST(COALESCE(SUM(c), 0) AS BIGINT) AS total
+        FROM (SELECT COUNT(*) AS c FROM lineitem
+              GROUP BY l_orderkey, l_linenumber)
+    ),
+    fk AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(SUM(CASE WHEN c.c_custkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS orphans
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    ship AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                             THEN 1 ELSE 0 END) AS BIGINT) AS early
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT * FROM (
+        SELECT 'lineitem.l_orderkey not null' AS check_name,
+               v_null_key AS violations, total FROM li
+        UNION ALL
+        SELECT 'lineitem.l_quantity in [1,50]', v_qty_range, total FROM li
+        UNION ALL
+        SELECT 'lineitem.l_discount in [0,0.1]', v_disc_range, total FROM li
+        UNION ALL
+        SELECT 'lineitem.l_extendedprice > 0', v_price_pos, total FROM li
+        UNION ALL
+        SELECT 'lineitem pk (orderkey,linenumber) unique', dups, total FROM pk
+        UNION ALL
+        SELECT 'orders.o_custkey references customer', orphans, total FROM fk
+        UNION ALL
+        SELECT 'lineitem.l_shipdate >= orders.o_orderdate', early, total
+        FROM ship
+    )
+    ORDER BY check_name
+    """,
+)
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse constraint scorecard: nullability, value ranges, primary
+    key uniqueness, referential integrity, and a cross-table ordering
+    invariant — one row per check with its violation count."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+
+    def chk(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    # one fused scan for all row-level lineitem predicates
+    fused = li.agg(
+        F.count("*").cast("long").alias("total"),
+        chk(F.col("l_orderkey").isNull()).alias("v_null_key"),
+        chk((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+        .alias("v_qty_range"),
+        chk((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1))
+        .alias("v_disc_range"),
+        chk(F.col("l_extendedprice") <= 0).alias("v_price_pos"),
+    )
+    row_checks = fused.selectExpr(
+        """stack(4,
+            'lineitem.l_orderkey not null', v_null_key,
+            'lineitem.l_quantity in [1,50]', v_qty_range,
+            'lineitem.l_discount in [0,0.1]', v_disc_range,
+            'lineitem.l_extendedprice > 0', v_price_pos
+        ) AS (check_name, violations)""", "total")
+
+    pk = (li.groupBy("l_orderkey", "l_linenumber")
+          .agg(F.count("*").alias("c"))
+          .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("long")
+               .alias("violations"),
+               F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("total"))
+          .select(F.lit("lineitem pk (orderkey,linenumber) unique")
+                  .alias("check_name"), "violations", "total"))
+
+    fk = (orders.join(F.broadcast(cust),
+                      orders.o_custkey == cust.c_custkey, "left")
+          .agg(F.count("*").cast("long").alias("total"),
+               chk(F.col("c_custkey").isNull()).alias("violations"))
+          .select(F.lit("orders.o_custkey references customer")
+                  .alias("check_name"), "violations", "total"))
+
+    ship = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .agg(F.count("*").cast("long").alias("total"),
+                 chk(F.col("l_shipdate") < F.col("o_orderdate"))
+                 .alias("violations"))
+            .select(F.lit("lineitem.l_shipdate >= orders.o_orderdate")
+                    .alias("check_name"), "violations", "total"))
+
+    return (row_checks.select("check_name", "violations", "total")
+            .unionAll(pk).unionAll(fk).unionAll(ship)
+            .orderBy("check_name"))

@@ -491,3 +491,74 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("_oov_k DIV total_tokens").alias("oov_permille"))
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram conditional-probability language model
+# ---------------------------------------------------------------------------
+
+LM_TOP = 20
+
+
+@register(
+    "q_bigram_lm",
+    oracle=f"""
+    WITH t AS (
+        SELECT string_split(text, ' ') AS toks FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(
+                   range(1, greatest(len(toks) - 1, 1) + 1),
+                   i -> toks[CAST(i AS INT)] || ' '
+                        || coalesce(toks[CAST(i AS INT) + 1], ''))) AS bigram
+        FROM t
+        WHERE len(toks) >= 2
+    ),
+    counts AS (
+        SELECT split_part(bigram, ' ', 1) AS w1,
+               split_part(bigram, ' ', 2) AS w2,
+               CAST(COUNT(*) AS BIGINT) AS c12
+        FROM bg
+        WHERE bigram NOT LIKE '% '
+        GROUP BY 1, 2
+    )
+    SELECT w1, w2, c12, c1,
+           (1000 * c12) // c1 AS p_permille
+    FROM (SELECT *, SUM(c12) OVER (PARTITION BY w1) AS c1 FROM counts)
+    ORDER BY c12 DESC, w1, w2
+    LIMIT {LM_TOP}
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram language model: conditional transition
+    probability p(w2|w1) = c(w1,w2)/c(w1·) in integer permille, for the
+    top-{LM_TOP} bigrams. c(w1·) sums over bigrams STARTING with w1 (not
+    raw unigram counts), so each w1's distribution normalizes to exactly
+    1000‰ — the proper MLE for a Markov chain over the corpus.
+
+    Scale: same narrow bigram construction as q_token_bigrams, one
+    (w1,w2) hash aggregate with map-side partials, then a w1-partitioned
+    window over the ALREADY-AGGREGATED counts (vocabulary-sized, not
+    corpus-sized), top-k as TakeOrderedAndProject.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 1)),"
+        " i -> concat(toks[i-1], ' ', coalesce(toks[i], '')))")
+    from pyspark.sql import Window as W
+    counts = (
+        docs.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .filter(~F.col("bigram").endswith(" "))
+        .select(F.expr("split_part(bigram, ' ', 1)").alias("w1"),
+                F.expr("split_part(bigram, ' ', 2)").alias("w2"))
+        .groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    )
+    return (counts
+            .withColumn("c1", F.sum("c12").over(W.partitionBy("w1")))
+            .withColumn("p_permille", F.expr("(1000 * c12) DIV c1"))
+            .select("w1", "w2", "c12", "c1", "p_permille")
+            .orderBy(F.desc("c12"), "w1", "w2")
+            .limit(LM_TOP))

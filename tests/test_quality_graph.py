@@ -1,0 +1,94 @@
+"""Invariant tests for PageRank, the expectations audit, containment
+dedup, and the bigram LM (batch-2 round-2 additions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from columnar_estimator_sample_spark.operators import quality
+from columnar_estimator_sample_spark.operators.dedup import (
+    CONT_T_PM, q_dedup_containment)
+from columnar_estimator_sample_spark.operators.graph import (
+    PR_SCALE, q_pagerank)
+from columnar_estimator_sample_spark.operators.textstats import q_bigram_lm
+
+
+class TestPageRank:
+    def test_mass_and_positivity(self, spark, sf_dir):
+        rows = q_pagerank(spark, sf_dir).collect()
+        assert len(rows) == 25
+        total = sum(r.pr_scaled for r in rows)
+        # floor divisions only ever LOSE mass: total <= 1.0, and the loss
+        # is bounded by a few ulps per node per iteration.
+        assert total <= PR_SCALE
+        assert total >= int(PR_SCALE * 0.95)
+        for r in rows:
+            # every node holds at least the teleport mass
+            assert r.pr_scaled >= (3 * PR_SCALE) // (20 * 25)
+
+    def test_ordered_desc(self, spark, sf_dir):
+        rows = q_pagerank(spark, sf_dir).collect()
+        key = [(-r.pr_scaled, r.n_name) for r in rows]
+        assert key == sorted(key)
+
+
+class TestExpectations:
+    def test_scorecard_shape(self, spark, sf_dir):
+        rows = quality.q_expectations(spark, sf_dir).collect()
+        assert len(rows) == 7
+        for r in rows:
+            assert 0 <= r.violations <= r.total
+        by_name = {r.check_name: r for r in rows}
+        # the generator produces clean null/FK columns: must audit clean
+        assert by_name["lineitem.l_orderkey not null"].violations == 0
+        assert by_name[
+            "orders.o_custkey references customer"].violations == 0
+        # the PK check must agree with an independent dup computation
+        # (the synthetic generator does NOT guarantee a unique
+        # (l_orderkey, l_linenumber) — the audit's job is to report that)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        expected_dups = (li.count()
+                         - li.select("l_orderkey", "l_linenumber")
+                         .distinct().count())
+        assert by_name[
+            "lineitem pk (orderkey,linenumber) unique"
+        ].violations == expected_dups
+
+
+class TestContainment:
+    def test_bounds(self, spark, sf_dir):
+        rows = q_dedup_containment(spark, sf_dir).collect()
+        for r in rows:
+            assert CONT_T_PM <= r.cont_pm <= 1000
+            assert r.n_common <= min(r.size_a, r.size_b)
+            assert r.doc_a < r.doc_b
+
+    def test_planted_subset_dup_surfaces(self, spark, tmp_path):
+        """A document pasted verbatim inside a larger one must score
+        containment 1000 permille — the case Jaccard dilutes."""
+        inner = "the quick brown fox jumps over the lazy dog near a river"
+        rows = [
+            (1, inner, "en", "web", len(inner)),
+            (2, inner + " and then keeps running far beyond the old mill",
+             "en", "web", 0),
+            (3, "completely unrelated text about spark catalyst planning",
+             "en", "web", 0),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+                  " n_chars long")
+        sf = str(tmp_path)
+        df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+        out = {(r.doc_a, r.doc_b): r.cont_pm
+               for r in q_dedup_containment(spark, sf).collect()}
+        assert out.get((1, 2)) == 1000
+        assert (1, 3) not in out and (2, 3) not in out
+
+
+class TestBigramLM:
+    def test_probabilities_well_formed(self, spark, sf_dir):
+        rows = q_bigram_lm(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 1 <= r.p_permille <= 1000
+            assert 0 < r.c12 <= r.c1
