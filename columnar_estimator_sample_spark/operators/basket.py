@@ -1,0 +1,99 @@
+"""Market-basket co-occurrence mining over the order fact table.
+
+The reference's analytics tier is group-by aggregation over a flattened
+fact stream (/root/reference/README.md:210-222); co-occurrence mining is
+the same shape one self-join earlier: which parts appear together in the
+same order, how often, and with what lift over independence. This is the
+a-priori first pass (frequent items -> frequent pairs) expressed
+relationally.
+
+Scale design: the classic blow-up is the per-order pair explosion —
+O(sum over orders of k²). The a-priori prune keeps only parts whose
+item-level support clears a floor BEFORE pairing (downward closure: no
+pair can be frequent if a member isn't), so the self-join runs on the
+pruned item set; the join is keyed on l_orderkey so the shuffle is the
+fact table's natural key, and the frequent-item filter is a broadcast
+semi-join on each side. Lift is integer permille — exact cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnar_estimator_sample_spark.registry import register
+from columnar_estimator_sample_spark.sources.tables import table
+
+ITEM_MINSUP = 3    # a part is frequent when it appears in >= 3 orders
+PAIR_MINSUP = 2    # report pairs co-occurring in >= 2 orders
+BASKET_TOP = 25
+
+
+@register(
+    "q_copurchase",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_ord AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n
+              FROM items),
+    freq AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+        FROM items GROUP BY l_partkey
+        HAVING COUNT(*) >= {ITEM_MINSUP}
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS support,
+               MIN(fa.c) AS c_a, MIN(fb.c) AS c_b
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        JOIN freq fa ON fa.l_partkey = a.l_partkey
+        JOIN freq fb ON fb.l_partkey = b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, support,
+           (1000 * support * (SELECT n FROM n_ord)) // (c_a * c_b)
+               AS lift_pm
+    FROM pairs
+    WHERE support >= {PAIR_MINSUP}
+    ORDER BY support DESC, part_a, part_b
+    LIMIT {BASKET_TOP}
+    """,
+)
+def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchased part pairs with lift: a-priori-pruned
+    same-order self-join, support = co-occurring orders, lift_pm =
+    1000 * support * n_orders / (c_a * c_b) (integer floor — >1000 means
+    the parts co-occur more than independence predicts)."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    freq = (items.groupBy("l_partkey")
+            .agg(F.count("*").cast("long").alias("c"))
+            .filter(F.col("c") >= ITEM_MINSUP))
+    fa = freq.select(F.col("l_partkey").alias("part_a"),
+                     F.col("c").alias("c_a"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"),
+                     F.col("c").alias("c_b"))
+    a = items.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(F.broadcast(fa), "part_a")
+        .join(b.join(F.broadcast(fb), "part_b"), "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("support"),
+             F.min("c_a").alias("c_a"), F.min("c_b").alias("c_b"))
+        .filter(F.col("support") >= PAIR_MINSUP))
+    return (
+        pairs.select(
+            "part_a", "part_b", "support",
+            F.expr(f"(1000 * support * {n_orders}) DIV (c_a * c_b)")
+            .alias("lift_pm"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(BASKET_TOP)
+    )

@@ -356,3 +356,169 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "valid_from_us", "event_id")
         .drop("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rate-anomaly detection, attribution, point-in-interval enrichment
+# ---------------------------------------------------------------------------
+
+ANOM_HI_PM = 1400   # flag days at >= 1.4x the trailing average
+ANOM_LO_PM = 600    # ... or <= 0.6x
+
+
+@register(
+    "q_rate_anomaly",
+    oracle=f"""
+    WITH daily AS (
+        SELECT epoch_us(ts) // {US_PER_DAY} AS day_num, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), trailed AS (
+        SELECT day_num, event_type, n,
+               SUM(n)   OVER w AS s3,
+               COUNT(n) OVER w AS k3
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+                     ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CAST(DATE '1970-01-01' + CAST(day_num AS INT) AS VARCHAR) AS day,
+           event_type, n,
+           (1000 * n * k3) // s3 AS ratio_pm
+    FROM trailed
+    WHERE k3 > 0
+      AND ((1000 * n * k3) // s3 >= {ANOM_HI_PM}
+           OR (1000 * n * k3) // s3 <= {ANOM_LO_PM})
+    ORDER BY day, event_type
+    """,
+)
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day event-rate anomaly detection: a (day, event_type)
+    cell is anomalous when its count is >= 1.4x or <= 0.6x the average
+    of the trailing 3 OBSERVED days. The ratio is integer permille
+    (1000*n*k/sum) — exact in both engines; days with no events at all
+    simply don't extend the window (documented trailing-observed
+    semantics, the cheap form at scale).
+
+    Scale: the raw stream collapses to per-day counts in one hash
+    aggregate (map-side partials), and the trailing window runs over the
+    tiny aggregated table — never over raw events."""
+    ev = table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.expr(f"us div {US_PER_DAY}").alias("day_num"),
+                        "event_type")
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("day_num")
+         .rowsBetween(-3, -1))
+    trailed = daily.select(
+        "day_num", "event_type", "n",
+        F.sum("n").over(w).alias("s3"),
+        F.count("n").over(w).alias("k3"))
+    ratio = F.expr("(1000 * n * k3) DIV s3")
+    return (
+        trailed.filter(F.col("k3") > 0)
+        .withColumn("ratio_pm", ratio)
+        .filter((F.col("ratio_pm") >= ANOM_HI_PM)
+                | (F.col("ratio_pm") <= ANOM_LO_PM))
+        .select(
+            F.date_add(F.lit("1970-01-01").cast("date"),
+                       F.col("day_num").cast("int"))
+            .cast("string").alias("day"),
+            "event_type", "n", "ratio_pm")
+        .orderBy("day", "event_type")
+    )
+
+
+@register(
+    "q_attribution",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+        FROM events
+    ), touched AS (
+        SELECT user_id, event_id, event_type, value,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS channel
+        FROM e
+    )
+    SELECT COALESCE(channel, 'organic') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           {sql_dsum("value", "attributed_value", 6)}
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY channel
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most
+    recent preceding NON-purchase event of the same user ('organic' when
+    none). The classic marketing-analytics stateful scan, expressed as a
+    last(ignorenulls) running window — no per-row UDF, no state store.
+
+    Scale: one user_id exchange for the window; the purchase filter and
+    the final channel aggregate are map-side after it. Ordering ties
+    break on event_id in both engines (ts is µs-truncated identically)."""
+    ev = table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("us", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True).over(w)
+    return (
+        ev.select("user_id", "event_id", "event_type", "value",
+                  channel.alias("channel"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("organic")).alias("channel"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"),
+             dsum(F.col("value"), "attributed_value", 6))
+        .orderBy("channel")
+    )
+
+
+@register(
+    "q_interval_enrich",
+    oracle="""
+    WITH upd AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events
+        WHERE event_type = 'signup'
+    ), iv AS (
+        SELECT user_id, value AS attr_value, us AS valid_from_us,
+               COALESCE(LEAD(us) OVER (PARTITION BY user_id
+                                       ORDER BY us, event_id),
+                        9223372036854775807) AS valid_to_us
+        FROM upd
+    )
+    SELECT iv.user_id, iv.valid_from_us,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_events
+    FROM iv
+    JOIN (SELECT user_id, event_id, epoch_us(ts) AS us FROM events) e
+      ON e.user_id = iv.user_id
+     AND e.us >= iv.valid_from_us AND e.us < iv.valid_to_us
+    GROUP BY 1, 2
+    ORDER BY iv.user_id, iv.valid_from_us
+    """,
+)
+def q_interval_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval enrichment: join every event to the SCD2
+    validity interval (built by q_scd2_history's window) covering its
+    timestamp, and count events per interval — the standard pattern for
+    joining a fact stream against dimension history.
+
+    Scale: the interval predicate rides on an EQUI-join on user_id, so
+    the shuffle is keyed and sized by users, and the range condition is
+    evaluated within the matched pairs only — never a cartesian. A user's
+    intervals partition [first_update, +inf), so each event matches at
+    most one interval (no fan-out)."""
+    ev = table(spark, sf_dir, "events")
+    iv = q_scd2_history(spark, sf_dir).select(
+        F.col("user_id").alias("iv_user"), "valid_from_us", "valid_to_us")
+    return (
+        ev.join(iv, (ev.user_id == iv.iv_user)
+                & (ev.us >= iv.valid_from_us)
+                & (ev.us < iv.valid_to_us))
+        .groupBy(F.col("iv_user").alias("user_id"), "valid_from_us")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .orderBy("user_id", "valid_from_us")
+    )

@@ -562,3 +562,78 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("w1", "w2", "c12", "c1", "p_permille")
             .orderBy(F.desc("c12"), "w1", "w2")
             .limit(LM_TOP))
+
+
+# ---------------------------------------------------------------------------
+# Bigram novelty (memorization-risk complement)
+# ---------------------------------------------------------------------------
+
+NOVELTY_TOP = 20
+
+
+@register(
+    "q_bigram_novelty",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    bg AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(toks) - 1, 1) + 1),
+                   i -> toks[CAST(i AS INT)] || ' '
+                        || coalesce(toks[CAST(i AS INT) + 1], ''))) AS bigram
+        FROM t
+        WHERE len(toks) >= 2
+    ),
+    clean AS (SELECT doc_id, bigram FROM bg WHERE bigram NOT LIKE '% '),
+    df AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS bdf
+           FROM clean GROUP BY bigram)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN bdf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+           (1000 * SUM(CASE WHEN bdf = 1 THEN 1 ELSE 0 END)) // COUNT(*)
+               AS novelty_pm
+    FROM clean JOIN df USING (bigram)
+    GROUP BY doc_id
+    ORDER BY novelty_pm DESC, doc_id
+    LIMIT {NOVELTY_TOP}
+    """,
+)
+def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the permille of a doc's DISTINCT token
+    bigrams that occur in no other document (corpus document-frequency
+    1). High-novelty docs contribute fresh n-gram mass to a training
+    mix; low scores mark template/boilerplate documents — the complement
+    of q_substring_hotspots' memorization-risk report.
+
+    Scale: bigram construction is the same narrow explode; the df table
+    aggregates to vocabulary size; the doc-side rejoin is keyed on the
+    bigram (same exchange as the df aggregate) and the final per-doc
+    aggregate is map-side partial. Top-k plans as TakeOrderedAndProject.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 1)),"
+        " i -> concat(toks[i-1], ' ', coalesce(toks[i], '')))")
+    clean = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .filter(~F.col("bigram").endswith(" "))
+        .distinct())
+    df = clean.groupBy("bigram").agg(
+        F.count("*").cast("long").alias("bdf"))
+    return (
+        clean.join(df, "bigram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+             F.sum(F.when(F.col("bdf") == 1, 1).otherwise(0))
+             .cast("long").alias("n_unique"))
+        .withColumn("novelty_pm",
+                    F.expr("(1000 * n_unique) DIV n_bigrams"))
+        .orderBy(F.desc("novelty_pm"), "doc_id")
+        .limit(NOVELTY_TOP)
+    )

@@ -280,3 +280,48 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("err255").alias("max_abs_err255"))
         .orderBy("i")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroids (class prototypes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embed_centroids",
+    oracle=f"""
+    WITH ex AS ({_SQL_EX}
+    ),
+    lab AS (SELECT vec_id, label FROM embeddings)
+    SELECT CAST(label AS BIGINT) AS label, i AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(vi) AS BIGINT) AS sum_scaled,
+           CAST(SUM(vi) AS BIGINT) // COUNT(*) AS centroid_scaled
+    FROM ex JOIN lab USING (vec_id)
+    GROUP BY label, i
+    ORDER BY label, dim
+    """,
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dimension):
+    class prototypes for nearest-centroid classification / dataset
+    cartography. Components ride the integer-scaled exact lane
+    (1e-6-rounded × 1e6 int64 sums, floor-divided mean) so both engines
+    agree bit-for-bit.
+
+    Scale: one posexplode + one (label, dim) hash aggregate — map-side
+    partials collapse the N·d exploded rows to |labels|·d output rows;
+    no window, no join beyond the narrow label attach."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = _exploded(emb)
+    lab = emb.select("vec_id", "label")
+    return (
+        ex.join(lab, "vec_id")
+        .groupBy(F.col("label").cast("long").alias("label"),
+                 F.col("i").alias("dim"))
+        .agg(F.count("*").cast("long").alias("n_vecs"),
+             F.sum("vi").cast("long").alias("sum_scaled"))
+        .withColumn("centroid_scaled",
+                    F.expr("sum_scaled DIV n_vecs"))
+        .orderBy("label", "dim")
+    )

@@ -1,0 +1,98 @@
+"""Invariant tests for the analytics-insights batch: rate anomaly,
+attribution, interval enrichment, bigram novelty, co-purchase mining,
+per-label centroids."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from columnar_estimator_sample_spark.operators.basket import (
+    PAIR_MINSUP, q_copurchase)
+from columnar_estimator_sample_spark.operators.events import (
+    ANOM_HI_PM, ANOM_LO_PM, q_attribution, q_interval_enrich,
+    q_rate_anomaly)
+from columnar_estimator_sample_spark.operators.textstats import (
+    q_bigram_novelty)
+from columnar_estimator_sample_spark.operators.vq import q_embed_centroids
+from columnar_estimator_sample_spark.sources.tables import table
+
+
+class TestRateAnomaly:
+    def test_flagged_outside_band(self, spark, sf_dir):
+        rows = q_rate_anomaly(spark, sf_dir).collect()
+        for r in rows:
+            assert r.ratio_pm >= ANOM_HI_PM or r.ratio_pm <= ANOM_LO_PM
+            assert len(r.day) == 10 and r.day[4] == "-"
+            assert r.n >= 0
+
+
+class TestAttribution:
+    def test_purchases_conserved(self, spark, sf_dir):
+        rows = q_attribution(spark, sf_dir).collect()
+        ev = table(spark, sf_dir, "events")
+        total = ev.filter(F.col("event_type") == "purchase").count()
+        assert sum(r.n_purchases for r in rows) == total
+        types = {r.event_type for r in
+                 ev.select("event_type").distinct().collect()}
+        for r in rows:
+            assert r.channel == "organic" or r.channel in types
+            assert r.channel != "purchase"
+
+
+class TestIntervalEnrich:
+    def test_events_partition_into_intervals(self, spark, sf_dir):
+        rows = q_interval_enrich(spark, sf_dir).collect()
+        ev = table(spark, sf_dir, "events")
+        # intervals partition [first_signup, +inf) per user: the enriched
+        # count per user equals that user's events at/after first signup
+        first = (ev.filter(F.col("event_type") == "signup")
+                 .groupBy("user_id").agg(F.min("us").alias("f")))
+        expected = {
+            r.user_id: r.n for r in
+            ev.join(first, "user_id").filter(F.col("us") >= F.col("f"))
+            .groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+        got: dict = {}
+        for r in rows:
+            got[r.user_id] = got.get(r.user_id, 0) + r.n_events
+        assert got == expected
+
+
+class TestBigramNovelty:
+    def test_bounds(self, spark, sf_dir):
+        rows = q_bigram_novelty(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r.novelty_pm <= 1000
+            assert 0 <= r.n_unique <= r.n_bigrams
+
+
+class TestCopurchase:
+    def test_support_and_ordering(self, spark, sf_dir):
+        rows = q_copurchase(spark, sf_dir).collect()
+        assert rows
+        sups = [r.support for r in rows]
+        assert sups == sorted(sups, reverse=True)
+        for r in rows:
+            assert r.support >= PAIR_MINSUP
+            assert r.part_a < r.part_b
+            assert r.lift_pm > 0
+
+
+class TestEmbedCentroids:
+    def test_membership_consistency(self, spark, sf_dir):
+        rows = q_embed_centroids(spark, sf_dir).collect()
+        emb = table(spark, sf_dir, "embeddings")
+        n_total = emb.count()
+        dim = emb.select(F.max(F.size("embedding"))).collect()[0][0]
+        by_label: dict = {}
+        for r in rows:
+            by_label.setdefault(r.label, set()).add((r.dim, r.n_vecs))
+        seen_total = 0
+        for label, cells in by_label.items():
+            ns = {n for _, n in cells}
+            assert len(ns) == 1          # same member count on every dim
+            assert len(cells) == dim     # every dimension present
+            seen_total += ns.pop()
+        assert seen_total == n_total     # labels partition the table
+        for r in rows:
+            assert abs(r.centroid_scaled) <= 1_000_000
