@@ -522,3 +522,57 @@ def q_interval_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
         .orderBy("user_id", "valid_from_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix (first-order Markov over the session stream)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        FROM events
+    ),
+    nxt AS (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id) AS dst
+        FROM e
+    )
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n,
+           (1000 * COUNT(*)) // SUM(COUNT(*)) OVER (PARTITION BY src)
+               AS p_permille
+    FROM nxt
+    WHERE dst IS NOT NULL
+    GROUP BY src, dst
+    ORDER BY src, dst
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix: for every consecutive pair
+    in a user's ordered stream, count (src -> dst) and its integer
+    permille share of the source row — the first-order Markov model of
+    user behavior (the events-table twin of textstats' token bigram LM).
+
+    Scale: one user_id exchange for the LEAD window; the transition
+    aggregate collapses to |types|^2 rows, so the share window runs over
+    a constant-size table. Ordering ties break on event_id in both
+    engines."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    nxt = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"))
+    counts = (nxt.filter(F.col("dst").isNotNull())
+              .groupBy("src", "dst")
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    src_total = F.sum("n").over(Window.partitionBy("src"))
+    return (counts
+            .withColumn("src_total", src_total)
+            .withColumn("p_permille",
+                        F.expr("(1000 * n) DIV src_total"))
+            .drop("src_total")
+            .orderBy("src", "dst"))

@@ -217,3 +217,114 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (lagged.select("user_id", "event_id", "us",
                           (num / den.cast("double")).alias("ewma"))
             .orderBy("user_id", "us", "event_id"))
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style multi-resolution rollup + rolling active users
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_hypertable_rollup",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, value,
+               epoch_us(ts) // {US_PER_HOUR} AS hr,
+               epoch_us(ts) // {US_PER_DAY} AS day
+        FROM events
+    )
+    SELECT CASE WHEN GROUPING(hr) = 0 THEN 'hour' ELSE 'day' END
+               AS resolution,
+           COALESCE(hr * {US_PER_HOUR}, day * {US_PER_DAY})
+               AS bucket_start_us,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum("value", "total")}
+    FROM ev
+    GROUP BY GROUPING SETS ((event_type, hr), (event_type, day))
+    ORDER BY resolution, bucket_start_us, event_type
+    """,
+)
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly AND daily rollups of
+    the event stream materialized in ONE pass via GROUPING SETS — the
+    multi-resolution downsampling a time-series warehouse keeps hot
+    (TimescaleDB continuous aggregates / Druid rollup shape).
+
+    Scale: one scan feeds both resolutions (Spark's Expand node emits a
+    row per grouping set BEFORE the hash aggregate, so partial aggs stay
+    map-side); the alternative — two scans + a union — reads the 100 TB
+    fact twice. Sums ride the decimal-exact lane."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "value",
+        F.expr(f"us div {US_PER_HOUR}").alias("hr"),
+        F.expr(f"us div {US_PER_DAY}").alias("day"))
+    ev.createOrReplaceTempView("ht_ev_tmp")
+    return spark.sql(f"""
+        SELECT CASE WHEN GROUPING(hr) = 0 THEN 'hour' ELSE 'day' END
+                   AS resolution,
+               COALESCE(hr * {US_PER_HOUR}, day * {US_PER_DAY})
+                   AS bucket_start_us,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total
+        FROM ht_ev_tmp
+        GROUP BY GROUPING SETS ((event_type, hr), (event_type, day))
+        ORDER BY resolution, bucket_start_us, event_type
+    """)
+
+
+@register(
+    "q_rolling_active",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT epoch_us(ts) // {US_PER_DAY} AS day, user_id
+        FROM events
+    ),
+    days AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    ),
+    contrib AS (
+        SELECT DISTINCT user_id, tday FROM (
+            SELECT user_id, unnest(range(day, day + 7)) AS tday FROM ud)
+    ),
+    wau AS (
+        SELECT tday AS day, CAST(COUNT(*) AS BIGINT) AS wau7
+        FROM contrib GROUP BY 1
+    )
+    SELECT CAST(DATE '1970-01-01' + CAST(d.day AS INT) AS VARCHAR) AS day,
+           d.dau, w.wau7
+    FROM days d JOIN wau w ON d.day = w.day
+    ORDER BY day
+    """,
+)
+def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and trailing-7-day WAU per observed day. The sliding COUNT
+    DISTINCT is restated as a bounded fan-out: each (user, day) row
+    contributes to the 7 target days it can activate, the fan-out is
+    deduped, and a plain hash count per target day remains — the
+    standard scale trick, since a windowed COUNT(DISTINCT) would need
+    the full user set per frame (Spark doesn't even allow it).
+
+    Scale: the fan-out is 7x the ALREADY-deduplicated user-day table
+    (tiny vs raw events), both distincts and both counts are keyed hash
+    aggregates, and the final day-keyed join is between two day-sized
+    frames."""
+    ev = table(spark, sf_dir, "events")
+    ud = (ev.select(F.expr(f"us div {US_PER_DAY}").alias("day"), "user_id")
+          .distinct())
+    days = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    contrib = (ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("tday"))
+        .distinct())
+    wau = (contrib.groupBy(F.col("tday").alias("wday"))
+           .agg(F.count("*").cast("long").alias("wau7")))
+    return (
+        days.join(wau, days.day == wau.wday)
+        .select(
+            F.date_add(F.lit("1970-01-01").cast("date"),
+                       F.col("day").cast("int")).cast("string").alias("day"),
+            "dau", "wau7")
+        .orderBy("day")
+    )

@@ -96,3 +96,56 @@ class TestEmbedCentroids:
         assert seen_total == n_total     # labels partition the table
         for r in rows:
             assert abs(r.centroid_scaled) <= 1_000_000
+
+
+class TestHypertableRollup:
+    def test_day_equals_sum_of_hours(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.timeseries import (
+            US_PER_DAY, US_PER_HOUR, q_hypertable_rollup)
+        rows = q_hypertable_rollup(spark, sf_dir).collect()
+        res = {"hour": {}, "day": {}}
+        for r in rows:
+            res[r.resolution][(r.bucket_start_us, r.event_type)] = r.n
+        # every hourly bucket rolls up into exactly one daily bucket and
+        # the daily n is the sum of its hours
+        from collections import defaultdict
+        agg = defaultdict(int)
+        for (b, et), n in res["hour"].items():
+            agg[(b // US_PER_DAY * US_PER_DAY, et)] += n
+        assert dict(agg) == res["day"]
+
+
+class TestRollingActive:
+    def test_wau_bounds(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.timeseries import (
+            q_rolling_active)
+        rows = q_rolling_active(spark, sf_dir).collect()
+        assert rows, "expected at least one observed day"
+        by_day = {r.day: r for r in rows}
+        daus = [r.dau for r in rows]
+        for i, r in enumerate(rows):
+            assert r.wau7 >= r.dau          # superset of today's actives
+            assert r.wau7 <= sum(daus[max(0, i - 6):i + 1])  # union bound
+        assert len(by_day) == len(rows)     # one row per day
+
+
+class TestEventTransitions:
+    def test_rows_are_probabilities(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.events import (
+            q_event_transitions)
+        rows = q_event_transitions(spark, sf_dir).collect()
+        from collections import defaultdict
+        per_src_pm = defaultdict(int)
+        per_src_n = defaultdict(int)
+        for r in rows:
+            assert r.n >= 1 and 0 <= r.p_permille <= 1000
+            per_src_pm[r.src] += r.p_permille
+            per_src_n[r.src] += r.n
+        # floor-division shares sum to <= 1000 and within |dsts| of it
+        for src, pm in per_src_pm.items():
+            assert 1000 - 25 <= pm <= 1000
+        # transition count conservation: total transitions = events - users
+        ev = table(spark, sf_dir, "events")
+        n_events = ev.count()
+        n_users = ev.select("user_id").distinct().count()
+        assert sum(per_src_n.values()) == n_events - n_users
