@@ -262,3 +262,108 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pr.join(F.broadcast(nation), pr.node == nation.n_nationkey)
             .select("n_name", F.col("pr").alias("pr_scaled"))
             .orderBy(F.desc("pr_scaled"), "n_name"))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / clustering coefficients (nation trade graph)
+# ---------------------------------------------------------------------------
+
+
+def _triangle_oracle() -> str:
+    return """
+    WITH e0 AS (
+        SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders   o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e0 WHERE src <> dst
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pernode AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY node
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY node
+    )
+    SELECT n.n_name, d.degree,
+           COALESCE(p.n_tri, 0) AS n_triangles,
+           (2000 * COALESCE(p.n_tri, 0)) // (d.degree * (d.degree - 1))
+               AS clustering_pm
+    FROM deg d
+    LEFT JOIN pernode p ON p.node = d.node
+    JOIN nation n ON n.n_nationkey = d.node
+    WHERE d.degree >= 2
+    ORDER BY n_triangles DESC, n_name
+    """
+
+
+@register("q_triangle_count", oracle=_triangle_oracle())
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficients
+    (integer permille of closed wedges) over the undirected nation trade
+    graph — the standard cohesion metric for community structure.
+
+    Scale: like q_pagerank, the 100 TB fact table first distills to a
+    |nations|²-bounded edge list (dimension joins broadcast). Triangle
+    enumeration is the canonical two-join on ORIENTED edges (a < b),
+    which counts each triangle exactly once and — on general graphs —
+    bounds intermediate wedges by orienting from the lower id; the
+    degree-ordered variant (orient low-degree -> high-degree) is the
+    documented skew escape hatch when node degrees are power-law.
+    Joins are keyed on node ids; nothing is ever materialized beyond
+    edges and wedges."""
+    from columnar_estimator_sample_spark.sources.tables import table
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    e0 = (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+          .join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+          .select(F.col("s_nationkey").alias("src"),
+                  F.col("c_nationkey").alias("dst"))
+          .filter(F.col("src") != F.col("dst"))
+          .distinct())
+    und = (e0.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+           .distinct().cache())
+
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (e1.join(e2, e1.y == e2.y2)
+           .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+           .select("x", "y", "z"))
+
+    pernode = (tri.select(F.col("x").alias("node"))
+               .unionAll(tri.select("y")).unionAll(tri.select("z"))
+               .groupBy("node").agg(F.count("*").cast("long").alias("n_tri")))
+    deg = (und.select(F.col("a").alias("node")).unionAll(und.select("b"))
+           .groupBy("node").agg(F.count("*").cast("long").alias("degree")))
+    return (deg.filter(F.col("degree") >= 2)
+            .join(pernode, "node", "left")
+            .withColumn("n_triangles", F.coalesce("n_tri", F.lit(0)))
+            .join(F.broadcast(
+                table(spark, sf_dir, "nation")
+                .select(F.col("n_nationkey").alias("node"), "n_name")), "node")
+            .select("n_name", "degree", "n_triangles",
+                    F.expr("(2000 * n_triangles)"
+                           " DIV (degree * (degree - 1))")
+                    .alias("clustering_pm"))
+            .orderBy(F.desc("n_triangles"), "n_name"))

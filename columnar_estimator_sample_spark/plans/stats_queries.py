@@ -57,3 +57,110 @@ def q_ndv_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("table_name", "column_name")
+
+
+# ---------------------------------------------------------------------------
+# Column-profile correlation matrix
+# ---------------------------------------------------------------------------
+
+# The numeric lineitem measures, scaled to exact cents (2 decimals).
+_CORR_COLS = [("quantity", "l_quantity"), ("extendedprice", "l_extendedprice"),
+              ("discount", "l_discount"), ("tax", "l_tax")]
+
+
+_TWO40 = 1_099_511_627_776  # 2^40
+
+
+def _i2d(q: str, dialect: str) -> str:
+    """Convert a big exact DECIMAL integer to double with IDENTICAL bits
+    in both engines. A direct CAST of a >2^53 integer is the one step
+    engines may round differently (DuckDB's int128 path vs Spark's
+    decimal path — observed 1-ulp disagreements, amplified by the
+    cancellation in n*Sxy - Sx*Sy). Splitting at 2^40 makes every cast
+    exact (both halves < 2^53), the power-of-two multiply exact, and the
+    single add correctly rounded — so both engines produce the same
+    double by IEEE semantics, not by implementation luck.
+
+    Dialect note: integer division of a DECIMAL differs — Spark ``DIV``
+    is true integral division, but DuckDB ``decimal // int`` is a DOUBLE
+    division in disguise (returns 48839.7...), so the DuckDB side must
+    hop through HUGEINT first."""
+    if dialect == "spark":
+        hi = f"ABS({q}) DIV {_TWO40}"
+    else:
+        hi = f"CAST(ABS({q}) AS HUGEINT) // {_TWO40}"
+    return (f"(CASE WHEN {q} < 0 THEN -1.0E0 ELSE 1.0E0 END)"
+            f" * (CAST({hi} AS DOUBLE) * {_TWO40}"
+            f" + CAST(ABS({q}) % {_TWO40} AS DOUBLE))")
+
+
+def _corr_sql(table_expr: str, dialect: str) -> str:
+    """One SQL body for BOTH engines (modulo the _i2d dialect): Pearson correlation of every column
+    pair from exact integer sums. All accumulation is integer/decimal —
+    bit-exact across engines, with decimal widths sized so no
+    intermediate exceeds 38 digits (DuckDB's multiply requires
+    w1+w2 <= 38) — and the covariance numerators n*Sxy - Sx*Sy are
+    computed exactly in decimal BEFORE any float appears. The only
+    float steps are the exact hi/lo conversions (_i2d) and one fixed
+    sqrt-and-divide tree per pair, identical in both engines."""
+    names = [n for n, _ in _CORR_COLS]
+    scaled = ",\n               ".join(
+        f"CAST(CAST({c} AS DECIMAL(18,2)) * 100 AS BIGINT) AS {n}"
+        for n, c in _CORR_COLS)
+    # width 19, not 16: DuckDB keeps products of <=18-wide decimals on the
+    # int64 fast path (runtime overflow); >18 forces exact int128.
+    sums = ",\n               ".join(
+        f"CAST(SUM({n}) AS DECIMAL(19,0)) AS s_{n}" for n in names)
+    prods = ",\n               ".join(
+        f"CAST(SUM(CAST({a} * {b} AS DECIMAL(27,0))) AS DECIMAL(27,0))"
+        f" AS sp_{a}_{b}"
+        for i, a in enumerate(names) for b in names[i:])
+
+    def moment(a: str, b: str) -> str:
+        # n(10)*sp(27) -> 37 digits; s(16)*s(16) -> 32; difference -> 38.
+        key = f"{a}_{b}" if names.index(a) <= names.index(b) else f"{b}_{a}"
+        return (f"(CAST(n * sp_{key} AS DECIMAL(37,0))"
+                f" - CAST(s_{a} * s_{b} AS DECIMAL(37,0)))")
+
+    pair_sel = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            pair_sel.append(f"""
+        SELECT '{a}' AS col_x, '{b}' AS col_y, CAST(n AS BIGINT) AS n,
+               {_i2d(moment(a, b), dialect)}
+               / sqrt({_i2d(moment(a, a), dialect)}
+                      * {_i2d(moment(b, b), dialect)}) AS r
+        FROM agg""")
+    union = "\n        UNION ALL".join(pair_sel)
+    return f"""
+    WITH scaled AS (
+        SELECT {scaled}
+        FROM {table_expr}
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+               {sums},
+               {prods}
+        FROM scaled
+    )
+    SELECT * FROM ({union}
+    ) ORDER BY col_x, col_y
+    """
+
+
+@register("q_corr_matrix", oracle=_corr_sql("lineitem", "duckdb"))
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix of the lineitem numeric measures — the
+    column-profiling report a warehouse emits next to its NDV catalog
+    (and the input to feature-selection in the ML tier).
+
+    One scan, one aggregate row: every pairwise correlation derives from
+    n, sum(x), and sum(x*y) — 1 + 4 + 10 integer accumulators — so the
+    100 TB cost is a single map-side-combinable pass with a one-row
+    result regardless of data volume. Per-row products of cent-scaled
+    int64s stay < 2^47; cross-row accumulation is decimal sized for
+    sf1000 (see _corr_sql), and the float tail is the exactly-convertible
+    hi/lo form (_i2d). The same SQL body runs on both engines."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "corr_lineitem_tmp")
+    return spark.sql(_corr_sql("corr_lineitem_tmp", "spark"))

@@ -45,6 +45,7 @@ _OPERATOR_MODULES = [
     "columnar_estimator_sample_spark.operators.timeseries",
     "columnar_estimator_sample_spark.operators.quality",
     "columnar_estimator_sample_spark.operators.basket",
+    "columnar_estimator_sample_spark.operators.sketches",
     "columnar_estimator_sample_spark.operators.corpus",
     "columnar_estimator_sample_spark.operators.vq",
     "columnar_estimator_sample_spark.operators.multimodal",

@@ -1,0 +1,72 @@
+"""Invariant tests for the sketch/graph/profiling batch: count-min
+heavy hitters, triangle counting, correlation matrix."""
+
+from __future__ import annotations
+
+from columnar_estimator_sample_spark.operators.sketches import q_countmin_hh
+from columnar_estimator_sample_spark.operators.graph import q_triangle_count
+from columnar_estimator_sample_spark.plans.stats_queries import q_corr_matrix
+from columnar_estimator_sample_spark.sources.tables import table
+
+
+class TestCountMin:
+    def test_one_sided_error(self, spark, sf_dir):
+        rows = q_countmin_hh(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            # count-min never undercounts
+            assert r.overcount >= 0
+            assert r.est_n == r.exact_n + r.overcount
+        # report is ordered by exact count desc
+        exacts = [r.exact_n for r in rows]
+        assert exacts == sorted(exacts, reverse=True)
+
+
+class TestTriangles:
+    def test_handshake_invariants(self, spark, sf_dir):
+        rows = q_triangle_count(spark, sf_dir).collect()
+        assert rows
+        n_nations = table(spark, sf_dir, "nation").count()
+        total = sum(r.n_triangles for r in rows)
+        # each triangle is counted at exactly 3 nodes
+        assert total % 3 == 0 and total > 0
+        for r in rows:
+            assert 0 <= r.clustering_pm <= 1000
+            assert 2 <= r.degree <= n_nations - 1
+            # a node in t triangles has at least enough neighbor pairs
+            assert r.n_triangles <= r.degree * (r.degree - 1) // 2
+
+
+class TestCorrMatrix:
+    def test_r_bounds_and_coverage(self, spark, sf_dir):
+        rows = q_corr_matrix(spark, sf_dir).collect()
+        order = ["quantity", "extendedprice", "discount", "tax"]
+        assert len(rows) == 6  # C(4,2) unordered pairs
+        n_rows = table(spark, sf_dir, "lineitem").count()
+        seen = set()
+        for r in rows:
+            # pairs follow declaration order (col_x earlier than col_y)
+            assert order.index(r.col_x) < order.index(r.col_y)
+            assert -1.0 <= r.r <= 1.0
+            assert r.n == n_rows
+            seen.add((r.col_x, r.col_y))
+        assert len(seen) == 6
+
+    def test_matches_numpy_pearson(self, spark, sf_dir):
+        # independent ground truth: numpy corrcoef over the same
+        # cent-scaled integers (float64 path, so tolerance not equality)
+        import numpy as np
+        rows = {(r.col_x, r.col_y): r.r
+                for r in q_corr_matrix(spark, sf_dir).collect()}
+        pdf = (table(spark, sf_dir, "lineitem")
+               .select("l_quantity", "l_extendedprice", "l_discount",
+                       "l_tax").toPandas())
+        cents = {
+            "quantity": np.rint(pdf["l_quantity"] * 100),
+            "extendedprice": np.rint(pdf["l_extendedprice"] * 100),
+            "discount": np.rint(pdf["l_discount"] * 100),
+            "tax": np.rint(pdf["l_tax"] * 100),
+        }
+        for (a, b), r in rows.items():
+            expected = np.corrcoef(cents[a], cents[b])[0, 1]
+            assert abs(r - expected) < 1e-9, (a, b, r, expected)
