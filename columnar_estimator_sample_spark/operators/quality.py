@@ -132,3 +132,62 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (row_checks.select("check_name", "violations", "total")
             .unionAll(pk).unionAll(fk).unionAll(ship)
             .orderBy("check_name"))
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table checksums (replication / migration verification)
+# ---------------------------------------------------------------------------
+
+# (table, canonical key columns) — int/string only: float formatting is
+# engine-specific, so doubles stay off the checksum surface by design.
+_CHECKSUM_TABLES = [
+    ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                  "l_returnflag"]),
+    ("orders", ["o_orderkey", "o_custkey", "o_orderstatus"]),
+    ("customer", ["c_custkey", "c_nationkey", "c_mktsegment"]),
+    ("documents", ["doc_id", "lang", "source"]),
+]
+_CK_MOD = 1_099_511_627_776  # 2^40: checksum folds into a clean BIGINT
+
+
+def _checksum_oracle() -> str:
+    from columnar_estimator_sample_spark.functions.hashing import sql_h64
+    parts = []
+    for t, cols in _CHECKSUM_TABLES:
+        canon = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        parts.append(
+            f"SELECT '{t}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            f" CAST(SUM({sql_h64(f'({canon})')}) % {_CK_MOD} AS BIGINT)"
+            f" AS checksum40"
+            f" FROM {t}")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY table_name"
+
+
+@register("q_table_checksum", oracle=_checksum_oracle())
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum per table: the SUM of portable
+    row hashes over canonical key columns, folded to 40 bits. The
+    standard anti-entropy primitive for verifying replication, migration,
+    or engine-swap fidelity — two stores agree iff (n_rows, checksum)
+    agree, regardless of row order or partitioning.
+
+    Scale: embarrassingly parallel — per-row hash + a commutative SUM
+    (map-side partials), no shuffle beyond the final 1-row-per-table
+    merge; checksums of shards/partitions combine by addition, so
+    incremental verification of an appended partition is O(partition).
+    Floats are excluded from the canonical form: their string rendering
+    is engine-specific, ints and strings are not."""
+    from columnar_estimator_sample_spark.functions.hashing import h64
+    parts = []
+    for t, cols in _CHECKSUM_TABLES:
+        canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        parts.append(
+            table(spark, sf_dir, t).agg(
+                F.lit(t).alias("table_name"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                (F.sum(h64(canon).cast("decimal(38,0)")) % _CK_MOD)
+                .cast("long").alias("checksum40")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("table_name")

@@ -357,3 +357,51 @@ def q_cbo_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "table_name string, predicate string, est_size_bytes double,"
               " actual_rows long")
+
+
+@register(
+    "q_window_ranks",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_nationkey AS nation, c.c_custkey AS custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_nationkey < 5
+        GROUP BY 1, 2
+    )
+    SELECT nation, custkey, n_orders,
+           RANK()         OVER w AS rnk,
+           DENSE_RANK()   OVER w AS drnk,
+           PERCENT_RANK() OVER w AS prnk,
+           CUME_DIST()    OVER w AS cdist,
+           NTILE(4)       OVER w AS quartile
+    FROM spend
+    WINDOW w AS (PARTITION BY nation ORDER BY n_orders DESC, custkey)
+    ORDER BY nation, rnk, custkey
+    """,
+)
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family in one window (rank, dense_rank,
+    percent_rank, cume_dist, ntile) over per-nation customer order
+    counts. percent_rank and cume_dist are integer-ratio doubles —
+    (rank-1)/(n-1) and peers/n — so both engines derive them from
+    identical integers; the ORDER BY carries a custkey tiebreak, making
+    every rank (and the ntile assignment) total-order deterministic.
+
+    Scale: one customer-keyed aggregate then one nation-keyed window
+    exchange; all five functions share the single sort."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5)
+    orders = table(spark, sf_dir, "orders")
+    spend = (cust.join(orders, cust.c_custkey == orders.o_custkey)
+             .groupBy(F.col("c_nationkey").alias("nation"),
+                      F.col("c_custkey").alias("custkey"))
+             .agg(F.count("o_orderkey").cast("long").alias("n_orders")))
+    w = Window.partitionBy("nation").orderBy(F.desc("n_orders"), "custkey")
+    return (spend.select(
+        "nation", "custkey", "n_orders",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"))
+        .orderBy("nation", "rnk", "custkey"))

@@ -164,3 +164,65 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "corr_lineitem_tmp")
     return spark.sql(_corr_sql("corr_lineitem_tmp", "spark"))
+
+
+def _profile_sql(table_expr: str, dialect: str) -> str:
+    """One SQL body for both engines: per-column profile (n, min, max,
+    mean, sample stddev) of the cent-scaled lineitem measures. Mean and
+    stddev reuse the exact-moment machinery: integer/decimal sums, _i2d
+    conversion, then one fixed float tree — bit-identical cross-engine
+    at any scale factor (see _corr_sql)."""
+    names = [n for n, _ in _CORR_COLS]
+    scaled = ",\n               ".join(
+        f"CAST(CAST({c} AS DECIMAL(18,2)) * 100 AS BIGINT) AS {n}"
+        for n, c in _CORR_COLS)
+    sums = ",\n               ".join(
+        f"CAST(SUM({n}) AS DECIMAL(19,0)) AS s_{n},"
+        f" CAST(SUM(CAST({n} * {n} AS DECIMAL(27,0))) AS DECIMAL(27,0))"
+        f" AS sp_{n}_{n},"
+        f" MIN({n}) AS min_{n}, MAX({n}) AS max_{n}"
+        for n in names)
+    per_col = []
+    for n in names:
+        mom = (f"(CAST(n * sp_{n}_{n} AS DECIMAL(37,0))"
+               f" - CAST(s_{n} * s_{n} AS DECIMAL(37,0)))")
+        per_col.append(f"""
+        SELECT '{n}' AS col_name, CAST(n AS BIGINT) AS n_rows,
+               min_{n} AS min_cents, max_{n} AS max_cents,
+               {_i2d(f"CAST(s_{n} AS DECIMAL(37,0))", dialect)}
+                   / CAST(n AS DOUBLE) AS mean_cents,
+               sqrt({_i2d(mom, dialect)}
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0E0)))
+                   AS stddev_cents
+        FROM agg""")
+    union = "\n        UNION ALL".join(per_col)
+    return f"""
+    WITH scaled AS (
+        SELECT {scaled}
+        FROM {table_expr}
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+               {sums}
+        FROM scaled
+    )
+    SELECT * FROM ({union}
+    ) ORDER BY col_name
+    """
+
+
+@register("q_column_profile", oracle=_profile_sql("lineitem", "duckdb"))
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE-style column profile of the lineitem measures: count,
+    min, max, exact mean, exact sample stddev per column — the one-pass
+    summary a warehouse keeps next to its NDV catalog, with stddev from
+    the same exact integer moments as q_corr_matrix (never a float
+    accumulation over rows).
+
+    Scale: one scan, 4x(2 sums + min + max) + count accumulators, all
+    map-side combinable; output size is the column count. The float tail
+    is the _i2d exact-conversion form, so both engines agree bit-for-bit
+    at any SF."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "profile_lineitem_tmp")
+    return spark.sql(_profile_sql("profile_lineitem_tmp", "spark"))

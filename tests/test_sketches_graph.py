@@ -70,3 +70,73 @@ class TestCorrMatrix:
         for (a, b), r in rows.items():
             expected = np.corrcoef(cents[a], cents[b])[0, 1]
             assert abs(r - expected) < 1e-9, (a, b, r, expected)
+
+
+class TestColumnProfile:
+    def test_matches_numpy(self, spark, sf_dir):
+        import numpy as np
+        from columnar_estimator_sample_spark.plans.stats_queries import (
+            q_column_profile)
+        rows = {r.col_name: r for r in
+                q_column_profile(spark, sf_dir).collect()}
+        pdf = (table(spark, sf_dir, "lineitem")
+               .select("l_quantity", "l_extendedprice", "l_discount",
+                       "l_tax").toPandas())
+        for name, col in [("quantity", "l_quantity"),
+                          ("extendedprice", "l_extendedprice"),
+                          ("discount", "l_discount"), ("tax", "l_tax")]:
+            cents = np.rint(pdf[col] * 100)
+            r = rows[name]
+            assert r.n_rows == len(cents)
+            assert r.min_cents == int(cents.min())
+            assert r.max_cents == int(cents.max())
+            assert abs(r.mean_cents - cents.mean()) < 1e-6
+            assert abs(r.stddev_cents - cents.std(ddof=1)) < 1e-6
+
+
+class TestTableChecksum:
+    def test_detects_any_row_change(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.quality import (
+            q_table_checksum, _CHECKSUM_TABLES, _CK_MOD)
+        rows = {r.table_name: r for r in
+                q_table_checksum(spark, sf_dir).collect()}
+        assert set(rows) == {t for t, _ in _CHECKSUM_TABLES}
+        for r in rows.values():
+            assert 0 <= r.checksum40 < _CK_MOD
+            assert r.n_rows > 0
+        # order independence: recompute over a differently-partitioned
+        # shuffle of lineitem and the checksum must not move
+        from columnar_estimator_sample_spark.functions.hashing import h64
+        from pyspark.sql import functions as F
+        li = (table(spark, sf_dir, "lineitem")
+              .repartition(7).sortWithinPartitions("l_partkey"))
+        canon = F.concat_ws("|", *[F.col(c).cast("string") for c in
+                                   _CHECKSUM_TABLES[0][1]])
+        again = li.agg(
+            (F.sum(h64(canon).cast("decimal(38,0)")) % _CK_MOD)
+            .cast("long")).collect()[0][0]
+        assert again == rows["lineitem"].checksum40
+
+
+class TestWindowRanks:
+    def test_rank_family_consistency(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.relational2 import (
+            q_window_ranks)
+        rows = q_window_ranks(spark, sf_dir).collect()
+        from collections import defaultdict
+        by_nation = defaultdict(list)
+        for r in rows:
+            by_nation[r.nation].append(r)
+        for nation, rs in by_nation.items():
+            n = len(rs)
+            for i, r in enumerate(rs):
+                assert r.rnk == i + 1 or rs[i - 1].n_orders == r.n_orders
+                assert r.drnk <= r.rnk
+                assert 0.0 <= r.prnk <= 1.0 and 0.0 < r.cdist <= 1.0
+                assert 1 <= r.quartile <= 4
+            # quartile sizes differ by at most 1
+            sizes = defaultdict(int)
+            for r in rs:
+                sizes[r.quartile] += 1
+            if n >= 4:
+                assert max(sizes.values()) - min(sizes.values()) <= 1
