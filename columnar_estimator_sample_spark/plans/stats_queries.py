@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from columnar_estimator_sample_spark.registry import register
 from columnar_estimator_sample_spark.sources.tables import table
@@ -226,3 +227,153 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "profile_lineitem_tmp")
     return spark.sql(_profile_sql("profile_lineitem_tmp", "spark"))
+
+
+# ---------------------------------------------------------------------------
+# Statistical tests & distribution profiles
+# ---------------------------------------------------------------------------
+
+
+def _chi2_sql() -> str:
+    """Shared ANSI body: chi-square contribution per contingency cell of
+    (l_returnflag x l_linestatus). All counts are exact integers; the
+    expected value r*c/n and the contribution (o-e)^2/e are fixed double
+    trees over <2^53 integers (exact casts, correctly-rounded ops), so
+    each CELL is bit-identical cross-engine. No global float SUM is
+    emitted: engines sum in different orders (DuckDB windows use segment
+    trees), so the total is left to the consumer — per-cell rows are the
+    deterministic surface."""
+    return """
+    WITH cells AS (
+        SELECT l_returnflag AS flag, l_linestatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS obs
+        FROM lineitem GROUP BY 1, 2
+    ),
+    rt AS (SELECT flag, CAST(SUM(obs) AS BIGINT) AS row_tot
+           FROM cells GROUP BY flag),
+    ct AS (SELECT status, CAST(SUM(obs) AS BIGINT) AS col_tot
+           FROM cells GROUP BY status),
+    nn AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells)
+    SELECT c.flag AS flag, c.status AS status, c.obs AS obs,
+           rt.row_tot AS row_tot, ct.col_tot AS col_tot,
+           CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE)
+               / CAST(nn.n AS DOUBLE) AS expected,
+           (CAST(c.obs AS DOUBLE)
+            - CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE)
+              / CAST(nn.n AS DOUBLE))
+           * (CAST(c.obs AS DOUBLE)
+              - CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE)
+                / CAST(nn.n AS DOUBLE))
+           / (CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE)
+              / CAST(nn.n AS DOUBLE)) AS contrib
+    FROM cells c
+    JOIN rt ON rt.flag = c.flag
+    JOIN ct ON ct.status = c.status
+    CROSS JOIN nn
+    ORDER BY 1, 2
+    """
+
+
+@register("q_chi_square", oracle=_chi2_sql())
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence for two categoricals, reported as
+    the full contingency table with expected counts and per-cell
+    contributions (chi2 = sum of contrib; dof = (R-1)(C-1) — the
+    consumer's one fold, kept off the float-sum surface by design, see
+    _chi2_sql).
+
+    Scale: one scan to cell counts (|R x C| rows), row/column marginals
+    aggregate the CELLS (never rescan the fact), and the marginal joins
+    are broadcast-sized. The classic first screen for feature
+    association ahead of the ML tier."""
+    table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus").createOrReplaceTempView(
+        "chi2_lineitem_tmp")
+    return spark.sql(_chi2_sql().replace("FROM lineitem",
+                                         "FROM chi2_lineitem_tmp"))
+
+
+N_HIST_BINS = 20
+
+
+def _hist_sql(idiv: str) -> str:
+    return f"""
+    WITH cents AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS c
+        FROM lineitem
+    ),
+    rng AS (SELECT MIN(c) AS mn, MAX(c) AS mx FROM cents)
+    SELECT ((c - mn) * {N_HIST_BINS}) {idiv} (mx - mn + 1) AS bin,
+           MIN(mn + (((c - mn) * {N_HIST_BINS}) {idiv} (mx - mn + 1))
+                    * ((mx - mn + 1) {idiv} {N_HIST_BINS})) AS lo_cents_ge,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM cents CROSS JOIN rng
+    GROUP BY 1
+    ORDER BY bin
+    """
+
+
+@register("q_histogram", oracle=_hist_sql("//"))
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 20-bin histogram of extendedprice (cents): the
+    distribution profile next to q_percentiles' quantiles and
+    q_column_profile's moments. Bin assignment is pure integer
+    arithmetic — (c-mn)*k DIV (mx-mn+1) — so bin edges and counts are
+    exact in both engines (the lo_cents_ge edge is a derived label,
+    also integer).
+
+    Scale: the min/max scalar pass then one hash aggregate; the 1-row
+    range frame rides a broadcast cross join, never a shuffle. (bigint
+    DIV bigint is true integer division in both engines — unlike
+    decimal//int in DuckDB, see _i2d.)"""
+    cents = table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
+               " AS BIGINT)").alias("c"))
+    rng = cents.agg(F.min("c").alias("mn"), F.max("c").alias("mx"))
+    width = f"((mx - mn + 1) DIV {N_HIST_BINS})"
+    binx = f"(((c - mn) * {N_HIST_BINS}) DIV (mx - mn + 1))"
+    return (cents.crossJoin(F.broadcast(rng))
+            .groupBy(F.expr(binx).alias("bin"))
+            .agg(F.expr(f"MIN(mn + {binx} * {width})").alias("lo_cents_ge"),
+                 F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy("bin"))
+
+
+@register(
+    "q_benford",
+    oracle="""
+    WITH d AS (
+        SELECT SUBSTRING(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * 100 AS BIGINT) AS VARCHAR), 1, 1) AS digit
+        FROM lineitem
+        WHERE l_extendedprice > 0
+    )
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+           (1000 * COUNT(*)) // SUM(COUNT(*)) OVER () AS share_pm
+    FROM d
+    GROUP BY digit
+    ORDER BY digit
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of extendedprice (Benford's-law probe):
+    the classic forensic data-quality screen for fabricated or truncated
+    numeric columns. Digit extraction is string-of-integer (portable;
+    float formatting never touches the surface), shares are integer
+    permille.
+
+    Scale: one scan, 9-row aggregate; the share window runs over 9
+    rows."""
+    d = (table(spark, sf_dir, "lineitem")
+         .filter(F.col("l_extendedprice") > 0)
+         .select(F.expr(
+             "SUBSTRING(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+             " * 100 AS BIGINT) AS STRING), 1, 1)").alias("digit")))
+    counts = d.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    return (counts
+            .withColumn("tot", F.sum("n").over(Window.partitionBy()))
+            .withColumn("share_pm", F.expr("(1000 * n) DIV tot"))
+            .drop("tot")
+            .orderBy("digit"))

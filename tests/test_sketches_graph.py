@@ -140,3 +140,46 @@ class TestWindowRanks:
                 sizes[r.quartile] += 1
             if n >= 4:
                 assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+class TestChiSquare:
+    def test_marginals_and_scipy_free_total(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.plans.stats_queries import (
+            q_chi_square)
+        rows = q_chi_square(spark, sf_dir).collect()
+        n = sum(r.obs for r in rows)
+        # expected counts reproduce the observed marginals exactly
+        from collections import defaultdict
+        row_exp = defaultdict(float)
+        row_obs = defaultdict(int)
+        for r in rows:
+            assert r.contrib >= 0.0
+            assert abs(r.expected - r.row_tot * r.col_tot / n) < 1e-9
+            row_exp[r.flag] += r.expected
+            row_obs[r.flag] += r.obs
+        for flag in row_obs:
+            assert abs(row_exp[flag] - row_obs[flag]) < 1e-6
+
+
+class TestHistogram:
+    def test_bins_partition_the_range(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.plans.stats_queries import (
+            N_HIST_BINS, q_histogram)
+        rows = q_histogram(spark, sf_dir).collect()
+        n_total = table(spark, sf_dir, "lineitem").count()
+        assert sum(r.n for r in rows) == n_total   # every row lands in a bin
+        bins = [r.bin for r in rows]
+        assert bins == sorted(bins)
+        assert 0 <= bins[0] and bins[-1] <= N_HIST_BINS - 1
+        los = [r.lo_cents_ge for r in rows]
+        assert los == sorted(los)                  # edges monotone
+
+
+class TestBenford:
+    def test_digit_shares(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.plans.stats_queries import (
+            q_benford)
+        rows = q_benford(spark, sf_dir).collect()
+        assert {r.digit for r in rows} <= set("123456789")
+        tot_pm = sum(r.share_pm for r in rows)
+        assert 1000 - len(rows) <= tot_pm <= 1000  # floor-division slack
