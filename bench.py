@@ -49,6 +49,13 @@ HEADLINE = [
     "q_text_quality",
     "q_pack_chunks",
     "q_contamination_check",
+    # round-2 tier representatives
+    "q_bm25_search",
+    "q_dedup_embedding_lsh",
+    "q_pagerank",
+    "q_corr_matrix",
+    "q_hypertable_rollup",
+    "q_copurchase",
 ]
 
 

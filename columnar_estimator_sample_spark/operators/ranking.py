@@ -124,10 +124,11 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT tf.doc_id,
-               (44 * corpus.l * tf.tf * (2 * corpus.n - 2 * df.df + 1)
-                * 1000000)
-               // ((20 * corpus.l * tf.tf + 6 * corpus.l
-                    + 18 * dl.dl * corpus.n) * (2 * df.df + 1))
+               CAST((CAST(44 AS HUGEINT) * corpus.l * tf.tf
+                     * (2 * corpus.n - 2 * df.df + 1) * 1000000)
+                    // ((CAST(20 AS HUGEINT) * corpus.l * tf.tf
+                         + 6 * corpus.l + 18 * dl.dl * corpus.n)
+                        * (2 * df.df + 1)) AS BIGINT)
                AS term_score
         FROM tf
         JOIN df ON tf.term = df.term
@@ -158,11 +159,12 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         den = (20*L*tf + 6*L + 18*dl*N) * (2df + 1)
         score_micro = (num * 1_000_000) div den      -- one integer division
 
-    All factors are positive longs, so Spark's ``DIV`` and DuckDB's ``//``
-    agree exactly, and the per-doc score is an exact integer SUM of term
-    scores (order-free — no float association hazard). Headroom: num peaks
-    near 1e6·44·L·tf·2N; L·N is bounded by ~1e13 before int64 overflow —
-    beyond that, swap the longs for decimal(38,0) without changing shape.
+    All factors are positive integers and the per-doc score is an exact
+    integer SUM of term scores (order-free — no float association
+    hazard). num peaks near 1e6·44·L·tf·2N, which blows int64 already at
+    ~1e7 corpus tokens (hit at sf1), so num/den ride 38-digit exact lanes
+    — DECIMAL(38,0) in Spark, HUGEINT in DuckDB, identical integral
+    division semantics — with headroom past a 1e10-token corpus.
 
     Scale: filters the token stream to the query terms BEFORE any shuffle
     (predicate on the exploded term — a narrow filter), aggregates
@@ -178,16 +180,20 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
           .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n, l = F.lit(n_docs), F.lit(corpus_len)
-    num = (F.lit(44) * l * F.col("tf")
+    dec = "decimal(38,0)"
+    num = (F.lit(44).cast(dec) * l * F.col("tf")
            * (2 * n - 2 * F.col("df") + 1) * F.lit(1_000_000))
-    den = ((F.lit(20) * l * F.col("tf") + F.lit(6) * l
-            + F.lit(18) * F.col("dl") * n) * (2 * F.col("df") + 1))
+    den = ((F.lit(20).cast(dec) * l * F.col("tf") + F.lit(6).cast(dec) * l
+            + F.lit(18).cast(dec) * F.col("dl") * n)
+           * (2 * F.col("df") + 1))
     scored = (tf.join(F.broadcast(df), "term")
               .join(dl, "doc_id")
               .select("doc_id",
-                      num.cast("long").alias("num"),
-                      den.cast("long").alias("den"))
-              .select("doc_id", F.expr("num DIV den").alias("term_score")))
+                      num.cast(dec).alias("num"),
+                      den.cast(dec).alias("den"))
+              .select("doc_id",
+                      F.expr("CAST(num DIV den AS BIGINT)")
+                      .alias("term_score")))
     return (scored.groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_terms"),
                  F.sum("term_score").cast("long").alias("score_micro"))
