@@ -38,8 +38,14 @@ def events_stream(spark: SparkSession, sf_dir: str,
           .option("maxFilesPerTrigger", max_files_per_trigger or 1)
           .option("pathGlobFilter", "events.parquet")
           .parquet(sf_dir))
-    return (df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("us", F.expr("ts_ns div 1000"))
+    # Same two physical encodings as the batch loader (sources/tables.py):
+    # TIMESTAMP(NANOS) surfaces as bigint under nanosAsLong; µs/ms files
+    # arrive as a timestamp type directly.
+    if dict(static.dtypes).get("ts") == "bigint":
+        return (df.withColumnRenamed("ts", "ts_ns")
+                .withColumn("us", F.expr("ts_ns div 1000"))
+                .withColumn("ts", F.timestamp_micros(F.col("us"))))
+    return (df.withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
             .withColumn("ts", F.timestamp_micros(F.col("us"))))
 
 
