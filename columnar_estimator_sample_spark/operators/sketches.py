@@ -32,6 +32,25 @@ CM_W = 256       # sketch width (buckets per row)
 CM_TOP = 15      # report: top-k tokens by exact count
 _A, _B = minhash_params(CM_D, seed=13)
 
+HLL_M = 64       # registers (p=6 index bits); std error ~1.04/sqrt(64)=13%
+HLL_RHO_CAP = 40  # cap rank so 709*4096*2^r_max stays inside int64
+# (table, column) pairs profiled by the HLL catalog query
+HLL_COLS = [("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]),
+            ("orders", ["o_custkey"])]
+
+
+def _hll_linear_counting() -> list[int]:
+    """Small-range correction table: round(m * ln(m / V)) for V (number
+    of untouched registers) = 1..m. ln is NOT portable across engines at
+    the bit level, so it never runs inside a query — with m fixed at 64
+    there are only 64 possible corrections, computed once driver-side and
+    inlined as the SAME integer literals into both engines' plans."""
+    import math
+    return [round(HLL_M * math.log(HLL_M / v)) for v in range(1, HLL_M + 1)]
+
+
+HLL_LC = _hll_linear_counting()
+
 
 def _cm_oracle() -> str:
     placed = "\n        UNION ALL\n".join(
@@ -97,3 +116,134 @@ def q_countmin_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("overcount", F.col("est_n") - F.col("exact_n"))
             .orderBy(F.desc("exact_n"), "tok")
             .limit(CM_TOP))
+
+
+def _hll_oracle() -> str:
+    vals = "\n      UNION ALL ".join(
+        f"SELECT '{t}.{c}' AS col_name, CAST({c} AS VARCHAR) AS v FROM {t}"
+        for t, cols in HLL_COLS for c in cols)
+    shift_rmax = "(CAST(1 AS BIGINT) << CAST(a.r_max AS INT))"
+    lc = ", ".join(str(v) for v in HLL_LC)
+    return f"""
+    WITH vals AS (
+      {vals}
+    ), hx AS (
+      SELECT col_name, v,
+             CAST(('0x' || substr(md5('hll_' || v), 1, 15)) AS BIGINT) AS h
+      FROM vals
+    ), regs AS (
+      SELECT col_name, h % {HLL_M} AS j,
+             MAX(LEAST(CASE WHEN h // {HLL_M} = 0 THEN 55
+                       ELSE 55 - length(bin(h // {HLL_M})) END,
+                       {HLL_RHO_CAP})) AS m
+      FROM hx GROUP BY 1, 2
+    ), ex AS (
+      SELECT col_name, COUNT(DISTINCT v) AS exact_n FROM hx GROUP BY 1
+    ), agg AS (
+      SELECT col_name, MAX(m) AS r_max,
+             CAST(COUNT(*) AS BIGINT) AS n_registers
+      FROM regs GROUP BY 1
+    ), s AS (
+      SELECT r.col_name,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST(a.r_max - r.m AS INT))
+                  AS BIGINT) AS s_present
+      FROM regs r JOIN agg a USING (col_name) GROUP BY 1
+    )
+    , raw AS (
+      SELECT a.col_name, a.r_max, a.n_registers,
+             CAST((709 * 4096 * {shift_rmax})
+                  // (1000 * (s.s_present
+                              + ({HLL_M} - a.n_registers) * {shift_rmax}))
+                  AS BIGINT) AS raw_est,
+             e.exact_n
+      FROM agg a JOIN s USING (col_name) JOIN ex e USING (col_name)
+    ), corr AS (
+      SELECT col_name, r_max, n_registers,
+             CASE WHEN n_registers < {HLL_M} AND raw_est <= 160
+                  THEN CAST(([{lc}])[{HLL_M} - n_registers] AS BIGINT)
+                  ELSE raw_est END AS est_n,
+             exact_n
+      FROM raw
+    )
+    SELECT col_name, r_max, n_registers, est_n, exact_n,
+           CAST((est_n * 1000) // exact_n AS BIGINT) AS ratio_permille
+    FROM corr
+    ORDER BY col_name
+    """
+
+
+@register("q_hll_ndv", oracle=_hll_oracle())
+def q_hll_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog NDV catalog with ORACLE-EXACT registers and estimate.
+
+    The reference sizes its feature space from HLL distinct counts
+    (/root/reference/trainer.py:91-118 via APPROX_COUNT_DISTINCT); Spark's
+    built-in approx_count_distinct is the same algorithm but its hash is
+    engine-private, so round 1 left the sketch tier rows-only
+    (q_approx_stats). This query is the driver-checkable HLL: the 64
+    registers derive from the portable md5 hash family (register = h mod
+    64, rank = leading-zero count of the remaining 54 bits via the
+    bin()-string trick both engines share), and the harmonic-mean
+    estimate is restated in pure int64 arithmetic — sum(2^-M) is scaled
+    by 2^r_max so the denominator is an integer, alpha_64 = 709/1000, one
+    integer division. The small-range (linear counting) correction uses a
+    64-entry integer lookup inlined into both plans (see
+    _hll_linear_counting). DuckDB reproduces every register AND the
+    estimate bit for bit.
+
+    Scale: ONE scan per table (the profiled columns fan out as an
+    exploded struct array, never separate scans), register aggregation is
+    a map-side-combining MAX onto at most 64*n_cols rows, and registers
+    merge across shards/streams by MAX — the mergeability that makes HLL
+    the 100 TB NDV tool. exact_n (COUNT DISTINCT ground truth) exists
+    only for the report; production drops it and the query is
+    sublinear-state."""
+    frames = []
+    for tname, cols in HLL_COLS:
+        df = table(spark, sf_dir, tname)
+        arr = F.array(*[
+            F.struct(F.lit(f"{tname}.{c}").alias("col_name"),
+                     F.col(c).cast("string").alias("v"))
+            for c in cols])
+        frames.append(df.select(F.explode(arr).alias("x"))
+                      .select("x.col_name", "x.v"))
+    vals = frames[0]
+    for f in frames[1:]:
+        vals = vals.unionByName(f)
+    hx = vals.select(
+        "col_name", "v",
+        h64(F.concat(F.lit("hll_"), F.col("v"))).alias("h"))
+    rho = F.when(F.expr(f"h div {HLL_M}") == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.expr(f"bin(h div {HLL_M})")))
+    regs = (hx.select("col_name", (F.col("h") % HLL_M).alias("j"),
+                      F.least(rho, F.lit(HLL_RHO_CAP)).cast("long")
+                      .alias("r"))
+            .groupBy("col_name", "j").agg(F.max("r").alias("m")))
+    ex = hx.groupBy("col_name").agg(F.countDistinct("v").alias("exact_n"))
+    agg = regs.groupBy("col_name").agg(
+        F.max("m").alias("r_max"),
+        F.count(F.lit(1)).alias("n_registers"))
+    s = (regs.join(F.broadcast(agg), "col_name")
+         .groupBy("col_name")
+         .agg(F.sum(F.expr(
+             "shiftleft(CAST(1 AS BIGINT), CAST(r_max - m AS INT))"))
+             .alias("s_present")))
+    shift_rmax = "shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT))"
+    lc = ", ".join(str(v) for v in HLL_LC)
+    return (agg.join(s, "col_name").join(ex, "col_name")
+            .select("col_name", "r_max", "n_registers",
+                    F.expr(f"(709 * 4096 * {shift_rmax})"
+                           f" div (1000 * (s_present +"
+                           f" ({HLL_M} - n_registers) * {shift_rmax}))")
+                    .alias("raw_est"),
+                    "exact_n")
+            # small-range (linear counting) correction, literal lookup
+            .withColumn("est_n", F.expr(
+                f"CASE WHEN n_registers < {HLL_M} AND raw_est <= 160"
+                f" THEN CAST(element_at(array({lc}),"
+                f" CAST({HLL_M} - n_registers AS INT)) AS BIGINT)"
+                f" ELSE raw_est END"))
+            .drop("raw_est")
+            .withColumn("ratio_permille",
+                        F.expr("(est_n * 1000) div exact_n"))
+            .orderBy("col_name"))

@@ -183,3 +183,39 @@ class TestBenford:
         assert {r.digit for r in rows} <= set("123456789")
         tot_pm = sum(r.share_pm for r in rows)
         assert 1000 - len(rows) <= tot_pm <= 1000  # floor-division slack
+
+
+class TestHLL:
+    def test_estimate_error_and_register_bounds(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.sketches import (
+            HLL_M, HLL_RHO_CAP, q_hll_ndv)
+        rows = q_hll_ndv(spark, sf_dir).collect()
+        assert len(rows) == 4
+        for r in rows:
+            assert 1 <= r.n_registers <= HLL_M
+            assert 1 <= r.r_max <= HLL_RHO_CAP
+            # 64 registers -> ~13% std error; allow 4 sigma
+            assert 480 <= r.ratio_permille <= 1520, r
+
+    def test_registers_merge_across_shards(self, spark, sf_dir):
+        """HLL registers from disjoint shards combine by MAX into exactly
+        the registers of the union — the mergeability the 100 TB story
+        rests on."""
+        import pyspark.sql.functions as F
+        from columnar_estimator_sample_spark.functions.hashing import h64
+        from columnar_estimator_sample_spark.operators.sketches import HLL_M
+
+        li = table(spark, sf_dir, "lineitem").select(
+            F.col("l_partkey").cast("string").alias("v"))
+        hx = li.select(h64(F.concat(F.lit("hll_"), F.col("v"))).alias("h"))
+        rho = F.when(F.expr(f"h div {HLL_M}") == 0, F.lit(55)).otherwise(
+            F.lit(55) - F.length(F.expr(f"bin(h div {HLL_M})")))
+        parts = hx.select((F.col("h") % HLL_M).alias("j"),
+                          rho.cast("long").alias("r"),
+                          (F.col("h") % 2).alias("shard"))
+
+        whole = {r.j: r.m for r in
+                 parts.groupBy("j").agg(F.max("r").alias("m")).collect()}
+        sharded = (parts.groupBy("shard", "j").agg(F.max("r").alias("m"))
+                   .groupBy("j").agg(F.max("m").alias("m")).collect())
+        assert {r.j: r.m for r in sharded} == whole
