@@ -637,3 +637,103 @@ def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("novelty_pm"), "doc_id")
         .limit(NOVELTY_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based document scoring (dogfoods the bigram LM)
+# ---------------------------------------------------------------------------
+
+LM_SCORE_BOTTOM = 15
+
+
+@register(
+    "q_doc_lm_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                   range(1, greatest(len(toks) - 1, 1) + 1),
+                   i -> toks[CAST(i AS INT)] || ' '
+                        || coalesce(toks[CAST(i AS INT) + 1], ''))) AS bigram
+        FROM t
+        WHERE len(toks) >= 2
+    ),
+    clean AS (
+        SELECT doc_id, lang,
+               split_part(bigram, ' ', 1) AS w1,
+               split_part(bigram, ' ', 2) AS w2
+        FROM bg WHERE bigram NOT LIKE '% '
+    ),
+    docbg AS (
+        SELECT doc_id, lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+        FROM clean GROUP BY ALL
+    ),
+    corpus AS (
+        SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c12 FROM docbg GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT w1, w2,
+               (1000 * c12)
+               // CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT)
+               AS p_permille
+        FROM corpus
+    ),
+    s AS (
+        SELECT d.doc_id, d.lang,
+               CAST(SUM(d.k) AS BIGINT) AS n_bigrams,
+               CAST(SUM(d.k * p.p_permille) AS BIGINT) AS sp
+        FROM docbg d JOIN p USING (w1, w2) GROUP BY 1, 2
+    )
+    SELECT doc_id, lang, n_bigrams, sp // n_bigrams AS lm_score_permille
+    FROM s
+    ORDER BY lm_score_permille, doc_id
+    LIMIT 15
+    """)
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: each document's mean bigram transition
+    probability under the corpus's OWN Markov LM (q_bigram_lm), in integer
+    permille; reports the {LM_SCORE_BOTTOM} least-likely documents — the
+    "perplexity filter" of a training-data pipeline restated exactly (low
+    mean transition probability == high perplexity == boilerplate-free
+    outlier or junk worth human review).
+
+    Scale: the per-doc bigram census (doc_id, w1, w2, k) is built once;
+    the corpus LM aggregates FROM it (no second scan of the text), its
+    normalizer rides a w1-partitioned window over the vocabulary-sized
+    aggregate, and scoring is an equi-join on (w1, w2) — bounded by
+    vocab², never corpus size. All-integer arithmetic end to end, so the
+    DuckDB oracle matches bit for bit; ranking is total-ordered
+    (score, doc_id) under TakeOrderedAndProject."""
+    from pyspark.sql import Window as W
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 1)),"
+        " i -> concat(toks[i-1], ' ', coalesce(toks[i], '')))")
+    docbg = (
+        docs.select("doc_id", "lang", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select("doc_id", "lang", F.explode(bigrams).alias("bigram"))
+        .filter(~F.col("bigram").endswith(" "))
+        .select("doc_id", "lang",
+                F.expr("split_part(bigram, ' ', 1)").alias("w1"),
+                F.expr("split_part(bigram, ' ', 2)").alias("w2"))
+        .groupBy("doc_id", "lang", "w1", "w2")
+        .agg(F.count("*").cast("long").alias("k")))
+    corpus = (docbg.groupBy("w1", "w2")
+              .agg(F.sum("k").cast("long").alias("c12")))
+    p = (corpus
+         .withColumn("c1", F.sum("c12").over(W.partitionBy("w1")))
+         .select("w1", "w2",
+                 F.expr("(1000 * c12) DIV c1").alias("p_permille")))
+    return (docbg.join(p, ["w1", "w2"])
+            .groupBy("doc_id", "lang")
+            .agg(F.sum(F.expr("k * p_permille")).cast("long").alias("sp"),
+                 F.sum("k").cast("long").alias("n_bigrams"))
+            .select("doc_id", "lang", "n_bigrams",
+                    F.expr("sp div n_bigrams").alias("lm_score_permille"))
+            .orderBy("lm_score_permille", "doc_id")
+            .limit(LM_SCORE_BOTTOM))

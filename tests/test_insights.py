@@ -149,3 +149,17 @@ class TestEventTransitions:
         n_events = ev.count()
         n_users = ev.select("user_id").distinct().count()
         assert sum(per_src_n.values()) == n_events - n_users
+
+
+class TestDocLMScore:
+    def test_scores_bounded_and_ordered(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.textstats import (
+            q_doc_lm_score)
+        rows = q_doc_lm_score(spark, sf_dir).collect()
+        assert 0 < len(rows) <= 15
+        scores = [r.lm_score_permille for r in rows]
+        assert scores == sorted(scores)
+        for r in rows:
+            # mean of permille transition probs stays in (0, 1000]
+            assert 0 <= r.lm_score_permille <= 1000
+            assert r.n_bigrams >= 1
