@@ -325,3 +325,88 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("sum_scaled DIV n_vecs"))
         .orderBy("label", "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (the PQ of IVF-PQ)
+# ---------------------------------------------------------------------------
+
+PQ_SUB = 4      # subspaces
+PQ_SUBDIM = 16  # dims per subspace (4 x 16 = the 64-dim embedding)
+PQ_K = 8        # codes per subspace codebook -> 4x3 = 12-bit PQ code
+
+
+@register(
+    "q_embed_pq",
+    oracle=f"""
+    WITH ex AS ({_SQL_EX}
+    ), sub AS (
+        SELECT vec_id, i // {PQ_SUBDIM} AS s, i % {PQ_SUBDIM} AS j, vi
+        FROM ex
+    ), cb AS (
+        SELECT s, j, vec_id AS code, vi AS cj FROM sub
+        WHERE vec_id < {PQ_K}
+    ), d AS (
+        SELECT v.vec_id, v.s, c.code,
+               CAST(SUM((v.vi - c.cj) * (v.vi - c.cj)) AS BIGINT) AS d2
+        FROM sub v JOIN cb c ON c.s = v.s AND c.j = v.j
+        GROUP BY 1, 2, 3
+    ), a AS (
+        SELECT vec_id, s, code, d2 FROM (
+            SELECT vec_id, s, code, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d2, code) AS rnk
+            FROM d
+        ) WHERE rnk = 1
+    )
+    SELECT s, code, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           MIN(d2) AS min_d2, MAX(d2) AS max_d2,
+           CAST(CAST(SUM(d2) AS HUGEINT) // COUNT(*) AS BIGINT) AS mean_d2
+    FROM a
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """)
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the embedding table — the PQ half of a
+    FAISS-style IVF-PQ index, relationally: the 64-dim vector splits into
+    {PQ_SUB} subspaces of {PQ_SUBDIM} dims, each subspace gets a
+    {PQ_K}-entry codebook (seeded from the first {PQ_K} vectors'
+    sub-vectors, the same deterministic convention as q_vq_refine), and
+    every vector is coded by its L2-nearest codeword per subspace —
+    compressing 64 floats to {PQ_SUB} x 3 bits. Reports the codebook
+    utilization census: per (subspace, code) population and the exact
+    integer squared-L2 distortion (min/max/mean).
+
+    Scale: codewords are PQ_SUB*PQ_SUBDIM*PQ_K = 512 rows, broadcast;
+    distances are one grouped integer aggregate over the exploded lane
+    (O(N * dim * K) fan-in rows, map-side partials, no all-pairs);
+    argmin is a (vec_id, subspace)-windowed rank; the report is a
+    32-row aggregate. Distortion sums ride HUGEINT/DECIMAL before the
+    integer-division mean, so no overflow at any corpus size. All-integer
+    -> the DuckDB oracle reproduces every code and distortion bit for
+    bit. In production the (vec_id, s, code) table IS the compressed
+    index: asymmetric distance computation (query-to-codeword lookup
+    tables) turns top-k search into {PQ_SUB} integer array lookups per
+    candidate."""
+    ex = _exploded(table(spark, sf_dir, "embeddings"))
+    sub = ex.select("vec_id",
+                    F.expr(f"i div {PQ_SUBDIM}").alias("s"),
+                    (F.col("i") % PQ_SUBDIM).alias("j"), "vi")
+    cb = (sub.filter(F.col("vec_id") < PQ_K)
+          .select("s", "j", F.col("vec_id").alias("code"),
+                  F.col("vi").alias("cj")))
+    d = (sub.join(F.broadcast(cb), ["s", "j"])
+         .groupBy("vec_id", "s", "code")
+         .agg(F.sum((F.col("vi") - F.col("cj"))
+                    * (F.col("vi") - F.col("cj")))
+              .cast("long").alias("d2")))
+    w = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
+    a = (d.withColumn("rnk", F.row_number().over(w))
+         .filter(F.col("rnk") == 1))
+    return (a.groupBy("s", "code")
+            .agg(F.count("*").alias("n_assigned"),
+                 F.min("d2").alias("min_d2"),
+                 F.max("d2").alias("max_d2"),
+                 F.expr("CAST(SUM(CAST(d2 AS DECIMAL(38,0)))"
+                        " div COUNT(*) AS BIGINT)").alias("mean_d2"))
+            .orderBy("s", "code"))

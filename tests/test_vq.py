@@ -37,3 +37,29 @@ def test_vq_refine_broadcasts_centroids(spark):
     the exploded embeddings never shuffle for the dot-product joins."""
     plan = plan_of(spark, "q_vq_refine")
     assert plan.count("BroadcastExchange") >= 2, plan
+
+
+class TestPQ:
+    def test_every_vector_coded_once_per_subspace(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.vq import (
+            PQ_K, PQ_SUB, q_embed_pq)
+        from columnar_estimator_sample_spark.sources.tables import table
+        rows = q_embed_pq(spark, sf_dir).collect()
+        n_vecs = table(spark, sf_dir, "embeddings").count()
+        per_sub = {}
+        for r in rows:
+            assert 0 <= r.s < PQ_SUB and 0 <= r.code < PQ_K
+            assert r.min_d2 <= r.mean_d2 <= r.max_d2
+            per_sub[r.s] = per_sub.get(r.s, 0) + r.n_assigned
+        # codes partition the vectors: every vector coded in every subspace
+        assert per_sub == {s: n_vecs for s in range(PQ_SUB)}
+
+    def test_seed_vectors_code_to_themselves(self, spark, sf_dir):
+        """A codebook seed sub-vector is L2 distance 0 from itself, so
+        the seed vectors must quantize losslessly (min_d2 == 0 for the
+        cell holding each seed)."""
+        from columnar_estimator_sample_spark.operators.vq import q_embed_pq
+        rows = q_embed_pq(spark, sf_dir).collect()
+        zero_cells = {(r.s, r.code) for r in rows if r.min_d2 == 0}
+        # each subspace has at least one exact-hit cell (its own seeds)
+        assert {s for s, _ in zero_cells} == {r.s for r in rows}
