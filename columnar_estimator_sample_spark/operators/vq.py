@@ -410,3 +410,94 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("CAST(SUM(CAST(d2 AS DECIMAL(38,0)))"
                         " div COUNT(*) AS BIGINT)").alias("mean_d2"))
             .orderBy("s", "code"))
+
+
+PQ_TOPK = 5
+PQ_NQ = 5  # vec_id < PQ_NQ are the query vectors (similarity.N_QUERIES)
+
+
+@register(
+    "q_pq_adc_topk",
+    oracle=f"""
+    WITH ex AS ({_SQL_EX}
+    ), sub AS (
+        SELECT vec_id, i // {PQ_SUBDIM} AS s, i % {PQ_SUBDIM} AS j, vi
+        FROM ex
+    ), cb AS (
+        SELECT s, j, vec_id AS code, vi AS cj FROM sub
+        WHERE vec_id < {PQ_K}
+    ), d AS (
+        SELECT v.vec_id, v.s, c.code,
+               CAST(SUM((v.vi - c.cj) * (v.vi - c.cj)) AS BIGINT) AS d2
+        FROM sub v JOIN cb c ON c.s = v.s AND c.j = v.j
+        GROUP BY 1, 2, 3
+    ), codes AS (
+        SELECT vec_id, s, code FROM (
+            SELECT vec_id, s, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d2, code) AS rnk
+            FROM d
+        ) WHERE rnk = 1
+    ), dtab AS (
+        SELECT q.vec_id AS query_id, q.s, c.code,
+               CAST(SUM((q.vi - c.cj) * (q.vi - c.cj)) AS BIGINT) AS d2
+        FROM sub q JOIN cb c ON c.s = q.s AND c.j = q.j
+        WHERE q.vec_id < {PQ_NQ}
+        GROUP BY 1, 2, 3
+    ), adc AS (
+        SELECT t.query_id, v.vec_id AS neighbor_id,
+               CAST(SUM(t.d2) AS BIGINT) AS adc_d2
+        FROM codes v JOIN dtab t ON t.s = v.s AND t.code = v.code
+        WHERE v.vec_id <> t.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_d2, rank FROM (
+        SELECT query_id, neighbor_id, adc_d2,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d2, neighbor_id) AS rank
+        FROM adc
+    ) WHERE rank <= {PQ_TOPK}
+    ORDER BY query_id, rank
+    """)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-k over the PQ index: the search half of
+    IVF-PQ. Each query keeps its EXACT sub-vectors and precomputes a
+    distance table to the {PQ_K} codewords per subspace ({PQ_SUB} x
+    {PQ_K} integers per query); every database vector's approximate
+    distance is then the SUM of {PQ_SUB} table lookups on its stored
+    codes — no touch of the original vectors at scan time, which is the
+    whole point of PQ at 100 TB (the index is 12 bits/vector).
+
+    Scale: the distance tables are |Q| x {PQ_SUB} x {PQ_K} rows,
+    broadcast; scoring joins the codes table (N x {PQ_SUB} rows) to the
+    broadcast tables and hash-aggregates to N x |Q| candidate rows with
+    map-side partials. The final per-query window is the same |Q|-bounded
+    top-k shape as q_similarity_topk (per-partition partial top-k is the
+    production variant). All-integer L2^2 arithmetic -> the DuckDB oracle
+    reproduces codes, tables, and ranking bit for bit."""
+    ex = _exploded(table(spark, sf_dir, "embeddings"))
+    sub = ex.select("vec_id",
+                    F.expr(f"i div {PQ_SUBDIM}").alias("s"),
+                    (F.col("i") % PQ_SUBDIM).alias("j"), "vi")
+    cb = (sub.filter(F.col("vec_id") < PQ_K)
+          .select("s", "j", F.col("vec_id").alias("code"),
+                  F.col("vi").alias("cj")))
+    d2 = F.sum((F.col("vi") - F.col("cj"))
+               * (F.col("vi") - F.col("cj"))).cast("long").alias("d2")
+    d = (sub.join(F.broadcast(cb), ["s", "j"])
+         .groupBy("vec_id", "s", "code").agg(d2))
+    w_code = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
+    codes = (d.withColumn("rnk", F.row_number().over(w_code))
+             .filter(F.col("rnk") == 1).select("vec_id", "s", "code"))
+    dtab = (sub.filter(F.col("vec_id") < PQ_NQ)
+            .join(F.broadcast(cb), ["s", "j"])
+            .groupBy(F.col("vec_id").alias("query_id"), "s", "code")
+            .agg(d2))
+    adc = (codes.join(F.broadcast(dtab), ["s", "code"])
+           .filter(F.col("vec_id") != F.col("query_id"))
+           .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+           .agg(F.sum("d2").cast("long").alias("adc_d2")))
+    w_q = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (adc.withColumn("rank", F.row_number().over(w_q))
+            .filter(F.col("rank") <= PQ_TOPK)
+            .orderBy("query_id", "rank"))

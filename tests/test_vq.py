@@ -63,3 +63,36 @@ class TestPQ:
         zero_cells = {(r.s, r.code) for r in rows if r.min_d2 == 0}
         # each subspace has at least one exact-hit cell (its own seeds)
         assert {s for s, _ in zero_cells} == {r.s for r in rows}
+
+
+class TestPQADC:
+    def test_topk_shape_and_recall(self, spark, sf_dir):
+        """ADC results are a total-ordered top-5 per query, and the
+        12-bit-code approximation still lands its picks well inside the
+        true-L2 nearest half of the corpus (lossy != arbitrary)."""
+        import numpy as np
+
+        from columnar_estimator_sample_spark.operators.vq import (
+            PQ_NQ, PQ_TOPK, q_pq_adc_topk)
+        from columnar_estimator_sample_spark.sources.tables import table
+
+        rows = q_pq_adc_topk(spark, sf_dir).collect()
+        assert len(rows) == PQ_NQ * PQ_TOPK
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r)
+        emb = (table(spark, sf_dir, "embeddings")
+               .orderBy("vec_id").collect())
+        ids = np.array([r.vec_id for r in emb])
+        X = np.array([np.round(np.array(r.embedding, dtype=np.float64), 6)
+                      for r in emb])
+        pos = {v: k for k, v in enumerate(ids)}
+        n = len(ids)
+        for q, rs in by_q.items():
+            ds = [r.adc_d2 for r in sorted(rs, key=lambda r: r.rank)]
+            assert ds == sorted(ds)
+            true_d2 = ((X - X[pos[q]]) ** 2).sum(axis=1)
+            true_rank = true_d2.argsort(kind="stable").argsort()
+            # mean true rank of the ADC picks sits in the nearest half
+            mean_rank = np.mean([true_rank[pos[r.neighbor_id]] for r in rs])
+            assert mean_rank < n / 2, (q, mean_rank, n)
