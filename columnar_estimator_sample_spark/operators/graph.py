@@ -367,3 +367,97 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                            " DIV (degree * (degree - 1))")
                     .alias("clustering_pm"))
             .orderBy(F.desc("n_triangles"), "n_name"))
+
+
+# ---------------------------------------------------------------------------
+# Cheapest route (Bellman-Ford min-plus, unrolled)
+# ---------------------------------------------------------------------------
+
+BF_HOPS = 3
+BF_SOURCE = 0  # n_nationkey of the source nation
+_CENTS = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def _bf_oracle() -> str:
+    steps = []
+    for k in range(1, BF_HOPS + 1):
+        steps.append(f"""
+    d{k} AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d{k-1}
+            UNION ALL
+            SELECT e.dst AS node, d{k-1}.dist + e.cost AS dist
+            FROM d{k-1} JOIN e ON e.src = d{k-1}.node
+        ) GROUP BY node
+    )""")
+    return f"""
+    WITH e0 AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w,
+               MIN({_CENTS}) AS cost
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ), stats AS (
+        SELECT CAST(SUM(w) AS BIGINT) // COUNT(*) AS avgw FROM e0
+    ), e AS (
+        SELECT src, dst, cost FROM e0, stats WHERE w >= avgw
+    ), d0 AS (
+        SELECT CAST({BF_SOURCE} AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+    ),{",".join(steps)}
+    SELECT n.n_name, d{BF_HOPS}.dist AS dist_cents
+    FROM d{BF_HOPS} JOIN nation n ON n.n_nationkey = d{BF_HOPS}.node
+    ORDER BY dist_cents, n_name
+    """
+
+
+@register("q_cheapest_route", oracle=_bf_oracle())
+def q_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest trade route from nation {BF_SOURCE} within {BF_HOPS}
+    hops: Bellman-Ford min-plus iteration as relational algebra. The 100
+    TB lineitem table distills (same shape as q_pagerank) into a
+    |nations|² edge list whose cost is the MINIMUM shipment price in
+    exact cents; edges are pruned to heavier-than-average lanes (an
+    integer, data-derived threshold) so the route structure is
+    non-trivial; then {BF_HOPS} unrolled relax steps — each one
+    edge-join + MIN aggregate, the min-plus semiring product — give the
+    cheapest reachable cost per destination.
+
+    Scale: the iteration runs on the distilled graph (size independent
+    of corpus), each relax is a broadcast join + map-side-combining MIN;
+    only reachable nodes carry rows, so no infinity sentinels exist in
+    either engine. Integer cents end to end -> bit-identical oracle."""
+    from columnar_estimator_sample_spark.sources.tables import table
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_extendedprice")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation")
+
+    e0 = (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+          .join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+          .groupBy(F.col("s_nationkey").alias("src"),
+                   F.col("c_nationkey").alias("dst"))
+          .agg(F.count("*").cast("long").alias("w"),
+               F.min(F.expr(_CENTS)).alias("cost")))
+    stats = e0.agg(F.expr("CAST(SUM(w) AS BIGINT) div COUNT(*)")
+                   .alias("avgw"))
+    e = (e0.crossJoin(F.broadcast(stats))
+         .filter(F.col("w") >= F.col("avgw"))
+         .select("src", "dst", "cost"))
+    d = (nation.filter(F.col("n_nationkey") == BF_SOURCE)
+         .select(F.col("n_nationkey").cast("long").alias("node"),
+                 F.lit(0).cast("long").alias("dist")))
+    for _ in range(BF_HOPS):
+        relaxed = (d.join(F.broadcast(e), d.node == e.src)
+                   .select(F.col("dst").alias("node"),
+                           (F.col("dist") + F.col("cost")).alias("dist")))
+        d = (d.unionByName(relaxed)
+             .groupBy("node").agg(F.min("dist").alias("dist")))
+    return (d.join(F.broadcast(nation), d.node == nation.n_nationkey)
+            .select("n_name", F.col("dist").alias("dist_cents"))
+            .orderBy("dist_cents", "n_name"))

@@ -92,3 +92,34 @@ class TestBigramLM:
         for r in rows:
             assert 1 <= r.p_permille <= 1000
             assert 0 < r.c12 <= r.c1
+
+
+class TestCheapestRoute:
+    def test_triangle_inequality_and_monotonicity(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.graph import (
+            BF_SOURCE, q_cheapest_route)
+        rows = q_cheapest_route(spark, sf_dir).collect()
+        assert rows, "source must at least reach itself"
+        dists = {r.n_name: r.dist_cents for r in rows}
+        # the source reaches itself at cost 0 and appears first
+        assert min(dists.values()) == 0
+        assert rows[0].dist_cents == 0
+        # relaxations only ever lower costs -> all distances nonnegative
+        assert all(d >= 0 for d in dists.values())
+
+    def test_one_more_hop_never_raises_cost(self, spark, sf_dir):
+        """d_{k+1} <= d_k pointwise: rerunning with more hops must
+        dominate (Bellman-Ford monotonicity)."""
+        import columnar_estimator_sample_spark.operators.graph as g
+        base = {r.n_name: r.dist_cents
+                for r in g.q_cheapest_route(spark, sf_dir).collect()}
+        old = g.BF_HOPS
+        try:
+            g.BF_HOPS = old + 1
+            more = {r.n_name: r.dist_cents
+                    for r in g.q_cheapest_route(spark, sf_dir).collect()}
+        finally:
+            g.BF_HOPS = old
+        for name, dcost in base.items():
+            assert more[name] <= dcost
+        assert set(base) <= set(more)
