@@ -328,3 +328,53 @@ def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dau", "wau7")
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonality profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_weekday_seasonality",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type,
+               CAST(((epoch_us(ts) // {US_PER_DAY}) + 3) % 7 AS BIGINT)
+                   AS weekday
+        FROM events
+    ), c AS (
+        SELECT event_type, weekday, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM d GROUP BY 1, 2
+    )
+    SELECT event_type, weekday, n_events,
+           (n_events * 7 * 1000)
+           // CAST(SUM(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+               AS seasonality_permille
+    FROM c
+    ORDER BY event_type, weekday
+    """)
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: observed share of
+    events on each weekday vs the uniform 1/7 expectation, in integer
+    permille (1000 = exactly uniform, 2000 = twice the uniform rate).
+    Weekday derives from integer epoch-day arithmetic ((day+3) mod 7,
+    Monday=0) on the µs lane — timezone-invariant by construction, no
+    date formatting in either engine.
+
+    Scale: one scan collapses to a (type x 7)-row aggregate with
+    map-side partials; the normalizing window rides the already-tiny
+    aggregate. The index is the standard seasonal-naive baseline a
+    forecasting pipeline derives before modeling."""
+    ev = table(spark, sf_dir, "events")
+    c = (ev.select("event_type",
+                   F.expr(f"CAST(((us div {US_PER_DAY}) + 3) % 7 AS BIGINT)")
+                   .alias("weekday"))
+         .groupBy("event_type", "weekday")
+         .agg(F.count("*").cast("long").alias("n_events")))
+    w = Window.partitionBy("event_type")
+    return (c.withColumn("n_type", F.sum("n_events").over(w))
+            .withColumn("seasonality_permille",
+                        F.expr("(n_events * 7 * 1000) div n_type"))
+            .drop("n_type")
+            .orderBy("event_type", "weekday"))

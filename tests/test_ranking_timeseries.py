@@ -104,3 +104,21 @@ class TestTimeseries:
                 ._jdf.queryExecution().executedPlan().toString())
         n_hashpart = plan.count("hashpartitioning")
         assert n_hashpart <= 1, plan
+
+
+class TestWeekdaySeasonality:
+    def test_shares_sum_to_week(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.timeseries import (
+            q_weekday_seasonality)
+        rows = q_weekday_seasonality(spark, sf_dir).collect()
+        by_type = {}
+        for r in rows:
+            assert 0 <= r.weekday <= 6
+            by_type.setdefault(r.event_type, []).append(r)
+        for t, rs in by_type.items():
+            n_tot = sum(r.n_events for r in rs)
+            # weekday shares of one type cover all its events
+            assert n_tot > 0 and len(rs) <= 7
+            for r in rs:
+                exact = r.n_events * 7 * 1000 // n_tot
+                assert r.seasonality_permille == exact
