@@ -636,3 +636,90 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= ANN_COS_T)
         .orderBy("vec_a", "vec_b")
     )
+
+
+@register(
+    "q_similarity_topk_fast",
+    oracle=f"""
+    WITH ex AS ({_SQL_EX}
+    ), norms AS (
+        SELECT vec_id, CAST(SUM(vi * vi) AS BIGINT) AS n_s
+        FROM ex GROUP BY vec_id
+    ), dots AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               CAST(SUM(q.vi * d.vi) AS BIGINT) AS dot_s
+        FROM ex q JOIN ex d ON d.i = q.i
+        WHERE q.vec_id < {N_QUERIES} AND d.vec_id <> q.vec_id
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT dots.query_id, dots.neighbor_id,
+               CAST(dot_s AS DOUBLE)
+               / (sqrt(CAST(nq.n_s AS DOUBLE))
+                  * sqrt(CAST(nd.n_s AS DOUBLE))) AS cosine
+        FROM dots
+        JOIN norms nq ON nq.vec_id = dots.query_id
+        JOIN norms nd ON nd.vec_id = dots.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """)
+def q_similarity_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k in its 100 TB SHAPE: per-partition
+    partial top-k over Arrow batches with int64 BLAS, then a global top-k
+    over only O(partitions · |Q| · k) surviving rows — the window never
+    sees the |Q|·N score stream that q_similarity_topk shuffles.
+
+    Exactness (what makes a Python-side BLAS path driver-checkable): the
+    vectors ride the integer-scaled lane (_exploded's DECIMAL(18,6)*1e6
+    contract, packed JVM-side by _PACK_EXPR), dots and norms are int64
+    einsums (exact), and the cosine is the same fixed float64 expression
+    tree the DuckDB oracle evaluates — dot / (sqrt(n_q) * sqrt(n_d)) on
+    identical integer inputs. Per-batch pruning sorts lexicographically
+    by (cosine desc, neighbor_id asc) — the global ranking order — so no
+    tie-break survivor is ever dropped early."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    qrows = (emb.filter(F.col("vec_id") < N_QUERIES)
+             .select("vec_id", F.expr(_PACK_EXPR).alias("v")).collect())
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    q_mat = np.stack([np.array(r["v"], dtype=np.int64) for r in qrows])
+    q_norm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat)
+                     .astype(np.float64))
+    k = TOP_K
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            d_mat = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+            d_ids = pdf["vec_id"].to_numpy()
+            d_norm = np.sqrt(np.einsum("ij,ij->i", d_mat, d_mat)
+                             .astype(np.float64))
+            dots = d_mat @ q_mat.T                       # int64, exact
+            out = []
+            for qi, qid in enumerate(q_ids):
+                cos = dots[:, qi].astype(np.float64) / (d_norm * q_norm[qi])
+                mask = d_ids != qid
+                ids_m, cos_m = d_ids[mask], cos[mask]
+                order = np.lexsort((ids_m, -cos_m))[:k]
+                for j in order:
+                    out.append((int(qid), int(ids_m[j]), float(cos_m[j])))
+            yield pd.DataFrame(
+                out, columns=["query_id", "neighbor_id", "cosine"])
+
+    partial = (emb.select("vec_id", F.expr(_PACK_EXPR).alias("v"))
+               .mapInPandas(score,
+                            "query_id long, neighbor_id long, cosine double"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (partial
+            .select("query_id", "neighbor_id", "cosine",
+                    F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= TOP_K)
+            .orderBy("query_id", "rank"))

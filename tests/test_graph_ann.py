@@ -176,3 +176,22 @@ class TestRangeJoin:
         assert (sorted(map(tuple, q_range_join_binned(spark, sf_dir)
                            .collect()))
                 == sorted(map(tuple, naive.collect())))
+
+
+class TestTopkFast:
+    def test_matches_decimal_lane_topk(self, spark, sf_dir):
+        """The partial-top-k BLAS path and the decimal-lane window path
+        rank with slightly different rounding (factor-rounding vs
+        product-rounding at 1e-6), so exact equality isn't guaranteed on
+        near-ties — but the neighbor SETS must agree almost everywhere."""
+        from columnar_estimator_sample_spark.operators.similarity import (
+            q_similarity_topk, q_similarity_topk_fast)
+        slow = {}
+        for r in q_similarity_topk(spark, sf_dir).collect():
+            slow.setdefault(r.query_id, set()).add(r.neighbor_id)
+        fast = {}
+        for r in q_similarity_topk_fast(spark, sf_dir).collect():
+            fast.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert set(slow) == set(fast)
+        for q in slow:
+            assert len(fast[q] & slow[q]) >= len(slow[q]) - 1, q
