@@ -56,6 +56,8 @@ HEADLINE = [
     "q_corr_matrix",
     "q_hypertable_rollup",
     "q_copurchase",
+    "q_similarity_topk_fast",
+    "q_hll_ndv",
 ]
 
 

@@ -597,3 +597,155 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_shared"), "train_doc", "eval_doc")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixture weights
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_source_temperature",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), n AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM toks WHERE len(tok) > 0 GROUP BY source
+    ), sq AS (
+        SELECT source, n_tokens,
+               CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS isq
+        FROM n
+    ), tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_n,
+               CAST(SUM(isq) AS BIGINT) AS tot_sq
+        FROM sq
+    )
+    SELECT s.source, s.n_tokens,
+           (1000 * s.isq) // t.tot_sq AS temp_w_permille,
+           (1000 * s.n_tokens) // t.tot_n AS prop_permille,
+           ((1000 * s.isq) // t.tot_sq) * 1000
+               // GREATEST((1000 * s.n_tokens) // t.tot_n, 1)
+               AS boost_permille
+    FROM sq s CROSS JOIN tot t
+    ORDER BY s.source
+    """)
+def q_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (alpha = 0.5): sampling
+    weight per source proportional to sqrt(token count) — the standard
+    low-resource up-weighting a multilingual/multi-source training run
+    applies before q_source_mixture materializes epochs. Reports each
+    source's raw token share, its temperature weight, and the oversample
+    boost (weight/proportional, permille; >1000 = up-weighted tail).
+
+    Determinism note: sqrt is the ONE float step; IEEE-754 sqrt is
+    correctly rounded in both engines, and floor() of it feeds integer
+    arithmetic, so the oracle matches bit for bit. Scale: one token scan
+    collapses to a |sources|-row aggregate; weights normalize against a
+    broadcast 1-row total."""
+    docs = table(spark, sf_dir, "documents")
+    n = (docs.select("source",
+                     F.explode(F.split("text", " ")).alias("tok"))
+         .filter(F.length("tok") > 0)
+         .groupBy("source")
+         .agg(F.count("*").cast("long").alias("n_tokens")))
+    sq = n.withColumn(
+        "isq",
+        F.expr("CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+    tot = sq.agg(F.sum("n_tokens").cast("long").alias("tot_n"),
+                 F.sum("isq").cast("long").alias("tot_sq"))
+    return (sq.crossJoin(F.broadcast(tot))
+            .select("source", "n_tokens",
+                    F.expr("(1000 * isq) div tot_sq")
+                    .alias("temp_w_permille"),
+                    F.expr("(1000 * n_tokens) div tot_n")
+                    .alias("prop_permille"))
+            .withColumn("boost_permille",
+                        F.expr("(temp_w_permille * 1000)"
+                               " div GREATEST(prop_permille, 1)"))
+            .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix (contamination generalized)
+# ---------------------------------------------------------------------------
+
+OVERLAP_TOP = 15
+
+
+@register(
+    "q_source_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ), grams AS (
+        SELECT DISTINCT source,
+               unnest(list_transform(
+                   range(1, len(toks) - 2 + 1),
+                   i -> toks[CAST(i AS INT)] || ' '
+                        || toks[CAST(i AS INT) + 1] || ' '
+                        || toks[CAST(i AS INT) + 2])) AS gram
+        FROM t
+    ), sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM grams GROUP BY source
+    ), inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM grams a JOIN grams b
+          ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_common,
+           (1000 * i.n_common)
+               // (sa.n_grams + sb.n_grams - i.n_common) AS jaccard_permille
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    ORDER BY jaccard_permille DESC, src_a, src_b
+    LIMIT {OVERLAP_TOP}
+    """)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate overlap matrix: exact Jaccard
+    similarity of the DISTINCT word-3-gram sets of every source pair —
+    q_contamination_check generalized from train-vs-eval to all-pairs
+    provenance auditing (shared boilerplate, mirrored scrapes, licensing
+    leaks between corpus components).
+
+    Scale: the gram census dedups per (source, gram) BEFORE the pair
+    stage (map-side distinct), the intersection is a gram-keyed equi-join
+    — the matrix never materializes N² documents, only |sources|² count
+    cells — and sizes broadcast onto the tiny matrix. Top pairs by
+    integer-permille Jaccard, total-ordered."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams3 = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+        " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))")
+    grams = (docs.select("source", toks.alias("toks"))
+             .filter(F.size("toks") >= 3)
+             .select("source", F.explode(grams3).alias("gram"))
+             .distinct())
+    sizes = grams.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_grams"))
+    a = grams.select(F.col("source").alias("src_a"),
+                     F.col("gram").alias("gram"))
+    b = grams.select(F.col("source").alias("src_b"),
+                     F.col("gram").alias("gram"))
+    inter = (a.join(b, "gram")
+             .filter(F.col("src_a") < F.col("src_b"))
+             .groupBy("src_a", "src_b")
+             .agg(F.count("*").cast("long").alias("n_common")))
+    sa = sizes.select(F.col("source").alias("src_a"),
+                      F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"),
+                      F.col("n_grams").alias("nb"))
+    return (inter.join(F.broadcast(sa), "src_a")
+            .join(F.broadcast(sb), "src_b")
+            .select("src_a", "src_b", "n_common",
+                    F.expr("(1000 * n_common) div (na + nb - n_common)")
+                    .alias("jaccard_permille"))
+            .orderBy(F.desc("jaccard_permille"), "src_a", "src_b")
+            .limit(OVERLAP_TOP))
