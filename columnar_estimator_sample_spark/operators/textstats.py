@@ -737,3 +737,54 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("sp div n_bigrams").alias("lm_score_permille"))
             .orderBy("lm_score_permille", "doc_id")
             .limit(LM_SCORE_BOTTOM))
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomena share (Zipf-tail health)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_hapax_share",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), counts AS (
+        SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks WHERE len(tok) > 0 GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax_count,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           (1000 * CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT))
+               // CAST(COUNT(*) AS BIGINT) AS hapax_permille
+    FROM counts
+    GROUP BY lang
+    ORDER BY lang
+    """)
+def q_hapax_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena share per language: the fraction of each language's
+    vocabulary occurring exactly once — the Zipf-tail health metric a
+    corpus audit reads before tokenizer training (a natural corpus sits
+    near ~40-60%; far below suggests boilerplate/dedup failure, far above
+    suggests OCR noise or encoding damage).
+
+    Scale: token explode -> one (lang, tok) hash aggregate with map-side
+    partials (vocabulary-sized, not corpus-sized), then a |langs|-row
+    rollup. All integers."""
+    docs = table(spark, sf_dir, "documents")
+    counts = (docs.select("lang",
+                          F.explode(F.split("text", " ")).alias("tok"))
+              .filter(F.length("tok") > 0)
+              .groupBy("lang", "tok")
+              .agg(F.count("*").cast("long").alias("c")))
+    return (counts.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("vocab_size"),
+                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                 .cast("long").alias("hapax_count"),
+                 F.sum("c").cast("long").alias("n_tokens"))
+            .withColumn("hapax_permille",
+                        F.expr("(1000 * hapax_count) div vocab_size"))
+            .orderBy("lang"))

@@ -163,3 +163,36 @@ class TestDocLMScore:
             # mean of permille transition probs stays in (0, 1000]
             assert 0 <= r.lm_score_permille <= 1000
             assert r.n_bigrams >= 1
+
+
+class TestCorpusMixtures:
+    def test_temperature_flattens_the_mixture(self, spark, sf_dir):
+        """alpha=0.5 weights must compress the spread: up-weight tail
+        sources (boost > 1000) and down-weight head sources."""
+        from columnar_estimator_sample_spark.operators.corpus import (
+            q_source_temperature)
+        rows = q_source_temperature(spark, sf_dir).collect()
+        assert len(rows) >= 2
+        total_w = sum(r.temp_w_permille for r in rows)
+        assert 1000 - len(rows) <= total_w <= 1000   # floor-division slack
+        head = max(rows, key=lambda r: r.n_tokens)
+        tail = min(rows, key=lambda r: r.n_tokens)
+        if head.n_tokens > tail.n_tokens:
+            assert head.boost_permille <= tail.boost_permille
+
+    def test_overlap_jaccard_bounds(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.corpus import (
+            q_source_overlap)
+        rows = q_source_overlap(spark, sf_dir).collect()
+        for r in rows:
+            assert r.src_a < r.src_b
+            assert 0 <= r.jaccard_permille <= 1000
+            assert r.n_common >= 1
+
+    def test_hapax_bounds(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.textstats import (
+            q_hapax_share)
+        for r in q_hapax_share(spark, sf_dir).collect():
+            # synthetic text has a tiny vocab -> hapax may be 0
+            assert 0 <= r.hapax_count <= r.vocab_size <= r.n_tokens
+            assert 0 <= r.hapax_permille <= 1000
