@@ -788,3 +788,64 @@ def q_hapax_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("hapax_permille",
                         F.expr("(1000 * hapax_count) div vocab_size"))
             .orderBy("lang"))
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity / effective vocabulary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_simpson_diversity",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), counts AS (
+        SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks WHERE len(tok) > 0 GROUP BY 1, 2
+    ), agg AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sum_c2
+        FROM counts GROUP BY lang
+    )
+    SELECT lang, vocab_size, n_tokens,
+           CAST(CAST(n_tokens AS HUGEINT) * n_tokens // sum_c2 AS BIGINT)
+               AS effective_vocab,
+           CAST((1000 * sum_c2) // (CAST(n_tokens AS HUGEINT) * n_tokens)
+               AS BIGINT) AS concentration_permille
+    FROM agg
+    ORDER BY lang
+    """)
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity of each language's token distribution: the
+    inverse Simpson index n²/Σc² is the "effective vocabulary" (how many
+    equally-frequent tokens would look like this corpus — the log-free
+    cousin of perplexity-based diversity), and Σc²/n² is the repeat-
+    collision concentration in permille. Both are ratios of exact big
+    integers (DECIMAL(38,0)/HUGEINT sums, one floor division), so no
+    entropy logarithm is ever taken and the oracle matches bit for bit.
+
+    Scale: one token scan -> vocabulary-sized (lang, tok) aggregate with
+    map-side partials -> |langs| rows. The c² sum rides 128-bit exact
+    lanes in both engines; overflow-free at any corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    counts = (docs.select("lang",
+                          F.explode(F.split("text", " ")).alias("tok"))
+              .filter(F.length("tok") > 0)
+              .groupBy("lang", "tok")
+              .agg(F.count("*").cast("long").alias("c")))
+    agg = (counts.groupBy("lang")
+           .agg(F.count("*").cast("long").alias("vocab_size"),
+                F.sum("c").cast("long").alias("n_tokens"),
+                F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c"))
+                .cast("decimal(38,0)").alias("sum_c2")))
+    return (agg.select(
+                "lang", "vocab_size", "n_tokens",
+                F.expr("CAST(CAST(n_tokens AS DECIMAL(38,0)) * n_tokens"
+                       " div sum_c2 AS BIGINT)").alias("effective_vocab"),
+                F.expr("CAST((1000 * sum_c2) div"
+                       " (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)"
+                       " AS BIGINT)").alias("concentration_permille"))
+            .orderBy("lang"))

@@ -378,3 +378,92 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.expr("(n_events * 7 * 1000) div n_type"))
             .drop("n_type")
             .orderBy("event_type", "weekday"))
+
+
+# ---------------------------------------------------------------------------
+# MAD-based robust outlier days
+# ---------------------------------------------------------------------------
+
+MAD_TOP = 10
+_VCENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@register(
+    "q_mad_outliers",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // {US_PER_DAY} AS BIGINT) AS day,
+               CAST(SUM({_VCENTS}) AS BIGINT) AS total_cents
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY total_cents, day) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ), med AS (
+        SELECT event_type, total_cents AS med_cents
+        FROM ranked WHERE rn = (n + 1) // 2
+    ), dev AS (
+        SELECT d.event_type, d.day, d.total_cents, m.med_cents,
+               ABS(d.total_cents - m.med_cents) AS dev_cents
+        FROM daily d JOIN med m USING (event_type)
+    ), dev_ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY dev_cents, day) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ), mad AS (
+        SELECT event_type, dev_cents AS mad_cents
+        FROM dev_ranked WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type, d.day, d.total_cents, d.med_cents,
+           d.dev_cents, m.mad_cents,
+           (10 * d.dev_cents) // GREATEST(m.mad_cents, 1) AS ratio_x10
+    FROM dev d JOIN mad m USING (event_type)
+    ORDER BY ratio_x10 DESC, event_type, day
+    LIMIT {MAD_TOP}
+    """)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier days per event type via median absolute deviation:
+    daily revenue totals in exact cents, EXACT lower median per type
+    (rank-select, no interpolation -> integer), deviation from median,
+    exact median of deviations (the MAD), and the {MAD_TOP} most anomalous
+    (type, day) cells by deviation/MAD ratio. The median/MAD pair is the
+    outlier detector that survives the very anomalies it hunts — unlike
+    the mean/stddev z-score, one whale day cannot drag the baseline.
+
+    Scale: the raw stream collapses to a (type x days) aggregate first;
+    both median rank-selects and the deviation join ride ONE event_type
+    exchange (window partitions reuse it), all on the tiny aggregate.
+    Integer cents end to end -> bit-identical oracle."""
+    ev = table(spark, sf_dir, "events")
+    daily = (ev.select("event_type",
+                       F.expr(f"CAST(us div {US_PER_DAY} AS BIGINT)")
+                       .alias("day"),
+                       F.expr(_VCENTS).alias("cents"))
+             .groupBy("event_type", "day")
+             .agg(F.sum("cents").cast("long").alias("total_cents")))
+    wt = Window.partitionBy("event_type")
+
+    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "day")
+        return (df.withColumn("rn", F.row_number().over(w))
+                .withColumn("n", F.count("*").over(wt))
+                .filter(F.expr("rn = (n + 1) div 2"))
+                .select("event_type", F.col(col).alias(out)))
+
+    med = lower_median(daily, "total_cents", "med_cents")
+    dev = (daily.join(F.broadcast(med), "event_type")
+           .withColumn("dev_cents",
+                       F.abs(F.col("total_cents") - F.col("med_cents"))))
+    mad = lower_median(dev, "dev_cents", "mad_cents")
+    return (dev.join(F.broadcast(mad), "event_type")
+            .select("event_type", "day", "total_cents", "med_cents",
+                    "dev_cents", "mad_cents",
+                    F.expr("(10 * dev_cents) div GREATEST(mad_cents, 1)")
+                    .alias("ratio_x10"))
+            .orderBy(F.desc("ratio_x10"), "event_type", "day")
+            .limit(MAD_TOP))

@@ -122,3 +122,18 @@ class TestWeekdaySeasonality:
             for r in rs:
                 exact = r.n_events * 7 * 1000 // n_tot
                 assert r.seasonality_permille == exact
+
+
+class TestMADOutliers:
+    def test_ratio_ordering_and_median_bounds(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.timeseries import (
+            MAD_TOP, q_mad_outliers)
+        rows = q_mad_outliers(spark, sf_dir).collect()
+        assert 0 < len(rows) <= MAD_TOP
+        ratios = [r.ratio_x10 for r in rows]
+        assert ratios == sorted(ratios, reverse=True)
+        for r in rows:
+            assert r.dev_cents == abs(r.total_cents - r.med_cents)
+            assert r.mad_cents >= 0
+            # the reported cells deviate at least as much as the MAD
+            assert r.dev_cents >= r.mad_cents
