@@ -191,3 +191,111 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# Gini split-quality scoring (distributed decision-tree step 1)
+# ---------------------------------------------------------------------------
+
+# candidate split features over lineitem, as (name, SQL expression)
+GINI_FEATURES = [
+    ("linestatus", "l_linestatus"),
+    ("quantity_decile", "CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100"
+                        " AS BIGINT) // 1000 AS VARCHAR)"),
+    ("discount_band", "CAST(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100"
+                      " AS BIGINT) // 2 AS VARCHAR)"),
+]
+_GINI_LABEL = "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"
+
+
+def _gini_oracle() -> str:
+    cells = "\n        UNION ALL ".join(
+        f"SELECT '{n}' AS feature, {e} AS v, {_GINI_LABEL} AS y"
+        f" FROM lineitem"
+        for n, e in GINI_FEATURES)
+    return f"""
+    WITH base AS (
+        {cells}
+    ), cell AS (
+        SELECT feature, v, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM base GROUP BY 1, 2
+    ), parent AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(pos) AS BIGINT) AS pp
+        FROM cell WHERE feature = '{GINI_FEATURES[0][0]}'
+    ), child AS (
+        SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_values,
+               CAST(SUM((1000 * (CAST(n AS HUGEINT) * n
+                                 - CAST(pos AS HUGEINT) * pos
+                                 - CAST(n - pos AS HUGEINT) * (n - pos)))
+                        // n) AS HUGEINT) AS t
+        FROM cell GROUP BY feature
+    )
+    SELECT c.feature, c.n_values,
+           CAST((1000 * (CAST(p.nn AS HUGEINT) * p.nn
+                         - CAST(p.pp AS HUGEINT) * p.pp
+                         - CAST(p.nn - p.pp AS HUGEINT) * (p.nn - p.pp)))
+                // (CAST(p.nn AS HUGEINT) * p.nn) AS BIGINT)
+               AS parent_gini_permille,
+           CAST(c.t // p.nn AS BIGINT) AS child_gini_permille,
+           CAST((1000 * (CAST(p.nn AS HUGEINT) * p.nn
+                         - CAST(p.pp AS HUGEINT) * p.pp
+                         - CAST(p.nn - p.pp AS HUGEINT) * (p.nn - p.pp)))
+                // (CAST(p.nn AS HUGEINT) * p.nn)
+                - c.t // p.nn AS BIGINT) AS gain_permille
+    FROM child c CROSS JOIN parent p
+    ORDER BY gain_permille DESC, feature
+    """
+
+
+@register("q_split_gini", oracle=_gini_oracle())
+def q_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini split-quality scoring — step one of a distributed decision
+    tree / feature-importance audit, all-integer: for each candidate
+    categorical feature (linestatus, quantity decile, discount band) and
+    the binary label returnflag='R', the parent Gini impurity, the
+    split's weighted child impurity, and the impurity GAIN, in permille.
+    Gini avoids entropy's logarithm entirely — every impurity is the
+    rational (n² - pos² - neg²)/n² on exact 128-bit integer lanes, so the
+    oracle matches bit for bit (per-cell floor division is part of the
+    contract, identically in both engines).
+
+    Scale: one scan fans out rows per feature (no per-feature rescan),
+    collapses to (feature, value) cells with map-side partials — the
+    classic histogram-based tree-learner layout where split evaluation
+    touches aggregates only, never raw rows again."""
+    li = table(spark, sf_dir, "lineitem")
+    base = None
+    for name, expr in GINI_FEATURES:
+        spark_expr = expr.replace("//", "div").replace("VARCHAR", "STRING")
+        f = li.select(F.lit(name).alias("feature"),
+                      F.expr(spark_expr).alias("v"),
+                      F.expr(_GINI_LABEL).alias("y"))
+        base = f if base is None else base.unionByName(f)
+    cell = (base.groupBy("feature", "v")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("y").cast("long").alias("pos")))
+    parent = (cell.filter(F.col("feature") == GINI_FEATURES[0][0])
+              .agg(F.sum("n").cast("long").alias("nn"),
+                   F.sum("pos").cast("long").alias("pp")))
+    child = (cell.groupBy("feature")
+             .agg(F.count("*").cast("long").alias("n_values"),
+                  F.sum(F.expr(
+                      "(1000 * (CAST(n AS DECIMAL(38,0)) * n"
+                      " - CAST(pos AS DECIMAL(38,0)) * pos"
+                      " - CAST(n - pos AS DECIMAL(38,0)) * (n - pos)))"
+                      " div n"))
+                  .cast("decimal(38,0)").alias("t")))
+    parent_pm = ("CAST((1000 * (CAST(nn AS DECIMAL(38,0)) * nn"
+                 " - CAST(pp AS DECIMAL(38,0)) * pp"
+                 " - CAST(nn - pp AS DECIMAL(38,0)) * (nn - pp)))"
+                 " div (CAST(nn AS DECIMAL(38,0)) * nn) AS BIGINT)")
+    return (child.crossJoin(F.broadcast(parent))
+            .select("feature", "n_values",
+                    F.expr(parent_pm).alias("parent_gini_permille"),
+                    F.expr("CAST(t div nn AS BIGINT)")
+                    .alias("child_gini_permille"),
+                    (F.expr(parent_pm)
+                     - F.expr("CAST(t div nn AS BIGINT)"))
+                    .alias("gain_permille"))
+            .orderBy(F.desc("gain_permille"), "feature"))

@@ -123,3 +123,22 @@ class TestCheapestRoute:
         for name, dcost in base.items():
             assert more[name] <= dcost
         assert set(base) <= set(more)
+
+
+class TestSplitGini:
+    def test_gain_nonnegative_and_bounded(self, spark, sf_dir):
+        """Splitting can never increase impurity (up to the documented
+        per-cell floor loss), and Gini lives in [0, 500] permille for a
+        binary label."""
+        from columnar_estimator_sample_spark.operators.quality import (
+            GINI_FEATURES, q_split_gini)
+        rows = q_split_gini(spark, sf_dir).collect()
+        assert len(rows) == len(GINI_FEATURES)
+        for r in rows:
+            assert 0 <= r.parent_gini_permille <= 500
+            assert 0 <= r.child_gini_permille <= 500
+            # floor division loses at most 1 permille per child cell
+            assert r.gain_permille >= -1
+            assert r.n_values >= 1
+        gains = [r.gain_permille for r in rows]
+        assert gains == sorted(gains, reverse=True)
