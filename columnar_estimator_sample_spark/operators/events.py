@@ -576,3 +576,85 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.expr("(1000 * n) DIV src_total"))
             .drop("src_total")
             .orderBy("src", "dst"))
+
+
+# ---------------------------------------------------------------------------
+# Activity concentration (Lorenz curve + Gini coefficient)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_activity_lorenz",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY user_id
+    ), level AS (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM per_user GROUP BY x
+    ), cum AS (
+        SELECT x, n_users,
+               CAST(SUM(n_users) OVER (ORDER BY x) AS BIGINT) AS cu,
+               CAST(SUM(x * n_users) OVER (ORDER BY x) AS BIGINT) AS ce
+        FROM level
+    ), tot AS (
+        SELECT CAST(SUM(n_users) AS BIGINT) AS nn,
+               CAST(SUM(x * n_users) AS BIGINT) AS tt,
+               CAST(SUM(CAST(x AS HUGEINT)
+                        * (CAST(cu AS HUGEINT) * (cu + 1)
+                           - CAST(cu - n_users AS HUGEINT)
+                             * (cu - n_users + 1)) // 2) AS HUGEINT) AS s
+        FROM cum
+    )
+    SELECT c.x AS n_events_level, c.n_users,
+           (1000 * c.cu) // t.nn AS cum_users_permille,
+           (1000 * c.ce) // t.tt AS cum_events_permille,
+           CAST((1000 * (2 * t.s - (CAST(t.nn AS HUGEINT) + 1) * t.tt))
+                // (CAST(t.nn AS HUGEINT) * t.tt) AS BIGINT)
+               AS gini_permille
+    FROM cum c CROSS JOIN tot t
+    ORDER BY n_events_level
+    """)
+def q_activity_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-activity concentration: the Lorenz curve (cumulative user
+    share vs cumulative event share, walking users from least to most
+    active) and the exact Gini coefficient of event concentration in
+    permille — the power-user/inequality audit of an event log (0 =
+    everyone equally active, ->1000 = all activity from one user).
+
+    Scale-safe formulation: users collapse to ACTIVITY LEVELS first
+    (level = distinct event count, bounded by max activity, not user
+    count), so the rank arithmetic that Gini's Sum(rank*x) needs runs on
+    the tiny level table — each level contributes x * (cu*(cu+1) -
+    prev*(prev+1))/2 by the arithmetic-series closed form, windowed over
+    levels only. No global per-user sort, no single-task window over the
+    user table. 128-bit exact lanes; bit-identical oracle."""
+    ev = table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.count("*").cast("long").alias("x")))
+    level = (per_user.groupBy("x")
+             .agg(F.count("*").cast("long").alias("n_users")))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    cum = (level
+           .withColumn("cu", F.sum("n_users").over(w).cast("long"))
+           .withColumn("ce", F.sum(F.expr("x * n_users")).over(w)
+                       .cast("long")))
+    tot = cum.agg(
+        F.sum("n_users").cast("long").alias("nn"),
+        F.sum(F.expr("x * n_users")).cast("long").alias("tt"),
+        F.sum(F.expr(
+            "CAST(x AS DECIMAL(38,0))"
+            " * (CAST(cu AS DECIMAL(38,0)) * (cu + 1)"
+            "    - CAST(cu - n_users AS DECIMAL(38,0))"
+            "      * (cu - n_users + 1)) div 2"))
+        .cast("decimal(38,0)").alias("s"))
+    return (cum.crossJoin(F.broadcast(tot))
+            .select(F.col("x").alias("n_events_level"), "n_users",
+                    F.expr("(1000 * cu) div nn").alias("cum_users_permille"),
+                    F.expr("(1000 * ce) div tt").alias("cum_events_permille"),
+                    F.expr("CAST((1000 * (2 * s"
+                           " - (CAST(nn AS DECIMAL(38,0)) + 1) * tt))"
+                           " div (CAST(nn AS DECIMAL(38,0)) * tt)"
+                           " AS BIGINT)").alias("gini_permille"))
+            .orderBy("n_events_level"))

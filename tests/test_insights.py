@@ -196,3 +196,24 @@ class TestCorpusMixtures:
             # synthetic text has a tiny vocab -> hapax may be 0
             assert 0 <= r.hapax_count <= r.vocab_size <= r.n_tokens
             assert 0 <= r.hapax_permille <= 1000
+
+
+class TestActivityLorenz:
+    def test_lorenz_dominance_and_gini_bounds(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.events import (
+            q_activity_lorenz)
+        rows = q_activity_lorenz(spark, sf_dir).collect()
+        assert rows
+        ginis = {r.gini_permille for r in rows}
+        assert len(ginis) == 1
+        g = ginis.pop()
+        assert 0 <= g <= 1000
+        prev_u = prev_e = 0
+        for r in rows:
+            # walking least->most active: event share lags user share
+            assert r.cum_events_permille <= r.cum_users_permille
+            assert r.cum_users_permille >= prev_u
+            assert r.cum_events_permille >= prev_e
+            prev_u, prev_e = r.cum_users_permille, r.cum_events_permille
+        # both curves terminate at 100% (floor-division slack of 1)
+        assert prev_u >= 999 and prev_e >= 999
