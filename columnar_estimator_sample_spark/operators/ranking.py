@@ -199,3 +199,86 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("term_score").cast("long").alias("score_micro"))
             .orderBy(F.desc("score_micro"), "doc_id")
             .limit(TOP_DOCS))
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (hybrid search)
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_TOP = 15
+
+
+@register(
+    "q_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), m AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term IN ({{terms}})
+        GROUP BY 1, 2
+    ), df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM m GROUP BY term
+    ), scores AS (
+        SELECT m.doc_id,
+               CAST(SUM(m.tf) AS BIGINT) AS score_tf,
+               CAST(SUM(1000000 // df.df) AS BIGINT) AS score_rarity
+        FROM m JOIN df USING (term)
+        GROUP BY m.doc_id
+    ), ranked AS (
+        SELECT doc_id, score_tf, score_rarity,
+               ROW_NUMBER() OVER (ORDER BY score_tf DESC, doc_id)
+                   AS rank_tf,
+               ROW_NUMBER() OVER (ORDER BY score_rarity DESC, doc_id)
+                   AS rank_rarity
+        FROM scores
+    )
+    SELECT doc_id, rank_tf, rank_rarity,
+           (1000000 // ({RRF_K} + rank_tf))
+               + (1000000 // ({RRF_K} + rank_rarity)) AS rrf_micro
+    FROM ranked
+    ORDER BY rrf_micro DESC, doc_id
+    LIMIT {RRF_TOP}
+    """.format(terms=_sql_terms()))
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two keyword rankers — the hybrid-search
+    combinator of a modern retrieval stack (fuse BM25 with dense-vector
+    ranks without score calibration, Cormack et al.'s 1/(k+rank) with
+    k={RRF_K}), restated exactly: ranker one orders candidates by total
+    query-term frequency, ranker two by rarity-weighted coverage
+    (sum of 1e6/df over matched terms), and the fused score is the
+    integer micro-scaled reciprocal-rank sum. Every rank is a
+    ROW_NUMBER with doc_id tiebreak -> total order -> bit-exact fusion.
+
+    Scale: the term filter pushes into the token explode BEFORE any
+    shuffle (candidates only — same containment shape as q_bm25_search);
+    the df side is a |terms|-row broadcast; both rank windows ride the
+    candidate set (bounded by matches, not corpus), with per-partition
+    partial top-k as the production variant when candidates outgrow one
+    partition."""
+    docs = table(spark, sf_dir, "documents")
+    m = (docs.select("doc_id",
+                     F.explode(F.split("text", " ")).alias("term"))
+         .filter(F.col("term").isin(*QUERY_TERMS))
+         .groupBy("doc_id", "term")
+         .agg(F.count("*").cast("long").alias("tf")))
+    df = m.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scores = (m.join(F.broadcast(df), "term")
+              .groupBy("doc_id")
+              .agg(F.sum("tf").cast("long").alias("score_tf"),
+                   F.sum(F.expr("1000000 div df")).cast("long")
+                   .alias("score_rarity")))
+    ranked = (scores
+              .withColumn("rank_tf", F.row_number().over(
+                  Window.orderBy(F.desc("score_tf"), "doc_id")))
+              .withColumn("rank_rarity", F.row_number().over(
+                  Window.orderBy(F.desc("score_rarity"), "doc_id"))))
+    return (ranked
+            .select("doc_id", "rank_tf", "rank_rarity",
+                    F.expr(f"(1000000 div ({RRF_K} + rank_tf))"
+                           f" + (1000000 div ({RRF_K} + rank_rarity))")
+                    .alias("rrf_micro"))
+            .orderBy(F.desc("rrf_micro"), "doc_id")
+            .limit(RRF_TOP))

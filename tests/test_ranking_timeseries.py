@@ -137,3 +137,22 @@ class TestMADOutliers:
             assert r.mad_cents >= 0
             # the reported cells deviate at least as much as the MAD
             assert r.dev_cents >= r.mad_cents
+
+
+class TestHybridRRF:
+    def test_fusion_is_consistent_with_component_ranks(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.ranking import (
+            RRF_K, RRF_TOP, q_hybrid_rrf)
+        rows = q_hybrid_rrf(spark, sf_dir).collect()
+        assert 0 < len(rows) <= RRF_TOP
+        for r in rows:
+            assert r.rank_tf >= 1 and r.rank_rarity >= 1
+            expect = (1000000 // (RRF_K + r.rank_tf)
+                      + 1000000 // (RRF_K + r.rank_rarity))
+            assert r.rrf_micro == expect
+        fused = [r.rrf_micro for r in rows]
+        assert fused == sorted(fused, reverse=True)
+        # a doc ranked #1 by BOTH rankers must top the fused list
+        for r in rows:
+            if r.rank_tf == 1 and r.rank_rarity == 1:
+                assert r.doc_id == rows[0].doc_id
