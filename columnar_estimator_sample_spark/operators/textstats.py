@@ -849,3 +849,58 @@ def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                        " (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)"
                        " AS BIGINT)").alias("concentration_permille"))
             .orderBy("lang"))
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact percentiles (length profile)
+# ---------------------------------------------------------------------------
+
+PCTS = (50, 90, 99)
+
+
+@register(
+    "q_length_percentiles",
+    oracle=f"""
+    WITH lens AS (
+        SELECT lang, CAST(n_chars AS BIGINT) AS len FROM documents
+    ), ranked AS (
+        SELECT lang, len,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY len) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM lens
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           {", ".join(
+               f"MAX(CASE WHEN rn = 1 + ((n - 1) * {p}) // 100"
+               f" THEN len END) AS p{p}_len" for p in PCTS)}
+    FROM ranked
+    GROUP BY lang, n
+    ORDER BY lang
+    """)
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language document-length percentiles (p50/p90/p99) by
+    rank selection — the "nearest-rank" percentile definition, which is
+    integer-exact and engine-agnostic (no interpolation, no float
+    quantile estimators: the pN is THE value at rank 1 + (n-1)*N/100).
+    The length profile drives chunking and packing parameter choices
+    upstream (q_pack_chunks / q_chunk_sliding).
+
+    Scale: one (lang)-keyed exchange shared by the rank window and the
+    count; the selector is a CASE-MAX rollup, not a self-join. Nearest-
+    rank on ties is deterministic because length itself is the full sort
+    key — equal lengths are interchangeable at the rank boundary."""
+    from pyspark.sql import Window
+    docs = table(spark, sf_dir, "documents")
+    lens = docs.select("lang", F.col("n_chars").cast("long").alias("len"))
+    wl = Window.partitionBy("lang")
+    ranked = (lens
+              .withColumn("rn", F.row_number().over(wl.orderBy("len")))
+              .withColumn("n", F.count("*").over(wl)))
+    sels = [F.max(F.when(
+                F.expr(f"rn = 1 + ((n - 1) * {p}) div 100"),
+                F.col("len"))).alias(f"p{p}_len")
+            for p in PCTS]
+    return (ranked.groupBy("lang", F.col("n").cast("long").alias("n_docs"))
+            .agg(*sels)
+            .orderBy("lang"))

@@ -217,3 +217,20 @@ class TestActivityLorenz:
             prev_u, prev_e = r.cum_users_permille, r.cum_events_permille
         # both curves terminate at 100% (floor-division slack of 1)
         assert prev_u >= 999 and prev_e >= 999
+
+
+class TestLengthPercentiles:
+    def test_monotone_and_within_range(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.textstats import (
+            q_length_percentiles)
+        from pyspark.sql import functions as F2
+        rows = q_length_percentiles(spark, sf_dir).collect()
+        assert rows
+        docs = table(spark, sf_dir, "documents")
+        bounds = {r.lang: (r.mn, r.mx) for r in
+                  docs.groupBy("lang")
+                  .agg(F2.min("n_chars").alias("mn"),
+                       F2.max("n_chars").alias("mx")).collect()}
+        for r in rows:
+            mn, mx = bounds[r.lang]
+            assert mn <= r.p50_len <= r.p90_len <= r.p99_len <= mx
