@@ -749,3 +749,73 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("jaccard_permille"))
             .orderBy(F.desc("jaccard_permille"), "src_a", "src_b")
             .limit(OVERLAP_TOP))
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification (dogfoods two_phase_cumsum)
+# ---------------------------------------------------------------------------
+
+ABC_A_PM = 800   # class A: parts within the first 80% of revenue
+ABC_B_PM = 950   # class B: up to 95%; the rest is C
+_LCENTS = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@register(
+    "q_abc_parts",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey, CAST(SUM({_LCENTS}) AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY l_partkey
+    ), cum AS (
+        SELECT l_partkey, rev_cents,
+               CAST(SUM(rev_cents) OVER (
+                   ORDER BY rev_cents DESC, l_partkey) AS BIGINT) AS cumrev
+        FROM rev
+    ), tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS t FROM rev),
+    classed AS (
+        SELECT CASE WHEN cumrev * 1000 <= {ABC_A_PM} * t THEN 'A'
+                    WHEN cumrev * 1000 <= {ABC_B_PM} * t THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               rev_cents
+        FROM cum CROSS JOIN tot
+    )
+    SELECT c.abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents,
+           (1000 * CAST(SUM(rev_cents) AS BIGINT)) // MAX(t.t)
+               AS revenue_share_permille
+    FROM classed c CROSS JOIN tot t
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """)
+def q_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by cumulative revenue share:
+    class A carries the first {ABC_A_PM}‰ of revenue, B up to {ABC_B_PM}‰,
+    C the tail — the inventory-analysis classic, and the registered
+    showcase of :func:`two_phase_cumsum`: the global running sum over
+    ~all parts runs as range-partitioned local cumsums plus a broadcast
+    offset table, NEVER as a single-task global window (the naive
+    Window.orderBy would serialize the part table through one task at
+    100 TB). The unique integer order key packs (revenue DESC, partkey
+    ASC) so ties cannot smear the cumsum across equal revenues.
+
+    All comparisons are integer cross-multiplications (cumrev*1000 vs
+    threshold*total) — no division until the 3-row report."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = (li.groupBy("l_partkey")
+           .agg(F.sum(F.expr(_LCENTS)).cast("long").alias("rev_cents")))
+    # unique int64 order key: revenue desc, partkey asc (partkey < 1e7)
+    keyed = rev.withColumn(
+        "__ord", F.expr("-(rev_cents * 10000000) + l_partkey"))
+    cum = two_phase_cumsum(keyed, "__ord", "rev_cents", "cumrev")
+    tot = rev.agg(F.sum("rev_cents").cast("long").alias("t"))
+    classed = (cum.crossJoin(F.broadcast(tot))
+               .withColumn("abc_class", F.expr(
+                   f"CASE WHEN cumrev * 1000 <= {ABC_A_PM} * t THEN 'A'"
+                   f" WHEN cumrev * 1000 <= {ABC_B_PM} * t THEN 'B'"
+                   f" ELSE 'C' END")))
+    return (classed.groupBy("abc_class")
+            .agg(F.count("*").cast("long").alias("n_parts"),
+                 F.sum("rev_cents").cast("long").alias("revenue_cents"),
+                 F.expr("(1000 * CAST(SUM(rev_cents) AS BIGINT)) div MAX(t)")
+                 .alias("revenue_share_permille"))
+            .orderBy("abc_class"))

@@ -195,3 +195,22 @@ class TestQualityAndQuantization:
         plan = plan_of(spark, "q_embed_quantize")
         assert "BatchEvalPython" not in plan
         assert "BroadcastExchange" in plan  # dim calibration broadcast
+
+
+class TestABCParts:
+    def test_pareto_structure(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.corpus import (
+            q_abc_parts)
+        from columnar_estimator_sample_spark.sources.tables import table
+        import pyspark.sql.functions as F
+        rows = {r.abc_class: r for r in q_abc_parts(spark, sf_dir).collect()}
+        n_parts = (table(spark, sf_dir, "lineitem")
+                   .select("l_partkey").distinct().count())
+        assert sum(r.n_parts for r in rows.values()) == n_parts
+        shares = sum(r.revenue_share_permille for r in rows.values())
+        assert 1000 - len(rows) <= shares <= 1000
+        if "A" in rows and "C" in rows:
+            # Pareto: A's per-part revenue dwarfs C's
+            a, c = rows["A"], rows["C"]
+            assert (a.revenue_cents * c.n_parts
+                    > c.revenue_cents * a.n_parts)
