@@ -658,3 +658,89 @@ def q_activity_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
                            " div (CAST(nn AS DECIMAL(38,0)) * tt)"
                            " AS BIGINT)").alias("gini_permille"))
             .orderBy("n_events_level"))
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting (new / retained / resurrected / churned)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_growth_accounting",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // {US_PER_DAY} AS BIGINT) AS day
+        FROM events
+    ), first AS (
+        SELECT user_id, MIN(day) AS fd FROM ud GROUP BY user_id
+    ), flags AS (
+        SELECT t.user_id, t.day,
+               CASE WHEN t.day = f.fd THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN y.user_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS is_retained,
+               CASE WHEN y.user_id IS NULL AND t.day > f.fd THEN 1 ELSE 0
+                   END AS is_resurrected
+        FROM ud t
+        JOIN first f ON f.user_id = t.user_id
+        LEFT JOIN ud y ON y.user_id = t.user_id AND y.day = t.day - 1
+    ), daily AS (
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               CAST(SUM(is_new) AS BIGINT) AS n_new,
+               CAST(SUM(is_retained) AS BIGINT) AS n_retained,
+               CAST(SUM(is_resurrected) AS BIGINT) AS n_resurrected
+        FROM flags GROUP BY day
+    )
+    SELECT d.day, d.n_active, d.n_new, d.n_retained, d.n_resurrected,
+           COALESCE(p.n_active, 0) - d.n_retained AS n_churned
+    FROM daily d LEFT JOIN daily p ON p.day = d.day - 1
+    ORDER BY d.day
+    """)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: every active user classified as NEW
+    (first-ever day), RETAINED (also active the previous day), or
+    RESURRECTED (returning after a gap); CHURNED counts yesterday's
+    actives who didn't return (= prev actives - today's retained). The
+    canonical DAU decomposition (new + retained + resurrected = active,
+    an identity the test pins) that growth teams read before anything
+    else.
+
+    Scale: the user-day dedup is the only corpus-sized aggregate; first
+    days are one user-keyed MIN; yesterday-membership is an equi-join of
+    the deduped table against itself shifted by one day (user-keyed
+    shuffle, no windows over users); the daily report joins a days-sized
+    table to itself. All integers."""
+    ev = table(spark, sf_dir, "events")
+    ud = (ev.select("user_id",
+                    F.expr(f"CAST(us div {US_PER_DAY} AS BIGINT)")
+                    .alias("day"))
+          .distinct())
+    first = ud.groupBy("user_id").agg(F.min("day").alias("fd"))
+    y = ud.select("user_id", (F.col("day") + 1).alias("day"),
+                  F.lit(1).alias("was_yesterday"))
+    flags = (ud.join(first, "user_id")
+             .join(y, ["user_id", "day"], "left")
+             .select(
+                 "day",
+                 F.when(F.col("day") == F.col("fd"), 1).otherwise(0)
+                 .alias("is_new"),
+                 F.when(F.col("was_yesterday").isNotNull(), 1).otherwise(0)
+                 .alias("is_retained"),
+                 F.when(F.col("was_yesterday").isNull()
+                        & (F.col("day") > F.col("fd")), 1).otherwise(0)
+                 .alias("is_resurrected")))
+    daily = (flags.groupBy("day")
+             .agg(F.count("*").cast("long").alias("n_active"),
+                  F.sum("is_new").cast("long").alias("n_new"),
+                  F.sum("is_retained").cast("long").alias("n_retained"),
+                  F.sum("is_resurrected").cast("long")
+                  .alias("n_resurrected")))
+    prev = daily.select((F.col("day") + 1).alias("day"),
+                        F.col("n_active").alias("prev_active"))
+    return (daily.join(prev, "day", "left")
+            .select("day", "n_active", "n_new", "n_retained",
+                    "n_resurrected",
+                    (F.coalesce("prev_active", F.lit(0))
+                     - F.col("n_retained")).alias("n_churned"))
+            .orderBy("day"))

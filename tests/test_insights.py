@@ -234,3 +234,21 @@ class TestLengthPercentiles:
         for r in rows:
             mn, mx = bounds[r.lang]
             assert mn <= r.p50_len <= r.p90_len <= r.p99_len <= mx
+
+
+class TestGrowthAccounting:
+    def test_dau_identity_and_user_conservation(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.events import (
+            q_growth_accounting)
+        rows = q_growth_accounting(spark, sf_dir).collect()
+        assert rows
+        n_users = (table(spark, sf_dir, "events")
+                   .select("user_id").distinct().count())
+        assert sum(r.n_new for r in rows) == n_users  # everyone new once
+        by_day = {r.day: r for r in rows}
+        for r in rows:
+            assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+            prev = by_day.get(r.day - 1)
+            prev_active = prev.n_active if prev else 0
+            assert 0 <= r.n_retained <= max(prev_active, 0)
+            assert r.n_churned == prev_active - r.n_retained
