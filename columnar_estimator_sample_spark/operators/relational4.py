@@ -534,3 +534,75 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment latency percentiles
+# ---------------------------------------------------------------------------
+
+_US_DAY = 86_400_000_000
+LAT_PCTS = (50, 90, 99)
+
+
+@register(
+    "q_ship_latency",
+    oracle=f"""
+    WITH lat AS (
+        SELECT o.o_orderpriority AS priority,
+               (epoch_us(l.l_shipdate) // {_US_DAY})
+               - (epoch_us(o.o_orderdate) // {_US_DAY}) AS days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), ranked AS (
+        SELECT priority, days,
+               ROW_NUMBER() OVER (PARTITION BY priority
+                                  ORDER BY days) AS rn,
+               COUNT(*) OVER (PARTITION BY priority) AS n
+        FROM lat
+    )
+    SELECT priority, CAST(n AS BIGINT) AS n_items,
+           {", ".join(
+               f"MAX(CASE WHEN rn = 1 + ((n - 1) * {p}) // 100"
+               f" THEN days END) AS p{p}_days" for p in LAT_PCTS)},
+           MAX(days) AS max_days
+    FROM ranked
+    GROUP BY priority, n
+    ORDER BY priority
+    """)
+def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency profile per order priority: exact
+    nearest-rank p50/p90/p99 (plus max) of the day-count between order
+    placement and each line item's ship date — the operational-SLA
+    percentile report, exercising a fact-fact join feeding grouped exact
+    percentiles. Day math is integer epoch-µs floor division
+    (timezone-invariant); nearest-rank selection keeps everything in
+    BIGINT.
+
+    Scale: the join shuffles on orderkey (both sides key-partitioned;
+    at 100 TB co-located by bucketing on the shared key), then ONE
+    priority-keyed exchange carries the rank window, the count, and the
+    rollup. |priorities| is tiny, so window partitions are wide but
+    map-side partial CASE-MAX keeps the final aggregate cheap."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(f"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div {_US_DAY}")
+        .alias("ship_day"))
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("priority"),
+        F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_DAY}")
+        .alias("order_day"))
+    lat = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .select("priority",
+                   (F.col("ship_day") - F.col("order_day")).alias("days")))
+    from pyspark.sql import Window
+    wp = Window.partitionBy("priority")
+    ranked = (lat
+              .withColumn("rn", F.row_number().over(wp.orderBy("days")))
+              .withColumn("n", F.count("*").over(wp)))
+    sels = [F.max(F.when(
+                F.expr(f"rn = 1 + ((n - 1) * {p}) div 100"),
+                F.col("days"))).alias(f"p{p}_days")
+            for p in LAT_PCTS]
+    return (ranked.groupBy("priority", F.col("n").cast("long")
+                           .alias("n_items"))
+            .agg(*sels, F.max("days").alias("max_days"))
+            .orderBy("priority"))

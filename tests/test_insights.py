@@ -252,3 +252,15 @@ class TestGrowthAccounting:
             prev_active = prev.n_active if prev else 0
             assert 0 <= r.n_retained <= max(prev_active, 0)
             assert r.n_churned == prev_active - r.n_retained
+
+
+class TestShipLatency:
+    def test_percentiles_ordered(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.relational4 import (
+            q_ship_latency)
+        rows = q_ship_latency(spark, sf_dir).collect()
+        assert rows
+        n_li = table(spark, sf_dir, "lineitem").count()
+        assert sum(r.n_items for r in rows) == n_li
+        for r in rows:
+            assert 0 <= r.p50_days <= r.p90_days <= r.p99_days <= r.max_days
