@@ -467,3 +467,100 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("ratio_x10"))
             .orderBy(F.desc("ratio_x10"), "event_type", "day")
             .limit(MAD_TOP))
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest
+# ---------------------------------------------------------------------------
+
+BACKTEST_DAYS = 7
+
+
+@register(
+    "q_seasonal_backtest",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // {US_PER_DAY} AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), split AS (
+        SELECT MAX(day) - {BACKTEST_DAYS} + 1 AS cut FROM daily
+    ), train AS (
+        SELECT d.* FROM daily d, split s WHERE d.day < s.cut
+    ), test AS (
+        SELECT d.* FROM daily d, split s WHERE d.day >= s.cut
+    ), seasonal AS (
+        SELECT event_type, (day + 3) % 7 AS weekday,
+               CAST(SUM(n) AS BIGINT) // COUNT(*) AS fc
+        FROM train GROUP BY 1, 2
+    ), naive AS (
+        SELECT event_type, CAST(SUM(n) AS BIGINT) // COUNT(*) AS fc
+        FROM train GROUP BY 1
+    ), scored AS (
+        SELECT t.event_type,
+               ABS(t.n - COALESCE(s.fc, nv.fc)) AS err_seasonal,
+               ABS(t.n - nv.fc) AS err_naive
+        FROM test t
+        JOIN naive nv ON nv.event_type = t.event_type
+        LEFT JOIN seasonal s ON s.event_type = t.event_type
+                            AND s.weekday = (t.day + 3) % 7
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_test_days,
+           (1000 * CAST(SUM(err_seasonal) AS BIGINT)) // COUNT(*)
+               AS seasonal_mae_milli,
+           (1000 * CAST(SUM(err_naive) AS BIGINT)) // COUNT(*)
+               AS naive_mae_milli
+    FROM scored
+    GROUP BY event_type
+    ORDER BY event_type
+    """)
+def q_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: hold out the last
+    {BACKTEST_DAYS} days per event type, predict each held-out day's
+    event count with the training mean of its weekday (falling back to
+    the overall training mean for unseen weekdays), and report the MAE
+    against the plain-mean naive baseline — the minimal honest
+    forecasting loop (train/test split, seasonal model, baseline
+    comparison) with every statistic in integer milli-units.
+
+    Scale: the raw stream collapses to (type, day) counts once; the
+    split point is a broadcast scalar; seasonal/naive models are tiny
+    aggregates of the training slice; scoring joins days-sized frames.
+    Integer floor-division means end to end — identical in both
+    engines."""
+    ev = table(spark, sf_dir, "events")
+    daily = (ev.select("event_type",
+                       F.expr(f"CAST(us div {US_PER_DAY} AS BIGINT)")
+                       .alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count("*").cast("long").alias("n")))
+    split = daily.agg((F.max("day") - BACKTEST_DAYS + 1).alias("cut"))
+    with_cut = daily.crossJoin(F.broadcast(split))
+    train = with_cut.filter(F.col("day") < F.col("cut")).drop("cut")
+    test = with_cut.filter(F.col("day") >= F.col("cut")).drop("cut")
+    seasonal = (train.withColumn("weekday", F.expr("(day + 3) % 7"))
+                .groupBy("event_type", "weekday")
+                .agg(F.expr("CAST(SUM(n) AS BIGINT) div COUNT(*)")
+                     .alias("fc_s")))
+    naive = (train.groupBy("event_type")
+             .agg(F.expr("CAST(SUM(n) AS BIGINT) div COUNT(*)")
+                  .alias("fc_n")))
+    scored = (test.withColumn("weekday", F.expr("(day + 3) % 7"))
+              .join(F.broadcast(naive), "event_type")
+              .join(F.broadcast(seasonal), ["event_type", "weekday"],
+                    "left")
+              .select("event_type",
+                      F.abs(F.col("n")
+                            - F.coalesce("fc_s", "fc_n"))
+                      .alias("err_seasonal"),
+                      F.abs(F.col("n") - F.col("fc_n"))
+                      .alias("err_naive")))
+    return (scored.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_test_days"),
+                 F.expr("(1000 * CAST(SUM(err_seasonal) AS BIGINT))"
+                        " div COUNT(*)").alias("seasonal_mae_milli"),
+                 F.expr("(1000 * CAST(SUM(err_naive) AS BIGINT))"
+                        " div COUNT(*)").alias("naive_mae_milli"))
+            .orderBy("event_type"))

@@ -156,3 +156,15 @@ class TestHybridRRF:
         for r in rows:
             if r.rank_tf == 1 and r.rank_rarity == 1:
                 assert r.doc_id == rows[0].doc_id
+
+
+class TestSeasonalBacktest:
+    def test_errors_nonnegative_and_complete(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.timeseries import (
+            BACKTEST_DAYS, q_seasonal_backtest)
+        rows = q_seasonal_backtest(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 1 <= r.n_test_days <= BACKTEST_DAYS
+            assert r.seasonal_mae_milli >= 0
+            assert r.naive_mae_milli >= 0
