@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from columnar_estimator_sample_spark.registry import register
+
 
 def bucketed_ctas(spark: SparkSession, name: str, df: DataFrame,
                   bucket_col: str, n_buckets: int = 16) -> DataFrame:
@@ -85,3 +87,115 @@ def skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
             .withColumn("share", F.col("n_rows") / F.lit(float(total)))
             .orderBy(F.desc("n_rows"), F.asc(key))
             .limit(top))
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout quality (multi-dimensional clustering)
+# ---------------------------------------------------------------------------
+
+Z_BITS = 16        # bits per dimension after range scaling
+Z_BUCKETS_SHIFT = 2 * Z_BITS - 8   # 256 buckets over the 32-bit z space
+
+
+def _interleave(x: str, y: str, dialect: str) -> str:
+    """Bit-interleave two {Z_BITS}-bit ints into one z-value — identical
+    integer expression in both dialects (disjoint bits, so + == |)."""
+    terms = []
+    for b in range(Z_BITS):
+        if dialect == "spark":
+            terms.append(f"shiftleft(shiftright({x}, {b}) & 1, {2 * b})")
+            terms.append(f"shiftleft(shiftright({y}, {b}) & 1, {2 * b + 1})")
+        else:
+            terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+            terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+def _zorder_oracle() -> str:
+    z = _interleave("x16", "y16", "duckdb")
+    return f"""
+    WITH raw AS (
+        SELECT l_partkey AS x, l_suppkey AS y FROM lineitem
+    ), rng AS (
+        SELECT MAX(x) AS mx, MAX(y) AS my FROM raw
+    ), scaled AS (
+        SELECT (x * 65535) // GREATEST(mx, 1) AS x16,
+               (y * 65535) // GREATEST(my, 1) AS y16
+        FROM raw, rng
+    ), keyed AS (
+        SELECT x16, y16,
+               ({z}) >> {Z_BUCKETS_SHIFT} AS zbucket,
+               x16 >> 8 AS xbucket
+        FROM scaled
+    ), zstats AS (
+        SELECT 'zorder' AS layout, CAST(COUNT(DISTINCT zbucket) AS BIGINT)
+                   AS n_buckets,
+               CAST(SUM(span_x) AS BIGINT) // COUNT(*) AS avg_span_x_pm,
+               CAST(SUM(span_y) AS BIGINT) // COUNT(*) AS avg_span_y_pm
+        FROM (
+            SELECT zbucket,
+                   ((MAX(x16) - MIN(x16)) * 1000) // 65535 AS span_x,
+                   ((MAX(y16) - MIN(y16)) * 1000) // 65535 AS span_y
+            FROM keyed GROUP BY zbucket
+        )
+    ), xstats AS (
+        SELECT 'single_dim' AS layout, CAST(COUNT(DISTINCT xbucket) AS BIGINT)
+                   AS n_buckets,
+               CAST(SUM(span_x) AS BIGINT) // COUNT(*) AS avg_span_x_pm,
+               CAST(SUM(span_y) AS BIGINT) // COUNT(*) AS avg_span_y_pm
+        FROM (
+            SELECT xbucket,
+                   ((MAX(x16) - MIN(x16)) * 1000) // 65535 AS span_x,
+                   ((MAX(y16) - MIN(y16)) * 1000) // 65535 AS span_y
+            FROM keyed GROUP BY xbucket
+        )
+    )
+    SELECT * FROM zstats UNION ALL SELECT * FROM xstats
+    ORDER BY layout DESC
+    """
+
+
+@register("q_zorder_layout", oracle=_zorder_oracle())
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) layout audit: interleave the bits of the
+    range-scaled (partkey, suppkey) pair, bucket rows by z-prefix, and
+    measure each bucket's key-range SPAN in both dimensions — against the
+    single-dimension sort baseline. This is the data-layout math behind
+    multi-dimensional clustering at 100 TB (Delta/Iceberg OPTIMIZE
+    ZORDER): a z-sorted file keeps BOTH dimensions' min/max narrow, so
+    predicates on either column prune files; a single-column sort leaves
+    the second dimension's span at ~full range (the report makes the
+    contrast visible: avg_span_y_pm collapses under zorder).
+
+    All integer bit arithmetic (32 shift-mask terms, identical in both
+    dialects); range scaling divides by the broadcast data max."""
+    from columnar_estimator_sample_spark.sources.tables import table
+    raw = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("x"), F.col("l_suppkey").alias("y"))
+    rng = raw.agg(F.max("x").alias("mx"), F.max("y").alias("my"))
+    scaled = (raw.crossJoin(F.broadcast(rng))
+              .select(F.expr("(x * 65535) div GREATEST(mx, 1)").alias("x16"),
+                      F.expr("(y * 65535) div GREATEST(my, 1)").alias("y16")))
+    z = _interleave("x16", "y16", "spark")
+    keyed = scaled.select(
+        "x16", "y16",
+        F.expr(f"shiftright({z}, {Z_BUCKETS_SHIFT})").alias("zbucket"),
+        F.expr("shiftright(x16, 8)").alias("xbucket"))
+
+    def stats(bucket: str, label: str) -> DataFrame:
+        per = (keyed.groupBy(bucket)
+               .agg(F.expr("((MAX(x16) - MIN(x16)) * 1000) div 65535")
+                    .alias("span_x"),
+                    F.expr("((MAX(y16) - MIN(y16)) * 1000) div 65535")
+                    .alias("span_y")))
+        return per.agg(
+            F.lit(label).alias("layout"),
+            F.count("*").cast("long").alias("n_buckets"),
+            F.expr("CAST(SUM(span_x) AS BIGINT) div COUNT(*)")
+            .alias("avg_span_x_pm"),
+            F.expr("CAST(SUM(span_y) AS BIGINT) div COUNT(*)")
+            .alias("avg_span_y_pm")).select(
+                "layout", "n_buckets", "avg_span_x_pm", "avg_span_y_pm")
+    return (stats("zbucket", "zorder")
+            .unionByName(stats("xbucket", "single_dim"))
+            .orderBy(F.desc("layout")))

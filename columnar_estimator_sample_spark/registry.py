@@ -49,6 +49,7 @@ _OPERATOR_MODULES = [
     "columnar_estimator_sample_spark.operators.corpus",
     "columnar_estimator_sample_spark.operators.vq",
     "columnar_estimator_sample_spark.operators.multimodal",
+    "columnar_estimator_sample_spark.operators.partitioning",
     "columnar_estimator_sample_spark.operators.features",
     "columnar_estimator_sample_spark.plans.stats_queries",
     "columnar_estimator_sample_spark.sources.tfrecord",

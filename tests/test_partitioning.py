@@ -159,3 +159,19 @@ class TestAQESkewJoin:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestZOrderLayout:
+    def test_zorder_bounds_both_dims(self, spark, sf_dir):
+        """Z-order buckets keep BOTH dimensions narrow; a single-column
+        sort leaves the other dimension near full range — the property
+        that makes z-ordering prune files on either predicate."""
+        from columnar_estimator_sample_spark.operators.partitioning import (
+            q_zorder_layout)
+        rows = {r.layout: r for r in q_zorder_layout(spark, sf_dir).collect()}
+        z, s = rows["zorder"], rows["single_dim"]
+        assert z.n_buckets > 1 and s.n_buckets > 1
+        # the second dimension is dramatically tighter under z-order
+        assert z.avg_span_y_pm < s.avg_span_y_pm
+        # and the z-layout's spans are balanced across dims
+        assert z.avg_span_x_pm < 1000 and z.avg_span_y_pm < 1000
