@@ -299,3 +299,121 @@ def q_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                      - F.expr("CAST(t div nn AS BIGINT)"))
                     .alias("gain_permille"))
             .orderBy(F.desc("gain_permille"), "feature"))
+
+
+# ---------------------------------------------------------------------------
+# Exact AUC + calibration/lift (model-evaluation family)
+# ---------------------------------------------------------------------------
+
+# "model score" proxy: the discount band; label: returned lineitems.
+_SCORE = "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@register(
+    "q_exact_auc",
+    oracle=f"""
+    WITH s AS (
+        SELECT {_SCORE} AS score, {_GINI_LABEL} AS y FROM lineitem
+    ), g AS (
+        SELECT score, CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(y) AS BIGINT) AS pos_g
+        FROM s GROUP BY score
+    ), c AS (
+        SELECT score, n_g, pos_g,
+               CAST(SUM(n_g) OVER (ORDER BY score) AS BIGINT) - n_g
+                   AS cum_before
+        FROM g
+    ), agg AS (
+        SELECT CAST(SUM(pos_g) AS BIGINT) AS p,
+               CAST(SUM(n_g - pos_g) AS BIGINT) AS n,
+               CAST(SUM(CAST(pos_g AS HUGEINT)
+                        * (2 * cum_before + n_g + 1)) AS HUGEINT) AS s2
+        FROM c
+    )
+    SELECT p AS n_pos, n AS n_neg,
+           CAST((1000000 * (s2 - CAST(p AS HUGEINT) * (p + 1)))
+                // (2 * CAST(p AS HUGEINT) * n) AS BIGINT) AS auc_micro
+    FROM agg
+    """)
+def q_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed AUC (Mann-Whitney U with tie-corrected average
+    ranks), no sampling and no sort of raw rows: rows collapse to score
+    GROUPS first, average ranks of tie groups come from the closed form
+    (2*cum_before + n_g + 1)/2 on the cumulative group counts — kept
+    doubled so everything stays integer — and AUC = (S2 - P(P+1)) /
+    (2PN) in exact micro-units. The standard "how discriminative is this
+    score" metric, here scoring the discount band against returned
+    items.
+
+    Scale: one scan -> |distinct scores| rows; the rank window rides the
+    tiny group table (score cardinality, not corpus); 128-bit lanes for
+    the rank sums. This is how AUC is computed exactly on 100 TB —
+    never by ordering raw predictions."""
+    li = table(spark, sf_dir, "lineitem")
+    g = (li.select(F.expr(_SCORE).alias("score"),
+                   F.expr(_GINI_LABEL).alias("y"))
+         .groupBy("score")
+         .agg(F.count("*").cast("long").alias("n_g"),
+              F.sum("y").cast("long").alias("pos_g")))
+    from pyspark.sql import Window
+    w = (Window.orderBy("score")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = g.withColumn("cum_before",
+                     F.sum("n_g").over(w).cast("long") - F.col("n_g"))
+    agg = c.agg(
+        F.sum("pos_g").cast("long").alias("p"),
+        F.sum(F.expr("n_g - pos_g")).cast("long").alias("n"),
+        F.sum(F.expr("CAST(pos_g AS DECIMAL(38,0))"
+                     " * (2 * cum_before + n_g + 1)"))
+        .cast("decimal(38,0)").alias("s2"))
+    return agg.select(
+        F.col("p").alias("n_pos"), F.col("n").alias("n_neg"),
+        F.expr("CAST((1000000 * (s2 - CAST(p AS DECIMAL(38,0)) * (p + 1)))"
+               " div (2 * CAST(p AS DECIMAL(38,0)) * n) AS BIGINT)")
+        .alias("auc_micro"))
+
+
+@register(
+    "q_calibration_bins",
+    oracle=f"""
+    WITH s AS (
+        SELECT {_SCORE} AS score, {_GINI_LABEL} AS y FROM lineitem
+    ), b AS (
+        SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM s GROUP BY score
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(pos) AS BIGINT) AS tp
+        FROM b
+    )
+    SELECT b.score, b.n, b.pos,
+           (1000 * b.pos) // b.n AS pos_rate_permille,
+           ((1000 * b.pos) // b.n) * 1000
+               // GREATEST((1000 * t.tp) // t.tn, 1) AS lift_permille
+    FROM b CROSS JOIN tot t
+    ORDER BY b.score
+    """)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / lift table for the score of q_exact_auc: per score
+    band, the observed positive rate and its lift over the base rate
+    (1000 = average). Together with the AUC this is the standard offline
+    model-evaluation pair — discrimination (AUC) plus calibration (does
+    a band's observed rate match its nominal score) — all integer.
+
+    Scale: same |scores|-row aggregate as the AUC; base rate broadcasts
+    from a 1-row total."""
+    li = table(spark, sf_dir, "lineitem")
+    b = (li.select(F.expr(_SCORE).alias("score"),
+                   F.expr(_GINI_LABEL).alias("y"))
+         .groupBy("score")
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum("y").cast("long").alias("pos")))
+    tot = b.agg(F.sum("n").cast("long").alias("tn"),
+                F.sum("pos").cast("long").alias("tp"))
+    return (b.crossJoin(F.broadcast(tot))
+            .select("score", "n", "pos",
+                    F.expr("(1000 * pos) div n").alias("pos_rate_permille"),
+                    F.expr("((1000 * pos) div n) * 1000"
+                           " div GREATEST((1000 * tp) div tn, 1)")
+                    .alias("lift_permille"))
+            .orderBy("score"))

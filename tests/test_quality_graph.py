@@ -142,3 +142,41 @@ class TestSplitGini:
             assert r.n_values >= 1
         gains = [r.gain_permille for r in rows]
         assert gains == sorted(gains, reverse=True)
+
+
+class TestModelEval:
+    def test_auc_matches_sklearn_free_reference(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.sources.tables import table
+        """Cross-check the closed-form tie-corrected AUC against a direct
+        pair-counting computation on the collected (score, label) pairs."""
+        import pyspark.sql.functions as F2
+        from columnar_estimator_sample_spark.operators.quality import (
+            q_exact_auc)
+        row = q_exact_auc(spark, sf_dir).collect()[0]
+        li = (table(spark, sf_dir, "lineitem")
+              .select(F2.expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100"
+                              " AS BIGINT)").alias("s"),
+                      F2.expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0"
+                              " END").alias("y")).collect())
+        pos = sorted(r.s for r in li if r.y == 1)
+        neg = sorted(r.s for r in li if r.y == 0)
+        assert row.n_pos == len(pos) and row.n_neg == len(neg)
+        import bisect
+        wins = ties = 0
+        for s in pos:
+            wins += bisect.bisect_left(neg, s)
+            ties += bisect.bisect_right(neg, s) - bisect.bisect_left(neg, s)
+        auc_micro = (1_000_000 * (2 * wins + ties)) // (2 * len(pos)
+                                                        * len(neg))
+        assert row.auc_micro == auc_micro
+
+    def test_calibration_conserves_and_lifts(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.sources.tables import table
+        from columnar_estimator_sample_spark.operators.quality import (
+            q_calibration_bins)
+        rows = q_calibration_bins(spark, sf_dir).collect()
+        n_li = table(spark, sf_dir, "lineitem").count()
+        assert sum(r.n for r in rows) == n_li
+        for r in rows:
+            assert 0 <= r.pos_rate_permille <= 1000
+            assert r.pos <= r.n
