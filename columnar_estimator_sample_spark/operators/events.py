@@ -744,3 +744,96 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.coalesce("prev_active", F.lit(0))
                      - F.col("n_retained")).alias("n_churned"))
             .orderBy("day"))
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (total-variation distance between periods)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_distribution_drift",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // {US_PER_DAY} AS BIGINT) AS day
+        FROM events
+    ), rng AS (
+        SELECT MIN(day) AS mn, MAX(day) AS mx FROM d
+    ), halves AS (
+        SELECT event_type,
+               CASE WHEN day < (mn + mx + 1) // 2 THEN 1 ELSE 2 END AS half
+        FROM d, rng
+    ), c AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2
+        FROM halves GROUP BY event_type
+    ), tot AS (
+        SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2
+        FROM c
+    ), tvd AS (
+        SELECT CAST(SUM(ABS(CAST(n1 AS HUGEINT) * t.t2
+                            - CAST(n2 AS HUGEINT) * t.t1) * 500
+                        // (CAST(t.t1 AS HUGEINT) * t.t2)) AS BIGINT)
+                   AS tvd_permille
+        FROM c CROSS JOIN tot t
+    )
+    SELECT c.event_type, c.n1 AS n_first, c.n2 AS n_second,
+           (1000 * c.n1) // t.t1 AS share_first_permille,
+           (1000 * c.n2) // t.t2 AS share_second_permille,
+           (1000 * c.n1) // t.t1 - (1000 * c.n2) // t.t2
+               AS delta_permille,
+           v.tvd_permille
+    FROM c CROSS JOIN tot t CROSS JOIN tvd v
+    ORDER BY event_type
+    """)
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift monitor: split the event log at its midpoint
+    day and compare the event-type mix of the two halves — per-type
+    share deltas plus the total-variation distance (the log-free drift
+    statistic: TVD = half the L1 distance between the two distributions,
+    here in exact integer permille via cross-multiplication, no float
+    ratios). The pre-deployment check that training-period data still
+    looks like serving-period data.
+
+    Scale: one scan to (type, half) cells, totals broadcast from the
+    tiny cell table; the TVD row folds |types| integers. 128-bit exact
+    lanes for the cross products."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.select("event_type",
+                  F.expr(f"CAST(us div {US_PER_DAY} AS BIGINT)")
+                  .alias("day"))
+    rng = d.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    c = (d.crossJoin(F.broadcast(rng))
+         .select("event_type",
+                 F.expr("CASE WHEN day < (mn + mx + 1) div 2"
+                        " THEN 1 ELSE 2 END").alias("half"))
+         .groupBy("event_type")
+         .agg(F.sum(F.expr("CASE WHEN half = 1 THEN 1 ELSE 0 END"))
+              .cast("long").alias("n1"),
+              F.sum(F.expr("CASE WHEN half = 2 THEN 1 ELSE 0 END"))
+              .cast("long").alias("n2")))
+    tot = c.agg(F.sum("n1").cast("long").alias("t1"),
+                F.sum("n2").cast("long").alias("t2"))
+    withtot = c.crossJoin(F.broadcast(tot))
+    tvd = withtot.agg(
+        F.sum(F.expr(
+            "ABS(CAST(n1 AS DECIMAL(38,0)) * t2"
+            " - CAST(n2 AS DECIMAL(38,0)) * t1) * 500"
+            " div (CAST(t1 AS DECIMAL(38,0)) * t2)"))
+        .cast("long").alias("tvd_permille"))
+    return (withtot.crossJoin(F.broadcast(tvd))
+            .select("event_type",
+                    F.col("n1").alias("n_first"),
+                    F.col("n2").alias("n_second"),
+                    F.expr("(1000 * n1) div t1")
+                    .alias("share_first_permille"),
+                    F.expr("(1000 * n2) div t2")
+                    .alias("share_second_permille"),
+                    F.expr("(1000 * n1) div t1 - (1000 * n2) div t2")
+                    .alias("delta_permille"),
+                    "tvd_permille")
+            .orderBy("event_type"))

@@ -264,3 +264,22 @@ class TestShipLatency:
         assert sum(r.n_items for r in rows) == n_li
         for r in rows:
             assert 0 <= r.p50_days <= r.p90_days <= r.p99_days <= r.max_days
+
+
+class TestDistributionDrift:
+    def test_shares_and_tvd_consistency(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.events import (
+            q_distribution_drift)
+        rows = q_distribution_drift(spark, sf_dir).collect()
+        assert rows
+        tvds = {r.tvd_permille for r in rows}
+        assert len(tvds) == 1
+        tvd = tvds.pop()
+        assert 0 <= tvd <= 1000
+        # TVD upper-bounds half the sum of |share deltas| up to floor slack
+        l1 = sum(abs(r.delta_permille) for r in rows)
+        assert abs(tvd - l1 // 2) <= len(rows) + 1
+        s1 = sum(r.share_first_permille for r in rows)
+        s2 = sum(r.share_second_permille for r in rows)
+        assert 1000 - len(rows) <= s1 <= 1000
+        assert 1000 - len(rows) <= s2 <= 1000
