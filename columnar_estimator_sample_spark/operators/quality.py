@@ -417,3 +417,84 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                            " div GREATEST((1000 * tp) div tn, 1)")
                     .alias("lift_permille"))
             .orderBy("score"))
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test (exact, distributed CDFs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ks_test",
+    oracle=f"""
+    WITH cells AS (
+        SELECT {_SCORE.replace('l_discount', 'l_extendedprice')} AS cents,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n2
+        FROM lineitem GROUP BY 1
+    ), cum AS (
+        SELECT cents,
+               CAST(SUM(n1) OVER (ORDER BY cents) AS BIGINT) AS c1,
+               CAST(SUM(n2) OVER (ORDER BY cents) AS BIGINT) AS c2
+        FROM cells
+    ), tot AS (
+        SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2
+        FROM cells
+    ), diffs AS (
+        SELECT cents,
+               ABS(CAST(c1 AS HUGEINT) * t.t2 - CAST(c2 AS HUGEINT) * t.t1)
+                   AS d
+        FROM cum CROSS JOIN tot t
+    )
+    SELECT t.t1 AS n_returned, t.t2 AS n_kept,
+           CAST((1000 * d.d) // (CAST(t.t1 AS HUGEINT) * t.t2) AS BIGINT)
+               AS ks_permille,
+           d.cents AS argmax_cents
+    FROM diffs d CROSS JOIN tot t
+    ORDER BY d.d DESC, d.cents
+    LIMIT 1
+    """)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic: does the price
+    distribution of RETURNED lineitems differ from kept ones? KS is the
+    max gap between the two empirical CDFs — computed exactly by
+    aggregating to price levels (cents), running BOTH cumulative counts
+    through :func:`two_phase_cumsum` (range-partitioned prefix sums — the
+    CDF of 100 TB never serializes through one window task), and taking
+    the max of |c1*T2 - c2*T1| by integer cross-multiplication. Returns
+    the statistic in permille and the price where the distributions
+    diverge most.
+
+    No distributional assumptions, no logs, no floats — the
+    nonparametric sibling of q_chi_square."""
+    from columnar_estimator_sample_spark.operators.corpus import (
+        two_phase_cumsum)
+    li = table(spark, sf_dir, "lineitem")
+    cents = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    cells = (li.select(F.expr(cents).alias("cents"),
+                       F.expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0"
+                              " END").alias("y"))
+             .groupBy("cents")
+             .agg(F.sum("y").cast("long").alias("n1"),
+                  F.sum(F.expr("1 - y")).cast("long").alias("n2")))
+    c1 = two_phase_cumsum(cells, "cents", "n1", "c1").select("cents", "c1")
+    c2 = two_phase_cumsum(cells, "cents", "n2", "c2").select("cents", "c2")
+    cum = c1.join(c2, "cents")
+    tot = cells.agg(F.sum("n1").cast("long").alias("t1"),
+                    F.sum("n2").cast("long").alias("t2"))
+    diffs = (cum.crossJoin(F.broadcast(tot))
+             .select("cents", "t1", "t2",
+                     F.expr("ABS(CAST(c1 AS DECIMAL(38,0)) * t2"
+                            " - CAST(c2 AS DECIMAL(38,0)) * t1)")
+                     .alias("d")))
+    return (diffs
+            .orderBy(F.desc("d"), "cents")
+            .limit(1)
+            .select(F.col("t1").alias("n_returned"),
+                    F.col("t2").alias("n_kept"),
+                    F.expr("CAST((1000 * d)"
+                           " div (CAST(t1 AS DECIMAL(38,0)) * t2)"
+                           " AS BIGINT)").alias("ks_permille"),
+                    F.col("cents").alias("argmax_cents")))

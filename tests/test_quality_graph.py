@@ -180,3 +180,26 @@ class TestModelEval:
         for r in rows:
             assert 0 <= r.pos_rate_permille <= 1000
             assert r.pos <= r.n
+
+
+class TestKSTest:
+    def test_matches_direct_cdf_computation(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.quality import (
+            q_ks_test)
+        from columnar_estimator_sample_spark.sources.tables import table
+        import pyspark.sql.functions as F2
+        row = q_ks_test(spark, sf_dir).collect()[0]
+        li = (table(spark, sf_dir, "lineitem")
+              .select(F2.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+                              " * 100 AS BIGINT)").alias("c"),
+                      "l_returnflag").collect())
+        a = sorted(r.c for r in li if r.l_returnflag == "R")
+        b = sorted(r.c for r in li if r.l_returnflag != "R")
+        assert row.n_returned == len(a) and row.n_kept == len(b)
+        import bisect
+        best = -1
+        for v in sorted(set(a) | set(b)):
+            d = abs(bisect.bisect_right(a, v) * len(b)
+                    - bisect.bisect_right(b, v) * len(a))
+            best = max(best, d)
+        assert row.ks_permille == (1000 * best) // (len(a) * len(b))
