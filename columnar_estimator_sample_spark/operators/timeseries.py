@@ -564,3 +564,62 @@ def q_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("(1000 * CAST(SUM(err_naive) AS BIGINT))"
                         " div COUNT(*)").alias("naive_mae_milli"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Burstiness (index of dispersion)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_burstiness",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // {US_PER_DAY} AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(x) AS BIGINT) AS n_events,
+           (1000 * CAST(SUM(x) AS BIGINT)) // COUNT(*) AS mean_milli,
+           CAST((1000 * (COUNT(*) * CAST(SUM(CAST(x AS HUGEINT) * x)
+                                         AS HUGEINT)
+                         - CAST(SUM(x) AS HUGEINT) * SUM(x)))
+                // (CAST(SUM(x) AS HUGEINT) * (COUNT(*) - 1)) AS BIGINT)
+               AS fano_milli
+    FROM daily
+    GROUP BY event_type
+    ORDER BY event_type
+    """)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of each event type: the index of dispersion (Fano
+    factor, sample variance over mean) of its daily counts in exact
+    integer milli-units — 1000 means Poisson-like arrivals, far above
+    means bursty/campaign-driven traffic, far below means throttled or
+    quota-shaped flow. Variance never materializes as a float: the
+    statistic is the rational (n*Sum(x^2) - T^2) / (T*(n-1)) on 128-bit
+    lanes.
+
+    Scale: one scan to (type, day) counts, then a |types|-row moment
+    aggregate — the same fused-moment pattern as q_column_profile."""
+    ev = table(spark, sf_dir, "events")
+    daily = (ev.select("event_type",
+                       F.expr(f"CAST(us div {US_PER_DAY} AS BIGINT)")
+                       .alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count("*").cast("long").alias("x")))
+    return (daily.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_days"),
+                 F.sum("x").cast("long").alias("n_events"),
+                 F.expr("(1000 * CAST(SUM(x) AS BIGINT)) div COUNT(*)")
+                 .alias("mean_milli"),
+                 F.expr(
+                     "CAST((1000 * (COUNT(*)"
+                     " * CAST(SUM(CAST(x AS DECIMAL(38,0)) * x)"
+                     "        AS DECIMAL(38,0))"
+                     " - CAST(SUM(x) AS DECIMAL(38,0)) * SUM(x)))"
+                     " div (CAST(SUM(x) AS DECIMAL(38,0)) * (COUNT(*) - 1))"
+                     " AS BIGINT)").alias("fano_milli"))
+            .orderBy("event_type"))

@@ -168,3 +168,26 @@ class TestSeasonalBacktest:
             assert 1 <= r.n_test_days <= BACKTEST_DAYS
             assert r.seasonal_mae_milli >= 0
             assert r.naive_mae_milli >= 0
+
+
+class TestBurstiness:
+    def test_fano_matches_numpy(self, spark, sf_dir):
+        import numpy as np
+        from columnar_estimator_sample_spark.operators.timeseries import (
+            US_PER_DAY, q_burstiness)
+        rows = q_burstiness(spark, sf_dir).collect()
+        assert rows
+        ev = (table(spark, sf_dir, "events")
+              .selectExpr("event_type",
+                          f"CAST(us div {US_PER_DAY} AS BIGINT) AS day")
+              .groupBy("event_type", "day").count().collect())
+        per_type: dict = {}
+        for r in ev:
+            per_type.setdefault(r.event_type, []).append(r["count"])
+        for r in rows:
+            xs = np.array(per_type[r.event_type], dtype=np.int64)
+            n, t, sx2 = len(xs), int(xs.sum()), int((xs.astype(object)
+                                                     ** 2).sum())
+            want = (1000 * (n * sx2 - t * t)) // (t * (n - 1))
+            assert r.fano_milli == want
+            assert r.fano_milli >= 0
