@@ -606,3 +606,96 @@ def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
                            .alias("n_items"))
             .agg(*sels, F.max("days").alias("max_days"))
             .orderBy("priority"))
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+RFM_TOP = 20
+_OCENTS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@register(
+    "q_rfm_segments",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey AS custkey,
+               MAX(epoch_us(o_orderdate) // {_US_DAY}) AS last_day,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM({_OCENTS}) AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ), ref AS (SELECT MAX(last_day) AS now_day FROM per_cust),
+    rfm AS (
+        SELECT custkey, r.now_day - last_day AS recency_days,
+               frequency, monetary_cents
+        FROM per_cust CROSS JOIN ref r
+    ), scored AS (
+        SELECT custkey, recency_days, frequency, monetary_cents,
+               1 + ((ROW_NUMBER() OVER (ORDER BY recency_days, custkey)
+                     - 1) * 5)
+                   // (COUNT(*) OVER ()) AS r_score,
+               1 + ((ROW_NUMBER() OVER (ORDER BY frequency DESC, custkey)
+                     - 1) * 5)
+                   // (COUNT(*) OVER ()) AS f_score,
+               1 + ((ROW_NUMBER() OVER (ORDER BY monetary_cents DESC,
+                                        custkey) - 1) * 5)
+                   // (COUNT(*) OVER ()) AS m_score
+        FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY n_customers DESC, r_score, f_score, m_score
+    LIMIT {RFM_TOP}
+    """)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 1-5 on Recency (days
+    since last order), Frequency (order count) and Monetary (lifetime
+    cents) by exact rank-quintiles (1 + (rank-1)*5/n — deterministic,
+    custkey tiebreak, no ntile edge ambiguity), then the top segments by
+    population — the marketing-warehouse classic.
+
+    Scale: orders collapse to one row per customer first; the three
+    quintile ranks are global windows over the CUSTOMER table — at
+    100 TB these become three two_phase_cumsum-style range ranks
+    (see q_abc_parts), the report shape is unchanged. All integer."""
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (orders.groupBy(F.col("o_custkey").alias("custkey"))
+                .agg(F.max(F.expr(
+                    f"unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                    f" div {_US_DAY}")).alias("last_day"),
+                     F.count("*").cast("long").alias("frequency"),
+                     F.sum(F.expr(_OCENTS)).cast("long")
+                     .alias("monetary_cents")))
+    ref = per_cust.agg(F.max("last_day").alias("now_day"))
+    rfm = (per_cust.crossJoin(F.broadcast(ref))
+           .select("custkey",
+                   (F.col("now_day") - F.col("last_day"))
+                   .alias("recency_days"),
+                   "frequency", "monetary_cents"))
+    from pyspark.sql import Window
+    n = Window.partitionBy()
+    w_r = Window.orderBy("recency_days", "custkey")
+    w_f = Window.orderBy(F.desc("frequency"), "custkey")
+    w_m = Window.orderBy(F.desc("monetary_cents"), "custkey")
+    scored = (rfm
+              .withColumn("rn_r", F.row_number().over(w_r))
+              .withColumn("rn_f", F.row_number().over(w_f))
+              .withColumn("rn_m", F.row_number().over(w_m))
+              .withColumn("n_all", F.count("*").over(n))
+              .select("custkey", "monetary_cents",
+                      F.expr("1 + ((rn_r - 1) * 5) div n_all")
+                      .alias("r_score"),
+                      F.expr("1 + ((rn_f - 1) * 5) div n_all")
+                      .alias("f_score"),
+                      F.expr("1 + ((rn_m - 1) * 5) div n_all")
+                      .alias("m_score")))
+    return (scored.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count("*").cast("long").alias("n_customers"),
+                 F.sum("monetary_cents").cast("long")
+                 .alias("segment_cents"))
+            .orderBy(F.desc("n_customers"), "r_score", "f_score", "m_score")
+            .limit(RFM_TOP))

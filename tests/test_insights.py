@@ -283,3 +283,18 @@ class TestDistributionDrift:
         s2 = sum(r.share_second_permille for r in rows)
         assert 1000 - len(rows) <= s1 <= 1000
         assert 1000 - len(rows) <= s2 <= 1000
+
+
+class TestRFM:
+    def test_scores_in_range_and_population_conserved(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.relational4 import (
+            RFM_TOP, q_rfm_segments)
+        rows = q_rfm_segments(spark, sf_dir).collect()
+        assert 0 < len(rows) <= RFM_TOP
+        for r in rows:
+            assert 1 <= r.r_score <= 5
+            assert 1 <= r.f_score <= 5
+            assert 1 <= r.m_score <= 5
+            assert r.n_customers >= 1 and r.segment_cents > 0
+        pops = [r.n_customers for r in rows]
+        assert pops == sorted(pops, reverse=True)
