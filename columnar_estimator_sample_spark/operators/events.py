@@ -837,3 +837,56 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("delta_permille"),
                     "tvd_permille")
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Path mining (event trigrams)
+# ---------------------------------------------------------------------------
+
+PATH_TOP = 15
+
+
+@register(
+    "q_event_paths",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), paths AS (
+        SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path
+        FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    ), c AS (
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM paths GROUP BY path
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c)
+    SELECT c.path, c.n, (1000 * c.n) // t.t AS share_permille
+    FROM c CROSS JOIN tot t
+    ORDER BY c.n DESC, c.path
+    LIMIT {PATH_TOP}
+    """)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step path mining: the most common event-type trigrams along
+    each user's timeline (q_event_transitions extended from edges to
+    PATHS) — the "how do users actually move through the product"
+    census, with each path's share of all observed 3-step walks.
+
+    Scale: both LEADs ride ONE user_id exchange (same window), paths
+    collapse to a |types|^3-bounded aggregate with map-side partials,
+    total broadcast, top-k total-ordered."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = (ev.select("user_id", "event_type", "us", "event_id")
+           .withColumn("t2", F.lead("event_type", 1).over(w))
+           .withColumn("t3", F.lead("event_type", 2).over(w))
+           .filter(F.col("t2").isNotNull() & F.col("t3").isNotNull()))
+    c = (seq.select(F.concat_ws(" > ", "event_type", "t2", "t3")
+                    .alias("path"))
+         .groupBy("path").agg(F.count("*").cast("long").alias("n")))
+    tot = c.agg(F.sum("n").cast("long").alias("t"))
+    return (c.crossJoin(F.broadcast(tot))
+            .select("path", "n",
+                    F.expr("(1000 * n) div t").alias("share_permille"))
+            .orderBy(F.desc("n"), "path")
+            .limit(PATH_TOP))

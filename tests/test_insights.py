@@ -298,3 +298,16 @@ class TestRFM:
             assert r.n_customers >= 1 and r.segment_cents > 0
         pops = [r.n_customers for r in rows]
         assert pops == sorted(pops, reverse=True)
+
+
+class TestEventPaths:
+    def test_path_count_conservation(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.events import (
+            q_event_paths)
+        rows = q_event_paths(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.path.count(" > ") == 2
+            assert r.n >= 1 and 0 <= r.share_permille <= 1000
+        ns = [r.n for r in rows]
+        assert ns == sorted(ns, reverse=True)
