@@ -890,3 +890,86 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("(1000 * n) div t").alias("share_permille"))
             .orderBy(F.desc("n"), "path")
             .limit(PATH_TOP))
+
+
+# ---------------------------------------------------------------------------
+# Max concurrency (relational sweep-line)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_max_concurrency",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN us - LAG(us) OVER w > {{gap}}
+                      OR LAG(us) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+        SELECT user_id, us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ), spans AS (
+        SELECT MIN(us) AS start_us, MAX(us) + 1 AS end_us
+        FROM sess GROUP BY user_id, session_id
+    ), deltas AS (
+        SELECT us, CAST(SUM(d) AS BIGINT) AS delta FROM (
+            SELECT start_us AS us, 1 AS d FROM spans
+            UNION ALL
+            SELECT end_us AS us, -1 AS d FROM spans
+        ) GROUP BY us
+    ), sweep AS (
+        SELECT us,
+               CAST(SUM(delta) OVER (ORDER BY us) AS BIGINT) AS concurrent
+        FROM deltas
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions FROM spans)
+    SELECT t.n_sessions, s.concurrent AS max_concurrent, s.us AS at_us
+    FROM sweep s CROSS JOIN tot t
+    ORDER BY s.concurrent DESC, s.us
+    LIMIT 1
+    """.format(gap=SESSION_GAP_US))
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency: the maximum number of simultaneously active
+    user sessions (and the first microsecond it is reached) — the
+    capacity-planning classic, computed as a relational SWEEP-LINE: each
+    session emits +1 at its start and -1 just after its end, deltas
+    aggregate per timestamp (which makes start/end tie order irrelevant),
+    and the running sum rides :func:`two_phase_cumsum` — the third
+    operator on that scalable prefix-sum primitive (with q_abc_parts and
+    q_ks_test), so the sweep never serializes through one window task.
+
+    Sessions come from the same gap rule as q_sessionize."""
+    from columnar_estimator_sample_spark.operators.corpus import (
+        two_phase_cumsum)
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = (ev.select("user_id", "event_id", "us")
+               .withColumn(
+                   "new_s",
+                   F.when((F.col("us") - F.lag("us").over(w)
+                           > SESSION_GAP_US)
+                          | F.lag("us").over(w).isNull(), 1).otherwise(0)))
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    spans = (sess.groupBy("user_id", "session_id")
+             .agg(F.min("us").alias("start_us"),
+                  (F.max("us") + 1).alias("end_us")))
+    deltas = (spans.select(F.col("start_us").alias("us"),
+                           F.lit(1).alias("d"))
+              .unionByName(spans.select(F.col("end_us").alias("us"),
+                                        F.lit(-1).alias("d")))
+              .groupBy("us").agg(F.sum("d").cast("long").alias("delta")))
+    sweep = two_phase_cumsum(deltas, "us", "delta", "concurrent")
+    tot = spans.agg(F.count("*").cast("long").alias("n_sessions"))
+    return (sweep.crossJoin(F.broadcast(tot))
+            .orderBy(F.desc("concurrent"), "us")
+            .limit(1)
+            .select("n_sessions",
+                    F.col("concurrent").cast("long").alias("max_concurrent"),
+                    F.col("us").alias("at_us")))

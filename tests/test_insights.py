@@ -311,3 +311,16 @@ class TestEventPaths:
             assert r.n >= 1 and 0 <= r.share_permille <= 1000
         ns = [r.n for r in rows]
         assert ns == sorted(ns, reverse=True)
+
+
+class TestMaxConcurrency:
+    def test_peak_bounded_by_users_and_sessions(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.events import (
+            q_max_concurrency)
+        row = q_max_concurrency(spark, sf_dir).collect()[0]
+        n_users = (table(spark, sf_dir, "events")
+                   .select("user_id").distinct().count())
+        # one active session per user at any instant (gap rule)
+        assert 1 <= row.max_concurrent <= n_users
+        assert row.n_sessions >= row.max_concurrent
+        assert row.at_us > 0
