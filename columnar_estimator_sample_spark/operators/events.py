@@ -973,3 +973,65 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_sessions",
                     F.col("concurrent").cast("long").alias("max_concurrent"),
                     F.col("us").alias("at_us")))
+
+
+# ---------------------------------------------------------------------------
+# Recency-decayed engagement score
+# ---------------------------------------------------------------------------
+
+DECAY_TOP = 15
+US_PER_WEEK = 7 * US_PER_DAY
+
+
+@register(
+    "q_decay_engagement",
+    oracle=f"""
+    WITH wk AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) // {US_PER_WEEK} AS BIGINT) AS week,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), ref AS (SELECT MAX(week) AS now_wk FROM wk),
+    scored AS (
+        SELECT user_id,
+               CAST(SUM((1000 * n)
+                        // (CAST(1 AS BIGINT)
+                            << CAST(LEAST(r.now_wk - week, 40) AS INT)))
+                    AS BIGINT) AS score_milli,
+               CAST(SUM(n) AS BIGINT) AS n_events
+        FROM wk CROSS JOIN ref r
+        GROUP BY user_id
+    )
+    SELECT user_id, n_events, score_milli
+    FROM scored
+    ORDER BY score_milli DESC, user_id
+    LIMIT {DECAY_TOP}
+    """)
+def q_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed engagement: each user's weekly activity counts
+    weighted by a one-week half-life — weight = 2^-age_weeks, realized
+    as integer floor-division by a shifted power of two (the EWMA trick
+    generalized), so the "hot right now" leaderboard needs no float
+    exponentials and the oracle matches bit for bit. Reports the
+    {DECAY_TOP} most-engaged users with raw totals alongside.
+
+    Scale: events collapse to (user, week) cells, the reference week is
+    a broadcast scalar, and the decayed sum is one user-keyed aggregate.
+    Shift capped at 40 (weights below 2^-40 floor to zero anyway)."""
+    ev = table(spark, sf_dir, "events")
+    wk = (ev.select("user_id",
+                    F.expr(f"CAST(us div {US_PER_WEEK} AS BIGINT)")
+                    .alias("week"))
+          .groupBy("user_id", "week")
+          .agg(F.count("*").cast("long").alias("n")))
+    ref = wk.agg(F.max("week").alias("now_wk"))
+    return (wk.crossJoin(F.broadcast(ref))
+            .groupBy("user_id")
+            .agg(F.sum(F.expr(
+                "(1000 * n) div shiftleft(CAST(1 AS BIGINT),"
+                " CAST(LEAST(now_wk - week, 40) AS INT))"))
+                .cast("long").alias("score_milli"),
+                F.sum("n").cast("long").alias("n_events"))
+            .select("user_id", "n_events", "score_milli")
+            .orderBy(F.desc("score_milli"), "user_id")
+            .limit(DECAY_TOP))

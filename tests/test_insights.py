@@ -324,3 +324,16 @@ class TestMaxConcurrency:
         assert 1 <= row.max_concurrent <= n_users
         assert row.n_sessions >= row.max_concurrent
         assert row.at_us > 0
+
+
+class TestDecayEngagement:
+    def test_decay_dominates_raw_recency(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.events import (
+            DECAY_TOP, q_decay_engagement)
+        rows = q_decay_engagement(spark, sf_dir).collect()
+        assert 0 < len(rows) <= DECAY_TOP
+        for r in rows:
+            # decayed score can never exceed undecayed activity
+            assert 0 <= r.score_milli <= 1000 * r.n_events
+        scores = [r.score_milli for r in rows]
+        assert scores == sorted(scores, reverse=True)
