@@ -904,3 +904,60 @@ def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ranked.groupBy("lang", F.col("n").cast("long").alias("n_docs"))
             .agg(*sels)
             .orderBy("lang"))
+
+
+# ---------------------------------------------------------------------------
+# Concordance (keyword-in-context census)
+# ---------------------------------------------------------------------------
+
+KWIC_TERM = "vector"
+KWIC_TOP = 15
+
+
+@register(
+    "q_kwic",
+    oracle=f"""
+    WITH t AS (
+        SELECT string_split(text, ' ') AS toks FROM documents
+    ), pos AS (
+        SELECT toks, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS k
+        FROM t
+    ), hits AS (
+        SELECT CASE WHEN k > 1 THEN toks[k - 1] ELSE '^' END AS prev_tok,
+               COALESCE(toks[k + 1], '$') AS next_tok
+        FROM pos WHERE tok = '{KWIC_TERM}'
+    )
+    SELECT '{KWIC_TERM}' AS term, prev_tok, next_tok,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM hits
+    GROUP BY prev_tok, next_tok
+    ORDER BY n DESC, prev_tok, next_tok
+    LIMIT {KWIC_TOP}
+    """)
+def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance: the census of (previous, next)
+    token contexts around '{KWIC_TERM}' across the corpus, with boundary
+    markers ^/$ — the corpus linguist's first probe of how a term is
+    used (and a quick collocation detector when one context dominates).
+
+    Scale: the posexplode carries the token array alongside the index so
+    neighbors are O(1) element_at lookups (no self-join on positions);
+    the context census is a hash aggregate bounded by distinct context
+    pairs; top-k total-ordered."""
+    docs = table(spark, sf_dir, "documents")
+    pos = (docs.select(F.split("text", " ").alias("toks"))
+           .select("toks", F.posexplode("toks").alias("j", "tok"))
+           .filter(F.col("tok") == KWIC_TERM))
+    hits = pos.select(
+        F.when(F.col("j") >= 1,
+               F.element_at("toks", F.col("j"))).otherwise(F.lit("^"))
+        .alias("prev_tok"),
+        F.coalesce(F.try_element_at("toks", F.col("j") + 2), F.lit("$"))
+        .alias("next_tok"))
+    return (hits.groupBy("prev_tok", "next_tok")
+            .agg(F.count("*").cast("long").alias("n"))
+            .select(F.lit(KWIC_TERM).alias("term"), "prev_tok",
+                    "next_tok", "n")
+            .orderBy(F.desc("n"), "prev_tok", "next_tok")
+            .limit(KWIC_TOP))

@@ -337,3 +337,20 @@ class TestDecayEngagement:
             assert 0 <= r.score_milli <= 1000 * r.n_events
         scores = [r.score_milli for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+class TestKWIC:
+    def test_context_counts_conserve(self, spark, sf_dir):
+        import pyspark.sql.functions as F2
+        from columnar_estimator_sample_spark.operators.textstats import (
+            KWIC_TERM, KWIC_TOP, q_kwic)
+        rows = q_kwic(spark, sf_dir).collect()
+        total_hits = (table(spark, sf_dir, "documents")
+                      .select(F2.explode(F2.split("text", " "))
+                              .alias("tok"))
+                      .filter(F2.col("tok") == KWIC_TERM).count())
+        assert sum(r.n for r in rows) <= total_hits
+        if len(rows) < KWIC_TOP:     # un-truncated: exact conservation
+            assert sum(r.n for r in rows) == total_hits
+        for r in rows:
+            assert r.term == KWIC_TERM and r.n >= 1
