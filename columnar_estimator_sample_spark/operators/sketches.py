@@ -247,3 +247,91 @@ def q_hll_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("ratio_permille",
                         F.expr("(est_n * 1000) div exact_n"))
             .orderBy("col_name"))
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-index presence words (roaring-bitmap idea, relationally)
+# ---------------------------------------------------------------------------
+
+WORD_BITS = 63  # bit positions 0..62: a shift into the sign bit is an
+                # overflow error in DuckDB, so words carry 63 users each
+
+
+@register(
+    "q_bitmap_retention",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events
+    ), words AS (
+        SELECT day, user_id // {WORD_BITS} AS w,
+               bit_or(CAST(1 AS BIGINT) << CAST(user_id % {WORD_BITS} AS INT))
+                   AS bits
+        FROM ud GROUP BY 1, 2
+    ), paired AS (
+        SELECT COALESCE(a.day, b.day - 1) AS day,
+               COALESCE(a.bits, 0) AS abits,
+               COALESCE(b.bits, 0) AS bbits
+        FROM words a FULL JOIN words b
+          ON b.w = a.w AND b.day = a.day + 1
+    ), agg AS (
+        SELECT day,
+               CAST(SUM(bit_count(abits)) AS BIGINT) AS dau,
+               CAST(SUM(bit_count(abits & bbits)) AS BIGINT) AS n_both,
+               CAST(SUM(bit_count(abits | bbits)) AS BIGINT) AS n_either
+        FROM paired GROUP BY day
+    )
+    SELECT day, dau, n_both, n_either,
+           (1000 * n_both) // n_either AS jaccard_permille
+    FROM agg
+    WHERE dau > 0 AND day + 1 IN (SELECT DISTINCT day FROM ud)
+    ORDER BY day
+    """)
+def q_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day audience overlap via BITMAP WORDS — the
+    roaring-bitmap technique expressed relationally: each day's active
+    users compress into 64-bit presence words (word = user_id/{WORD_BITS},
+    one bit_or aggregate), and DAU / next-day overlap / Jaccard all fall
+    out of popcounts over word-aligned AND/OR — set algebra at 1/63rd
+    the shuffle width of raw user ids, mergeable across shards by OR.
+
+    The report: per day, DAU and the retention-style Jaccard overlap
+    with the following observed day. Scale: the user-day dedup is the
+    only corpus-sized stage; everything after runs on |days| x
+    |users|/{WORD_BITS} words. Bit-exact in both engines (sign bit kept
+    free — DuckDB checks shift overflow)."""
+    from columnar_estimator_sample_spark.operators.events import US_PER_DAY
+    ev = table(spark, sf_dir, "events")
+    ud = (ev.select("user_id",
+                    F.expr(f"CAST(us div {US_PER_DAY} AS BIGINT)")
+                    .alias("day"))
+          .distinct())
+    words = (ud.select(
+                 "day", F.expr(f"user_id div {WORD_BITS}").alias("w"),
+                 F.expr(f"shiftleft(CAST(1 AS BIGINT),"
+                        f" CAST(user_id % {WORD_BITS} AS INT))").alias("b"))
+             .groupBy("day", "w")
+             .agg(F.expr("bit_or(b)").alias("bits")))
+    a = words.select(F.col("day").alias("a_day"), "w",
+                     F.col("bits").alias("abits"))
+    b = words.select(F.col("day").alias("b_day"), "w",
+                     F.col("bits").alias("bbits"))
+    paired = (a.join(b, (a.w == b.w) & (b.b_day == a.a_day + 1), "full")
+              .select(F.coalesce(F.col("a_day"), F.col("b_day") - 1)
+                      .alias("day"),
+                      F.coalesce("abits", F.lit(0)).alias("abits"),
+                      F.coalesce("bbits", F.lit(0)).alias("bbits")))
+    agg = (paired.groupBy("day")
+           .agg(F.sum(F.expr("bit_count(abits)")).cast("long").alias("dau"),
+                F.sum(F.expr("bit_count(abits & bbits)")).cast("long")
+                .alias("n_both"),
+                F.sum(F.expr("bit_count(abits | bbits)")).cast("long")
+                .alias("n_either")))
+    obs = ud.select("day").distinct().select((F.col("day") - 1).alias("day"))
+    return (agg.join(obs, "day", "semi")
+            .filter(F.col("dau") > 0)
+            .select("day", "dau", "n_both", "n_either",
+                    F.expr("(1000 * n_both) div n_either")
+                    .alias("jaccard_permille"))
+            .orderBy("day"))

@@ -219,3 +219,30 @@ class TestHLL:
         sharded = (parts.groupBy("shard", "j").agg(F.max("r").alias("m"))
                    .groupBy("j").agg(F.max("m").alias("m")).collect())
         assert {r.j: r.m for r in sharded} == whole
+
+
+class TestBitmapRetention:
+    def test_matches_set_arithmetic(self, spark, sf_dir):
+        """Bitmap popcount results must equal plain set intersection /
+        union on the same user-day data."""
+        import pyspark.sql.functions as F2
+        from columnar_estimator_sample_spark.operators.events import (
+            US_PER_DAY)
+        from columnar_estimator_sample_spark.operators.sketches import (
+            q_bitmap_retention)
+        rows = q_bitmap_retention(spark, sf_dir).collect()
+        assert rows
+        ud = (table(spark, sf_dir, "events")
+              .select("user_id",
+                      F2.expr(f"CAST(us div {US_PER_DAY} AS BIGINT)")
+                      .alias("day"))
+              .distinct().collect())
+        days: dict = {}
+        for r in ud:
+            days.setdefault(r.day, set()).add(r.user_id)
+        for r in rows:
+            a, b = days[r.day], days.get(r.day + 1, set())
+            assert r.dau == len(a)
+            assert r.n_both == len(a & b)
+            assert r.n_either == len(a | b)
+            assert r.jaccard_permille == 1000 * len(a & b) // len(a | b)
