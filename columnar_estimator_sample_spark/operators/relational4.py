@@ -699,3 +699,97 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("segment_cents"))
             .orderBy(F.desc("n_customers"), "r_score", "f_score", "m_score")
             .limit(RFM_TOP))
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder proration
+# ---------------------------------------------------------------------------
+
+PRORATE_MILLS = 1000  # per-order budget to allocate across its lineitems
+_LCENTS_R4 = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@register(
+    "q_largest_remainder",
+    oracle=f"""
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber, {_LCENTS_R4} AS cents
+        FROM lineitem
+    ), tot AS (
+        SELECT l_orderkey, CAST(SUM(cents) AS BIGINT) AS ocents,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM li GROUP BY l_orderkey
+    ), base AS (
+        SELECT li.l_orderkey, li.l_linenumber, t.n_items,
+               CAST(({PRORATE_MILLS} * CAST(li.cents AS HUGEINT)) // t.ocents
+                    AS BIGINT) AS floor_alloc,
+               CAST(({PRORATE_MILLS} * CAST(li.cents AS HUGEINT)) % t.ocents
+                    AS BIGINT) AS rem
+        FROM li JOIN tot t USING (l_orderkey)
+    ), ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY rem DESC, l_linenumber) AS rk,
+               CAST(SUM(floor_alloc) OVER (PARTITION BY l_orderkey)
+                    AS BIGINT) AS base_sum
+        FROM base
+    ), alloc AS (
+        SELECT l_orderkey, n_items,
+               floor_alloc + CASE WHEN rk <= {PRORATE_MILLS} - base_sum
+                                  THEN 1 ELSE 0 END AS mills
+        FROM ranked
+    )
+    SELECT n_items,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(mills) AS BIGINT) AS total_mills,
+           MIN(mills) AS min_item_mills,
+           MAX(mills) AS max_item_mills
+    FROM alloc
+    GROUP BY n_items
+    ORDER BY n_items
+    """)
+def q_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) proration: allocate a fixed
+    {PRORATE_MILLS}-mill budget per order across its lineitems
+    proportional to price, with floor allocations topped up by +1 in
+    descending-remainder order (linenumber tiebreak) so every order's
+    allocation sums EXACTLY to the budget — the apportionment algorithm
+    invoices, revenue-recognition, and cost-allocation pipelines need
+    (naive rounding drifts; banker's rounding still drifts; largest
+    remainder never does). The report groups orders by size and proves
+    total_mills == {PRORATE_MILLS} * n_orders per group.
+
+    Scale: one orderkey-keyed exchange carries the totals join, the
+    remainder rank, and the base-sum window; allocation is then
+    embarrassingly parallel. 128-bit lanes for the cents products."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.expr(_LCENTS_R4).alias("cents"))
+    tot = (li.groupBy("l_orderkey")
+           .agg(F.sum("cents").cast("long").alias("ocents"),
+                F.count("*").cast("long").alias("n_items")))
+    base = (li.join(tot, "l_orderkey")
+            .select("l_orderkey", "l_linenumber", "n_items",
+                    F.expr(f"CAST(({PRORATE_MILLS}"
+                           f" * CAST(cents AS DECIMAL(38,0))) div ocents"
+                           f" AS BIGINT)").alias("floor_alloc"),
+                    F.expr(f"CAST(({PRORATE_MILLS}"
+                           f" * CAST(cents AS DECIMAL(38,0))) % ocents"
+                           f" AS BIGINT)").alias("rem")))
+    from pyspark.sql import Window
+    wo = Window.partitionBy("l_orderkey")
+    ranked = (base
+              .withColumn("rk", F.row_number().over(
+                  wo.orderBy(F.desc("rem"), "l_linenumber")))
+              .withColumn("base_sum",
+                          F.sum("floor_alloc").over(wo).cast("long")))
+    alloc = ranked.select(
+        "l_orderkey", "n_items",
+        F.expr(f"floor_alloc + CASE WHEN rk <= {PRORATE_MILLS} - base_sum"
+               f" THEN 1 ELSE 0 END").alias("mills"))
+    return (alloc.groupBy("n_items")
+            .agg(F.countDistinct("l_orderkey").cast("long")
+                 .alias("n_orders"),
+                 F.sum("mills").cast("long").alias("total_mills"),
+                 F.min("mills").alias("min_item_mills"),
+                 F.max("mills").alias("max_item_mills"))
+            .orderBy("n_items"))

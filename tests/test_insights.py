@@ -354,3 +354,15 @@ class TestKWIC:
             assert sum(r.n for r in rows) == total_hits
         for r in rows:
             assert r.term == KWIC_TERM and r.n >= 1
+
+
+class TestLargestRemainder:
+    def test_allocations_sum_exactly(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.relational4 import (
+            PRORATE_MILLS, q_largest_remainder)
+        rows = q_largest_remainder(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            # the whole point: zero drift, for every order size
+            assert r.total_mills == PRORATE_MILLS * r.n_orders
+            assert 0 <= r.min_item_mills <= r.max_item_mills <= PRORATE_MILLS
