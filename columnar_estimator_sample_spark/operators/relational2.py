@@ -405,3 +405,67 @@ def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cdist"),
         F.ntile(4).over(w).alias("quartile"))
         .orderBy("nation", "rnk", "custkey"))
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_weighted_median",
+    oracle="""
+    WITH cells AS (
+        SELECT l_returnflag AS flag,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT))
+                    AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+        SELECT flag, cents, w,
+               CAST(SUM(w) OVER (PARTITION BY flag ORDER BY cents)
+                    AS BIGINT) AS cw,
+               CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+        FROM cells
+    )
+    SELECT flag, MIN(tw) AS total_weight,
+           MIN(CASE WHEN 2 * cw >= tw THEN cents END) AS wmedian_cents
+    FROM cum
+    GROUP BY flag
+    ORDER BY flag
+    """)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median price per return flag, weighted by shipped
+    quantity — the first cents value whose cumulative weight reaches
+    half the total (lower weighted median, no interpolation). The
+    robust "typical price actually shipped" statistic that a plain
+    median (every row equal) and the mean (whale-sensitive) both
+    distort.
+
+    Scale: rows collapse to (flag, cents) cells before any window (the
+    price-level trick of q_ks_test), the cumulative weight rides a
+    flag-partitioned window over levels, and the selector is a
+    conditional MIN rollup — integer cross-multiplication (2*cw >= tw),
+    no halves materialized."""
+    li = table(spark, sf_dir, "lineitem")
+    cells = (li.select(
+                 F.col("l_returnflag").alias("flag"),
+                 F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
+                        " AS BIGINT)").alias("cents"),
+                 F.expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)")
+                 .alias("q"))
+             .groupBy("flag", "cents")
+             .agg(F.sum("q").cast("long").alias("w")))
+    wf = Window.partitionBy("flag")
+    cum = (cells
+           .withColumn("cw", F.sum("w").over(wf.orderBy("cents")
+                                             .rowsBetween(
+                                                 Window.unboundedPreceding,
+                                                 0)).cast("long"))
+           .withColumn("tw", F.sum("w").over(wf).cast("long")))
+    return (cum.groupBy("flag")
+            .agg(F.min("tw").alias("total_weight"),
+                 F.min(F.when(F.expr("2 * cw >= tw"), F.col("cents")))
+                 .alias("wmedian_cents"))
+            .orderBy("flag"))

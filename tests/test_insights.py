@@ -366,3 +366,25 @@ class TestLargestRemainder:
             # the whole point: zero drift, for every order size
             assert r.total_mills == PRORATE_MILLS * r.n_orders
             assert 0 <= r.min_item_mills <= r.max_item_mills <= PRORATE_MILLS
+
+
+class TestWeightedMedian:
+    def test_weighted_median_splits_mass(self, spark, sf_dir):
+        import pyspark.sql.functions as F2
+        from columnar_estimator_sample_spark.operators.relational2 import (
+            q_weighted_median)
+        rows = q_weighted_median(spark, sf_dir).collect()
+        assert rows
+        li = (table(spark, sf_dir, "lineitem")
+              .select("l_returnflag",
+                      F2.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+                              " * 100 AS BIGINT)").alias("cents"),
+                      F2.expr("CAST(CAST(l_quantity AS DECIMAL(18,2))"
+                              " AS BIGINT)").alias("q")).collect())
+        for r in rows:
+            below = sum(x.q for x in li if x.l_returnflag == r.flag
+                        and x.cents < r.wmedian_cents)
+            upto = sum(x.q for x in li if x.l_returnflag == r.flag
+                       and x.cents <= r.wmedian_cents)
+            # lower weighted median: mass strictly below < half <= mass upto
+            assert 2 * below < r.total_weight <= 2 * upto
