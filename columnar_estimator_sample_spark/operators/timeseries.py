@@ -623,3 +623,94 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
                      " div (CAST(SUM(x) AS DECIMAL(38,0)) * (COUNT(*) - 1))"
                      " AS BIGINT)").alias("fano_milli"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Integer Haar decomposition (energy by scale)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_haar_levels",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // {US_PER_DAY} AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), idx AS (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1
+                   AS i,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ), used AS (
+        SELECT event_type, x, i FROM idx WHERE i < 4 * (n // 4)
+    ), l1 AS (
+        SELECT event_type, i // 2 AS j,
+               CAST(SUM(x) AS BIGINT) AS s1,
+               CAST(SUM(x * (1 - 2 * (i % 2))) AS BIGINT) AS d1
+        FROM used GROUP BY 1, 2
+    ), l2 AS (
+        SELECT event_type, j // 2 AS k,
+               CAST(SUM(s1) AS BIGINT) AS s2,
+               CAST(SUM(s1 * (1 - 2 * (j % 2))) AS BIGINT) AS d2
+        FROM l1 GROUP BY 1, 2
+    )
+    SELECT u.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days_used,
+           CAST(SUM(u.x) AS BIGINT) AS total,
+           (SELECT CAST(SUM(s2) AS BIGINT) FROM l2
+            WHERE l2.event_type = u.event_type) AS coarse_sum,
+           (SELECT CAST(SUM(ABS(d1)) AS BIGINT) FROM l1
+            WHERE l1.event_type = u.event_type) AS detail1_abs,
+           (SELECT CAST(SUM(ABS(d2)) AS BIGINT) FROM l2
+            WHERE l2.event_type = u.event_type) AS detail2_abs
+    FROM used u
+    GROUP BY u.event_type
+    ORDER BY u.event_type
+    """)
+def q_haar_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level INTEGER Haar decomposition of each event type's daily
+    series: unnormalized pair sums/differences (s = a+b, d = a-b — the
+    lossless integer wavelet, no sqrt(2) normalization), reported as
+    energy-by-scale — day-to-day detail (|d1|), two-day-scale detail
+    (|d2|), and the 4-day coarse sums whose total must equal the raw
+    total EXACTLY (the losslessness invariant the test pins). High
+    |d1|/total = jittery daily traffic; high |d2| = multi-day swings —
+    the scale-decomposed cousin of q_burstiness.
+
+    Scale: pairing is by per-type row index (one keyed exchange), each
+    level is a halved-size hash aggregate; series length is days, so
+    every frame is tiny after the first collapse."""
+    ev = table(spark, sf_dir, "events")
+    daily = (ev.select("event_type",
+                       F.expr(f"CAST(us div {US_PER_DAY} AS BIGINT)")
+                       .alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count("*").cast("long").alias("x")))
+    wt = Window.partitionBy("event_type")
+    idx = (daily
+           .withColumn("i", F.row_number().over(wt.orderBy("day")) - 1)
+           .withColumn("n", F.count("*").over(wt)))
+    used = idx.filter(F.expr("i < 4 * (n div 4)"))
+    l1 = (used.groupBy("event_type", F.expr("i div 2").alias("j"))
+          .agg(F.sum("x").cast("long").alias("s1"),
+               F.sum(F.expr("x * (1 - 2 * (i % 2))")).cast("long")
+               .alias("d1")))
+    l2 = (l1.groupBy("event_type", F.expr("j div 2").alias("k"))
+          .agg(F.sum("s1").cast("long").alias("s2"),
+               F.sum(F.expr("s1 * (1 - 2 * (j % 2))")).cast("long")
+               .alias("d2")))
+    base = (used.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_days_used"),
+                 F.sum("x").cast("long").alias("total")))
+    agg1 = l1.groupBy("event_type").agg(
+        F.sum(F.abs("d1")).cast("long").alias("detail1_abs"))
+    agg2 = l2.groupBy("event_type").agg(
+        F.sum("s2").cast("long").alias("coarse_sum"),
+        F.sum(F.abs("d2")).cast("long").alias("detail2_abs"))
+    return (base.join(agg2, "event_type").join(agg1, "event_type")
+            .select("event_type", "n_days_used", "total", "coarse_sum",
+                    "detail1_abs", "detail2_abs")
+            .orderBy("event_type"))

@@ -191,3 +191,18 @@ class TestBurstiness:
             want = (1000 * (n * sx2 - t * t)) // (t * (n - 1))
             assert r.fano_milli == want
             assert r.fano_milli >= 0
+
+
+class TestHaarLevels:
+    def test_lossless_and_energy_bounds(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.timeseries import (
+            q_haar_levels)
+        rows = q_haar_levels(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.n_days_used % 4 == 0
+            # losslessness: coarse sums reconstruct the exact total
+            assert r.coarse_sum == r.total
+            # detail energy is bounded by the signal itself
+            assert 0 <= r.detail1_abs <= r.total
+            assert 0 <= r.detail2_abs <= r.total
