@@ -714,3 +714,76 @@ def q_haar_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "n_days_used", "total", "coarse_sum",
                     "detail1_abs", "detail2_abs")
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // {US_PER_DAY} AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, CAST(SUM(x) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily GROUP BY event_type
+    ), cusum AS (
+        SELECT d.event_type, d.day,
+               CAST(SUM(CAST(d.x AS HUGEINT) * t.n - t.t) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day) AS HUGEINT)
+                   AS c,
+               t.t, t.n
+        FROM daily d JOIN tot t USING (event_type)
+    )
+    SELECT event_type, day AS change_day,
+           CAST((1000 * ABS(c)) // (CAST(t AS HUGEINT) * n) AS BIGINT)
+               AS magnitude_permille
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY ABS(c) DESC, day) AS rk
+        FROM cusum
+    ) WHERE rk = 1
+    ORDER BY event_type
+    """)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection: for each event type, the day where
+    the cumulative deviation from the series mean peaks — the classic
+    single-change-point locator (the CUSUM path drifts up before a
+    level drop and down before a rise; its extremum is the most likely
+    break). Deviations are kept exact by scaling: c_k = Sum(x_i*n - T)
+    (every term integer — the mean never materializes as a float), and
+    the reported magnitude is |c_peak| / (T*n) in permille.
+
+    Scale: the series collapses to (type, day) first; the cumulative
+    window and the argmax rank share one type-keyed exchange over
+    days-sized partitions. 128-bit lanes."""
+    ev = table(spark, sf_dir, "events")
+    daily = (ev.select("event_type",
+                       F.expr(f"CAST(us div {US_PER_DAY} AS BIGINT)")
+                       .alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count("*").cast("long").alias("x")))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("x").cast("long").alias("t"),
+        F.count("*").cast("long").alias("n"))
+    wt = Window.partitionBy("event_type")
+    cusum = (daily.join(F.broadcast(tot), "event_type")
+             .withColumn("c", F.sum(
+                 F.expr("CAST(x AS DECIMAL(38,0)) * n - t"))
+                 .over(wt.orderBy("day")
+                       .rowsBetween(Window.unboundedPreceding, 0))))
+    return (cusum
+            .withColumn("rk", F.row_number().over(
+                wt.orderBy(F.abs("c").desc(), "day")))
+            .filter(F.col("rk") == 1)
+            .select("event_type", F.col("day").alias("change_day"),
+                    F.expr("CAST((1000 * ABS(c))"
+                           " div (CAST(t AS DECIMAL(38,0)) * n) AS BIGINT)")
+                    .alias("magnitude_permille"))
+            .orderBy("event_type"))

@@ -206,3 +206,30 @@ class TestHaarLevels:
             # detail energy is bounded by the signal itself
             assert 0 <= r.detail1_abs <= r.total
             assert 0 <= r.detail2_abs <= r.total
+
+
+class TestCUSUM:
+    def test_peak_matches_direct_computation(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.timeseries import (
+            US_PER_DAY, q_cusum_changepoint)
+        rows = {r.event_type: r for r in
+                q_cusum_changepoint(spark, sf_dir).collect()}
+        assert rows
+        daily = (table(spark, sf_dir, "events")
+                 .selectExpr("event_type",
+                             f"CAST(us div {US_PER_DAY} AS BIGINT) AS day")
+                 .groupBy("event_type", "day").count().collect())
+        series: dict = {}
+        for r in daily:
+            series.setdefault(r.event_type, {})[r.day] = r["count"]
+        for et, by_day in series.items():
+            days = sorted(by_day)
+            t = sum(by_day.values())
+            n = len(days)
+            c, best, best_day = 0, -1, None
+            for d in days:
+                c += by_day[d] * n - t
+                if abs(c) > best:
+                    best, best_day = abs(c), d
+            assert rows[et].change_day == best_day
+            assert rows[et].magnitude_permille == (1000 * best) // (t * n)
