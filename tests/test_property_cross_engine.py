@@ -113,3 +113,43 @@ def test_shingles_match_duckdb(spark):
     want = {r[0]: sorted(r[1]) for r in con.execute(
         f"SELECT text, {_sql_shingles('text')} FROM t").fetchall()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=5),
+                          st.integers(min_value=0, max_value=1)),
+                min_size=2, max_size=60)
+       .filter(lambda xs: len({y for _, y in xs}) == 2))
+def test_auc_closed_form_matches_pair_counting(spark, xs):
+    """The grouped closed-form AUC (q_exact_auc's kernel) equals direct
+    win/tie pair counting for arbitrary small (score, label) samples."""
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(int(s), int(y)) for s, y in xs],
+                               "score long, y long")
+    g = (df.groupBy("score")
+         .agg(F.count("*").cast("long").alias("n_g"),
+              F.sum("y").cast("long").alias("pos_g")))
+    w = (Window.orderBy("score")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = g.withColumn("cum_before",
+                     F.sum("n_g").over(w).cast("long") - F.col("n_g"))
+    agg = c.agg(
+        F.sum("pos_g").alias("p"),
+        F.sum(F.expr("n_g - pos_g")).alias("n"),
+        F.sum(F.expr("pos_g * (2 * cum_before + n_g + 1)")).alias("s2"))
+    row = agg.select(
+        F.expr("(1000000 * (s2 - p * (p + 1))) div (2 * p * n)")
+        .alias("auc")).collect()[0]
+
+    pos = sorted(s for s, y in xs if y == 1)
+    neg = sorted(s for s, y in xs if y == 0)
+    import bisect
+    wins = ties = 0
+    for s in pos:
+        wins += bisect.bisect_left(neg, s)
+        ties += bisect.bisect_right(neg, s) - bisect.bisect_left(neg, s)
+    want = (1_000_000 * (2 * wins + ties)) // (2 * len(pos) * len(neg))
+    assert row.auc == want, (xs, row.auc, want)
