@@ -469,3 +469,67 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min(F.when(F.expr("2 * cw >= tw"), F.col("cents")))
                  .alias("wmedian_cents"))
             .orderBy("flag"))
+
+
+# ---------------------------------------------------------------------------
+# Skyline (2-D Pareto frontier)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_skyline_parts",
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS price_cents,
+               MAX(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT))
+                   AS max_qty
+        FROM lineitem GROUP BY l_partkey
+    ), lvl AS (
+        SELECT price_cents, MAX(max_qty) AS lvl_max
+        FROM per_part GROUP BY price_cents
+    ), cm AS (
+        SELECT price_cents, lvl_max,
+               MAX(lvl_max) OVER (ORDER BY price_cents
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS cummax_prev
+        FROM lvl
+    )
+    SELECT p.l_partkey, p.price_cents, p.max_qty
+    FROM per_part p JOIN cm USING (price_cents)
+    WHERE NOT (cm.cummax_prev IS NOT NULL AND cm.cummax_prev >= p.max_qty)
+      AND NOT (cm.lvl_max > p.max_qty)
+    ORDER BY p.price_cents, p.l_partkey
+    """)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of parts on (cheapest price, largest
+    shipped quantity): a part survives iff NO other part is at most as
+    expensive AND ships at least as much with one strict improvement —
+    the classic multi-criteria shortlist operator. Solved without the
+    naive O(N²) self-join: parts collapse to PRICE LEVELS, the running
+    maximum quantity over strictly-cheaper levels is one ordered window
+    (a two_phase_cumsum-shaped prefix MAX at 100 TB), and dominance is
+    two comparisons — cheaper-level cummax and same-price level max.
+
+    Output is the frontier itself (small by nature: O(log N) points on
+    independent dimensions), total-ordered."""
+    li = table(spark, sf_dir, "lineitem")
+    per_part = (li.groupBy("l_partkey")
+                .agg(F.min(F.expr(
+                    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
+                    " AS BIGINT)")).alias("price_cents"),
+                     F.max(F.expr(
+                         "CAST(CAST(l_quantity AS DECIMAL(18,2))"
+                         " AS BIGINT)")).alias("max_qty")))
+    lvl = (per_part.groupBy("price_cents")
+           .agg(F.max("max_qty").alias("lvl_max")))
+    w = (Window.orderBy("price_cents")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cm = lvl.withColumn("cummax_prev", F.max("lvl_max").over(w))
+    return (per_part.join(cm, "price_cents")
+            .filter(~(F.col("cummax_prev").isNotNull()
+                      & (F.col("cummax_prev") >= F.col("max_qty")))
+                    & ~(F.col("lvl_max") > F.col("max_qty")))
+            .select("l_partkey", "price_cents", "max_qty")
+            .orderBy("price_cents", "l_partkey"))

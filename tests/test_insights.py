@@ -388,3 +388,30 @@ class TestWeightedMedian:
                        and x.cents <= r.wmedian_cents)
             # lower weighted median: mass strictly below < half <= mass upto
             assert 2 * below < r.total_weight <= 2 * upto
+
+
+class TestSkyline:
+    def test_frontier_is_mutually_nondominated_and_complete(
+            self, spark, sf_dir):
+        import pyspark.sql.functions as F2
+        from columnar_estimator_sample_spark.operators.relational2 import (
+            q_skyline_parts)
+        sky = q_skyline_parts(spark, sf_dir).collect()
+        assert sky
+        pts = [(r.price_cents, r.max_qty) for r in sky]
+        # frontier is strictly decreasing in qty as price rises
+        for (p1, q1), (p2, q2) in zip(pts, pts[1:]):
+            assert p1 < p2 and q1 > q2
+        # no non-frontier point dominates a frontier point
+        allp = (table(spark, sf_dir, "lineitem")
+                .groupBy("l_partkey")
+                .agg(F2.expr("MIN(CAST(CAST(l_extendedprice AS"
+                             " DECIMAL(18,2)) * 100 AS BIGINT))")
+                     .alias("p"),
+                     F2.expr("MAX(CAST(CAST(l_quantity AS DECIMAL(18,2))"
+                             " AS BIGINT))").alias("q")).collect())
+        for sp, sq in pts:
+            for r in allp:
+                dominated = (r.p <= sp and r.q >= sq
+                             and (r.p < sp or r.q > sq))
+                assert not dominated, (sp, sq, r)
