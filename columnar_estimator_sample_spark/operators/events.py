@@ -1035,3 +1035,71 @@ def q_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "n_events", "score_milli")
             .orderBy(F.desc("score_milli"), "user_id")
             .limit(DECAY_TOP))
+
+
+# ---------------------------------------------------------------------------
+# Longest activity streak (gaps and islands)
+# ---------------------------------------------------------------------------
+
+STREAK_TOP = 15
+
+
+@register(
+    "q_longest_streak",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // {US_PER_DAY} AS BIGINT) AS day
+        FROM events
+    ), isl AS (
+        SELECT user_id, day,
+               day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY day) AS island
+        FROM ud
+    ), streaks AS (
+        SELECT user_id, island,
+               CAST(COUNT(*) AS BIGINT) AS streak_days,
+               MIN(day) AS start_day
+        FROM isl GROUP BY 1, 2
+    ), best AS (
+        SELECT user_id, streak_days, start_day FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id
+                ORDER BY streak_days DESC, start_day) AS rk
+            FROM streaks
+        ) WHERE rk = 1
+    )
+    SELECT user_id, streak_days, start_day
+    FROM best
+    ORDER BY streak_days DESC, user_id
+    LIMIT {STREAK_TOP}
+    """)
+def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, top
+    {STREAK_TOP}: the gaps-and-islands pattern — consecutive days share
+    a constant (day − row_number), so streaks are ONE window plus one
+    aggregate, never a self-join or recursion. The engagement metric
+    behind habit/retention features (and the canonical interview
+    question, solved the scale-correct way).
+
+    Scale: the user-day dedup bounds everything after; the island
+    window, streak aggregate, and per-user argmax share one user-keyed
+    exchange."""
+    ev = table(spark, sf_dir, "events")
+    ud = (ev.select("user_id",
+                    F.expr(f"CAST(us div {US_PER_DAY} AS BIGINT)")
+                    .alias("day"))
+          .distinct())
+    wu = Window.partitionBy("user_id")
+    isl = ud.withColumn(
+        "island", F.col("day") - F.row_number().over(wu.orderBy("day")))
+    streaks = (isl.groupBy("user_id", "island")
+               .agg(F.count("*").cast("long").alias("streak_days"),
+                    F.min("day").alias("start_day")))
+    best = (streaks.withColumn(
+                "rk", F.row_number().over(
+                    wu.orderBy(F.desc("streak_days"), "start_day")))
+            .filter(F.col("rk") == 1))
+    return (best.select("user_id", "streak_days", "start_day")
+            .orderBy(F.desc("streak_days"), "user_id")
+            .limit(STREAK_TOP))

@@ -282,3 +282,58 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("rrf_micro"))
             .orderBy(F.desc("rrf_micro"), "doc_id")
             .limit(RRF_TOP))
+
+
+# ---------------------------------------------------------------------------
+# Phrase search (positional index)
+# ---------------------------------------------------------------------------
+
+PHRASE = ("vector", "stream")
+PHRASE_TOP = 15
+
+
+@register(
+    "q_phrase_search",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS k
+        FROM documents
+    ), a AS (
+        SELECT doc_id, k FROM pos WHERE tok = '{PHRASE[0]}'
+    ), b AS (
+        SELECT doc_id, k FROM pos WHERE tok = '{PHRASE[1]}'
+    )
+    SELECT a.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_phrase,
+           MIN(a.k) AS first_pos
+    FROM a JOIN b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+    GROUP BY 1
+    ORDER BY n_phrase DESC, doc_id
+    LIMIT {PHRASE_TOP}
+    """)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search for "{PHRASE[0]} {PHRASE[1]}" via a positional
+    index: token positions for each term, adjacency = an equi-join on
+    (doc_id, position+1) — the positional-postings technique every
+    full-text engine uses for phrase and proximity queries (slop-k is
+    the same join with a BETWEEN band; q_bm25_search scores what this
+    filters).
+
+    Scale: term filters push into the explode so only the two terms'
+    postings ever shuffle (doc-keyed equi-join, no arrays carried);
+    the census is per-doc counts, top-k total-ordered."""
+    docs = table(spark, sf_dir, "documents")
+    pos = (docs.select("doc_id",
+                       F.posexplode(F.split("text", " "))
+                       .alias("j", "tok")))
+    a = (pos.filter(F.col("tok") == PHRASE[0])
+         .select("doc_id", (F.col("j") + 1).alias("k")))
+    b = (pos.filter(F.col("tok") == PHRASE[1])
+         .select("doc_id", (F.col("j") + 1).alias("k2")))
+    return (a.join(b, (a.doc_id == b.doc_id)
+                   & (b.k2 == a.k + 1))
+            .groupBy(a.doc_id)
+            .agg(F.count("*").cast("long").alias("n_phrase"),
+                 F.min("k").alias("first_pos"))
+            .orderBy(F.desc("n_phrase"), "doc_id")
+            .limit(PHRASE_TOP))

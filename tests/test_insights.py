@@ -415,3 +415,39 @@ class TestSkyline:
                 dominated = (r.p <= sp and r.q >= sq
                              and (r.p < sp or r.q > sq))
                 assert not dominated, (sp, sq, r)
+
+
+class TestPhraseAndStreaks:
+    def test_phrase_counts_bounded_by_term_counts(self, spark, sf_dir):
+        import pyspark.sql.functions as F2
+        from columnar_estimator_sample_spark.operators.ranking import (
+            PHRASE, q_phrase_search)
+        rows = q_phrase_search(spark, sf_dir).collect()
+        if not rows:
+            return  # tiny SF may lack the phrase entirely
+        docs = table(spark, sf_dir, "documents")
+        for r in rows[:3]:
+            text = (docs.filter(F2.col("doc_id") == r.doc_id)
+                    .collect()[0]["text"])
+            toks = text.split(" ")
+            direct = sum(1 for i in range(len(toks) - 1)
+                         if toks[i] == PHRASE[0] and toks[i+1] == PHRASE[1])
+            assert r.n_phrase == direct
+
+    def test_streaks_are_consecutive_runs(self, spark, sf_dir):
+        import pyspark.sql.functions as F2
+        from columnar_estimator_sample_spark.operators.events import (
+            US_PER_DAY, q_longest_streak)
+        rows = q_longest_streak(spark, sf_dir).collect()
+        assert rows
+        for r in rows[:3]:
+            days = {x.day for x in
+                    (table(spark, sf_dir, "events")
+                     .filter(F2.col("user_id") == r.user_id)
+                     .selectExpr(f"CAST(us div {US_PER_DAY} AS BIGINT)"
+                                 " AS day").distinct().collect())}
+            # the reported streak really is present and maximal-ish
+            assert all(r.start_day + i in days
+                       for i in range(r.streak_days))
+            assert r.start_day - 1 not in days
+            assert r.start_day + r.streak_days not in days
