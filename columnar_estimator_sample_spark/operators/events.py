@@ -1103,3 +1103,73 @@ def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (best.select("user_id", "streak_days", "start_day")
             .orderBy(F.desc("streak_days"), "user_id")
             .limit(STREAK_TOP))
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve
+# ---------------------------------------------------------------------------
+
+US_PER_WEEK_LTV = 7 * US_PER_DAY
+
+
+@register(
+    "q_cohort_ltv",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) // {US_PER_WEEK_LTV} AS BIGINT) AS week,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ), cohort AS (
+        SELECT user_id, MIN(week) AS cw FROM ev GROUP BY user_id
+    ), cells AS (
+        SELECT c.cw AS cohort_week, e.week - c.cw AS week_offset,
+               CAST(SUM(e.cents) AS BIGINT) AS revenue_cents
+        FROM ev e JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
+    ), sized AS (
+        SELECT cw AS cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM cohort GROUP BY cw
+    )
+    SELECT c.cohort_week, c.week_offset, s.n_users, c.revenue_cents,
+           CAST(SUM(c.revenue_cents) OVER (
+               PARTITION BY c.cohort_week ORDER BY c.week_offset)
+               AS BIGINT) // s.n_users AS cum_ltv_cents_per_user
+    FROM cells c JOIN sized s USING (cohort_week)
+    ORDER BY cohort_week, week_offset
+    """)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: users grouped by first-active week, revenue
+    accumulated by week-since-joining, reported as cumulative cents per
+    cohort member — the lifetime-value triangle that pairs with
+    q_cohort_retention (activity) on the revenue axis. Exact cents, and
+    the running total rides a window over the already-aggregated
+    (cohort x offset) cells, never raw events.
+
+    Scale: one user-keyed join against the cohort table (itself a MIN
+    aggregate), one (cohort, offset) hash aggregate, and a window over a
+    weeks² frame."""
+    ev = (table(spark, sf_dir, "events")
+          .select("user_id",
+                  F.expr(f"CAST(us div {US_PER_WEEK_LTV} AS BIGINT)")
+                  .alias("week"),
+                  F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100"
+                         " AS BIGINT)").alias("cents")))
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cw"))
+    cells = (ev.join(cohort, "user_id")
+             .groupBy(F.col("cw").alias("cohort_week"),
+                      (F.col("week") - F.col("cw")).alias("week_offset"))
+             .agg(F.sum("cents").cast("long").alias("revenue_cents")))
+    sized = (cohort.groupBy(F.col("cw").alias("cohort_week"))
+             .agg(F.count("*").cast("long").alias("n_users")))
+    w = (Window.partitionBy("cohort_week").orderBy("week_offset")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (cells.join(F.broadcast(sized), "cohort_week")
+            .withColumn("cum_rev",
+                        F.sum("revenue_cents").over(w).cast("long"))
+            .withColumn("cum_ltv_cents_per_user",
+                        F.expr("cum_rev div n_users"))
+            .drop("cum_rev")
+            .select("cohort_week", "week_offset", "n_users",
+                    "revenue_cents", "cum_ltv_cents_per_user")
+            .orderBy("cohort_week", "week_offset"))

@@ -451,3 +451,24 @@ class TestPhraseAndStreaks:
                        for i in range(r.streak_days))
             assert r.start_day - 1 not in days
             assert r.start_day + r.streak_days not in days
+
+
+class TestCohortLTV:
+    def test_curves_monotone_and_users_partition(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.events import (
+            q_cohort_ltv)
+        rows = q_cohort_ltv(spark, sf_dir).collect()
+        assert rows
+        n_users = (table(spark, sf_dir, "events")
+                   .select("user_id").distinct().count())
+        sizes = {}
+        by_cohort: dict = {}
+        for r in rows:
+            sizes[r.cohort_week] = r.n_users
+            by_cohort.setdefault(r.cohort_week, []).append(r)
+        assert sum(sizes.values()) == n_users
+        for cw, rs in by_cohort.items():
+            lt = [r.cum_ltv_cents_per_user
+                  for r in sorted(rs, key=lambda r: r.week_offset)]
+            assert lt == sorted(lt)          # cumulative -> monotone
+            assert rs[0].week_offset == 0    # every cohort starts at 0
