@@ -819,3 +819,83 @@ def q_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("(1000 * CAST(SUM(rev_cents) AS BIGINT)) div MAX(t)")
                  .alias("revenue_share_permille"))
             .orderBy("abc_class"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (contrastive pair construction)
+# ---------------------------------------------------------------------------
+
+NEG_PER_POS = 3
+
+
+@register(
+    "q_negative_sampling",
+    oracle=f"""
+    WITH pos AS (
+        SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), np AS (SELECT MAX(partkey) AS maxp FROM pos),
+    cand AS (
+        SELECT p.custkey, i.i,
+               1 + ({sql_h64("CAST(p.custkey AS VARCHAR) || '_' ||"
+                             " CAST(i.i AS VARCHAR)")}) % n.maxp
+                   AS cand_part
+        FROM (SELECT DISTINCT custkey FROM pos) p
+        CROSS JOIN (SELECT unnest(range(0, {NEG_PER_POS})) AS i) i
+        CROSS JOIN np n
+    ), checked AS (
+        SELECT c.i, c.custkey,
+               CASE WHEN p.partkey IS NULL THEN 0 ELSE 1 END AS collision
+        FROM cand c LEFT JOIN pos p
+          ON p.custkey = c.custkey AND p.partkey = c.cand_part
+    )
+    SELECT i AS attempt, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(collision) AS BIGINT) AS n_collisions,
+           (1000 * CAST(SUM(collision) AS BIGINT)) // COUNT(*)
+               AS collision_permille
+    FROM checked
+    GROUP BY i
+    ORDER BY i
+    """)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    each customer's {NEG_PER_POS} candidate negatives are drawn by the
+    portable hash (h64(custkey_i) mod |parts|) — reproducible across
+    engines, shards, and reruns, unlike rand()-based samplers — and
+    validated against the positive set with one LEFT join (a candidate
+    that collides with a true positive is flagged, the standard
+    rejection bookkeeping). Reports per attempt the collision rate —
+    the quantity that tells you how many attempts the pipeline needs.
+
+    Scale: the positives table is the only corpus-sized frame; the
+    candidate fan-out is |users| x {NEG_PER_POS} narrow rows, and the
+    validity check is an equi-join on the same (custkey, partkey) key
+    layout the positives already shuffle on."""
+    orders = table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+           .select(F.col("o_custkey").alias("custkey"),
+                   F.col("l_partkey").alias("partkey"))
+           .distinct())
+    np_ = pos.agg(F.max("partkey").alias("maxp"))
+    users = pos.select("custkey").distinct()
+    attempts = spark.range(NEG_PER_POS).select(F.col("id").alias("i"))
+    cand = (users.crossJoin(F.broadcast(attempts))
+            .crossJoin(F.broadcast(np_))
+            .select("custkey", "i",
+                    (1 + h64(F.concat_ws(
+                        "_", F.col("custkey").cast("string"),
+                        F.col("i").cast("string"))) % F.col("maxp"))
+                    .alias("cand_part")))
+    checked = (cand.join(
+                   pos.withColumnRenamed("partkey", "cand_part")
+                   .withColumn("hit", F.lit(1)),
+                   ["custkey", "cand_part"], "left"))
+    return (checked.groupBy(F.col("i").alias("attempt"))
+            .agg(F.count("*").cast("long").alias("n_candidates"),
+                 F.sum(F.coalesce("hit", F.lit(0))).cast("long")
+                 .alias("n_collisions"))
+            .withColumn("collision_permille",
+                        F.expr("(1000 * n_collisions) div n_candidates"))
+            .orderBy("attempt"))

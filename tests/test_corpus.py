@@ -214,3 +214,22 @@ class TestABCParts:
             a, c = rows["A"], rows["C"]
             assert (a.revenue_cents * c.n_parts
                     > c.revenue_cents * a.n_parts)
+
+
+class TestNegativeSampling:
+    def test_candidates_deterministic_and_bounded(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.corpus import (
+            NEG_PER_POS, q_negative_sampling)
+        from columnar_estimator_sample_spark.sources.tables import table
+        rows = q_negative_sampling(spark, sf_dir).collect()
+        assert len(rows) == NEG_PER_POS
+        n_users = (table(spark, sf_dir, "orders")
+                   .select("o_custkey").distinct().count())
+        for r in rows:
+            assert r.n_candidates == n_users
+            assert 0 <= r.n_collisions <= r.n_candidates
+            assert 0 <= r.collision_permille <= 1000
+        # determinism: a second run returns identical collision counts
+        again = q_negative_sampling(spark, sf_dir).collect()
+        assert [r.n_collisions for r in rows] == \
+            [r.n_collisions for r in again]
