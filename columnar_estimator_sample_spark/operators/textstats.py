@@ -961,3 +961,73 @@ def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "next_tok", "n")
             .orderBy(F.desc("n"), "prev_tok", "next_tok")
             .limit(KWIC_TOP))
+
+
+# ---------------------------------------------------------------------------
+# Prefix autocomplete census
+# ---------------------------------------------------------------------------
+
+AC_PREFIX_LEN = 3
+AC_TOP = 15
+
+
+@register(
+    "q_autocomplete",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), t AS (
+        SELECT tok FROM toks WHERE len(tok) >= {AC_PREFIX_LEN}
+    ), c AS (
+        SELECT substr(tok, 1, {AC_PREFIX_LEN}) AS prefix, tok,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM t GROUP BY 1, 2
+    ), ptot AS (
+        SELECT prefix, CAST(SUM(n) AS BIGINT) AS pn,
+               CAST(COUNT(*) AS BIGINT) AS n_completions
+        FROM c GROUP BY prefix
+    ), best AS (
+        SELECT prefix, tok AS top_completion, n FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY prefix
+                                         ORDER BY n DESC, tok) AS rk
+            FROM c
+        ) WHERE rk = 1
+    )
+    SELECT b.prefix, p.n_completions, b.top_completion,
+           (1000 * b.n) // p.pn AS top_share_permille
+    FROM best b JOIN ptot p USING (prefix)
+    ORDER BY p.pn DESC, b.prefix
+    LIMIT {AC_TOP}
+    """)
+def q_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-autocomplete census: for the {AC_TOP} hottest
+    {AC_PREFIX_LEN}-char prefixes, the number of distinct completions,
+    the most frequent completion, and its share of the prefix's traffic
+    — the aggregate a type-ahead/suggest service precomputes (a trie's
+    first level, relationally).
+
+    Scale: tokens collapse to (prefix, token) counts with map-side
+    partials; the per-prefix argmax is a window over the
+    vocabulary-sized aggregate; all the raw-corpus work is ONE explode +
+    hash aggregate."""
+    from pyspark.sql import Window
+    docs = table(spark, sf_dir, "documents")
+    c = (docs.select(F.explode(F.split("text", " ")).alias("tok"))
+         .filter(F.length("tok") >= AC_PREFIX_LEN)
+         .groupBy(F.substring("tok", 1, AC_PREFIX_LEN).alias("prefix"),
+                  "tok")
+         .agg(F.count("*").cast("long").alias("n")))
+    ptot = (c.groupBy("prefix")
+            .agg(F.sum("n").cast("long").alias("pn"),
+                 F.count("*").cast("long").alias("n_completions")))
+    w = Window.partitionBy("prefix").orderBy(F.desc("n"), "tok")
+    best = (c.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("prefix", F.col("tok").alias("top_completion"), "n"))
+    return (best.join(ptot, "prefix")
+            .select("prefix", "n_completions", "top_completion",
+                    F.expr("(1000 * n) div pn").alias("top_share_permille"),
+                    F.col("pn"))
+            .orderBy(F.desc("pn"), "prefix")
+            .limit(AC_TOP)
+            .drop("pn"))

@@ -472,3 +472,16 @@ class TestCohortLTV:
                   for r in sorted(rs, key=lambda r: r.week_offset)]
             assert lt == sorted(lt)          # cumulative -> monotone
             assert rs[0].week_offset == 0    # every cohort starts at 0
+
+
+class TestAutocomplete:
+    def test_top_shares_and_prefix_consistency(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.textstats import (
+            AC_PREFIX_LEN, AC_TOP, q_autocomplete)
+        rows = q_autocomplete(spark, sf_dir).collect()
+        assert 0 < len(rows) <= AC_TOP
+        for r in rows:
+            assert len(r.prefix) == AC_PREFIX_LEN
+            assert r.top_completion.startswith(r.prefix)
+            assert r.n_completions >= 1
+            assert 0 < r.top_share_permille <= 1000
