@@ -498,3 +498,63 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                            " div (CAST(t1 AS DECIMAL(38,0)) * t2)"
                            " AS BIGINT)").alias("ks_permille"),
                     F.col("cents").alias("argmax_cents")))
+
+
+# ---------------------------------------------------------------------------
+# Join-discovery census (value-set containment)
+# ---------------------------------------------------------------------------
+
+# candidate (fact column, dim column) pairs scanned by the discovery pass;
+# the last pair is a deliberate non-join (the census should score it ~0)
+JOINABILITY_PAIRS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_suppkey", "orders", "o_orderkey"),
+]
+
+
+def _joinability_oracle() -> str:
+    blocks = []
+    for i, (ta, ca, tb, cb) in enumerate(JOINABILITY_PAIRS):
+        blocks.append(f"""
+    SELECT '{ta}.{ca} -> {tb}.{cb}' AS pair,
+           a.n AS n_a, b.n AS n_b, i.n AS n_inter,
+           (1000 * i.n) // a.n AS containment_permille
+    FROM (SELECT CAST(COUNT(DISTINCT {ca}) AS BIGINT) AS n FROM {ta}) a,
+         (SELECT CAST(COUNT(DISTINCT {cb}) AS BIGINT) AS n FROM {tb}) b,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM
+             (SELECT DISTINCT {ca} AS v FROM {ta})
+             JOIN (SELECT DISTINCT {cb} AS v FROM {tb}) USING (v)) i""")
+    return "\nUNION ALL\n".join(blocks) + "\nORDER BY pair"
+
+
+@register("q_joinability", oracle=_joinability_oracle())
+def q_joinability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-discovery census: for candidate column pairs, the exact
+    value-set containment |A∩B|/|A| in permille — the statistic that
+    auto-detects foreign keys in a data catalog (near 1000 = every fact
+    value resolves in the dimension; near 0 = not a join path; the list
+    deliberately includes one non-join pair as the control). This is the
+    relational core of dataset-search systems' "joinability" indexes.
+
+    Scale: each side collapses to its DISTINCT value set first (map-side
+    partial), the intersection is a distinct-distinct equi-join, and at
+    100 TB the same census runs on minhash/bitmap summaries (the
+    engine's q_dedup_minhash_lsh and q_bitmap_retention machinery) —
+    this exact version IS the oracle those sketches approximate."""
+    out = None
+    for ta, ca, tb, cb in JOINABILITY_PAIRS:
+        a = table(spark, sf_dir, ta).select(F.col(ca).alias("v")).distinct()
+        b = table(spark, sf_dir, tb).select(F.col(cb).alias("v")).distinct()
+        na = a.agg(F.count("*").cast("long").alias("n_a"))
+        nb = b.agg(F.count("*").cast("long").alias("n_b"))
+        ni = a.join(b, "v").agg(F.count("*").cast("long").alias("n_inter"))
+        row = (na.crossJoin(nb).crossJoin(ni)
+               .select(F.lit(f"{ta}.{ca} -> {tb}.{cb}").alias("pair"),
+                       "n_a", "n_b", "n_inter",
+                       F.expr("(1000 * n_inter) div n_a")
+                       .alias("containment_permille")))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("pair")

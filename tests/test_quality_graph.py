@@ -203,3 +203,20 @@ class TestKSTest:
                     - bisect.bisect_right(b, v) * len(a))
             best = max(best, d)
         assert row.ks_permille == (1000 * best) // (len(a) * len(b))
+
+
+class TestJoinability:
+    def test_true_fks_score_high_and_control_low(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.quality import (
+            q_joinability)
+        rows = {r.pair: r for r in q_joinability(spark, sf_dir).collect()}
+        # genuine FK paths fully resolve
+        for pair in ["lineitem.l_orderkey -> orders.o_orderkey",
+                     "lineitem.l_partkey -> part.p_partkey",
+                     "orders.o_custkey -> customer.c_custkey"]:
+            assert rows[pair].containment_permille == 1000, pair
+        # the control non-join pair scores far below
+        ctl = rows["lineitem.l_suppkey -> orders.o_orderkey"]
+        assert ctl.containment_permille < 500
+        for r in rows.values():
+            assert r.n_inter <= min(r.n_a, r.n_b)
