@@ -511,7 +511,7 @@ JOINABILITY_PAIRS = [
     ("lineitem", "l_partkey", "part", "p_partkey"),
     ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
     ("orders", "o_custkey", "customer", "c_custkey"),
-    ("lineitem", "l_suppkey", "orders", "o_orderkey"),
+    ("orders", "o_orderkey", "supplier", "s_suppkey"),
 ]
 
 

@@ -216,7 +216,7 @@ class TestJoinability:
                      "orders.o_custkey -> customer.c_custkey"]:
             assert rows[pair].containment_permille == 1000, pair
         # the control non-join pair scores far below
-        ctl = rows["lineitem.l_suppkey -> orders.o_orderkey"]
+        ctl = rows["orders.o_orderkey -> supplier.s_suppkey"]
         assert ctl.containment_permille < 500
         for r in rows.values():
             assert r.n_inter <= min(r.n_a, r.n_b)
