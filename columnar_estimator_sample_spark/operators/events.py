@@ -1173,3 +1173,84 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cohort_week", "week_offset", "n_users",
                     "revenue_cents", "cum_ltv_cents_per_user")
             .orderBy("cohort_week", "week_offset"))
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution (event-type chain)
+# ---------------------------------------------------------------------------
+
+PPM = 1_000_000
+
+
+@register(
+    "q_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+                   AS dst
+        FROM events
+    ), edges AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    ), p AS (
+        SELECT src, dst,
+               ({PPM} * c) // CAST(SUM(c) OVER (PARTITION BY src)
+                                   AS BIGINT) AS p_ppm
+        FROM edges
+    ), types AS (
+        SELECT src AS t FROM edges GROUP BY src
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM types),
+    v0 AS (
+        SELECT t, {PPM} // n.k AS v FROM types, n
+    ), v1 AS (
+        SELECT p.dst AS t, CAST(SUM(v0.v * p.p_ppm) // {PPM} AS BIGINT) AS v
+        FROM v0 JOIN p ON p.src = v0.t GROUP BY p.dst
+    ), v2 AS (
+        SELECT p.dst AS t, CAST(SUM(v1.v * p.p_ppm) // {PPM} AS BIGINT) AS v
+        FROM v1 JOIN p ON p.src = v1.t GROUP BY p.dst
+    ), v3 AS (
+        SELECT p.dst AS t, CAST(SUM(v2.v * p.p_ppm) // {PPM} AS BIGINT) AS v
+        FROM v2 JOIN p ON p.src = v2.t GROUP BY p.dst
+    )
+    SELECT t AS event_type, v AS stationary_ppm
+    FROM v3
+    ORDER BY event_type
+    """)
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate stationary distribution of the user-behavior Markov
+    chain: the event-type transition matrix (MLE permille of
+    q_event_transitions, here in ppm) powered three steps from the
+    uniform vector — where user attention settles if behavior keeps its
+    current dynamics. The undamped sibling of q_pagerank on the
+    behavioral graph instead of the trade graph; integer fixed-point
+    ppm arithmetic end to end (floor per multiply, documented, identical
+    in both engines).
+
+    Scale: the chain distills from one LEAD pass over a user-keyed
+    exchange into a |types|² matrix; each power step is a tiny
+    broadcast-join aggregate, independent of corpus size."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = (ev.select(F.col("event_type").alias("src"), "us", "event_id",
+                     "user_id")
+           .withColumn("dst", F.lead("src").over(w))
+           .filter(F.col("dst").isNotNull()))
+    edges = (seq.groupBy("src", "dst")
+             .agg(F.count("*").cast("long").alias("c")))
+    ws = Window.partitionBy("src")
+    p = (edges.withColumn("tot", F.sum("c").over(ws).cast("long"))
+         .select("src", "dst",
+                 F.expr(f"({PPM} * c) div tot").alias("p_ppm")))
+    types = edges.select(F.col("src").alias("t")).distinct()
+    k = types.count()
+    v = types.select("t", F.lit(PPM // k).cast("long").alias("v"))
+    for _ in range(3):
+        v = (v.join(F.broadcast(p), v.t == p.src)
+             .groupBy(F.col("dst").alias("t"))
+             .agg(F.expr(f"CAST(SUM(v * p_ppm) div {PPM} AS BIGINT)")
+                  .alias("v")))
+    return (v.select(F.col("t").alias("event_type"),
+                     F.col("v").alias("stationary_ppm"))
+            .orderBy("event_type"))

@@ -485,3 +485,16 @@ class TestAutocomplete:
             assert r.top_completion.startswith(r.prefix)
             assert r.n_completions >= 1
             assert 0 < r.top_share_permille <= 1000
+
+
+class TestMarkovStationary:
+    def test_mass_approximately_conserved(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.events import (
+            PPM, q_markov_stationary)
+        rows = q_markov_stationary(spark, sf_dir).collect()
+        assert rows
+        total = sum(r.stationary_ppm for r in rows)
+        # floor per multiply loses a little mass, never gains
+        assert PPM - 1000 * len(rows) <= total <= PPM
+        for r in rows:
+            assert 0 <= r.stationary_ppm <= PPM
