@@ -335,3 +335,123 @@ def q_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("(1000 * n_both) div n_either")
                     .alias("jaccard_permille"))
             .orderBy("day"))
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter (oracle-exact words + measured FPR)
+# ---------------------------------------------------------------------------
+
+BF_WORDS = 32            # 32 x 63-bit words -> m = 2016 bit positions
+BF_M = BF_WORDS * WORD_BITS
+BF_K = 4                 # hash functions
+BF_PROBES = 500          # fabricated guaranteed non-member probes
+
+
+def _bf_positions_sql(v: str) -> list[str]:
+    out = []
+    for i in range(BF_K):
+        expr = "'bf" + str(i) + "_' || CAST(" + v + " AS VARCHAR)"
+        out.append(f"({sql_h64(expr)}) % {BF_M}")
+    return out
+
+
+@register(
+    "q_bloom_fpr",
+    oracle=f"""
+    WITH members AS (
+        SELECT DISTINCT o_custkey AS v FROM orders
+    ), mpos AS (
+        {" UNION ALL ".join(
+            f"SELECT ({p}) AS pos FROM members"
+            for p in _bf_positions_sql("v"))}
+    ), words AS (
+        SELECT pos // {WORD_BITS} AS w,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % {WORD_BITS} AS INT))
+                   AS bits
+        FROM mpos GROUP BY 1
+    ), mx AS (SELECT MAX(v) AS mv FROM members),
+    probes AS (
+        SELECT mx.mv + i.i AS v
+        FROM (SELECT unnest(range(1, {BF_PROBES} + 1)) AS i) i, mx
+    ), ppos AS (
+        {" UNION ALL ".join(
+            f"SELECT v, ({p}) AS pos FROM probes"
+            for p in _bf_positions_sql("v"))}
+    ), checked AS (
+        SELECT p.v,
+               CAST(SUM(CASE WHEN (w.bits
+                                   >> CAST(p.pos % {WORD_BITS} AS INT))
+                                  & 1 = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        FROM ppos p LEFT JOIN words w ON w.w = p.pos // {WORD_BITS}
+        GROUP BY p.v
+    ), agg AS (
+        SELECT CAST(SUM(CASE WHEN hits = {BF_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_fp
+        FROM checked
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM words) AS n_words_used,
+           CAST({BF_PROBES} AS BIGINT) AS n_probes,
+           a.n_fp,
+           (1000 * a.n_fp) // {BF_PROBES} AS fpr_permille
+    FROM agg a
+    """)
+def q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter, end to end: the customer-key member set
+    hashes into an m={BF_M}-bit filter stored as {BF_WORDS} 63-bit words
+    (bit_or aggregate — the same OR-mergeable word layout as
+    q_bitmap_retention), then {BF_PROBES} fabricated guaranteed
+    non-members probe it and the query reports the MEASURED
+    false-positive rate — the empirical audit of the structure Spark
+    itself injects as runtime bloom filters (proven in
+    tests/test_plans.py). All k={BF_K} hash positions come from the md5
+    family, so both engines build bit-identical words and agree on
+    every probe.
+
+    Scale: the filter is {BF_WORDS} rows no matter the corpus; members
+    collapse to distinct keys first; probes are a generated frame.
+    Membership checking is a word-keyed broadcast join."""
+    orders = table(spark, sf_dir, "orders")
+    members = orders.select(F.col("o_custkey").alias("v")).distinct()
+
+    def positions(df: DataFrame, keep: list[str]) -> DataFrame:
+        out = None
+        for i in range(BF_K):
+            p = (df.select(
+                *keep,
+                (h64(F.concat(F.lit(f"bf{i}_"),
+                              F.col("v").cast("string"))) % BF_M)
+                .alias("pos")))
+            out = p if out is None else out.unionByName(p)
+        return out
+
+    words = (positions(members, [])
+             .groupBy(F.expr(f"pos div {WORD_BITS}").alias("w"))
+             .agg(F.expr(
+                 f"bit_or(shiftleft(CAST(1 AS BIGINT),"
+                 f" CAST(pos % {WORD_BITS} AS INT)))").alias("bits")))
+    mx = members.agg(F.max("v").alias("mv"))
+    probes = (spark.range(1, BF_PROBES + 1)
+              .crossJoin(F.broadcast(mx))
+              .select((F.col("mv") + F.col("id")).alias("v")))
+    ppos = positions(probes, ["v"]).withColumn(
+        "w", F.expr(f"pos div {WORD_BITS}"))
+    checked = (ppos.join(F.broadcast(words), "w", "left")
+               .groupBy("v")
+               .agg(F.sum(F.expr(
+                   f"CASE WHEN (bits >> CAST(pos % {WORD_BITS} AS INT))"
+                   f" & 1 = 1 THEN 1 ELSE 0 END")).cast("long")
+                   .alias("hits")))
+    agg = checked.agg(
+        F.sum(F.expr(f"CASE WHEN hits = {BF_K} THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_fp"))
+    n_members = members.agg(F.count("*").cast("long").alias("n_members"))
+    n_words = words.agg(F.count("*").cast("long").alias("n_words_used"))
+    return (agg.crossJoin(F.broadcast(n_members))
+            .crossJoin(F.broadcast(n_words))
+            .select("n_members", "n_words_used",
+                    F.lit(BF_PROBES).cast("long").alias("n_probes"),
+                    "n_fp",
+                    F.expr(f"(1000 * n_fp) div {BF_PROBES}")
+                    .alias("fpr_permille")))

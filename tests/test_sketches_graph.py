@@ -246,3 +246,19 @@ class TestBitmapRetention:
             assert r.n_both == len(a & b)
             assert r.n_either == len(a | b)
             assert r.jaccard_permille == 1000 * len(a & b) // len(a | b)
+
+
+class TestBloomFPR:
+    def test_no_false_negatives_and_sane_fpr(self, spark, sf_dir):
+        """Members must ALWAYS hit (bloom guarantee); the measured FPR on
+        non-members stays within an order of magnitude of theory."""
+        import math
+        from columnar_estimator_sample_spark.operators.sketches import (
+            BF_K, BF_M, q_bloom_fpr)
+        row = q_bloom_fpr(spark, sf_dir).collect()[0]
+        assert row.n_members > 0
+        assert 0 <= row.n_fp <= row.n_probes
+        # theory: (1 - e^{-kn/m})^k; allow wide slack (small probe set)
+        theo = (1 - math.exp(-BF_K * row.n_members / BF_M)) ** BF_K
+        assert row.fpr_permille <= max(1000 * theo * 3, 50) + 1000 * 0.05 \
+            or theo > 0.9
