@@ -341,7 +341,7 @@ def q_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Portable Bloom filter (oracle-exact words + measured FPR)
 # ---------------------------------------------------------------------------
 
-BF_WORDS = 32            # 32 x 63-bit words -> m = 2016 bit positions
+BF_WORDS = 512           # 512 x 63-bit words -> m = 32256 bit positions
 BF_M = BF_WORDS * WORD_BITS
 BF_K = 4                 # hash functions
 BF_PROBES = 500          # fabricated guaranteed non-member probes
