@@ -461,3 +461,78 @@ def q_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.join(F.broadcast(nation), d.node == nation.n_nationkey)
             .select("n_name", F.col("dist").alias("dist_cents"))
             .orderBy("dist_cents", "n_name"))
+
+
+# ---------------------------------------------------------------------------
+# Two-hop reach (sparse matrix square)
+# ---------------------------------------------------------------------------
+
+REACH_TOP = 15
+
+
+@register(
+    "q_two_hop_reach",
+    oracle=f"""
+    WITH e AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ), a2 AS (
+        SELECT e1.src, e2.dst,
+               CAST(SUM(CAST(e1.w AS HUGEINT) * e2.w) AS HUGEINT) AS paths
+        FROM e e1 JOIN e e2 ON e2.src = e1.dst
+        GROUP BY 1, 2
+    )
+    SELECT ns.n_name AS src_nation, nd.n_name AS dst_nation,
+           CAST(a2.paths AS BIGINT) AS n_paths
+    FROM a2
+    JOIN nation ns ON ns.n_nationkey = a2.src
+    JOIN nation nd ON nd.n_nationkey = a2.dst
+    ORDER BY n_paths DESC, src_nation, dst_nation
+    LIMIT {REACH_TOP}
+    """)
+def q_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted two-hop reach: the square of the trade-graph adjacency
+    matrix, computed as relational algebra — A² is literally one
+    equi-join on the shared middle vertex plus a (src, dst) SUM of
+    weight products, which is how every distributed sparse
+    matrix-matrix multiply decomposes. Reports the heaviest indirect
+    trade corridors (supplier nation -> middleman -> customer nation).
+
+    Scale: the matrix itself is the |nations|² distillation (the
+    expensive part is the same 100 TB -> edge-list collapse as
+    q_pagerank); the square touches only aggregated edges. 128-bit
+    lanes for the path products."""
+    from columnar_estimator_sample_spark.sources.tables import table
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation")
+    e = (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+         .join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .groupBy(F.col("s_nationkey").alias("src"),
+                  F.col("c_nationkey").alias("dst"))
+         .agg(F.count("*").cast("long").alias("w")))
+    e1 = e.select(F.col("src"), F.col("dst").alias("mid"),
+                  F.col("w").alias("w1"))
+    e2 = e.select(F.col("src").alias("mid"), F.col("dst"),
+                  F.col("w").alias("w2"))
+    a2 = (e1.join(e2, "mid")
+          .groupBy("src", "dst")
+          .agg(F.expr("CAST(SUM(CAST(w1 AS DECIMAL(38,0)) * w2)"
+                      " AS DECIMAL(38,0))").alias("paths")))
+    ns = nation.select(F.col("n_nationkey").alias("src"),
+                       F.col("n_name").alias("src_nation"))
+    nd = nation.select(F.col("n_nationkey").alias("dst"),
+                       F.col("n_name").alias("dst_nation"))
+    return (a2.join(F.broadcast(ns), "src").join(F.broadcast(nd), "dst")
+            .select("src_nation", "dst_nation",
+                    F.col("paths").cast("long").alias("n_paths"))
+            .orderBy(F.desc("n_paths"), "src_nation", "dst_nation")
+            .limit(REACH_TOP))

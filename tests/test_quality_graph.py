@@ -220,3 +220,14 @@ class TestJoinability:
         assert ctl.containment_permille < 500
         for r in rows.values():
             assert r.n_inter <= min(r.n_a, r.n_b)
+
+
+class TestTwoHopReach:
+    def test_paths_dominate_direct_edges(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.graph import (
+            REACH_TOP, q_two_hop_reach)
+        rows = q_two_hop_reach(spark, sf_dir).collect()
+        assert 0 < len(rows) <= REACH_TOP
+        ns = [r.n_paths for r in rows]
+        assert ns == sorted(ns, reverse=True)
+        assert all(n >= 1 for n in ns)
