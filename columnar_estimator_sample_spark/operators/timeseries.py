@@ -787,3 +787,69 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                            " div (CAST(t AS DECIMAL(38,0)) * n) AS BIGINT)")
                     .alias("magnitude_permille"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Empirical tail risk (VaR + expected shortfall)
+# ---------------------------------------------------------------------------
+
+VAR_PCT = 5  # 5th percentile of daily changes = 95% VaR
+
+
+@register(
+    "q_tail_risk",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // {US_PER_DAY} AS BIGINT) AS day,
+               CAST(SUM({_VCENTS}) AS BIGINT) AS rev
+        FROM events GROUP BY 1
+    ), diffs AS (
+        SELECT day, rev - lag(rev) OVER (ORDER BY day) AS d
+        FROM daily
+    ), dd AS (SELECT day, d FROM diffs WHERE d IS NOT NULL),
+    ranked AS (
+        SELECT d, ROW_NUMBER() OVER (ORDER BY d, day) AS rn,
+               COUNT(*) OVER () AS n
+        FROM dd
+    ), var AS (
+        SELECT d AS var_cents, n FROM ranked
+        WHERE rn = 1 + ((n - 1) * {VAR_PCT}) // 100
+    )
+    SELECT v.n AS n_days, v.var_cents,
+           CAST(SUM(r.d) AS BIGINT) // COUNT(*) AS es_cents
+    FROM ranked r CROSS JOIN var v
+    WHERE r.d <= v.var_cents
+    GROUP BY v.n, v.var_cents
+    """)
+def q_tail_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical tail risk of the daily revenue stream: the 95% VaR
+    (nearest-rank {VAR_PCT}th percentile of day-over-day revenue
+    changes, exact cents) and the expected shortfall (the mean of
+    changes at or beyond VaR — the coherent risk measure regulators
+    prefer, here an exact integer floor-mean). The day-over-day LAG
+    rides the tiny daily aggregate; the tail mean is a filtered
+    aggregate against the broadcast VaR scalar.
+
+    Scale: the raw stream collapses to |days| rows first; the only
+    full-width work is one scan + hash aggregate."""
+    ev = table(spark, sf_dir, "events")
+    daily = (ev.select(F.expr(f"CAST(us div {US_PER_DAY} AS BIGINT)")
+                       .alias("day"),
+                       F.expr(_VCENTS).alias("cents"))
+             .groupBy("day").agg(F.sum("cents").cast("long").alias("rev")))
+    w = Window.orderBy("day")
+    dd = (daily.withColumn("d", F.col("rev") - F.lag("rev").over(w))
+          .filter(F.col("d").isNotNull()))
+    wr = Window.orderBy("d", "day")
+    ranked = (dd.withColumn("rn", F.row_number().over(wr))
+              .withColumn("n", F.count("*").over(
+                  Window.partitionBy())))
+    var = (ranked.filter(F.expr(f"rn = 1 + ((n - 1) * {VAR_PCT}) div 100"))
+           .select(F.col("d").alias("var_cents"),
+                   F.col("n").alias("n_days")))
+    return (ranked.drop("n").crossJoin(F.broadcast(var))
+            .filter(F.col("d") <= F.col("var_cents"))
+            .groupBy("n_days", "var_cents")
+            .agg(F.expr("CAST(SUM(d) AS BIGINT) div COUNT(*)")
+                 .alias("es_cents"))
+            .select("n_days", "var_cents", "es_cents"))

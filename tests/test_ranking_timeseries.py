@@ -233,3 +233,15 @@ class TestCUSUM:
                     best, best_day = abs(c), d
             assert rows[et].change_day == best_day
             assert rows[et].magnitude_permille == (1000 * best) // (t * n)
+
+
+class TestTailRisk:
+    def test_var_and_es_ordering(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.timeseries import (
+            q_tail_risk)
+        rows = q_tail_risk(spark, sf_dir).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # expected shortfall is at least as severe as the VaR boundary
+        assert r.es_cents <= r.var_cents
+        assert r.n_days >= 1
