@@ -1254,3 +1254,71 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (v.select(F.col("t").alias("event_type"),
                      F.col("v").alias("stationary_ppm"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert percentiles
+# ---------------------------------------------------------------------------
+
+TTC_PCTS = (50, 90)
+
+
+@register(
+    "q_funnel_latency",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                   AS t_view,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                   AS t_buy
+        FROM events GROUP BY user_id
+    ), conv AS (
+        SELECT user_id, (t_buy - t_view) // 1000000 AS ttc_s
+        FROM firsts
+        WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy >= t_view
+    ), ranked AS (
+        SELECT ttc_s,
+               ROW_NUMBER() OVER (ORDER BY ttc_s, user_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM conv
+    )
+    SELECT CAST(n AS BIGINT) AS n_converted,
+           {", ".join(
+               f"MAX(CASE WHEN rn = 1 + ((n - 1) * {p}) // 100"
+               f" THEN ttc_s END) AS p{p}_seconds" for p in TTC_PCTS)},
+           MAX(ttc_s) AS max_seconds
+    FROM ranked
+    GROUP BY n
+    """)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel time-to-convert: for users whose first purchase follows
+    their first view, the exact nearest-rank p50/p90 (and max) of the
+    conversion latency in whole seconds — the time-dimension companion
+    to q_funnel's stage counts (how MANY convert there; how FAST here).
+
+    Scale: first-touch times are one user-keyed conditional-MIN
+    aggregate over the raw stream; ranking runs on the converted-user
+    frame only. Integer µs -> s floor division, timezone-invariant."""
+    ev = table(spark, sf_dir, "events")
+    firsts = (ev.groupBy("user_id")
+              .agg(F.min(F.when(F.col("event_type") == "view",
+                                F.col("us"))).alias("t_view"),
+                   F.min(F.when(F.col("event_type") == "purchase",
+                                F.col("us"))).alias("t_buy")))
+    conv = (firsts
+            .filter(F.col("t_view").isNotNull()
+                    & F.col("t_buy").isNotNull()
+                    & (F.col("t_buy") >= F.col("t_view")))
+            .select("user_id",
+                    F.expr("(t_buy - t_view) div 1000000").alias("ttc_s")))
+    w = Window.orderBy("ttc_s", "user_id")
+    ranked = (conv.withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count("*").over(Window.partitionBy())))
+    sels = [F.max(F.when(
+                F.expr(f"rn = 1 + ((n - 1) * {p}) div 100"),
+                F.col("ttc_s"))).alias(f"p{p}_seconds")
+            for p in TTC_PCTS]
+    return (ranked.groupBy(F.col("n").cast("long").alias("n_converted"))
+            .agg(*sels, F.max("ttc_s").alias("max_seconds"))
+            .drop("n"))

@@ -498,3 +498,23 @@ class TestMarkovStationary:
         assert PPM - 1000 * len(rows) <= total <= PPM
         for r in rows:
             assert 0 <= r.stationary_ppm <= PPM
+
+
+class TestFunnelLatency:
+    def test_percentiles_ordered_and_counts_match(self, spark, sf_dir):
+        import pyspark.sql.functions as F2
+        from columnar_estimator_sample_spark.operators.events import (
+            q_funnel_latency)
+        rows = q_funnel_latency(spark, sf_dir).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert 0 <= r.p50_seconds <= r.p90_seconds <= r.max_seconds
+        ev = table(spark, sf_dir, "events")
+        firsts = (ev.groupBy("user_id")
+                  .agg(F2.min(F2.when(F2.col("event_type") == "view",
+                                      F2.col("us"))).alias("v"),
+                       F2.min(F2.when(F2.col("event_type") == "purchase",
+                                      F2.col("us"))).alias("b")))
+        n = (firsts.filter("v IS NOT NULL AND b IS NOT NULL AND b >= v")
+             .count())
+        assert r.n_converted == n
