@@ -331,3 +331,82 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("partkey", "suppkey", "supplier_name", "price")
         .orderBy("partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres price index between time halves
+# ---------------------------------------------------------------------------
+
+_CENT_R3 = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+_QTY_R3 = "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)"
+
+
+@register(
+    "q_price_index",
+    oracle=f"""
+    WITH li AS (
+        SELECT l_partkey, epoch_us(l_shipdate) AS us,
+               {_CENT_R3} AS cents, {_QTY_R3} AS qty
+        FROM lineitem
+    ), rng AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM li),
+    halves AS (
+        SELECT l_partkey,
+               CASE WHEN us < (mn + mx) // 2 THEN 1 ELSE 2 END AS half,
+               cents, qty
+        FROM li, rng
+    ), per AS (
+        SELECT l_partkey, half,
+               CAST(SUM(cents * qty) AS HUGEINT) AS value_cq,
+               CAST(SUM(qty) AS BIGINT) AS q
+        FROM halves GROUP BY 1, 2
+    ), paired AS (
+        SELECT a.l_partkey,
+               a.value_cq // a.q AS p1,   -- qty-weighted avg price, floor
+               b.value_cq // b.q AS p2,
+               a.q AS q1
+        FROM per a JOIN per b
+          ON b.l_partkey = a.l_partkey AND a.half = 1 AND b.half = 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST((1000 * CAST(SUM(p2 * q1) AS HUGEINT))
+                // CAST(SUM(p1 * q1) AS HUGEINT) AS BIGINT)
+               AS laspeyres_permille
+    FROM paired
+    """)
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index: how much the SAME base-period basket would
+    cost at current prices — Σ p₂q₁ / Σ p₁q₁ over parts traded in both
+    halves of the ship-date range, in exact permille (1000 = flat).
+    Per-part prices are quantity-weighted average cents with documented
+    floor division; the index itself is one integer cross-ratio on
+    128-bit lanes. The econ-grade aggregation (CPI's formula) a pricing
+    warehouse publishes.
+
+    Scale: one scan to (part, half) cells, a part-keyed self-join of the
+    halves, and a 1-row ratio."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))").alias("us"),
+        F.expr(_CENT_R3).alias("cents"), F.expr(_QTY_R3).alias("qty"))
+    rng = li.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    per = (li.crossJoin(F.broadcast(rng))
+           .select("l_partkey", "cents", "qty",
+                   F.expr("CASE WHEN us < (mn + mx) div 2 THEN 1 ELSE 2"
+                          " END").alias("half"))
+           .groupBy("l_partkey", "half")
+           .agg(F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * qty"))
+                .cast("decimal(38,0)").alias("value_cq"),
+                F.sum("qty").cast("long").alias("q")))
+    a = (per.filter(F.col("half") == 1)
+         .select("l_partkey",
+                 F.expr("CAST(value_cq div q AS BIGINT)").alias("p1"),
+                 F.col("q").alias("q1")))
+    b = (per.filter(F.col("half") == 2)
+         .select("l_partkey",
+                 F.expr("CAST(value_cq div q AS BIGINT)").alias("p2")))
+    paired = a.join(b, "l_partkey")
+    return paired.agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.expr("CAST((1000 * SUM(CAST(p2 AS DECIMAL(38,0)) * q1))"
+               " div SUM(CAST(p1 AS DECIMAL(38,0)) * q1) AS BIGINT)")
+        .alias("laspeyres_permille"))

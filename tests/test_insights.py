@@ -518,3 +518,14 @@ class TestFunnelLatency:
         n = (firsts.filter("v IS NOT NULL AND b IS NOT NULL AND b >= v")
              .count())
         assert r.n_converted == n
+
+
+class TestPriceIndex:
+    def test_index_positive_and_parts_bounded(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.relational3 import (
+            q_price_index)
+        r = q_price_index(spark, sf_dir).collect()[0]
+        n_parts = (table(spark, sf_dir, "lineitem")
+                   .select("l_partkey").distinct().count())
+        assert 1 <= r.n_parts <= n_parts
+        assert r.laspeyres_permille > 0
