@@ -899,3 +899,68 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("collision_permille",
                         F.expr("(1000 * n_collisions) div n_candidates"))
             .orderBy("attempt"))
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) check on the user split
+# ---------------------------------------------------------------------------
+
+SRM_TRAIN_PCT = 80  # q_split_by_user's intended allocation
+
+
+@register(
+    "q_srm_check",
+    oracle=f"""
+    WITH u AS (
+        SELECT DISTINCT user_id FROM events
+    ), s AS (
+        SELECT CASE WHEN ({sql_h64(
+            "'split|' || CAST(user_id AS VARCHAR)")}) % 100
+                    < {SRM_TRAIN_PCT}
+               THEN 'train' ELSE 'heldout' END AS split
+        FROM u
+    ), c AS (
+        SELECT split, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY split
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c)
+    SELECT c.split, c.n,
+           CASE WHEN c.split = 'train'
+                THEN (t.t * {SRM_TRAIN_PCT}) // 100
+                ELSE t.t - (t.t * {SRM_TRAIN_PCT}) // 100 END AS expected_n,
+           (1000 * c.n) // t.t AS share_permille,
+           ABS((1000 * c.n) // t.t
+               - CASE WHEN c.split = 'train' THEN {SRM_TRAIN_PCT} * 10
+                      ELSE 1000 - {SRM_TRAIN_PCT} * 10 END)
+               AS deviation_permille
+    FROM c CROSS JOIN tot t
+    ORDER BY c.split
+    """)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check: does the deterministic user split
+    (q_split_by_user's salted-hash rule, restated identically here)
+    actually land {SRM_TRAIN_PCT}/20? Reports observed vs expected
+    counts and the permille deviation from nominal — the first
+    diagnostic an experimentation platform runs before trusting any A/B
+    readout (a biased assignment hash invalidates everything
+    downstream).
+
+    Scale: a distinct-user aggregate and a 2-row report."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    h = h64(F.concat(F.lit("split|"), F.col("user_id").cast("string")))
+    c = (u.select((F.when(F.pmod(h, F.lit(100)) < SRM_TRAIN_PCT, "train")
+                   .otherwise("heldout")).alias("split"))
+         .groupBy("split").agg(F.count("*").cast("long").alias("n")))
+    tot = c.agg(F.sum("n").cast("long").alias("t"))
+    return (c.crossJoin(F.broadcast(tot))
+            .select("split", "n",
+                    F.expr(f"CASE WHEN split = 'train'"
+                           f" THEN (t * {SRM_TRAIN_PCT}) div 100"
+                           f" ELSE t - (t * {SRM_TRAIN_PCT}) div 100 END")
+                    .alias("expected_n"),
+                    F.expr("(1000 * n) div t").alias("share_permille"),
+                    F.expr(f"ABS((1000 * n) div t"
+                           f" - CASE WHEN split = 'train'"
+                           f" THEN {SRM_TRAIN_PCT} * 10"
+                           f" ELSE 1000 - {SRM_TRAIN_PCT} * 10 END)")
+                    .alias("deviation_permille"))
+            .orderBy("split"))

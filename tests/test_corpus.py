@@ -233,3 +233,20 @@ class TestNegativeSampling:
         again = q_negative_sampling(spark, sf_dir).collect()
         assert [r.n_collisions for r in rows] == \
             [r.n_collisions for r in again]
+
+
+class TestSRMCheck:
+    def test_allocation_near_nominal_and_consistent_with_split(
+            self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.corpus import (
+            q_split_by_user, q_srm_check)
+        rows = {r.split: r for r in q_srm_check(spark, sf_dir).collect()}
+        assert set(rows) == {"train", "heldout"}
+        total = sum(r.n for r in rows.values())
+        for r in rows.values():
+            assert 0 <= r.deviation_permille <= 100  # hash split is fair
+            assert abs(r.n - r.expected_n) <= total  # sanity
+        # user counts agree with the registered split query
+        split_rows = {r.split: r.n_users
+                      for r in q_split_by_user(spark, sf_dir).collect()}
+        assert split_rows == {s: r.n for s, r in rows.items()}
