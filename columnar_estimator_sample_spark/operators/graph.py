@@ -536,3 +536,56 @@ def q_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("paths").cast("long").alias("n_paths"))
             .orderBy(F.desc("n_paths"), "src_nation", "dst_nation")
             .limit(REACH_TOP))
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution (log2 buckets)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_degree_histogram",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), deg AS (
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY c
+    ), b AS (
+        SELECT length(bin(d)) - 1 AS log2_bucket, d FROM deg
+    )
+    SELECT log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(d) AS min_degree, MAX(d) AS max_degree
+    FROM b
+    GROUP BY log2_bucket
+    ORDER BY log2_bucket
+    """)
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer-part bipartite graph in
+    log2 buckets (bucket = floor(log2(degree)), computed by the
+    bin()-string bit-length trick — no floating log): the power-law
+    fingerprint every graph pipeline reads before choosing join
+    strategies (a heavy tail here is exactly why the engine carries
+    salting, AQE skew handling, and degree-ordered triangle
+    orientation).
+
+    Scale: distinct edges -> per-node degree -> |buckets| rows; all
+    hash aggregates with map-side partials."""
+    from columnar_estimator_sample_spark.sources.tables import table
+    orders = table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+         .select(F.col("o_custkey").alias("c"),
+                 F.col("l_partkey").alias("p"))
+         .distinct())
+    deg = e.groupBy("c").agg(F.count("*").cast("long").alias("d"))
+    return (deg.select(
+                (F.length(F.expr("bin(d)")) - 1).cast("long")
+                .alias("log2_bucket"), "d")
+            .groupBy("log2_bucket")
+            .agg(F.count("*").cast("long").alias("n_nodes"),
+                 F.min("d").alias("min_degree"),
+                 F.max("d").alias("max_degree"))
+            .orderBy("log2_bucket"))

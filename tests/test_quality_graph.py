@@ -231,3 +231,19 @@ class TestTwoHopReach:
         ns = [r.n_paths for r in rows]
         assert ns == sorted(ns, reverse=True)
         assert all(n >= 1 for n in ns)
+
+
+class TestDegreeHistogram:
+    def test_buckets_partition_nodes(self, spark, sf_dir):
+        import pyspark.sql.functions as F2
+        from columnar_estimator_sample_spark.operators.graph import (
+            q_degree_histogram)
+        from columnar_estimator_sample_spark.sources.tables import table
+        rows = q_degree_histogram(spark, sf_dir).collect()
+        assert rows
+        n_cust = (table(spark, sf_dir, "orders")
+                  .select("o_custkey").distinct().count())
+        assert sum(r.n_nodes for r in rows) == n_cust
+        for r in rows:
+            assert 2 ** r.log2_bucket <= r.min_degree <= r.max_degree \
+                < 2 ** (r.log2_bucket + 1)
