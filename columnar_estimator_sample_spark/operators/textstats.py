@@ -1031,3 +1031,83 @@ def q_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("pn"), "prefix")
             .limit(AC_TOP)
             .drop("pn"))
+
+
+# ---------------------------------------------------------------------------
+# Token co-location lift (order-free co-occurrence)
+# ---------------------------------------------------------------------------
+
+COLOC_VOCAB = 50   # restrict pairs to the top-df tokens (broadcast)
+COLOC_TOP = 15
+
+
+@register(
+    "q_token_colocation",
+    oracle=f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), clean AS (SELECT doc_id, tok FROM dt WHERE len(tok) > 0),
+    hot AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM clean
+        GROUP BY tok ORDER BY df DESC, tok LIMIT {COLOC_VOCAB}
+    ), hd AS (
+        SELECT c.doc_id, c.tok, h.df FROM clean c JOIN hot h USING (tok)
+    ), n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+             FROM documents),
+    pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b,
+               MAX(a.df) AS df_a, MAX(b.df) AS df_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM hd a JOIN hd b
+          ON b.doc_id = a.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2
+    )
+    SELECT tok_a, tok_b, n_both,
+           CAST((1000 * CAST(n_both AS HUGEINT) * n.nd)
+                // (CAST(df_a AS HUGEINT) * df_b) AS BIGINT)
+               AS lift_permille
+    FROM pairs CROSS JOIN n
+    ORDER BY lift_permille DESC, tok_a, tok_b
+    LIMIT {COLOC_TOP}
+    """)
+def q_token_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-free token co-location lift: for the {COLOC_VOCAB} highest-
+    document-frequency tokens, which PAIRS co-occur in the same document
+    more than independence predicts — lift = P(a,b)/(P(a)P(b)) in exact
+    permille (the log-free PMI surrogate, the same statistic as
+    q_copurchase applied to vocabulary instead of baskets). High-lift
+    pairs are collocations/topics; the bigram tier only sees ADJACENT
+    pairs, this sees whole-document affinity.
+
+    Scale: the hot vocabulary is a broadcast top-k; pair candidates are
+    doc-keyed self-joins bounded by {COLOC_VOCAB}²/2 per doc; 128-bit
+    lanes for the lift cross-products."""
+    from pyspark.sql import Window
+    docs = table(spark, sf_dir, "documents")
+    clean = (docs.select("doc_id",
+                         F.explode(F.split("text", " ")).alias("tok"))
+             .filter(F.length("tok") > 0)
+             .distinct())
+    hot = (clean.groupBy("tok")
+           .agg(F.count("*").cast("long").alias("df"))
+           .orderBy(F.desc("df"), "tok").limit(COLOC_VOCAB))
+    hd = clean.join(F.broadcast(hot), "tok")
+    nd = docs.select("doc_id").distinct().count()
+    a = hd.select("doc_id", F.col("tok").alias("tok_a"),
+                  F.col("df").alias("df_a"))
+    b = hd.select("doc_id", F.col("tok").alias("tok_b"),
+                  F.col("df").alias("df_b"))
+    pairs = (a.join(b, "doc_id")
+             .filter(F.col("tok_a") < F.col("tok_b"))
+             .groupBy("tok_a", "tok_b")
+             .agg(F.max("df_a").alias("df_a"),
+                  F.max("df_b").alias("df_b"),
+                  F.count("*").cast("long").alias("n_both")))
+    return (pairs.select(
+                "tok_a", "tok_b", "n_both",
+                F.expr(f"CAST((1000 * CAST(n_both AS DECIMAL(38,0))"
+                       f" * {nd}) div (CAST(df_a AS DECIMAL(38,0))"
+                       f" * df_b) AS BIGINT)").alias("lift_permille"))
+            .orderBy(F.desc("lift_permille"), "tok_a", "tok_b")
+            .limit(COLOC_TOP))

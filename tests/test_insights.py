@@ -529,3 +529,17 @@ class TestPriceIndex:
                    .select("l_partkey").distinct().count())
         assert 1 <= r.n_parts <= n_parts
         assert r.laspeyres_permille > 0
+
+
+class TestTokenColocation:
+    def test_lift_bounds_and_ordering(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.textstats import (
+            COLOC_TOP, q_token_colocation)
+        rows = q_token_colocation(spark, sf_dir).collect()
+        assert 0 < len(rows) <= COLOC_TOP
+        lifts = [r.lift_permille for r in rows]
+        assert lifts == sorted(lifts, reverse=True)
+        for r in rows:
+            assert r.tok_a < r.tok_b
+            assert r.n_both >= 1
+            assert r.lift_permille >= 0
