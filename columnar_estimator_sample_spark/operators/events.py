@@ -1322,3 +1322,75 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ranked.groupBy(F.col("n").cast("long").alias("n_converted"))
             .agg(*sels, F.max("ttc_s").alias("max_seconds"))
             .drop("n"))
+
+
+# ---------------------------------------------------------------------------
+# Bounce rate per day
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_bounce_rate",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ), flagged AS (
+        SELECT user_id, us,
+               CASE WHEN us - LAG(us) OVER w > {{gap}}
+                      OR LAG(us) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+        SELECT user_id, us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ), per_sess AS (
+        SELECT user_id, sid,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(us) // {US_PER_DAY} AS day
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           (1000 * CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT)) // COUNT(*) AS bounce_permille
+    FROM per_sess
+    GROUP BY day
+    ORDER BY day
+    """.format(gap="{SESSION_GAP_US}").replace(
+        "{SESSION_GAP_US}", str(SESSION_GAP_US)))
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the share of sessions (q_sessionize's 30-min
+    gap rule) containing exactly ONE event, keyed by the session's start
+    day — the engagement-quality headline a web/product dashboard leads
+    with. Integer permille; ties and session identity are the exact
+    sessionize contract, so this column can sit beside q_sessionize's
+    output without definitional drift.
+
+    Scale: sessions aggregate on the same single user exchange as
+    q_sessionize; the daily rollup is days-sized."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "us")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.select(
+        "user_id", "us",
+        F.when((F.col("us") - F.lag("us").over(w) > SESSION_GAP_US)
+               | F.lag("us").over(w).isNull(), 1).otherwise(0)
+        .alias("new_s"))
+    wc = (Window.partitionBy("user_id").orderBy("us")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    sess = flagged.select("user_id", "us",
+                          F.sum("new_s").over(wc).alias("sid"))
+    per_sess = (sess.groupBy("user_id", "sid")
+                .agg(F.count("*").cast("long").alias("n_events"),
+                     F.expr(f"MIN(us) div {US_PER_DAY}").alias("day")))
+    return (per_sess.groupBy(F.col("day").cast("long").alias("day"))
+            .agg(F.count("*").cast("long").alias("n_sessions"),
+                 F.sum(F.expr("CASE WHEN n_events = 1 THEN 1 ELSE 0 END"))
+                 .cast("long").alias("n_bounces"))
+            .withColumn("bounce_permille",
+                        F.expr("(1000 * n_bounces) div n_sessions"))
+            .orderBy("day"))

@@ -543,3 +543,16 @@ class TestTokenColocation:
             assert r.tok_a < r.tok_b
             assert r.n_both >= 1
             assert r.lift_permille >= 0
+
+
+class TestBounceRate:
+    def test_session_totals_match_sessionize(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.events import (
+            q_bounce_rate, q_sessionize)
+        rows = q_bounce_rate(spark, sf_dir).collect()
+        assert rows
+        n_sessions = q_sessionize(spark, sf_dir).count()
+        assert sum(r.n_sessions for r in rows) == n_sessions
+        for r in rows:
+            assert 0 <= r.n_bounces <= r.n_sessions
+            assert 0 <= r.bounce_permille <= 1000
