@@ -1394,3 +1394,69 @@ def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("bounce_permille",
                         F.expr("(1000 * n_bounces) div n_sessions"))
             .orderBy("day"))
+
+
+# ---------------------------------------------------------------------------
+# Inter-purchase interval percentiles
+# ---------------------------------------------------------------------------
+
+IPI_PCTS = (50, 90)
+
+
+@register(
+    "q_purchase_intervals",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        WHERE event_type = 'purchase'
+    ), gaps AS (
+        SELECT user_id,
+               (us - LAG(us) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id))
+                   // {US_PER_DAY} AS gap_days,
+               us
+        FROM p
+    ), g AS (SELECT user_id, gap_days, us FROM gaps
+             WHERE gap_days IS NOT NULL),
+    ranked AS (
+        SELECT gap_days,
+               ROW_NUMBER() OVER (ORDER BY gap_days, user_id, us) AS rn,
+               COUNT(*) OVER () AS n
+        FROM g
+    )
+    SELECT CAST(n AS BIGINT) AS n_intervals,
+           {", ".join(
+               f"MAX(CASE WHEN rn = 1 + ((n - 1) * {p}) // 100"
+               f" THEN gap_days END) AS p{p}_days" for p in IPI_PCTS)},
+           MAX(gap_days) AS max_days
+    FROM ranked
+    GROUP BY n
+    """)
+def q_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval profile: exact nearest-rank p50/p90 (and
+    max) of the whole-day gaps between a user's consecutive purchases —
+    the repeat-behavior cadence that drives replenishment reminders,
+    churn-risk windows, and LTV discounting assumptions.
+
+    Scale: the purchase stream filters BEFORE the user-keyed LAG
+    exchange; ranking runs on the intervals frame (one row per repeat
+    purchase), total-ordered with (user, time) tiebreaks."""
+    ev = table(spark, sf_dir, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", "event_id", "us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = (p.withColumn(
+            "gap_days",
+            F.expr(f"(us - LAG(us) OVER (PARTITION BY user_id"
+                   f" ORDER BY us, event_id)) div {US_PER_DAY}"))
+         .filter(F.col("gap_days").isNotNull()))
+    wr = Window.orderBy("gap_days", "user_id", "us")
+    ranked = (g.withColumn("rn", F.row_number().over(wr))
+              .withColumn("n", F.count("*").over(Window.partitionBy())))
+    sels = [F.max(F.when(
+                F.expr(f"rn = 1 + ((n - 1) * {pct}) div 100"),
+                F.col("gap_days"))).alias(f"p{pct}_days")
+            for pct in IPI_PCTS]
+    return (ranked.groupBy(F.col("n").cast("long").alias("n_intervals"))
+            .agg(*sels, F.max("gap_days").alias("max_days"))
+            .drop("n"))

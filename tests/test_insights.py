@@ -556,3 +556,19 @@ class TestBounceRate:
         for r in rows:
             assert 0 <= r.n_bounces <= r.n_sessions
             assert 0 <= r.bounce_permille <= 1000
+
+
+class TestPurchaseIntervals:
+    def test_percentiles_ordered_and_counted(self, spark, sf_dir):
+        import pyspark.sql.functions as F2
+        from columnar_estimator_sample_spark.operators.events import (
+            q_purchase_intervals)
+        rows = q_purchase_intervals(spark, sf_dir).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert 0 <= r.p50_days <= r.p90_days <= r.max_days
+        ev = table(spark, sf_dir, "events")
+        per_user = (ev.filter(F2.col("event_type") == "purchase")
+                    .groupBy("user_id").count().collect())
+        expected = sum(x["count"] - 1 for x in per_user if x["count"] > 1)
+        assert r.n_intervals == expected
