@@ -793,3 +793,80 @@ def q_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("mills").alias("min_item_mills"),
                  F.max("mills").alias("max_item_mills"))
             .orderBy("n_items"))
+
+
+# ---------------------------------------------------------------------------
+# Customer value-migration matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_value_migration",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_custkey AS custkey, epoch_us(o_orderdate) AS us,
+               {_OCENTS} AS cents
+        FROM orders
+    ), rng AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM o),
+    halves AS (
+        SELECT custkey,
+               CASE WHEN us < (mn + mx) // 2 THEN 1 ELSE 2 END AS half,
+               cents
+        FROM o, rng
+    ), spend AS (
+        SELECT custkey, half, CAST(SUM(cents) AS BIGINT) AS cents
+        FROM halves GROUP BY 1, 2
+    ), scored AS (
+        SELECT custkey, half,
+               1 + ((ROW_NUMBER() OVER (PARTITION BY half
+                                        ORDER BY cents DESC, custkey) - 1)
+                    * 3) // (COUNT(*) OVER (PARTITION BY half)) AS tier
+        FROM spend
+    ), m AS (
+        SELECT a.tier AS tier_first, b.tier AS tier_second,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM scored a JOIN scored b
+          ON b.custkey = a.custkey AND a.half = 1 AND b.half = 2
+        GROUP BY 1, 2
+    )
+    SELECT tier_first, tier_second, n_customers
+    FROM m
+    ORDER BY tier_first, tier_second
+    """)
+def q_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-migration matrix: spend-tier (exact rank terciles,
+    1=top) in the first half of the order history vs the second, for
+    customers active in both — the upgrade/downgrade/churn-risk flow
+    report behind "customer movement" dashboards (diagonal = stable,
+    above = declining, below = ascending).
+
+    Scale: orders collapse per (customer, half) first; tier ranks are
+    two half-partitioned windows over the customer table (range-rank
+    two_phase shape at 100 TB, as q_abc_parts); the matrix is 3x3."""
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").alias("us"),
+        F.expr(_OCENTS).alias("cents"))
+    rng = orders.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    spend = (orders.crossJoin(F.broadcast(rng))
+             .select("custkey", "cents",
+                     F.expr("CASE WHEN us < (mn + mx) div 2 THEN 1"
+                            " ELSE 2 END").alias("half"))
+             .groupBy("custkey", "half")
+             .agg(F.sum("cents").cast("long").alias("cents")))
+    from pyspark.sql import Window
+    wh = Window.partitionBy("half")
+    scored = (spend
+              .withColumn("rn", F.row_number().over(
+                  wh.orderBy(F.desc("cents"), "custkey")))
+              .withColumn("nh", F.count("*").over(wh))
+              .select("custkey", "half",
+                      F.expr("1 + ((rn - 1) * 3) div nh").alias("tier")))
+    a = (scored.filter(F.col("half") == 1)
+         .select("custkey", F.col("tier").alias("tier_first")))
+    b = (scored.filter(F.col("half") == 2)
+         .select("custkey", F.col("tier").alias("tier_second")))
+    return (a.join(b, "custkey")
+            .groupBy("tier_first", "tier_second")
+            .agg(F.count("*").cast("long").alias("n_customers"))
+            .orderBy("tier_first", "tier_second"))

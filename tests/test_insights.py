@@ -572,3 +572,29 @@ class TestPurchaseIntervals:
                     .groupBy("user_id").count().collect())
         expected = sum(x["count"] - 1 for x in per_user if x["count"] > 1)
         assert r.n_intervals == expected
+
+
+class TestValueMigration:
+    def test_matrix_covers_both_half_actives(self, spark, sf_dir):
+        import pyspark.sql.functions as F2
+        from columnar_estimator_sample_spark.operators.relational4 import (
+            q_value_migration)
+        rows = q_value_migration(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 1 <= r.tier_first <= 3 and 1 <= r.tier_second <= 3
+            assert r.n_customers >= 1
+        # matrix total == customers with orders in both halves
+        orders = table(spark, sf_dir, "orders")
+        mn, mx = orders.agg(
+            F2.min(F2.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))")),
+            F2.max(F2.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"))
+        ).first()
+        half = orders.select(
+            "o_custkey",
+            F2.expr(f"CASE WHEN unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                    f" < ({mn} + {mx}) div 2 THEN 1 ELSE 2 END")
+            .alias("h")).distinct()
+        both = (half.groupBy("o_custkey").count()
+                .filter(F2.col("count") == 2).count())
+        assert sum(r.n_customers for r in rows) == both
