@@ -410,3 +410,84 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((1000 * SUM(CAST(p2 AS DECIMAL(38,0)) * q1))"
                " div SUM(CAST(p1 AS DECIMAL(38,0)) * q1) AS BIGINT)")
         .alias("laspeyres_permille"))
+
+
+# ---------------------------------------------------------------------------
+# Top revenue movers between halves
+# ---------------------------------------------------------------------------
+
+MOVERS_TOP = 15
+
+
+@register(
+    "q_revenue_movers",
+    oracle=f"""
+    WITH li AS (
+        SELECT l_partkey, epoch_us(l_shipdate) AS us, {_CENT_R3} AS cents
+        FROM lineitem
+    ), rng AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM li),
+    halves AS (
+        SELECT l_partkey,
+               CASE WHEN us < (mn + mx) // 2 THEN 1 ELSE 2 END AS half,
+               cents
+        FROM li, rng
+    ), rev AS (
+        SELECT l_partkey, half, CAST(SUM(cents) AS BIGINT) AS rev
+        FROM halves GROUP BY 1, 2
+    ), ranked AS (
+        SELECT l_partkey, half, rev,
+               ROW_NUMBER() OVER (PARTITION BY half
+                                  ORDER BY rev DESC, l_partkey) AS rk
+        FROM rev
+    ), paired AS (
+        SELECT a.l_partkey, a.rk AS rank_first, b.rk AS rank_second,
+               a.rev AS rev_first, b.rev AS rev_second
+        FROM ranked a JOIN ranked b
+          ON b.l_partkey = a.l_partkey AND a.half = 1 AND b.half = 2
+    )
+    SELECT l_partkey, rank_first, rank_second,
+           rank_first - rank_second AS rank_gain,
+           rev_first, rev_second
+    FROM paired
+    ORDER BY ABS(rank_first - rank_second) DESC, l_partkey
+    LIMIT {MOVERS_TOP}
+    """)
+def q_revenue_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top revenue movers: parts whose revenue RANK shifted most between
+    the two halves of the ship-date range (positive rank_gain = rising)
+    — the assortment-trend report merchandising teams read weekly.
+    Ranks are total-ordered (revenue desc, partkey), the movement is
+    exact integer rank arithmetic, and only parts traded in BOTH halves
+    qualify.
+
+    Scale: one scan to (part, half) revenue cells; per-half ranks are
+    half-partitioned windows over the parts table (range-rank
+    two_phase shape at 100 TB); the movers report is a self-join of the
+    two ranked halves on partkey."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))").alias("us"),
+        F.expr(_CENT_R3).alias("cents"))
+    rng = li.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    rev = (li.crossJoin(F.broadcast(rng))
+           .select("l_partkey", "cents",
+                   F.expr("CASE WHEN us < (mn + mx) div 2 THEN 1 ELSE 2"
+                          " END").alias("half"))
+           .groupBy("l_partkey", "half")
+           .agg(F.sum("cents").cast("long").alias("rev")))
+    from pyspark.sql import Window
+    wh = Window.partitionBy("half").orderBy(F.desc("rev"), "l_partkey")
+    ranked = rev.withColumn("rk", F.row_number().over(wh))
+    a = (ranked.filter(F.col("half") == 1)
+         .select("l_partkey", F.col("rk").alias("rank_first"),
+                 F.col("rev").alias("rev_first")))
+    b = (ranked.filter(F.col("half") == 2)
+         .select("l_partkey", F.col("rk").alias("rank_second"),
+                 F.col("rev").alias("rev_second")))
+    return (a.join(b, "l_partkey")
+            .select("l_partkey", "rank_first", "rank_second",
+                    (F.col("rank_first") - F.col("rank_second"))
+                    .alias("rank_gain"),
+                    "rev_first", "rev_second")
+            .orderBy(F.abs(F.col("rank_gain")).desc(), "l_partkey")
+            .limit(MOVERS_TOP))

@@ -598,3 +598,17 @@ class TestValueMigration:
         both = (half.groupBy("o_custkey").count()
                 .filter(F2.col("count") == 2).count())
         assert sum(r.n_customers for r in rows) == both
+
+
+class TestRevenueMovers:
+    def test_movement_ordering_and_rank_validity(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.relational3 import (
+            MOVERS_TOP, q_revenue_movers)
+        rows = q_revenue_movers(spark, sf_dir).collect()
+        assert 0 < len(rows) <= MOVERS_TOP
+        moves = [abs(r.rank_gain) for r in rows]
+        assert moves == sorted(moves, reverse=True)
+        for r in rows:
+            assert r.rank_gain == r.rank_first - r.rank_second
+            assert r.rank_first >= 1 and r.rank_second >= 1
+            assert r.rev_first > 0 and r.rev_second > 0
