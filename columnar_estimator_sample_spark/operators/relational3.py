@@ -491,3 +491,75 @@ def q_revenue_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "rev_first", "rev_second")
             .orderBy(F.abs(F.col("rank_gain")).desc(), "l_partkey")
             .limit(MOVERS_TOP))
+
+
+# ---------------------------------------------------------------------------
+# Assortment turnover (new-item velocity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_assortment_turnover",
+    oracle=f"""
+    WITH li AS (
+        SELECT l_partkey, epoch_us(l_shipdate) AS us, {_CENT_R3} AS cents
+        FROM lineitem
+    ), rng AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM li),
+    tagged AS (
+        SELECT l_partkey,
+               CASE WHEN us < (mn + mx) // 2 THEN 1 ELSE 2 END AS half,
+               cents
+        FROM li, rng
+    ), first_half AS (
+        SELECT l_partkey, MIN(half) AS first_seen FROM tagged GROUP BY 1
+    ), rev2 AS (
+        SELECT t.l_partkey, f.first_seen,
+               CAST(SUM(t.cents) AS BIGINT) AS rev
+        FROM tagged t JOIN first_half f USING (l_partkey)
+        WHERE t.half = 2
+        GROUP BY 1, 2
+    ), tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS t FROM rev2)
+    SELECT CASE WHEN first_seen = 2 THEN 'new' ELSE 'carryover' END
+               AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+           (1000 * CAST(SUM(rev) AS BIGINT)) // t.t AS revenue_permille
+    FROM rev2 CROSS JOIN tot t
+    GROUP BY 1, t.t
+    ORDER BY cohort
+    """)
+def q_assortment_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assortment turnover: how much of second-half revenue comes from
+    parts INTRODUCED in the second half ("new") vs parts that already
+    traded in the first ("carryover") — the new-item-velocity number
+    behind assortment refresh decisions. First appearance is an exact
+    MIN over the half tag; shares are integer permille.
+
+    Scale: one scan to (part, half) tags, a part-keyed MIN join, a
+    2-row report."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))").alias("us"),
+        F.expr(_CENT_R3).alias("cents"))
+    rng = li.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    tagged = (li.crossJoin(F.broadcast(rng))
+              .select("l_partkey", "cents",
+                      F.expr("CASE WHEN us < (mn + mx) div 2 THEN 1"
+                             " ELSE 2 END").alias("half")))
+    first = tagged.groupBy("l_partkey").agg(
+        F.min("half").alias("first_seen"))
+    rev2 = (tagged.filter(F.col("half") == 2)
+            .join(first, "l_partkey")
+            .groupBy("l_partkey", "first_seen")
+            .agg(F.sum("cents").cast("long").alias("rev")))
+    tot = rev2.agg(F.sum("rev").cast("long").alias("t"))
+    return (rev2.crossJoin(F.broadcast(tot))
+            .groupBy(F.expr("CASE WHEN first_seen = 2 THEN 'new'"
+                            " ELSE 'carryover' END").alias("cohort"),
+                     F.col("t"))
+            .agg(F.count("*").cast("long").alias("n_parts"),
+                 F.sum("rev").cast("long").alias("revenue_cents"))
+            .withColumn("revenue_permille",
+                        F.expr("(1000 * revenue_cents) div t"))
+            .drop("t")
+            .orderBy("cohort"))

@@ -612,3 +612,16 @@ class TestRevenueMovers:
             assert r.rank_gain == r.rank_first - r.rank_second
             assert r.rank_first >= 1 and r.rank_second >= 1
             assert r.rev_first > 0 and r.rev_second > 0
+
+
+class TestAssortmentTurnover:
+    def test_cohorts_partition_second_half_revenue(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.relational3 import (
+            q_assortment_turnover)
+        rows = {r.cohort: r
+                for r in q_assortment_turnover(spark, sf_dir).collect()}
+        assert "carryover" in rows
+        shares = sum(r.revenue_permille for r in rows.values())
+        assert 1000 - len(rows) <= shares <= 1000
+        for r in rows.values():
+            assert r.n_parts >= 1 and r.revenue_cents > 0
