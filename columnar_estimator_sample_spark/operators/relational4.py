@@ -870,3 +870,55 @@ def q_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("tier_first", "tier_second")
             .agg(F.count("*").cast("long").alias("n_customers"))
             .orderBy("tier_first", "tier_second"))
+
+
+# ---------------------------------------------------------------------------
+# Median order value per market segment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_segment_median_order",
+    oracle=f"""
+    WITH o AS (
+        SELECT c.c_mktsegment AS segment, {_OCENTS} AS cents,
+               o.o_orderkey
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), ranked AS (
+        SELECT segment, cents,
+               ROW_NUMBER() OVER (PARTITION BY segment
+                                  ORDER BY cents, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY segment) AS n
+        FROM o
+    )
+    SELECT segment, CAST(n AS BIGINT) AS n_orders,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+               AS median_cents
+    FROM ranked
+    GROUP BY segment, n
+    ORDER BY segment
+    """)
+def q_segment_median_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (lower) median order value per customer market segment —
+    the robust BI headline the mean-based dashboards overstate whenever
+    whales skew a segment. Rank-select median over one segment-keyed
+    exchange; the customer dimension broadcasts onto the fact scan.
+
+    Scale: same grouped nearest-rank shape as q_ship_latency — the
+    window and rollup share one exchange; |segments| is tiny."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.expr(_OCENTS).alias("cents"))
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"))
+    o = orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey)
+    from pyspark.sql import Window
+    ws = Window.partitionBy("segment")
+    ranked = (o.withColumn("rn", F.row_number().over(
+                  ws.orderBy("cents", "o_orderkey")))
+              .withColumn("n", F.count("*").over(ws)))
+    return (ranked.groupBy("segment",
+                           F.col("n").cast("long").alias("n_orders"))
+            .agg(F.max(F.when(F.expr("rn = (n + 1) div 2"),
+                              F.col("cents"))).alias("median_cents"))
+            .orderBy("segment"))

@@ -625,3 +625,16 @@ class TestAssortmentTurnover:
         assert 1000 - len(rows) <= shares <= 1000
         for r in rows.values():
             assert r.n_parts >= 1 and r.revenue_cents > 0
+
+
+class TestSegmentMedianOrder:
+    def test_medians_within_segment_ranges(self, spark, sf_dir):
+        import pyspark.sql.functions as F2
+        from columnar_estimator_sample_spark.operators.relational4 import (
+            q_segment_median_order)
+        rows = q_segment_median_order(spark, sf_dir).collect()
+        assert rows
+        n_orders = table(spark, sf_dir, "orders").count()
+        assert sum(r.n_orders for r in rows) == n_orders
+        for r in rows:
+            assert r.median_cents > 0
