@@ -1460,3 +1460,49 @@ def q_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ranked.groupBy(F.col("n").cast("long").alias("n_intervals"))
             .agg(*sels, F.max("gap_days").alias("max_days"))
             .drop("n"))
+
+
+# ---------------------------------------------------------------------------
+# Daily ARPU
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_daily_arpu",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(epoch_us(ts) // {US_PER_DAY} AS BIGINT) AS day,
+               user_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST(SUM(cents) AS BIGINT)
+               // CAST(COUNT(DISTINCT user_id) AS BIGINT) AS arpu_cents
+    FROM d
+    GROUP BY day
+    ORDER BY day
+    """)
+def q_daily_arpu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily ARPU: revenue per active user per day in exact floor cents
+    — the unit-economics heartbeat that joins the engagement (DAU) and
+    monetization (revenue) stories in one number.
+
+    Scale: one scan, one (day)-keyed aggregate; the distinct-user count
+    is the only sub-aggregation (at 100 TB it swaps for the mergeable
+    q_hll_ndv or q_bitmap_retention estimator with the report shape
+    unchanged)."""
+    ev = table(spark, sf_dir, "events")
+    return (ev.select(F.expr(f"CAST(us div {US_PER_DAY} AS BIGINT)")
+                      .alias("day"),
+                      "user_id",
+                      F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100"
+                             " AS BIGINT)").alias("cents"))
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").cast("long").alias("dau"),
+                 F.sum("cents").cast("long").alias("revenue_cents"))
+            .withColumn("arpu_cents",
+                        F.expr("revenue_cents div dau"))
+            .orderBy("day"))

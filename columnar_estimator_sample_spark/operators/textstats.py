@@ -1111,3 +1111,60 @@ def q_token_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                        f" * df_b) AS BIGINT)").alias("lift_permille"))
             .orderBy(F.desc("lift_permille"), "tok_a", "tok_b")
             .limit(COLOC_TOP))
+
+
+# ---------------------------------------------------------------------------
+# Zipf constancy check
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP = 20
+
+
+@register(
+    "q_zipf_check",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), c AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM toks WHERE len(tok) > 0 GROUP BY tok
+    ), ranked AS (
+        SELECT tok, freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+        FROM c
+    ), top AS (
+        SELECT tok, freq, rank, rank * freq AS rf
+        FROM ranked WHERE rank <= {ZIPF_TOP}
+    ), base AS (SELECT rf AS rf1 FROM top WHERE rank = 1)
+    SELECT t.rank, t.tok, t.freq, t.rf,
+           (1000 * t.rf) // b.rf1 AS zipf_ratio_permille
+    FROM top t CROSS JOIN base b
+    ORDER BY t.rank
+    """)
+def q_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law constancy check, logarithm-free: under Zipf's law
+    freq ∝ 1/rank, so rank·freq is CONSTANT — the report shows
+    rank*freq for the top {ZIPF_TOP} tokens as a permille ratio to the
+    rank-1 product (≈1000 everywhere = textbook Zipf; a drooping tail
+    = truncated vocabulary, synthetic text, or boilerplate). The
+    power-law diagnostic every corpus intake runs, reduced to exact
+    integer arithmetic instead of a log-log regression.
+
+    Scale: one token scan to a vocabulary-sized aggregate; the global
+    rank touches only the top-k (TakeOrderedAndProject shape)."""
+    from pyspark.sql import Window
+    docs = table(spark, sf_dir, "documents")
+    c = (docs.select(F.explode(F.split("text", " ")).alias("tok"))
+         .filter(F.length("tok") > 0)
+         .groupBy("tok").agg(F.count("*").cast("long").alias("freq")))
+    w = Window.orderBy(F.desc("freq"), "tok")
+    top = (c.withColumn("rank", F.row_number().over(w).cast("long"))
+           .filter(F.col("rank") <= ZIPF_TOP)
+           .withColumn("rf", F.expr("rank * freq")))
+    base = (top.filter(F.col("rank") == 1)
+            .select(F.col("rf").alias("rf1")))
+    return (top.crossJoin(F.broadcast(base))
+            .select("rank", "tok", "freq", "rf",
+                    F.expr("(1000 * rf) div rf1")
+                    .alias("zipf_ratio_permille"))
+            .orderBy("rank"))

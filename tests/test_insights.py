@@ -638,3 +638,25 @@ class TestSegmentMedianOrder:
         assert sum(r.n_orders for r in rows) == n_orders
         for r in rows:
             assert r.median_cents > 0
+
+
+class TestZipfAndARPU:
+    def test_zipf_ratios_start_at_unity(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.textstats import (
+            ZIPF_TOP, q_zipf_check)
+        rows = q_zipf_check(spark, sf_dir).collect()
+        assert 0 < len(rows) <= ZIPF_TOP
+        assert rows[0].rank == 1 and rows[0].zipf_ratio_permille == 1000
+        freqs = [r.freq for r in rows]
+        assert freqs == sorted(freqs, reverse=True)
+        for r in rows:
+            assert r.rf == r.rank * r.freq
+
+    def test_arpu_consistent_with_components(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.events import (
+            q_daily_arpu)
+        rows = q_daily_arpu(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.dau >= 1
+            assert r.arpu_cents == r.revenue_cents // r.dau
