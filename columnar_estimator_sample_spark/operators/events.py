@@ -1506,3 +1506,61 @@ def q_daily_arpu(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("arpu_cents",
                         F.expr("revenue_cents div dau"))
             .orderBy("day"))
+
+
+# ---------------------------------------------------------------------------
+# Dormancy segments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dormancy_segments",
+    oracle=f"""
+    WITH last AS (
+        SELECT user_id,
+               MAX(CAST(epoch_us(ts) // {US_PER_DAY} AS BIGINT)) AS last_day
+        FROM events GROUP BY user_id
+    ), ref AS (SELECT MAX(last_day) AS now_day FROM last),
+    seg AS (
+        SELECT CASE
+                 WHEN r.now_day - last_day <= 1 THEN '0_active'
+                 WHEN r.now_day - last_day <= 7 THEN '1_recent'
+                 WHEN r.now_day - last_day <= 30 THEN '2_lapsing'
+                 ELSE '3_dormant' END AS segment
+        FROM last CROSS JOIN ref r
+    ), c AS (
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM seg GROUP BY segment
+    ), tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS t FROM c)
+    SELECT c.segment, c.n_users,
+           (1000 * c.n_users) // t.t AS share_permille
+    FROM c CROSS JOIN tot t
+    ORDER BY c.segment
+    """)
+def q_dormancy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormancy segmentation: every user bucketed by days since last
+    activity relative to the corpus's most recent day — active (<=1d),
+    recent (<=7d), lapsing (<=30d), dormant — the lifecycle census a
+    reactivation campaign targets. Integer day arithmetic, reference
+    day broadcast.
+
+    Scale: one user-keyed MAX over the stream, then a 4-row census."""
+    ev = table(spark, sf_dir, "events")
+    last = (ev.groupBy("user_id")
+            .agg(F.expr(f"MAX(CAST(us div {US_PER_DAY} AS BIGINT))")
+                 .alias("last_day")))
+    ref = last.agg(F.max("last_day").alias("now_day"))
+    seg = (last.crossJoin(F.broadcast(ref))
+           .select(F.expr(
+               "CASE WHEN now_day - last_day <= 1 THEN '0_active'"
+               " WHEN now_day - last_day <= 7 THEN '1_recent'"
+               " WHEN now_day - last_day <= 30 THEN '2_lapsing'"
+               " ELSE '3_dormant' END").alias("segment")))
+    c = seg.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_users"))
+    tot = c.agg(F.sum("n_users").cast("long").alias("t"))
+    return (c.crossJoin(F.broadcast(tot))
+            .select("segment", "n_users",
+                    F.expr("(1000 * n_users) div t")
+                    .alias("share_permille"))
+            .orderBy("segment"))

@@ -922,3 +922,51 @@ def q_segment_median_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max(F.when(F.expr("rn = (n + 1) div 2"),
                               F.col("cents"))).alias("median_cents"))
             .orderBy("segment"))
+
+
+# ---------------------------------------------------------------------------
+# Return rate by market segment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_return_rate_segment",
+    oracle="""
+    WITH j AS (
+        SELECT c.c_mktsegment AS segment,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(ret) AS BIGINT) AS n_returned,
+           (1000 * CAST(SUM(ret) AS BIGINT)) // COUNT(*)
+               AS return_permille
+    FROM j
+    GROUP BY segment
+    ORDER BY segment
+    """)
+def q_return_rate_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate per customer market segment in exact permille — the
+    merchandise-quality / customer-fit signal sliced by who is buying
+    (a segment far off the base rate flags mis-targeted assortment or
+    fraud). One fact-fact join on orderkey with the customer dimension
+    broadcast, then a |segments|-row conditional aggregate."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END")
+        .alias("ret"))
+    orders = table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_custkey")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+    return (j.groupBy("segment")
+            .agg(F.count("*").cast("long").alias("n_items"),
+                 F.sum("ret").cast("long").alias("n_returned"))
+            .withColumn("return_permille",
+                        F.expr("(1000 * n_returned) div n_items"))
+            .orderBy("segment"))

@@ -660,3 +660,25 @@ class TestZipfAndARPU:
         for r in rows:
             assert r.dau >= 1
             assert r.arpu_cents == r.revenue_cents // r.dau
+
+
+class TestLifecycle:
+    def test_return_rate_conserves_items(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.relational4 import (
+            q_return_rate_segment)
+        rows = q_return_rate_segment(spark, sf_dir).collect()
+        n_li = table(spark, sf_dir, "lineitem").count()
+        assert sum(r.n_items for r in rows) == n_li
+        for r in rows:
+            assert 0 <= r.n_returned <= r.n_items
+            assert 0 <= r.return_permille <= 1000
+
+    def test_dormancy_partitions_users(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.events import (
+            q_dormancy_segments)
+        rows = q_dormancy_segments(spark, sf_dir).collect()
+        n_users = (table(spark, sf_dir, "events")
+                   .select("user_id").distinct().count())
+        assert sum(r.n_users for r in rows) == n_users
+        shares = sum(r.share_permille for r in rows)
+        assert 1000 - len(rows) <= shares <= 1000
