@@ -558,3 +558,67 @@ def q_joinability(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("containment_permille")))
         out = row if out is None else out.unionByName(row)
     return out.orderBy("pair")
+
+
+# ---------------------------------------------------------------------------
+# Completeness matrix (null census per table)
+# ---------------------------------------------------------------------------
+
+COMPLETENESS_COLS = [
+    ("orders", ["o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority"]),
+    ("documents", ["text", "lang", "source", "n_chars"]),
+    ("embeddings", ["embedding", "label"]),
+]
+
+
+def _completeness_oracle() -> str:
+    blocks = []
+    for t, cols in COMPLETENESS_COLS:
+        cells = ", ".join(
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n_{c}" for c in cols)
+        blocks.append(
+            f"SELECT '{t}' AS table_name, CAST(COUNT(*) AS BIGINT)"
+            f" AS n_rows, {cells} FROM {t}")
+    selects = []
+    for t, cols in COMPLETENESS_COLS:
+        for c in cols:
+            selects.append(
+                f"SELECT table_name, '{c}' AS column_name, n_rows,"
+                f" n_{c} AS n_nulls,"
+                f" (1000000 * n_{c}) // n_rows AS null_ppm"
+                f" FROM t_{t}")
+    ctes = ", ".join(f"t_{t} AS ({b})"
+                     for (t, _), b in zip(COMPLETENESS_COLS, blocks))
+    return ("WITH " + ctes + "\n"
+            + "\nUNION ALL\n".join(selects)
+            + "\nORDER BY table_name, column_name")
+
+
+@register("q_completeness", oracle=_completeness_oracle())
+def q_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness matrix: per (table, column), the exact null count
+    and null rate in ppm — the first page of any data-quality dashboard
+    and the complement of q_expectations' pass/fail checks (this is the
+    continuous measurement, that is the contract gate).
+
+    Scale: ONE fused scan per table computes every column's null
+    conditional-sum (the same scan-fusion as q_expectations), then
+    unpivots to rows — never a scan per column."""
+    out = None
+    for t, cols in COMPLETENESS_COLS:
+        df = table(spark, sf_dir, t)
+        agg = df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            *[F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+              .cast("long").alias(f"n_{c}") for c in cols])
+        stack = ", ".join(f"'{c}', n_{c}" for c in cols)
+        rows = agg.selectExpr(
+            f"stack({len(cols)}, {stack}) AS (column_name, n_nulls)",
+            "n_rows").select(
+                F.lit(t).alias("table_name"), "column_name", "n_rows",
+                "n_nulls",
+                F.expr("(1000000 * n_nulls) div n_rows").alias("null_ppm"))
+        out = rows if out is None else out.unionByName(rows)
+    return out.orderBy("table_name", "column_name")

@@ -247,3 +247,15 @@ class TestDegreeHistogram:
         for r in rows:
             assert 2 ** r.log2_bucket <= r.min_degree <= r.max_degree \
                 < 2 ** (r.log2_bucket + 1)
+
+
+class TestCompleteness:
+    def test_matrix_shape_and_bounds(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.quality import (
+            COMPLETENESS_COLS, q_completeness)
+        rows = q_completeness(spark, sf_dir).collect()
+        expected = sum(len(cols) for _, cols in COMPLETENESS_COLS)
+        assert len(rows) == expected
+        for r in rows:
+            assert 0 <= r.n_nulls <= r.n_rows
+            assert 0 <= r.null_ppm <= 1_000_000
