@@ -853,3 +853,72 @@ def q_tail_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.expr("CAST(SUM(d) AS BIGINT) div COUNT(*)")
                  .alias("es_cents"))
             .select("n_days", "var_cents", "es_cents"))
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly (variance-aware, float-free)
+# ---------------------------------------------------------------------------
+
+Z_K2 = 9  # flag when z^2 > 9 (|z| > 3)
+Z_WIN = 7  # trailing observed days
+
+
+@register(
+    "q_rolling_zscore",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // {US_PER_DAY} AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), trail AS (
+        SELECT event_type, day, x,
+               CAST(SUM(x) OVER w AS BIGINT) AS s,
+               CAST(SUM(CAST(x AS HUGEINT) * x) OVER w AS HUGEINT) AS s2,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN {Z_WIN} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, x, s AS trail_sum, n AS trail_n
+    FROM trail
+    WHERE n >= 3
+      AND CAST(n * x - s AS HUGEINT) * (n * x - s)
+          > {Z_K2} * (n * s2 - CAST(s AS HUGEINT) * s)
+    ORDER BY event_type, day
+    """)
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-aware rolling anomaly detection: a day is flagged when
+    its count sits more than 3 trailing standard deviations from the
+    trailing-{Z_WIN}-day mean — with the z² > {Z_K2} test restated as
+    the integer cross-multiplication (n·x − Σ)² > {Z_K2}·(n·Σx² − Σ²),
+    so neither the mean, the variance, nor any square root ever
+    materializes as a float (the mean/stddev complement of
+    q_mad_outliers' median/MAD and q_rate_anomaly's plain-average
+    band).
+
+    Scale: the trailing window rides the already-aggregated (type, day)
+    table on one type-keyed exchange; 128-bit lanes."""
+    ev = table(spark, sf_dir, "events")
+    daily = (ev.select("event_type",
+                       F.expr(f"CAST(us div {US_PER_DAY} AS BIGINT)")
+                       .alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count("*").cast("long").alias("x")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-Z_WIN, -1))
+    trail = (daily
+             .withColumn("s", F.sum("x").over(w).cast("long"))
+             .withColumn("s2", F.sum(F.expr(
+                 "CAST(x AS DECIMAL(38,0)) * x")).over(w)
+                 .cast("decimal(38,0)"))
+             .withColumn("n", F.count("*").over(w).cast("long")))
+    return (trail
+            .filter(F.expr(
+                f"n >= 3 AND CAST(n * x - s AS DECIMAL(38,0))"
+                f" * (n * x - s)"
+                f" > {Z_K2} * (n * s2 - CAST(s AS DECIMAL(38,0)) * s)"))
+            .select("event_type", "day", "x",
+                    F.col("s").alias("trail_sum"),
+                    F.col("n").alias("trail_n"))
+            .orderBy("event_type", "day"))

@@ -245,3 +245,30 @@ class TestTailRisk:
         # expected shortfall is at least as severe as the VaR boundary
         assert r.es_cents <= r.var_cents
         assert r.n_days >= 1
+
+
+class TestRollingZScore:
+    def test_flags_verify_against_direct_computation(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.timeseries import (
+            US_PER_DAY, Z_K2, Z_WIN, q_rolling_zscore)
+        rows = q_rolling_zscore(spark, sf_dir).collect()
+        daily = (table(spark, sf_dir, "events")
+                 .selectExpr("event_type",
+                             f"CAST(us div {US_PER_DAY} AS BIGINT) AS day")
+                 .groupBy("event_type", "day").count().collect())
+        series: dict = {}
+        for r in daily:
+            series.setdefault(r.event_type, {})[r.day] = r["count"]
+        flagged = {(r.event_type, r.day) for r in rows}
+        for et, by_day in series.items():
+            days = sorted(by_day)
+            for i, d in enumerate(days):
+                win = days[max(0, i - Z_WIN):i]
+                if len(win) < 3:
+                    continue
+                xs = [by_day[v] for v in win]
+                n, s = len(xs), sum(xs)
+                s2 = sum(v * v for v in xs)
+                x = by_day[d]
+                want = (n * x - s) ** 2 > Z_K2 * (n * s2 - s * s)
+                assert ((et, d) in flagged) == want, (et, d)
