@@ -455,3 +455,70 @@ def q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_fp",
                     F.expr(f"(1000 * n_fp) div {BF_PROBES}")
                     .alias("fpr_permille")))
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture population estimate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_capture_recapture",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events
+    ), rng AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM d),
+    s1 AS (
+        SELECT DISTINCT user_id FROM d, rng WHERE day < (mn + mx + 1) // 2
+    ), s2 AS (
+        SELECT DISTINCT user_id FROM d, rng WHERE day >= (mn + mx + 1) // 2
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS recaptured
+        FROM s1 JOIN s2 USING (user_id)
+    ), tot AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+               (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM d)
+                   AS observed
+    )
+    SELECT t.n1, t.n2, m.recaptured,
+           (CAST(t.n1 AS HUGEINT) * t.n2) // GREATEST(m.recaptured, 1)
+               AS chapman_est,
+           t.observed
+    FROM m CROSS JOIN tot t
+    """)
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Lincoln-Petersen) population estimate: treat
+    the two halves of the time range as independent "captures" of the
+    user base and estimate the total population as n1·n2/recaptured —
+    the ecology estimator data teams reuse to size what they CANNOT see
+    (users missed by both periods, residual duplicates after dedup,
+    coverage of a crawl). Reported beside the directly-observed distinct
+    count, whose gap to the estimate is the churn/turnover signal.
+
+    Scale: two distinct-user sets (one scan), one equi-join for the
+    recapture count, a 1-row report — every piece mergeable."""
+    from columnar_estimator_sample_spark.operators.events import US_PER_DAY
+    ev = table(spark, sf_dir, "events")
+    d = ev.select("user_id",
+                  F.expr(f"CAST(us div {US_PER_DAY} AS BIGINT)")
+                  .alias("day"))
+    rng = d.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    tagged = d.crossJoin(F.broadcast(rng))
+    s1 = (tagged.filter(F.expr("day < (mn + mx + 1) div 2"))
+          .select("user_id").distinct())
+    s2 = (tagged.filter(F.expr("day >= (mn + mx + 1) div 2"))
+          .select("user_id").distinct())
+    m = s1.join(s2, "user_id").agg(
+        F.count("*").cast("long").alias("recaptured"))
+    n1 = s1.agg(F.count("*").cast("long").alias("n1"))
+    n2 = s2.agg(F.count("*").cast("long").alias("n2"))
+    obs = d.agg(F.countDistinct("user_id").cast("long").alias("observed"))
+    return (m.crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2))
+            .crossJoin(F.broadcast(obs))
+            .select("n1", "n2", "recaptured",
+                    F.expr("(CAST(n1 AS DECIMAL(38,0)) * n2)"
+                           " div GREATEST(recaptured, 1)")
+                    .cast("long").alias("chapman_est"),
+                    "observed"))

@@ -262,3 +262,14 @@ class TestBloomFPR:
         theo = (1 - math.exp(-BF_K * row.n_members / BF_M)) ** BF_K
         assert row.fpr_permille <= max(1000 * theo * 3, 50) + 1000 * 0.05 \
             or theo > 0.9
+
+
+class TestCaptureRecapture:
+    def test_estimate_brackets_observed(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.sketches import (
+            q_capture_recapture)
+        r = q_capture_recapture(spark, sf_dir).collect()[0]
+        assert r.recaptured <= min(r.n1, r.n2)
+        assert max(r.n1, r.n2) <= r.observed <= r.n1 + r.n2
+        # with heavy overlap the estimate lands near the observed count
+        assert r.chapman_est >= max(r.n1, r.n2)
