@@ -533,3 +533,72 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & ~(F.col("lvl_max") > F.col("max_qty")))
             .select("l_partkey", "price_cents", "max_qty")
             .orderBy("price_cents", "l_partkey"))
+
+
+# ---------------------------------------------------------------------------
+# Trimmed mean (robust center, exact)
+# ---------------------------------------------------------------------------
+
+TRIM_PCT = 5  # drop the lowest and highest 5% by rank
+
+
+@register(
+    "q_trimmed_mean",
+    oracle=f"""
+    WITH v AS (
+        SELECT l_returnflag AS flag,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ), ranked AS (
+        SELECT flag, cents,
+               ROW_NUMBER() OVER (PARTITION BY flag
+                                  ORDER BY cents, l_orderkey,
+                                           l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY flag) AS n
+        FROM v
+    ), kept AS (
+        SELECT flag, cents, n FROM ranked
+        WHERE rn > (n * {TRIM_PCT}) // 100
+          AND rn <= n - (n * {TRIM_PCT}) // 100
+    )
+    SELECT flag,
+           CAST(MIN(n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(CAST(SUM(cents) AS HUGEINT) // COUNT(*) AS BIGINT)
+               AS trimmed_mean_cents
+    FROM kept
+    GROUP BY flag
+    ORDER BY flag
+    """)
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact {TRIM_PCT}%-trimmed mean price per return flag: rank off
+    the lowest and highest {TRIM_PCT}% and floor-average the middle —
+    the robust center that tolerates fat tails without the median's
+    information loss, all integer (ranks are total-ordered with
+    (orderkey, linenumber) tiebreaks so the trim boundary is
+    deterministic).
+
+    Scale: one flag-keyed exchange shared by the rank window, the
+    count, and the kept-slice aggregate — the grouped nearest-rank
+    pattern with a range filter instead of a point probe."""
+    li = table(spark, sf_dir, "lineitem")
+    v = li.select(F.col("l_returnflag").alias("flag"),
+                  F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+                         " * 100 AS BIGINT)").alias("cents"),
+                  "l_orderkey", "l_linenumber")
+    wf = Window.partitionBy("flag")
+    ranked = (v.withColumn("rn", F.row_number().over(
+                  wf.orderBy("cents", "l_orderkey", "l_linenumber")))
+              .withColumn("n", F.count("*").over(wf)))
+    kept = ranked.filter(F.expr(
+        f"rn > (n * {TRIM_PCT}) div 100"
+        f" AND rn <= n - (n * {TRIM_PCT}) div 100"))
+    return (kept.groupBy("flag")
+            .agg(F.min("n").cast("long").alias("n_total"),
+                 F.count("*").cast("long").alias("n_kept"),
+                 F.expr("CAST(SUM(CAST(cents AS DECIMAL(38,0)))"
+                        " div COUNT(*) AS BIGINT)")
+                 .alias("trimmed_mean_cents"))
+            .orderBy("flag"))

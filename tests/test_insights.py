@@ -682,3 +682,25 @@ class TestLifecycle:
         assert sum(r.n_users for r in rows) == n_users
         shares = sum(r.share_permille for r in rows)
         assert 1000 - len(rows) <= shares <= 1000
+
+
+class TestTrimmedMean:
+    def test_trim_bounds_and_robust_center(self, spark, sf_dir):
+        import pyspark.sql.functions as F2
+        from columnar_estimator_sample_spark.operators.relational2 import (
+            TRIM_PCT, q_trimmed_mean)
+        rows = q_trimmed_mean(spark, sf_dir).collect()
+        assert rows
+        mm = (table(spark, sf_dir, "lineitem")
+              .groupBy("l_returnflag")
+              .agg(F2.expr("MIN(CAST(CAST(l_extendedprice AS"
+                           " DECIMAL(18,2)) * 100 AS BIGINT))").alias("lo"),
+                   F2.expr("MAX(CAST(CAST(l_extendedprice AS"
+                           " DECIMAL(18,2)) * 100 AS BIGINT))").alias("hi"))
+              .collect())
+        bounds = {r.l_returnflag: (r.lo, r.hi) for r in mm}
+        for r in rows:
+            lo, hi = bounds[r.flag]
+            assert lo <= r.trimmed_mean_cents <= hi
+            cut = (r.n_total * TRIM_PCT) // 100
+            assert r.n_kept == r.n_total - 2 * cut
