@@ -970,3 +970,84 @@ def q_return_rate_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("return_permille",
                         F.expr("(1000 * n_returned) div n_items"))
             .orderBy("segment"))
+
+
+# ---------------------------------------------------------------------------
+# First-order-value predictiveness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_first_order_predictiveness",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_custkey AS custkey, {_OCENTS} AS cents,
+               epoch_us(o_orderdate) AS us, o_orderkey
+        FROM orders
+    ), firsts AS (
+        SELECT custkey, cents AS first_cents FROM (
+            SELECT custkey, cents,
+                   ROW_NUMBER() OVER (PARTITION BY custkey
+                                      ORDER BY us, o_orderkey) AS rn
+            FROM o
+        ) WHERE rn = 1
+    ), ltv AS (
+        SELECT custkey, CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM o GROUP BY custkey
+    ), scored AS (
+        SELECT f.custkey, f.first_cents, l.total_cents,
+               1 + ((ROW_NUMBER() OVER (ORDER BY f.first_cents,
+                                        f.custkey) - 1) * 5)
+                   // (COUNT(*) OVER ()) AS quintile
+        FROM firsts f JOIN ltv l USING (custkey)
+    )
+    SELECT quintile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(first_cents) AS HUGEINT) // COUNT(*) AS BIGINT)
+               AS avg_first_cents,
+           CAST(CAST(SUM(total_cents) AS HUGEINT) // COUNT(*) AS BIGINT)
+               AS avg_ltv_cents
+    FROM scored
+    GROUP BY quintile
+    ORDER BY quintile
+    """)
+def q_first_order_predictiveness(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Does the FIRST order predict lifetime value? Customers bucketed
+    into exact rank-quintiles of their first order's value, each bucket
+    reporting its floor-average first-order and lifetime totals — a
+    rising LTV column across quintiles is the signal that early spend
+    segments acquisition cohorts (the poor-man's-LTV-model every
+    marketing warehouse starts from).
+
+    Scale: first orders by one custkey-keyed rank, LTV by one custkey
+    aggregate, the quintile by a global rank over the customer table
+    (range-rank two_phase shape at 100 TB). All integer floor means."""
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.expr(_OCENTS).alias("cents"),
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").alias("us"),
+        "o_orderkey")
+    from pyspark.sql import Window
+    wc = Window.partitionBy("custkey").orderBy("us", "o_orderkey")
+    firsts = (orders.withColumn("rn", F.row_number().over(wc))
+              .filter(F.col("rn") == 1)
+              .select("custkey", F.col("cents").alias("first_cents")))
+    ltv = (orders.groupBy("custkey")
+           .agg(F.sum("cents").cast("long").alias("total_cents")))
+    joined = firsts.join(ltv, "custkey")
+    wq = Window.orderBy("first_cents", "custkey")
+    scored = (joined
+              .withColumn("rn", F.row_number().over(wq))
+              .withColumn("nt", F.count("*").over(Window.partitionBy()))
+              .withColumn("quintile",
+                          F.expr("1 + ((rn - 1) * 5) div nt")))
+    return (scored.groupBy("quintile")
+            .agg(F.count("*").cast("long").alias("n_customers"),
+                 F.expr("CAST(SUM(CAST(first_cents AS DECIMAL(38,0)))"
+                        " div COUNT(*) AS BIGINT)")
+                 .alias("avg_first_cents"),
+                 F.expr("CAST(SUM(CAST(total_cents AS DECIMAL(38,0)))"
+                        " div COUNT(*) AS BIGINT)")
+                 .alias("avg_ltv_cents"))
+            .orderBy("quintile"))

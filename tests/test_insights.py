@@ -704,3 +704,18 @@ class TestTrimmedMean:
             assert lo <= r.trimmed_mean_cents <= hi
             cut = (r.n_total * TRIM_PCT) // 100
             assert r.n_kept == r.n_total - 2 * cut
+
+
+class TestFirstOrderPredictiveness:
+    def test_quintiles_partition_and_first_rises(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.relational4 import (
+            q_first_order_predictiveness)
+        rows = q_first_order_predictiveness(spark, sf_dir).collect()
+        assert 1 <= len(rows) <= 5
+        n_cust = (table(spark, sf_dir, "orders")
+                  .select("o_custkey").distinct().count())
+        assert sum(r.n_customers for r in rows) == n_cust
+        firsts = [r.avg_first_cents for r in rows]
+        assert firsts == sorted(firsts)  # quintiles ordered by definition
+        for r in rows:
+            assert r.avg_ltv_cents >= r.avg_first_cents  # LTV >= 1st order
