@@ -1244,8 +1244,12 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("src", "dst",
                  F.expr(f"({PPM} * c) div tot").alias("p_ppm")))
     types = edges.select(F.col("src").alias("t")).distinct()
-    k = types.count()
-    v = types.select("t", F.lit(PPM // k).cast("long").alias("v"))
+    # Uniform start vector computed IN the plan (broadcast 1-row count),
+    # not via a driver-side count(): no job runs at registry/plan time and
+    # an empty events table yields an empty frame instead of dividing by 0.
+    n = types.agg(F.count("*").cast("long").alias("k"))
+    v = (types.crossJoin(F.broadcast(n))
+         .select("t", F.expr(f"{PPM} div k").cast("long").alias("v")))
     for _ in range(3):
         v = (v.join(F.broadcast(p), v.t == p.src)
              .groupBy(F.col("dst").alias("t"))
@@ -1335,7 +1339,7 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
         SELECT user_id, event_id, epoch_us(ts) AS us FROM events
     ), flagged AS (
-        SELECT user_id, us,
+        SELECT user_id, event_id, us,
                CASE WHEN us - LAG(us) OVER w > {{gap}}
                       OR LAG(us) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_s
@@ -1343,7 +1347,7 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
     ), sess AS (
         SELECT user_id, us,
-               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
                                 ROWS UNBOUNDED PRECEDING) AS sid
         FROM flagged
     ), per_sess AS (
@@ -1376,11 +1380,11 @@ def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("user_id", "event_id", "us")
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     flagged = ev.select(
-        "user_id", "us",
+        "user_id", "event_id", "us",
         F.when((F.col("us") - F.lag("us").over(w) > SESSION_GAP_US)
                | F.lag("us").over(w).isNull(), 1).otherwise(0)
         .alias("new_s"))
-    wc = (Window.partitionBy("user_id").orderBy("us")
+    wc = (Window.partitionBy("user_id").orderBy("us", "event_id")
           .rowsBetween(Window.unboundedPreceding, 0))
     sess = flagged.select("user_id", "us",
                           F.sum("new_s").over(wc).alias("sid"))

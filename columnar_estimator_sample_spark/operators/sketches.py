@@ -484,7 +484,7 @@ def q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.n1, t.n2, m.recaptured,
            (CAST(t.n1 AS HUGEINT) * t.n2) // GREATEST(m.recaptured, 1)
-               AS chapman_est,
+               AS lp_est,
            t.observed
     FROM m CROSS JOIN tot t
     """)
@@ -520,5 +520,5 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n1", "n2", "recaptured",
                     F.expr("(CAST(n1 AS DECIMAL(38,0)) * n2)"
                            " div GREATEST(recaptured, 1)")
-                    .cast("long").alias("chapman_est"),
+                    .cast("long").alias("lp_est"),
                     "observed"))

@@ -922,3 +922,111 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("s").alias("trail_sum"),
                     F.col("n").alias("trail_n"))
             .orderBy("event_type", "day"))
+
+
+# ---------------------------------------------------------------------------
+# Exact OLS trend line per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ols_trend",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // {US_PER_DAY} AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), idx AS (
+        SELECT event_type,
+               day - MIN(day) OVER (PARTITION BY event_type) AS i,
+               x
+        FROM daily
+    ), m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(i) AS HUGEINT) AS sx,
+               CAST(SUM(x) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(i AS HUGEINT) * i) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(i AS HUGEINT) * x) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS syy
+        FROM idx GROUP BY event_type HAVING COUNT(*) >= 2
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(CASE WHEN n * sxy - sx * sy >= 0
+                     THEN (1000 * (n * sxy - sx * sy))
+                          // (n * sxx - sx * sx)
+                     ELSE -((1000 * (sx * sy - n * sxy))
+                            // (n * sxx - sx * sx)) END
+                AS BIGINT) AS slope_milli,
+           CAST(CASE WHEN sy * sxx - sx * sxy >= 0
+                     THEN (1000 * (sy * sxx - sx * sxy))
+                          // (n * sxx - sx * sx)
+                     ELSE -((1000 * (sx * sxy - sy * sxx))
+                            // (n * sxx - sx * sx)) END
+                AS BIGINT) AS intercept_milli,
+           CAST(CASE WHEN n * syy - sy * sy = 0 THEN NULL
+                     ELSE (1000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))
+                          // ((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+                AS BIGINT) AS r2_permille
+    FROM m
+    ORDER BY event_type
+    """)
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact least-squares trend line of each event type's daily volume:
+    slope (events/day/1000), intercept (fitted day-0 level, milli) and
+    R-squared (permille) — the is-this-series-growing statistic behind
+    capacity forecasts and trend alerts, computed WITHOUT floats. The
+    normal equations stay rational: slope = (n*Sxy - Sx*Sy)/(n*Sxx -
+    Sx^2) on 128-bit lanes, and because DuckDB's `//` floors while
+    Spark's `div` truncates, every division runs on the non-negative
+    magnitude with the sign applied outside — identical in both engines
+    for negative slopes too.
+
+    Scale: one scan to (type, day) counts, the day re-index rides a
+    |types|-keyed window on the already-aggregated daily table, then a
+    |types|-row moment aggregate — same fused-moment shape as
+    q_burstiness/q_column_profile. No per-row state beyond 6 integer
+    accumulators per group, all map-side combining."""
+    ev = table(spark, sf_dir, "events")
+    daily = (ev.select("event_type",
+                       F.expr(f"CAST(us div {US_PER_DAY} AS BIGINT)")
+                       .alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count("*").cast("long").alias("x")))
+    wt = Window.partitionBy("event_type")
+    idx = daily.select("event_type",
+                       (F.col("day") - F.min("day").over(wt)).alias("i"),
+                       "x")
+    D = "DECIMAL(38,0)"
+    m = (idx.groupBy("event_type")
+         .agg(F.expr(f"CAST(COUNT(*) AS {D})").alias("n"),
+              F.expr(f"CAST(SUM(i) AS {D})").alias("sx"),
+              F.expr(f"CAST(SUM(x) AS {D})").alias("sy"),
+              F.expr(f"CAST(SUM(CAST(i AS {D}) * i) AS {D})").alias("sxx"),
+              F.expr(f"CAST(SUM(CAST(i AS {D}) * x) AS {D})").alias("sxy"),
+              F.expr(f"CAST(SUM(CAST(x AS {D}) * x) AS {D})").alias("syy"))
+         .filter(F.expr("n >= 2")))
+    return (m.select(
+        "event_type",
+        F.expr("CAST(n AS BIGINT)").alias("n_days"),
+        F.expr(
+            "CAST(CASE WHEN n * sxy - sx * sy >= 0"
+            " THEN (1000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"
+            " ELSE -((1000 * (sx * sy - n * sxy))"
+            "        div (n * sxx - sx * sx)) END AS BIGINT)")
+        .alias("slope_milli"),
+        F.expr(
+            "CAST(CASE WHEN sy * sxx - sx * sxy >= 0"
+            " THEN (1000 * (sy * sxx - sx * sxy)) div (n * sxx - sx * sx)"
+            " ELSE -((1000 * (sx * sxy - sy * sxx))"
+            "        div (n * sxx - sx * sx)) END AS BIGINT)")
+        .alias("intercept_milli"),
+        F.expr(
+            "CAST(CASE WHEN n * syy - sy * sy = 0 THEN NULL"
+            " ELSE (1000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))"
+            "      div ((n * sxx - sx * sx) * (n * syy - sy * sy)) END"
+            " AS BIGINT)")
+        .alias("r2_permille"))
+        .orderBy("event_type"))

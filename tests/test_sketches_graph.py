@@ -272,4 +272,4 @@ class TestCaptureRecapture:
         assert r.recaptured <= min(r.n1, r.n2)
         assert max(r.n1, r.n2) <= r.observed <= r.n1 + r.n2
         # with heavy overlap the estimate lands near the observed count
-        assert r.chapman_est >= max(r.n1, r.n2)
+        assert r.lp_est >= max(r.n1, r.n2)
