@@ -522,3 +522,158 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
                            " div GREATEST(recaptured, 1)")
                     .cast("long").alias("lp_est"),
                     "observed"))
+
+
+# ---------------------------------------------------------------------------
+# K-minimum-values distinct sketch with set-operation estimates
+# ---------------------------------------------------------------------------
+
+KMV_K = 64                       # sketch size (std error ~ 1/sqrt(K-2) = 13%)
+KMV_SPACE = 1 << 60              # h64 hash space: 60 bits
+
+
+@register(
+    "q_kmv_distinct",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events
+    ), rng AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM e),
+    d AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN day < (mn + mx + 1) // 2 THEN 0 ELSE 1 END AS half
+        FROM e, rng
+    ), uh AS (
+        SELECT user_id,
+               {sql_h64("'kmv_' || CAST(user_id AS VARCHAR)")} AS h,
+               MAX(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS in1,
+               MAX(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS in2
+        FROM d GROUP BY user_id
+    ), s1 AS (
+        SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+                       FROM uh WHERE in1 = 1) WHERE rn <= {KMV_K}
+    ), s2 AS (
+        SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+                       FROM uh WHERE in2 = 1) WHERE rn <= {KMV_K}
+    ), su AS (
+        SELECT h, in1, in2
+        FROM (SELECT h, in1, in2, ROW_NUMBER() OVER (ORDER BY h) AS rn
+              FROM uh) WHERE rn <= {KMV_K}
+    ), a1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS c1,
+               CAST(MAX(h) AS BIGINT) AS k1 FROM s1
+    ), a2 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS c2,
+               CAST(MAX(h) AS BIGINT) AS k2 FROM s2
+    ), au AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS cu,
+               CAST(MAX(h) AS BIGINT) AS ku,
+               CAST(SUM(CASE WHEN in1 = 1 AND in2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ov
+        FROM su
+    ), ex AS (
+        SELECT CAST(SUM(in1) AS BIGINT) AS exact_n1,
+               CAST(SUM(in2) AS BIGINT) AS exact_n2,
+               CAST(COUNT(*) AS BIGINT) AS exact_union,
+               CAST(SUM(CASE WHEN in1 = 1 AND in2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS exact_intersection
+        FROM uh
+    )
+    SELECT CAST({KMV_K} AS BIGINT) AS k,
+           CASE WHEN c1 < {KMV_K} THEN c1
+                ELSE CAST((CAST({KMV_K - 1} AS HUGEINT) * {KMV_SPACE}) // k1
+                          AS BIGINT) END AS est_n1,
+           CASE WHEN c2 < {KMV_K} THEN c2
+                ELSE CAST((CAST({KMV_K - 1} AS HUGEINT) * {KMV_SPACE}) // k2
+                          AS BIGINT) END AS est_n2,
+           CASE WHEN cu < {KMV_K} THEN cu
+                ELSE CAST((CAST({KMV_K - 1} AS HUGEINT) * {KMV_SPACE}) // ku
+                          AS BIGINT) END AS est_union,
+           CAST((ov * (CASE WHEN cu < {KMV_K} THEN cu
+                            ELSE CAST((CAST({KMV_K - 1} AS HUGEINT)
+                                       * {KMV_SPACE}) // ku AS BIGINT) END))
+                // cu AS BIGINT) AS est_intersection,
+           (1000 * ov) // cu AS jaccard_permille_est,
+           exact_n1, exact_n2, exact_union, exact_intersection,
+           (1000 * exact_intersection) // exact_union
+               AS jaccard_permille_exact
+    FROM a1, a2, au, ex
+    """)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values (theta-sketch) distinct counting with SET
+    OPERATIONS — the piece HLL cannot do: keeping the K smallest hash
+    VALUES (not just register maxima) lets sketches of two populations
+    estimate union, intersection, and Jaccard similarity, the
+    "how much do these two sources/periods overlap" question asked
+    before paying for an exact distinct join. Both time-halves of the
+    user base are sketched (K=64 smallest 60-bit md5 hashes), the union
+    sketch is the K smallest of the merged stream, and the intersection
+    estimate is the classic theta composition rho*est_union where rho =
+    |both-halves hashes in the union sketch|/K. Estimates AND exact
+    ground truth (with exact Jaccard) ship in one row; the estimator is
+    (K-1)*2^60/h_(K) on 128-bit lanes, pure integers end to end.
+
+    Scale: per-half K-smallest selection is Spark's sort-limit
+    (TakeOrderedAndProject: per-partition partial top-K, then a K-row
+    merge — never a global sort), sketches are K-row frames that merge
+    across shards by re-selecting K smallest of the concatenation, and
+    every downstream aggregate runs on <= K rows. The exact_* columns
+    are report-only ground truth; production drops them and the whole
+    pipeline state is O(K) regardless of corpus size.
+
+    Reference tie-in: the reference catalogs per-column NDV for feature
+    sizing (/root/reference/trainer.py:91-118); KMV extends that catalog
+    to cross-source overlap auditing."""
+    from columnar_estimator_sample_spark.operators.events import US_PER_DAY
+    ev = table(spark, sf_dir, "events")
+    e = ev.select("user_id",
+                  F.expr(f"CAST(us div {US_PER_DAY} AS BIGINT)").alias("day"))
+    rng = e.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    d = (e.crossJoin(F.broadcast(rng))
+         .select("user_id",
+                 F.expr("CASE WHEN day < (mn + mx + 1) div 2"
+                        " THEN 0 ELSE 1 END").alias("half"))
+         .distinct())
+    uh = (d.groupBy("user_id")
+          .agg(F.max(F.expr("CASE WHEN half = 0 THEN 1 ELSE 0 END"))
+               .alias("in1"),
+               F.max(F.expr("CASE WHEN half = 1 THEN 1 ELSE 0 END"))
+               .alias("in2"))
+          .select(h64(F.concat(F.lit("kmv_"),
+                               F.col("user_id").cast("string"))).alias("h"),
+                  "in1", "in2"))
+    s1 = uh.filter("in1 = 1").select("h").orderBy("h").limit(KMV_K)
+    s2 = uh.filter("in2 = 1").select("h").orderBy("h").limit(KMV_K)
+    su = uh.orderBy("h").limit(KMV_K)
+    a1 = s1.agg(F.count("*").cast("long").alias("c1"),
+                F.max("h").cast("long").alias("k1"))
+    a2 = s2.agg(F.count("*").cast("long").alias("c2"),
+                F.max("h").cast("long").alias("k2"))
+    au = su.agg(F.count("*").cast("long").alias("cu"),
+                F.max("h").cast("long").alias("ku"),
+                F.sum(F.expr("CASE WHEN in1 = 1 AND in2 = 1"
+                             " THEN 1 ELSE 0 END")).cast("long").alias("ov"))
+    ex = uh.agg(F.sum("in1").cast("long").alias("exact_n1"),
+                F.sum("in2").cast("long").alias("exact_n2"),
+                F.count("*").cast("long").alias("exact_union"),
+                F.sum(F.expr("CASE WHEN in1 = 1 AND in2 = 1"
+                             " THEN 1 ELSE 0 END")).cast("long")
+                .alias("exact_intersection"))
+    est = (f"CASE WHEN {{c}} < {KMV_K} THEN {{c}}"
+           f" ELSE CAST((CAST({KMV_K - 1} AS DECIMAL(38,0)) * {KMV_SPACE})"
+           f" div {{k}} AS BIGINT) END")
+    return (a1.crossJoin(F.broadcast(a2)).crossJoin(F.broadcast(au))
+            .crossJoin(F.broadcast(ex))
+            .select(F.lit(KMV_K).cast("long").alias("k"),
+                    F.expr(est.format(c="c1", k="k1")).alias("est_n1"),
+                    F.expr(est.format(c="c2", k="k2")).alias("est_n2"),
+                    F.expr(est.format(c="cu", k="ku")).alias("est_union"),
+                    F.expr(f"CAST((ov * ({est.format(c='cu', k='ku')}))"
+                           f" div cu AS BIGINT)").alias("est_intersection"),
+                    F.expr("(1000 * ov) div cu")
+                    .alias("jaccard_permille_est"),
+                    "exact_n1", "exact_n2", "exact_union",
+                    "exact_intersection",
+                    F.expr("(1000 * exact_intersection) div exact_union")
+                    .alias("jaccard_permille_exact")))
