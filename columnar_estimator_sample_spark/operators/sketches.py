@@ -677,3 +677,115 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "exact_intersection",
                     F.expr("(1000 * exact_intersection) div exact_union")
                     .alias("jaccard_permille_exact")))
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation from count-min sketches (CBO's classic question)
+# ---------------------------------------------------------------------------
+
+JS_D = 4          # sketch depth shared by both sides
+JS_W = 256        # sketch width
+_JA, _JB = minhash_params(JS_D, seed=29)
+
+
+def _js_oracle() -> str:
+    place = "\n        UNION ALL\n".join(
+        f"        SELECT {i} AS row,"
+        f" (({_JA[i]} * x + {_JB[i]}) % {MERSENNE_P}) % {JS_W} AS bucket, c"
+        f" FROM {{side}}x"
+        for i in range(JS_D))
+    return f"""
+    WITH ek AS (
+        SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ), ok AS (
+        SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    ),
+    ex AS (SELECT k, c, {sql_h64("'js_' || CAST(k AS VARCHAR)")}
+                        % {MERSENNE_P} AS x FROM ek),
+    ox AS (SELECT k, c, {sql_h64("'js_' || CAST(k AS VARCHAR)")}
+                        % {MERSENNE_P} AS x FROM ok),
+    pe AS (
+{place.format(side='e')}
+    ), po AS (
+{place.format(side='o')}
+    ),
+    ce AS (SELECT row, bucket, CAST(SUM(c) AS BIGINT) AS cnt
+           FROM pe GROUP BY 1, 2),
+    co AS (SELECT row, bucket, CAST(SUM(c) AS BIGINT) AS cnt
+           FROM po GROUP BY 1, 2),
+    est AS (
+        SELECT ce.row,
+               CAST(SUM(CAST(ce.cnt AS HUGEINT) * co.cnt) AS BIGINT)
+                   AS est_join_rows
+        FROM ce JOIN co USING (row, bucket)
+        GROUP BY ce.row
+    ),
+    exact AS (
+        SELECT CAST(SUM(CAST(ek.c AS HUGEINT) * ok.c) AS BIGINT)
+                   AS exact_join_rows
+        FROM ek JOIN ok USING (k)
+    )
+    SELECT est.row, est.est_join_rows, exact.exact_join_rows,
+           (1000 * est.est_join_rows) // exact.exact_join_rows
+               AS ratio_permille
+    FROM est CROSS JOIN exact
+    ORDER BY est.row
+    """
+
+
+@register("q_join_size_estimate", oracle=_js_oracle())
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality estimation from count-min sketches — the
+    question a cost-based optimizer asks before choosing a join
+    strategy: how many rows would events JOIN orders ON user produce?
+    The CM inner product SUM(cms_a[d][w] * cms_b[d][w]) upper-bounds the
+    true join size |{(e,o): e.user = o.cust}| = SUM_k c_e(k)*c_o(k) for
+    every depth row d (hash collisions only ADD cross terms), and the
+    report shows each row's estimate beside the exact join size with the
+    overestimate ratio. Take the MIN row as the estimate; 2 KB of
+    counters per side replaces scanning either table at plan time.
+
+    Scale: each side collapses to its key-frequency table, the sketches
+    are (d x w) = 1024-row aggregates mergeable by addition across
+    shards/streams, and the inner product is a 1024-row join — plan-time
+    cost independent of table size. The exact_join_rows column is
+    report-only ground truth (it IS the full key join); production keeps
+    only the sketch half. Sketch family/coefficients are the portable
+    md5 universal hashes (functions/hashing.py), so DuckDB reproduces
+    every counter and the estimates bit for bit."""
+    ev = table(spark, sf_dir, "events")
+    od = table(spark, sf_dir, "orders")
+    ek = (ev.groupBy(F.col("user_id").alias("k"))
+          .agg(F.count("*").cast("long").alias("c")))
+    ok = (od.groupBy(F.col("o_custkey").alias("k"))
+          .agg(F.count("*").cast("long").alias("c")))
+
+    def sketch(keys: DataFrame) -> DataFrame:
+        x = keys.withColumn(
+            "x", h64(F.concat(F.lit("js_"), F.col("k").cast("string")))
+            % MERSENNE_P)
+        rb = F.array(*[
+            F.struct(F.lit(i).alias("row"),
+                     (((F.lit(_JA[i]) * F.col("x") + F.lit(_JB[i]))
+                       % MERSENNE_P) % JS_W).alias("bucket"))
+            for i in range(JS_D)])
+        return (x.select("c", F.explode(rb).alias("rb"))
+                .groupBy(F.col("rb.row").alias("row"),
+                         F.col("rb.bucket").alias("bucket"))
+                .agg(F.sum("c").cast("long").alias("cnt")))
+
+    ce, co = sketch(ek), sketch(ok)
+    est = (ce.join(co.withColumnRenamed("cnt", "cnt2"), ["row", "bucket"])
+           .groupBy("row")
+           .agg(F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * cnt2"))
+                .cast("long").alias("est_join_rows")))
+    exact = (ek.join(ok.withColumnRenamed("c", "c2"), "k")
+             .agg(F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c2"))
+                  .cast("long").alias("exact_join_rows")))
+    return (est.crossJoin(F.broadcast(exact))
+            .withColumn("ratio_permille",
+                        F.expr("(1000 * est_join_rows)"
+                               " div exact_join_rows"))
+            .orderBy("row"))
