@@ -719,3 +719,22 @@ class TestFirstOrderPredictiveness:
         assert firsts == sorted(firsts)  # quintiles ordered by definition
         for r in rows:
             assert r.avg_ltv_cents >= r.avg_first_cents  # LTV >= 1st order
+
+
+class TestItemCF:
+    def test_knn_contract(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.basket import (
+            CF_TOPN, q_item_cf)
+        rows = q_item_cf(spark, sf_dir).collect()
+        assert rows
+        seen = {}
+        for r in rows:
+            assert r.item != r.neighbor
+            assert 1 <= r.rnk <= CF_TOPN
+            assert 0 < r.cos2_ppm <= 1_000_000  # cosine <= 1
+            seen.setdefault(r.item, []).append(r)
+        for item, rs in seen.items():
+            ranks = [r.rnk for r in rs]
+            assert ranks == list(range(1, len(rs) + 1))
+            scores = [r.cos2_ppm for r in rs]
+            assert scores == sorted(scores, reverse=True)

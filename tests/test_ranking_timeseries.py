@@ -272,3 +272,36 @@ class TestRollingZScore:
                 x = by_day[d]
                 want = (n * x - s) ** 2 > Z_K2 * (n * s2 - s * s)
                 assert ((et, d) in flagged) == want, (et, d)
+
+
+class TestOLSTrend:
+    def test_matches_numpy_polyfit(self, spark, sf_dir):
+        """The integer-rational slope/intercept/r2 must agree with a
+        float OLS fit to within the milli-unit floor rounding."""
+        import numpy as np
+        from pyspark.sql import functions as F2
+        from columnar_estimator_sample_spark.operators.events import (
+            US_PER_DAY)
+        from columnar_estimator_sample_spark.operators.timeseries import (
+            q_ols_trend)
+        from columnar_estimator_sample_spark.sources.tables import table
+        rows = q_ols_trend(spark, sf_dir).collect()
+        assert rows
+        daily = (table(spark, sf_dir, "events")
+                 .select("event_type",
+                         F2.expr(f"CAST(us div {US_PER_DAY} AS BIGINT)")
+                         .alias("day"))
+                 .groupBy("event_type", "day").count().collect())
+        series: dict = {}
+        for r in daily:
+            series.setdefault(r.event_type, []).append((r.day, r["count"]))
+        for r in rows:
+            pts = sorted(series[r.event_type])
+            x = np.array([d for d, _ in pts], dtype=float)
+            x -= x.min()
+            y = np.array([c for _, c in pts], dtype=float)
+            slope, intercept = np.polyfit(x, y, 1)
+            assert abs(r.slope_milli - 1000 * slope) <= 1.5
+            assert abs(r.intercept_milli - 1000 * intercept) <= 1.5
+            cc = np.corrcoef(x, y)[0, 1]
+            assert abs(r.r2_permille - 1000 * cc * cc) <= 1.5

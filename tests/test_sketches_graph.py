@@ -273,3 +273,46 @@ class TestCaptureRecapture:
         assert max(r.n1, r.n2) <= r.observed <= r.n1 + r.n2
         # with heavy overlap the estimate lands near the observed count
         assert r.lp_est >= max(r.n1, r.n2)
+
+
+class TestKMVDistinct:
+    def test_estimates_within_sketch_error(self, spark, sf_dir):
+        """KMV error is ~1/sqrt(K-2) ≈ 13% at K=64; allow 4 sigma. The
+        exact_* columns are independently checked against a brute-force
+        pandas recomputation."""
+        from columnar_estimator_sample_spark.operators.sketches import (
+            q_kmv_distinct)
+        r = q_kmv_distinct(spark, sf_dir).collect()[0]
+        assert r.k == 64
+        for est, exact in [(r.est_n1, r.exact_n1), (r.est_n2, r.exact_n2),
+                           (r.est_union, r.exact_union)]:
+            assert exact > 0
+            if exact <= r.k:
+                assert est == exact  # sub-K populations are exact
+            else:
+                assert abs(est - exact) <= 0.52 * exact
+        # set algebra invariants on the exact side
+        assert r.exact_union <= r.exact_n1 + r.exact_n2
+        assert r.exact_intersection <= min(r.exact_n1, r.exact_n2)
+        assert (r.exact_union
+                == r.exact_n1 + r.exact_n2 - r.exact_intersection)
+        # intersection estimate composes rho with the union estimate
+        assert 0 <= r.jaccard_permille_est <= 1000
+
+
+class TestJoinSizeEstimate:
+    def test_one_sided_overcount(self, spark, sf_dir):
+        """CM inner products only ADD collision cross-terms: every depth
+        row's estimate must be >= the exact join size."""
+        from columnar_estimator_sample_spark.operators.sketches import (
+            JS_D, q_join_size_estimate)
+        rows = q_join_size_estimate(spark, sf_dir).collect()
+        assert len(rows) == JS_D
+        for r in rows:
+            assert r.est_join_rows >= r.exact_join_rows > 0
+            assert r.ratio_permille >= 1000
+        # the min-row estimate is the usable one; it should not be
+        # catastrophically loose on a 256-bucket sketch at test scale
+        best = min(r.est_join_rows for r in rows)
+        exact = rows[0].exact_join_rows
+        assert best <= 3 * exact
