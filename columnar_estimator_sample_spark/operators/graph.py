@@ -238,6 +238,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cache())
 
     nodes = nation.select(F.col("n_nationkey").alias("node"))
+    # |nation| is a bounded broadcast dim (25 rows) — this count() reads
+    # one tiny parquet footer, and the integer literals it yields keep
+    # the 3 unrolled supersteps free of an extra broadcast join each.
+    # (Fact-table counts are never taken at plan time — see
+    # q_markov_stationary / q_copurchase for the folded-count contract.)
     n_nodes = nodes.count()
     init = PR_SCALE // n_nodes
     base = (3 * PR_SCALE) // (20 * n_nodes)

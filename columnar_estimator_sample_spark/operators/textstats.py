@@ -111,17 +111,19 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank over the (small) per-lang term lists.
     """
     docs = table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # corpus size folded into the plan as a 1-row broadcast — no
+    # driver-side count() at plan-construction time
+    n = docs.agg(F.count("*").alias("n_docs"))
     tok = docs.select("doc_id", "lang",
                       F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("lang", "term").agg(F.count("*").alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     from pyspark.sql import Window as W
-    scored = (tf.join(df, "term")
+    scored = (tf.join(df, "term").crossJoin(F.broadcast(n))
               .select("lang", "term",
                       F.col("tf").cast("long").alias("tf"),
                       F.col("df").cast("long").alias("df"),
-                      ((F.col("tf") * F.lit(n_docs)).cast("double")
+                      ((F.col("tf") * F.col("n_docs")).cast("double")
                        / F.col("df")).alias("score")))
     w = W.partitionBy("lang").orderBy(F.desc("score"), "term")
     return (scored.withColumn("rk", F.row_number().over(w))
@@ -146,10 +148,13 @@ def q_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass before a training run (share per label; skew here means a
     weighted sampler or the mixture operator is needed)."""
     emb = table(spark, sf_dir, "embeddings")
-    total = emb.count()
+    tot = emb.agg(F.count("*").alias("total"))
     return (emb.groupBy("label")
-            .agg(F.count("*").alias("n"),
-                 (F.count("*").cast("double") / F.lit(total)).alias("share"))
+            .agg(F.count("*").alias("n"))
+            .crossJoin(F.broadcast(tot))
+            .select("label", "n",
+                    (F.col("n").cast("double") / F.col("total"))
+                    .alias("share"))
             .orderBy("label"))
 
 
@@ -1093,7 +1098,8 @@ def q_token_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count("*").cast("long").alias("df"))
            .orderBy(F.desc("df"), "tok").limit(COLOC_VOCAB))
     hd = clean.join(F.broadcast(hot), "tok")
-    nd = docs.select("doc_id").distinct().count()
+    nd = (docs.select("doc_id").distinct()
+          .agg(F.count("*").cast("long").alias("nd")))
     a = hd.select("doc_id", F.col("tok").alias("tok_a"),
                   F.col("df").alias("df_a"))
     b = hd.select("doc_id", F.col("tok").alias("tok_b"),
@@ -1104,11 +1110,12 @@ def q_token_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.max("df_a").alias("df_a"),
                   F.max("df_b").alias("df_b"),
                   F.count("*").cast("long").alias("n_both")))
-    return (pairs.select(
+    return (pairs.crossJoin(F.broadcast(nd))
+            .select(
                 "tok_a", "tok_b", "n_both",
-                F.expr(f"CAST((1000 * CAST(n_both AS DECIMAL(38,0))"
-                       f" * {nd}) div (CAST(df_a AS DECIMAL(38,0))"
-                       f" * df_b) AS BIGINT)").alias("lift_permille"))
+                F.expr("CAST((1000 * CAST(n_both AS DECIMAL(38,0))"
+                       " * nd) div (CAST(df_a AS DECIMAL(38,0))"
+                       " * df_b) AS BIGINT)").alias("lift_permille"))
             .orderBy(F.desc("lift_permille"), "tok_a", "tok_b")
             .limit(COLOC_TOP))
 
