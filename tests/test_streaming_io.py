@@ -261,3 +261,30 @@ class TestCompaction:
         assert back.count() == ev.count()
         want = ev.filter(F.col("o_custkey") == 7).count()
         assert back.filter(F.col("o_custkey") == 7).count() == want
+
+
+class TestStreamingSketches:
+    def test_cm_counters_stream_equals_batch(self, spark, sf_dir, ckpt):
+        from columnar_estimator_sample_spark.streaming.sketches import (
+            cm_counters, documents_file_stream, run_sketch_stream)
+        batch = {(r.row, r.bucket): r.cnt for r in
+                 cm_counters(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+                 .collect()}
+        streamed = {(r.row, r.bucket): r.cnt for r in
+                    run_sketch_stream(documents_file_stream(spark, sf_dir),
+                                      cm_counters, ckpt).collect()}
+        assert streamed == batch
+        spark.catalog.dropTempView("sketch_sink")
+
+    def test_hll_registers_stream_equals_batch(self, spark, sf_dir, ckpt):
+        from columnar_estimator_sample_spark.streaming.sketches import (
+            documents_file_stream, hll_registers, run_sketch_stream)
+        batch = {r.j: r.m for r in
+                 hll_registers(
+                     spark.read.parquet(f"{sf_dir}/documents.parquet"))
+                 .collect()}
+        streamed = {r.j: r.m for r in
+                    run_sketch_stream(documents_file_stream(spark, sf_dir),
+                                      hll_registers, ckpt).collect()}
+        assert streamed == batch
+        spark.catalog.dropTempView("sketch_sink")
