@@ -377,3 +377,111 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("share_pm", F.expr("(1000 * n) DIV tot"))
             .drop("tot")
             .orderBy("digit"))
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (mergeable approximate percentiles)
+# ---------------------------------------------------------------------------
+
+QSK_PERMILLE = (500, 900, 990)
+
+
+def _qsketch_sql(idiv: str) -> str:
+    qvals = ", ".join(f"({q})" for q in QSK_PERMILLE)
+    return f"""
+    WITH cents AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS c
+        FROM lineitem
+    ),
+    rng AS (SELECT MIN(c) AS mn, MAX(c) AS mx FROM cents),
+    bins AS (
+        SELECT ((c - mn) * {N_HIST_BINS}) {idiv} (mx - mn + 1) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM cents CROSS JOIN rng
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin, n,
+               SUM(n) OVER (ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(n) OVER () AS tot
+        FROM bins
+    ),
+    targets AS (
+        SELECT q, 1 + ((tot - 1) * q) {idiv} 1000 AS target, tot
+        FROM (VALUES {qvals}) AS v(q)
+             CROSS JOIN (SELECT DISTINCT tot FROM cum) t
+    ),
+    sel AS (
+        SELECT tg.q, tg.target, tg.tot, MIN(cm.bin) AS bin
+        FROM targets tg JOIN cum cm ON cm.cum >= tg.target
+        GROUP BY 1, 2, 3
+    )
+    SELECT s.q AS q_permille,
+           CAST(s.tot AS BIGINT) AS n_rows,
+           CAST(s.target AS BIGINT) AS target_rank,
+           CAST(s.bin AS BIGINT) AS bin,
+           CAST(r.mn + s.bin * ((r.mx - r.mn + 1) {idiv} {N_HIST_BINS})
+                + (((s.target - (cm.cum - cm.n) - 1)
+                    * ((r.mx - r.mn + 1) {idiv} {N_HIST_BINS})) {idiv} cm.n)
+                AS BIGINT) AS est_cents
+    FROM sel s
+    JOIN cum cm ON cm.bin = s.bin
+    CROSS JOIN rng r
+    ORDER BY q_permille
+    """
+
+
+@register("q_quantile_sketch", oracle=_qsketch_sql("//"))
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 of extendedprice from the MERGEABLE
+    20-bin histogram sketch — the distributed-quantile recipe (KLL /
+    t-digest family, fixed-bin flavor): bin counters merge by addition
+    across shards/streams, and any quantile reads off the cumulative
+    histogram with linear interpolation inside the owning bin. Every
+    step is integer arithmetic (nearest-rank target, floor
+    interpolation), so both engines produce identical estimates; the
+    test cross-checks against exact numpy percentiles within one bin
+    width — the sketch's guaranteed error envelope.
+
+    Scale: identical cost to q_histogram (one min/max scalar pass + one
+    20-group hash aggregate); the cumulative walk and quantile selection
+    run on the 20-row sketch, never on data. This is what replaces an
+    exact global sort for percentile dashboards at 100 TB.
+
+    Reference tie-in: the reference's percentile needs go through
+    BigQuery APPROX_QUANTILES (/root/reference/trainer.py:91-118 ilk);
+    this is that operator with a reproducible, engine-portable sketch."""
+    cents = table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
+               " AS BIGINT)").alias("c"))
+    rng = cents.agg(F.min("c").alias("mn"), F.max("c").alias("mx"))
+    bins = (cents.crossJoin(F.broadcast(rng))
+            .groupBy(F.expr(f"((c - mn) * {N_HIST_BINS})"
+                            f" DIV (mx - mn + 1)").alias("bin"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    wcum = (Window.orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (bins.withColumn("cum", F.sum("n").over(wcum))
+           .withColumn("tot", F.sum("n").over(
+               Window.partitionBy())))
+    qs = spark.createDataFrame([(q,) for q in QSK_PERMILLE], "q int")
+    targets = (qs.crossJoin(F.broadcast(cum.select("tot").distinct()))
+               .select("q", F.expr("1 + ((tot - 1) * q) DIV 1000")
+                       .alias("target"), "tot"))
+    sel = (targets.join(cum.select("bin", "cum"),
+                        F.col("cum") >= F.col("target"))
+           .groupBy("q", "target", "tot")
+           .agg(F.min("bin").alias("bin")))
+    width = f"((mx - mn + 1) DIV {N_HIST_BINS})"
+    return (sel.join(cum.select("bin", "n", "cum"), "bin")
+            .crossJoin(F.broadcast(rng))
+            .select(F.col("q").alias("q_permille"),
+                    F.col("tot").cast("long").alias("n_rows"),
+                    F.col("target").cast("long").alias("target_rank"),
+                    F.col("bin").cast("long").alias("bin"),
+                    F.expr(f"CAST(mn + bin * {width}"
+                           f" + (((target - (cum - n) - 1) * {width})"
+                           f" DIV n) AS BIGINT)").alias("est_cents"))
+            .orderBy("q_permille"))

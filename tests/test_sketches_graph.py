@@ -316,3 +316,24 @@ class TestJoinSizeEstimate:
         best = min(r.est_join_rows for r in rows)
         exact = rows[0].exact_join_rows
         assert best <= 3 * exact
+
+
+class TestQuantileSketch:
+    def test_within_one_bin_of_exact(self, spark, sf_dir):
+        """The histogram quantile can be off by at most one bin width
+        (plus interpolation floor); exact numpy nearest-rank is the
+        ground truth."""
+        import numpy as np
+        from columnar_estimator_sample_spark.plans.stats_queries import (
+            N_HIST_BINS, q_quantile_sketch)
+        rows = q_quantile_sketch(spark, sf_dir).collect()
+        assert [r.q_permille for r in rows] == [500, 900, 990]
+        pdf = (table(spark, sf_dir, "lineitem")
+               .select("l_extendedprice").toPandas())
+        cents = np.sort(np.rint(pdf["l_extendedprice"] * 100)
+                        .to_numpy().astype(np.int64))
+        width = (int(cents.max()) - int(cents.min()) + 1) // N_HIST_BINS
+        for r in rows:
+            assert r.n_rows == len(cents)
+            exact = int(cents[r.target_rank - 1])  # nearest-rank
+            assert abs(r.est_cents - exact) <= width + 1
