@@ -59,3 +59,32 @@ def test_differential_fast(spark, sf_dir, name):
             assert (s[c].fillna(0) == o[c].astype(float).fillna(0)).all(), c
         else:
             assert s[c].astype(str).tolist() == o[c].astype(str).tolist(), c
+
+
+class TestCLI:
+    def test_list_and_oracle(self, capsys):
+        from columnar_estimator_sample_spark.__main__ import main
+        assert main(["list"]) == 0
+        out = capsys.readouterr().out
+        assert "q01_pricing_summary\toracle" in out
+        assert "q_media_features\trows-only" in out
+        assert main(["oracle", "q01_pricing_summary"]) == 0
+        assert "l_returnflag" in capsys.readouterr().out
+        assert main(["oracle", "nope_not_a_query"]) == 1
+        assert main(["oracle", "q_media_features"]) == 1
+
+    def test_run_explain(self, spark, sf_dir, capsys):
+        from columnar_estimator_sample_spark.__main__ import main
+        assert main(["run", "q03_shipping_priority",
+                     "--sf-dir", sf_dir, "--explain"]) == 0
+        out = capsys.readouterr().out
+        assert "TakeOrderedAndProject" in out
+
+    def test_run_writes_json(self, spark, sf_dir, tmp_path, capsys):
+        import json
+        from columnar_estimator_sample_spark.__main__ import main
+        out_file = str(tmp_path / "q06.json")
+        assert main(["run", "q06_forecast_revenue",
+                     "--sf-dir", sf_dir, "--out", out_file]) == 0
+        rows = [json.loads(line) for line in open(out_file)]
+        assert len(rows) == 1 and "revenue_delta" in rows[0]
