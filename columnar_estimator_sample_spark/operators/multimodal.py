@@ -176,3 +176,64 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
                         F.lit(0),
                         F.least((F.length("payload") / every_n).cast("int"),
                                 F.lit(50)))).alias("frame_idx")))
+
+
+@register(
+    "q_media_dedup",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1]
+                   AS media_type,
+               md5(text) AS digest,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ), per_blob AS (
+        SELECT media_type, digest,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(MIN(n_bytes) AS BIGINT) AS blob_bytes
+        FROM m GROUP BY 1, 2
+    )
+    SELECT media_type,
+           CAST(SUM(cnt) AS BIGINT) AS n_assets,
+           CAST(COUNT(*) AS BIGINT) AS n_unique_blobs,
+           CAST(SUM(cnt - 1) AS BIGINT) AS dup_assets,
+           CAST(SUM((cnt - 1) * blob_bytes) AS BIGINT)
+               AS reclaimable_bytes
+    FROM per_blob
+    GROUP BY media_type
+    ORDER BY media_type
+    """,
+)
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary-asset dedup census: per modality, how many blobs are
+    byte-identical duplicates and how much storage a content-addressed
+    store would reclaim — the first pass every image/audio corpus gets
+    before any expensive near-dup modeling (crawls re-fetch the same
+    asset under many URLs). Dedup key is the md5 digest OF THE PAYLOAD
+    BYTES; blobs themselves never shuffle — only (16-byte digest, length)
+    pairs move, the same contract as q_dedup_exact on text.
+
+    Oracle note: payloads here are the utf-8 bytes of the document text
+    (documents_as_media), so md5(payload) == md5(text) and DuckDB
+    reproduces the digests without blob support.
+
+    Scale: one scan computing digests map-side, a digest-keyed count
+    aggregate (combiner-friendly), then a modality rollup of the
+    already-aggregated frame. Identical shape at 100 TB with billions of
+    assets; the digest table IS the content-addressed index."""
+    media = documents_as_media(table(spark, sf_dir, "documents"))
+    per_blob = (media
+                .select("media_type",
+                        F.md5("payload").alias("digest"),
+                        F.length("payload").cast("long").alias("n_bytes"))
+                .groupBy("media_type", "digest")
+                .agg(F.count("*").cast("long").alias("cnt"),
+                     F.min("n_bytes").alias("blob_bytes")))
+    return (per_blob.groupBy("media_type")
+            .agg(F.sum("cnt").cast("long").alias("n_assets"),
+                 F.count("*").cast("long").alias("n_unique_blobs"),
+                 F.sum(F.expr("cnt - 1")).cast("long").alias("dup_assets"),
+                 F.sum(F.expr("(cnt - 1) * blob_bytes")).cast("long")
+                 .alias("reclaimable_bytes"))
+            .orderBy("media_type"))
