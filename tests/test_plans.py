@@ -241,3 +241,50 @@ class TestRuntimeBloomFilter:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestRound3PlanShapes:
+    def test_kmv_uses_partial_topk(self, spark):
+        """K-smallest selection must plan as TakeOrderedAndProject
+        (per-partition partial top-K), never a global sort."""
+        plan = plan_of(spark, "q_kmv_distinct")
+        assert plan.count("TakeOrderedAndProject") >= 3  # s1, s2, union
+        assert "Sort [h" not in plan.replace(
+            "TakeOrderedAndProject", "")
+
+    def test_item_cf_no_cartesian_and_broadcast_prune(self, spark):
+        """Pair mining joins on the orderkey; the frequent-item prune is
+        broadcast. No cartesian anywhere."""
+        plan = plan_of(spark, "q_item_cf")
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastExchange") >= 2  # fa and fb prunes
+
+    def test_join_size_sketch_joins_are_hash(self, spark):
+        """The 1024-row sketch inner product must be a hash join on
+        (row, bucket); the only nested-loop is the 1-row exact frame
+        broadcast."""
+        plan = plan_of(spark, "q_join_size_estimate")
+        assert "CartesianProduct" not in plan
+        assert ("BroadcastHashJoin" in plan
+                or "SortMergeJoin" in plan
+                or "ShuffledHashJoin" in plan)
+
+    def test_quantile_sketch_aggregates_before_windows(self, spark):
+        """Cumulative walk runs on the 20-row bin table: the plan's
+        window sits above a hash aggregate, and the scan reads only the
+        price column."""
+        plan = plan_of(spark, "q_quantile_sketch")
+        assert "HashAggregate" in plan and "Window" in plan
+        assert min(scan_widths(plan)) == 1  # l_extendedprice only
+
+    def test_media_dedup_shuffles_digests_not_blobs(self, spark):
+        """The digest aggregate must not carry the payload column
+        through the exchange."""
+        plan = plan_of(spark, "q_media_dedup")
+        ex_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+        assert ex_lines  # there is a shuffle (digest-keyed aggregate)
+        # every exchange partitions on derived narrow keys, never the blob
+        for ln in ex_lines:
+            assert "payload" not in ln
+        # digest computation happens below the exchange (map-side)
+        assert "md5(payload" in plan
