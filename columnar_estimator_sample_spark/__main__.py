@@ -49,6 +49,17 @@ def _build_parser() -> argparse.ArgumentParser:
 
     orc = sub.add_parser("oracle", help="print a query's DuckDB oracle SQL")
     orc.add_argument("name")
+
+    sq = sub.add_parser(
+        "sql", help="run ad-hoc Spark SQL over the registered views "
+                    "(region nation customer supplier part orders "
+                    "lineitem events documents embeddings)")
+    sq.add_argument("query")
+    sq.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    sq.add_argument("--limit", type=int, default=20)
+    sq.add_argument("--cpus", default=os.environ.get(
+        "SPARK_GRAFT_CPUS", "8"))
     return ap
 
 
@@ -71,6 +82,16 @@ def main(argv: list[str] | None = None) -> int:
                   f" {args.name}", file=sys.stderr)
             return 1
         print(sql.strip())
+        return 0
+
+    if args.cmd == "sql":
+        from columnar_estimator_sample_spark.session import get_spark
+        from columnar_estimator_sample_spark.sources.tables import (
+            register_views)
+        spark = get_spark("cli:sql", parallelism=int(args.cpus))
+        spark.sparkContext.setLogLevel("ERROR")
+        register_views(spark, args.sf_dir)
+        spark.sql(args.query).show(args.limit, truncate=False)
         return 0
 
     qs = registry.queries()

@@ -88,3 +88,9 @@ class TestCLI:
                      "--sf-dir", sf_dir, "--out", out_file]) == 0
         rows = [json.loads(line) for line in open(out_file)]
         assert len(rows) == 1 and "revenue_delta" in rows[0]
+
+    def test_sql_subcommand(self, spark, sf_dir, capsys):
+        from columnar_estimator_sample_spark.__main__ import main
+        assert main(["sql", "SELECT COUNT(*) AS n FROM nation",
+                     "--sf-dir", sf_dir]) == 0
+        assert "25" in capsys.readouterr().out
