@@ -622,3 +622,73 @@ def q_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("(1000000 * n_nulls) div n_rows").alias("null_ppm"))
         out = rows if out is None else out.unionByName(rows)
     return out.orderBy("table_name", "column_name")
+
+
+# ---------------------------------------------------------------------------
+# K-anonymity / l-diversity audit
+# ---------------------------------------------------------------------------
+
+KA_THRESHOLDS = (2, 5, 10)
+
+
+@register(
+    "q_k_anonymity",
+    oracle=f"""
+    WITH q AS (
+        SELECT c_nationkey AS nat,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   // 100000 AS bal_k,
+               c_mktsegment AS sens
+        FROM customer
+    ), classes AS (
+        SELECT nat, bal_k,
+               CAST(COUNT(*) AS BIGINT) AS sz,
+               CAST(COUNT(DISTINCT sens) AS BIGINT) AS n_sens
+        FROM q GROUP BY 1, 2
+    )
+    SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(sz) AS BIGINT) AS min_class,
+           CAST(MAX(sz) AS BIGINT) AS max_class,
+           {", ".join(
+               f"(1000 * CAST(SUM(CASE WHEN sz < {k} THEN sz ELSE 0 END)"
+               f" AS BIGINT)) // SUM(sz) AS risk{k}_pm"
+               for k in KA_THRESHOLDS)},
+           CAST(MIN(n_sens) AS BIGINT) AS l_diversity_min
+    FROM classes
+    """)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity / l-diversity audit of the customer table — the
+    re-identification-risk scorecard a governance pass runs BEFORE a
+    dataset ships (the quantitative sibling of q_pii_redaction's
+    scrubbing): quasi-identifiers are (nation, account-balance $1000
+    bucket); each equivalence class's size is the crowd a record hides
+    in. risk{{k}}_pm = permille of rows in classes smaller than k
+    (k in {KA_THRESHOLDS}; risk2 counts records UNIQUE on their QI —
+    directly linkable), and l_diversity_min is the smallest number of
+    distinct sensitive values (market segment) in any class — size-k
+    classes with one sensitive value leak the attribute without
+    re-identification.
+
+    Scale: one scan -> QI-keyed aggregate (combiner-friendly count +
+    distinct over a 5-value domain) -> scalar rollup; the classes frame
+    is |QI-domain|-sized, independent of row count."""
+    cust = table(spark, sf_dir, "customer")
+    q = cust.select(
+        F.col("c_nationkey").alias("nat"),
+        F.expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+               " div 100000").alias("bal_k"),
+        F.col("c_mktsegment").alias("sens"))
+    classes = (q.groupBy("nat", "bal_k")
+               .agg(F.count("*").cast("long").alias("sz"),
+                    F.countDistinct("sens").cast("long").alias("n_sens")))
+    risk = [F.expr(f"(1000 * CAST(SUM(CASE WHEN sz < {k} THEN sz"
+                   f" ELSE 0 END) AS BIGINT)) div SUM(sz)")
+            .alias(f"risk{k}_pm") for k in KA_THRESHOLDS]
+    return classes.agg(
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("sz").cast("long").alias("min_class"),
+        F.max("sz").cast("long").alias("max_class"),
+        *risk,
+        F.min("n_sens").cast("long").alias("l_diversity_min"))
