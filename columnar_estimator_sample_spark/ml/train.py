@@ -173,3 +173,33 @@ def criteo_shaped_frame(spark, n_rows: int = 4000, n_int: int = 4,
         std = 288.7
         df = df.withColumn(f"int{i}_norm", (F.col(f"int{i}") - mean) / std)
     return df
+
+
+def crossval_auc(df: DataFrame, k: int = 3, label_col: str = "label",
+                 max_iter: int = 20) -> list[TrainResult]:
+    """Deterministic k-fold cross-validation of the linear estimator:
+    fold assignment is the portable hash of the row's feature tuple
+    (``h64 % k``) — reproducible across runs, engines, and partitionings,
+    unlike ``randomSplit`` (the same determinism contract as
+    ``q_split_by_user``'s leakage-safe split). Returns one TrainResult
+    per fold; the spread of fold AUCs is the variance estimate a single
+    train/test split hides.
+
+    Scale: each fold's train frame is a FILTER on the cached base frame
+    (no data movement to form folds); k sequential fits reuse MLlib's
+    distributed L-BFGS. The reference's train_and_evaluate
+    (/root/reference/trainer.py:294-316) is the k=1 special case."""
+    cols = [c for c in df.columns if c != label_col]
+    fold_col = (h64(F.concat_ws("|", *[F.col(c).cast("string")
+                                       for c in cols])) % k)
+    base = df.withColumn("__fold", fold_col).cache()
+    results = []
+    try:
+        for fold in range(k):
+            tr = base.filter(F.col("__fold") != fold).drop("__fold")
+            te = base.filter(F.col("__fold") == fold).drop("__fold")
+            results.append(train_linear(tr, te, label_col=label_col,
+                                        max_iter=max_iter))
+    finally:
+        base.unpersist()
+    return results

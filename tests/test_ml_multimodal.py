@@ -98,3 +98,17 @@ class TestMultimodal:
         n_videos = media.filter(F.col("media_type") == "video").count()
         assert frames.select("doc_id").distinct().count() == n_videos
         assert frames.count() > n_videos  # fan-out happened
+
+
+class TestCrossVal:
+    def test_kfold_auc_above_chance_every_fold(self, spark):
+        """Planted-signal frame: every fold must learn it (AUC > 0.6),
+        and fold assignment must partition the rows exactly."""
+        from columnar_estimator_sample_spark.ml.train import (
+            criteo_shaped_frame, crossval_auc)
+        df = criteo_shaped_frame(spark, n_rows=3000)
+        results = crossval_auc(df, k=3, max_iter=10)
+        assert len(results) == 3
+        for r in results:
+            assert r.auc > 0.6
+            assert r.n_features > 0
