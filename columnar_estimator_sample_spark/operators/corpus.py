@@ -964,3 +964,119 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                            f" ELSE 1000 - {SRM_TRAIN_PCT} * 10 END)")
                     .alias("deviation_permille"))
             .orderBy("split"))
+
+
+# ---------------------------------------------------------------------------
+# A/B test readout (two-proportion z-test, float-free)
+# ---------------------------------------------------------------------------
+
+# z²_critical at 95% two-sided = 1.959964² = 3.841459; kept as the exact
+# rational 3841459/1000000 so the significance inequality is pure-integer
+AB_Z2_NUM = 3_841_459
+AB_Z2_DEN = 1_000_000
+AB_SUCCESS_MIN = 14  # success = a "heavy buyer": >= 14 purchase events
+                     # (above the corpus median of 13 — every user makes
+                     # SOME purchase, so raw conversion would be 100%)
+
+
+@register(
+    "q_ab_test",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN COUNT(CASE WHEN event_type = 'purchase'
+                                    THEN 1 END) >= 14
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ), armed AS (
+        SELECT CASE WHEN {sql_h64("'ab|' || CAST(user_id AS VARCHAR)")}
+                         % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               converted
+        FROM u
+    ), agg AS (
+        SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS HUGEINT)
+                   AS n_a,
+               CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS HUGEINT)
+                   AS n_b,
+               CAST(SUM(CASE WHEN arm = 'A' THEN converted ELSE 0 END)
+                    AS HUGEINT) AS x_a,
+               CAST(SUM(CASE WHEN arm = 'B' THEN converted ELSE 0 END)
+                    AS HUGEINT) AS x_b
+        FROM armed
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(x_a AS BIGINT) AS conv_a,
+           CAST(x_b AS BIGINT) AS conv_b,
+           CAST((1000 * x_a) // n_a AS BIGINT) AS cr_a_pm,
+           CAST((1000 * x_b) // n_b AS BIGINT) AS cr_b_pm,
+           CAST((1000 * (x_a * n_b - x_b * n_a) * (x_a * n_b - x_b * n_a)
+                 * (n_a + n_b))
+                // (n_a * n_b * (x_a + x_b)
+                    * ((n_a + n_b) - (x_a + x_b))) AS BIGINT) AS z2_milli,
+           CAST(CASE WHEN {AB_Z2_DEN}
+                          * (x_a * n_b - x_b * n_a)
+                          * (x_a * n_b - x_b * n_a) * (n_a + n_b)
+                          > {AB_Z2_NUM} * n_a * n_b * (x_a + x_b)
+                            * ((n_a + n_b) - (x_a + x_b))
+                     THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM agg
+    """)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with a FLOAT-FREE significance call: users
+    split 50/50 by the deterministic portable hash (the q_srm_check
+    allocation contract), success = a heavy buyer (>= 14 purchases,
+    above the median — raw any-purchase conversion is 100% here), and the
+    pooled two-proportion z-test decided entirely in integers — z² =
+    (x_a·n_b − x_b·n_a)²·n / (n_a·n_b·x·(n−x)) compared against the
+    critical 3.841459 by cross-multiplication with the exact rational
+    3841459/10⁶. No sqrt, no division, no float rounding: both engines
+    reach the identical verdict bit for bit. z2_milli reports effect
+    strength (1000·z², floor).
+
+    Scale: one user-keyed conditional-MAX pass then a 4-counter scalar
+    aggregate; the test statistic is computed on one row. The 128-bit
+    lanes hold to n ≈ 10⁸ users per arm; beyond that, test on permille
+    shares — at that scale any measurable gap is significant anyway.
+
+    Reference tie-in: train/eval experimentation is the reference's
+    operating loop (trainer.py:294-316); this is the online-experiment
+    counterpart expressed as a query."""
+    from columnar_estimator_sample_spark.sources.tables import events_table
+    ev = events_table(spark, sf_dir)
+    u = (ev.groupBy("user_id")
+         .agg(F.expr(f"CASE WHEN COUNT(CASE WHEN event_type = 'purchase'"
+                     f" THEN 1 END) >= {AB_SUCCESS_MIN}"
+                     f" THEN 1 ELSE 0 END").alias("converted")))
+    arm = F.when(
+        F.pmod(h64(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))),
+               F.lit(2)) == 0, "A").otherwise("B")
+    D = "DECIMAL(38,0)"
+    agg = (u.select(arm.alias("arm"), "converted")
+           .agg(F.expr(f"CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)"
+                       f" AS {D})").alias("n_a"),
+                F.expr(f"CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)"
+                       f" AS {D})").alias("n_b"),
+                F.expr(f"CAST(SUM(CASE WHEN arm = 'A' THEN converted"
+                       f" ELSE 0 END) AS {D})").alias("x_a"),
+                F.expr(f"CAST(SUM(CASE WHEN arm = 'B' THEN converted"
+                       f" ELSE 0 END) AS {D})").alias("x_b")))
+    return agg.select(
+        F.expr("CAST(n_a AS BIGINT)").alias("n_a"),
+        F.expr("CAST(n_b AS BIGINT)").alias("n_b"),
+        F.expr("CAST(x_a AS BIGINT)").alias("conv_a"),
+        F.expr("CAST(x_b AS BIGINT)").alias("conv_b"),
+        F.expr("CAST((1000 * x_a) div n_a AS BIGINT)").alias("cr_a_pm"),
+        F.expr("CAST((1000 * x_b) div n_b AS BIGINT)").alias("cr_b_pm"),
+        F.expr("CAST((1000 * (x_a * n_b - x_b * n_a)"
+               " * (x_a * n_b - x_b * n_a) * (n_a + n_b))"
+               " div (n_a * n_b * (x_a + x_b)"
+               " * ((n_a + n_b) - (x_a + x_b))) AS BIGINT)")
+        .alias("z2_milli"),
+        F.expr(f"CAST(CASE WHEN {AB_Z2_DEN}"
+               f" * (x_a * n_b - x_b * n_a)"
+               f" * (x_a * n_b - x_b * n_a) * (n_a + n_b)"
+               f" > {AB_Z2_NUM} * n_a * n_b * (x_a + x_b)"
+               f" * ((n_a + n_b) - (x_a + x_b))"
+               f" THEN 1 ELSE 0 END AS BIGINT)").alias("significant"))
