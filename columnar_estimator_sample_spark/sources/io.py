@@ -175,3 +175,47 @@ def compact_write(df: DataFrame, path: str, target_mb: int = 512,
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(path)
     return n_files
+
+
+def publish_with_audit(df: DataFrame, dest: str,
+                       audits: list, fmt: str = "parquet") -> dict:
+    """Write-audit-publish (WAP) sink: the lakehouse pattern that keeps
+    half-written or bad data invisible to readers. The frame is written
+    to a STAGING path, each audit runs against the staged files as
+    re-read from disk (so the audit sees exactly what readers would),
+    and only if every audit passes does the staging directory move
+    atomically into the destination. On any audit failure the
+    destination is untouched and staging is kept for debugging.
+
+    ``audits`` is a list of callables ``(DataFrame) -> (ok, message)``;
+    compose them from operators/quality.py checks. Returns a report dict
+    ``{published, dest, audits: [(name, ok, message), ...]}``.
+
+    Scale notes: on HDFS-like filesystems the final rename is an O(1)
+    metadata move; on object stores the same pattern runs through a
+    table format's atomic commit (Iceberg/Delta branch-and-publish) with
+    identical semantics — stage, audit the committed-but-unpublished
+    snapshot, then swap the pointer. The audit pass is one extra read of
+    the staged output, not of the input pipeline."""
+    import os
+    import shutil
+
+    staging = dest.rstrip("/") + ".__staging"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    df.write.mode("overwrite").format(fmt).save(staging)
+    spark = df.sparkSession
+    staged = spark.read.format(fmt).load(staging)
+    results = []
+    ok_all = True
+    for audit in audits:
+        name = getattr(audit, "__name__", "audit")
+        ok, msg = audit(staged)
+        results.append((name, bool(ok), msg))
+        ok_all = ok_all and bool(ok)
+    if ok_all:
+        if os.path.exists(dest):
+            shutil.rmtree(dest)
+        os.rename(staging, dest)
+    return {"published": ok_all, "dest": dest if ok_all else None,
+            "staging": None if ok_all else staging, "audits": results}

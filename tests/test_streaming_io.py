@@ -288,3 +288,40 @@ class TestStreamingSketches:
                                       hll_registers, ckpt).collect()}
         assert streamed == batch
         spark.catalog.dropTempView("sketch_sink")
+
+
+class TestWriteAuditPublish:
+    def test_failing_audit_blocks_publish(self, spark, sf_dir, tmp_path):
+        from columnar_estimator_sample_spark.sources.io import (
+            publish_with_audit)
+        df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        dest = str(tmp_path / "nation_out")
+
+        def min_rows(staged):
+            n = staged.count()
+            return n >= 9999, f"rows={n}"
+
+        report = publish_with_audit(df, dest, [min_rows])
+        assert not report["published"]
+        assert not __import__("os").path.exists(dest)  # nothing visible
+        assert report["staging"]  # kept for debugging
+        assert report["audits"][0][0] == "min_rows"
+
+    def test_passing_audits_publish_atomically(self, spark, sf_dir,
+                                               tmp_path):
+        from columnar_estimator_sample_spark.sources.io import (
+            publish_with_audit)
+        df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        dest = str(tmp_path / "nation_out")
+
+        def nonempty(staged):
+            return staged.count() == 25, "expect 25 nations"
+
+        def no_null_keys(staged):
+            bad = staged.filter("n_nationkey IS NULL").count()
+            return bad == 0, f"null keys={bad}"
+
+        report = publish_with_audit(df, dest, [nonempty, no_null_keys])
+        assert report["published"] and report["dest"] == dest
+        assert spark.read.parquet(dest).count() == 25
+        assert all(ok for _, ok, _ in report["audits"])
