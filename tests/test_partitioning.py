@@ -175,3 +175,43 @@ class TestZOrderLayout:
         assert z.avg_span_y_pm < s.avg_span_y_pm
         # and the z-layout's spans are balanced across dims
         assert z.avg_span_x_pm < 1000 and z.avg_span_y_pm < 1000
+
+
+class TestMaterializedRollup:
+    def test_weekly_answers_from_daily_mv(self, spark, sf_dir):
+        """Warehouse MV pattern: materialize the daily revenue rollup
+        once (CTAS), then answer the weekly question FROM the rollup —
+        results must equal recomputing from the raw fact table, because
+        SUM re-aggregates losslessly. This is the query-rewrite contract
+        a 100 TB deployment leans on: the MV is days-sized, the fact
+        table is not."""
+        from pyspark.sql import functions as F
+        from columnar_estimator_sample_spark.sources.io import ctas
+        from columnar_estimator_sample_spark.sources.tables import table
+        li = table(spark, sf_dir, "lineitem")
+        cents = F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
+                       " AS BIGINT)")
+        daily = (li.select(
+                     F.expr("CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+                            " div 86400000000 AS BIGINT)").alias("day"),
+                     cents.alias("cents"))
+                 .groupBy("day")
+                 .agg(F.sum("cents").alias("rev"),
+                      F.count("*").cast("long").alias("n")))
+        mv = ctas(spark, "mv_daily_revenue", daily)
+        try:
+            weekly_mv = (mv.groupBy(F.expr("day div 7").alias("week"))
+                         .agg(F.sum("rev").alias("rev"),
+                              F.sum("n").alias("n")))
+            weekly_raw = (li.select(
+                              F.expr("CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+                                     " div 86400000000 AS BIGINT)")
+                              .alias("day"), cents.alias("cents"))
+                          .groupBy(F.expr("day div 7").alias("week"))
+                          .agg(F.sum("cents").alias("rev"),
+                               F.count("*").cast("long").alias("n")))
+            a = {r.week: (r.rev, r.n) for r in weekly_mv.collect()}
+            b = {r.week: (r.rev, r.n) for r in weekly_raw.collect()}
+            assert a == b and len(a) > 3
+        finally:
+            spark.sql("DROP TABLE IF EXISTS mv_daily_revenue")
