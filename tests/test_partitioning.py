@@ -215,3 +215,40 @@ class TestMaterializedRollup:
             assert a == b and len(a) > 3
         finally:
             spark.sql("DROP TABLE IF EXISTS mv_daily_revenue")
+
+    def test_incremental_rollup_maintenance(self, spark, sf_dir):
+        """Incremental view maintenance: apply one 'new day' of fact
+        rows as a DELTA aggregate merged into the materialized daily
+        rollup (SUM/COUNT merge by addition), and the maintained MV must
+        equal a full recompute over old+new. This is the nightly-load
+        path: touch only the affected MV rows, never rescan history."""
+        from pyspark.sql import functions as F
+        from columnar_estimator_sample_spark.sources.tables import table
+        li = table(spark, sf_dir, "lineitem")
+        day = F.expr("CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+                     " div 86400000000 AS BIGINT)")
+        cents = F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
+                       " AS BIGINT)")
+        base = li.select(day.alias("day"), cents.alias("cents"))
+        cut = base.agg(F.max("day")).collect()[0][0]  # last day = "new"
+        old = base.filter(F.col("day") < cut)
+        new = base.filter(F.col("day") >= cut)
+
+        def rollup(df):
+            return (df.groupBy("day")
+                    .agg(F.sum("cents").alias("rev"),
+                         F.count("*").cast("long").alias("n")))
+
+        mv = rollup(old)
+        delta = rollup(new)
+        # additive merge: full outer on day, SUM the partials
+        maintained = (mv.alias("t").join(delta.alias("s"), "day", "full")
+                      .select("day",
+                              (F.coalesce("t.rev", F.lit(0))
+                               + F.coalesce("s.rev", F.lit(0))).alias("rev"),
+                              (F.coalesce("t.n", F.lit(0))
+                               + F.coalesce("s.n", F.lit(0))).alias("n")))
+        full = rollup(base)
+        a = {r.day: (r.rev, r.n) for r in maintained.collect()}
+        b = {r.day: (r.rev, r.n) for r in full.collect()}
+        assert a == b
