@@ -337,3 +337,73 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("k").alias("first_pos"))
             .orderBy(F.desc("n_phrase"), "doc_id")
             .limit(PHRASE_TOP))
+
+
+# ---------------------------------------------------------------------------
+# Postings compression census (delta + varint)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_postings_delta",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS term, doc_id
+        FROM documents
+    ), t AS (SELECT term, doc_id FROM tok WHERE len(term) > 0),
+    gaps AS (
+        SELECT term,
+               COALESCE(doc_id - LAG(doc_id)
+                        OVER (PARTITION BY term ORDER BY doc_id),
+                        doc_id) AS v
+        FROM t
+    ), sized AS (
+        SELECT term,
+               CASE WHEN v = 0 THEN 1
+                    ELSE (length(bin(v)) + 6) // 7 END AS nbytes
+        FROM gaps
+    )
+    SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+           CAST(COUNT(*) AS BIGINT) AS n_postings,
+           CAST(8 * COUNT(*) AS BIGINT) AS raw_bytes,
+           CAST(SUM(nbytes) AS BIGINT) AS varint_bytes,
+           (1000 * (8 * COUNT(*) - CAST(SUM(nbytes) AS BIGINT)))
+               // (8 * COUNT(*)) AS saved_permille
+    FROM sized
+    """)
+def q_postings_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-storage engineering census: what delta + varint encoding
+    saves on the inverted index's postings lists — each term's sorted
+    doc_ids become first-absolute + gaps, and each value costs
+    ceil(bits/7) bytes (the LEB128/varint rule every real index format
+    uses: Lucene, Parquet RLE hybrids, roaring containers). Dense terms
+    compress hardest (small gaps -> 1 byte); the saved_permille headline
+    is the number an index-sizing exercise starts from. bin()-string
+    bit-length keeps the byte-cost expression identical in both engines
+    — no log2, no floats.
+
+    Scale: distinct (term, doc) collapse is map-side combinable; the
+    LAG rides ONE term-keyed exchange (the same partitioning the index
+    build itself needs); everything after is a scalar rollup. At 100 TB
+    the census runs on the postings you are about to write anyway."""
+    docs = table(spark, sf_dir, "documents")
+    t = (docs.select(F.explode(F.split("text", " ")).alias("term"),
+                     "doc_id")
+         .filter(F.length("term") > 0)
+         .distinct())
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gaps = t.select(
+        "term",
+        F.coalesce(F.col("doc_id") - F.lag("doc_id").over(w),
+                   F.col("doc_id")).alias("v"))
+    sized = gaps.select(
+        "term",
+        F.expr("CASE WHEN v = 0 THEN 1"
+               " ELSE (length(bin(v)) + 6) div 7 END").alias("nbytes"))
+    return sized.agg(
+        F.countDistinct("term").cast("long").alias("n_terms"),
+        F.count("*").cast("long").alias("n_postings"),
+        (8 * F.count("*")).cast("long").alias("raw_bytes"),
+        F.sum("nbytes").cast("long").alias("varint_bytes"),
+        F.expr("(1000 * (8 * COUNT(*) - CAST(SUM(nbytes) AS BIGINT)))"
+               " div (8 * COUNT(*))").alias("saved_permille"))
