@@ -1568,3 +1568,81 @@ def q_dormancy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("(1000 * n_users) div t")
                     .alias("share_permille"))
             .orderBy("segment"))
+
+
+# ---------------------------------------------------------------------------
+# Discrete-time survival: churn hazard with right-censoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_churn_hazard",
+    oracle=f"""
+    WITH d AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) // {US_PER_DAY} AS BIGINT) AS day
+        FROM events
+    ), g AS (SELECT MAX(day) AS gmax FROM d),
+    u AS (
+        SELECT user_id,
+               MAX(day) - MIN(day) AS lifespan,
+               CASE WHEN MAX(day) = (SELECT gmax FROM g)
+                    THEN 1 ELSE 0 END AS censored
+        FROM d GROUP BY user_id
+    ), levels AS (
+        SELECT lifespan,
+               CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(SUM(1 - censored) AS BIGINT) AS n_churned
+        FROM u GROUP BY lifespan
+    ), risk AS (
+        SELECT lifespan, n_all, n_churned,
+               SUM(n_all) OVER (ORDER BY lifespan DESC
+                                ROWS UNBOUNDED PRECEDING) AS n_at_risk
+        FROM levels
+    )
+    SELECT lifespan AS lifespan_days,
+           n_churned,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           (1000 * n_churned) // CAST(n_at_risk AS BIGINT) AS hazard_pm
+    FROM risk
+    ORDER BY lifespan_days
+    """)
+def q_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival analysis of the user base: for each
+    lifespan (days between a user's first and last activity), the churn
+    HAZARD — users who churned at exactly that lifespan over users who
+    survived at least that long — with proper RIGHT-CENSORING: users
+    still active on the final observed day are at-risk but never counted
+    as churned (calling them churned is the classic retention-analysis
+    mistake). Integer permille; the Kaplan-Meier survival curve is the
+    running product of (1 - hazard) and follows from these rows — the
+    product itself stays off the oracle surface because chained rounding
+    is representation-dependent, while the per-level hazards are exact.
+
+    Scale: one user-keyed MIN/MAX aggregate over the raw stream, then
+    everything rides the lifespan-LEVEL frame (at most observation-window
+    days rows) — the suffix-sum window costs nothing at any corpus size.
+    The global-max day is a 1-row broadcast, folded into the plan."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.select("user_id",
+                  F.expr(f"CAST(us div {US_PER_DAY} AS BIGINT)").alias("day"))
+    g = d.agg(F.max("day").alias("gmax"))
+    u = (d.groupBy("user_id")
+         .agg(F.min("day").alias("fd"), F.max("day").alias("ld"))
+         .crossJoin(F.broadcast(g))
+         .select((F.col("ld") - F.col("fd")).alias("lifespan"),
+                 F.expr("CASE WHEN ld = gmax THEN 1 ELSE 0 END")
+                 .alias("censored")))
+    levels = (u.groupBy("lifespan")
+              .agg(F.count("*").cast("long").alias("n_all"),
+                   F.sum(F.expr("1 - censored")).cast("long")
+                   .alias("n_churned")))
+    wr = (Window.orderBy(F.desc("lifespan"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return (levels
+            .withColumn("n_at_risk", F.sum("n_all").over(wr).cast("long"))
+            .select(F.col("lifespan").alias("lifespan_days"),
+                    "n_churned", "n_at_risk",
+                    F.expr("(1000 * n_churned) div n_at_risk")
+                    .alias("hazard_pm"))
+            .orderBy("lifespan_days"))
