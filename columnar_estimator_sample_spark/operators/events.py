@@ -1646,3 +1646,112 @@ def q_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("(1000 * n_churned) div n_at_risk")
                     .alias("hazard_pm"))
             .orderBy("lifespan_days"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch linear attribution (exact credit conservation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_attribution_linear",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        FROM events
+    ), p AS (
+        SELECT user_id, event_id AS p_id, us AS p_us,
+               COALESCE(LAG(us) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id), -1)
+                   AS prev_us
+        FROM e WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT user_id, event_id AS t_id, event_type AS channel, us
+        FROM e WHERE event_type IN ('view', 'click')
+    ), touched AS (
+        SELECT p.p_id, t.channel, t.us, t.t_id
+        FROM p JOIN t ON t.user_id = p.user_id
+                     AND t.us > p.prev_us AND t.us < p.p_us
+    ), sized AS (
+        SELECT p_id, channel, us, t_id,
+               CAST(COUNT(*) OVER (PARTITION BY p_id) AS BIGINT) AS n,
+               ROW_NUMBER() OVER (PARTITION BY p_id
+                                  ORDER BY us, t_id) AS rk
+        FROM touched
+    ), credited AS (
+        SELECT channel,
+               (1000 // n) + CASE WHEN rk <= 1000 % n THEN 1 ELSE 0 END
+                   AS credit
+        FROM sized
+    ), channel_rows AS (
+        SELECT channel,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(SUM(credit) AS BIGINT) AS credit_total
+        FROM credited GROUP BY channel
+    ), unattributed AS (
+        SELECT '(none)' AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(1000 * COUNT(*) AS BIGINT) AS credit_total
+        FROM p WHERE NOT EXISTS (
+            SELECT 1 FROM touched WHERE touched.p_id = p.p_id)
+    )
+    SELECT * FROM channel_rows
+    UNION ALL
+    SELECT * FROM unattributed WHERE n_touches > 0
+    ORDER BY channel
+    """)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution with exact credit conservation:
+    every purchase carries 1000 credit permille, split equally across
+    the view/click touchpoints in its attribution window (after the
+    user's previous purchase, before this one); the integer split uses
+    the largest-remainder rule (floor share + 1 extra to the earliest
+    1000 mod n touches) so each purchase's credits sum to EXACTLY 1000 —
+    the conservation law a float split violates and the same
+    apportionment contract as q_largest_remainder. Purchases with no
+    touches report under '(none)', so total credit = 1000 × purchases
+    always. Complements q_attribution (last-touch): run both and the
+    delta per channel is the model-choice sensitivity.
+
+    Scale: purchases partition each user's timeline into disjoint
+    intervals, so the touch join is an equi-join on user_id whose range
+    predicate fans out each touch to AT MOST ONE purchase (the
+    q_interval_enrich argument); the credit windows ride per-purchase
+    groups. One user exchange end to end."""
+    ev = table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id", "event_type", "us")
+    wp = Window.partitionBy("user_id").orderBy("us", "event_id")
+    p = (e.filter(F.col("event_type") == "purchase")
+         .select("user_id", F.col("event_id").alias("p_id"),
+                 F.col("us").alias("p_us"),
+                 F.coalesce(F.lag("us").over(wp), F.lit(-1))
+                 .alias("prev_us")))
+    t = (e.filter(F.col("event_type").isin("view", "click"))
+         .select("user_id", F.col("event_id").alias("t_id"),
+                 F.col("event_type").alias("channel"),
+                 F.col("us").alias("t_us")))
+    touched = (p.join(t, "user_id")
+               .filter((F.col("t_us") > F.col("prev_us"))
+                       & (F.col("t_us") < F.col("p_us")))
+               .select("p_id", "channel", "t_us", "t_id"))
+    wn = Window.partitionBy("p_id")
+    wr = Window.partitionBy("p_id").orderBy("t_us", "t_id")
+    credited = (touched
+                .withColumn("n", F.count("*").over(wn).cast("long"))
+                .withColumn("rk", F.row_number().over(wr))
+                .select("channel",
+                        F.expr("(1000 div n) + CASE WHEN rk <= 1000 % n"
+                               " THEN 1 ELSE 0 END").alias("credit")))
+    channel_rows = (credited.groupBy("channel")
+                    .agg(F.count("*").cast("long").alias("n_touches"),
+                         F.sum("credit").cast("long")
+                         .alias("credit_total")))
+    unattributed = (p.join(touched.select("p_id").distinct(), "p_id",
+                           "left_anti")
+                    .agg(F.count("*").cast("long").alias("n_touches"),
+                         (1000 * F.count("*")).cast("long")
+                         .alias("credit_total"))
+                    .select(F.lit("(none)").alias("channel"),
+                            "n_touches", "credit_total")
+                    .filter(F.col("n_touches") > 0))
+    return channel_rows.unionByName(unattributed).orderBy("channel")

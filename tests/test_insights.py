@@ -738,3 +738,19 @@ class TestItemCF:
             assert ranks == list(range(1, len(rs) + 1))
             scores = [r.cos2_ppm for r in rs]
             assert scores == sorted(scores, reverse=True)
+
+
+class TestLinearAttribution:
+    def test_credit_conservation(self, spark, sf_dir):
+        """Total credit must equal exactly 1000 x purchases — the
+        largest-remainder invariant."""
+        from pyspark.sql import functions as F2
+        from columnar_estimator_sample_spark.operators.events import (
+            q_attribution_linear)
+        from columnar_estimator_sample_spark.sources.tables import table
+        rows = q_attribution_linear(spark, sf_dir).collect()
+        total = sum(r.credit_total for r in rows)
+        n_purchases = (table(spark, sf_dir, "events")
+                       .filter(F2.col("event_type") == "purchase").count())
+        assert total == 1000 * n_purchases
+        assert {r.channel for r in rows} <= {"view", "click", "(none)"}
