@@ -153,3 +153,33 @@ def test_auc_closed_form_matches_pair_counting(spark, xs):
         ties += bisect.bisect_right(neg, s) - bisect.bisect_left(neg, s)
     want = (1_000_000 * (2 * wins + ties)) // (2 * len(pos) * len(neg))
     assert row.auc == want, (xs, row.auc, want)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(-10**12, 10**12),
+                          st.integers(1, 10**9)),
+                min_size=1, max_size=20))
+def test_sign_split_division_identical(spark, pairs):
+    """The engine's signed-integer-division contract: DuckDB's `//`
+    FLOORS while Spark's `div` TRUNCATES toward zero, so every oracle
+    query with a possibly-negative numerator (q_ols_trend's slope/
+    intercept) divides the non-negative magnitude and applies the sign
+    outside. This pins that the sign-split form produces identical
+    values in both engines for arbitrary (num, den) pairs."""
+    sdf = spark.createDataFrame(pairs, "num long, den long")
+    expr = ("CAST(CASE WHEN num >= 0 THEN num div den"
+            " ELSE -((-num) div den) END AS BIGINT)")
+    got = [r.q for r in
+           sdf.selectExpr(f"{expr} AS q", "num", "den")
+           .orderBy("num", "den").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(num BIGINT, den BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
+    want = [r[0] for r in con.execute(
+        "SELECT CASE WHEN num >= 0 THEN num // den"
+        " ELSE -((-num) // den) END FROM t ORDER BY num, den").fetchall()]
+    # both must equal python's magnitude-truncating division too
+    ref = [(-((-n) // d) if n < 0 else n // d)
+           for n, d in sorted(pairs)]
+    assert got == want == ref
