@@ -1080,3 +1080,91 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                f" > {AB_Z2_NUM} * n_a * n_b * (x_a + x_b)"
                f" * ((n_a + n_b) - (x_a + x_b))"
                f" THEN 1 ELSE 0 END AS BIGINT)").alias("significant"))
+
+
+# ---------------------------------------------------------------------------
+# Size-weighted exact-k sampling (sequential Poisson / pps)
+# ---------------------------------------------------------------------------
+
+SPS_K = 120            # sample size
+SPS_SCALE = 1_000_000  # priority quantization (u and the ratio scale)
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH pri AS (
+        SELECT doc_id, source, n_chars,
+               (({sql_h64("'sps|' || CAST(doc_id AS VARCHAR)")}
+                 % {SPS_SCALE}) * {SPS_SCALE}) // n_chars AS priority
+        FROM documents
+    ), picked AS (
+        SELECT * FROM pri ORDER BY priority, doc_id LIMIT {SPS_K}
+    ), corpus AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS w_docs
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+               CAST(SUM(w_docs) AS BIGINT) AS tot_w
+        FROM corpus
+    )
+    SELECT c.source,
+           CAST(COALESCE(COUNT(p.doc_id), 0) AS BIGINT) AS n_sampled,
+           (1000 * CAST(COALESCE(COUNT(p.doc_id), 0) AS BIGINT))
+               // {SPS_K} AS sample_share_pm,
+           (1000 * c.n_docs) // t.tot_docs AS doc_share_pm,
+           (1000 * c.w_docs) // t.tot_w AS weight_share_pm
+    FROM corpus c
+    CROSS JOIN tot t
+    LEFT JOIN picked p ON p.source = c.source
+    GROUP BY c.source, c.n_docs, c.w_docs, t.tot_docs, t.tot_w
+    ORDER BY c.source
+    """)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-weighted exact-k sampling by sequential Poisson sampling
+    (Ohlsson 1998): each document draws a uniform u from a salted hash,
+    its priority is u/weight (weight = n_chars, quantized to integer
+    arithmetic so both engines rank identically), and the k smallest
+    priorities form an approximately probability-proportional-to-size
+    sample WITHOUT replacement — the principled way to draw a fixed-size
+    audit/eval slice where long documents (more training tokens) get
+    proportionally more representation than a uniform row sample gives.
+    The report compares each source's share of the sample against its
+    document share and token-weight share: pps tracks weight_share_pm,
+    uniform sampling would track doc_share_pm.
+
+    Scale: priorities are a stateless map folded into the scan; exact-k
+    global selection is TakeOrderedAndProject (per-partition partial
+    top-k, k rows to the driver stage — no full sort, no wide shuffle);
+    the audit joins a |sources|-row aggregate with a broadcast total."""
+    docs = table(spark, sf_dir, "documents")
+    pri = docs.select(
+        "doc_id", "source", "n_chars",
+        (((h64(F.concat(F.lit("sps|"), F.col("doc_id").cast("string")))
+           % SPS_SCALE) * SPS_SCALE)
+         .cast("long").alias("u_scaled"))) \
+        .withColumn("priority", F.expr("u_scaled div n_chars")) \
+        .drop("u_scaled")
+    picked = pri.orderBy("priority", "doc_id").limit(SPS_K)
+    corpus = (docs.groupBy("source")
+              .agg(F.count("*").cast("long").alias("n_docs"),
+                   F.sum("n_chars").cast("long").alias("w_docs")))
+    tot = corpus.agg(F.sum("n_docs").cast("long").alias("tot_docs"),
+                     F.sum("w_docs").cast("long").alias("tot_w"))
+    return (
+        corpus.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(picked.select("doc_id", "source")), "source",
+              "left")
+        .groupBy("source", "n_docs", "w_docs", "tot_docs", "tot_w")
+        .agg(F.count("doc_id").cast("long").alias("n_sampled"))
+        .select(
+            "source",
+            "n_sampled",
+            F.expr(f"(1000 * n_sampled) div {SPS_K}")
+            .alias("sample_share_pm"),
+            F.expr("(1000 * n_docs) div tot_docs").alias("doc_share_pm"),
+            F.expr("(1000 * w_docs) div tot_w").alias("weight_share_pm"))
+        .orderBy("source")
+    )

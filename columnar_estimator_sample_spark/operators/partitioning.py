@@ -199,3 +199,94 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (stats("zbucket", "zorder")
             .unionByName(stats("xbucket", "single_dim"))
             .orderBy(F.desc("layout")))
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planner (lakehouse OPTIMIZE bin-packing)
+# ---------------------------------------------------------------------------
+
+COMPACT_FILE_BUCKETS = 8      # synthetic files per source partition
+COMPACT_TARGET_BYTES = 2048   # target compacted file size
+
+from columnar_estimator_sample_spark.functions.hashing import h64, sql_h64
+from columnar_estimator_sample_spark.sources.tables import table as _table
+
+
+@register(
+    "q_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+        SELECT source,
+               {sql_h64("'file|' || CAST(doc_id AS VARCHAR)")}
+                   % {COMPACT_FILE_BUCKETS} AS file_id_grp,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS bytes
+        FROM documents
+        GROUP BY 1, 2
+    ), packed AS (
+        SELECT source, n_docs, bytes,
+               COALESCE(SUM(bytes) OVER (
+                   PARTITION BY source ORDER BY file_id_grp
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) // {COMPACT_TARGET_BYTES} AS bin
+        FROM files
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_files_before,
+           CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_files_after,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(CASE WHEN bytes < {COMPACT_TARGET_BYTES} THEN 1
+                         ELSE 0 END) AS BIGINT) AS small_before,
+           (1000 * CAST(SUM(bytes) AS BIGINT))
+               // (COUNT(DISTINCT bin) * {COMPACT_TARGET_BYTES})
+               AS fill_pm
+    FROM packed
+    GROUP BY source
+    ORDER BY source
+    """)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the math behind a lakehouse
+    OPTIMIZE/rewrite pass at 100 TB, where millions of sub-target files
+    (streaming micro-batch commits, per-executor writes) throttle scan
+    throughput via open() overhead and tiny row groups. Synthetic
+    "files" (hash-bucketed document groups per source partition) are
+    packed partition-locally in file order by cumulative-size binning:
+    a file joins bin floor(preceding_bytes / target) — whole files are
+    never split, bins land within one file of the target. The report
+    gives per-partition file counts before/after, the sub-target file
+    census, and the planned fill factor (permille of target; >1000 =
+    last-file overflow absorbed).
+
+    Scale: planning touches only file-level METADATA (count, bytes) —
+    never row data; the window runs per source partition so the plan
+    parallelizes across partitions, exactly how table services schedule
+    compaction jobs."""
+    from pyspark.sql import Window
+    docs = _table(spark, sf_dir, "documents")
+    fid = h64(F.concat(F.lit("file|"), F.col("doc_id").cast("string")))
+    files = (docs.groupBy(
+        "source",
+        (fid % COMPACT_FILE_BUCKETS).alias("file_id_grp"))
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("n_chars").cast("long").alias("bytes")))
+    w = (Window.partitionBy("source").orderBy("file_id_grp")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    packed = (files
+              .withColumn("cum_before", F.sum("bytes").over(w))
+              .withColumn(
+                  "bin",
+                  F.expr("COALESCE(cum_before, 0)"
+                         f" div {COMPACT_TARGET_BYTES}")))
+    return (
+        packed.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_files_before"),
+             F.countDistinct("bin").cast("long").alias("n_files_after"),
+             F.sum("bytes").cast("long").alias("total_bytes"),
+             F.sum(F.when(F.col("bytes") < COMPACT_TARGET_BYTES, 1)
+                   .otherwise(0)).cast("long").alias("small_before"))
+        .withColumn(
+            "fill_pm",
+            F.expr(f"(1000 * total_bytes)"
+                   f" div (n_files_after * {COMPACT_TARGET_BYTES})"))
+        .orderBy("source")
+    )

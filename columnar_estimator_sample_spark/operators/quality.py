@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from columnar_estimator_sample_spark.functions.hashing import sql_h64
 from columnar_estimator_sample_spark.registry import register
 from columnar_estimator_sample_spark.sources.tables import table
 
@@ -692,3 +693,81 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sz").cast("long").alias("max_class"),
         *risk,
         F.min("n_sens").cast("long").alias("l_diversity_min"))
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private histogram release (discrete geometric mechanism)
+# ---------------------------------------------------------------------------
+
+DP_EPS_PERMILLE = 500    # epsilon = 0.5 per release (sensitivity 1)
+DP_NOISE_BOUND = 32      # CDF tail beyond +/-32 is < 1e-6 at eps=0.5
+DP_U_MOD = 1_000_000
+
+
+def _dp_noise_case(u_expr: str) -> str:
+    """CASE expression mapping a uniform integer in [0, 1e6) to a
+    discrete-Laplace (two-sided geometric) noise draw via its inverse
+    CDF. P(K=k) = (1-a)/(1+a) * a^|k| with a = exp(-eps); the CDF
+    thresholds are computed ONCE here in Python and embedded as integer
+    literals, so Spark and the DuckDB oracle evaluate the identical
+    integer comparison chain — no runtime float math, no cross-engine
+    ulp risk. This is the geometric mechanism of Ghosh et al. (2009),
+    the canonical eps-DP release for integer counts (sensitivity-1
+    histograms: add/remove one document shifts one bucket by 1)."""
+    import math
+    a = math.exp(-DP_EPS_PERMILLE / 1000.0)
+    branches = []
+    for k in range(-DP_NOISE_BOUND, DP_NOISE_BOUND):
+        if k < 0:
+            cdf = a ** (-k) / (1.0 + a)
+        else:
+            cdf = 1.0 - a ** (k + 1) / (1.0 + a)
+        t = int(math.floor(cdf * DP_U_MOD))
+        branches.append(f"WHEN {u_expr} < {t} THEN {k}")
+    return ("CASE " + " ".join(branches)
+            + f" ELSE {DP_NOISE_BOUND} END")
+
+
+@register(
+    "q_dp_release",
+    oracle=f"""
+    WITH c AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY source
+    ), noised AS (
+        SELECT source, n,
+               {_dp_noise_case(
+                   sql_h64("'dp|' || source") + f" % {DP_U_MOD}")} AS noise
+        FROM c
+    )
+    SELECT source,
+           GREATEST(n + noise, 0) AS noisy_docs,
+           CAST({DP_EPS_PERMILLE} AS BIGINT) AS epsilon_permille
+    FROM noised
+    ORDER BY source
+    """)
+def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private per-source document counts: the governance
+    sibling of q_k_anonymity for when aggregate statistics must SHIP
+    (dataset cards, public dashboards) — each bucket count is released
+    through the eps=0.5 discrete geometric mechanism, integer noise
+    drawn by inverse-CDF lookup on a salted hash of the bucket key, and
+    clamped at zero. True counts never appear in the output. The salted
+    hash stands in for a secure RNG so the release is reproducible
+    across engines for differential testing; a production release would
+    swap in one secret draw per bucket, leaving plan shape unchanged.
+
+    Scale: one combiner-friendly count per source, a |sources|-row
+    stateless noise map, no extra exchange beyond the group-by."""
+    docs = table(spark, sf_dir, "documents")
+    u = ("CAST(conv(substr(md5('dp|' || source), 1, 15), 16, 10)"
+         f" AS BIGINT) % {DP_U_MOD}")
+    return (
+        docs.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+        .withColumn("noise", F.expr(_dp_noise_case(u)))
+        .select(
+            "source",
+            F.expr("GREATEST(n + noise, 0)").alias("noisy_docs"),
+            F.lit(DP_EPS_PERMILLE).cast("long").alias("epsilon_permille"))
+        .orderBy("source")
+    )

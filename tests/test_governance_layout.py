@@ -1,0 +1,138 @@
+"""Tests for the round-3 governance/layout/sampling additions:
+q_dp_release (discrete geometric mechanism), q_sample_weighted
+(sequential Poisson pps sampling), q_compaction_plan (bin-packing
+planner). Semantic invariants beyond the DuckDB hash-match: noise
+distribution sanity, pps share tracking, packing bounds."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+class TestDPRelease:
+    def test_noise_bounded_and_deterministic(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.quality import (
+            DP_EPS_PERMILLE, DP_NOISE_BOUND, q_dp_release)
+        from columnar_estimator_sample_spark.sources.tables import table
+        rows = {r.source: r for r in q_dp_release(spark, sf_dir).collect()}
+        true = {r.source: r.n for r in
+                table(spark, sf_dir, "documents").groupBy("source")
+                .agg(F.count("*").alias("n")).collect()}
+        assert set(rows) == set(true)
+        for s, r in rows.items():
+            assert r.epsilon_permille == DP_EPS_PERMILLE
+            assert r.noisy_docs >= 0
+            # noise is clamped to the inverse-CDF table's support
+            assert abs(r.noisy_docs - true[s]) <= DP_NOISE_BOUND
+        # the release is reproducible (hash-seeded, no RNG state)
+        again = {r.source: r.noisy_docs
+                 for r in q_dp_release(spark, sf_dir).collect()}
+        assert again == {s: r.noisy_docs for s, r in rows.items()}
+
+    def test_inverse_cdf_table_is_a_valid_distribution(self):
+        """The embedded threshold chain must be monotone and its implied
+        pmf must match the analytic discrete Laplace within quantization
+        (1/1e6 per bucket)."""
+        from columnar_estimator_sample_spark.operators.quality import (
+            DP_EPS_PERMILLE, DP_NOISE_BOUND, DP_U_MOD, _dp_noise_case)
+        import re
+        case = _dp_noise_case("u")
+        pairs = [(int(t), int(k)) for t, k in
+                 re.findall(r"WHEN u < (\d+) THEN (-?\d+)", case)]
+        thresholds = [t for t, _ in pairs]
+        assert thresholds == sorted(thresholds)
+        assert pairs[0][1] == -DP_NOISE_BOUND
+        a = math.exp(-DP_EPS_PERMILLE / 1000.0)
+        # pmf check on the well-populated center
+        for (t_prev, _), (t, k) in zip(pairs, pairs[1:]):
+            if -5 <= k <= 5:
+                got = (t - t_prev) / DP_U_MOD
+                want = (1 - a) / (1 + a) * a ** abs(k)
+                assert abs(got - want) < 2e-6, (k, got, want)
+
+
+class TestWeightedSample:
+    def test_exact_k_and_pps_tracks_weight_share(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.corpus import (
+            SPS_K, q_sample_weighted)
+        rows = q_sample_weighted(spark, sf_dir).collect()
+        assert sum(r.n_sampled for r in rows) == SPS_K
+        for r in rows:
+            assert 0 <= r.sample_share_pm <= 1000
+            assert 0 <= r.weight_share_pm <= 1000
+        # pps property: the mean absolute gap between the sample share
+        # and the WEIGHT share is no worse than against the doc share
+        # (longer docs are upweighted by design; with near-uniform doc
+        # lengths the two baselines coincide, so allow equality).
+        gap_w = sum(abs(r.sample_share_pm - r.weight_share_pm)
+                    for r in rows)
+        gap_d = sum(abs(r.sample_share_pm - r.doc_share_pm)
+                    for r in rows)
+        assert gap_w <= gap_d + 50 * len(rows)
+
+    def test_per_source_counts_match_driver_replay(self, spark, sf_dir):
+        """The per-source sample counts equal a driver-side replay of
+        'k smallest (priority, doc_id)' over the full priority list —
+        the distributed top-k is faithful, not per-partition approximate."""
+        from columnar_estimator_sample_spark.functions.hashing import h64
+        from columnar_estimator_sample_spark.operators.corpus import (
+            SPS_K, SPS_SCALE, q_sample_weighted)
+        from columnar_estimator_sample_spark.sources.tables import table
+        docs = table(spark, sf_dir, "documents")
+        pri = docs.select(
+            "doc_id", "source",
+            (((h64(F.concat(F.lit("sps|"),
+                            F.col("doc_id").cast("string")))
+               % SPS_SCALE) * SPS_SCALE).cast("long")
+             / F.lit(1)).cast("long").alias("us"),
+            "n_chars").withColumn("priority", F.expr("us div n_chars"))
+        all_rows = pri.select("doc_id", "source", "priority").collect()
+        picked = sorted(all_rows, key=lambda r: (r.priority, r.doc_id))
+        picked = picked[:SPS_K]
+        want: dict[str, int] = {}
+        for r in picked:
+            want[r.source] = want.get(r.source, 0) + 1
+        got = {r.source: r.n_sampled
+               for r in q_sample_weighted(spark, sf_dir).collect()
+               if r.n_sampled > 0}
+        assert got == want
+
+    def test_plan_is_take_ordered(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.corpus import (
+            q_sample_weighted)
+        plan = q_sample_weighted(spark, sf_dir) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestCompactionPlan:
+    def test_packing_bounds(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.partitioning import (
+            COMPACT_TARGET_BYTES, q_compaction_plan)
+        rows = q_compaction_plan(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            # compaction never increases file count
+            assert 1 <= r.n_files_after <= r.n_files_before
+            # bins hold at least the target minus one file's worth
+            # unless the whole partition is smaller than one target
+            assert r.total_bytes > 0
+            if r.total_bytes >= COMPACT_TARGET_BYTES:
+                # planned files average at least half the target
+                assert r.fill_pm >= 500
+            # a partition packs into at most ceil(bytes/target)+... bins:
+            # cumulative binning guarantees every bin except possibly
+            # the last starts below the target boundary
+            assert r.n_files_after <= \
+                r.total_bytes // COMPACT_TARGET_BYTES + 1
+
+    def test_metadata_only_no_text_column_in_scan(self, spark, sf_dir):
+        """The planner must read only (source, doc_id, n_chars) — the
+        text payload stays out of the scan schema."""
+        from columnar_estimator_sample_spark.operators.partitioning import (
+            q_compaction_plan)
+        plan = q_compaction_plan(spark, sf_dir) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "text" not in plan.split("ReadSchema")[1][:200]
