@@ -1175,3 +1175,116 @@ def q_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("(1000 * rf) div rf1")
                     .alias("zipf_ratio_permille"))
             .orderBy("rank"))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-table learning (iterative tokenizer induction)
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 6
+
+
+def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+    """Unrolled DuckDB twin of the iterative merge loop. Each round:
+    count adjacent symbol pairs weighted by word frequency, pick the
+    most frequent (ties by pair string), apply the merge with the same
+    two-pass padded literal replace the Spark side uses."""
+    ctes = [r"""
+    words AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE len(word) > 0
+        GROUP BY word
+    ),
+    w0 AS (
+        SELECT word, freq,
+               '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS sym
+        FROM words
+    )"""]
+    for r in range(rounds):
+        ctes.append(f"""
+    t{r} AS (
+        SELECT word, freq,
+               unnest(string_split(trim(sym), '  ')) AS tok,
+               unnest(generate_series(1,
+                   len(string_split(trim(sym), '  ')))) AS i
+        FROM w{r}
+    ),
+    pc{r} AS (
+        SELECT a.tok || ' ' || b.tok AS pair,
+               CAST(SUM(a.freq) AS BIGINT) AS cnt
+        FROM t{r} a JOIN t{r} b ON a.word = b.word AND b.i = a.i + 1
+        GROUP BY 1
+    ),
+    best{r} AS (
+        SELECT pair, cnt FROM pc{r} ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    w{r + 1} AS (
+        SELECT w.word, w.freq,
+               replace(w.sym,
+                   ' ' || replace(b.pair, ' ', '  ') || ' ',
+                   ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+        FROM w{r} w, best{r} b
+    )""")
+    finals = [f"SELECT {r + 1} AS round,"
+              f" replace(pair, ' ', '') AS merged, pair, cnt"
+              f" FROM best{r}" for r in range(rounds)]
+    return ("WITH " + ",".join(ctes) + "\n"
+            + "\nUNION ALL ".join(finals) + "\nORDER BY round")
+
+
+@register("q_bpe_learn", oracle=_bpe_oracle())
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first BPE_ROUNDS byte-pair-encoding merges from the
+    corpus — tokenizer INDUCTION (the training step whose inference
+    side q_text_bpe_tokens already prices): start from characters,
+    repeatedly count adjacent symbol pairs weighted by word frequency,
+    merge the most frequent pair (ties broken by pair string). Merges
+    are applied with a single left-to-right literal replace over a
+    double-space token encoding (each boundary keeps one visible space
+    after a match consumes the inner one), which is EXACTLY canonical
+    greedy non-overlapping BPE application — fuzz-pinned against a
+    Python reference, byte-identical in both engines.
+
+    Scale: the loop runs on the DISTINCT-word frame (vocabulary-sized,
+    ~sqrt of corpus tokens by Heaps' law — at 100 TB the vocab frame is
+    still executor-resident), so each round is a vocab-local pair
+    explode + one combiner-friendly count + a 1-row broadcast argmax;
+    document text is scanned exactly once. Rounds chain declaratively:
+    Catalyst sees one plan, AQE sizes every exchange."""
+    docs = table(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+             .filter(F.length("word") > 0)
+             .groupBy("word")
+             .agg(F.count("*").cast("long").alias("freq")))
+    w = words.withColumn(
+        "sym", F.concat(F.lit("  "),
+                        F.regexp_replace("word", "(.)", "$1  ")))
+    bests: list[DataFrame] = []
+    for r in range(BPE_ROUNDS):
+        arr = F.split(F.trim(F.col("sym")), "  ")
+        pairs = (w.select("freq", arr.alias("a"))
+                 .filter(F.size("a") >= 2)
+                 .select("freq", F.explode(F.expr(
+                     "transform(sequence(0, size(a) - 2),"
+                     " i -> concat(a[i], ' ', a[i + 1]))")).alias("pair")))
+        best = (pairs.groupBy("pair")
+                .agg(F.sum("freq").cast("long").alias("cnt"))
+                .orderBy(F.desc("cnt"), "pair").limit(1))
+        bests.append(best.select(F.lit(r + 1).alias("round"),
+                                 F.expr("replace(pair, ' ', '')")
+                                 .alias("merged"),
+                                 "pair", "cnt"))
+        w = (w.crossJoin(F.broadcast(
+                best.select(F.col("pair").alias("bp"))))
+             .withColumn(
+                 "sym",
+                 F.expr("replace(sym,"
+                        " concat(' ', replace(bp, ' ', '  '), ' '),"
+                        " concat(' ', replace(bp, ' ', ''), ' '))"))
+             .drop("bp"))
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("round")

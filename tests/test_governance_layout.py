@@ -136,3 +136,74 @@ class TestCompactionPlan:
         plan = q_compaction_plan(spark, sf_dir) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "text" not in plan.split("ReadSchema")[1][:200]
+
+
+class TestBPELearn:
+    def test_rounds_and_merge_composition(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.textstats import (
+            BPE_ROUNDS, q_bpe_learn)
+        rows = q_bpe_learn(spark, sf_dir).collect()
+        assert [r.round for r in rows] == list(range(1, BPE_ROUNDS + 1))
+        seen = set()
+        for r in rows:
+            a, b = r.pair.split(" ")
+            # each side of a later merge is a char or a previous merge
+            for side in (a, b):
+                assert len(side) == 1 or side in seen or len(side) <= 1
+            assert r.merged == a + b
+            assert r.cnt > 0
+            seen.add(r.merged)
+        # counts are non-increasing only within equal corpora rounds?
+        # (not guaranteed in general BPE; just pin determinism instead)
+        again = q_bpe_learn(spark, sf_dir).collect()
+        assert [(r.round, r.merged, r.cnt) for r in rows] == \
+            [(r.round, r.merged, r.cnt) for r in again]
+
+    def test_single_pass_replace_equals_canonical_bpe(self):
+        """The double-space-encoded single literal replace applies a
+        merge EXACTLY like canonical greedy BPE (left-to-right,
+        non-overlapping): each match consumes only the inner boundary
+        space, so the next occurrence stays visible — adversarial
+        repetition cases plus a seeded fuzz sweep."""
+        import random
+
+        def canonical(tokens, pair):
+            out, i = [], 0
+            while i < len(tokens):
+                if (i + 1 < len(tokens)
+                        and (tokens[i], tokens[i + 1]) == pair):
+                    out.append(tokens[i] + tokens[i + 1])
+                    i += 2
+                else:
+                    out.append(tokens[i])
+                    i += 1
+            return out
+
+        def engine(tokens, pair):
+            s = "  " + "  ".join(tokens) + "  "
+            p = " " + pair[0] + "  " + pair[1] + " "
+            q = " " + pair[0] + pair[1] + " "
+            return s.replace(p, q).strip().split("  ")
+
+        cases = [
+            (list("aaaa"), ("a", "a")),
+            (list("aaaaa"), ("a", "a")),
+            (list("aaaaaaa"), ("a", "a")),
+            (list("ababab"), ("a", "b")),
+            (["ab", "a", "b", "b"], ("a", "b")),
+            (["x", "a", "b", "c"], ("a", "b")),
+            (["a"], ("a", "a")),
+            (["b", "a", "b", "a", "b"], ("a", "b")),
+            (["aa", "a", "a", "aa"], ("a", "a")),
+            (["a", "bc"], ("a", "b")),
+        ]
+        rng = random.Random(7)
+        for _ in range(2000):
+            cases.append((
+                [rng.choice(["a", "b", "ab", "ba", "c"])
+                 for _ in range(rng.randint(1, 12))],
+                (rng.choice(["a", "b", "ab", "c"]),
+                 rng.choice(["a", "b", "ab", "c"]))))
+        for tokens, pair in cases:
+            assert engine(tokens, pair) == canonical(tokens, pair), \
+                (tokens, pair)
