@@ -207,3 +207,37 @@ class TestBPELearn:
         for tokens, pair in cases:
             assert engine(tokens, pair) == canonical(tokens, pair), \
                 (tokens, pair)
+
+
+class TestSnapshotDiff:
+    def test_change_census_reconciles(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.merge import (
+            DIFF_CUTOFF, DIFF_DELETE_MOD, DIFF_UPDATE_MOD, q_snapshot_diff)
+        from columnar_estimator_sample_spark.sources.tables import table
+        rows = {r.change_type: r for r in
+                q_snapshot_diff(spark, sf_dir).collect()}
+        assert set(rows) == {"insert", "delete", "update", "unchanged"}
+        orders = table(spark, sf_dir, "orders")
+        v1 = orders.filter(
+            F.col("o_orderdate") < F.lit(DIFF_CUTOFF)
+            .cast("timestamp_ntz"))
+        n_v1 = v1.count()
+        n_all = orders.count()
+        # deletes: purged keys that existed in v1
+        n_del = v1.filter(
+            F.col("o_orderkey") % DIFF_DELETE_MOD == 0).count()
+        assert rows["delete"].n_rows == n_del
+        # inserts: rows outside v1 that survive the purge
+        n_ins = orders.filter(
+            (F.col("o_orderdate") >= F.lit(DIFF_CUTOFF)
+             .cast("timestamp_ntz"))
+            & (F.col("o_orderkey") % DIFF_DELETE_MOD != 0)).count()
+        assert rows["insert"].n_rows == n_ins
+        # updates: price-bumped keys present in both versions
+        n_upd = v1.filter(
+            (F.col("o_orderkey") % DIFF_UPDATE_MOD == 0)
+            & (F.col("o_orderkey") % DIFF_DELETE_MOD != 0)).count()
+        assert rows["update"].n_rows == n_upd
+        # conservation: every key of v1 union v2 is classified once
+        total = sum(r.n_rows for r in rows.values())
+        assert total == n_v1 + n_ins
