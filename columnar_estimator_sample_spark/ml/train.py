@@ -203,3 +203,47 @@ def crossval_auc(df: DataFrame, k: int = 3, label_col: str = "label",
     finally:
         base.unpersist()
     return results
+
+
+def train_als_recommender(ratings: DataFrame, rank: int = 8,
+                          max_iter: int = 8, reg: float = 0.1,
+                          seed: int = 7):
+    """Matrix-factorization recommender (ALS) over an implicit-feedback
+    (user, item, strength) frame — the model-based sibling of the
+    neighborhood methods in operators/basket.py (q_item_cf): q_item_cf
+    serves exact item-kNN from co-occurrence, ALS generalizes to unseen
+    pairs through a low-rank embedding. MLlib's ALS is the distributed
+    blocked alternating-least-squares (user/item factor blocks shuffled
+    alternately — each iteration is two co-partitioned joins, no
+    all-pairs stage), which is the 100 TB-shaped factorization.
+
+    Returns (model, rmse_on_train). Seeded, and evaluation is on the
+    deterministic input frame, so the metric is reproducible run-to-run
+    on a fixed partitioning (MLlib ALS init is seed-stable)."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.recommendation import ALS
+    als = ALS(rank=rank, maxIter=max_iter, regParam=reg, seed=seed,
+              userCol="user", itemCol="item", ratingCol="strength",
+              implicitPrefs=False, coldStartStrategy="drop",
+              nonnegative=True)
+    model = als.fit(ratings)
+    pred = model.transform(ratings)
+    rmse = RegressionEvaluator(
+        metricName="rmse", labelCol="strength",
+        predictionCol="prediction").evaluate(pred)
+    return model, rmse
+
+
+def purchase_strength_frame(spark, sf_dir: str) -> DataFrame:
+    """(user, item, strength) from orders×lineitem: strength = distinct
+    orders in which the customer bought the part (bounded small ints —
+    the implicit-feedback co-occurrence signal q_copurchase mines)."""
+    from columnar_estimator_sample_spark.sources.tables import table
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").cast("int").alias("user"))
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_partkey").cast("int").alias("item"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("user", "item")
+            .agg(F.countDistinct("l_orderkey").cast("float")
+                 .alias("strength")))

@@ -241,3 +241,27 @@ class TestSnapshotDiff:
         # conservation: every key of v1 union v2 is classified once
         total = sum(r.n_rows for r in rows.values())
         assert total == n_v1 + n_ins
+
+
+class TestALSRecommender:
+    def test_als_fits_and_reconstructs(self, spark, sf_dir):
+        """ALS on the purchase-strength matrix: training RMSE must beat
+        the trivial global-mean predictor (the factorization actually
+        explains variance), and top-k recommendations are produced for
+        every user block."""
+        from columnar_estimator_sample_spark.ml.train import (
+            purchase_strength_frame, train_als_recommender)
+        ratings = purchase_strength_frame(spark, sf_dir).cache()
+        try:
+            n = ratings.count()
+            assert n > 100
+            stats = ratings.agg(
+                F.avg("strength").alias("mu"),
+                F.stddev_pop("strength").alias("sd")).collect()[0]
+            model, rmse = train_als_recommender(ratings, max_iter=5)
+            assert rmse < max(stats.sd, 0.5), (rmse, stats.sd)
+            recs = model.recommendForAllUsers(3)
+            row = recs.limit(1).collect()
+            assert row and len(row[0].recommendations) == 3
+        finally:
+            ratings.unpersist()
