@@ -594,3 +594,122 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("d").alias("min_degree"),
                  F.max("d").alias("max_degree"))
             .orderBy("log2_bucket"))
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (synchronous LPA, unrolled rounds)
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 3
+LPA_MINSUP_ITEM = 3   # q_copurchase's a-priori item threshold
+LPA_MINSUP_PAIR = 2   # edge = parts co-bought in >= 2 orders
+LPA_TOP = 15
+
+
+def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
+    ctes = [f"""
+    items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    freq AS (
+        SELECT l_partkey FROM items GROUP BY l_partkey
+        HAVING COUNT(*) >= {LPA_MINSUP_ITEM}
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        JOIN freq fa ON fa.l_partkey = a.l_partkey
+        JOIN freq fb ON fb.l_partkey = b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {LPA_MINSUP_PAIR}
+    ),
+    edges AS (
+        SELECT u AS src, v AS dst FROM pairs
+        UNION ALL
+        SELECT v AS src, u AS dst FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges)"""]
+    for r in range(rounds):
+        ctes.append(f"""
+    n{r} AS (
+        SELECT e.dst AS node, l.lab, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM edges e JOIN l{r} l ON l.node = e.src
+        GROUP BY 1, 2
+    ),
+    l{r + 1} AS (
+        SELECT node, lab FROM (
+            SELECT node, lab,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY cnt DESC, lab) AS rn
+            FROM n{r})
+        WHERE rn = 1
+    )""")
+    return ("WITH " + ",".join(ctes) + f"""
+    SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(node) AS BIGINT) AS min_member,
+           CAST(MAX(node) AS BIGINT) AS max_member
+    FROM l{rounds}
+    GROUP BY lab
+    ORDER BY n_members DESC, community
+    LIMIT {LPA_TOP}""")
+
+
+@register("q_lpa_communities", oracle=_lpa_oracle())
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the co-purchase graph (edges = part pairs bought
+    together in >= 2 orders, the q_copurchase support graph): labels
+    start as node ids, and each round every node adopts the MODE of its
+    neighbors' labels (ties to the smallest label — fully deterministic,
+    no RNG ordering). Three synchronous rounds unrolled declaratively;
+    the report is the largest label groups ("what parts cluster into a
+    category").
+
+    Scale: each round is one shuffle of (edge endpoint, label) + a
+    combiner-friendly count + a per-node top-1 window — O(E) per round,
+    the Pregel-without-Pregel shape that connected_components() above
+    uses; the co-purchase edge list is a-priori pruned so E stays far
+    below all-pairs. Deterministic mode tie-breaks make LPA's usually
+    order-dependent result exactly reproducible (and oracle-checkable)."""
+    from pyspark.sql.window import Window as W
+
+    from columnar_estimator_sample_spark.sources.tables import table
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    freq = (items.groupBy("l_partkey").agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= LPA_MINSUP_ITEM)
+            .select("l_partkey"))
+    a = items.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(F.broadcast(freq.select(F.col("l_partkey").alias("u"))),
+               "u")
+        .join(b.join(F.broadcast(
+            freq.select(F.col("l_partkey").alias("v"))), "v"), "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= LPA_MINSUP_PAIR)
+        .select("u", "v"))
+    edges = (pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+             .unionAll(pairs.select(F.col("v").alias("src"),
+                                    F.col("u").alias("dst"))))
+    labels = edges.select(F.col("src").alias("node")).distinct() \
+        .withColumn("lab", F.col("node"))
+    for _ in range(LPA_ROUNDS):
+        votes = (edges.join(labels,
+                            edges.src == labels.node)
+                 .groupBy(F.col("dst").alias("node"), "lab")
+                 .agg(F.count("*").cast("long").alias("cnt")))
+        w = W.partitionBy("node").orderBy(F.desc("cnt"), "lab")
+        labels = (votes.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select("node", "lab"))
+    return (labels.groupBy(F.col("lab").alias("community"))
+            .agg(F.count("*").cast("long").alias("n_members"),
+                 F.min("node").cast("long").alias("min_member"),
+                 F.max("node").cast("long").alias("max_member"))
+            .orderBy(F.desc("n_members"), "community")
+            .limit(LPA_TOP))

