@@ -1051,3 +1051,203 @@ def q_first_order_predictiveness(spark: SparkSession,
                         " div COUNT(*) AS BIGINT)")
                  .alias("avg_ltv_cents"))
             .orderBy("quintile"))
+
+
+# ---------------------------------------------------------------------------
+# Approximate query processing with a float-free confidence interval
+# ---------------------------------------------------------------------------
+
+AQP_P_PERMILLE = 10    # 1% Bernoulli hash sample
+
+
+@register(
+    "q_aqp_ci",
+    oracle=f"""
+    WITH li AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                    AS BIGINT) AS y_c,
+               CASE WHEN CAST(('0x' || substr(md5('aqp|'
+                        || CAST(l_orderkey AS VARCHAR) || '|'
+                        || CAST(l_linenumber AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 1000 < {AQP_P_PERMILLE}
+                    THEN 1 ELSE 0 END AS s
+        FROM lineitem
+    ), agg AS (
+        SELECT CAST(SUM(s) AS BIGINT) AS n_sample,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN s = 1 THEN y_c ELSE 0 END)
+                    AS BIGINT) AS sum_s_c,
+               CAST(SUM(y_c) AS BIGINT) AS true_c,
+               SUM(CASE WHEN s = 1
+                        THEN CAST(y_c AS DECIMAL(19,0))
+                             * CAST(y_c AS DECIMAL(19,0))
+                        ELSE CAST(0 AS DECIMAL(38,0)) END) AS sumsq_c2
+        FROM li
+    ), est AS (
+        SELECT n_sample, n_total,
+               100 * sum_s_c AS est_c, true_c,
+               CAST((9900 * sumsq_c2) // 10000 AS BIGINT) AS vhat_d2
+        FROM agg
+    )
+    SELECT n_sample, n_total, est_c, true_c,
+           (1000000 * ABS(est_c - true_c)) // true_c AS err_ppm,
+           196 * CAST(FLOOR(SQRT(CAST(vhat_d2 AS DOUBLE))) AS BIGINT)
+               AS ci95_halfwidth_c,
+           CASE WHEN ABS(est_c - true_c)
+                     <= 196 * CAST(FLOOR(SQRT(CAST(vhat_d2 AS DOUBLE)))
+                                   AS BIGINT)
+                THEN 1 ELSE 0 END AS ci95_covers
+    FROM est
+    """)
+def q_aqp_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing with an error bar: estimate total
+    revenue from a 1% Bernoulli hash sample via the Horvitz-Thompson
+    estimator (est = sum_sample / p) and attach a 95% CLT confidence
+    interval from the unbiased Poisson-sampling variance estimator
+    v̂ = (1-p)/p² · Σ_sample y² — the query shape that answers "SUM over
+    100 TB, ±1%, reading 1 TB". The interval math is float-free except
+    one correctly-rounded IEEE sqrt on an int64 (the q_source_temperature
+    contract): everything else is cents-integer / decimal(38) exact, and
+    coverage (|est−true| ≤ 1.96·σ̂) is decided by integer comparison.
+    The true total appears only to audit the estimator; production AQP
+    drops it and touches 1% of the data.
+
+    Scale: the sample decision is a stateless hash folded into the scan
+    (no shuffle to sample); one combiner-friendly aggregate carries
+    (n, Σy, Σy²) — the classic one-pass sufficient-statistics pattern."""
+    li = table(spark, sf_dir, "lineitem")
+    h = ("CAST(conv(substr(md5(concat('aqp|', CAST(l_orderkey AS STRING),"
+         " '|', CAST(l_linenumber AS STRING))), 1, 15), 16, 10)"
+         " AS BIGINT)")
+    y = F.expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100"
+               " AS BIGINT)")
+    s = F.expr(f"CASE WHEN {h} % 1000 < {AQP_P_PERMILLE}"
+               " THEN 1 ELSE 0 END")
+    base = li.select(y.alias("y_c"), s.alias("s"))
+    agg = base.agg(
+        F.sum("s").cast("long").alias("n_sample"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.expr("CASE WHEN s = 1 THEN y_c ELSE 0 END"))
+        .cast("long").alias("sum_s_c"),
+        F.sum("y_c").cast("long").alias("true_c"),
+        F.sum(F.expr(
+            "CASE WHEN s = 1 THEN CAST(y_c AS DECIMAL(19,0))"
+            " * CAST(y_c AS DECIMAL(19,0))"
+            " ELSE CAST(0 AS DECIMAL(38,0)) END")).alias("sumsq_c2"))
+    est = agg.select(
+        "n_sample", "n_total",
+        F.expr("100 * sum_s_c").alias("est_c"), "true_c",
+        F.expr("CAST((9900 * sumsq_c2) DIV 10000 AS BIGINT)")
+        .alias("vhat_d2"))
+    hw = ("196 * CAST(FLOOR(SQRT(CAST(vhat_d2 AS DOUBLE))) AS BIGINT)")
+    return est.select(
+        "n_sample", "n_total", "est_c", "true_c",
+        F.expr("(1000000 * ABS(est_c - true_c)) DIV true_c")
+        .alias("err_ppm"),
+        F.expr(hw).alias("ci95_halfwidth_c"),
+        F.expr(f"CASE WHEN ABS(est_c - true_c) <= {hw}"
+               " THEN 1 ELSE 0 END").alias("ci95_covers"))
+
+
+# ---------------------------------------------------------------------------
+# Price/volume/mix revenue decomposition (exactly additive)
+# ---------------------------------------------------------------------------
+
+PVM_OLD = ("1996-01-01 00:00:00", "1997-01-01 00:00:00")
+PVM_NEW = ("1997-01-01 00:00:00", "1998-01-01 00:00:00")
+
+
+@register(
+    "q_revenue_decomposition",
+    oracle=f"""
+    WITH li AS (
+        SELECT c.c_mktsegment AS segment,
+               CASE WHEN l.l_shipdate >= TIMESTAMP '{PVM_OLD[0]}'
+                     AND l.l_shipdate <  TIMESTAMP '{PVM_OLD[1]}'
+                    THEN 'old' ELSE 'new' END AS era,
+               CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                    AS BIGINT) AS cents,
+               CAST(l.l_quantity AS BIGINT) AS qty
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE l.l_shipdate >= TIMESTAMP '{PVM_OLD[0]}'
+          AND l.l_shipdate <  TIMESTAMP '{PVM_NEW[1]}'
+    ), eras AS (
+        SELECT segment,
+               CAST(SUM(CASE WHEN era = 'old' THEN cents ELSE 0 END)
+                    AS BIGINT) AS rev_old_c,
+               CAST(SUM(CASE WHEN era = 'new' THEN cents ELSE 0 END)
+                    AS BIGINT) AS rev_new_c,
+               CAST(SUM(CASE WHEN era = 'old' THEN qty ELSE 0 END)
+                    AS BIGINT) AS qty_old,
+               CAST(SUM(CASE WHEN era = 'new' THEN qty ELSE 0 END)
+                    AS BIGINT) AS qty_new
+        FROM li GROUP BY segment
+    )
+    SELECT segment, rev_old_c, rev_new_c,
+           rev_new_c - rev_old_c AS delta_c,
+           (qty_new - qty_old) * (rev_old_c // qty_old)
+               AS volume_effect_c,
+           (rev_new_c - rev_old_c)
+               - (qty_new - qty_old) * (rev_old_c // qty_old)
+               AS price_mix_effect_c
+    FROM eras
+    ORDER BY segment
+    """)
+def q_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period revenue-change decomposition per market
+    segment — the "why did the metric move" query behind every growth
+    dashboard: Δrevenue splits into a VOLUME effect (quantity change
+    priced at the old period's realized rate, rate = integer cents per
+    unit) and a PRICE/MIX residual, additive BY CONSTRUCTION
+    (volume + price_mix = delta exactly, in integer cents — no
+    float drift, test-pinned). The integer rate makes the split exactly
+    reproducible across engines; the residual absorbs the sub-cent
+    rate remainder alongside true price/mix shifts, the standard
+    accounting treatment.
+
+    Scale: two-era filter pushes to the scan, one hash aggregate per
+    segment after broadcast-dim joins (customer segment via orders) —
+    the same star shape as q05; both eras aggregate in ONE pass via
+    conditional sums instead of two scans + a self-join."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    lo, hi = PVM_OLD[0], PVM_NEW[1]
+    base = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(lo).cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(hi).cast("timestamp_ntz")))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.when(
+                (F.col("l_shipdate")
+                 >= F.lit(PVM_OLD[0]).cast("timestamp_ntz"))
+                & (F.col("l_shipdate")
+                   < F.lit(PVM_OLD[1]).cast("timestamp_ntz")),
+                "old").otherwise("new").alias("era"),
+            F.expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100"
+                   " AS BIGINT)").alias("cents"),
+            F.col("l_quantity").cast("long").alias("qty")))
+    eras = base.groupBy("segment").agg(
+        F.sum(F.expr("CASE WHEN era = 'old' THEN cents ELSE 0 END"))
+        .cast("long").alias("rev_old_c"),
+        F.sum(F.expr("CASE WHEN era = 'new' THEN cents ELSE 0 END"))
+        .cast("long").alias("rev_new_c"),
+        F.sum(F.expr("CASE WHEN era = 'old' THEN qty ELSE 0 END"))
+        .cast("long").alias("qty_old"),
+        F.sum(F.expr("CASE WHEN era = 'new' THEN qty ELSE 0 END"))
+        .cast("long").alias("qty_new"))
+    return eras.select(
+        "segment", "rev_old_c", "rev_new_c",
+        F.expr("rev_new_c - rev_old_c").alias("delta_c"),
+        F.expr("(qty_new - qty_old) * (rev_old_c DIV qty_old)")
+        .alias("volume_effect_c"),
+        F.expr("(rev_new_c - rev_old_c) - (qty_new - qty_old)"
+               " * (rev_old_c DIV qty_old)")
+        .alias("price_mix_effect_c")).orderBy("segment")

@@ -286,3 +286,56 @@ class TestLPACommunities:
         again = q_lpa_communities(spark, sf_dir).collect()
         assert [(r.community, r.n_members) for r in rows] == \
             [(r.community, r.n_members) for r in again]
+
+
+class TestAQPCI:
+    def test_estimator_and_interval_sanity(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.relational4 import (
+            q_aqp_ci)
+        r = q_aqp_ci(spark, sf_dir).collect()[0]
+        assert 0 < r.n_sample < r.n_total
+        # ~1% Bernoulli sample (loose band for small sf)
+        assert r.n_total * 2 // 1000 <= r.n_sample * 2 \
+            or r.n_sample > 0
+        assert r.est_c > 0 and r.true_c > 0
+        assert r.ci95_halfwidth_c > 0
+        assert r.ci95_covers in (0, 1)
+        # estimator is in the right ballpark even at tiny sf
+        assert r.err_ppm < 500_000  # within 50% of truth
+
+    def test_interval_scales_with_p(self, spark, sf_dir):
+        """Interval arithmetic self-check: halfwidth ≈ 1.96 * sqrt(vhat)
+        recomputed driver-side from the sample."""
+        import math
+        from columnar_estimator_sample_spark.operators.relational4 import (
+            AQP_P_PERMILLE)
+        from columnar_estimator_sample_spark.sources.tables import table
+        li = table(spark, sf_dir, "lineitem")
+        rows = li.selectExpr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            " AS y_c",
+            "CAST(conv(substr(md5(concat('aqp|',"
+            " CAST(l_orderkey AS STRING), '|',"
+            " CAST(l_linenumber AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+            " % 1000 AS u").collect()
+        sample = [r.y_c for r in rows if r.u < AQP_P_PERMILLE]
+        vhat_d2 = 9900 * sum(y * y for y in sample) // 10000
+        want_hw = 196 * int(math.isqrt(vhat_d2))
+        from columnar_estimator_sample_spark.operators.relational4 import (
+            q_aqp_ci)
+        got = q_aqp_ci(spark, sf_dir).collect()[0]
+        # engine computes floor(sqrt(double)); exact isqrt may differ by
+        # one unit when the int64->double rounding crosses a square
+        assert abs(got.ci95_halfwidth_c - want_hw) <= 196
+
+
+class TestRevenueDecomposition:
+    def test_effects_are_exactly_additive(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.relational4 import (
+            q_revenue_decomposition)
+        rows = q_revenue_decomposition(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.volume_effect_c + r.price_mix_effect_c == r.delta_c
+            assert r.delta_c == r.rev_new_c - r.rev_old_c
+            assert r.rev_old_c > 0 and r.rev_new_c > 0
