@@ -1251,3 +1251,67 @@ def q_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(rev_new_c - rev_old_c) - (qty_new - qty_old)"
                " * (rev_old_c DIV qty_old)")
         .alias("price_mix_effect_c")).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy rollup (path enumeration over an implicit tree)
+# ---------------------------------------------------------------------------
+
+HIER_LEVELS = 7    # decimal-digit tree: parent(p) = p DIV 10
+HIER_TOP = 15
+
+
+@register(
+    "q_hierarchy_rollup",
+    oracle=f"""
+    WITH chains AS (
+        SELECT unnest(list_filter(
+                   [{", ".join(f"p_partkey // {10 ** k}"
+                               for k in range(HIER_LEVELS + 1))}],
+                   x -> x > 0)) AS node,
+               CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100
+                    AS BIGINT) AS cents
+        FROM part
+    )
+    SELECT node,
+           CAST(length(CAST(node AS VARCHAR)) AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS subtree_value_c
+    FROM chains
+    GROUP BY node
+    ORDER BY subtree_value_c DESC, node
+    LIMIT {HIER_TOP}
+    """)
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup over an implicit category tree (node p's
+    parent is p DIV 10 — a stand-in for BOM / org-chart / category
+    hierarchies): every part contributes its retail value to itself and
+    every ancestor, answered by PATH ENUMERATION — explode each row's
+    ancestor chain (bounded depth) and hash-aggregate once — instead of
+    iterative self-joins or WITH RECURSIVE. At bounded depth d this is
+    the 100 TB-correct plan: one narrow O(N·d) explode feeding a
+    combiner-friendly aggregate, no per-level shuffle rounds and no
+    driver-side fixpoint loop; the recursive-CTE formulation would run
+    d dependent joins. Report: heaviest subtrees with their tree level.
+
+    Ancestor chains are strictly decreasing, so the bounded array has
+    no duplicates after the >0 filter — each part counts exactly once
+    per ancestor (conservation test-pinned)."""
+    part = table(spark, sf_dir, "part")
+    chain = F.expr(
+        "filter(array(" + ", ".join(
+            f"CAST(p_partkey DIV {10 ** k} AS BIGINT)"
+            for k in range(HIER_LEVELS + 1)) + "), x -> x > 0)")
+    chains = part.select(
+        F.explode(chain).alias("node"),
+        F.expr("CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100"
+               " AS BIGINT)").alias("cents"))
+    return (chains.groupBy("node")
+            .agg(F.count("*").cast("long").alias("n_parts"),
+                 F.sum("cents").cast("long").alias("subtree_value_c"))
+            .select("node",
+                    F.length(F.col("node").cast("string")).cast("long")
+                    .alias("level"),
+                    "n_parts", "subtree_value_c")
+            .orderBy(F.desc("subtree_value_c"), "node")
+            .limit(HIER_TOP))

@@ -339,3 +339,31 @@ class TestRevenueDecomposition:
             assert r.volume_effect_c + r.price_mix_effect_c == r.delta_c
             assert r.delta_c == r.rev_new_c - r.rev_old_c
             assert r.rev_old_c > 0 and r.rev_new_c > 0
+
+
+class TestHierarchyRollup:
+    def test_root_conserves_total_and_levels_nest(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.relational4 import (
+            q_hierarchy_rollup)
+        from columnar_estimator_sample_spark.sources.tables import table
+        rows = q_hierarchy_rollup(spark, sf_dir).collect()
+        assert rows
+        part = table(spark, sf_dir, "part")
+        total_c = part.selectExpr(
+            "CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100"
+            " AS BIGINT)) AS BIGINT) AS t").collect()[0].t
+        n_parts = part.count()
+        by_node = {r.node: r for r in rows}
+        # the level-1 nodes (1..9) partition all parts whose key > 0:
+        # their subtree sums add up to the full total
+        lvl1 = [r for r in rows if r.level == 1]
+        if len(lvl1) == 9:  # all nine present in the top list
+            assert sum(r.subtree_value_c for r in lvl1) == total_c
+            assert sum(r.n_parts for r in lvl1) == n_parts
+        # child subtree never exceeds its parent's
+        for r in rows:
+            parent = r.node // 10
+            if parent in by_node:
+                p = by_node[parent]
+                assert r.n_parts <= p.n_parts
+                assert r.subtree_value_c <= p.subtree_value_c
