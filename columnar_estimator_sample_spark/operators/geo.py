@@ -1,0 +1,149 @@
+"""Geospatial tier: grid-bucketed nearest-neighbor search.
+
+The reference has no spatial surface; a 100 TB analytics engine needs
+the spatial-join primitive: assign points to GRID CELLS, prune a probe's
+candidates to the 3x3 neighbor-cell ring, and score only those — the
+planar analogue of the LSH-bucket candidate pattern the dedup tier uses
+(operators/similarity.py), and what geo engines (S2 / H3 / geohash)
+do underneath.
+
+Coordinates are synthetic (hash-derived per customer, documented as
+such) but the MECHANICS are real: integer micro-degrees end-to-end, an
+equirectangular squared distance (monotone in true distance at these
+spans — exact for ranking), and deterministic tie-breaks, so the whole
+path is bit-exact in both engines — no trigonometry, no float risk.
+
+Scale: the grid assignment is a stateless map folded into the scan; the
+candidate join hits |probes| x ring(9 cells) via a broadcast of the
+probe ring, so the big point table is scanned once and never shuffled
+by distance; per-probe top-k is a bounded window over candidates only.
+At 100 TB the same plan holds with finer cells (cell population, not
+table size, bounds the window input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnar_estimator_sample_spark.registry import register
+from columnar_estimator_sample_spark.sources.tables import table
+
+GEO_K = 3                       # neighbors per probe
+GEO_CELL = 10_000_000           # 10-degree cells in micro-degrees
+GEO_N_PROBES = 5
+
+# Probe points: fixed literals derived once here (same constants land in
+# both engines' SQL). Spread across the grid deterministically.
+GEO_PROBES = [
+    (i, ((37 * (i + 1) * 1_000_003) % 180_000_000) - 90_000_000,
+     ((53 * (i + 1) * 2_000_003) % 360_000_000) - 180_000_000)
+    for i in range(GEO_N_PROBES)
+]
+
+_LAT = ("(CAST(conv(substr(md5(concat('lat|', CAST(c_custkey"
+        " AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        " % 180000000) - 90000000")
+_LON = ("(CAST(conv(substr(md5(concat('lon|', CAST(c_custkey"
+        " AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        " % 360000000) - 180000000")
+_LAT_DD = ("(CAST(('0x' || substr(md5('lat|' || CAST(c_custkey"
+           " AS VARCHAR)), 1, 15)) AS BIGINT) % 180000000) - 90000000")
+_LON_DD = ("(CAST(('0x' || substr(md5('lon|' || CAST(c_custkey"
+           " AS VARCHAR)), 1, 15)) AS BIGINT) % 360000000) - 180000000")
+
+
+def _floor_div(expr: str, d: int, dialect: str) -> str:
+    # floor division toward -inf for possibly-negative coordinates:
+    # both engines' integer division truncates toward zero, so shift
+    # negatives before dividing (the pinned sign-split contract).
+    op = "DIV" if dialect == "spark" else "//"
+    return f"(CASE WHEN ({expr}) >= 0 THEN ({expr}) {op} {d}" \
+           f" ELSE -((-({expr}) + {d} - 1) {op} {d}) END)"
+
+
+def _probes_values(dialect: str) -> str:
+    rows = ", ".join(f"({i}, {la}, {lo})" for i, la, lo in GEO_PROBES)
+    if dialect == "spark":
+        return (f"VALUES {rows} AS probes(probe_id, plat, plon)")
+    return f"(VALUES {rows}) AS probes(probe_id, plat, plon)"
+
+
+def _geo_oracle() -> str:
+    cell_lat = _floor_div("lat", GEO_CELL, "duck")
+    cell_lon = _floor_div("lon", GEO_CELL, "duck")
+    pcell_lat = _floor_div("plat", GEO_CELL, "duck")
+    pcell_lon = _floor_div("plon", GEO_CELL, "duck")
+    return f"""
+    WITH pts AS (
+        SELECT c_custkey, {_LAT_DD} AS lat, {_LON_DD} AS lon
+        FROM customer
+    ), cells AS (
+        SELECT c_custkey, lat, lon,
+               {cell_lat} AS cla, {cell_lon} AS clo
+        FROM pts
+    ), probes AS (
+        SELECT * FROM {_probes_values('duck')}
+    ), ring AS (
+        SELECT p.probe_id, p.plat, p.plon,
+               {pcell_lat} + d1.d AS cla, {pcell_lon} + d2.d AS clo
+        FROM probes p,
+             (VALUES (-1), (0), (1)) AS d1(d),
+             (VALUES (-1), (0), (1)) AS d2(d)
+    ), cand AS (
+        SELECT r.probe_id, c.c_custkey,
+               (c.lat - r.plat) * (c.lat - r.plat)
+               + (c.lon - r.plon) * (c.lon - r.plon) AS dist2
+        FROM ring r JOIN cells c ON c.cla = r.cla AND c.clo = r.clo
+    ), ranked AS (
+        SELECT probe_id, c_custkey, dist2,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY dist2, c_custkey) AS rn
+        FROM cand
+    )
+    SELECT probe_id, CAST(rn AS BIGINT) AS rank,
+           c_custkey AS neighbor, dist2
+    FROM ranked WHERE rn <= {GEO_K}
+    ORDER BY probe_id, rank
+    """
+
+
+@register("q_geo_grid_knn", oracle=_geo_oracle())
+def q_geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-pruned k-nearest-neighbor search: points land in 10-degree
+    integer grid cells, each probe considers only its 3x3 neighbor-cell
+    ring, and the k closest by integer squared equirectangular distance
+    win (ties by key). See the module docstring for the scale argument;
+    a brute-force parity test pins that ring pruning loses nothing when
+    the ring holds >= k points."""
+    from pyspark.sql.window import Window as W
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    pts = cust.selectExpr(
+        "c_custkey", f"{_LAT} AS lat", f"{_LON} AS lon")
+    cells = pts.selectExpr(
+        "c_custkey", "lat", "lon",
+        f"{_floor_div('lat', GEO_CELL, 'spark')} AS cla",
+        f"{_floor_div('lon', GEO_CELL, 'spark')} AS clo")
+    probes = spark.sql(f"SELECT * FROM {_probes_values('spark')}")
+    ring = probes.selectExpr(
+        "probe_id", "plat", "plon",
+        f"{_floor_div('plat', GEO_CELL, 'spark')} AS pcla",
+        f"{_floor_div('plon', GEO_CELL, 'spark')} AS pclo") \
+        .crossJoin(spark.range(-1, 2).select(
+            F.col("id").cast("int").alias("d1"))) \
+        .crossJoin(spark.range(-1, 2).select(
+            F.col("id").cast("int").alias("d2"))) \
+        .selectExpr("probe_id", "plat", "plon",
+                    "pcla + d1 AS cla", "pclo + d2 AS clo")
+    cand = (cells.join(F.broadcast(ring), ["cla", "clo"])
+            .selectExpr(
+                "probe_id", "c_custkey",
+                "(lat - plat) * (lat - plat)"
+                " + (lon - plon) * (lon - plon) AS dist2"))
+    w = W.partitionBy("probe_id").orderBy("dist2", "c_custkey")
+    return (cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= GEO_K)
+            .select("probe_id",
+                    F.col("rn").cast("long").alias("rank"),
+                    F.col("c_custkey").alias("neighbor"), "dist2")
+            .orderBy("probe_id", "rank"))

@@ -53,6 +53,7 @@ _OPERATOR_MODULES = [
     "columnar_estimator_sample_spark.operators.features",
     "columnar_estimator_sample_spark.plans.stats_queries",
     "columnar_estimator_sample_spark.sources.tfrecord",
+    "columnar_estimator_sample_spark.operators.geo",
 ]
 
 _loaded = False

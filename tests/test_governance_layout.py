@@ -367,3 +367,42 @@ class TestHierarchyRollup:
                 p = by_node[parent]
                 assert r.n_parts <= p.n_parts
                 assert r.subtree_value_c <= p.subtree_value_c
+
+
+class TestGeoGridKNN:
+    def test_ring_pruning_matches_brute_force(self, spark, sf_dir):
+        """For every probe whose 3x3 ring holds >= k candidates, the
+        grid answer must equal the brute-force k-nearest over ALL
+        points (pruning is exact when the ring is populated)."""
+        from columnar_estimator_sample_spark.operators.geo import (
+            GEO_K, GEO_PROBES, _LAT, _LON, q_geo_grid_knn)
+        from columnar_estimator_sample_spark.sources.tables import table
+        pts = table(spark, sf_dir, "customer").selectExpr(
+            "c_custkey", f"{_LAT} AS lat", f"{_LON} AS lon").collect()
+        got = {}
+        for r in q_geo_grid_knn(spark, sf_dir).collect():
+            got.setdefault(r.probe_id, []).append(
+                (r.rank, r.neighbor, r.dist2))
+        for pid, plat, plon in GEO_PROBES:
+            brute = sorted(
+                ((p.lat - plat) ** 2 + (p.lon - plon) ** 2, p.c_custkey)
+                for p in pts)[:GEO_K]
+            grid = got.get(pid, [])
+            if len(grid) == GEO_K:
+                assert [(d, k) for d, k in brute] == \
+                    [(d2, n) for _, n, d2 in grid], pid
+
+    def test_candidates_far_below_full_scan(self, spark, sf_dir):
+        """The ring join examines a small fraction of |probes|x|points|
+        — the pruning actually prunes."""
+        from columnar_estimator_sample_spark.operators.geo import (
+            GEO_CELL, GEO_N_PROBES, _LAT, _LON, _floor_div)
+        from columnar_estimator_sample_spark.sources.tables import table
+        cells = table(spark, sf_dir, "customer").selectExpr(
+            f"{_floor_div(_LAT, GEO_CELL, 'spark')} AS cla",
+            f"{_floor_div(_LON, GEO_CELL, 'spark')} AS clo")
+        n = cells.count()
+        # expected candidates ~ probes * 9 * avg cell population
+        per_cell = cells.groupBy("cla", "clo").count()
+        avg = per_cell.agg(F.avg("count").alias("a")).collect()[0].a
+        assert GEO_N_PROBES * 9 * avg < n  # ring << full table
