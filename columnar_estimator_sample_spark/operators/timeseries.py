@@ -1030,3 +1030,87 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)")
         .alias("r2_permille"))
         .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Clamped running inventory (Lindley recursion, fully declarative)
+# ---------------------------------------------------------------------------
+
+INV_TOP = 15
+
+
+@register(
+    "q_inventory_clamped",
+    oracle=f"""
+    WITH flows AS (
+        SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CASE WHEN l_returnflag = 'R'
+                             THEN CAST(l_quantity AS BIGINT)
+                             ELSE -CAST(l_quantity AS BIGINT) END)
+                    AS BIGINT) AS d
+        FROM lineitem GROUP BY 1, 2
+    ), sums AS (
+        SELECT part, day,
+               SUM(d) OVER (PARTITION BY part ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS s
+        FROM flows
+    ), stock AS (
+        SELECT part, day,
+               s - LEAST(MIN(s) OVER (PARTITION BY part ORDER BY day
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW), 0) AS w
+        FROM sums
+    )
+    SELECT part,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(w) AS BIGINT) AS peak_stock,
+           CAST(arg_max(w, day) AS BIGINT) AS final_stock,
+           CAST(SUM(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS stockout_days
+    FROM stock
+    GROUP BY part
+    ORDER BY stockout_days DESC, part
+    LIMIT {INV_TOP}
+    """)
+def q_inventory_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running inventory per part — stock(t) = max(0,
+    stock(t-1) + net_flow(t)) with returns restocking and shipments
+    drawing down. The recurrence LOOKS inherently sequential (each day
+    depends on the clamped previous day), which usually sends engines
+    to per-row UDAFs or driver loops; Lindley's identity from queueing
+    theory solves it in closed form over plain windows:
+    W_n = S_n − min(0, min_{{k≤n}} S_k) (running sum minus the clamped
+    running minimum of the running sum). Two nested window passes, one
+    partition exchange, whole-stage codegen throughout — the pattern to
+    reach for whenever a clamp/absorbing-barrier recurrence shows up
+    (queue depth, battery charge, capped budgets).
+
+    Scale: both windows share the per-part exchange; daily flows
+    pre-aggregate map-side so the window input is |parts|·|days|, not
+    line items. Report: the parts that stock out most."""
+    li = table(spark, sf_dir, "lineitem")
+    flows = (li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.col("l_shipdate").cast("date").alias("day"))
+        .agg(F.sum(F.expr(
+            "CASE WHEN l_returnflag = 'R'"
+            " THEN CAST(l_quantity AS BIGINT)"
+            " ELSE -CAST(l_quantity AS BIGINT) END"))
+            .cast("long").alias("d")))
+    w = (Window.partitionBy("part").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    runs = (flows
+            .withColumn("s", F.sum("d").over(w))
+            .withColumn("mn", F.least(F.min(F.col("s")).over(w),
+                                      F.lit(0))))
+    stock = runs.select("part", "day",
+                        (F.col("s") - F.col("mn")).alias("w"))
+    return (stock.groupBy("part")
+            .agg(F.count("*").cast("long").alias("n_days"),
+                 F.max("w").cast("long").alias("peak_stock"),
+                 F.max_by("w", "day").cast("long").alias("final_stock"),
+                 F.sum(F.when(F.col("w") == 0, 1).otherwise(0))
+                 .cast("long").alias("stockout_days"))
+            .orderBy(F.desc("stockout_days"), "part")
+            .limit(INV_TOP))

@@ -406,3 +406,36 @@ class TestGeoGridKNN:
         per_cell = cells.groupBy("cla", "clo").count()
         avg = per_cell.agg(F.avg("count").alias("a")).collect()[0].a
         assert GEO_N_PROBES * 9 * avg < n  # ring << full table
+
+
+class TestInventoryClamped:
+    def test_lindley_identity_matches_sequential_replay(self, spark, sf_dir):
+        """The window-closed-form stock equals the literal day-by-day
+        max(0, prev + flow) recurrence, replayed driver-side."""
+        from columnar_estimator_sample_spark.sources.tables import table
+        li = table(spark, sf_dir, "lineitem")
+        flows = (li.groupBy(
+            F.col("l_partkey").alias("part"),
+            F.col("l_shipdate").cast("date").alias("day"))
+            .agg(F.sum(F.expr(
+                "CASE WHEN l_returnflag = 'R'"
+                " THEN CAST(l_quantity AS BIGINT)"
+                " ELSE -CAST(l_quantity AS BIGINT) END"))
+                .cast("long").alias("d"))).collect()
+        by_part: dict[int, list] = {}
+        for r in flows:
+            by_part.setdefault(r.part, []).append((r.day, r.d))
+        want = {}
+        for part, seq in by_part.items():
+            wv = 0
+            peak = stockouts = 0
+            for _, d in sorted(seq):
+                wv = max(0, wv + d)
+                peak = max(peak, wv)
+                stockouts += 1 if wv == 0 else 0
+            want[part] = (len(seq), peak, wv, stockouts)
+        from columnar_estimator_sample_spark.operators.timeseries import (
+            q_inventory_clamped)
+        for r in q_inventory_clamped(spark, sf_dir).collect():
+            assert want[r.part] == (r.n_days, r.peak_stock,
+                                    r.final_stock, r.stockout_days), r.part
