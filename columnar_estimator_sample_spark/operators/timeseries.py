@@ -1114,3 +1114,91 @@ def q_inventory_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("long").alias("stockout_days"))
             .orderBy(F.desc("stockout_days"), "part")
             .limit(INV_TOP))
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes, quantized integer)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_theilsen_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS x,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS y_c
+        FROM lineitem GROUP BY 1
+    ), pairs AS (
+        SELECT a.x AS x1, b.x AS x2,
+               (1000 * (b.y_c - a.y_c)) // (b.x - a.x) AS slope_milli
+        FROM daily a JOIN daily b ON b.x > a.x
+    ), med AS (
+        SELECT slope_milli FROM (
+            SELECT slope_milli,
+                   row_number() OVER (ORDER BY slope_milli) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM pairs)
+        WHERE rn = (n + 1) // 2
+    ), ols AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y_c) AS BIGINT) AS sy,
+               CAST(SUM(x * y_c) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM daily
+    )
+    SELECT o.n_days,
+           (o.n_days * (o.n_days - 1)) // 2 AS n_pairs,
+           m.slope_milli AS theilsen_slope_milli,
+           (1000 * (o.n_days * o.sxy - o.sx * o.sy))
+               // (o.n_days * o.sxx - o.sx * o.sx) AS ols_slope_milli
+    FROM ols o, med m
+    """)
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: the median of all
+    pairwise slopes — a 29%-breakdown-point estimator an outlier day
+    cannot drag the way it drags OLS (reported side by side, integer
+    milli-cents/day, slopes quantized by integer division so both
+    engines rank identically).
+
+    Scale: the O(n²) pair join runs on the DAY-AGGREGATED series —
+    bounded by the calendar (|days|² pairs), NOT by row count, so 100 TB
+    of line items still yields the same few-thousand-pair join after the
+    one combiner-friendly daily rollup. The median is one
+    TakeOrdered-style rank pick; OLS sufficient statistics ride the same
+    daily frame."""
+    li = table(spark, sf_dir, "lineitem")
+    daily = (li.groupBy(F.expr(
+        "datediff(CAST(l_shipdate AS DATE), DATE '1992-01-01')")
+        .alias("x"))
+        .agg(F.sum(F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100"
+            " AS BIGINT)")).cast("long").alias("y_c")))
+    a = daily.select(F.col("x").alias("x1"), F.col("y_c").alias("y1"))
+    b = daily.select(F.col("x").alias("x2"), F.col("y_c").alias("y2"))
+    pairs = (a.join(b, F.col("x2") > F.col("x1"))
+             .select(F.expr("(1000 * (y2 - y1)) DIV (x2 - x1)")
+                     .alias("slope_milli")))
+    from pyspark.sql.window import Window as W
+    med = (pairs
+           .withColumn("rn", F.row_number().over(
+               W.orderBy("slope_milli")))
+           .withColumn("n", F.count("*").over(
+               W.partitionBy(F.lit(1))))
+           .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+           .select("slope_milli"))
+    ols = daily.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y_c").cast("long").alias("sy"),
+        F.sum(F.expr("x * y_c")).cast("long").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"))
+    return (ols.crossJoin(F.broadcast(med))
+            .select(
+                "n_days",
+                F.expr("(n_days * (n_days - 1)) DIV 2").alias("n_pairs"),
+                F.col("slope_milli").alias("theilsen_slope_milli"),
+                F.expr("(1000 * (n_days * sxy - sx * sy))"
+                       " DIV (n_days * sxx - sx * sx)")
+                .alias("ols_slope_milli")))

@@ -439,3 +439,26 @@ class TestInventoryClamped:
         for r in q_inventory_clamped(spark, sf_dir).collect():
             assert want[r.part] == (r.n_days, r.peak_stock,
                                     r.final_stock, r.stockout_days), r.part
+
+
+class TestTheilSen:
+    def test_median_slope_matches_replay(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.timeseries import (
+            q_theilsen_trend)
+        from columnar_estimator_sample_spark.sources.tables import table
+        li = table(spark, sf_dir, "lineitem")
+        daily = sorted((r.x, r.y) for r in li.selectExpr(
+            "datediff(CAST(l_shipdate AS DATE), DATE '1992-01-01') AS x",
+            "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100"
+            " AS BIGINT) AS c")
+            .groupBy("x").agg(F.sum("c").cast("long").alias("y"))
+            .collect())
+        slopes = sorted(
+            (1000 * (y2 - y1)) // (x2 - x1)
+            for i, (x1, y1) in enumerate(daily)
+            for (x2, y2) in daily[i + 1:])
+        want = slopes[(len(slopes) + 1) // 2 - 1]
+        r = q_theilsen_trend(spark, sf_dir).collect()[0]
+        assert r.theilsen_slope_milli == want
+        assert r.n_pairs == len(slopes)
+        assert r.n_days == len(daily)
