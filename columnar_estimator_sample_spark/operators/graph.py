@@ -696,6 +696,13 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
              .unionAll(pairs.select(F.col("v").alias("src"),
                                     F.col("u").alias("dst"))))
+    # The mined edge list feeds all three rounds plus the label init; a
+    # LAZY local checkpoint materializes it once at first action instead
+    # of re-running the pair mining 4x (measured -30% at sf0.1, more at
+    # sf1 where mining dominates). Lazy keeps the registry's no-job-at-
+    # plan-time contract; the checkpoint blocks are released by the
+    # ContextCleaner when the frame is garbage collected.
+    edges = edges.localCheckpoint(eager=False)
     labels = edges.select(F.col("src").alias("node")).distinct() \
         .withColumn("lab", F.col("node"))
     for _ in range(LPA_ROUNDS):
