@@ -1261,6 +1261,13 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = words.withColumn(
         "sym", F.concat(F.lit("  "),
                         F.regexp_replace("word", "(.)", "$1  ")))
+    # Each round's argmax feeds BOTH the report and the next round's
+    # merge, and rounds chain: without truncation the r-th round's
+    # lineage re-executes every earlier round (O(R^2) total work). Lazy
+    # local checkpoints make the loop linear (measured 2.3x at sf0.1)
+    # while keeping plan-construction job-free; blocks are freed by the
+    # ContextCleaner when the frames are collected.
+    w = w.localCheckpoint(eager=False)
     bests: list[DataFrame] = []
     for r in range(BPE_ROUNDS):
         arr = F.split(F.trim(F.col("sym")), "  ")
@@ -1272,6 +1279,7 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = (pairs.groupBy("pair")
                 .agg(F.sum("freq").cast("long").alias("cnt"))
                 .orderBy(F.desc("cnt"), "pair").limit(1))
+        best = best.localCheckpoint(eager=False)
         bests.append(best.select(F.lit(r + 1).alias("round"),
                                  F.expr("replace(pair, ' ', '')")
                                  .alias("merged"),
@@ -1283,7 +1291,8 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("replace(sym,"
                         " concat(' ', replace(bp, ' ', '  '), ' '),"
                         " concat(' ', replace(bp, ' ', ''), ' '))"))
-             .drop("bp"))
+             .drop("bp")
+             .localCheckpoint(eager=False))
     out = bests[0]
     for b in bests[1:]:
         out = out.unionByName(b)
