@@ -1141,18 +1141,22 @@ def q_inventory_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM pairs)
         WHERE rn = (n + 1) // 2
     ), ols AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
-               CAST(SUM(x) AS BIGINT) AS sx,
-               CAST(SUM(y_c) AS BIGINT) AS sy,
-               CAST(SUM(x * y_c) AS BIGINT) AS sxy,
-               CAST(SUM(x * x) AS BIGINT) AS sxx
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y_c) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * y_c) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
         FROM daily
     )
-    SELECT o.n_days,
-           (o.n_days * (o.n_days - 1)) // 2 AS n_pairs,
+    SELECT CAST(o.n AS BIGINT) AS n_days,
+           CAST((o.n * (o.n - 1)) // 2 AS BIGINT) AS n_pairs,
            m.slope_milli AS theilsen_slope_milli,
-           (1000 * (o.n_days * o.sxy - o.sx * o.sy))
-               // (o.n_days * o.sxx - o.sx * o.sx) AS ols_slope_milli
+           CAST(CASE WHEN o.n * o.sxy - o.sx * o.sy >= 0
+                     THEN (1000 * (o.n * o.sxy - o.sx * o.sy))
+                          // (o.n * o.sxx - o.sx * o.sx)
+                     ELSE -((1000 * (o.sx * o.sy - o.n * o.sxy))
+                            // (o.n * o.sxx - o.sx * o.sx)) END
+                AS BIGINT) AS ols_slope_milli
     FROM ols o, med m
     """)
 def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1188,17 +1192,26 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                W.partitionBy(F.lit(1))))
            .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
            .select("slope_milli"))
+    D = "DECIMAL(38,0)"
     ols = daily.agg(
-        F.count("*").cast("long").alias("n_days"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y_c").cast("long").alias("sy"),
-        F.sum(F.expr("x * y_c")).cast("long").alias("sxy"),
-        F.sum(F.expr("x * x")).cast("long").alias("sxx"))
+        F.expr(f"CAST(COUNT(*) AS {D})").alias("n"),
+        F.expr(f"CAST(SUM(x) AS {D})").alias("sx"),
+        F.expr(f"CAST(SUM(y_c) AS {D})").alias("sy"),
+        F.expr(f"CAST(SUM(CAST(x AS {D}) * y_c) AS {D})").alias("sxy"),
+        F.expr(f"CAST(SUM(CAST(x AS {D}) * x) AS {D})").alias("sxx"))
+    # int64 overflows on n*sxy at sf>=0.1 — the sufficient statistics
+    # ride DECIMAL(38,0) (HUGEINT in the oracle), division sign-split
+    # per the pinned cross-engine integer-division contract.
     return (ols.crossJoin(F.broadcast(med))
             .select(
-                "n_days",
-                F.expr("(n_days * (n_days - 1)) DIV 2").alias("n_pairs"),
+                F.expr("CAST(n AS BIGINT)").alias("n_days"),
+                F.expr("CAST((n * (n - 1)) DIV 2 AS BIGINT)")
+                .alias("n_pairs"),
                 F.col("slope_milli").alias("theilsen_slope_milli"),
-                F.expr("(1000 * (n_days * sxy - sx * sy))"
-                       " DIV (n_days * sxx - sx * sx)")
+                F.expr(
+                    "CAST(CASE WHEN n * sxy - sx * sy >= 0"
+                    " THEN (1000 * (n * sxy - sx * sy))"
+                    "      div (n * sxx - sx * sx)"
+                    " ELSE -((1000 * (sx * sy - n * sxy))"
+                    "        div (n * sxx - sx * sx)) END AS BIGINT)")
                 .alias("ols_slope_milli")))
