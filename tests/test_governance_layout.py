@@ -462,3 +462,64 @@ class TestTheilSen:
         assert r.theilsen_slope_milli == want
         assert r.n_pairs == len(slopes)
         assert r.n_days == len(daily)
+
+
+class TestRound3PlanShapes:
+    """Physical-plan assertions for the session's operators — the
+    100×-scale contract, pinned (same style as tests/test_plans.py)."""
+
+    @staticmethod
+    def _plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_aqp_is_one_pass_no_join(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.relational4 import (
+            q_aqp_ci)
+        plan = self._plan(q_aqp_ci(spark, sf_dir))
+        assert "Join" not in plan          # pure sufficient statistics
+        assert "HashAggregate" in plan     # combiner-friendly aggregate
+
+    def test_hierarchy_rollup_has_no_join(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.relational4 import (
+            q_hierarchy_rollup)
+        plan = self._plan(q_hierarchy_rollup(spark, sf_dir))
+        assert "Join" not in plan
+        assert "Generate explode" in plan or "Generate" in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_revenue_decomposition_broadcasts_customer(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.relational4 import (
+            q_revenue_decomposition)
+        plan = self._plan(q_revenue_decomposition(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        # the era filter reaches the lineitem scan
+        assert "PushedFilters: [IsNotNull(l_shipdate)" in plan \
+            or "GreaterThanOrEqual(l_shipdate" in plan
+
+    def test_snapshot_diff_joins_on_key(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.merge import (
+            q_snapshot_diff)
+        plan = self._plan(q_snapshot_diff(spark, sf_dir))
+        assert "FullOuter" in plan
+        # fingerprints collapse the payload: no payload-column join keys
+        assert plan.count("SortMergeJoin") + \
+            plan.count("ShuffledHashJoin") >= 1
+
+    def test_geo_knn_broadcasts_ring_not_points(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.geo import (
+            q_geo_grid_knn)
+        plan = self._plan(q_geo_grid_knn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        # the big point table is never shuffled for the candidate join:
+        # the ring side broadcasts, so no sort-merge/shuffled-hash join
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+
+    def test_dp_release_single_aggregate(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.quality import (
+            q_dp_release)
+        plan = self._plan(q_dp_release(spark, sf_dir))
+        assert "Join" not in plan
+        # the scan reads ONLY the bucket key — the release touches no
+        # payload columns
+        assert "ReadSchema: struct<source:string>" in plan
