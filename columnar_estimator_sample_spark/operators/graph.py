@@ -606,7 +606,8 @@ LPA_MINSUP_PAIR = 2   # edge = parts co-bought in >= 2 orders
 LPA_TOP = 15
 
 
-def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
+def _lpa_ctes(rounds: int = LPA_ROUNDS) -> str:
+    """Shared unrolled-LPA CTE prefix (edges + rounds of labels)."""
     ctes = [f"""
     items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     freq AS (
@@ -644,33 +645,18 @@ def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
             FROM n{r})
         WHERE rn = 1
     )""")
-    return ("WITH " + ",".join(ctes) + f"""
-    SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
-           CAST(MIN(node) AS BIGINT) AS min_member,
-           CAST(MAX(node) AS BIGINT) AS max_member
-    FROM l{rounds}
-    GROUP BY lab
-    ORDER BY n_members DESC, community
-    LIMIT {LPA_TOP}""")
+    return "WITH " + ",".join(ctes)
 
 
-@register("q_lpa_communities", oracle=_lpa_oracle())
-def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community detection by synchronous label propagation (Raghavan
-    et al. 2007) over the co-purchase graph (edges = part pairs bought
-    together in >= 2 orders, the q_copurchase support graph): labels
-    start as node ids, and each round every node adopts the MODE of its
-    neighbors' labels (ties to the smallest label — fully deterministic,
-    no RNG ordering). Three synchronous rounds unrolled declaratively;
-    the report is the largest label groups ("what parts cluster into a
-    category").
 
-    Scale: each round is one shuffle of (edge endpoint, label) + a
-    combiner-friendly count + a per-node top-1 window — O(E) per round,
-    the Pregel-without-Pregel shape that connected_components() above
-    uses; the co-purchase edge list is a-priori pruned so E stays far
-    below all-pairs. Deterministic mode tie-breaks make LPA's usually
-    order-dependent result exactly reproducible (and oracle-checkable)."""
+
+
+def _lpa_label_frame(spark: SparkSession, sf_dir: str):
+    """Mine the co-purchase support graph and run LPA_ROUNDS synchronous
+    label-propagation rounds. Returns (edges, labels): edges is the
+    directed-both-ways list (lazily checkpointed — it feeds every round
+    plus the init, and would otherwise be re-mined 4x; measured -30% at
+    sf0.1), labels is (node, lab) after the final round."""
     from pyspark.sql.window import Window as W
 
     from columnar_estimator_sample_spark.sources.tables import table
@@ -696,12 +682,6 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
              .unionAll(pairs.select(F.col("v").alias("src"),
                                     F.col("u").alias("dst"))))
-    # The mined edge list feeds all three rounds plus the label init; a
-    # LAZY local checkpoint materializes it once at first action instead
-    # of re-running the pair mining 4x (measured -30% at sf0.1, more at
-    # sf1 where mining dominates). Lazy keeps the registry's no-job-at-
-    # plan-time contract; the checkpoint blocks are released by the
-    # ContextCleaner when the frame is garbage collected.
     edges = edges.localCheckpoint(eager=False)
     labels = edges.select(F.col("src").alias("node")).distinct() \
         .withColumn("lab", F.col("node"))
@@ -714,9 +694,114 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = (votes.withColumn("rn", F.row_number().over(w))
                   .filter(F.col("rn") == 1)
                   .select("node", "lab"))
+    return edges, labels
+
+
+
+def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
+    return (_lpa_ctes(rounds) + f"""
+    SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(node) AS BIGINT) AS min_member,
+           CAST(MAX(node) AS BIGINT) AS max_member
+    FROM l{rounds}
+    GROUP BY lab
+    ORDER BY n_members DESC, community
+    LIMIT {LPA_TOP}""")
+
+
+def _modularity_oracle(rounds: int = LPA_ROUNDS) -> str:
+    return (_lpa_ctes(rounds) + f""",
+    labeled AS (
+        SELECT ls.lab AS lab_s, ld.lab AS lab_d
+        FROM edges e
+        JOIN l{rounds} ls ON ls.node = e.src
+        JOIN l{rounds} ld ON ld.node = e.dst
+    ), mm AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS m2 FROM labeled
+    ), dc AS (
+        SELECT lab_s AS lab,
+               CAST(COUNT(*) AS HUGEINT) AS d_c,
+               CAST(SUM(CASE WHEN lab_s = lab_d THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS intra2
+        FROM labeled GROUP BY 1
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+               CAST(SUM(m.m2 * dc.intra2 - dc.d_c * dc.d_c)
+                    AS HUGEINT) AS nu
+        FROM dc, mm m GROUP BY m.m2
+    )
+    SELECT a.n_communities,
+           CAST(m.m2 // 2 AS BIGINT) AS n_edges,
+           CAST(CASE WHEN a.nu >= 0 THEN (1000 * a.nu) // (m.m2 * m.m2)
+                     ELSE -((1000 * -a.nu) // (m.m2 * m.m2)) END
+                AS BIGINT) AS modularity_pm
+    FROM agg a, mm m""")
+
+
+
+@register("q_lpa_communities", oracle=_lpa_oracle())
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the co-purchase graph (edges = part pairs bought
+    together in >= 2 orders, the q_copurchase support graph): labels
+    start as node ids, and each round every node adopts the MODE of its
+    neighbors' labels (ties to the smallest label — fully deterministic,
+    no RNG ordering). Three synchronous rounds unrolled declaratively;
+    the report is the largest label groups ("what parts cluster into a
+    category").
+
+    Scale: each round is one shuffle of (edge endpoint, label) + a
+    combiner-friendly count + a per-node top-1 window — O(E) per round,
+    the Pregel-without-Pregel shape that connected_components() above
+    uses; the co-purchase edge list is a-priori pruned so E stays far
+    below all-pairs. Deterministic mode tie-breaks make LPA's usually
+    order-dependent result exactly reproducible (and oracle-checkable)."""
+    edges, labels = _lpa_label_frame(spark, sf_dir)
     return (labels.groupBy(F.col("lab").alias("community"))
             .agg(F.count("*").cast("long").alias("n_members"),
                  F.min("node").cast("long").alias("min_member"),
                  F.max("node").cast("long").alias("max_member"))
             .orderBy(F.desc("n_members"), "community")
             .limit(LPA_TOP))
+
+
+@register("q_modularity", oracle=_modularity_oracle())
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition — the quality score that
+    says whether q_lpa_communities found real structure: Q = Σ_c
+    (intra-edge share − expected share under the degree-preserving null
+    model), here in exact permille via the directed-double identity
+    Q·M² = Σ_c (M·D_c − d_c²) with M = directed edge count, D_c =
+    directed intra-community edges, d_c = community degree sum. Q > 0
+    means denser-than-chance communities; all arithmetic rides
+    DECIMAL(38,0) (HUGEINT in the oracle) with sign-split division per
+    the pinned contract.
+
+    Scale: two broadcast-sized label joins onto the O(E) edge list, one
+    per-community aggregate, one scalar rollup — modularity costs one
+    more pass over edges than LPA itself."""
+    edges, labels = _lpa_label_frame(spark, sf_dir)
+    ls = labels.select(F.col("node").alias("src"),
+                       F.col("lab").alias("lab_s"))
+    ld = labels.select(F.col("node").alias("dst"),
+                       F.col("lab").alias("lab_d"))
+    labeled = (edges.join(ls, "src").join(ld, "dst")
+               .select("lab_s", "lab_d"))
+    D = "DECIMAL(38,0)"
+    mm = labeled.agg(F.expr(f"CAST(COUNT(*) AS {D})").alias("m2"))
+    dc = (labeled.groupBy("lab_s")
+          .agg(F.expr(f"CAST(COUNT(*) AS {D})").alias("d_c"),
+               F.expr(f"CAST(SUM(CASE WHEN lab_s = lab_d THEN 1"
+                      f" ELSE 0 END) AS {D})").alias("intra2")))
+    agg = (dc.crossJoin(F.broadcast(mm))
+           .agg(F.count("*").cast("long").alias("n_communities"),
+                F.expr(f"CAST(SUM(m2 * intra2 - d_c * d_c) AS {D})")
+                .alias("nu"),
+                F.expr(f"CAST(MIN(m2) AS {D})").alias("m2")))
+    return agg.select(
+        "n_communities",
+        F.expr("CAST(m2 DIV 2 AS BIGINT)").alias("n_edges"),
+        F.expr(
+            "CAST(CASE WHEN nu >= 0 THEN (1000 * nu) div (m2 * m2)"
+            " ELSE -((1000 * -nu) div (m2 * m2)) END AS BIGINT)")
+        .alias("modularity_pm"))

@@ -523,3 +523,33 @@ class TestRound3PlanShapes:
         # the scan reads ONLY the bucket key — the release touches no
         # payload columns
         assert "ReadSchema: struct<source:string>" in plan
+
+
+class TestModularity:
+    def test_q_matches_driver_replay_of_newman_formula(self, spark, sf_dir):
+        """Recompute Q from the (edges, labels) frames in Python and
+        compare with the engine's permille — the identity
+        Q·M² = Σ_c (M·D_c − d_c²) is pinned end to end. (On this
+        near-random synthetic co-purchase graph Q is legitimately ~0;
+        positivity is not asserted, exactness is.)"""
+        from columnar_estimator_sample_spark.operators.graph import (
+            _lpa_label_frame, q_modularity)
+        edges, labels = _lpa_label_frame(spark, sf_dir)
+        lab = {r.node: r.lab for r in labels.collect()}
+        E = [(r.src, r.dst) for r in edges.collect()]
+        M = len(E)
+        from collections import Counter
+        d_c: Counter = Counter()
+        intra2: Counter = Counter()
+        for s, d in E:
+            d_c[lab[s]] += 1
+            if lab[s] == lab[d]:
+                intra2[lab[s]] += 1
+        nu = sum(M * intra2[c] - d_c[c] * d_c[c] for c in d_c)
+        want = (1000 * nu) // (M * M) if nu >= 0 \
+            else -((1000 * -nu) // (M * M))
+        r = q_modularity(spark, sf_dir).collect()[0]
+        assert r.n_edges == M // 2
+        assert r.n_communities == len(d_c)
+        assert r.modularity_pm == want
+        assert -1000 <= r.modularity_pm <= 1000
