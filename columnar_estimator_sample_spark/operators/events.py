@@ -1755,3 +1755,76 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "n_touches", "credit_total")
                     .filter(F.col("n_touches") > 0))
     return channel_rows.unionByName(unattributed).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# SLO error-budget burn rate (SRE observability)
+# ---------------------------------------------------------------------------
+
+SLO_ERR_PM = 250      # objective: at most 25% error events per day
+SLO_WINDOW_DAYS = 7   # rolling burn window
+
+
+@register(
+    "q_slo_burn",
+    oracle=f"""
+    WITH daily AS (
+        SELECT epoch_us(ts) // {US_PER_DAY} AS day_num,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_err
+        FROM events GROUP BY 1
+    ), rolled AS (
+        SELECT day_num, n_total, n_err,
+               SUM(n_total) OVER w AS t7,
+               SUM(n_err) OVER w AS e7
+        FROM daily
+        WINDOW w AS (ORDER BY day_num
+                     ROWS BETWEEN {SLO_WINDOW_DAYS - 1} PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT day_num,
+           (1000 * n_err) // n_total AS err_pm,
+           (1000000 * n_err) // ({SLO_ERR_PM} * n_total) AS burn_pm,
+           (1000000 * e7) // ({SLO_ERR_PM} * t7) AS burn7_pm,
+           CASE WHEN (1000000 * e7) // ({SLO_ERR_PM} * t7) > 1000
+                THEN 1 ELSE 0 END AS breach
+    FROM rolled
+    ORDER BY day_num
+    """)
+def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn — the SRE companion to q_rate_anomaly:
+    daily error share against a 250-permille objective,
+    instantaneous burn rate (1000 = consuming budget exactly at the
+    objective, >1000 = overspending), a 7-day rolling
+    burn (the multiwindow alert policy from the Google SRE workbook,
+    integer arithmetic end to end), and the breach flag a pager fires
+    on. Burn on the ROLLING window resists the single-bad-hour false
+    pages that instantaneous burn causes.
+
+    Scale: one combiner-friendly daily aggregate (the event scan
+    collapses before any window), then an unpartitioned window over
+    |days| rows — calendar-bounded, so the global window is never the
+    bottleneck; at 100 TB the only heavy stage is the first scan."""
+    ev = table(spark, sf_dir, "events")
+    daily = (ev.select(F.expr(f"us div {US_PER_DAY}").alias("day_num"),
+                       "event_type")
+             .groupBy("day_num")
+             .agg(F.count("*").cast("long").alias("n_total"),
+                  F.sum(F.when(F.col("event_type") == "error", 1)
+                        .otherwise(0)).cast("long").alias("n_err")))
+    w = (Window.orderBy("day_num")
+         .rowsBetween(-(SLO_WINDOW_DAYS - 1), Window.currentRow))
+    rolled = (daily
+              .withColumn("t7", F.sum("n_total").over(w))
+              .withColumn("e7", F.sum("n_err").over(w)))
+    return rolled.select(
+        "day_num",
+        F.expr("(1000 * n_err) div n_total").alias("err_pm"),
+        F.expr(f"(1000000 * n_err) div ({SLO_ERR_PM} * n_total)")
+        .alias("burn_pm"),
+        F.expr(f"(1000000 * e7) div ({SLO_ERR_PM} * t7)")
+        .alias("burn7_pm"),
+        F.expr(f"CASE WHEN (1000000 * e7) div ({SLO_ERR_PM} * t7)"
+               " > 1000 THEN 1 ELSE 0 END").alias("breach")
+    ).orderBy("day_num")

@@ -553,3 +553,24 @@ class TestModularity:
         assert r.n_communities == len(d_c)
         assert r.modularity_pm == want
         assert -1000 <= r.modularity_pm <= 1000
+
+
+class TestSLOBurn:
+    def test_burn_identities_and_rolling_window(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.events import (
+            SLO_ERR_PM, SLO_WINDOW_DAYS, q_slo_burn)
+        rows = q_slo_burn(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r.err_pm <= 1000
+            # burn_pm is err_pm scaled by 1000/SLO (integer floors may
+            # differ by one quantum)
+            approx = r.err_pm * 1000 // SLO_ERR_PM
+            assert abs(r.burn_pm - approx) <= 1000 // SLO_ERR_PM + 1
+            assert r.breach == (1 if r.burn7_pm > 1000 else 0)
+        # the rolling burn smooths: its range is within the
+        # instantaneous burn's range
+        inst = [r.burn_pm for r in rows]
+        roll = [r.burn7_pm for r in rows]
+        assert min(roll) >= min(inst) - 1
+        assert max(roll) <= max(inst) + 1
