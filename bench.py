@@ -87,7 +87,7 @@ def main() -> None:
         drain(qs[name](spark, sf_dir))
     warmup = time.time() - t0
 
-    PASSES = 2
+    PASSES = 3
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in HEADLINE:
