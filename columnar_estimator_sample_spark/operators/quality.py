@@ -771,3 +771,73 @@ def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(DP_EPS_PERMILLE).cast("long").alias("epsilon_permille"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Precision/recall/F1 threshold sweep (operating-point selection)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_f1_threshold",
+    oracle=f"""
+    WITH s AS (
+        SELECT {_SCORE} AS score, {_GINI_LABEL} AS y FROM lineitem
+    ), g AS (
+        SELECT score, CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(y) AS BIGINT) AS pos_g
+        FROM s GROUP BY score
+    ), tot AS (
+        SELECT CAST(SUM(pos_g) AS BIGINT) AS p_all FROM g
+    ), c AS (
+        SELECT score,
+               CAST(SUM(pos_g) OVER (ORDER BY score DESC) AS BIGINT)
+                   AS tp,
+               CAST(SUM(n_g - pos_g) OVER (ORDER BY score DESC)
+                    AS BIGINT) AS fp
+        FROM g
+    )
+    SELECT c.score AS threshold, c.tp, c.fp,
+           t.p_all - c.tp AS fn,
+           (1000000 * c.tp) // (c.tp + c.fp) AS precision_micro,
+           (1000000 * c.tp) // t.p_all AS recall_micro,
+           (2000000 * c.tp) // (2 * c.tp + c.fp + (t.p_all - c.tp))
+               AS f1_micro
+    FROM c, tot t
+    ORDER BY threshold
+    """)
+def q_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection for the score q_exact_auc grades: sweep
+    every distinct score as a decision threshold (predict positive when
+    score >= t) and report the exact confusion counts plus integer-micro
+    precision/recall/F1 — the PR curve a practitioner reads to pick the
+    deployment threshold after AUC says the score ranks well.
+
+    Scale: identical shape to q_exact_auc — rows collapse to score
+    GROUPS in one combiner aggregate, and the sweep is two cumulative
+    windows over the |distinct scores| frame. No per-row threshold
+    loop, no repeated scans: the full curve costs one pass regardless
+    of corpus size."""
+    li = table(spark, sf_dir, "lineitem")
+    from pyspark.sql.window import Window as W
+    g = (li.select(F.expr(_SCORE).alias("score"),
+                   F.expr(_GINI_LABEL).alias("y"))
+         .groupBy("score")
+         .agg(F.count("*").cast("long").alias("n_g"),
+              F.sum("y").cast("long").alias("pos_g")))
+    tot = g.agg(F.sum("pos_g").cast("long").alias("p_all"))
+    w = (W.orderBy(F.desc("score"))
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    c = (g.withColumn("tp", F.sum("pos_g").over(w).cast("long"))
+         .withColumn("fp", F.sum(F.expr("n_g - pos_g")).over(w)
+                     .cast("long")))
+    return (c.crossJoin(F.broadcast(tot))
+            .select(
+                F.col("score").alias("threshold"), "tp", "fp",
+                F.expr("p_all - tp").alias("fn"),
+                F.expr("(1000000 * tp) div (tp + fp)")
+                .alias("precision_micro"),
+                F.expr("(1000000 * tp) div p_all").alias("recall_micro"),
+                F.expr("(2000000 * tp) div (2 * tp + fp + (p_all - tp))")
+                .alias("f1_micro"))
+            .orderBy("threshold"))

@@ -574,3 +574,29 @@ class TestSLOBurn:
         roll = [r.burn7_pm for r in rows]
         assert min(roll) >= min(inst) - 1
         assert max(roll) <= max(inst) + 1
+
+
+class TestF1Threshold:
+    def test_curve_monotonicity_and_consistency_with_auc(self, spark,
+                                                         sf_dir):
+        from columnar_estimator_sample_spark.operators.quality import (
+            q_exact_auc, q_f1_threshold)
+        rows = q_f1_threshold(spark, sf_dir).collect()
+        assert rows
+        # thresholds ascend; tp/recall fall as the threshold rises
+        ts = [r.threshold for r in rows]
+        assert ts == sorted(ts)
+        tps = [r.tp for r in rows]
+        assert tps == sorted(tps, reverse=True)
+        p_all = rows[0].tp + rows[0].fn
+        for r in rows:
+            assert r.tp + r.fn == p_all          # conservation
+            assert 0 <= r.precision_micro <= 1000000
+            assert 0 <= r.recall_micro <= 1000000
+            assert 0 <= r.f1_micro <= 1000000
+        # lowest threshold predicts everything positive: recall = 1
+        assert rows[0].recall_micro == 1000000
+        # the confusion totals agree with q_exact_auc's class counts
+        auc = q_exact_auc(spark, sf_dir).collect()[0]
+        assert p_all == auc.n_pos
+        assert rows[0].fp == auc.n_neg
