@@ -247,3 +247,46 @@ def purchase_strength_frame(spark, sf_dir: str) -> DataFrame:
             .groupBy("user", "item")
             .agg(F.countDistinct("l_orderkey").cast("float")
                  .alias("strength")))
+
+
+def permutation_importance(df: DataFrame, label_col: str = "label",
+                           max_iter: int = 20) -> dict[str, float]:
+    """Permutation feature importance with a DETERMINISTIC permutation:
+    importance(f) = AUC(model) − AUC(model on data with column f
+    permuted). Instead of an RNG shuffle (irreproducible across runs /
+    partitionings), each feature column is rotated by one position in
+    portable-hash order — a fixed derangement expressible as a window
+    ``lead`` with wraparound, so the same rows swap values on every
+    engine and every run. Breaking the row-wise association between f
+    and the label while preserving f's marginal distribution is all the
+    estimator needs (Breiman 2001); which derangement is used doesn't
+    matter.
+
+    Scale: ONE model fit; each feature costs one window pass (hash-order
+    exchange shared across features via the same sort key) plus one
+    model.transform — no retraining per feature."""
+    from pyspark.sql.window import Window as W
+    buckets = measure_buckets(df)
+    base, cols = build_features(df, label_col, buckets=buckets)
+    asm = VectorAssembler(inputCols=cols, outputCol="features")
+    lr = LogisticRegression(featuresCol="features", labelCol=label_col,
+                            maxIter=max_iter)
+    model = lr.fit(asm.transform(base))
+    ev = BinaryClassificationEvaluator(
+        labelCol=label_col, rawPredictionCol="rawPrediction")
+    base_auc = ev.evaluate(model.transform(asm.transform(base)))
+    hashed = base.withColumn(
+        "__h", F.xxhash64(*[F.col(c) for c in cols], F.col(label_col)))
+    order = W.orderBy("__h")
+    out: dict[str, float] = {}
+    for c in cols:
+        rotated = (hashed
+                   .withColumn(c, F.coalesce(
+                       F.lead(c, 1).over(order),
+                       F.first(c).over(
+                           order.rowsBetween(W.unboundedPreceding,
+                                             W.unboundedFollowing))))
+                   .drop("__h"))
+        auc = ev.evaluate(model.transform(asm.transform(rotated)))
+        out[c] = base_auc - auc
+    return out

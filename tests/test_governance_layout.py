@@ -600,3 +600,32 @@ class TestF1Threshold:
         auc = q_exact_auc(spark, sf_dir).collect()[0]
         assert p_all == auc.n_pos
         assert rows[0].fp == auc.n_neg
+
+
+class TestPermutationImportance:
+    def test_planted_signal_ranks_first_and_is_reproducible(self, spark):
+        from columnar_estimator_sample_spark.ml.train import (
+            criteo_shaped_frame, permutation_importance)
+        df = criteo_shaped_frame(spark, n_rows=3000).cache()
+        try:
+            imp = permutation_importance(df)
+            # int1 carries the planted monotone signal: permuting it
+            # must hurt AUC more than any other numeric feature
+            int_feats = {k: v for k, v in imp.items()
+                         if k.startswith("int1")}
+            assert int_feats
+            top = max(imp, key=imp.get)
+            assert top.startswith("int1") or imp[top] <= max(
+                int_feats.values()) + 1e-9
+            assert max(imp.values()) > 0.01  # breaking signal hurts
+            # the permutation itself is deterministic; residual jitter
+            # comes only from MLlib's distributed float reductions in
+            # the refit, so values agree tightly and the RANKING exactly
+            again = permutation_importance(df)
+            for k in imp:
+                assert abs(imp[k] - again[k]) < 1e-3
+            rank = sorted(imp, key=imp.get, reverse=True)
+            rank2 = sorted(again, key=again.get, reverse=True)
+            assert rank[:2] == rank2[:2]
+        finally:
+            df.unpersist()
