@@ -723,3 +723,123 @@ def q_similarity_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("rank"))
             .filter(F.col("rank") <= TOP_K)
             .orderBy("query_id", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation (LSH candidates vs brute-force ground truth)
+# ---------------------------------------------------------------------------
+
+RECALL_N = 300   # ground-truth bound: quadratic truth stays ~45k pairs
+
+
+def _ann_recall_oracle() -> str:
+    return f"""
+    WITH ex AS ({_SQL_EX}
+    ), exb AS (
+        SELECT * FROM ex WHERE vec_id < {RECALL_N}
+    ), norms AS (
+        SELECT vec_id, CAST(SUM(vi * vi) AS BIGINT) AS n_s
+        FROM exb GROUP BY vec_id
+    ), truth AS (
+        SELECT d.va AS vec_a, d.vb AS vec_b
+        FROM (SELECT l.vec_id AS va, r.vec_id AS vb,
+                     CAST(SUM(l.vi * r.vi) AS BIGINT) AS dot_s
+              FROM exb l JOIN exb r
+                ON l.i = r.i AND l.vec_id < r.vec_id
+              GROUP BY 1, 2) d
+        JOIN norms na ON na.vec_id = d.va
+        JOIN norms nb ON nb.vec_id = d.vb
+        WHERE CAST(dot_s AS DOUBLE)
+              / (sqrt(CAST(na.n_s AS DOUBLE))
+                 * sqrt(CAST(nb.n_s AS DOUBLE))) >= {ANN_COS_T}
+    ), terms AS (
+        SELECT vec_id, p.p,
+               CASE WHEN CAST(('0x' || substr(md5('pl' || p.p || '_'
+                         || exb.i), 1, 15)) AS BIGINT) % 2 = 0
+                    THEN vi ELSE -vi END AS t
+        FROM exb, (SELECT unnest(range(0, {ANN_PLANES})) AS p) p
+    ), sums AS (
+        SELECT vec_id, p, SUM(t) AS s FROM terms GROUP BY vec_id, p
+    ), bands AS (
+        SELECT vec_id, p // {ANN_ROWS} AS band,
+               SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END
+                   * (1::BIGINT << (p % {ANN_ROWS}))) AS band_key
+        FROM sums GROUP BY vec_id, p // {ANN_ROWS}
+    ), cand AS (
+        SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.band_key = r.band_key
+         AND l.vec_id < r.vec_id
+    ), nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vec FROM norms)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+             WHERE EXISTS (SELECT 1 FROM cand c
+                           WHERE c.vec_a = t.vec_a
+                             AND c.vec_b = t.vec_b)) AS n_found,
+           (1000 * (SELECT COUNT(*) FROM truth t
+                    WHERE EXISTS (SELECT 1 FROM cand c
+                                  WHERE c.vec_a = t.vec_a
+                                    AND c.vec_b = t.vec_b)))
+               // GREATEST((SELECT COUNT(*) FROM truth), 1) AS recall_pm,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+           (1000 * (SELECT COUNT(*) FROM cand))
+               // (((SELECT n_vec FROM nb)
+                    * ((SELECT n_vec FROM nb) - 1)) // 2)
+               AS candidate_frac_pm
+    """
+
+
+@register("q_ann_recall", oracle=_ann_recall_oracle())
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality, measured IN the engine: recall of the banded
+    hyperplane-LSH candidate stage against brute-force cosine ground
+    truth on a bounded slice (vec_id < RECALL_N, so the quadratic truth
+    is test-sized at every scale factor), plus the candidate fraction
+    the buckets examine. This turns the LSH tier's recall/pruning
+    trade-off — previously pinned only in pytest — into a driver-checked
+    scalar: both engines must agree on every truth pair, every candidate
+    pair, and the resulting permille.
+
+    Scale: truth is O(RECALL_N²·dim) by construction (a fixed audit
+    cost); the LSH side is the production plan restricted to the slice.
+    Run periodically against a sampled slice exactly like this to watch
+    recall as the corpus drifts."""
+    emb = table(spark, sf_dir, "embeddings")
+    exb = _exploded(emb).filter(F.col("vec_id") < RECALL_N)
+    norms = (exb.groupBy("vec_id")
+             .agg(F.sum(F.expr("vi * vi")).cast("long").alias("n_s")))
+    l, r = exb.alias("l"), exb.alias("r")
+    dots = (l.join(r, (F.col("l.i") == F.col("r.i"))
+                   & (F.col("l.vec_id") < F.col("r.vec_id")))
+            .groupBy(F.col("l.vec_id").alias("vec_a"),
+                     F.col("r.vec_id").alias("vec_b"))
+            .agg(F.sum(F.expr("l.vi * r.vi")).cast("long")
+                 .alias("dot_s")))
+    na = norms.select(F.col("vec_id").alias("vec_a"),
+                      F.col("n_s").alias("na_s"))
+    nbn = norms.select(F.col("vec_id").alias("vec_b"),
+                       F.col("n_s").alias("nb_s"))
+    truth = (dots.join(F.broadcast(na), "vec_a")
+             .join(F.broadcast(nbn), "vec_b")
+             .filter(F.expr(
+                 "CAST(dot_s AS DOUBLE) / (sqrt(CAST(na_s AS DOUBLE))"
+                 f" * sqrt(CAST(nb_s AS DOUBLE))) >= {ANN_COS_T}"))
+             .select("vec_a", "vec_b"))
+    cand = (ann_candidate_pairs(spark, sf_dir)
+            .filter((F.col("vec_a") < RECALL_N)
+                    & (F.col("vec_b") < RECALL_N)))
+    found = truth.join(cand, ["vec_a", "vec_b"], "left_semi")
+    n_vec = norms.agg(F.count("*").cast("long").alias("n_vec"))
+    agg = (truth.agg(F.count("*").cast("long").alias("n_truth"))
+           .crossJoin(F.broadcast(
+               found.agg(F.count("*").cast("long").alias("n_found"))))
+           .crossJoin(F.broadcast(
+               cand.agg(F.count("*").cast("long").alias("n_candidates"))))
+           .crossJoin(F.broadcast(n_vec)))
+    return agg.select(
+        "n_truth", "n_found",
+        F.expr("(1000 * n_found) div GREATEST(n_truth, 1)")
+        .alias("recall_pm"),
+        "n_candidates",
+        F.expr("(1000 * n_candidates) div (n_vec * (n_vec - 1) DIV 2)")
+        .alias("candidate_frac_pm"))

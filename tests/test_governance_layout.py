@@ -629,3 +629,16 @@ class TestPermutationImportance:
             assert rank[:2] == rank2[:2]
         finally:
             df.unpersist()
+
+
+class TestANNRecall:
+    def test_recall_and_pruning_are_sane(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.similarity import (
+            q_ann_recall)
+        r = q_ann_recall(spark, sf_dir).collect()[0]
+        assert r.n_truth > 0
+        assert 0 <= r.n_found <= r.n_truth
+        assert r.recall_pm == 1000 * r.n_found // max(r.n_truth, 1)
+        # the candidate stage must actually prune: far fewer pairs
+        # than the quadratic all-pairs count
+        assert 0 < r.candidate_frac_pm < 1000
