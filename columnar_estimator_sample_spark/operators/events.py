@@ -1828,3 +1828,95 @@ def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CASE WHEN (1000000 * e7) div ({SLO_ERR_PM} * t7)"
                " > 1000 THEN 1 ELSE 0 END").alias("breach")
     ).orderBy("day_num")
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (pre-period covariate adjustment)
+# ---------------------------------------------------------------------------
+
+CUPED_SPLIT_DAY = 15   # pre-period: day < 15; experiment period: day >= 15
+
+
+@register(
+    "q_cuped",
+    oracle=f"""
+    WITH d0 AS (
+        SELECT MIN(epoch_us(ts) // {US_PER_DAY}) AS mn FROM events
+    ), per_user AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN epoch_us(ts) // {US_PER_DAY}
+                             - (SELECT mn FROM d0)
+                             < {CUPED_SPLIT_DAY} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN epoch_us(ts) // {US_PER_DAY}
+                             - (SELECT mn FROM d0)
+                             >= {CUPED_SPLIT_DAY} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ), s AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx,
+               CAST(SUM(y * y) AS HUGEINT) AS syy,
+               CAST(SUM(x * y) AS HUGEINT) AS sxy
+        FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(CASE WHEN n * sxy - sx * sy >= 0
+                     THEN (1000 * (n * sxy - sx * sy))
+                          // (n * sxx - sx * sx)
+                     ELSE -((1000 * (sx * sy - n * sxy))
+                            // (n * sxx - sx * sx)) END AS BIGINT)
+               AS theta_milli,
+           CAST((1000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))
+                // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                AS BIGINT) AS var_reduction_pm
+    FROM s
+    """)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    al. 2013): per-user pre-period activity as the covariate for the
+    experiment-period metric. Reports theta (the adjustment coefficient
+    cov(x,y)/var(x), milli-units) and the variance reduction CUPED
+    delivers — exactly ρ² in permille, computed entirely in 128-bit
+    integer lanes from one pass of sufficient statistics (the identity
+    ρ²=cov²/(var·var) over n-scaled sums; sign-split division per the
+    pinned contract). A/B tests shrink their confidence intervals by
+    1/(1-ρ²) with the adjusted metric — this query says whether that is
+    worth wiring up before q_ab_test reads the arms.
+
+    Scale: one combiner-friendly per-user aggregate (the event scan
+    collapses immediately), then a 1-row sufficient-statistics rollup —
+    the same sub-linear shape as q_aqp_ci."""
+    ev = table(spark, sf_dir, "events")
+    d0 = ev.agg(F.expr(f"MIN(us div {US_PER_DAY})").alias("mn"))
+    per_user = (ev.select("user_id",
+                          F.expr(f"us div {US_PER_DAY}").alias("day"))
+                .crossJoin(F.broadcast(d0))
+                .select("user_id",
+                        F.expr(f"CASE WHEN day - mn < {CUPED_SPLIT_DAY}"
+                               " THEN 1 ELSE 0 END").alias("pre"))
+                .groupBy("user_id")
+                .agg(F.sum("pre").cast("long").alias("x"),
+                     F.sum(F.expr("1 - pre")).cast("long").alias("y")))
+    D = "DECIMAL(38,0)"
+    s = per_user.agg(
+        F.expr(f"CAST(COUNT(*) AS {D})").alias("n"),
+        F.expr(f"CAST(SUM(x) AS {D})").alias("sx"),
+        F.expr(f"CAST(SUM(y) AS {D})").alias("sy"),
+        F.expr(f"CAST(SUM(CAST(x AS {D}) * x) AS {D})").alias("sxx"),
+        F.expr(f"CAST(SUM(CAST(y AS {D}) * y) AS {D})").alias("syy"),
+        F.expr(f"CAST(SUM(CAST(x AS {D}) * y) AS {D})").alias("sxy"))
+    return s.select(
+        F.expr("CAST(n AS BIGINT)").alias("n_users"),
+        F.expr(
+            "CAST(CASE WHEN n * sxy - sx * sy >= 0"
+            " THEN (1000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"
+            " ELSE -((1000 * (sx * sy - n * sxy))"
+            "        div (n * sxx - sx * sx)) END AS BIGINT)")
+        .alias("theta_milli"),
+        F.expr(
+            "CAST((1000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))"
+            " div ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+            " AS BIGINT)").alias("var_reduction_pm"))

@@ -642,3 +642,30 @@ class TestANNRecall:
         # the candidate stage must actually prune: far fewer pairs
         # than the quadratic all-pairs count
         assert 0 < r.candidate_frac_pm < 1000
+
+
+class TestCUPED:
+    def test_rho2_matches_numpy_and_is_bounded(self, spark, sf_dir):
+        import numpy as np
+        from columnar_estimator_sample_spark.operators.events import (
+            CUPED_SPLIT_DAY, US_PER_DAY, q_cuped)
+        from columnar_estimator_sample_spark.sources.tables import table
+        ev = table(spark, sf_dir, "events")
+        rows = (ev.selectExpr("user_id", f"us div {US_PER_DAY} AS day")
+                .collect())
+        mn = min(r.day for r in rows)
+        per: dict[int, list[int]] = {}
+        for r in rows:
+            x, y = per.setdefault(r.user_id, [0, 0])
+            if r.day - mn < CUPED_SPLIT_DAY:
+                per[r.user_id][0] += 1
+            else:
+                per[r.user_id][1] += 1
+        xs = np.array([v[0] for v in per.values()], dtype=float)
+        ys = np.array([v[1] for v in per.values()], dtype=float)
+        rho2 = float(np.corrcoef(xs, ys)[0, 1]) ** 2
+        r = q_cuped(spark, sf_dir).collect()[0]
+        assert r.n_users == len(per)
+        assert 0 <= r.var_reduction_pm <= 1000
+        # integer permille vs numpy float: within one quantum + fp slack
+        assert abs(r.var_reduction_pm - 1000 * rho2) <= 2
