@@ -183,3 +183,25 @@ def test_sign_split_division_identical(spark, pairs):
     ref = [(-((-n) // d) if n < 0 else n // d)
            for n, d in sorted(pairs)]
     assert got == want == ref
+
+
+class TestLindleyClosedForm:
+    """q_inventory_clamped's window identity, fuzzed: for ANY flow
+    sequence, S_n - min(0, min_{k<=n} S_k) equals the sequential
+    max(0, prev + d) recurrence."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.lists(st.integers(min_value=-1000, max_value=1000),
+                    min_size=0, max_size=60))
+    @settings(max_examples=300, deadline=None)
+    def test_identity(self, flows):
+        w = 0
+        s = 0
+        min_s = 0
+        for d in flows:
+            w = max(0, w + d)
+            s += d
+            min_s = min(min_s, s)
+            assert w == s - min(0, min_s)
