@@ -222,7 +222,10 @@ def ann_signatures(spark: SparkSession, sf_dir: str,
     decimal-summed so Spark and DuckDB see identical order-free totals.
     """
     emb = table(spark, sf_dir, "embeddings")
-    dim = emb.select(F.max(F.size("embedding")).alias("d")).collect()[0]["d"]
+    # 64 is the corpus's fixed embedding width; the probe only guards
+    # against a wider table, and the fallback keeps empty inputs planful
+    dim = (emb.select(F.max(F.size("embedding")).alias("d"))
+           .collect()[0]["d"]) or 64
     sums = [
         F.sum(F.col("vi")
               * F.element_at(F.array(*[F.lit(s) for s in
@@ -783,8 +786,8 @@ def _ann_recall_oracle() -> str:
                // GREATEST((SELECT COUNT(*) FROM truth), 1) AS recall_pm,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
            (1000 * (SELECT COUNT(*) FROM cand))
-               // (((SELECT n_vec FROM nb)
-                    * ((SELECT n_vec FROM nb) - 1)) // 2)
+               // GREATEST((((SELECT n_vec FROM nb)
+                    * ((SELECT n_vec FROM nb) - 1)) // 2), 1)
                AS candidate_frac_pm
     """
 
@@ -841,5 +844,6 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000 * n_found) div GREATEST(n_truth, 1)")
         .alias("recall_pm"),
         "n_candidates",
-        F.expr("(1000 * n_candidates) div (n_vec * (n_vec - 1) DIV 2)")
+        F.expr("(1000 * n_candidates)"
+               " div GREATEST(n_vec * (n_vec - 1) DIV 2, 1)")
         .alias("candidate_frac_pm"))

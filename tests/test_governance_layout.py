@@ -669,3 +669,35 @@ class TestCUPED:
         assert 0 <= r.var_reduction_pm <= 1000
         # integer permille vs numpy float: within one quantum + fp slack
         assert abs(r.var_reduction_pm - 1000 * rho2) <= 2
+
+
+class TestEmptyWarehouse:
+    def test_round3_queries_survive_empty_tables(self, spark, sf_dir,
+                                                 tmp_path):
+        """Every round-3 query must plan AND execute against a zero-row
+        warehouse (schema-preserving empty copies) — no driver-side
+        counts, no division crashes, no assumption of non-emptiness.
+        (The q_markov_stationary empty-input advice item, generalized.)"""
+        import os
+        from columnar_estimator_sample_spark.registry import queries
+        empty_dir = str(tmp_path / "empty")
+        os.makedirs(empty_dir, exist_ok=True)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents",
+                  "embeddings"]:
+            (spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(0)
+             .write.mode("overwrite").parquet(f"{empty_dir}/{t}.parquet"))
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        qs = queries()
+        new_queries = [
+            "q_dp_release", "q_sample_weighted", "q_compaction_plan",
+            "q_bpe_learn", "q_snapshot_diff", "q_lpa_communities",
+            "q_modularity", "q_aqp_ci", "q_revenue_decomposition",
+            "q_hierarchy_rollup", "q_geo_grid_knn",
+            "q_inventory_clamped", "q_theilsen_trend", "q_slo_burn",
+            "q_f1_threshold", "q_ann_recall", "q_cuped",
+        ]
+        for name in new_queries:
+            rows = qs[name](spark, empty_dir).collect()
+            assert isinstance(rows, list), name  # executed, no crash
