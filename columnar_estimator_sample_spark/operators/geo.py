@@ -147,3 +147,111 @@ def q_geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("rn").cast("long").alias("rank"),
                     F.col("c_custkey").alias("neighbor"), "dist2")
             .orderBy("probe_id", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Grid-DBSCAN: density-based spatial clustering on the cell grid
+# ---------------------------------------------------------------------------
+
+DBSCAN_MINPTS = 4      # a cell is DENSE when it holds >= this many points
+# Unrolled rounds of (neighbor-min THEN pointer-jump): reach doubles
+# per round (2, 6, 14, 30, 62 hops) — 5 rounds cover the maximum grid
+# diameter (18+36 cells), so the labels ARE the transitive closure.
+DBSCAN_ROUNDS = 5
+DBSCAN_TOP = 12
+
+
+def _dbscan_oracle() -> str:
+    cell_lat = _floor_div("lat", GEO_CELL, "duck")
+    cell_lon = _floor_div("lon", GEO_CELL, "duck")
+    ctes = [f"""
+    pts AS (
+        SELECT c_custkey, {_LAT_DD} AS lat, {_LON_DD} AS lon
+        FROM customer
+    ), cells AS (
+        SELECT {cell_lat} AS cla, {cell_lon} AS clo,
+               CAST(COUNT(*) AS BIGINT) AS n_pts
+        FROM pts GROUP BY 1, 2
+    ), dense AS (
+        SELECT cla, clo, n_pts,
+               cla * 1000000 + clo + 500000 AS node
+        FROM cells WHERE n_pts >= {DBSCAN_MINPTS}
+    ), adj AS (
+        SELECT a.node AS src, b.node AS dst
+        FROM dense a JOIN dense b
+          ON abs(a.cla - b.cla) <= 1 AND abs(a.clo - b.clo) <= 1
+    ), l0 AS (
+        SELECT node, node AS lab FROM dense
+    )"""]
+    for r in range(DBSCAN_ROUNDS):
+        ctes.append(f"""
+    n{r} AS (
+        SELECT a.dst AS node, MIN(l.lab) AS lab
+        FROM adj a JOIN l{r} l ON l.node = a.src
+        GROUP BY a.dst
+    ),
+    l{r + 1} AS (
+        SELECT c.node, LEAST(c.lab, p.lab) AS lab
+        FROM n{r} c JOIN n{r} p ON p.node = c.lab
+    )""")
+    return ("WITH " + ",".join(ctes) + f"""
+    SELECT l.lab AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(d.n_pts) AS BIGINT) AS n_points
+    FROM l{DBSCAN_ROUNDS} l JOIN dense d ON d.node = l.node
+    GROUP BY l.lab
+    ORDER BY n_points DESC, cluster_id
+    LIMIT {DBSCAN_TOP}""")
+
+
+@register("q_geo_dbscan", oracle=_dbscan_oracle())
+def q_geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN: density-based spatial clustering the way it scales —
+    points collapse to GRID CELLS first (one combiner count), cells
+    below MINPTS are noise, and dense cells that touch (8-neighborhood)
+    merge into clusters by min-label propagation over the CELL adjacency
+    graph. Cell-level clustering is the standard 100 TB approximation
+    of DBSCAN: the label loop runs on |dense cells| nodes — thousands —
+    regardless of how many billions of points fill them; the adjacency
+    self-join is banded by construction (|Δcell| ≤ 1 in both axes).
+    Rounds are unrolled (grid diameter is small and bounded by
+    geography, not data volume); cluster id = min node key, fully
+    deterministic. Report: largest clusters by contained points.
+
+    The same composition (dense-bucket census → bucket-graph connected
+    components) is how the dedup tier clusters near-duplicate pairs
+    (operators/graph.py::connected_components); this is its spatial
+    instance."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    pts = cust.selectExpr(f"{_LAT} AS lat", f"{_LON} AS lon")
+    cells = (pts.selectExpr(
+        f"{_floor_div('lat', GEO_CELL, 'spark')} AS cla",
+        f"{_floor_div('lon', GEO_CELL, 'spark')} AS clo")
+        .groupBy("cla", "clo")
+        .agg(F.count("*").cast("long").alias("n_pts")))
+    dense = (cells.filter(F.col("n_pts") >= DBSCAN_MINPTS)
+             .withColumn("node",
+                         F.expr("cla * 1000000 + clo + 500000"))
+             .localCheckpoint(eager=False))
+    a, b = dense.alias("a"), dense.alias("b")
+    adj = (a.join(b, (F.abs(F.col("a.cla") - F.col("b.cla")) <= 1)
+                  & (F.abs(F.col("a.clo") - F.col("b.clo")) <= 1))
+           .select(F.col("a.node").alias("src"),
+                   F.col("b.node").alias("dst")))
+    labels = dense.select("node", F.col("node").alias("lab"))
+    for _ in range(DBSCAN_ROUNDS):
+        nm = (adj.join(labels, adj.src == labels.node)
+              .groupBy(F.col("dst").alias("node"))
+              .agg(F.min("lab").alias("lab")))
+        # pointer jump: adopt the label of your label's node
+        parent = nm.select(F.col("node").alias("p_node"),
+                           F.col("lab").alias("p_lab"))
+        labels = (nm.join(parent, nm.lab == F.col("p_node"))
+                  .select("node",
+                          F.least("lab", "p_lab").alias("lab")))
+    return (labels.join(dense.select("node", "n_pts"), "node")
+            .groupBy(F.col("lab").alias("cluster_id"))
+            .agg(F.count("*").cast("long").alias("n_cells"),
+                 F.sum("n_pts").cast("long").alias("n_points"))
+            .orderBy(F.desc("n_points"), "cluster_id")
+            .limit(DBSCAN_TOP))

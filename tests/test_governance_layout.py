@@ -701,3 +701,52 @@ class TestEmptyWarehouse:
         for name in new_queries:
             rows = qs[name](spark, empty_dir).collect()
             assert isinstance(rows, list), name  # executed, no crash
+
+
+class TestGeoDBSCAN:
+    def test_clusters_equal_true_connected_components(self, spark, sf_dir):
+        """The unrolled min-label + pointer-jump rounds must produce the
+        TRUE transitive closure of the dense-cell adjacency — verified
+        against a driver-side union-find replay."""
+        from columnar_estimator_sample_spark.operators.geo import (
+            DBSCAN_MINPTS, GEO_CELL, _LAT, _LON, _floor_div,
+            q_geo_dbscan)
+        from columnar_estimator_sample_spark.sources.tables import table
+        cells = (table(spark, sf_dir, "customer")
+                 .selectExpr(f"{_floor_div(_LAT, GEO_CELL, 'spark')}"
+                             " AS cla",
+                             f"{_floor_div(_LON, GEO_CELL, 'spark')}"
+                             " AS clo")
+                 .groupBy("cla", "clo").count()
+                 .filter(F.col("count") >= DBSCAN_MINPTS)).collect()
+        nodes = {(r.cla, r.clo): r["count"] for r in cells}
+        parent = {k: k for k in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for (la, lo) in nodes:
+            for dla in (-1, 0, 1):
+                for dlo in (-1, 0, 1):
+                    nb = (la + dla, lo + dlo)
+                    if nb in nodes:
+                        ra, rb = find((la, lo)), find(nb)
+                        if ra != rb:
+                            parent[ra] = rb
+        from collections import Counter
+        comp_cells: Counter = Counter()
+        comp_pts: Counter = Counter()
+        for k, n in nodes.items():
+            r = find(k)
+            comp_cells[r] += 1
+            comp_pts[r] += n
+        want = sorted(((comp_pts[c], comp_cells[c])
+                       for c in comp_cells), reverse=True)
+        got_rows = q_geo_dbscan(spark, sf_dir).collect()
+        got = [(r.n_points, r.n_cells) for r in got_rows]
+        assert got == want[:len(got)]
+        # cluster ids are distinct roots
+        assert len({r.cluster_id for r in got_rows}) == len(got_rows)
