@@ -1168,3 +1168,94 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * w_docs) div tot_w").alias("weight_share_pm"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the one-page statistics block a corpus release ships
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dataset_card",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source, n_chars,
+               len(list_filter(string_split(text, ' '),
+                               t -> len(t) > 0)) AS n_tokens,
+               md5(text) AS digest
+        FROM documents
+    ), base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_unique,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_en
+        FROM toks
+    )
+    SELECT m.metric, m.value FROM base, (
+        SELECT * FROM (VALUES (1, 'n_docs'), (2, 'n_tokens'),
+                              (3, 'n_chars'), (4, 'n_langs'),
+                              (5, 'n_sources'),
+                              (6, 'exact_dup_permille'),
+                              (7, 'english_share_permille'),
+                              (8, 'mean_tokens_per_doc')) v(ord, name)
+    ) names(ord, name),
+    LATERAL (
+        SELECT names.name AS metric,
+               CASE names.name
+                    WHEN 'n_docs' THEN n_docs
+                    WHEN 'n_tokens' THEN n_tokens
+                    WHEN 'n_chars' THEN n_chars
+                    WHEN 'n_langs' THEN n_langs
+                    WHEN 'n_sources' THEN n_sources
+                    WHEN 'exact_dup_permille'
+                         THEN (1000 * (n_docs - n_unique)) // n_docs
+                    WHEN 'english_share_permille'
+                         THEN (1000 * n_en) // n_docs
+                    WHEN 'mean_tokens_per_doc'
+                         THEN n_tokens // n_docs
+               END AS value
+    ) m
+    ORDER BY names.ord
+    """)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card statistics block — the one-page summary a corpus
+    release ships (docs/tokens/chars, language and source breadth,
+    exact-duplication rate, English share, mean length): one scan of
+    the documents table collapsing to a single sufficient-statistics
+    row, unpivoted to (metric, value) rows so the card renders as a
+    table. The deeper metrics stay in their own queries (near-dup in
+    the dedup tier, quality gates in q_corpus_prep_pipeline,
+    contamination in q_contamination_check); this is the headline
+    block that cites them.
+
+    Scale: single pass + 1-row rollup; token counts reuse the
+    whitespace contract of q_text_token_stats."""
+    docs = table(spark, sf_dir, "documents")
+    base = (docs.select(
+        "lang", "source", "n_chars",
+        F.expr("size(filter(split(text, ' '), t -> length(t) > 0))")
+        .alias("n_tokens"),
+        F.md5("text").alias("digest"))
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("n_tokens").cast("long").alias("n_tokens"),
+             F.sum("n_chars").cast("long").alias("n_chars"),
+             F.countDistinct("lang").cast("long").alias("n_langs"),
+             F.countDistinct("source").cast("long").alias("n_sources"),
+             F.countDistinct("digest").cast("long").alias("n_unique"),
+             F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+             .cast("long").alias("n_en")))
+    return base.selectExpr(
+        """stack(8,
+            'n_docs', n_docs,
+            'n_tokens', n_tokens,
+            'n_chars', n_chars,
+            'n_langs', n_langs,
+            'n_sources', n_sources,
+            'exact_dup_permille', (1000 * (n_docs - n_unique)) div n_docs,
+            'english_share_permille', (1000 * n_en) div n_docs,
+            'mean_tokens_per_doc', n_tokens div n_docs
+        ) AS (metric, value)""")

@@ -817,3 +817,21 @@ class TestFPGrowthCrossCheck:
         for r in cp:
             assert (r.part_a, r.part_b) in fp_pairs
         assert fp_pairs  # the miner found the same support structure
+
+
+class TestDatasetCard:
+    def test_card_metrics_reconcile(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.corpus import (
+            q_dataset_card)
+        from columnar_estimator_sample_spark.sources.tables import table
+        card = {r.metric: r.value
+                for r in q_dataset_card(spark, sf_dir).collect()}
+        docs = table(spark, sf_dir, "documents")
+        assert card["n_docs"] == docs.count()
+        assert card["n_chars"] == docs.agg(
+            F.sum("n_chars")).collect()[0][0]
+        assert 0 <= card["exact_dup_permille"] <= 1000
+        assert 0 <= card["english_share_permille"] <= 1000
+        assert card["mean_tokens_per_doc"] * card["n_docs"] \
+            <= card["n_tokens"] < \
+            (card["mean_tokens_per_doc"] + 1) * card["n_docs"]
