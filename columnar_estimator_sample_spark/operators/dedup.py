@@ -725,3 +725,84 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "n_common", "size_a", "size_b",
                     "cont_pm")
             .orderBy("doc_a", "doc_b"))
+
+
+# ---------------------------------------------------------------------------
+# Span-level (paragraph) dedup census — the C4/CCNet rule
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 10   # span width; C4 removes repeated 3-sentence spans,
+                    # this corpus has no sentence marks so spans are
+                    # fixed 10-token windows (full windows only)
+
+_CHUNK_CENSUS_SQL = f"""
+    WITH ch AS (
+        SELECT doc_id, source, unnest(
+            CASE WHEN len(string_split(text, ' ')) >= {CHUNK_TOKENS}
+            THEN list_transform(
+                range(1, len(string_split(text, ' ')) // {CHUNK_TOKENS} + 1),
+                i -> array_to_string(list_slice(string_split(text, ' '),
+                        (i-1)*{CHUNK_TOKENS} + 1, i*{CHUNK_TOKENS}), ' '))
+            ELSE CAST([] AS VARCHAR[]) END) AS chunk
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, source, {sql_h64('chunk')} AS h FROM ch
+    ),
+    freq AS (
+        SELECT h, COUNT(DISTINCT doc_id) AS nd FROM hashed GROUP BY h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           CAST(COUNT(DISTINCT CASE WHEN nd >= 2 THEN h END) AS BIGINT)
+               AS n_dup_distinct,
+           (1000 * CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT))
+               // COUNT(*) AS dup_permille
+    FROM hashed JOIN freq USING (h)
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@register("q_chunk_dedup_census", oracle=_CHUNK_CENSUS_SQL)
+def q_chunk_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplicate census, the C4/CCNet paragraph-dedup rule
+    applied per source: split each document into consecutive
+    {CHUNK_TOKENS}-token spans (full spans only), count how much of each
+    source's text is made of spans that also occur in ANOTHER document —
+    the boilerplate/mirror share that span-level dedup would remove.
+    Complements q_substring_hotspots (which surfaces the hot spans
+    themselves) with the per-source removal accounting a corpus triage
+    dashboard leads with.
+
+    Scale: spans never leave their scan task as text — the census
+    shuffles (span_hash, doc_id) pairs (16 bytes) into one combinable
+    aggregate, then one hash join back on the 8-byte hash; per-source
+    rollup is |sources|-sized. The verbatim-span store for actual removal
+    is the same frame keyed by hash (here the census is the product)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    toks = f"split(text, ' ')"
+    chunks = F.expr(
+        f"CASE WHEN size({toks}) >= {CHUNK_TOKENS}"
+        f" THEN transform(sequence(1, size({toks}) DIV {CHUNK_TOKENS}),"
+        f"   i -> concat_ws(' ', slice({toks},"
+        f"        (i-1)*{CHUNK_TOKENS} + 1, {CHUNK_TOKENS})))"
+        f" ELSE array() END")
+    hashed = (docs.select("doc_id", "source",
+                          F.explode(chunks).alias("chunk"))
+              .select("doc_id", "source", h64(F.col("chunk")).alias("h")))
+    freq = hashed.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd"))
+    return (hashed.join(freq, "h")
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_chunks"),
+                 F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+                 .cast("long").alias("n_dup_chunks"),
+                 F.countDistinct(F.when(F.col("nd") >= 2, F.col("h")))
+                 .cast("long").alias("n_dup_distinct"))
+            .withColumn("dup_permille",
+                        F.expr("(1000 * n_dup_chunks) DIV n_chunks"))
+            .orderBy("source"))

@@ -54,6 +54,7 @@ _OPERATOR_MODULES = [
     "columnar_estimator_sample_spark.plans.stats_queries",
     "columnar_estimator_sample_spark.sources.tfrecord",
     "columnar_estimator_sample_spark.operators.geo",
+    "columnar_estimator_sample_spark.operators.entity",
 ]
 
 _loaded = False
