@@ -97,8 +97,8 @@ _DRIVER_WINDOW_R3 = [
     "q_funnel", "q_cohort_retention",
     "q_pagerank", "q_triangle_count",
     "q_hypertable_rollup", "q_copurchase", "q_hll_ndv", "q_countmin_hh",
-    "q11_important_stock", "q13_order_distribution", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q_er_sorted_neighborhood", "q_er_entities", "q_chunk_dedup_census",
+    "q11_important_stock", "q13_order_distribution",
 ]
 
 
