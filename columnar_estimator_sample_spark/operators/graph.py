@@ -46,9 +46,16 @@ def connected_components(pairs: DataFrame,
     where cluster_id = min(doc_id) of the node's component.
 
     Each superstep: neighbor-min via join(edges, labels) + groupBy MIN,
-    then element-wise least() with the current label. The driver loop only
-    ever pulls ONE scalar per superstep (the label-sum convergence probe);
-    labels/edges stay distributed and cached.
+    element-wise least() with the current label, then a POINTER JUMP
+    (adopt the label of your label's node) — reach doubles per superstep,
+    so even path-shaped components (sorted-neighborhood ER produces runs
+    of near-identical records chained through the window) converge in
+    O(log diameter) supersteps, not O(diameter). The driver loop only
+    ever pulls ONE scalar per superstep (the label-sum convergence
+    probe); labels/edges stay distributed, and each superstep's label
+    table is LAZILY local-checkpointed so plan lineage stays constant
+    across supersteps (on a cluster: ``checkpoint()`` to the cluster FS,
+    same shape).
     """
     edges = (
         pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -59,7 +66,7 @@ def connected_components(pairs: DataFrame,
     labels = (
         edges.select(F.col("src").alias("doc_id")).distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(MAX_SUPERSTEPS):
@@ -68,17 +75,25 @@ def connected_components(pairs: DataFrame,
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, labels.doc_id == nbr_min.dst, "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"),
                         F.coalesce(F.col("nbr_min"), F.col("label")))
                 .alias("label"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # pointer jump: labels are node ids, so every label resolves
+        # against the full label table (inner join is total)
+        parent = stepped.select(F.col("doc_id").alias("p_id"),
+                                F.col("label").alias("p_lab"))
+        new_labels = (
+            stepped.join(parent, stepped.label == F.col("p_id"))
+            .select("doc_id",
+                    F.least(F.col("label"), F.col("p_lab")).alias("label"))
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:  # labels only decrease: fixpoint reached
             break
