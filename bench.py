@@ -58,6 +58,9 @@ HEADLINE = [
     "q_copurchase",
     "q_similarity_topk_fast",
     "q_hll_ndv",
+    # round-3 tier representatives
+    "q_er_sorted_neighborhood",
+    "q_chunk_dedup_census",
 ]
 
 

@@ -789,3 +789,128 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.expr("(1000 * est_join_rows)"
                                " div exact_join_rows"))
             .orderBy("row"))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch rollup: weekly NDV from stored daily HLL sketches
+# ---------------------------------------------------------------------------
+
+
+def _hll_rollup_oracle() -> str:
+    lc = ", ".join(str(v) for v in HLL_LC)
+    shift_rmax = "(CAST(1 AS BIGINT) << CAST(a.r_max AS INT))"
+    return f"""
+    WITH e AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events
+    ), hx AS (
+        SELECT day // 7 AS week, day,
+               {sql_h64("'hllr_' || CAST(user_id AS VARCHAR)")} AS h,
+               user_id
+        FROM e
+    ), daily AS (
+        SELECT week, day, h % {HLL_M} AS j,
+               MAX(LEAST(CASE WHEN h // {HLL_M} = 0 THEN 55
+                         ELSE 55 - length(bin(h // {HLL_M})) END,
+                         {HLL_RHO_CAP})) AS m
+        FROM hx GROUP BY 1, 2, 3
+    ), merged AS (
+        SELECT week, j, MAX(m) AS m FROM daily GROUP BY 1, 2
+    ), agg AS (
+        SELECT week, MAX(m) AS r_max,
+               CAST(COUNT(*) AS BIGINT) AS n_registers,
+               CAST((SELECT COUNT(DISTINCT day) FROM daily d
+                     WHERE d.week = merged.week) AS BIGINT) AS n_sketches
+        FROM merged GROUP BY week
+    ), s AS (
+        SELECT m.week,
+               CAST(SUM(CAST(1 AS BIGINT) << CAST(a.r_max - m.m AS INT))
+                    AS BIGINT) AS s_present
+        FROM merged m JOIN agg a USING (week) GROUP BY 1
+    ), ex AS (
+        SELECT day // 7 AS week,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_n
+        FROM e GROUP BY 1
+    ), raw AS (
+        SELECT a.week, a.r_max, a.n_registers, a.n_sketches,
+               CAST((709 * 4096 * {shift_rmax})
+                    // (1000 * (s.s_present
+                                + ({HLL_M} - a.n_registers) * {shift_rmax}))
+                    AS BIGINT) AS raw_est,
+               e.exact_n
+        FROM agg a JOIN s USING (week) JOIN ex e USING (week)
+    )
+    SELECT week, n_sketches, n_registers,
+           CASE WHEN n_registers < {HLL_M} AND raw_est <= 160
+                THEN CAST(([{lc}])[{HLL_M} - n_registers] AS BIGINT)
+                ELSE raw_est END AS est_n,
+           exact_n,
+           (1000 * CASE WHEN n_registers < {HLL_M} AND raw_est <= 160
+                   THEN CAST(([{lc}])[{HLL_M} - n_registers] AS BIGINT)
+                   ELSE raw_est END) // exact_n AS ratio_permille
+    FROM raw
+    ORDER BY week
+    """
+
+
+@register("q_hll_rollup", oracle=_hll_rollup_oracle())
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct-user counts computed FROM stored daily HLL
+    sketches, never from raw data: the pre-aggregation pattern (Druid /
+    DataSketches / materialized sketch columns) that turns a 100 TB
+    distinct-count scan into a |days|x64-register MAX-merge. The daily
+    register table here derives in-plan from the same events scan
+    (production persists it once at ingest); the weekly estimate uses
+    ONLY the daily sketches — the merge is an associative register MAX,
+    so day -> week -> month rollups all read sketch rows, and the same
+    MAX-merge is how shards and streaming micro-batches combine.
+
+    exact_n (COUNT DISTINCT ground truth) exists for the error report
+    beside n_sketches (days merged); production drops it. Registers,
+    ranks, and the integer harmonic-mean estimate are the q_hll_ndv
+    contract — bit-identical in both engines."""
+    from columnar_estimator_sample_spark.operators.events import US_PER_DAY
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"us div {US_PER_DAY}").alias("day"))
+    hx = ev.select(
+        F.expr("day div 7").alias("week"), "day", "user_id",
+        h64(F.concat(F.lit("hllr_"), F.col("user_id").cast("string")))
+        .alias("h"))
+    rho = F.when(F.expr(f"h div {HLL_M}") == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.expr(f"bin(h div {HLL_M})")))
+    daily = (hx.select("week", "day", (F.col("h") % HLL_M).alias("j"),
+                       F.least(rho, F.lit(HLL_RHO_CAP)).cast("long")
+                       .alias("r"))
+             .groupBy("week", "day", "j").agg(F.max("r").alias("m")))
+    merged = daily.groupBy("week", "j").agg(F.max("m").alias("m"))
+    n_sketches = daily.groupBy("week").agg(
+        F.countDistinct("day").cast("long").alias("n_sketches"))
+    agg = merged.groupBy("week").agg(
+        F.max("m").alias("r_max"),
+        F.count(F.lit(1)).alias("n_registers"))
+    s = (merged.join(F.broadcast(agg), "week")
+         .groupBy("week")
+         .agg(F.sum(F.expr(
+             "shiftleft(CAST(1 AS BIGINT), CAST(r_max - m AS INT))"))
+             .alias("s_present")))
+    ex = (ev.groupBy(F.expr("day div 7").alias("week"))
+          .agg(F.countDistinct("user_id").cast("long").alias("exact_n")))
+    shift_rmax = "shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT))"
+    lc = ", ".join(str(v) for v in HLL_LC)
+    return (agg.join(s, "week").join(n_sketches, "week").join(ex, "week")
+            .select("week", "n_sketches", "n_registers",
+                    F.expr(f"(709 * 4096 * {shift_rmax})"
+                           f" div (1000 * (s_present +"
+                           f" ({HLL_M} - n_registers) * {shift_rmax}))")
+                    .alias("raw_est"),
+                    "exact_n")
+            .withColumn("est_n", F.expr(
+                f"CASE WHEN n_registers < {HLL_M} AND raw_est <= 160"
+                f" THEN CAST(element_at(array({lc}),"
+                f" CAST({HLL_M} - n_registers AS INT)) AS BIGINT)"
+                f" ELSE raw_est END"))
+            .drop("raw_est")
+            .withColumn("ratio_permille",
+                        F.expr("(1000 * est_n) div exact_n"))
+            .orderBy("week"))

@@ -337,3 +337,54 @@ class TestQuantileSketch:
             assert r.n_rows == len(cents)
             exact = int(cents[r.target_rank - 1])  # nearest-rank
             assert abs(r.est_cents - exact) <= width + 1
+
+
+class TestHLLRollup:
+    def test_merged_daily_sketches_equal_direct_weekly(self, spark, sf_dir):
+        """Register MAX is associative: weekly registers built by merging
+        the stored daily sketches must be bit-identical to registers
+        computed directly from the raw weekly data — the property that
+        makes sketch rollups (day -> week -> month, shard merges,
+        streaming micro-batches) exact re-aggregations, not approximations
+        of approximations."""
+        from pyspark.sql import functions as F
+
+        from columnar_estimator_sample_spark.functions.hashing import h64
+        from columnar_estimator_sample_spark.operators.events import (
+            US_PER_DAY,
+        )
+        from columnar_estimator_sample_spark.operators.sketches import (
+            HLL_M, HLL_RHO_CAP,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        ev = table(spark, sf_dir, "events").select(
+            "user_id", F.expr(f"us div {US_PER_DAY}").alias("day"))
+        hx = ev.select(
+            F.expr("day div 7").alias("week"), "day",
+            h64(F.concat(F.lit("hllr_"), F.col("user_id").cast("string")))
+            .alias("h"))
+        rho = F.when(F.expr(f"h div {HLL_M}") == 0, F.lit(55)).otherwise(
+            F.lit(55) - F.length(F.expr(f"bin(h div {HLL_M})")))
+        ranked = hx.select("week", "day", (F.col("h") % HLL_M).alias("j"),
+                           F.least(rho, F.lit(HLL_RHO_CAP)).cast("long")
+                           .alias("r"))
+        via_daily = (ranked.groupBy("week", "day", "j")
+                     .agg(F.max("r").alias("m"))
+                     .groupBy("week", "j").agg(F.max("m").alias("m")))
+        direct = ranked.groupBy("week", "j").agg(F.max("r").alias("m"))
+        diff = (via_daily.join(direct, ["week", "j"], "full")
+                .filter((via_daily.m != direct.m)
+                        | via_daily.m.isNull() | direct.m.isNull())
+                .count())
+        assert diff == 0
+
+    def test_rollup_estimates_within_hll_error(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.sketches import (
+            q_hll_rollup,
+        )
+        rows = q_hll_rollup(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            # 64 registers -> ~13% std error; allow 3 sigma
+            assert 600 <= r.ratio_permille <= 1400
+            assert r.n_sketches >= 1
