@@ -178,22 +178,41 @@ def q_er_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     best/worst price — with the canonical name taken from the surviving
     (minimum-key) listing.
 
-    Scale: clustering input is the matched-pair edge list (two int64s per
-    edge, << N); supersteps are narrow shuffles; survivorship is one hash
-    aggregate keyed by entity_id plus a broadcast-sized join back to the
-    survivor's attributes."""
+    Scale: clustering runs on the CONTRACTED graph — listings with
+    identical (noun, size, name) are provably one chain already (the
+    in-block sort makes them contiguous, so consecutive lev-0 window
+    pairs connect the whole run), so each such group collapses to a
+    supernode (its min p_partkey) and the closure is computed over
+    distinct group-to-group edges. Contraction preserves components and
+    the min-key label exactly, while shrinking the CC input from the
+    O(N·W) listing pairs to the (bounded) distinct-name graph — at 10×
+    data the listing pairs grow 10×, the supernode graph does not.
+    Survivorship is one hash aggregate keyed by entity_id plus a
+    broadcast-sized join back to the survivor's attributes."""
     from columnar_estimator_sample_spark.operators.graph import (
         connected_components,
     )
+    parts_full = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size", "p_retailprice",
+        F.element_at(F.split("p_name", " "), 2).alias("noun"))
+    # supernode contraction: group id = min key of the identical-record run
+    grp = (parts_full.groupBy("noun", "p_size", "p_name")
+           .agg(F.min("p_partkey").alias("gid")))
+    membership = parts_full.join(grp, ["noun", "p_size", "p_name"]).select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice", "gid")
     pairs = er_matched_pairs(spark, sf_dir).select("part_a", "part_b")
-    comp = (connected_components(pairs, "part_a", "part_b")
-            .withColumnRenamed("doc_id", "node")
+    ga = membership.select(F.col("p_partkey").alias("part_a"),
+                           F.col("gid").alias("gid_a"))
+    gb = membership.select(F.col("p_partkey").alias("part_b"),
+                           F.col("gid").alias("gid_b"))
+    gedges = (pairs.join(ga, "part_a").join(gb, "part_b")
+              .filter(F.col("gid_a") != F.col("gid_b"))
+              .select("gid_a", "gid_b").distinct())
+    comp = (connected_components(gedges, "gid_a", "gid_b")
+            .withColumnRenamed("doc_id", "gid")
             .withColumnRenamed("cluster_id", "entity_id"))
-    parts = table(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", "p_brand", "p_retailprice")
-    members = (parts.join(comp, parts.p_partkey == comp.node, "left")
-               .select(F.coalesce("entity_id", "p_partkey")
-                       .alias("entity_id"),
+    members = (membership.join(comp, "gid", "left")
+               .select(F.coalesce("entity_id", "gid").alias("entity_id"),
                        "p_partkey", "p_name", "p_brand", "p_retailprice"))
     golden = (members.groupBy("entity_id")
               .agg(F.count("*").cast("long").alias("n_listings"),
@@ -202,8 +221,8 @@ def q_er_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.min("p_retailprice").alias("best_price"),
                    F.max("p_retailprice").alias("worst_price"))
               .filter(F.col("n_listings") >= 2))
-    canon = parts.select(F.col("p_partkey").alias("entity_id"),
-                         F.col("p_name").alias("canonical_name"))
+    canon = parts_full.select(F.col("p_partkey").alias("entity_id"),
+                              F.col("p_name").alias("canonical_name"))
     return (golden.join(canon, "entity_id")
             .select("entity_id", "canonical_name", "n_listings",
                     "n_names", "n_brands", "best_price", "worst_price")
