@@ -697,6 +697,8 @@ class TestEmptyWarehouse:
             "q_hierarchy_rollup", "q_geo_grid_knn",
             "q_inventory_clamped", "q_theilsen_trend", "q_slo_burn",
             "q_f1_threshold", "q_ann_recall", "q_cuped",
+            "q_er_sorted_neighborhood", "q_er_entities",
+            "q_chunk_dedup_census", "q_hll_rollup",
         ]
         for name in new_queries:
             rows = qs[name](spark, empty_dir).collect()
