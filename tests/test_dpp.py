@@ -54,3 +54,45 @@ class TestDynamicPartitionPruning:
              .agg(F.count("*").alias("n")))
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "dynamicpruning" not in plan.lower()
+
+
+class TestRuntimeBloomFilter:
+    def test_selective_dim_injects_bloom_on_fact_scan(self, spark, sf_dir):
+        """Runtime row-level Bloom filter: for shuffle joins on
+        NON-partition columns, Spark builds a Bloom filter from the
+        filtered build side and pushes `might_contain` into the fact
+        scan — the row-level sibling of dynamic partition pruning. The
+        application-side threshold defaults to 10 GB (it exists to keep
+        tiny scans filter-free); at 100 TB any fact scan clears it, and
+        the local-scale test lowers it to observe the injected plan."""
+        from pyspark.sql import functions as F
+        li = table(spark, sf_dir, "lineitem")
+        orders = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT")
+        old_thresh = spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold")
+        old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter"
+                ".applicationSideScanSizeThreshold", "0")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                 .agg(F.count("*").alias("n")))
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "bloom_filter_agg" in plan
+            assert "might_contain" in plan
+            n_filtered = j.collect()[0].n
+        finally:
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter"
+                ".applicationSideScanSizeThreshold", old_thresh)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                           old_bcast)
+        # the Bloom filter is a pure pre-filter: result must be identical
+        j2 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .agg(F.count("*").alias("n")))
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" not in plan2
+        assert j2.collect()[0].n == n_filtered
