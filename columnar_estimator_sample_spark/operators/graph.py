@@ -820,3 +820,118 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CASE WHEN nu >= 0 THEN (1000 * nu) div (m2 * m2)"
             " ELSE -((1000 * -nu) div (m2 * m2)) END AS BIGINT)")
         .alias("modularity_pm"))
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling census over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3         # keep nodes with >= 3 surviving co-purchase partners
+KCORE_ROUNDS = 12   # covers observed convergence (11 rounds at sf0.01,
+                    # <=3 at sf0.001/sf0.1); census rows expose the tail
+                    # so an unconverged run is visible, never silent
+
+
+def _kcore_oracle() -> str:
+    from columnar_estimator_sample_spark.operators.basket import (
+        ITEM_MINSUP, PAIR_MINSUP,
+    )
+    ctes = [f"""
+    items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+              FROM lineitem),
+    freq AS (SELECT p FROM items GROUP BY p
+             HAVING COUNT(*) >= {ITEM_MINSUP}),
+    e0 AS MATERIALIZED (
+        SELECT a.p AS a, b.p AS b
+        FROM items a JOIN items b USING (ok)
+        JOIN freq fa ON fa.p = a.p JOIN freq fb ON fb.p = b.p
+        WHERE a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= {PAIR_MINSUP}
+    )"""]
+    for r in range(KCORE_ROUNDS):
+        ctes.append(f"""
+    d{r} AS MATERIALIZED (
+        SELECT n, COUNT(*) AS d FROM (
+            SELECT a AS n FROM e{r} UNION ALL SELECT b FROM e{r}
+        ) GROUP BY n
+    ),
+    e{r + 1} AS MATERIALIZED (
+        SELECT a, b FROM e{r}
+        JOIN (SELECT n FROM d{r} WHERE d >= {KCORE_K}) x ON x.n = a
+        JOIN (SELECT n FROM d{r} WHERE d >= {KCORE_K}) y ON y.n = b
+    )""")
+    ctes.append(f"""
+    d{KCORE_ROUNDS} AS MATERIALIZED (
+        SELECT n, COUNT(*) AS d FROM (
+            SELECT a AS n FROM e{KCORE_ROUNDS}
+            UNION ALL SELECT b FROM e{KCORE_ROUNDS}
+        ) GROUP BY n
+    )""")
+    census = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT) FROM d{r}) AS n_nodes,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r}) AS n_edges"
+        for r in range(KCORE_ROUNDS + 1))
+    return "WITH " + ",".join(ctes) + f"""
+    {census}
+    ORDER BY round
+    """
+
+
+@register("q_kcore_census", oracle=_kcore_oracle())
+def q_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling census: iteratively remove parts with fewer than
+    {K} surviving co-purchase partners (the a-priori-pruned support
+    graph of q_copurchase, un-truncated) and report (nodes, edges) after
+    every peel round — the cohesion ladder that separates a graph's
+    dense engine-room from its fringe (recommendation seeding, influence
+    cores, fraud rings). The census format makes convergence auditable:
+    equal consecutive rows ARE the fixpoint, so a too-shallow unroll is
+    visible in the output rather than silently wrong.
+
+    Scale: each round is one degree aggregate (two-column union, map-side
+    combinable) plus a semi-join of edges against surviving nodes —
+    O(E) per round; rounds are unrolled with a lazy local checkpoint per
+    round (cluster: ``checkpoint()``), so plan depth stays constant. The
+    peel count is data-dependent (11 rounds here); production uses the
+    same census to pick the unroll budget, and bucket-by-degree variants
+    (peel all k ascending) reuse the identical round shape."""
+    from columnar_estimator_sample_spark.operators.basket import (
+        ITEM_MINSUP, PAIR_MINSUP,
+    )
+    from columnar_estimator_sample_spark.sources.tables import table
+    li = table(spark, sf_dir, "lineitem")
+    items = (li.select("l_orderkey", "l_partkey").distinct()
+             .select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("p")))
+    freq = (items.groupBy("p").agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= ITEM_MINSUP).select("p"))
+    a = items.join(F.broadcast(freq), "p").select(
+        "ok", F.col("p").alias("a"))
+    b = items.join(F.broadcast(freq), "p").select(
+        "ok", F.col("p").alias("b"))
+    e = (a.join(b, "ok").filter(F.col("a") < F.col("b"))
+         .groupBy("a", "b").agg(F.count("*").alias("s"))
+         .filter(F.col("s") >= PAIR_MINSUP)
+         .select("a", "b")
+         .localCheckpoint(eager=False))
+    census = []
+    for r in range(KCORE_ROUNDS + 1):
+        deg = (e.select(F.col("a").alias("n"))
+               .unionAll(e.select(F.col("b").alias("n")))
+               .groupBy("n").agg(F.count("*").alias("d")))
+        census.append(
+            deg.agg(F.count("*").cast("long").alias("n_nodes"))
+            .crossJoin(e.agg(F.count("*").cast("long").alias("n_edges")))
+            .select(F.lit(r).cast("long").alias("round"),
+                    "n_nodes", "n_edges"))
+        if r < KCORE_ROUNDS:
+            keep = deg.filter(F.col("d") >= KCORE_K).select("n")
+            e = (e.join(keep.select(F.col("n").alias("a")), "a")
+                 .join(keep.select(F.col("n").alias("b")), "b")
+                 .select("a", "b")
+                 .localCheckpoint(eager=False))
+    out = census[0]
+    for c in census[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("round")

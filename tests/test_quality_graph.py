@@ -259,3 +259,61 @@ class TestCompleteness:
         for r in rows:
             assert 0 <= r.n_nulls <= r.n_rows
             assert 0 <= r.null_ppm <= 1_000_000
+
+
+class TestKCoreCensus:
+    def test_census_monotone_and_converged(self, spark, sf_dir):
+        """Peeling only removes: census must be non-increasing, and the
+        unroll budget must reach the fixpoint (last two rows equal) at
+        test scale — the auditability contract in the docstring."""
+        from columnar_estimator_sample_spark.operators.graph import (
+            q_kcore_census,
+        )
+        rows = q_kcore_census(spark, sf_dir).collect()
+        assert [r.round for r in rows] == list(range(len(rows)))
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur.n_nodes <= prev.n_nodes
+            assert cur.n_edges <= prev.n_edges
+        assert rows[-1].n_nodes == rows[-2].n_nodes
+        assert rows[-1].n_edges == rows[-2].n_edges
+
+    def test_survivors_have_core_degree(self, spark, sf_dir):
+        """Every node surviving the full peel has degree >= K inside the
+        surviving subgraph (the defining 3-core property)."""
+        from pyspark.sql import functions as F
+
+        from columnar_estimator_sample_spark.operators.graph import (
+            KCORE_K, KCORE_ROUNDS, q_kcore_census,
+        )
+        census = q_kcore_census(spark, sf_dir).collect()
+        if census[-1].n_edges == 0:
+            return  # empty core at this scale: nothing to check
+        # rebuild the surviving edge set by replaying the peel
+        from columnar_estimator_sample_spark.operators.basket import (
+            ITEM_MINSUP, PAIR_MINSUP,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        items = (table(spark, sf_dir, "lineitem")
+                 .select("l_orderkey", "l_partkey").distinct()
+                 .select(F.col("l_orderkey").alias("ok"),
+                         F.col("l_partkey").alias("p")))
+        freq = (items.groupBy("p").agg(F.count("*").alias("c"))
+                .filter(F.col("c") >= ITEM_MINSUP).select("p"))
+        a = items.join(freq, "p").select("ok", F.col("p").alias("a"))
+        b = items.join(freq, "p").select("ok", F.col("p").alias("b"))
+        e = (a.join(b, "ok").filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count("*").alias("s"))
+             .filter(F.col("s") >= PAIR_MINSUP).select("a", "b")
+             .localCheckpoint(eager=False))
+        for _ in range(KCORE_ROUNDS):
+            deg = (e.select(F.col("a").alias("n"))
+                   .unionAll(e.select(F.col("b").alias("n")))
+                   .groupBy("n").agg(F.count("*").alias("d")))
+            keep = deg.filter(F.col("d") >= KCORE_K).select("n")
+            e = (e.join(keep.select(F.col("n").alias("a")), "a")
+                 .join(keep.select(F.col("n").alias("b")), "b")
+                 .select("a", "b").localCheckpoint(eager=False))
+        final_deg = (e.select(F.col("a").alias("n"))
+                     .unionAll(e.select(F.col("b").alias("n")))
+                     .groupBy("n").agg(F.count("*").alias("d")))
+        assert final_deg.filter(F.col("d") < KCORE_K).count() == 0
