@@ -98,7 +98,7 @@ _DRIVER_WINDOW_R3 = [
     "q_pagerank", "q_triangle_count",
     "q_hypertable_rollup", "q_copurchase", "q_hll_ndv", "q_countmin_hh",
     "q_er_sorted_neighborhood", "q_er_entities", "q_chunk_dedup_census",
-    "q11_important_stock", "q13_order_distribution",
+    "q_hll_rollup", "q_kcore_census",
 ]
 
 
