@@ -142,6 +142,33 @@ def train_dnn(train_df: DataFrame, test_df: DataFrame,
     return TrainResult(model=model, auc=auc, n_features=len(cols))
 
 
+def train_gbt(train_df: DataFrame, test_df: DataFrame,
+              label_col: str = "label", max_iter: int = 20,
+              max_depth: int = 4) -> TrainResult:
+    """Gradient-boosted trees over the same NDV-sized hashed feature
+    frame — the tabular workhorse the reference's estimator zoo lacks
+    (its LinearClassifier/DNNClassifier family, trainer.py:287-310,
+    covers the linear and deep ends; boosted trees cover the middle
+    where most tabular lift lives). MLlib's GBTClassifier trains
+    distributed: each boosting round fits a regression tree whose split
+    search is one pass of per-feature histogram aggregates across
+    executors — the same map-side-combine shape as the engine's
+    relational aggregations, so a 100 TB frame trains without any
+    driver-side materialization. Seeded for reproducibility."""
+    from pyspark.ml.classification import GBTClassifier
+    buckets = measure_buckets(train_df)
+    tr, cols = build_features(train_df, label_col, buckets=buckets)
+    te, _ = build_features(test_df, label_col, buckets=buckets)
+    asm = VectorAssembler(inputCols=cols, outputCol="features")
+    gbt = GBTClassifier(featuresCol="features", labelCol=label_col,
+                        maxIter=max_iter, maxDepth=max_depth, seed=42)
+    model = gbt.fit(asm.transform(tr))
+    pred = model.transform(asm.transform(te))
+    auc = BinaryClassificationEvaluator(
+        labelCol=label_col, rawPredictionCol="rawPrediction").evaluate(pred)
+    return TrainResult(model=model, auc=auc, n_features=len(cols))
+
+
 def criteo_shaped_frame(spark, n_rows: int = 4000, n_int: int = 4,
                         n_cat: int = 4, seed: int = 42) -> DataFrame:
     """Deterministic Criteo-shaped fixture (FIXTURES.md §B1, scaled down):

@@ -49,6 +49,12 @@ class TestML:
         res = train_dnn(train, test, max_iter=15)
         assert res.auc > 0.55, f"AUC {res.auc}"
 
+    def test_gbt_learns_signal(self, frames):
+        from columnar_estimator_sample_spark.ml.train import train_gbt
+        train, test = frames
+        res = train_gbt(train, test, max_iter=10)
+        assert res.auc > 0.55, f"AUC {res.auc}"
+
 
 class TestMultimodal:
     def test_media_schema(self, spark, sf_dir):
