@@ -1920,3 +1920,92 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))"
             " div ((n * sxx - sx * sx) * (n * syy - sy * sy))"
             " AS BIGINT)").alias("var_reduction_pm"))
+
+
+# ---------------------------------------------------------------------------
+# Funnel with exclusion event (MATCH_RECOGNIZE-style clean conversion)
+# ---------------------------------------------------------------------------
+
+FEX_WINDOW_US = 7 * US_PER_DAY   # view -> purchase attribution window
+
+
+@register(
+    "q_funnel_exclusion",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        FROM events
+    ), w AS (
+        SELECT event_type, us,
+               MAX(CASE WHEN event_type = 'view' THEN us END) OVER wprev
+                   AS last_view,
+               MAX(CASE WHEN event_type = 'error' THEN us END) OVER wprev
+                   AS last_error
+        FROM e
+        WINDOW wprev AS (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING)
+    ), p AS (
+        SELECT us // {US_PER_DAY} AS day,
+               CASE WHEN last_view IS NOT NULL
+                         AND us - last_view <= {FEX_WINDOW_US}
+                         AND (last_error IS NULL
+                              OR last_error < last_view)
+                    THEN 1 ELSE 0 END AS clean,
+               CASE WHEN last_view IS NOT NULL
+                         AND us - last_view <= {FEX_WINDOW_US}
+                         AND last_error IS NOT NULL
+                         AND last_error >= last_view
+                    THEN 1 ELSE 0 END AS tainted
+        FROM w WHERE event_type = 'purchase'
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(clean) AS BIGINT) AS n_clean,
+           CAST(SUM(tainted) AS BIGINT) AS n_tainted,
+           (1000 * CAST(SUM(clean) AS BIGINT)) // COUNT(*)
+               AS clean_permille
+    FROM p GROUP BY day ORDER BY day
+    """)
+def q_funnel_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean-conversion funnel with an EXCLUSION event: a purchase
+    converts cleanly when a view precedes it within 7 days and no error
+    event sits between that view and the purchase — the
+    sequence-pattern (A then B, no C between) that SQL usually buys with
+    MATCH_RECOGNIZE or a temporal anti-join. Here the exclusion is a
+    pure window computation: running conditional MAX of the last view /
+    last error time before each row, then value comparisons — no
+    self-join, no anti-join, no pattern engine.
+
+    Scale: everything rides ONE user_id exchange (the q_sessionize
+    exchange); the two conditional-MAX windows share it, and the daily
+    rollup aggregates |days| rows. The anti-join formulation would
+    shuffle events twice and explode on hot users; this shape cannot."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "us")
+    wprev = (Window.partitionBy("user_id").orderBy("us", "event_id")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w = ev.select(
+        "event_type", "us",
+        F.max(F.when(F.col("event_type") == "view", F.col("us")))
+        .over(wprev).alias("last_view"),
+        F.max(F.when(F.col("event_type") == "error", F.col("us")))
+        .over(wprev).alias("last_error"))
+    in_win = (F.col("last_view").isNotNull()
+              & (F.col("us") - F.col("last_view") <= FEX_WINDOW_US))
+    p = (w.filter(F.col("event_type") == "purchase")
+         .select(F.expr(f"us div {US_PER_DAY}").alias("day"),
+                 F.when(in_win & (F.col("last_error").isNull()
+                                  | (F.col("last_error")
+                                     < F.col("last_view"))), 1)
+                 .otherwise(0).alias("clean"),
+                 F.when(in_win & F.col("last_error").isNotNull()
+                        & (F.col("last_error") >= F.col("last_view")), 1)
+                 .otherwise(0).alias("tainted")))
+    return (p.groupBy(F.col("day").cast("long").alias("day"))
+            .agg(F.count("*").cast("long").alias("n_purchases"),
+                 F.sum("clean").cast("long").alias("n_clean"),
+                 F.sum("tainted").cast("long").alias("n_tainted"))
+            .withColumn("clean_permille",
+                        F.expr("(1000 * n_clean) DIV n_purchases"))
+            .orderBy("day"))

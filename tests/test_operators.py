@@ -279,3 +279,45 @@ class TestEventAnalytics:
         # one user_id window exchange + the output range sort only
         assert plan.count("Exchange hashpartitioning") == 1
         assert "BatchEvalPython" not in plan
+
+
+class TestSessionWindowParity:
+    def test_native_session_window_matches_sessionize(self, spark, sf_dir):
+        """Spark's built-in session_window (the streaming-native gap
+        sessionizer) must agree with the engine's window-based
+        q_sessionize on session counts per user — two independent
+        formulations of the 30-minute gap rule. (Boundary semantics
+        differ only at EXACTLY-30:00.000000 gaps, which the synthetic
+        microsecond data never hits.)"""
+        from pyspark.sql import functions as F
+
+        from columnar_estimator_sample_spark.operators.events import (
+            q_sessionize,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        ev = (table(spark, sf_dir, "events")
+              .select("user_id", F.expr("timestamp_micros(us)").alias("t")))
+        native = (ev.groupBy(F.session_window("t", "30 minutes"),
+                             "user_id")
+                  .count()
+                  .groupBy("user_id")
+                  .agg(F.count("*").alias("n_sessions")))
+        ours = (q_sessionize(spark, sf_dir)
+                .groupBy("user_id")
+                .agg(F.count("*").alias("n_sessions")))
+        diff = (native.join(ours, "user_id", "full")
+                .filter((native.n_sessions != ours.n_sessions)
+                        | native.n_sessions.isNull()
+                        | ours.n_sessions.isNull())
+                .count())
+        assert diff == 0
+
+    def test_funnel_exclusion_invariants(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.events import (
+            q_funnel_exclusion,
+        )
+        rows = q_funnel_exclusion(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.n_clean + r.n_tainted <= r.n_purchases
+            assert 0 <= r.clean_permille <= 1000
