@@ -61,6 +61,8 @@ HEADLINE = [
     # round-3 tier representatives
     "q_er_sorted_neighborhood",
     "q_chunk_dedup_census",
+    "q_hll_rollup",
+    "q_funnel_exclusion",
 ]
 
 
