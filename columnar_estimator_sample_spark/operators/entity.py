@@ -80,15 +80,16 @@ def _pairs_sql(final_select: bool = True) -> str:
     return sql
 
 
-def er_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sorted-neighborhood candidate generation + Levenshtein scoring.
+def snm_pairs(recs: DataFrame) -> DataFrame:
+    """Sorted-neighborhood candidate generation + Levenshtein scoring
+    over a (p_partkey, p_name, p_brand, p_size) record frame.
 
     The oracle expresses the window as a ROW_NUMBER range self-join (SQL
     has no multi-offset LEAD-explode); the Spark plan generates the same
     pairs with W-1 LEAD() columns over one window — zero joins, one
     exchange on the blocking key.
     """
-    recs = table(spark, sf_dir, "part").select(
+    recs = recs.select(
         "p_partkey", "p_name", "p_brand", "p_size",
         F.element_at(F.split("p_name", " "), 2).alias("noun"))
     w = Window.partitionBy("noun", "p_size").orderBy("p_name", "p_partkey")
@@ -118,6 +119,11 @@ def er_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long").alias("same_brand"))
         .filter(F.col("lev") <= ER_LEV_T)
     )
+
+
+def er_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNM matching over the part catalog (see :func:`snm_pairs`)."""
+    return snm_pairs(table(spark, sf_dir, "part"))
 
 
 @register("q_er_sorted_neighborhood", oracle="WITH " + _pairs_sql())

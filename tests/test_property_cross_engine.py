@@ -205,3 +205,55 @@ class TestLindleyClosedForm:
             s += d
             min_s = min(min_s, s)
             assert w == s - min(0, min_s)
+
+
+# --- sorted-neighborhood matching: Spark plan vs independent replay ----
+
+_ADJ = ["red", "rd", "blue", "blu", "hot", "hut"]
+_NOUN = ["bolt", "bol", "gear"]
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.sampled_from(_ADJ), st.sampled_from(_NOUN),
+                          st.integers(0, 2), st.integers(0, 3)),
+                min_size=2, max_size=30))
+def test_snm_pairs_match_replay(spark, rows):
+    """The LEAD-explode sorted-neighborhood plan emits EXACTLY the pairs
+    a literal replay of the algorithm produces (block on (noun, size),
+    sort by (name, key), window W, Levenshtein <= T) — including on
+    adversarial near-collision names and duplicate records."""
+    from columnar_estimator_sample_spark.operators.entity import (
+        ER_LEV_T, ER_W, snm_pairs,
+    )
+    recs = [(i, f"{adj} {noun}", f"Brand#{brand}", size)
+            for i, (adj, noun, size, brand) in enumerate(rows)]
+    df = spark.createDataFrame(
+        recs, "p_partkey long, p_name string, p_brand string, p_size int")
+    got = {(r.part_a, r.part_b, r.lev, r.same_brand)
+           for r in snm_pairs(df).collect()}
+
+    want = set()
+    blocks: dict[tuple, list] = {}
+    for key, name, brand, size in recs:
+        blocks.setdefault((name.split(" ")[1], size), []).append(
+            (name, key, brand))
+    for members in blocks.values():
+        members.sort()
+        for i, (na, ka, ba) in enumerate(members):
+            for nb, kb, bb in members[i + 1:i + ER_W]:
+                d = _lev(na, nb)
+                if d <= ER_LEV_T:
+                    want.add((ka, kb, d, int(ba == bb)))
+    assert got == want
