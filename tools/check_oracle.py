@@ -89,8 +89,10 @@ def _eq(a, b) -> bool:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--json"]
+    emit_json = "--json" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
@@ -101,6 +103,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
 
     failed, passed, rows_only = [], [], []
+    ledger: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -109,10 +112,14 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failed.append(name)
+            ledger[name] = {"status": "fail", "rows": None,
+                            "err": f"spark error: {e}"[:200]}
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
             rows_only.append(name)
+            ledger[name] = {"status": "rows_only", "rows": len(sdf),
+                            "err": None}
             print(f"ROWS-ONLY {name}: {len(sdf)} rows "
                   f"({time.time() - t0:.1f}s)")
             continue
@@ -120,20 +127,37 @@ def main() -> int:
             odf = run_duckdb(oracles[name], sf_dir)
         except Exception as e:  # noqa: BLE001
             failed.append(name)
+            ledger[name] = {"status": "fail", "rows": len(sdf),
+                            "err": f"oracle error: {e}"[:200]}
             print(f"FAIL {name}: oracle error: {e}")
             continue
         problems = compare(name, sdf, odf)
         if problems:
             failed.append(name)
+            ledger[name] = {"status": "fail", "rows": len(sdf),
+                            "err": "; ".join(problems)[:200]}
             print(f"FAIL {name} ({len(sdf)} rows, {time.time() - t0:.1f}s)")
             for p in problems:
                 print(f"   - {p}")
         else:
             passed.append(name)
+            ledger[name] = {"status": "pass", "rows": len(sdf),
+                            "err": None}
             print(f"PASS {name} ({len(sdf)} rows, {time.time() - t0:.1f}s)")
 
     print(f"\n{len(passed)} passed, {len(failed)} failed, "
           f"{len(rows_only)} rows-only")
+    if emit_json and not only:
+        import json
+        import os
+        out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "CORRECTNESS_LOCAL.json")
+        with open(out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": len(passed),
+                       "n_fail": len(failed),
+                       "n_rows_only": len(rows_only),
+                       "queries": ledger}, f, indent=1, sort_keys=True)
+        print(f"wrote {out}")
     return 1 if failed else 0
 
 
