@@ -806,3 +806,155 @@ def q_chunk_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("dup_permille",
                         F.expr("(1000 * n_dup_chunks) DIV n_chunks"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# Exact-threshold set-similarity self-join with prefix filtering
+# (AllPairs / PPJoin family, Bayardo et al. WWW'07; Xiao et al. ICDE'08).
+# The EXACT counterpart to q_dedup_minhash_lsh: no probabilistic recall
+# loss, yet never all-pairs — pruning relies on two published invariants:
+#   * length filter:  J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so partners of
+#     A need |B| >= t*|A|.
+#   * prefix filter:  order every set by one GLOBAL token order
+#     (rarest-first); if J(A,B) >= t then A and B share at least one
+#     token inside their first |X| - ceil(t*|X|) + 1 tokens.
+# Candidates = pairs sharing a PREFIX token, so join fan-out is governed
+# by the frequency of the rarest tokens, not vocabulary-wide co-occurrence.
+
+SSJOIN_T_MILLIS = 500   # exact Jaccard threshold (0.500) on word 3-grams
+SSJOIN_NGRAM = 3
+
+
+def _word_ngrams_expr(arr: str, n: int = SSJOIN_NGRAM) -> Column:
+    """Distinct word n-grams of a split-token array column, codegen'd."""
+    parts = ", ".join(f"element_at({arr}, i + {j})" for j in range(n))
+    return F.expr(
+        f"CASE WHEN size({arr}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({arr}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts}))) "
+        f"ELSE array() END"
+    )
+
+
+def _ssjoin_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, token) distinct word n-grams of ``docs(doc_id, text)``."""
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    return ws.select(
+        "doc_id", F.explode(_word_ngrams_expr("ws")).alias("token"))
+
+
+def prefix_filter_candidates(docs: DataFrame,
+                             t_millis: int = SSJOIN_T_MILLIS) -> DataFrame:
+    """Candidate pairs (doc_a, doc_b, na, nb) surviving the length and
+    prefix filters — every true Jaccard>=t pair is here (completeness
+    guarantee), and nothing else is ever scored.
+
+    Scale: the global rarest-first order needs NO global rank — tokens
+    are ordered per document by (corpus_frequency, token), a per-doc
+    window after one (token)-keyed frequency join. Shuffles: token
+    frequency (combiner-backed, O(distinct tokens)), per-doc rank
+    (O(tokens) keyed by doc_id), candidate join keyed by PREFIX tokens
+    only. Nothing is ever all-pairs; text never enters a shuffle."""
+    from pyspark.sql.window import Window
+
+    toks = _ssjoin_tokens(docs)
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    freq = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    ranked = (
+        toks.join(freq, "token")
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("tf", "token")))
+        .join(sizes, "doc_id")
+        # prefix length = n - ceil(t*n) + 1, integer ceil
+        .filter(F.col("rn") <= F.col("n")
+                - F.floor((F.lit(t_millis) * F.col("n") + F.lit(999))
+                          / F.lit(1000)) + 1)
+        .select("doc_id", "token", "n")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    return (
+        a.join(b, (F.col("a.token") == F.col("b.token"))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               # length filter: J <= min/max
+               & (F.lit(1000) * F.least("a.n", "b.n")
+                  >= F.lit(t_millis) * F.greatest("a.n", "b.n")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.n").alias("na"), F.col("b.n").alias("nb"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def prefix_filter_pairs(docs: DataFrame,
+                        t_millis: int = SSJOIN_T_MILLIS) -> DataFrame:
+    """All pairs of ``docs(doc_id, text)`` with word-3-gram Jaccard
+    >= t: :func:`prefix_filter_candidates` for pruning, then exact
+    verification joining tokens back for candidate docs only, keyed by
+    (doc_id, token)."""
+    toks = _ssjoin_tokens(docs)
+    cand = prefix_filter_candidates(docs, t_millis)
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("inter_size"))
+    )
+    u = F.col("na") + F.col("nb") - F.col("inter_size")
+    return (
+        inter.filter(F.lit(1000) * F.col("inter_size") >= F.lit(t_millis) * u)
+        .select("doc_a", "doc_b",
+                F.col("inter_size").cast("long").alias("inter_size"),
+                u.cast("long").alias("union_size"),
+                F.expr("(1000 * inter_size) DIV (na + nb - inter_size)")
+                .cast("long").alias("jaccard_millis"))
+    )
+
+
+@register(
+    "q_dedup_prefix_filter",
+    # Differential oracle: DuckDB computes the SAME threshold join with NO
+    # pruning (exhaustive token-token join). A hash match therefore proves
+    # both value correctness AND that length+prefix filtering lost no pair.
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), toks AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(ws) >= {SSJOIN_NGRAM} THEN
+                   list_distinct(list_transform(
+                       range(1, len(ws) - {SSJOIN_NGRAM - 2}),
+                       i -> ws[CAST(i AS INT)] || ' ' ||
+                            ws[CAST(i AS INT) + 1] || ' ' ||
+                            ws[CAST(i AS INT) + 2]))
+                   ELSE [] END) AS token
+        FROM w
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM toks a JOIN toks b
+          ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS BIGINT) AS inter_size,
+           CAST(sa.n + sb.n - i AS BIGINT) AS union_size,
+           CAST((1000 * i) // (sa.n + sb.n - i) AS BIGINT) AS jaccard_millis
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE 1000 * i >= {SSJOIN_T_MILLIS} * (sa.n + sb.n - i)
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard-threshold near-dup pairs (word 3-grams, t = 0.5)
+    via the AllPairs/PPJoin prefix-filter join — see
+    :func:`prefix_filter_pairs`. Where q_dedup_minhash_lsh trades recall
+    for speed, this is the loss-free path a dedup AUDIT runs: the DuckDB
+    oracle does the exhaustive join, so the driver's hash match certifies
+    the pruning is complete, not just fast."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return prefix_filter_pairs(docs).orderBy("doc_a", "doc_b")

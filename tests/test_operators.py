@@ -83,6 +83,49 @@ class TestDedup:
         assert got == expected
 
 
+    def test_prefix_filter_prunes_without_loss(self, spark, sf_dir):
+        """Length+prefix filtering must (a) generate far fewer candidate
+        pairs than brute force would compare and (b) return exactly the
+        pairs the exhaustive threshold join finds (no recall loss — the
+        published prefix-filter completeness guarantee)."""
+        from pyspark.sql import functions as F
+        from columnar_estimator_sample_spark.operators.dedup import (
+            SSJOIN_T_MILLIS, _word_ngrams_expr, prefix_filter_pairs,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        n = docs.count()
+        toks = docs.select(
+            "doc_id", F.split("text", " ").alias("ws")).select(
+            "doc_id", F.explode(_word_ngrams_expr("ws")).alias("token"))
+        # exhaustive threshold join (small n makes this affordable here)
+        sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+        ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
+        tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
+        inter = (ta.join(tb, "token")
+                 .filter(F.col("doc_a") < F.col("doc_b"))
+                 .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i")))
+        brute = (inter
+                 .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                       .withColumnRenamed("n", "na"), "doc_a")
+                 .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                       .withColumnRenamed("n", "nb"), "doc_b")
+                 .filter(F.lit(1000) * F.col("i")
+                         >= F.lit(SSJOIN_T_MILLIS)
+                         * (F.col("na") + F.col("nb") - F.col("i"))))
+        expected = {(r["doc_a"], r["doc_b"]) for r in brute.collect()}
+        got_df = prefix_filter_pairs(docs)
+        got = {(r["doc_a"], r["doc_b"]) for r in got_df.collect()}
+        assert got == expected and len(got) > 0
+        # pruning: candidate pairs examined << n(n-1)/2
+        from columnar_estimator_sample_spark.operators.dedup import (
+            prefix_filter_candidates,
+        )
+        cand = prefix_filter_candidates(docs).count()
+        assert cand < 0.1 * n * (n - 1) / 2
+
+
 class TestSimilarity:
     def test_fast_path_matches_exact_ids(self, spark, sf_dir):
         """BLAS mapInPandas top-k must agree with the oracle-checked exact
