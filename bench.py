@@ -63,6 +63,7 @@ HEADLINE = [
     "q_chunk_dedup_census",
     "q_hll_rollup",
     "q_funnel_exclusion",
+    "q_dedup_prefix_filter",
 ]
 
 

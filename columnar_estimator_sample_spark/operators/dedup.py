@@ -837,47 +837,65 @@ def _word_ngrams_expr(arr: str, n: int = SSJOIN_NGRAM) -> Column:
 
 
 def _ssjoin_tokens(docs: DataFrame) -> DataFrame:
-    """(doc_id, token) distinct word n-grams of ``docs(doc_id, text)``."""
+    """(doc_id, h) — distinct word n-grams of ``docs(doc_id, text)``,
+    represented by their portable 60-bit md5 hash so every downstream
+    shuffle and join carries an 8-byte key instead of a ~25-byte string.
+    The DuckDB oracle hashes with the identical :func:`sql_h64`, so both
+    engines see the same token universe by construction."""
     ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
     return ws.select(
-        "doc_id", F.explode(_word_ngrams_expr("ws")).alias("token"))
+        "doc_id", F.explode(_word_ngrams_expr("ws")).alias("token")
+    ).select("doc_id", h64(F.col("token")).alias("h"))
 
 
 def prefix_filter_candidates(docs: DataFrame,
                              t_millis: int = SSJOIN_T_MILLIS) -> DataFrame:
-    """Candidate pairs (doc_a, doc_b, na, nb) surviving the length and
-    prefix filters — every true Jaccard>=t pair is here (completeness
-    guarantee), and nothing else is ever scored.
+    """Candidate pairs (doc_a, doc_b, na, nb) surviving the length,
+    prefix, AND positional filters — every true Jaccard>=t pair is here
+    (completeness guarantee), and nothing else is ever scored.
+
+    Positional filter (PPJoin): for a qualifying pair the SMALLEST common
+    token w (global rarest-first order) sits inside both prefixes at
+    positions (pa, pb), and |A∩B| <= 1 + min(na-pa, nb-pb). Requiring
+    1 + min(na-pa, nb-pb) >= ceil(t·(na+nb)/(1+t)) on the join rows keeps
+    the w-row of every true pair (so no loss) while dropping pairs whose
+    only shared prefix tokens sit too deep to reach the overlap bound.
 
     Scale: the global rarest-first order needs NO global rank — tokens
-    are ordered per document by (corpus_frequency, token), a per-doc
-    window after one (token)-keyed frequency join. Shuffles: token
+    are ordered per document by (corpus_frequency, hash), a per-doc
+    window after one hash-keyed frequency join. Shuffles: token
     frequency (combiner-backed, O(distinct tokens)), per-doc rank
-    (O(tokens) keyed by doc_id), candidate join keyed by PREFIX tokens
-    only. Nothing is ever all-pairs; text never enters a shuffle."""
+    (O(tokens) keyed by doc_id), candidate join keyed by PREFIX token
+    hashes only. Nothing is ever all-pairs; text never enters a shuffle."""
     from pyspark.sql.window import Window
 
     toks = _ssjoin_tokens(docs)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
-    freq = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    freq = toks.groupBy("h").agg(F.count("*").alias("tf"))
     ranked = (
-        toks.join(freq, "token")
+        toks.join(freq, "h")
         .withColumn("rn", F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("tf", "token")))
+            Window.partitionBy("doc_id").orderBy("tf", "h")))
         .join(sizes, "doc_id")
         # prefix length = n - ceil(t*n) + 1, integer ceil
         .filter(F.col("rn") <= F.col("n")
                 - F.floor((F.lit(t_millis) * F.col("n") + F.lit(999))
                           / F.lit(1000)) + 1)
-        .select("doc_id", "token", "n")
+        .select("doc_id", "h", "rn", "n")
     )
     a, b = ranked.alias("a"), ranked.alias("b")
+    # overlap bound >= ceil(t*(na+nb)/(1000+t)) <=> bound*(1000+t) >= t*(na+nb)
+    pos_bound = (F.lit(1) + F.least(F.col("a.n") - F.col("a.rn"),
+                                    F.col("b.n") - F.col("b.rn")))
     return (
-        a.join(b, (F.col("a.token") == F.col("b.token"))
+        a.join(b, (F.col("a.h") == F.col("b.h"))
                & (F.col("a.doc_id") < F.col("b.doc_id"))
                # length filter: J <= min/max
                & (F.lit(1000) * F.least("a.n", "b.n")
-                  >= F.lit(t_millis) * F.greatest("a.n", "b.n")))
+                  >= F.lit(t_millis) * F.greatest("a.n", "b.n"))
+               # positional filter
+               & (pos_bound * F.lit(1000 + t_millis)
+                  >= F.lit(t_millis) * (F.col("a.n") + F.col("b.n"))))
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
                 F.col("a.n").alias("na"), F.col("b.n").alias("nb"))
@@ -885,31 +903,76 @@ def prefix_filter_candidates(docs: DataFrame,
     )
 
 
-def prefix_filter_pairs(docs: DataFrame,
-                        t_millis: int = SSJOIN_T_MILLIS) -> DataFrame:
-    """All pairs of ``docs(doc_id, text)`` with word-3-gram Jaccard
-    >= t: :func:`prefix_filter_candidates` for pruning, then exact
-    verification joining tokens back for candidate docs only, keyed by
-    (doc_id, token)."""
+def _verified_pairs(docs: DataFrame, t_millis: int) -> DataFrame:
+    """Candidates -> exact verification joining token hashes back for
+    candidate docs only, keyed by (doc_id, h)."""
     toks = _ssjoin_tokens(docs)
     cand = prefix_filter_candidates(docs, t_millis)
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "h")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "h")
     inter = (
         cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "token"])
+        .join(tb, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("inter_size"))
     )
     u = F.col("na") + F.col("nb") - F.col("inter_size")
-    return (
-        inter.filter(F.lit(1000) * F.col("inter_size") >= F.lit(t_millis) * u)
-        .select("doc_a", "doc_b",
-                F.col("inter_size").cast("long").alias("inter_size"),
-                u.cast("long").alias("union_size"),
-                F.expr("(1000 * inter_size) DIV (na + nb - inter_size)")
-                .cast("long").alias("jaccard_millis"))
+    return inter.filter(
+        F.lit(1000) * F.col("inter_size") >= F.lit(t_millis) * u)
+
+
+def prefix_filter_pairs(docs: DataFrame,
+                        t_millis: int = SSJOIN_T_MILLIS) -> DataFrame:
+    """All pairs of ``docs(doc_id, text)`` with word-3-gram Jaccard >= t.
+
+    Exact duplicates are contracted FIRST (md5(text) census, min-id
+    representative — the same supernode trick q_er_entities uses): the
+    similarity join runs on distinct texts only, then pairs are expanded
+    back to member documents. On a mirrored/replicated corpus (the
+    realistic 100 TB regime — our sf1 bench data is literally 10-way
+    duplicated) this keeps the candidate join sized by UNIQUE content
+    while the duplicate blow-up moves to the final, output-proportional
+    expansion join. Within-group pairs are emitted directly with
+    J = 1000 (identical texts share every token), skipping scoring."""
+    fp = docs.select("doc_id", F.md5("text").alias("fp"))
+    members = fp.join(
+        fp.groupBy("fp").agg(F.min("doc_id").alias("gid")), "fp")
+    reps = (members.filter(F.col("doc_id") == F.col("gid"))
+            .join(docs, "doc_id").select("doc_id", "text"))
+    rep_sizes = _ssjoin_tokens(reps).groupBy("doc_id").agg(
+        F.count("*").alias("n"))
+
+    rep_pairs = _verified_pairs(reps, t_millis)
+
+    ma = members.select(F.col("gid").alias("doc_a"),
+                        F.col("doc_id").alias("mem_a"))
+    mb = members.select(F.col("gid").alias("doc_b"),
+                        F.col("doc_id").alias("mem_b"))
+    cross = (
+        rep_pairs.join(ma, "doc_a").join(mb, "doc_b")
+        .select(F.least("mem_a", "mem_b").alias("doc_a"),
+                F.greatest("mem_a", "mem_b").alias("doc_b"),
+                "na", "nb", "inter_size")
     )
+    # identical texts: every member pair within a group, J = 1.0 exactly
+    g1 = members.select("gid", F.col("doc_id").alias("mem_a"))
+    g2 = members.select("gid", F.col("doc_id").alias("mem_b"))
+    within = (
+        g1.join(g2, "gid")
+        .filter(F.col("mem_a") < F.col("mem_b"))
+        .join(rep_sizes.withColumnRenamed("doc_id", "gid"), "gid")
+        .select(F.col("mem_a").alias("doc_a"),
+                F.col("mem_b").alias("doc_b"),
+                F.col("n").alias("na"), F.col("n").alias("nb"),
+                F.col("n").alias("inter_size"))
+    )
+    u = F.col("na") + F.col("nb") - F.col("inter_size")
+    return cross.unionByName(within).select(
+        "doc_a", "doc_b",
+        F.col("inter_size").cast("long").alias("inter_size"),
+        u.cast("long").alias("union_size"),
+        F.expr("(1000 * inter_size) DIV (na + nb - inter_size)")
+        .cast("long").alias("jaccard_millis"))
 
 
 @register(
@@ -920,7 +983,7 @@ def prefix_filter_pairs(docs: DataFrame,
     oracle=f"""
     WITH w AS (
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-    ), toks AS (
+    ), raw AS (
         SELECT doc_id,
                unnest(CASE WHEN len(ws) >= {SSJOIN_NGRAM} THEN
                    list_distinct(list_transform(
@@ -930,12 +993,14 @@ def prefix_filter_pairs(docs: DataFrame,
                             ws[CAST(i AS INT) + 2]))
                    ELSE [] END) AS token
         FROM w
+    ), toks AS (
+        SELECT doc_id, {sql_h64('token')} AS h FROM raw
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
     ), inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
         FROM toks a JOIN toks b
-          ON a.token = b.token AND a.doc_id < b.doc_id
+          ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
