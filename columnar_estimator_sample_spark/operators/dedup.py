@@ -162,18 +162,36 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, fully verified.
 
     Pipeline (the 100 TB-scale standard):
+      0. contract exact duplicates (md5(text) census, min-id rep) —
+         identical texts have identical signatures, so the LSH join only
+         needs DISTINCT content; member pairs are recovered afterwards
+         by an output-proportional expansion join. Result-preserving by
+         construction: same-group pairs share every band (Jaccard 1.0)
+         and cross-group pairs collide iff their representatives do.
       1. shingle -> hash to int64 (md5-based, oracle-portable)
       2. k=32 universal-hash minima -> signature          [narrow]
       3. 8 bands x 4 rows; band key = md5 of the band     [narrow]
       4. explode bands; self-join on (band, key) buckets  [shuffle on
-         band keys — O(n·bands), never O(n²)]
+         band keys — O(reps·bands), never O(n²)]
       5. verify candidates with exact Jaccard over shingle sets
+      6. expand verified representative pairs to member pairs
     Returns (doc_a, doc_b, jaccard) for verified pairs.
     """
+    from pyspark.sql.window import Window
+
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = docs.select(
+    # census as ONE window pass over the md5 exchange (no groupBy+join):
+    # text rides along so representatives need no join back to the table
+    w = Window.partitionBy("fp")
+    grouped = (docs.withColumn("fp", F.md5("text"))
+               .withColumn("gid", F.min("doc_id").over(w))
+               .withColumn("gsz", F.count(F.lit(1)).over(w)))
+    members = grouped.select("doc_id", "gid", "gsz")
+    reps = (grouped.filter(F.col("doc_id") == F.col("gid"))
+            .select("doc_id", "text"))
+    sh = reps.select(
         "doc_id", _shingles_expr("text").alias("shingles"))
-    bands = minhash_bands(docs)
+    bands = minhash_bands(reps)
 
     left = bands.alias("l")
     right = bands.alias("r")
@@ -186,6 +204,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("r.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # groups with >1 member: the representative's self-pair stands in for
+    # every within-group pair (identical text, Jaccard exactly 1.0) and
+    # goes through the SAME verification expression as everything else
+    self_pairs = (members.filter((F.col("doc_id") == F.col("gid"))
+                                 & (F.col("gsz") >= 2))
+                  .select(F.col("gid").alias("doc_a"),
+                          F.col("gid").alias("doc_b")))
+    cand = cand.unionByName(self_pairs)
 
     # Verification joins shingle sets back in for the (few) candidates.
     sh_a = sh.select(F.col("doc_id").alias("doc_a"),
@@ -194,11 +220,23 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    verified = (
         cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
         .select("doc_a", "doc_b",
                 (inter.cast("double") / union).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
+    )
+    ma = members.select(F.col("gid").alias("doc_a"),
+                        F.col("doc_id").alias("mem_a"))
+    mb = members.select(F.col("gid").alias("doc_b"),
+                        F.col("doc_id").alias("mem_b"))
+    return (
+        verified.join(ma, "doc_a").join(mb, "doc_b")
+        .filter((F.col("doc_a") != F.col("doc_b"))
+                | (F.col("mem_a") < F.col("mem_b")))
+        .select(F.least("mem_a", "mem_b").alias("doc_a"),
+                F.greatest("mem_a", "mem_b").alias("doc_b"),
+                "jaccard")
         .orderBy("doc_a", "doc_b")
     )
 

@@ -210,7 +210,8 @@ def _exploded(emb: DataFrame) -> DataFrame:
 
 
 def ann_signatures(spark: SparkSession, sf_dir: str,
-                   n_planes: int = ANN_PLANES) -> DataFrame:
+                   n_planes: int = ANN_PLANES,
+                   emb: DataFrame | None = None) -> DataFrame:
     """Sign bits of ``n_planes`` deterministic ±1 hyperplane projections:
     (vec_id, b0..b{n-1}).
 
@@ -221,7 +222,8 @@ def ann_signatures(spark: SparkSession, sf_dir: str,
     interpreted pass per plane (~10× slower, measured). Projections are
     decimal-summed so Spark and DuckDB see identical order-free totals.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    if emb is None:
+        emb = table(spark, sf_dir, "embeddings")
     # 64 is the corpus's fixed embedding width; the probe only guards
     # against a wider table, and the fallback keeps empty inputs planful
     dim = (emb.select(F.max(F.size("embedding")).alias("d"))
@@ -252,12 +254,13 @@ def ann_lsh_candidates(spark: SparkSession, sf_dir: str,
     return bits.select("vec_id", bucket.alias("bucket"))
 
 
-def ann_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_candidate_pairs(spark: SparkSession, sf_dir: str,
+                        emb: DataFrame | None = None) -> DataFrame:
     """Banded-LSH candidate generation: (vec_a, vec_b) pairs sharing at
     least one of the ``ANN_BANDS`` band keys. The self-join shuffles only
     (vec_id, band, band_key) — never embeddings — and the pair count is a
     measured ~13% of N²/2 on this corpus (tests assert the bound)."""
-    bits = ann_signatures(spark, sf_dir, ANN_PLANES)
+    bits = ann_signatures(spark, sf_dir, ANN_PLANES, emb=emb)
     band_keys = [
         sum((F.col(f"b{b * ANN_ROWS + r}") * (2 ** r)
              for r in range(ANN_ROWS)), start=F.lit(0))
@@ -400,10 +403,49 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     N²·bands/2^rows_per_band: the band width (6 bits here, sized for
     recall at the 0.35 report threshold) must grow ~log2(N) at larger
     corpora to hold the candidate rate linear — the incremental
-    admission variant (q_dedup_incremental) is the deployment shape."""
-    cand = ann_candidate_pairs(spark, sf_dir)
-    return (score_candidates_blas(spark, sf_dir, cand)
-            .orderBy("vec_a", "vec_b"))
+    admission variant (q_dedup_incremental) is the deployment shape.
+
+    Exact-duplicate contraction (mirroring q_dedup_minhash_lsh): vectors
+    identical as arrays collapse to a min-id representative BEFORE the
+    signature/band stages, so a replicated corpus pays candidate cost
+    for DISTINCT vectors only. Result-preserving: identical vectors
+    share every band, so same-group pairs are always candidates (scored
+    via the representative's self-pair through the SAME BLAS kernel —
+    bit-identical cosine) and cross-group pairs collide iff their
+    representatives do. Verified pairs expand back to members in an
+    output-proportional join AFTER the threshold filter, so rejected
+    candidates never multiply."""
+    emb = table(spark, sf_dir, "embeddings")
+    # census as ONE window pass over the fingerprint exchange (no
+    # groupBy+join); the embedding rides along for the representatives
+    w = Window.partitionBy("fp")
+    grouped = (emb.withColumn(
+        "fp",
+        F.md5(F.concat_ws(",", F.col("embedding").cast("array<string>"))))
+        .withColumn("gid", F.min("vec_id").over(w))
+        .withColumn("gsz", F.count(F.lit(1)).over(w)))
+    members = grouped.select("vec_id", "gid", "gsz")
+    reps = (grouped.filter(F.col("vec_id") == F.col("gid"))
+            .select("vec_id", "embedding"))
+    cand = ann_candidate_pairs(spark, sf_dir, emb=reps)
+    self_pairs = (members.filter((F.col("vec_id") == F.col("gid"))
+                                 & (F.col("gsz") >= 2))
+                  .select(F.col("gid").alias("vec_a"),
+                          F.col("gid").alias("vec_b")))
+    scored = score_candidates_blas(
+        spark, sf_dir, cand.unionByName(self_pairs))
+    ma = members.select(F.col("gid").alias("vec_a"),
+                        F.col("vec_id").alias("mem_a"))
+    mb = members.select(F.col("gid").alias("vec_b"),
+                        F.col("vec_id").alias("mem_b"))
+    return (
+        scored.join(ma, "vec_a").join(mb, "vec_b")
+        .filter((F.col("vec_a") != F.col("vec_b"))
+                | (F.col("mem_a") < F.col("mem_b")))
+        .select(F.least("mem_a", "mem_b").alias("vec_a"),
+                F.greatest("mem_a", "mem_b").alias("vec_b"),
+                "cosine")
+        .orderBy("vec_a", "vec_b"))
 
 
 # --- IVF (inverted-file) ANN -------------------------------------------
