@@ -76,7 +76,10 @@ _loaded = False
 # Round-3 window: the LLM-data-pipeline tier the round-1 verdict flagged
 # as driver-unchecked (text stats, dedup family, similarity/ANN, search),
 # plus corpus prep, TFRecord round-trip, the events/graph headliners, and
-# the TPC-H queries added in round 2.
+# the TPC-H queries added in round 2. Late-round swap: q_dedup_prefix_filter
+# (whose driver row certifies the prefix-filter pruning is LOSSLESS against
+# the exhaustive-join oracle) replaces q_postings_delta (storage census,
+# still green under tools/check_oracle.py; rotates in next round).
 _DRIVER_WINDOW_R3 = [
     "q_text_token_stats", "q_text_quality", "q_text_langid",
     "q_text_bpe_tokens", "q_text_fingerprint",
@@ -84,13 +87,13 @@ _DRIVER_WINDOW_R3 = [
     "q_similarity_topk", "q_similarity_topk_fast",
     "q_dedup_embedding_cosine", "q_dedup_embedding_lsh",
     "q_ann_ivf_topk", "q_ann_recall",
-    "q_dedup_simhash_pairs",
+    "q_dedup_simhash_pairs", "q_dedup_prefix_filter",
     "q_dedup_editdistance", "q_dedup_containment", "q_dedup_clusters",
     "q_dedup_incremental",
     "q_corpus_prep_pipeline", "q_bpe_learn", "q_tfidf_terms",
     "q_merge_upsert", "q_media_metadata", "q_media_dedup",
     "q_inverted_index", "q_bm25_search", "q_hybrid_rrf",
-    "q_phrase_search", "q_postings_delta",
+    "q_phrase_search",
     "q_pack_chunks", "q_contamination_check", "q_pii_redaction",
     "q_split_by_user", "q_sample_stratified", "q_sample_exact_k",
     "q_tfrecord_roundtrip",
