@@ -226,18 +226,36 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (inter.cast("double") / union).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )
-    ma = members.select(F.col("gid").alias("doc_a"),
-                        F.col("doc_id").alias("mem_a"))
-    mb = members.select(F.col("gid").alias("doc_b"),
-                        F.col("doc_id").alias("mem_b"))
+    return (expand_member_pairs(verified, members, "doc_a", "doc_b",
+                                id_col="doc_id")
+            .orderBy("doc_a", "doc_b"))
+
+
+def expand_member_pairs(pairs: DataFrame, members: DataFrame,
+                        a_col: str, b_col: str,
+                        id_col: str) -> DataFrame:
+    """Expand representative-level pairs back to member-level pairs.
+
+    ``pairs`` carries representative ids in (a_col, b_col) — a self-pair
+    (g, g) stands for "every within-group pair of g" — plus any payload
+    columns (scores), which are copied verbatim onto each member pair
+    (valid because members are payload-identical to their rep).
+    ``members`` is the census frame (id_col, gid). Cross-group rows emit
+    |A|·|B| pairs, self-pairs emit C(|g|, 2); output ids are ordered
+    (a < b). Output-proportional: runs AFTER threshold filters, so
+    rejected candidates never multiply."""
+    payload = [c for c in pairs.columns if c not in (a_col, b_col)]
+    ma = members.select(F.col("gid").alias(a_col),
+                        F.col(id_col).alias("_mem_a"))
+    mb = members.select(F.col("gid").alias(b_col),
+                        F.col(id_col).alias("_mem_b"))
     return (
-        verified.join(ma, "doc_a").join(mb, "doc_b")
-        .filter((F.col("doc_a") != F.col("doc_b"))
-                | (F.col("mem_a") < F.col("mem_b")))
-        .select(F.least("mem_a", "mem_b").alias("doc_a"),
-                F.greatest("mem_a", "mem_b").alias("doc_b"),
-                "jaccard")
-        .orderBy("doc_a", "doc_b")
+        pairs.join(ma, a_col).join(mb, b_col)
+        .filter((F.col(a_col) != F.col(b_col))
+                | (F.col("_mem_a") < F.col("_mem_b")))
+        .select(F.least("_mem_a", "_mem_b").alias(a_col),
+                F.greatest("_mem_a", "_mem_b").alias(b_col),
+                *payload)
     )
 
 

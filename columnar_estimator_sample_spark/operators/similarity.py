@@ -434,18 +434,12 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("gid").alias("vec_b")))
     scored = score_candidates_blas(
         spark, sf_dir, cand.unionByName(self_pairs))
-    ma = members.select(F.col("gid").alias("vec_a"),
-                        F.col("vec_id").alias("mem_a"))
-    mb = members.select(F.col("gid").alias("vec_b"),
-                        F.col("vec_id").alias("mem_b"))
-    return (
-        scored.join(ma, "vec_a").join(mb, "vec_b")
-        .filter((F.col("vec_a") != F.col("vec_b"))
-                | (F.col("mem_a") < F.col("mem_b")))
-        .select(F.least("mem_a", "mem_b").alias("vec_a"),
-                F.greatest("mem_a", "mem_b").alias("vec_b"),
-                "cosine")
-        .orderBy("vec_a", "vec_b"))
+    from columnar_estimator_sample_spark.operators.dedup import (
+        expand_member_pairs,
+    )
+    return (expand_member_pairs(scored, members, "vec_a", "vec_b",
+                                id_col="vec_id")
+            .orderBy("vec_a", "vec_b"))
 
 
 # --- IVF (inverted-file) ANN -------------------------------------------

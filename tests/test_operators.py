@@ -126,6 +126,80 @@ class TestDedup:
         assert cand < 0.1 * n * (n - 1) / 2
 
 
+    def test_expand_member_pairs_semantics(self, spark):
+        """Literal replay of the contraction-expansion contract: cross
+        pairs multiply |A|x|B|, self-pairs enumerate C(|g|,2), payload
+        copies verbatim, ids come out ordered."""
+        from columnar_estimator_sample_spark.operators.dedup import (
+            expand_member_pairs,
+        )
+        # groups: 1 -> {1,2,7}; 4 -> {4}; 5 -> {5,6}
+        members = spark.createDataFrame(
+            [(1, 1), (2, 1), (7, 1), (4, 4), (5, 5), (6, 5)],
+            ["doc_id", "gid"])
+        pairs = spark.createDataFrame(
+            [(1, 4, 0.9),   # cross |A|=3 x |B|=1
+             (1, 1, 1.0),   # self-pair: C(3,2) member pairs
+             (4, 5, 0.7)],  # cross 1 x 2
+            ["doc_a", "doc_b", "score"])
+        got = {(r["doc_a"], r["doc_b"], r["score"]) for r in
+               expand_member_pairs(pairs, members, "doc_a", "doc_b",
+                                   id_col="doc_id").collect()}
+        expected = {(1, 4, 0.9), (2, 4, 0.9), (4, 7, 0.9),
+                    (1, 2, 1.0), (1, 7, 1.0), (2, 7, 1.0),
+                    (4, 5, 0.7), (4, 6, 0.7)}
+        assert got == expected
+
+    def test_prefix_filter_on_adversarial_corpus(self, spark):
+        """Hand-built corpus exercising every contraction edge: exact-dup
+        groups of size 1/2/3, near-dups crossing groups, short docs
+        (< 3 words, token-less), and disjoint docs — pair set must equal
+        a pure-Python brute force over word-3-gram sets."""
+        import itertools
+        from columnar_estimator_sample_spark.operators.dedup import (
+            SSJOIN_T_MILLIS, prefix_filter_pairs,
+        )
+        base = ("the quick brown fox jumps over the lazy dog and runs "
+                "far away to the deep green forest tonight")
+        near = base.replace("green forest", "dark cave")
+        texts = {
+            1: base, 2: base, 3: base,          # exact-dup group of 3
+            4: near, 5: near,                   # exact-dup group of 2
+            6: "completely different words in this one document here "
+               "nothing shared with the others at all even slightly",
+            7: "tiny doc",                      # < 3 words: no tokens
+            8: "tiny doc",                      # dup of a token-less doc
+        }
+
+        def grams(t):
+            w = t.split(" ")
+            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)} \
+                if len(w) >= 3 else set()
+
+        expected = set()
+        for a, b in itertools.combinations(sorted(texts), 2):
+            ga, gb = grams(texts[a]), grams(texts[b])
+            if not ga or not gb:
+                continue
+            i, u = len(ga & gb), len(ga | gb)
+            if 1000 * i >= SSJOIN_T_MILLIS * u:
+                expected.add((a, b, i, u, 1000 * i // u))
+        docs = spark.createDataFrame(
+            sorted(texts.items()), ["doc_id", "text"])
+        got = {(r["doc_a"], r["doc_b"], r["inter_size"], r["union_size"],
+                r["jaccard_millis"])
+               for r in prefix_filter_pairs(docs).collect()}
+        assert got == expected
+        pair_ids = {(a, b) for a, b, *_ in got}
+        assert (1, 2) in pair_ids and (1, 3) in pair_ids  # within-group
+        assert not any(7 in p or 8 in p for p in pair_ids)  # token-less
+        # the near-dup cross pair is present iff its true Jaccard passes
+        ga, gn = grams(base), grams(near)
+        cross_true = (1000 * len(ga & gn)
+                      >= SSJOIN_T_MILLIS * len(ga | gn))
+        assert ((1, 4) in pair_ids) == cross_true
+
+
 class TestSimilarity:
     def test_fast_path_matches_exact_ids(self, spark, sf_dir):
         """BLAS mapInPandas top-k must agree with the oracle-checked exact
