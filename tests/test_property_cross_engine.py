@@ -257,3 +257,46 @@ def test_snm_pairs_match_replay(spark, rows):
                 if d <= ER_LEV_T:
                     want.add((ka, kb, d, int(ba == bb)))
     assert got == want
+
+
+_PF_VOCAB = ["alpha", "beta", "gamma", "delta"]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.sampled_from(_PF_VOCAB), min_size=0,
+                         max_size=6),
+                min_size=2, max_size=14))
+def test_prefix_filter_pairs_match_replay(spark, word_lists):
+    """The contraction + length/prefix/positional-filter plan emits
+    EXACTLY the word-3-gram Jaccard>=t pairs a literal replay computes —
+    the tiny 4-word vocabulary forces frequent exact duplicates (stress
+    for the supernode expansion) and heavy n-gram overlap (stress for
+    the filters' completeness guarantee), plus token-less short docs."""
+    from columnar_estimator_sample_spark.operators.dedup import (
+        SSJOIN_T_MILLIS, prefix_filter_pairs,
+    )
+    texts = {i: " ".join(ws) for i, ws in enumerate(word_lists)}
+    df = spark.createDataFrame(sorted(texts.items()),
+                               "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b, r.inter_size, r.union_size,
+            r.jaccard_millis)
+           for r in prefix_filter_pairs(df).collect()}
+
+    def grams(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)} \
+            if len(w) >= 3 else set()
+
+    want = set()
+    ids = sorted(texts)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            ga, gb = grams(texts[a]), grams(texts[b])
+            if not ga or not gb:
+                continue
+            i, u = len(ga & gb), len(ga | gb)
+            if 1000 * i >= SSJOIN_T_MILLIS * u:
+                want.add((a, b, i, u, 1000 * i // u))
+    assert got == want
