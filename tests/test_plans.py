@@ -88,6 +88,23 @@ class TestPlanShapes:
         for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
             assert "shingles" not in m.group(1)
 
+    def test_prefix_filter_narrow_shuffles(self, spark):
+        """The set-similarity join must never shuffle document text
+        through the candidate/verification stages: the only exchange
+        allowed to carry `text` is the census fingerprint window
+        (hashpartitioning on fp), and the plan has no cartesian
+        product. Token exchanges carry the 8-byte hash, not strings."""
+        plan = plan_of(spark, "q_dedup_prefix_filter")
+        assert "CartesianProduct" not in plan
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)",
+                             plan):
+            keys = m.group(1)
+            if "text" in keys:
+                # only legal as part of the fp census partitioning
+                assert "fp" in keys
+        # the candidate and verification joins key on the token hash
+        assert "h#" in plan or "h64" in plan.lower() or "conv(" in plan
+
     def test_whole_stage_codegen_everywhere(self, spark):
         # every headline relational query keeps its core in codegen
         for q in ["q01_pricing_summary", "q_time_buckets",
