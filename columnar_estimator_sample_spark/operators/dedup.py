@@ -877,7 +877,8 @@ def q_chunk_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Candidates = pairs sharing a PREFIX token, so join fan-out is governed
 # by the frequency of the rarest tokens, not vocabulary-wide co-occurrence.
 
-SSJOIN_T_MILLIS = 500   # exact Jaccard threshold (0.500) on word 3-grams
+SSJOIN_T_MILLIS = 500       # exact Jaccard threshold (0.500) on word 3-grams
+SSJOIN_COS_T_MILLIS = 700   # exact binary-cosine threshold (0.700)
 SSJOIN_NGRAM = 3
 
 
@@ -904,18 +905,62 @@ def _ssjoin_tokens(docs: DataFrame) -> DataFrame:
     ).select("doc_id", h64(F.col("token")).alias("h"))
 
 
+def _ssjoin_bounds(measure: str, t_millis: int):
+    """The three published pruning bounds + the exact verification
+    predicate for a set-similarity measure, all in integer arithmetic.
+
+    jaccard  J = i/(na+nb-i):  length  1000·min >= t·max
+                               prefix  α_min(n) = ceil(t·n/1000)
+                               positional  bound·(1000+t) >= t·(na+nb)
+                               verify  1000·i >= t·(na+nb-i)
+    cosine   C = i/√(na·nb) with t² ppm = t_millis²:
+                               length  1e6·min >= t²·max  (C <= √(min/max))
+                               prefix  α_min(n) = ceil(t²·n/1e6)
+                                 (partner nb >= t²·na ⇒ i >= t·√(na·nb)
+                                  >= t²·na)
+                               positional  1e6·bound² >= t²·na·nb
+                               verify  1e6·i² >= t²·na·nb
+    Returns (prefix_filter(rn, n), length_filter(na, nb),
+    positional_filter(bound, na, nb), verify_filter(i, na, nb))."""
+    if measure == "jaccard":
+        t = t_millis
+        return (
+            lambda rn, n: rn <= n - F.floor((F.lit(t) * n + F.lit(999))
+                                            / F.lit(1000)) + 1,
+            lambda na, nb: (F.lit(1000) * F.least(na, nb)
+                            >= F.lit(t) * F.greatest(na, nb)),
+            lambda bound, na, nb: (bound * F.lit(1000 + t)
+                                   >= F.lit(t) * (na + nb)),
+            lambda i, na, nb: F.lit(1000) * i >= F.lit(t) * (na + nb - i),
+        )
+    if measure == "cosine":
+        t2 = t_millis * t_millis   # ppm
+        return (
+            lambda rn, n: rn <= n - F.floor((F.lit(t2) * n
+                                             + F.lit(999_999))
+                                            / F.lit(1_000_000)) + 1,
+            lambda na, nb: (F.lit(1_000_000) * F.least(na, nb)
+                            >= F.lit(t2) * F.greatest(na, nb)),
+            lambda bound, na, nb: (F.lit(1_000_000) * bound * bound
+                                   >= F.lit(t2) * na * nb),
+            lambda i, na, nb: F.lit(1_000_000) * i * i >= F.lit(t2) * na * nb,
+        )
+    raise ValueError(f"unknown measure: {measure}")
+
+
 def prefix_filter_candidates(docs: DataFrame,
-                             t_millis: int = SSJOIN_T_MILLIS) -> DataFrame:
+                             t_millis: int = SSJOIN_T_MILLIS,
+                             measure: str = "jaccard") -> DataFrame:
     """Candidate pairs (doc_a, doc_b, na, nb) surviving the length,
-    prefix, AND positional filters — every true Jaccard>=t pair is here
+    prefix, AND positional filters — every true measure>=t pair is here
     (completeness guarantee), and nothing else is ever scored.
 
     Positional filter (PPJoin): for a qualifying pair the SMALLEST common
     token w (global rarest-first order) sits inside both prefixes at
     positions (pa, pb), and |A∩B| <= 1 + min(na-pa, nb-pb). Requiring
-    1 + min(na-pa, nb-pb) >= ceil(t·(na+nb)/(1+t)) on the join rows keeps
-    the w-row of every true pair (so no loss) while dropping pairs whose
-    only shared prefix tokens sit too deep to reach the overlap bound.
+    that bound to reach the measure's minimal-overlap α on the join rows
+    keeps the w-row of every true pair (so no loss) while dropping pairs
+    whose only shared prefix tokens sit too deep.
 
     Scale: the global rarest-first order needs NO global rank — tokens
     are ordered per document by (corpus_frequency, hash), a per-doc
@@ -925,6 +970,7 @@ def prefix_filter_candidates(docs: DataFrame,
     hashes only. Nothing is ever all-pairs; text never enters a shuffle."""
     from pyspark.sql.window import Window
 
+    prefix_f, length_f, pos_f, _ = _ssjoin_bounds(measure, t_millis)
     toks = _ssjoin_tokens(docs)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     freq = toks.groupBy("h").agg(F.count("*").alias("tf"))
@@ -933,25 +979,18 @@ def prefix_filter_candidates(docs: DataFrame,
         .withColumn("rn", F.row_number().over(
             Window.partitionBy("doc_id").orderBy("tf", "h")))
         .join(sizes, "doc_id")
-        # prefix length = n - ceil(t*n) + 1, integer ceil
-        .filter(F.col("rn") <= F.col("n")
-                - F.floor((F.lit(t_millis) * F.col("n") + F.lit(999))
-                          / F.lit(1000)) + 1)
+        # prefix length = n - α_min(n) + 1, integer ceil
+        .filter(prefix_f(F.col("rn"), F.col("n")))
         .select("doc_id", "h", "rn", "n")
     )
     a, b = ranked.alias("a"), ranked.alias("b")
-    # overlap bound >= ceil(t*(na+nb)/(1000+t)) <=> bound*(1000+t) >= t*(na+nb)
     pos_bound = (F.lit(1) + F.least(F.col("a.n") - F.col("a.rn"),
                                     F.col("b.n") - F.col("b.rn")))
     return (
         a.join(b, (F.col("a.h") == F.col("b.h"))
                & (F.col("a.doc_id") < F.col("b.doc_id"))
-               # length filter: J <= min/max
-               & (F.lit(1000) * F.least("a.n", "b.n")
-                  >= F.lit(t_millis) * F.greatest("a.n", "b.n"))
-               # positional filter
-               & (pos_bound * F.lit(1000 + t_millis)
-                  >= F.lit(t_millis) * (F.col("a.n") + F.col("b.n"))))
+               & length_f(F.col("a.n"), F.col("b.n"))
+               & pos_f(pos_bound, F.col("a.n"), F.col("b.n")))
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
                 F.col("a.n").alias("na"), F.col("b.n").alias("nb"))
@@ -959,11 +998,13 @@ def prefix_filter_candidates(docs: DataFrame,
     )
 
 
-def _verified_pairs(docs: DataFrame, t_millis: int) -> DataFrame:
+def _verified_pairs(docs: DataFrame, t_millis: int,
+                    measure: str = "jaccard") -> DataFrame:
     """Candidates -> exact verification joining token hashes back for
     candidate docs only, keyed by (doc_id, h)."""
+    _, _, _, verify_f = _ssjoin_bounds(measure, t_millis)
     toks = _ssjoin_tokens(docs)
-    cand = prefix_filter_candidates(docs, t_millis)
+    cand = prefix_filter_candidates(docs, t_millis, measure)
     ta = toks.select(F.col("doc_id").alias("doc_a"), "h")
     tb = toks.select(F.col("doc_id").alias("doc_b"), "h")
     inter = (
@@ -972,14 +1013,13 @@ def _verified_pairs(docs: DataFrame, t_millis: int) -> DataFrame:
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("inter_size"))
     )
-    u = F.col("na") + F.col("nb") - F.col("inter_size")
     return inter.filter(
-        F.lit(1000) * F.col("inter_size") >= F.lit(t_millis) * u)
+        verify_f(F.col("inter_size"), F.col("na"), F.col("nb")))
 
 
-def prefix_filter_pairs(docs: DataFrame,
-                        t_millis: int = SSJOIN_T_MILLIS) -> DataFrame:
-    """All pairs of ``docs(doc_id, text)`` with word-3-gram Jaccard >= t.
+def _contracted_setjoin(docs: DataFrame, t_millis: int,
+                        measure: str) -> DataFrame:
+    """(doc_a, doc_b, na, nb, inter_size) for all measure>=t pairs.
 
     Exact duplicates are contracted FIRST (md5(text) census, min-id
     representative — the same supernode trick q_er_entities uses): the
@@ -989,7 +1029,8 @@ def prefix_filter_pairs(docs: DataFrame,
     duplicated) this keeps the candidate join sized by UNIQUE content
     while the duplicate blow-up moves to the final, output-proportional
     expansion join. Within-group pairs are emitted directly with
-    J = 1000 (identical texts share every token), skipping scoring."""
+    inter = na = nb (identical texts share every token — measure exactly
+    1.0 under both Jaccard and cosine), skipping scoring."""
     fp = docs.select("doc_id", F.md5("text").alias("fp"))
     members = fp.join(
         fp.groupBy("fp").agg(F.min("doc_id").alias("gid")), "fp")
@@ -998,7 +1039,7 @@ def prefix_filter_pairs(docs: DataFrame,
     rep_sizes = _ssjoin_tokens(reps).groupBy("doc_id").agg(
         F.count("*").alias("n"))
 
-    rep_pairs = _verified_pairs(reps, t_millis)
+    rep_pairs = _verified_pairs(reps, t_millis, measure)
 
     ma = members.select(F.col("gid").alias("doc_a"),
                         F.col("doc_id").alias("mem_a"))
@@ -1010,7 +1051,6 @@ def prefix_filter_pairs(docs: DataFrame,
                 F.greatest("mem_a", "mem_b").alias("doc_b"),
                 "na", "nb", "inter_size")
     )
-    # identical texts: every member pair within a group, J = 1.0 exactly
     g1 = members.select("gid", F.col("doc_id").alias("mem_a"))
     g2 = members.select("gid", F.col("doc_id").alias("mem_b"))
     within = (
@@ -1022,13 +1062,33 @@ def prefix_filter_pairs(docs: DataFrame,
                 F.col("n").alias("na"), F.col("n").alias("nb"),
                 F.col("n").alias("inter_size"))
     )
+    return cross.unionByName(within)
+
+
+def prefix_filter_pairs(docs: DataFrame,
+                        t_millis: int = SSJOIN_T_MILLIS) -> DataFrame:
+    """All pairs of ``docs(doc_id, text)`` with word-3-gram Jaccard >= t
+    (contraction + filters + verification: :func:`_contracted_setjoin`)."""
     u = F.col("na") + F.col("nb") - F.col("inter_size")
-    return cross.unionByName(within).select(
+    return _contracted_setjoin(docs, t_millis, "jaccard").select(
         "doc_a", "doc_b",
         F.col("inter_size").cast("long").alias("inter_size"),
         u.cast("long").alias("union_size"),
         F.expr("(1000 * inter_size) DIV (na + nb - inter_size)")
         .cast("long").alias("jaccard_millis"))
+
+
+def cosine_setjoin_pairs(docs: DataFrame,
+                         t_millis: int = SSJOIN_COS_T_MILLIS) -> DataFrame:
+    """All pairs of ``docs(doc_id, text)`` with word-3-gram binary-cosine
+    i/√(na·nb) >= t. Reported as exact integer cos²·1e6 (ppm) — the
+    same fixed-point convention as q_item_cf — so no engine ever takes a
+    square root."""
+    return _contracted_setjoin(docs, t_millis, "cosine").select(
+        "doc_a", "doc_b",
+        F.col("inter_size").cast("long").alias("inter_size"),
+        F.expr("(1000000 * inter_size * inter_size) DIV (na * nb)")
+        .cast("long").alias("cos2_ppm"))
 
 
 @register(
@@ -1079,3 +1139,54 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pruning is complete, not just fast."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     return prefix_filter_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "q_dedup_cosine_setjoin",
+    # Same differential design as q_dedup_prefix_filter: the oracle runs
+    # the EXHAUSTIVE join, so a hash match certifies the cosine-specific
+    # length/prefix/positional bounds lost no pair.
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), raw AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(ws) >= {SSJOIN_NGRAM} THEN
+                   list_distinct(list_transform(
+                       range(1, len(ws) - {SSJOIN_NGRAM - 2}),
+                       i -> ws[CAST(i AS INT)] || ' ' ||
+                            ws[CAST(i AS INT) + 1] || ' ' ||
+                            ws[CAST(i AS INT) + 2]))
+                   ELSE [] END) AS token
+        FROM w
+    ), toks AS (
+        SELECT doc_id, {sql_h64('token')} AS h FROM raw
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM toks a JOIN toks b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS BIGINT) AS inter_size,
+           CAST((1000000 * i * i) // (sa.n * sb.n) AS BIGINT) AS cos2_ppm
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE 1000000 * i * i
+          >= {SSJOIN_COS_T_MILLIS * SSJOIN_COS_T_MILLIS} * sa.n * sb.n
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_cosine_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary-cosine-threshold near-dup pairs (word 3-grams,
+    t = 0.7) — the third member of the AllPairs set-similarity triad
+    beside Jaccard (q_dedup_prefix_filter) and containment
+    (q_dedup_containment). Same contraction + length/prefix/positional
+    pruning with the cosine-specific bounds (see :func:`_ssjoin_bounds`);
+    score reported as exact integer cos²·1e6, float-free in both
+    engines."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return cosine_setjoin_pairs(docs).orderBy("doc_a", "doc_b")

@@ -300,3 +300,41 @@ def test_prefix_filter_pairs_match_replay(spark, word_lists):
             if 1000 * i >= SSJOIN_T_MILLIS * u:
                 want.add((a, b, i, u, 1000 * i // u))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.sampled_from(_PF_VOCAB), min_size=0,
+                         max_size=6),
+                min_size=2, max_size=14))
+def test_cosine_setjoin_pairs_match_replay(spark, word_lists):
+    """Same completeness property for the binary-cosine measure: the
+    cosine-specific length/prefix/positional bounds must lose no pair
+    vs a literal replay of i/sqrt(na*nb) >= t."""
+    from columnar_estimator_sample_spark.operators.dedup import (
+        SSJOIN_COS_T_MILLIS, cosine_setjoin_pairs,
+    )
+    texts = {i: " ".join(ws) for i, ws in enumerate(word_lists)}
+    df = spark.createDataFrame(sorted(texts.items()),
+                               "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b, r.inter_size, r.cos2_ppm)
+           for r in cosine_setjoin_pairs(df).collect()}
+
+    def grams(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)} \
+            if len(w) >= 3 else set()
+
+    t2 = SSJOIN_COS_T_MILLIS * SSJOIN_COS_T_MILLIS
+    want = set()
+    ids = sorted(texts)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            ga, gb = grams(texts[a]), grams(texts[b])
+            if not ga or not gb:
+                continue
+            i, na, nb = len(ga & gb), len(ga), len(gb)
+            if 10**6 * i * i >= t2 * na * nb:
+                want.add((a, b, i, 10**6 * i * i // (na * nb)))
+    assert got == want
