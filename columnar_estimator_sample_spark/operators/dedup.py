@@ -1031,11 +1031,16 @@ def _contracted_setjoin(docs: DataFrame, t_millis: int,
     expansion join. Within-group pairs are emitted directly with
     inter = na = nb (identical texts share every token — measure exactly
     1.0 under both Jaccard and cosine), skipping scoring."""
-    fp = docs.select("doc_id", F.md5("text").alias("fp"))
-    members = fp.join(
-        fp.groupBy("fp").agg(F.min("doc_id").alias("gid")), "fp")
-    reps = (members.filter(F.col("doc_id") == F.col("gid"))
-            .join(docs, "doc_id").select("doc_id", "text"))
+    from pyspark.sql.window import Window
+
+    # census as ONE window pass over the md5 exchange (no groupBy+join);
+    # text rides along so representatives need no join back to the table
+    w = Window.partitionBy("fp")
+    grouped = (docs.withColumn("fp", F.md5("text"))
+               .withColumn("gid", F.min("doc_id").over(w)))
+    members = grouped.select("doc_id", "gid")
+    reps = (grouped.filter(F.col("doc_id") == F.col("gid"))
+            .select("doc_id", "text"))
     rep_sizes = _ssjoin_tokens(reps).groupBy("doc_id").agg(
         F.count("*").alias("n"))
 
