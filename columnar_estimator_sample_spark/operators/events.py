@@ -2009,3 +2009,125 @@ def q_funnel_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("clean_permille",
                         F.expr("(1000 * n_clean) DIV n_purchases"))
             .orderBy("day"))
+
+
+# ---------------------------------------------------------------------------
+# Gapped-subsequence mining (PrefixSpan semantics, lengths 1-3)
+# ---------------------------------------------------------------------------
+
+SEQ_MINSUP_PM = 300    # minimum support, permille of users
+
+
+@register(
+    "q_sequence_mining",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS rnk
+        FROM events
+    ), nu AS (
+        SELECT COUNT(DISTINCT user_id) AS n_users FROM e
+    ), fl AS (
+        SELECT user_id, event_type AS t,
+               MIN(rnk) AS fp, MAX(rnk) AS lp
+        FROM e GROUP BY 1, 2
+    ), l1 AS (
+        SELECT t AS seq, 1 AS k, COUNT(*) AS supp FROM fl GROUP BY 1
+    ), l2 AS (
+        SELECT a.t || '>' || b.t AS seq, 2 AS k, COUNT(*) AS supp
+        FROM fl a JOIN fl b
+          ON a.user_id = b.user_id AND b.lp > a.fp
+        GROUP BY 1
+    ), f2 AS (
+        SELECT o.user_id, a.t AS ta, o.event_type AS tb,
+               MIN(o.rnk) AS fp2
+        FROM e o JOIN fl a
+          ON o.user_id = a.user_id AND o.rnk > a.fp
+        GROUP BY 1, 2, 3
+    ), l3 AS (
+        SELECT f2.ta || '>' || f2.tb || '>' || c.t AS seq, 3 AS k,
+               COUNT(*) AS supp
+        FROM f2 JOIN fl c
+          ON f2.user_id = c.user_id AND c.lp > f2.fp2
+        GROUP BY 1
+    ), allseq AS (
+        SELECT * FROM l1 UNION ALL SELECT * FROM l2
+        UNION ALL SELECT * FROM l3
+    )
+    SELECT seq, CAST(k AS BIGINT) AS k, CAST(supp AS BIGINT) AS supp,
+           CAST((1000 * supp) // greatest(n_users, 1) AS BIGINT)
+               AS supp_pm
+    FROM allseq, nu
+    WHERE 1000 * supp >= {SEQ_MINSUP_PM} * n_users
+    ORDER BY k, supp DESC, seq
+    """,
+)
+def q_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent gapped subsequences of event types per user, lengths 1-3
+    (PrefixSpan semantics: "signup … view … purchase" with ARBITRARY
+    gaps, support = users whose ordered stream contains the
+    subsequence) — the sequential-pattern twin of q_event_paths, which
+    counts only CONTIGUOUS trigrams.
+
+    No pattern-growth recursion is needed at bounded length: a gapped
+    subsequence exists iff greedy first-occurrence matching succeeds, so
+      * a>b   supported for a user  iff  last(b) > first(a)
+      * a>b>c supported             iff  last(c) > first-b-after-first-a
+    which turns mining into min/max aggregates plus user-keyed joins of
+    |types|-sized per-user summaries:
+      1. rank events per user (ONE user_id exchange, shared by all
+         levels), 2. (user, type) -> first/last rank [combinable agg],
+      3. L2 = per-user summary self-join, 4. f2 = occurrences joined
+      against first-ranks (O(events·|types|), user-keyed), 5. L3 = f2
+      against last-ranks. Final aggregates are |types|^k-bounded with
+      map-side partials; cross-validated against MLlib PrefixSpan in
+      tests/test_insights.py.
+
+    Scale: every join and window is user-partitioned; nothing global
+    except the bounded |types|^k aggregates and the 1-row user count
+    (folded broadcast, no driver job)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e = ev.select("user_id", "event_type",
+                  F.row_number().over(w).alias("rnk"))
+    nu = e.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    fl = (e.groupBy("user_id", F.col("event_type").alias("t"))
+          .agg(F.min("rnk").alias("fp"), F.max("rnk").alias("lp")))
+
+    l1 = (fl.groupBy(F.col("t").alias("seq"))
+          .agg(F.count("*").alias("supp"))
+          .withColumn("k", F.lit(1)))
+    a = fl.select("user_id", F.col("t").alias("ta"),
+                  F.col("fp").alias("fpa"))
+    b = fl.select("user_id", F.col("t").alias("tb"),
+                  F.col("lp").alias("lpb"))
+    l2 = (a.join(b, "user_id")
+          .filter(F.col("lpb") > F.col("fpa"))
+          .groupBy(F.concat_ws(">", "ta", "tb").alias("seq"))
+          .agg(F.count("*").alias("supp"))
+          .withColumn("k", F.lit(2)))
+    f2 = (e.join(a, "user_id")
+          .filter(F.col("rnk") > F.col("fpa"))
+          .groupBy("user_id", "ta", F.col("event_type").alias("tb"))
+          .agg(F.min("rnk").alias("fp2")))
+    c = fl.select("user_id", F.col("t").alias("tc"),
+                  F.col("lp").alias("lpc"))
+    l3 = (f2.join(c, "user_id")
+          .filter(F.col("lpc") > F.col("fp2"))
+          .groupBy(F.concat_ws(">", "ta", "tb", "tc").alias("seq"))
+          .agg(F.count("*").alias("supp"))
+          .withColumn("k", F.lit(3)))
+
+    return (
+        l1.unionByName(l2).unionByName(l3)
+        .crossJoin(F.broadcast(nu))
+        .filter(F.lit(1000) * F.col("supp")
+                >= F.lit(SEQ_MINSUP_PM) * F.col("n_users"))
+        .select(
+            "seq", F.col("k").cast("long").alias("k"),
+            F.col("supp").cast("long").alias("supp"),
+            F.expr("(1000 * supp) DIV greatest(n_users, 1)")
+            .cast("long").alias("supp_pm"))
+        .orderBy("k", F.desc("supp"), "seq")
+    )

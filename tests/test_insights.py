@@ -754,3 +754,31 @@ class TestLinearAttribution:
                        .filter(F2.col("event_type") == "purchase").count())
         assert total == 1000 * n_purchases
         assert {r.channel for r in rows} <= {"view", "click", "(none)"}
+
+
+class TestSequenceMining:
+    def test_matches_mllib_prefixspan(self, spark, sf_dir):
+        """Every (pattern, support) the engine mines must equal MLlib
+        PrefixSpan's frequent single-item sequential patterns of length
+        <= 3 at the same minSupport — two independent mining paths
+        (min/max-rank joins vs pattern-growth) agreeing exactly."""
+        from pyspark.ml.fpm import PrefixSpan
+        from columnar_estimator_sample_spark.operators.events import (
+            SEQ_MINSUP_PM, q_sequence_mining,
+        )
+        got = {(r.seq, r.supp)
+               for r in q_sequence_mining(spark, sf_dir).collect()}
+
+        ev = table(spark, sf_dir, "events")
+        seqs = (ev.orderBy("user_id", "us", "event_id")
+                .groupBy("user_id")
+                .agg(F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(us, event_id, event_type))),"
+                    " s -> array(s.event_type))").alias("sequence")))
+        ps = PrefixSpan(minSupport=SEQ_MINSUP_PM / 1000.0,
+                        maxPatternLength=3,
+                        maxLocalProjDBSize=32000000)
+        want = {(">".join(it[0] for it in r.sequence), r.freq)
+                for r in ps.findFrequentSequentialPatterns(seqs).collect()}
+        assert got == want and len(got) > 0
