@@ -34,6 +34,7 @@ from columnar_estimator_sample_spark.operators.dedup import (
     _minhash_pair_ctes, q_dedup_minhash_lsh,
 )
 from columnar_estimator_sample_spark.registry import register
+from columnar_estimator_sample_spark.sources.tables import table
 
 MAX_SUPERSTEPS = 25  # >= log2(diameter) for any plausible dup graph
 
@@ -126,6 +127,80 @@ def _clusters_oracle() -> str:
     FROM comp
     ORDER BY cluster_id, doc_id
     """
+
+
+def _savings_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_pair_ctes()},
+    edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc_id, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.label
+        FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    comp AS (
+        SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+    ),
+    rem AS (
+        SELECT doc_id FROM comp WHERE doc_id != cluster_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN d.n_chars
+                         ELSE 0 END) AS BIGINT) AS chars_removed,
+           CAST((1000 * SUM(CASE WHEN r.doc_id IS NOT NULL
+                                 THEN d.n_chars ELSE 0 END))
+                // SUM(d.n_chars) AS BIGINT) AS removed_permille
+    FROM documents d LEFT JOIN rem r ON d.doc_id = r.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """
+
+
+@register("q_dedup_savings", oracle=_savings_oracle())
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source storage-savings report for near-dup dedup: documents
+    clustered by q_dedup_clusters lose every non-survivor (survivor =
+    the cluster's min doc_id, which IS the cluster label), and this
+    query accounts what a rewrite would reclaim — docs removed, chars
+    removed, and the permille of each source's bytes that are near-dup
+    redundancy. The text twin of q_media_dedup's reclaimable-bytes
+    census, and the headline number a corpus-triage dashboard leads
+    with.
+
+    Scale: reuses the LSH pair -> connected-components pipeline (edges
+    ~linear in corpus, log-round pointer jumping); the accounting itself
+    is one doc_id-keyed left join against the (small) clustered set and
+    a |sources|-sized aggregate."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    removed = (connected_components(pairs)
+               .filter(F.col("doc_id") != F.col("cluster_id"))
+               .select("doc_id", F.lit(1).alias("is_removed")))
+    j = docs.join(removed, "doc_id", "left")
+    rm_chars = F.sum(F.when(F.col("is_removed") == 1, F.col("n_chars"))
+                     .otherwise(0))
+    return (
+        j.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("n_chars").cast("long").alias("total_chars"),
+             F.sum(F.when(F.col("is_removed") == 1, 1).otherwise(0))
+             .cast("long").alias("n_removed"),
+             rm_chars.cast("long").alias("chars_removed"))
+        .withColumn("removed_permille",
+                    F.expr("(1000 * chars_removed) DIV total_chars")
+                    .cast("long"))
+        .orderBy("source")
+    )
 
 
 @register("q_dedup_clusters", oracle=_clusters_oracle())

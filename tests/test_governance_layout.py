@@ -700,6 +700,7 @@ class TestEmptyWarehouse:
             "q_er_sorted_neighborhood", "q_er_entities",
             "q_chunk_dedup_census", "q_hll_rollup",
             "q_dedup_prefix_filter", "q_dedup_cosine_setjoin",
+            "q_sequence_mining", "q_dedup_savings",
         ]
         for name in new_queries:
             rows = qs[name](spark, empty_dir).collect()
