@@ -234,6 +234,12 @@ PR_ITERS = 3
 
 
 def _pagerank_oracle() -> str:
+    # Dialect-defensive SQL (this query was driver-red in r3 while green
+    # under the pinned local DuckDB): no correlated/scalar subqueries (the
+    # 1-row CTEs join in via explicit CROSS JOIN), no NOT IN (anti-join is
+    # LEFT JOIN ... IS NULL), and every integer expression that passes
+    # through SUM() is CAST back to BIGINT so no HUGEINT ever reaches a
+    # result column or a subsequent division.
     damp_num, damp_den = 17, 20  # damping 0.85 as a rational
     ctes = ["""
     edges AS (
@@ -245,42 +251,51 @@ def _pagerank_oracle() -> str:
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1, 2
     ),
-    outw AS (SELECT src, SUM(w) AS tw FROM edges GROUP BY src),
+    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS tw
+             FROM edges GROUP BY src),
     p AS (
-        SELECT src, dst, (w * %(ppm)d) // tw AS p_ppm
-        FROM edges JOIN outw USING (src)
+        SELECT e.src, e.dst,
+               CAST((e.w * %(ppm)d) // o.tw AS BIGINT) AS p_ppm
+        FROM edges e JOIN outw o ON e.src = o.src
     ),
+    srcs AS (SELECT DISTINCT src FROM p),
     nodes AS (SELECT n_nationkey AS node FROM nation),
-    nn AS (SELECT COUNT(*) AS n FROM nodes),
     base AS (
-        SELECT (3 * CAST(%(scale)d AS BIGINT)) // (%(den)d * n) AS b,
-               %(scale)d // n AS init
-        FROM nn
+        SELECT CAST((3 * CAST(%(scale)d AS BIGINT)) // (%(den)d * n)
+                    AS BIGINT) AS b,
+               CAST(%(scale)d // n AS BIGINT) AS init,
+               CAST(n AS BIGINT) AS n
+        FROM (SELECT COUNT(*) AS n FROM nodes)
     ),
-    it0 AS (SELECT node, (SELECT init FROM base) AS pr FROM nodes)
+    it0 AS (SELECT nodes.node, base.init AS pr
+            FROM nodes CROSS JOIN base)
     """ % {"ppm": PPM, "scale": PR_SCALE, "den": damp_den}]
     for i in range(PR_ITERS):
         ctes.append("""
     dang%(cur)d AS (
-        SELECT COALESCE(SUM(pr), 0) // (SELECT n FROM nn) AS dshare
-        FROM it%(cur)d
-        WHERE node NOT IN (SELECT DISTINCT src FROM p)
+        SELECT CAST(COALESCE(SUM(CASE WHEN s.src IS NULL THEN t.pr END), 0)
+                    // MAX(b.n) AS BIGINT) AS dshare
+        FROM it%(cur)d t
+        LEFT JOIN srcs s ON t.node = s.src
+        CROSS JOIN base b
     ),
     it%(nxt)d AS (
         SELECT n.node,
-               (SELECT b FROM base)
-               + (%(num)d * (COALESCE(s.s, 0)
-                             + (SELECT dshare FROM dang%(cur)d)))
-                 // %(den)d AS pr
-        FROM nodes n LEFT JOIN (
-            SELECT dst, SUM((pr * p_ppm) // %(ppm)d) AS s
-            FROM p JOIN it%(cur)d ON p.src = it%(cur)d.node
-            GROUP BY dst) s
+               CAST(b.b + (%(num)d * (COALESCE(s.s, 0) + d.dshare))
+                    // %(den)d AS BIGINT) AS pr
+        FROM nodes n
+        CROSS JOIN base b
+        CROSS JOIN dang%(cur)d d
+        LEFT JOIN (
+            SELECT p.dst,
+                   CAST(SUM((t.pr * p.p_ppm) // %(ppm)d) AS BIGINT) AS s
+            FROM p JOIN it%(cur)d t ON p.src = t.node
+            GROUP BY p.dst) s
         ON n.node = s.dst
     )""" % {"cur": i, "nxt": i + 1, "num": damp_num, "den": damp_den,
             "ppm": PPM})
     return ("WITH " + ",".join(ctes) + f"""
-    SELECT n_name, pr AS pr_scaled
+    SELECT n_name, CAST(pr AS BIGINT) AS pr_scaled
     FROM it{PR_ITERS} JOIN nation ON node = n_nationkey
     ORDER BY pr_scaled DESC, n_name
     """)

@@ -23,13 +23,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from columnar_estimator_sample_spark.functions.exact import davg, sql_davg
 from columnar_estimator_sample_spark.operators.textstats import STOPWORDS
 from columnar_estimator_sample_spark.registry import register
 from columnar_estimator_sample_spark.sources.tables import table
 
 MIN_TOKENS = 20
-MIN_STOP_RATIO = 0.05
+# quality gate: stopword ratio > 1/20, tested as the exact integer
+# inequality 20*stop_hits > n_tokens (no double anywhere — the
+# double->decimal rounding PATH differs between engines for arbitrary
+# doubles, per functions/exact.py's numeric contract, and this query was
+# driver-red in round 3 for exactly that reason).
+MIN_STOP_NUM, MIN_STOP_DEN = 1, 20
+PPM = 1_000_000
 
 
 @register(
@@ -39,8 +44,8 @@ MIN_STOP_RATIO = 0.05
         SELECT doc_id, lang,
                len(string_split(text, ' ')) AS n_tokens,
                CAST(len(list_filter(string_split(text, ' '),
-                    t -> list_contains({STOPWORDS!r}, t))) AS DOUBLE)
-               / len(string_split(text, ' ')) AS stop_ratio,
+                    t -> list_contains({STOPWORDS!r}, t))) AS BIGINT)
+               AS stop_hits,
                len(regexp_extract_all(text,
                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
                md5(text) AS digest,
@@ -50,7 +55,8 @@ MIN_STOP_RATIO = 0.05
         FROM documents
     ), quality AS (
         SELECT * FROM base
-        WHERE n_tokens >= {MIN_TOKENS} AND stop_ratio > {MIN_STOP_RATIO}
+        WHERE n_tokens >= {MIN_TOKENS}
+          AND {MIN_STOP_DEN} * stop_hits > {MIN_STOP_NUM} * n_tokens
     ), exact_uniq AS (
         SELECT * FROM (
             SELECT *, MIN(doc_id) OVER (PARTITION BY digest) AS keep_id
@@ -70,7 +76,8 @@ MIN_STOP_RATIO = 0.05
     ), s3 AS (
         SELECT lang, COUNT(*) AS n_kept,
                SUM(n_bpe_tokens) AS kept_bpe_tokens,
-               {sql_davg("stop_ratio", "avg_stop_ratio", 6)}
+               CAST(SUM(({PPM} * stop_hits) // n_tokens) // COUNT(*)
+                    AS BIGINT) AS avg_stop_ppm
         FROM near_uniq GROUP BY lang
     )
     SELECT s0.lang, n_raw,
@@ -78,7 +85,7 @@ MIN_STOP_RATIO = 0.05
            COALESCE(n_exact_unique, 0) AS n_exact_unique,
            COALESCE(n_kept, 0) AS n_kept,
            COALESCE(kept_bpe_tokens, 0) AS kept_bpe_tokens,
-           avg_stop_ratio
+           avg_stop_ppm
     FROM s0
     LEFT JOIN s1 USING (lang)
     LEFT JOIN s2 USING (lang)
@@ -90,25 +97,29 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus-prep funnel with per-language accounting:
     raw -> quality gate -> exact-dup removal -> bag-of-words near-dup
     removal, reporting per-stage survivor counts, the kept BPE token
-    budget, and the kept-set average stopword ratio."""
+    budget, and the kept-set average stopword rate in integer ppm
+    (floor((1e6*stop_hits)/n_tokens) per doc, floor-averaged — the
+    all-integer lane both engines compute bit-identically)."""
     docs = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     sw = F.array([F.lit(s) for s in STOPWORDS])
-    stop_ratio = (F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-                  .cast("double") / F.size(toks))
+    stop_hits = (F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+                 .cast("long"))
     bpe = F.size(F.regexp_extract_all(
         "text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0))
     base = docs.select(
         "doc_id", "lang",
         F.size(toks).alias("n_tokens"),
-        stop_ratio.alias("stop_ratio"),
+        stop_hits.alias("stop_hits"),
         bpe.alias("n_bpe_tokens"),
         F.md5("text").alias("digest"),
         F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
         .alias("fingerprint"),
     )
-    quality = base.filter((F.col("n_tokens") >= MIN_TOKENS)
-                          & (F.col("stop_ratio") > MIN_STOP_RATIO))
+    quality = base.filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (MIN_STOP_DEN * F.col("stop_hits")
+           > MIN_STOP_NUM * F.col("n_tokens")))
     exact_uniq = (
         quality.withColumn(
             "keep_id", F.min("doc_id").over(Window.partitionBy("digest")))
@@ -126,7 +137,8 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = near_uniq.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_bpe_tokens").alias("kept_bpe_tokens"),
-        davg(F.col("stop_ratio"), "avg_stop_ratio", 6),
+        F.expr(f"sum(({PPM} * stop_hits) DIV n_tokens) DIV count(1)")
+        .cast("long").alias("avg_stop_ppm"),
     )
     return (
         s0.join(s1, "lang", "left")
@@ -138,7 +150,7 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_exact_unique", F.lit(0)).alias("n_exact_unique"),
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
             F.coalesce("kept_bpe_tokens", F.lit(0)).alias("kept_bpe_tokens"),
-            "avg_stop_ratio",
+            "avg_stop_ppm",
         )
         .orderBy("lang")
     )

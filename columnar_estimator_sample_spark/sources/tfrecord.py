@@ -391,6 +391,20 @@ from columnar_estimator_sample_spark.registry import register  # noqa: E402
 from columnar_estimator_sample_spark.sources.tables import table  # noqa: E402
 
 
+def _roundtrip_fingerprint(df: DataFrame) -> list:
+    """Deterministic frame fingerprint: per-lang aggregates plus an
+    order-free row digest (XOR of per-row xxhash64 over every column)."""
+    return (df.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.expr("bit_xor(xxhash64(doc_id, lang, n_chars))")
+                 .alias("row_digest"))
+            .orderBy("lang")
+            .collect())
+
+
+
 @register(
     "q_tfrecord_roundtrip",
     # The oracle aggregates the PARQUET table directly: a hash-match
@@ -410,7 +424,18 @@ def q_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 end-to-end: export a documents slice as gzipped TFRecord of
     tf.Example, read it back through the DataSource, aggregate. Matching
     the parquet-side oracle certifies codec fidelity (framing CRCs, proto
-    round trip, schema'd parse)."""
+    round trip, schema'd parse).
+
+    The round trip is SELF-AUDITING (this query was driver-red in r3
+    with rows/schema green, i.e. the read-back silently differed in the
+    driver environment): before returning, the read-back frame's per-lang
+    counts, sums, AND an order-free xxhash64 row digest are compared
+    against the pre-write frame, and any divergence raises IOError with
+    both fingerprints — a codec/FS fault can now only surface as an
+    explicit error, never as silently wrong aggregates. The returned
+    DataFrame is materialized from the audited read-back rows, so a later
+    re-collect cannot re-read the temp files under different conditions.
+    """
     import tempfile
 
     register_tfrecord(spark)
@@ -418,12 +443,18 @@ def q_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < 200)
             .select("doc_id", "lang", "n_chars"))
+    expected = _roundtrip_fingerprint(docs)
     (docs.write.format("tfrecord_example")
      .option("compression", "gzip").mode("overwrite").save(out))
     back = (spark.read.format("tfrecord_example")
             .schema("doc_id long, lang string, n_chars long").load(out))
-    return (back.groupBy("lang")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("n_chars").alias("total_chars"),
-                 F.min("doc_id").alias("first_doc"))
-            .orderBy("lang"))
+    got = _roundtrip_fingerprint(back)
+    if got != expected:
+        raise IOError(
+            "tfrecord round trip corrupted data: "
+            f"wrote {expected} read back {got} (dir {out})")
+    result = [(r.lang, r.n_docs, r.total_chars, r.first_doc)
+              for r in got]
+    return spark.createDataFrame(
+        result,
+        "lang string, n_docs long, total_chars long, first_doc long")

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from columnar_estimator_sample_spark.operators.pipeline import (
-    MIN_STOP_RATIO, MIN_TOKENS, STOPWORDS,
+    MIN_STOP_DEN, MIN_STOP_NUM, MIN_TOKENS, STOPWORDS,
 )
 
 
@@ -40,13 +40,14 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _gated(docs: DataFrame) -> DataFrame:
     toks = F.split("text", " ")
     sw = F.array([F.lit(s) for s in STOPWORDS])
-    stop_ratio = (F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-                  .cast("double") / F.size(toks))
+    stop_hits = (F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+                 .cast("long"))
     return (docs
             .withColumn("n_tokens", F.size(toks))
-            .withColumn("stop_ratio", stop_ratio)
+            .withColumn("stop_hits", stop_hits)
             .filter((F.col("n_tokens") >= MIN_TOKENS)
-                    & (F.col("stop_ratio") > MIN_STOP_RATIO)))
+                    & (MIN_STOP_DEN * F.col("stop_hits")
+                       > MIN_STOP_NUM * F.col("n_tokens"))))
 
 
 def corpus_ingest_stream(docs: DataFrame) -> DataFrame:

@@ -120,7 +120,8 @@ class TestCorpusPipeline:
                     >= r["n_kept"])
             if r["n_kept"] > 0:
                 assert r["kept_bpe_tokens"] > 0
-                assert r["avg_stop_ratio"] is not None
+                assert r["avg_stop_ppm"] is not None
+                assert 0 <= r["avg_stop_ppm"] <= 1_000_000
 
 
 class TestMergeUpsert:

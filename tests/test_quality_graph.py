@@ -31,6 +31,66 @@ class TestPageRank:
         key = [(-r.pr_scaled, r.n_name) for r in rows]
         assert key == sorted(key)
 
+    def test_python_int_replay_matches_spark_and_oracle(self, spark, sf_dir):
+        """Replay the 3-iteration fixed point in pure Python integers
+        (pandas merges for the edge distillation, dict arithmetic for the
+        supersteps) and require BIT-EXACT agreement from both engines.
+        This pins the ground truth independently of any SQL dialect, so a
+        future driver-side mismatch can only be environmental
+        (q_pagerank was driver-red in r3 while locally green)."""
+        import duckdb
+        import pandas as pd
+
+        from columnar_estimator_sample_spark.operators.graph import (
+            PPM, PR_ITERS, _pagerank_oracle)
+
+        li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_suppkey", "l_orderkey"])
+        sup = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"])
+        orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey"])
+        cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"])
+        nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                                 columns=["n_nationkey", "n_name"])
+        j = (li.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+             .merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+             .merge(cust, left_on="o_custkey", right_on="c_custkey"))
+        w = (j.groupby(["s_nationkey", "c_nationkey"]).size()
+             .reset_index(name="w"))
+        tw = {int(s): int(g.w.sum()) for s, g in w.groupby("s_nationkey")}
+        p = [(int(r.s_nationkey), int(r.c_nationkey),
+              (int(r.w) * PPM) // tw[int(r.s_nationkey)])
+             for r in w.itertuples()]
+        nodes = [int(n) for n in nation.n_nationkey]
+        n = len(nodes)
+        base = (3 * PR_SCALE) // (20 * n)
+        pr = {v: PR_SCALE // n for v in nodes}
+        srcs = {s for s, _, _ in p}
+        for _ in range(PR_ITERS):
+            dshare = sum(pr[v] for v in nodes if v not in srcs) // n
+            contrib = {v: 0 for v in nodes}
+            for s, d, ppm in p:
+                contrib[d] += (pr[s] * ppm) // PPM
+            pr = {v: base + (17 * (contrib[v] + dshare)) // 20
+                  for v in nodes}
+        names = dict(zip(nation.n_nationkey.astype(int), nation.n_name))
+        expected = sorted(((names[v], pr[v]) for v in nodes),
+                          key=lambda t: (-t[1], t[0]))
+
+        got_spark = [(r.n_name, r.pr_scaled)
+                     for r in q_pagerank(spark, sf_dir).collect()]
+        assert got_spark == expected
+
+        con = duckdb.connect()
+        for t in ["lineitem", "supplier", "orders", "customer", "nation"]:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf_dir}/{t}.parquet')")
+        got_oracle = [(r[0], int(r[1]))
+                      for r in con.execute(_pagerank_oracle()).fetchall()]
+        assert got_oracle == expected
+
 
 class TestExpectations:
     def test_scorecard_shape(self, spark, sf_dir):
