@@ -54,9 +54,9 @@ BASKET_TOP = 25
         GROUP BY 1, 2
     )
     SELECT part_a, part_b, support,
-           (1000 * support * (SELECT n FROM n_ord)) // (c_a * c_b)
+           (1000 * support * n_ord.n) // (c_a * c_b)
                AS lift_pm
-    FROM pairs
+    FROM pairs CROSS JOIN n_ord
     WHERE support >= {PAIR_MINSUP}
     ORDER BY support DESC, part_a, part_b
     LIMIT {BASKET_TOP}

@@ -162,12 +162,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, fully verified.
 
     Pipeline (the 100 TB-scale standard):
-      0. contract exact duplicates (md5(text) census, min-id rep) —
-         identical texts have identical signatures, so the LSH join only
-         needs DISTINCT content; member pairs are recovered afterwards
-         by an output-proportional expansion join. Result-preserving by
+      0. IF the corpus carries meaningful exact duplication (>5% of
+         rows, measured by a digest-only census probe), contract exact
+         duplicates (md5(text) census, min-id rep) — identical texts
+         have identical signatures, so the LSH join only needs DISTINCT
+         content; member pairs are recovered afterwards by an
+         output-proportional expansion join. Result-preserving by
          construction: same-group pairs share every band (Jaccard 1.0)
          and cross-group pairs collide iff their representatives do.
+         On a near-duplicate-free corpus the contraction window would
+         cost more than it saves (r3 measured 3.81 -> 4.79 s at sf0.1
+         vs a 5.8x win on the 10-way-mirrored sf1), so the probe gates
+         it: one map-side-combinable aggregate over 16-byte digests —
+         it never shuffles text and its output is two scalars.
       1. shingle -> hash to int64 (md5-based, oracle-portable)
       2. k=32 universal-hash minima -> signature          [narrow]
       3. 8 bands x 4 rows; band key = md5 of the band     [narrow]
@@ -177,21 +184,20 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       6. expand verified representative pairs to member pairs
     Returns (doc_a, doc_b, jaccard) for verified pairs.
     """
-    from pyspark.sql.window import Window
-
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    # census as ONE window pass over the md5 exchange (no groupBy+join):
-    # text rides along so representatives need no join back to the table
-    w = Window.partitionBy("fp")
-    grouped = (docs.withColumn("fp", F.md5("text"))
-               .withColumn("gid", F.min("doc_id").over(w))
-               .withColumn("gsz", F.count(F.lit(1)).over(w)))
-    members = grouped.select("doc_id", "gid", "gsz")
-    reps = (grouped.filter(F.col("doc_id") == F.col("gid"))
-            .select("doc_id", "text"))
-    sh = reps.select(
+    census = (docs.select(F.md5("text").alias("fp"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.count_distinct("fp").alias("d"))
+              .first())
+    contract = (census.n - census.d) * 20 > census.n
+    if contract:
+        members, reps = contract_exact_dups(docs, "doc_id", "text")
+        lsh_input = reps
+    else:
+        lsh_input = docs
+    sh = lsh_input.select(
         "doc_id", _shingles_expr("text").alias("shingles"))
-    bands = minhash_bands(reps)
+    bands = minhash_bands(lsh_input)
 
     left = bands.alias("l")
     right = bands.alias("r")
@@ -204,14 +210,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("r.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # groups with >1 member: the representative's self-pair stands in for
-    # every within-group pair (identical text, Jaccard exactly 1.0) and
-    # goes through the SAME verification expression as everything else
-    self_pairs = (members.filter((F.col("doc_id") == F.col("gid"))
-                                 & (F.col("gsz") >= 2))
-                  .select(F.col("gid").alias("doc_a"),
-                          F.col("gid").alias("doc_b")))
-    cand = cand.unionByName(self_pairs)
+    if contract:
+        # groups with >1 member: the representative's self-pair stands in
+        # for every within-group pair (identical text, Jaccard exactly
+        # 1.0) and goes through the SAME verification as everything else
+        self_pairs = (members.filter((F.col("doc_id") == F.col("gid"))
+                                     & (F.col("gsz") >= 2))
+                      .select(F.col("gid").alias("doc_a"),
+                              F.col("gid").alias("doc_b")))
+        cand = cand.unionByName(self_pairs)
 
     # Verification joins shingle sets back in for the (few) candidates.
     sh_a = sh.select(F.col("doc_id").alias("doc_a"),
@@ -226,9 +233,41 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (inter.cast("double") / union).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )
+    if not contract:
+        return verified.orderBy("doc_a", "doc_b")
     return (expand_member_pairs(verified, members, "doc_a", "doc_b",
                                 id_col="doc_id")
             .orderBy("doc_a", "doc_b"))
+
+
+def contract_exact_dups(df: DataFrame, id_col: str, payload_col: str,
+                        fp: "F.Column | None" = None):
+    """Exact-duplicate contraction census — THE shared contract for every
+    supernode-style dedup (MinHash LSH, the AllPairs set joins, embedding
+    LSH): rows with identical payload collapse to a min-id representative
+    before any candidate generation, and verified representative pairs
+    expand back via :func:`expand_member_pairs`.
+
+    One window pass over the fingerprint exchange (no groupBy+join; the
+    payload rides along so representatives need no join back). Returns
+    ``(members, reps)``: members = (id_col, gid, gsz) — gid is the
+    group's min id, gsz its size; reps = (id_col, payload_col) for the
+    representative rows only.
+
+    ``fp`` overrides the fingerprint expression (default
+    ``md5(payload_col)``, correct for string payloads; array payloads
+    need a null-preserving encoding such as md5(to_json(...)))."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("fp")
+    grouped = (df.withColumn(
+        "fp", fp if fp is not None else F.md5(payload_col))
+        .withColumn("gid", F.min(id_col).over(w))
+        .withColumn("gsz", F.count(F.lit(1)).over(w)))
+    members = grouped.select(id_col, "gid", "gsz")
+    reps = (grouped.filter(F.col(id_col) == F.col("gid"))
+            .select(id_col, payload_col))
+    return members, reps
 
 
 def expand_member_pairs(pairs: DataFrame, members: DataFrame,
@@ -1030,44 +1069,28 @@ def _contracted_setjoin(docs: DataFrame, t_millis: int,
     while the duplicate blow-up moves to the final, output-proportional
     expansion join. Within-group pairs are emitted directly with
     inter = na = nb (identical texts share every token — measure exactly
-    1.0 under both Jaccard and cosine), skipping scoring."""
-    from pyspark.sql.window import Window
+    1.0 under both Jaccard and cosine), skipping scoring.
 
-    # census as ONE window pass over the md5 exchange (no groupBy+join);
-    # text rides along so representatives need no join back to the table
-    w = Window.partitionBy("fp")
-    grouped = (docs.withColumn("fp", F.md5("text"))
-               .withColumn("gid", F.min("doc_id").over(w)))
-    members = grouped.select("doc_id", "gid")
-    reps = (grouped.filter(F.col("doc_id") == F.col("gid"))
-            .select("doc_id", "text"))
+    Census and expansion go through the shared contraction contract
+    (:func:`contract_exact_dups` / :func:`expand_member_pairs`):
+    within-group pairs are emitted as representative SELF-pairs carrying
+    na = nb = inter = |rep tokens| and expanded to C(|g|, 2) member
+    pairs exactly like cross pairs."""
+    members, reps = contract_exact_dups(docs, "doc_id", "text")
     rep_sizes = _ssjoin_tokens(reps).groupBy("doc_id").agg(
         F.count("*").alias("n"))
 
     rep_pairs = _verified_pairs(reps, t_millis, measure)
-
-    ma = members.select(F.col("gid").alias("doc_a"),
-                        F.col("doc_id").alias("mem_a"))
-    mb = members.select(F.col("gid").alias("doc_b"),
-                        F.col("doc_id").alias("mem_b"))
-    cross = (
-        rep_pairs.join(ma, "doc_a").join(mb, "doc_b")
-        .select(F.least("mem_a", "mem_b").alias("doc_a"),
-                F.greatest("mem_a", "mem_b").alias("doc_b"),
-                "na", "nb", "inter_size")
-    )
-    g1 = members.select("gid", F.col("doc_id").alias("mem_a"))
-    g2 = members.select("gid", F.col("doc_id").alias("mem_b"))
-    within = (
-        g1.join(g2, "gid")
-        .filter(F.col("mem_a") < F.col("mem_b"))
-        .join(rep_sizes.withColumnRenamed("doc_id", "gid"), "gid")
-        .select(F.col("mem_a").alias("doc_a"),
-                F.col("mem_b").alias("doc_b"),
-                F.col("n").alias("na"), F.col("n").alias("nb"),
-                F.col("n").alias("inter_size"))
-    )
-    return cross.unionByName(within)
+    self_pairs = (members.filter((F.col("doc_id") == F.col("gid"))
+                                 & (F.col("gsz") >= 2))
+                  .join(rep_sizes, "doc_id")
+                  .select(F.col("gid").alias("doc_a"),
+                          F.col("gid").alias("doc_b"),
+                          F.col("n").alias("na"), F.col("n").alias("nb"),
+                          F.col("n").alias("inter_size")))
+    return expand_member_pairs(
+        rep_pairs.unionByName(self_pairs), members,
+        "doc_a", "doc_b", id_col="doc_id")
 
 
 def prefix_filter_pairs(docs: DataFrame,

@@ -1586,9 +1586,9 @@ def q_dormancy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     u AS (
         SELECT user_id,
                MAX(day) - MIN(day) AS lifespan,
-               CASE WHEN MAX(day) = (SELECT gmax FROM g)
+               CASE WHEN MAX(day) = MAX(g.gmax)
                     THEN 1 ELSE 0 END AS censored
-        FROM d GROUP BY user_id
+        FROM d CROSS JOIN g GROUP BY user_id
     ), levels AS (
         SELECT lifespan,
                CAST(COUNT(*) AS BIGINT) AS n_all,
@@ -1845,14 +1845,14 @@ CUPED_SPLIT_DAY = 15   # pre-period: day < 15; experiment period: day >= 15
     ), per_user AS (
         SELECT user_id,
                CAST(SUM(CASE WHEN epoch_us(ts) // {US_PER_DAY}
-                             - (SELECT mn FROM d0)
+                             - d0.mn
                              < {CUPED_SPLIT_DAY} THEN 1 ELSE 0 END)
                     AS BIGINT) AS x,
                CAST(SUM(CASE WHEN epoch_us(ts) // {US_PER_DAY}
-                             - (SELECT mn FROM d0)
+                             - d0.mn
                              >= {CUPED_SPLIT_DAY} THEN 1 ELSE 0 END)
                     AS BIGINT) AS y
-        FROM events GROUP BY user_id
+        FROM events CROSS JOIN d0 GROUP BY user_id
     ), s AS (
         SELECT CAST(COUNT(*) AS HUGEINT) AS n,
                CAST(SUM(x) AS HUGEINT) AS sx,

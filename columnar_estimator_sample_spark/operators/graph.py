@@ -158,7 +158,8 @@ def _savings_oracle() -> str:
                          ELSE 0 END) AS BIGINT) AS chars_removed,
            CAST((1000 * SUM(CASE WHEN r.doc_id IS NOT NULL
                                  THEN d.n_chars ELSE 0 END))
-                // SUM(d.n_chars) AS BIGINT) AS removed_permille
+                // GREATEST(SUM(d.n_chars), 1) AS BIGINT)
+               AS removed_permille
     FROM documents d LEFT JOIN rem r ON d.doc_id = r.doc_id
     GROUP BY d.source
     ORDER BY d.source
@@ -196,8 +197,12 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.when(F.col("is_removed") == 1, 1).otherwise(0))
              .cast("long").alias("n_removed"),
              rm_chars.cast("long").alias("chars_removed"))
+        # greatest(_, 1): an all-empty source (total_chars = 0) yields 0
+        # permille in both engines instead of Spark-NULL vs DuckDB
+        # division error (the supp_pm convention, see q_sequence_mining)
         .withColumn("removed_permille",
-                    F.expr("(1000 * chars_removed) DIV total_chars")
+                    F.expr("(1000 * chars_removed)"
+                           " DIV greatest(total_chars, 1)")
                     .cast("long"))
         .orderBy("source")
     )

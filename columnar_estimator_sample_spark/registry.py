@@ -73,42 +73,40 @@ _loaded = False
 # in and out of the window is additionally verified by
 # ``tools/check_oracle.py`` (same compare semantics) before commit.
 #
-# Round-3 window: the LLM-data-pipeline tier the round-1 verdict flagged
-# as driver-unchecked (text stats, dedup family, similarity/ANN, search),
-# plus corpus prep, TFRecord round-trip, the events/graph headliners, and
-# the TPC-H queries added in round 2. Late-round swap: q_dedup_prefix_filter
-# (whose driver row certifies the prefix-filter pruning is LOSSLESS against
-# the exhaustive-join oracle) replaces q_postings_delta (storage census,
-# still green under tools/check_oracle.py; rotates in next round).
-_DRIVER_WINDOW_R3 = [
-    "q_text_token_stats", "q_text_quality", "q_text_langid",
-    "q_text_bpe_tokens", "q_text_fingerprint",
-    "q_normalization_stats", "q_feature_hash_buckets", "q_ndv_catalog",
-    "q_similarity_topk", "q_similarity_topk_fast",
-    "q_dedup_embedding_cosine", "q_dedup_embedding_lsh",
-    "q_ann_ivf_topk", "q_ann_recall",
-    "q_dedup_simhash_pairs", "q_dedup_prefix_filter",
-    "q_dedup_editdistance", "q_dedup_containment", "q_dedup_clusters",
-    "q_dedup_incremental",
-    "q_corpus_prep_pipeline", "q_bpe_learn", "q_tfidf_terms",
-    "q_merge_upsert", "q_media_metadata", "q_media_dedup",
-    "q_inverted_index", "q_bm25_search", "q_hybrid_rrf",
-    "q_phrase_search",
-    "q_pack_chunks", "q_contamination_check", "q_pii_redaction",
-    "q_split_by_user", "q_sample_stratified", "q_sample_exact_k",
-    "q_tfrecord_roundtrip",
-    "q_funnel", "q_cohort_retention",
-    "q_pagerank", "q_triangle_count",
-    "q_hypertable_rollup", "q_copurchase", "q_hll_ndv", "q_countmin_hh",
-    "q_er_sorted_neighborhood", "q_er_entities", "q_chunk_dedup_census",
-    "q_hll_rollup", "q_kcore_census",
+# Round-4 window: the 3 round-3 hash-reds lead (their fixes — integer-ppm
+# stop ratio, dialect-safe pagerank oracle, self-auditing tfrecord round
+# trip — need a confirming driver row), then the never-driver-checked
+# queries in registration order: the remaining TPC-H suite, the events
+# analytics tier (ship latency through funnel exclusion), sequence mining,
+# the cosine set-join, the dedup savings census, and q_postings_delta
+# (rotated back in as promised in the round-3 comment; its slot comes from
+# deferring q_substring_hotspots one round).
+_DRIVER_WINDOW_R4 = [
+    "q_corpus_prep_pipeline", "q_tfrecord_roundtrip", "q_pagerank",
+    "q11_important_stock", "q13_order_distribution", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q20_excess_suppliers", "q21_sole_late_supplier",
+    "q_ship_latency", "q_rfm_segments", "q_largest_remainder",
+    "q_value_migration", "q_segment_median_order",
+    "q_return_rate_segment", "q_first_order_predictiveness",
+    "q_aqp_ci", "q_revenue_decomposition", "q_hierarchy_rollup",
+    "q_group_topn_other", "q_range_join_binned", "q_scd2_history",
+    "q_rate_anomaly", "q_attribution", "q_interval_enrich",
+    "q_event_transitions", "q_activity_lorenz", "q_growth_accounting",
+    "q_distribution_drift", "q_event_paths", "q_max_concurrency",
+    "q_decay_engagement", "q_longest_streak", "q_cohort_ltv",
+    "q_markov_stationary", "q_funnel_latency", "q_bounce_rate",
+    "q_purchase_intervals", "q_daily_arpu", "q_dormancy_segments",
+    "q_churn_hazard", "q_attribution_linear", "q_slo_burn", "q_cuped",
+    "q_funnel_exclusion", "q_sequence_mining",
+    "q_dedup_cosine_setjoin", "q_dedup_savings", "q_postings_delta",
 ]
 
 
 def _window_order(d: dict) -> dict:
     """Reorder ``d`` so the current driver window comes first (names
     missing from ``d`` are ignored; the rest keep registration order)."""
-    front = [k for k in _DRIVER_WINDOW_R3 if k in d]
+    front = [k for k in _DRIVER_WINDOW_R4 if k in d]
     rest = [k for k in d if k not in set(front)]
     return {k: d[k] for k in front + rest}
 

@@ -94,6 +94,61 @@ class TestMultimodal:
                  for x in extract_features(media).collect()}
         assert all(again[x["doc_id"]] == x["checksum"] for x in rows)
 
+    def test_containers_are_format_valid(self, spark, sf_dir):
+        """The Catalyst-built containers must satisfy INDEPENDENT
+        parsers: PNG chunk CRCs re-verified with zlib.crc32, WAV read by
+        the stdlib `wave` module, JPEG dims by our marker walk — and all
+        parsed fields must equal the construction formulas."""
+        import io
+        import struct
+        import wave
+        import zlib
+
+        from columnar_estimator_sample_spark.operators.multimodal import (
+            documents_as_media_containers, parse_jpeg_dims,
+            parse_png_dims, parse_wav_meta,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        docs = table(spark, sf_dir, "documents").filter("doc_id < 30")
+        rows = documents_as_media_containers(docs).collect()
+        assert {r["media_type"] for r in rows} == {"image", "audio",
+                                                   "video"}
+        for r in rows:
+            p, did = bytes(r["payload"]), r["doc_id"]
+            if r["media_type"] == "image":
+                w, h = parse_png_dims(p)
+                assert (w, h) == (did % 640 + 32, did % 480 + 32)
+                # independent CRC check of every chunk
+                pos = 8
+                while pos < len(p):
+                    (length,) = struct.unpack_from(">I", p, pos)
+                    body = p[pos + 4:pos + 8 + length]
+                    (crc,) = struct.unpack_from(">I", p,
+                                                pos + 8 + length)
+                    assert zlib.crc32(body) == crc, f"chunk@{pos}"
+                    pos += 12 + length
+            elif r["media_type"] == "video":
+                w, h = parse_jpeg_dims(p)
+                assert (w, h) == (did % 640 + 32, did % 480 + 32)
+                assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+            else:
+                rate, dur = parse_wav_meta(p)
+                assert rate == did % 8 * 1000 + 8000
+                # stdlib wave as the independent reference parser
+                wf = wave.open(io.BytesIO(p))
+                assert wf.getframerate() == rate
+                assert wf.getnchannels() == 1
+                assert wf.getsampwidth() == 2
+                assert dur == (1000 * wf.getnframes()) // rate
+
+    def test_header_parsers_reject_garbage(self):
+        from columnar_estimator_sample_spark.operators.multimodal import (
+            parse_jpeg_dims, parse_png_dims, parse_wav_meta,
+        )
+        for fn in (parse_png_dims, parse_jpeg_dims, parse_wav_meta):
+            with pytest.raises(ValueError):
+                fn(b"not a media file at all........")
+
     def test_frame_sample_plan(self, spark, sf_dir):
         from columnar_estimator_sample_spark.operators.multimodal import (
             documents_as_media, frame_sample_plan,

@@ -67,11 +67,14 @@ class TestCLI:
         assert main(["list"]) == 0
         out = capsys.readouterr().out
         assert "q01_pricing_summary\toracle" in out
-        assert "q_media_features\trows-only" in out
+        # q_media_features gained a real oracle in round 4 (header-decode
+        # round trip); the remaining by-design rows-only entries:
+        assert "q_media_features\toracle" in out
+        assert "q_approx_stats\trows-only" in out
         assert main(["oracle", "q01_pricing_summary"]) == 0
         assert "l_returnflag" in capsys.readouterr().out
         assert main(["oracle", "nope_not_a_query"]) == 1
-        assert main(["oracle", "q_media_features"]) == 1
+        assert main(["oracle", "q_approx_stats"]) == 1
 
     def test_run_explain(self, spark, sf_dir, capsys):
         from columnar_estimator_sample_spark.__main__ import main
