@@ -383,7 +383,7 @@ ANOM_LO_PM = 600    # ... or <= 0.6x
     )
     SELECT CAST(DATE '1970-01-01' + CAST(day_num AS INT) AS VARCHAR) AS day,
            event_type, n,
-           (1000 * n * k3) // s3 AS ratio_pm
+           CAST((1000 * n * k3) // s3 AS BIGINT) AS ratio_pm
     FROM trailed
     WHERE k3 > 0
       AND ((1000 * n * k3) // s3 >= {ANOM_HI_PM}
@@ -543,8 +543,8 @@ def q_interval_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM e
     )
     SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n,
-           (1000 * COUNT(*)) // SUM(COUNT(*)) OVER (PARTITION BY src)
-               AS p_permille
+           CAST((1000 * COUNT(*)) // SUM(COUNT(*)) OVER (PARTITION BY src)
+                AS BIGINT) AS p_permille
     FROM nxt
     WHERE dst IS NOT NULL
     GROUP BY src, dst
@@ -1786,7 +1786,8 @@ SLO_WINDOW_DAYS = 7   # rolling burn window
     SELECT day_num,
            (1000 * n_err) // n_total AS err_pm,
            (1000000 * n_err) // ({SLO_ERR_PM} * n_total) AS burn_pm,
-           (1000000 * e7) // ({SLO_ERR_PM} * t7) AS burn7_pm,
+           CAST((1000000 * e7) // ({SLO_ERR_PM} * t7) AS BIGINT)
+               AS burn7_pm,
            CASE WHEN (1000000 * e7) // ({SLO_ERR_PM} * t7) > 1000
                 THEN 1 ELSE 0 END AS breach
     FROM rolled

@@ -75,7 +75,7 @@ PPM = 1_000_000
         SELECT lang, COUNT(*) AS n_exact_unique FROM exact_uniq GROUP BY lang
     ), s3 AS (
         SELECT lang, COUNT(*) AS n_kept,
-               SUM(n_bpe_tokens) AS kept_bpe_tokens,
+               CAST(SUM(n_bpe_tokens) AS BIGINT) AS kept_bpe_tokens,
                CAST(SUM(({PPM} * stop_hits) // n_tokens) // COUNT(*)
                     AS BIGINT) AS avg_stop_ppm
         FROM near_uniq GROUP BY lang

@@ -652,8 +652,8 @@ KA_THRESHOLDS = (2, 5, 10)
            CAST(MIN(sz) AS BIGINT) AS min_class,
            CAST(MAX(sz) AS BIGINT) AS max_class,
            {", ".join(
-               f"(1000 * CAST(SUM(CASE WHEN sz < {k} THEN sz ELSE 0 END)"
-               f" AS BIGINT)) // SUM(sz) AS risk{k}_pm"
+               f"CAST((1000 * CAST(SUM(CASE WHEN sz < {k} THEN sz ELSE 0"
+               f" END) AS BIGINT)) // SUM(sz) AS BIGINT) AS risk{k}_pm"
                for k in KA_THRESHOLDS)},
            CAST(MIN(n_sens) AS BIGINT) AS l_diversity_min
     FROM classes

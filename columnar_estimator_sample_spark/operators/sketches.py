@@ -483,8 +483,8 @@ def q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS observed
     )
     SELECT t.n1, t.n2, m.recaptured,
-           (CAST(t.n1 AS HUGEINT) * t.n2) // GREATEST(m.recaptured, 1)
-               AS lp_est,
+           CAST((CAST(t.n1 AS HUGEINT) * t.n2)
+                // GREATEST(m.recaptured, 1) AS BIGINT) AS lp_est,
            t.observed
     FROM m CROSS JOIN tot t
     """)

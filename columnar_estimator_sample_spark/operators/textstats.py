@@ -358,7 +358,8 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t
     ),
     tstats AS (
-        SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_token_count
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               MAX(c) AS top_token_count
         FROM tc GROUP BY doc_id
     ),
     bg AS (
@@ -375,8 +376,9 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b
     ),
     bstats AS (
-        SELECT doc_id, SUM(c) AS n_bigrams,
-               COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS dup_bigram_occ
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+                   AS dup_bigram_occ
         FROM bc GROUP BY doc_id
     )
     SELECT t.doc_id, t.n_tokens, t.top_token_count,
@@ -459,9 +461,10 @@ VOCAB_K = 16
     )
     SELECT lang,
            COUNT(*) AS total_tokens,
-           COALESCE(SUM(CASE WHEN v.t IS NULL THEN 1 END), 0) AS oov_tokens,
-           COALESCE(SUM(CASE WHEN v.t IS NULL THEN 1 END), 0) * 1000
-               // COUNT(*) AS oov_permille
+           CAST(COALESCE(SUM(CASE WHEN v.t IS NULL THEN 1 END), 0)
+                AS BIGINT) AS oov_tokens,
+           CAST(COALESCE(SUM(CASE WHEN v.t IS NULL THEN 1 END), 0) * 1000
+                // COUNT(*) AS BIGINT) AS oov_permille
     FROM tok LEFT JOIN vocab v USING (t)
     GROUP BY lang
     ORDER BY lang
@@ -527,8 +530,8 @@ LM_TOP = 20
         WHERE bigram NOT LIKE '% '
         GROUP BY 1, 2
     )
-    SELECT w1, w2, c12, c1,
-           (1000 * c12) // c1 AS p_permille
+    SELECT w1, w2, c12, CAST(c1 AS BIGINT) AS c1,
+           CAST((1000 * c12) // c1 AS BIGINT) AS p_permille
     FROM (SELECT *, SUM(c12) OVER (PARTITION BY w1) AS c1 FROM counts)
     ORDER BY c12 DESC, w1, w2
     LIMIT {LM_TOP}
@@ -598,8 +601,8 @@ NOVELTY_TOP = 20
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
            CAST(SUM(CASE WHEN bdf = 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_unique,
-           (1000 * SUM(CASE WHEN bdf = 1 THEN 1 ELSE 0 END)) // COUNT(*)
-               AS novelty_pm
+           CAST((1000 * SUM(CASE WHEN bdf = 1 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS novelty_pm
     FROM clean JOIN df USING (bigram)
     GROUP BY doc_id
     ORDER BY novelty_pm DESC, doc_id

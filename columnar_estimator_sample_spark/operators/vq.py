@@ -233,7 +233,8 @@ def kmeans_fit(spark: SparkSession, sf_dir: str,
     )
     SELECT i, MIN(min_vi) AS min_vi, MIN(max_vi) AS max_vi,
            COUNT(*) AS n, MIN(code) AS min_code, MAX(code) AS max_code,
-           SUM(err255) AS sum_abs_err255, MAX(err255) AS max_abs_err255
+           CAST(SUM(err255) AS BIGINT) AS sum_abs_err255,
+           MAX(err255) AS max_abs_err255
     FROM q
     GROUP BY i
     ORDER BY i

@@ -350,7 +350,8 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_extendedprice > 0
     )
     SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
-           (1000 * COUNT(*)) // SUM(COUNT(*)) OVER () AS share_pm
+           CAST((1000 * COUNT(*)) // SUM(COUNT(*)) OVER () AS BIGINT)
+               AS share_pm
     FROM d
     GROUP BY digit
     ORDER BY digit

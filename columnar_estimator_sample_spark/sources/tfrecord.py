@@ -412,7 +412,7 @@ def _roundtrip_fingerprint(df: DataFrame) -> list:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS first_doc
     FROM documents
     WHERE doc_id < 200

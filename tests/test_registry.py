@@ -31,6 +31,38 @@ def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_oracle_result_types_spark_representable(sf_dir):
+    """Every oracle's PREPARED DuckDB result types must be in the
+    Spark-representable set.
+
+    Round 4's five driver hash-reds shared one root cause: DuckDB
+    ``SUM(BIGINT)`` returns HUGEINT (int128); the driver hashes typed
+    values so int128 != Spark's int64, while the local replica's
+    ``fetchdf()`` silently coerced to float64 and passed. This test makes
+    that defect class impossible to reintroduce: a query #239 with an
+    uncast SUM in its oracle goes red here before it ever reaches the
+    driver. Type derivation is lazy (no fetch), so all ~236 oracles
+    check in about a second.
+    """
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    allowed = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+               "USMALLINT", "UINTEGER", "FLOAT", "DOUBLE", "VARCHAR",
+               "DATE", "BOOLEAN"}
+    bad = []
+    for name, sql in ORACLES.items():
+        rel = con.sql(sql)
+        bad += [(name, c, str(t)) for c, t in zip(rel.columns, rel.types)
+                if str(t) not in allowed
+                and not str(t).startswith("TIMESTAMP")]
+    assert not bad, (
+        f"oracle result columns with non-Spark-representable DuckDB types "
+        f"(driver hash-red; CAST them): {bad}")
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()

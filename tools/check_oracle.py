@@ -18,13 +18,67 @@ import duckdb
 import pandas as pd
 
 
-def run_duckdb(sql: str, sf_dir: str) -> pd.DataFrame:
+def run_duckdb(sql: str, sf_dir: str) -> tuple[pd.DataFrame, dict[str, str]]:
+    """-> (result frame, {column: DuckDB logical type}).
+
+    The logical types come from the RELATION (pre-``fetchdf``) — round 4
+    proved ``fetchdf()`` silently coerces HUGEINT -> float64, hiding the
+    exact type class the driver hashes red on.
+    """
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
-    return con.execute(sql).fetchdf()
+    rel = con.sql(sql)
+    types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+    return rel.fetchdf(), types
+
+
+# Type families the driver's typed hash treats as equal (probed against
+# the union of driver-green rows in CORRECTNESS_r01..r04: BIGINT<->int is
+# green 18 times, so integer WIDTH doesn't matter — but HUGEINT is
+# hash-red every time, so family membership does).
+_DUCK_FAMILY = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int",
+    "FLOAT": "float", "DOUBLE": "float", "VARCHAR": "str",
+    "DATE": "date", "BOOLEAN": "bool",
+}
+_SPARK_FAMILY = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float", "string": "str",
+    "date": "date", "boolean": "bool",
+}
+
+
+def _family(duck_type: str) -> str:
+    if duck_type.startswith("TIMESTAMP"):
+        return "timestamp"
+    return _DUCK_FAMILY.get(duck_type, f"FORBIDDEN({duck_type})")
+
+
+def _spark_family(simple: str) -> str:
+    if simple.startswith("timestamp"):
+        return "timestamp"
+    return _SPARK_FAMILY.get(simple, f"OTHER({simple})")
+
+
+def compare_types(duck_types: dict[str, str],
+                  spark_types: dict[str, str]) -> list[str]:
+    """Driver-faithful type check: DuckDB relation types vs Spark schema."""
+    problems = []
+    for c, dt in duck_types.items():
+        fam = _family(dt)
+        if fam.startswith("FORBIDDEN"):
+            problems.append(
+                f"col {c}: oracle type {dt} is not Spark-representable "
+                f"(driver hash-red; CAST it in the oracle SQL)")
+        elif c in spark_types and fam != _spark_family(spark_types[c]):
+            problems.append(
+                f"col {c}: type family mismatch oracle={dt} "
+                f"spark={spark_types[c]}")
+    return problems
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -109,7 +163,10 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            res = fn(spark, sf_dir)
+            spark_types = {f.name: f.dataType.simpleString()
+                           for f in res.schema.fields}
+            sdf = res.toPandas()
         except Exception as e:  # noqa: BLE001
             failed.append(name)
             ledger[name] = {"status": "fail", "rows": None,
@@ -124,14 +181,15 @@ def main() -> int:
                   f"({time.time() - t0:.1f}s)")
             continue
         try:
-            odf = run_duckdb(oracles[name], sf_dir)
+            odf, duck_types = run_duckdb(oracles[name], sf_dir)
         except Exception as e:  # noqa: BLE001
             failed.append(name)
             ledger[name] = {"status": "fail", "rows": len(sdf),
                             "err": f"oracle error: {e}"[:200]}
             print(f"FAIL {name}: oracle error: {e}")
             continue
-        problems = compare(name, sdf, odf)
+        problems = (compare_types(duck_types, spark_types)
+                    + compare(name, sdf, odf))
         if problems:
             failed.append(name)
             ledger[name] = {"status": "fail", "rows": len(sdf),
