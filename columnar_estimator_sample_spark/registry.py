@@ -73,40 +73,43 @@ _loaded = False
 # in and out of the window is additionally verified by
 # ``tools/check_oracle.py`` (same compare semantics) before commit.
 #
-# Round-4 window: the 3 round-3 hash-reds lead (their fixes — integer-ppm
-# stop ratio, dialect-safe pagerank oracle, self-auditing tfrecord round
-# trip — need a confirming driver row), then the never-driver-checked
-# queries in registration order: the remaining TPC-H suite, the events
-# analytics tier (ship latency through funnel exclusion), sequence mining,
-# the cosine set-join, the dedup savings census, and q_postings_delta
-# (rotated back in as promised in the round-3 comment; its slot comes from
-# deferring q_substring_hotspots one round).
-_DRIVER_WINDOW_R4 = [
-    "q_corpus_prep_pipeline", "q_tfrecord_roundtrip", "q_pagerank",
-    "q11_important_stock", "q13_order_distribution", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q20_excess_suppliers", "q21_sole_late_supplier",
-    "q_ship_latency", "q_rfm_segments", "q_largest_remainder",
-    "q_value_migration", "q_segment_median_order",
-    "q_return_rate_segment", "q_first_order_predictiveness",
-    "q_aqp_ci", "q_revenue_decomposition", "q_hierarchy_rollup",
-    "q_group_topn_other", "q_range_join_binned", "q_scd2_history",
-    "q_rate_anomaly", "q_attribution", "q_interval_enrich",
-    "q_event_transitions", "q_activity_lorenz", "q_growth_accounting",
-    "q_distribution_drift", "q_event_paths", "q_max_concurrency",
-    "q_decay_engagement", "q_longest_streak", "q_cohort_ltv",
-    "q_markov_stationary", "q_funnel_latency", "q_bounce_rate",
-    "q_purchase_intervals", "q_daily_arpu", "q_dormancy_segments",
-    "q_churn_hazard", "q_attribution_linear", "q_slo_burn", "q_cuped",
-    "q_funnel_exclusion", "q_sequence_mining",
-    "q_dedup_cosine_setjoin", "q_dedup_savings", "q_postings_delta",
+# Round-5 window: the 5 round-4 hash-reds lead (all five shared one root
+# cause — DuckDB SUM(BIGINT)->HUGEINT result columns, now cast to BIGINT
+# — and need their confirming driver rows), then the 8 LATENT queries the
+# same executed-type audit flagged (uncast HUGEINT oracles that had never
+# been driver-sampled; also now cast), then the never-driver-checked
+# queries in registration order: the graph tier tail, textstats tail,
+# timeseries tier, and quality/eval tier. 86 unchecked remain before this
+# round; this window covers 50, leaving 36 for round 6 to finish the
+# registry.
+_DRIVER_WINDOW_R5 = [
+    # round-4 reds, re-check first
+    "q_corpus_prep_pipeline", "q_tfrecord_roundtrip", "q_rate_anomaly",
+    "q_event_transitions", "q_slo_burn",
+    # latent HUGEINT oracles, cast this round, first driver sample
+    "q_repetition_ratios", "q_vocab_coverage", "q_bigram_lm",
+    "q_bigram_novelty", "q_k_anonymity", "q_capture_recapture",
+    "q_embed_quantize", "q_benford",
+    # never-driver-checked, registration order
+    "q_substring_hotspots", "q_cheapest_route", "q_two_hop_reach",
+    "q_degree_histogram", "q_lpa_communities", "q_modularity",
+    "q_item_cf", "q_token_bigrams", "q_label_balance",
+    "q_doc_lm_score", "q_hapax_share", "q_simpson_diversity",
+    "q_length_percentiles", "q_kwic", "q_autocomplete",
+    "q_token_colocation", "q_zipf_check", "q_snapshot_diff",
+    "q_resample_ohlc", "q_gap_fill", "q_ewma", "q_rolling_active",
+    "q_weekday_seasonality", "q_mad_outliers", "q_seasonal_backtest",
+    "q_burstiness", "q_haar_levels", "q_cusum_changepoint",
+    "q_tail_risk", "q_rolling_zscore", "q_ols_trend",
+    "q_inventory_clamped", "q_theilsen_trend", "q_expectations",
+    "q_table_checksum", "q_split_gini", "q_exact_auc",
 ]
 
 
 def _window_order(d: dict) -> dict:
     """Reorder ``d`` so the current driver window comes first (names
     missing from ``d`` are ignored; the rest keep registration order)."""
-    front = [k for k in _DRIVER_WINDOW_R4 if k in d]
+    front = [k for k in _DRIVER_WINDOW_R5 if k in d]
     rest = [k for k in d if k not in set(front)]
     return {k: d[k] for k in front + rest}
 
