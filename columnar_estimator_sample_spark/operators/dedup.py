@@ -279,6 +279,12 @@ def expand_member_pairs(pairs: DataFrame, members: DataFrame,
     (g, g) stands for "every within-group pair of g" — plus any payload
     columns (scores), which are copied verbatim onto each member pair
     (valid because members are payload-identical to their rep).
+    CONTRACT: payload columns must be SYMMETRIC in (a, b) — the final
+    least/greatest may swap which member lands on which side, and the
+    payload is NOT swapped with it. A side-sensitive payload (e.g. a
+    per-side length na/nb) can end up attached to the wrong side; every
+    current consumer passes symmetric payloads only (jaccard and cosine
+    are symmetric in na/nb via na+nb-inter and na·nb).
     ``members`` is the census frame (id_col, gid). Cross-group rows emit
     |A|·|B| pairs, self-pairs emit C(|g|, 2); output ids are ordered
     (a < b). Output-proportional: runs AFTER threshold filters, so

@@ -150,6 +150,76 @@ class TestDedup:
                     (4, 5, 0.7), (4, 6, 0.7)}
         assert got == expected
 
+    def test_minhash_lsh_contracted_branch(self, spark, tmp_path):
+        """Force the contract=True branch of q_dedup_minhash_lsh (never
+        exercised by sf0.001/sf0.01/sf0.1, which all fail the >5%
+        exact-dup gate) and verify its full output against a brute-force
+        pair set built from first principles: within-group pairs must
+        appear with Jaccard 1.0, cross-group pairs appear iff the
+        REPRESENTATIVES share at least one LSH band (queried from
+        minhash_bands, deterministic) AND their exact char-shingle
+        Jaccard passes the verification threshold, expanded to all
+        member combinations."""
+        import itertools
+        from columnar_estimator_sample_spark.operators.dedup import (
+            JACCARD_T, SHINGLE_K, minhash_bands,
+        )
+        from columnar_estimator_sample_spark.registry import queries
+
+        base = ("the quick brown fox jumps over the lazy dog and runs "
+                "far away to the deep green forest tonight while stars "
+                "shine brightly over the quiet silver river valley")
+        near = base.replace("green forest", "dark cavern")
+        texts = {1: base, 2: base, 3: base,     # exact-dup group of 3
+                 4: near, 5: near,              # exact-dup group of 2
+                 6: "completely different words in this one document "
+                    "nothing shared with the others at all even "
+                    "slightly or by accident of phrasing"}
+        n, d = len(texts), len(set(texts.values()))
+        assert (n - d) * 20 > n  # the census gate must fire
+
+        docs = spark.createDataFrame(sorted(texts.items()),
+                                     ["doc_id", "text"])
+        docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+        def shingles(t):
+            return {t[i:i + SHINGLE_K]
+                    for i in range(max(len(t) - SHINGLE_K + 1, 1))}
+
+        def jac(a, b):
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            return len(sa & sb) / (len(sa) + len(sb) - len(sa & sb))
+
+        # which representative pairs collide in >= 1 band (deterministic)
+        groups = {1: [1, 2, 3], 4: [4, 5], 6: [6]}
+        reps = spark.createDataFrame(
+            [(g, texts[g]) for g in groups], ["doc_id", "text"])
+        bands = {(r["doc_id"], r["band"], r["band_key"])
+                 for r in minhash_bands(reps).collect()}
+        collide = {
+            (ga, gb)
+            for ga, gb in itertools.combinations(sorted(groups), 2)
+            if any((ga, b, k) in bands and (gb, b, k) in bands
+                   for (_, b, k) in bands)}
+
+        expected = set()
+        for g, mem in groups.items():           # within-group: Jaccard 1.0
+            expected |= {(a, b, 1.0) for a, b
+                         in itertools.combinations(sorted(mem), 2)}
+        for ga, gb in collide:                  # cross-group via LSH
+            if jac(ga, gb) >= JACCARD_T:
+                expected |= {(min(x, y), max(x, y),
+                              round(jac(ga, gb), 9))
+                             for x in groups[ga] for y in groups[gb]}
+        # the corpus must actually exercise the cross-group path
+        assert any(a in (1, 2, 3) and b in (4, 5)
+                   for a, b, _ in expected)
+
+        got = {(r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+               for r in queries()["q_dedup_minhash_lsh"](
+                   spark, str(tmp_path)).collect()}
+        assert got == expected
+
     def test_prefix_filter_on_adversarial_corpus(self, spark):
         """Hand-built corpus exercising every contraction edge: exact-dup
         groups of size 1/2/3, near-dups crossing groups, short docs
