@@ -96,3 +96,36 @@ def actual_vs_estimated(df: DataFrame) -> dict[str, object]:
         "actual_rows": df.count(),
         "root_stats": root,
     }
+
+
+# --- Catalyst-injected estimator plugin (JVM side) ---------------------
+# The literal "custom cardinality estimator plugin" of the north star:
+# plans/jvm/NdvCatalogExtension.scala is a Scala SparkSessionExtensions
+# rule (compiled offline against PySpark's own jars into
+# plans/jvm/sparkgraft-ndv-ext.jar by tools/build_jvm_extension.py) that
+# reads `spark.graft.ndv.broadcastTables` and rewrites un-hinted joins
+# against those tables to BROADCAST — so the NDV catalog drives build-
+# side selection inside Catalyst itself, independent of file-size
+# heuristics. tests/test_jvm_extension.py proves the plan flip
+# (SortMergeJoin -> BroadcastHashJoin) in a fresh JVM.
+
+#: broadcast a table when the NDV catalog bounds its row count below
+#: this (dimension tables here: nation=25, region=5, supplier=10k/sf)
+NDV_BROADCAST_MAX_ROWS = 1_000_000
+
+
+def extension_jar() -> str:
+    """Path of the committed extension jar (see tools/build_jvm_extension.py)."""
+    import os
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "jvm", "sparkgraft-ndv-ext.jar")
+
+
+def ndv_broadcast_conf(row_counts: dict[str, int],
+                       max_rows: int = NDV_BROADCAST_MAX_ROWS) -> str:
+    """Derive `spark.graft.ndv.broadcastTables` from a table->rowcount
+    catalog (e.g. {t: table(spark, sf, t).count()} refreshed alongside
+    :func:`ndv_catalog`): the comma-separated names whose catalogued
+    cardinality is broadcast-safe."""
+    return ",".join(sorted(t for t, n in row_counts.items()
+                           if n <= max_rows))
