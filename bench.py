@@ -64,6 +64,13 @@ HEADLINE = [
     "q_hll_rollup",
     "q_funnel_exclusion",
     "q_dedup_prefix_filter",
+    # round-5 tier representatives: the heaviest not-yet-timed operators,
+    # so regressions in the newest tier are visible round-over-round
+    "q_dedup_cosine_setjoin",
+    "q_sequence_mining",
+    "q_er_entities",
+    "q_lpa_communities",
+    "q_geo_dbscan",
 ]
 
 
