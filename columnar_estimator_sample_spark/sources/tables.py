@@ -41,8 +41,19 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream computation exact and independent of the session timezone
     (the reference stores trace times the same way — raw int64 µs,
     /root/reference/README.md:93,107).
+
+    The session timezone is pinned to UTC here for the same reason the
+    nanos flag is: downstream queries convert µs -> timestamp -> date
+    (timestamp_micros/to_date), and those conversions read the SESSION
+    timezone while the DuckDB oracles' epoch arithmetic is timezone-free.
+    Under a plain session on a non-UTC machine, 15+ timeseries queries
+    silently shift day boundaries (measured: TZ=America/New_York flips
+    q_rate_anomaly/q_ewma/q_ols_trend/... red). Pinning at the single
+    funnel every events read goes through makes the whole tier
+    environment-independent — in any session, any host timezone.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         df = (df.withColumnRenamed("ts", "ts_ns")
