@@ -55,6 +55,7 @@ _OPERATOR_MODULES = [
     "columnar_estimator_sample_spark.sources.tfrecord",
     "columnar_estimator_sample_spark.operators.geo",
     "columnar_estimator_sample_spark.operators.entity",
+    "columnar_estimator_sample_spark.streaming.windows",
 ]
 
 _loaded = False

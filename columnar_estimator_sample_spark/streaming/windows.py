@@ -32,6 +32,11 @@ def events_stream(spark: SparkSession, sf_dir: str,
     micro-batch unit). Restates nanosecond ``ts`` as a timestamp for
     watermarking, plus integer ``us`` for exact arithmetic."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # same UTC pin as sources/tables.events_table: window()/date math
+    # read the SESSION timezone, the oracles' epoch arithmetic is
+    # timezone-free — a plain session on a non-UTC host would shift
+    # every day boundary
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     # file streams take a directory; pathGlobFilter selects the table
     df = (spark.readStream.schema(static.schema)
@@ -153,3 +158,59 @@ def run_to_completion(stream_df: DataFrame, checkpoint_dir: str,
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.table(out_table)
+
+
+# --------------------------------------------------------------------------
+# Registered streaming query (round 5): the first streaming entry in the
+# driver registry, and it carries a FULL SQL oracle — because the stream
+# is proven equal to its batch twin, the batch twin's oracle verifies the
+# STREAMING execution path end to end (file-stream source, watermark,
+# windowed state store, availableNow drain, memory sink).
+# --------------------------------------------------------------------------
+
+_STREAM_RUN_SEQ = [0]  # unique memory-sink names within one session
+
+
+def q_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming daily windowed aggregation, oracle-checked
+    against DuckDB directly: events as a file stream -> 1-day watermark
+    -> tumbling daily window -> exact decimal sum, drained
+    deterministically with availableNow into a memory sink. Output is
+    the same (day, event_type, n_events, total_value) frame as the batch
+    twin q_time_buckets, so the identical oracle certifies the whole
+    streaming path, not just stream==batch parity.
+
+    Scale: watermark bounds window state to O(types x in-flight days);
+    the memory sink is the test/driver harness — production uses
+    foreachBatch into the partitioned parquet writer (sources/io.py)
+    with exactly-once via checkpoint + idempotent epoch overwrite."""
+    import tempfile
+
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"stream_daily_counts_{_STREAM_RUN_SEQ[0]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_daily_")
+    ev = events_stream(spark, sf_dir)
+    res = run_to_completion(daily_counts_stream(ev), ckpt, name,
+                            mode="complete")
+    return res.orderBy("day", "event_type")
+
+
+def _register_streaming() -> None:
+    from columnar_estimator_sample_spark.functions.exact import sql_dsum
+    from columnar_estimator_sample_spark.registry import register
+
+    register(
+        "q_stream_daily_counts",
+        oracle=f"""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type,
+               COUNT(*) AS n_events,
+               {sql_dsum("value", "total_value", 6)}
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY day, event_type
+        """,
+    )(q_stream_daily_counts)
+
+
+_register_streaming()
