@@ -214,3 +214,65 @@ def _register_streaming() -> None:
 
 
 _register_streaming()
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming SESSION windows (the genuinely stateful operator:
+    one open merge-able window per active user), oracle-checked against
+    DuckDB's gaps-and-islands replay. Boundary semantics follow Spark's
+    ``session_window``: a session's window is [first, last + gap), so an
+    event arriving exactly ``gap`` after the last one starts a NEW
+    session — the oracle flags new sessions with ``>=`` (the batch
+    q_sessionize keeps its ``>`` convention; both agree everywhere the
+    fixture has no exact-gap tie).
+
+    Scale: state is O(active users) open windows, merged and closed by
+    the watermark; the memory sink is the harness, production drains via
+    foreachBatch."""
+    import tempfile
+
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"stream_sessions_{_STREAM_RUN_SEQ[0]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_sessions_")
+    ev = events_stream(spark, sf_dir)
+    res = run_to_completion(session_stream(ev), ckpt, name,
+                            mode="complete")
+    return res.orderBy("user_id", "start_us")
+
+
+def _register_streaming_sessions() -> None:
+    from columnar_estimator_sample_spark.registry import register
+
+    gap_us = 30 * 60 * 1_000_000  # session_window('30 minutes')
+    register(
+        "q_stream_sessions",
+        oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        ), flagged AS (
+            SELECT user_id, event_id, us,
+                   CASE WHEN us - LAG(us) OVER w >= {gap_us}
+                          OR LAG(us) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ), sess AS (
+            SELECT user_id, us,
+                   CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                         ORDER BY us, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(us) AS start_us,
+               MAX(us) - MIN(us) AS duration_us
+        FROM sess
+        GROUP BY user_id, session_id
+        ORDER BY user_id, start_us
+        """,
+    )(q_stream_sessions)
+
+
+_register_streaming_sessions()
