@@ -103,7 +103,11 @@ _DRIVER_WINDOW_R5 = [
     "q_burstiness", "q_haar_levels", "q_cusum_changepoint",
     "q_tail_risk", "q_rolling_zscore", "q_ols_trend",
     "q_inventory_clamped", "q_theilsen_trend", "q_expectations",
-    "q_table_checksum", "q_split_gini", "q_exact_auc",
+    # round-5-new operators (real-codec round trip, the two streaming
+    # entries): newest code gets a driver row first; the three deferred
+    # registration-order items (q_table_checksum, q_split_gini,
+    # q_exact_auc) lead the round-6 window
+    "q_media_pixel_stats", "q_stream_daily_counts", "q_stream_sessions",
 ]
 
 
