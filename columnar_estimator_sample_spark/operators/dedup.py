@@ -79,7 +79,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH fp AS (
         SELECT doc_id,
                md5(array_to_string(
-                   list_sort(list_distinct(string_split(text, ' '))),
+                   list_sort(list_distinct(string_split(text, ' ')),
+                             'ASC', 'NULLS FIRST'),
                    ' ')) AS fingerprint
         FROM documents
     )

@@ -93,9 +93,10 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_agg",
     oracle="""
     SELECT o_orderpriority,
-           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+           array_to_string(list_sort(list(DISTINCT o_orderstatus),
+                                     'ASC', 'NULLS FIRST'), ',')
                AS statuses,
-           len(list_sort(list(DISTINCT o_orderstatus))) AS n_statuses,
+           len(list(DISTINCT o_orderstatus)) AS n_statuses,
            CAST(list_contains(list(DISTINCT o_orderstatus), 'P') AS INT)
                AS has_pending
     FROM orders

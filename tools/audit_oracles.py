@@ -140,9 +140,21 @@ def audit_static(name: str, sql: str) -> list[tuple[str, str, str]]:
             f"non-aggregate scalar subquery near "
             f"...{s[max(0, m.start() - 30):m.start()]!r}"))
 
-    if re.search(r"list_sort\s*\([^,)]*\)", s, re.I):
-        findings.append(("I", "I2-list-sort-default",
-                         "list_sort with default ordering flags"))
+    # I2: list_sort without explicit (order, null_order) flags — count
+    # TOP-LEVEL commas of the balanced argument list (a plain regex
+    # false-positives on nested calls like list_sort(list(DISTINCT x),
+    # 'ASC', 'NULLS FIRST')).
+    for m in re.finditer(r"list_sort\s*\(", s, re.I):
+        depth, i, commas = 1, m.end(), 0
+        while i < len(s) and depth:
+            ch = s[i]
+            depth += {"(": 1, ")": -1}.get(ch, 0)
+            if ch == "," and depth == 1:
+                commas += 1
+            i += 1
+        if commas < 2:
+            findings.append(("I", "I2-list-sort-default",
+                             "list_sort with default ordering flags"))
 
     if re.search(r"AS\s+DOUBLE\s*\)\s*//", s, re.I):
         findings.append(("I", "I3-float-floordiv",
