@@ -50,7 +50,8 @@ PPM = 1_000_000
                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
                md5(text) AS digest,
                md5(array_to_string(
-                   list_sort(list_distinct(string_split(text, ' '))),
+                   list_sort(list_distinct(string_split(text, ' ')),
+                             'ASC', 'NULLS FIRST'),
                    ' ')) AS fingerprint
         FROM documents
     ), quality AS (
