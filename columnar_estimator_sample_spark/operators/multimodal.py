@@ -813,3 +813,393 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("sum_units").cast("long").alias("total_value"),
                  F.max("max_unit").cast("long").alias("max_value"))
             .orderBy("media_type"))
+
+
+# --------------------------------------------------------------------------
+# REAL baseline JPEG codec (round 5, second pass): the last modality stub
+# falls. Pure stdlib+numpy: Huffman entropy coding (tables read from the
+# file's own DHT segments), zigzag, dequantization, exact float64 IDCT.
+# The decoder handles any 8-bit grayscale baseline JPEG (1 component,
+# no subsampling, no restart intervals); the encoder is a true forward
+# path (FDCT + quant + Huffman) that is LOSSLESS on block-constant
+# images (DC-only blocks, unit quant: the coefficients are integers, so
+# rounding loses nothing) — which is what makes an oracle-exact
+# round-trip query possible for an inherently lossy format.
+# --------------------------------------------------------------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Uniform-length canonical Huffman tables emitted by the ENCODER (the
+# decoder reads whatever DHT the file carries, standard or not): 12 DC
+# categories at 4 bits, all 162 baseline AC symbols at 8 bits.
+_DC_SYMBOLS = list(range(12))
+_AC_SYMBOLS = ([0x00, 0xF0]
+               + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+
+
+def _dct_matrix():
+    import numpy as np
+    a = np.zeros((8, 8))
+    for u in range(8):
+        c = (1 / (2 ** 0.5)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * c * __import__("math").cos(
+                (2 * x + 1) * u * __import__("math").pi / 16)
+    return a
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:          # entropy byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy stream truncated")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("dangling 0xFF in entropy stream")
+                marker = self.data[self.pos]
+                self.pos += 1
+                if marker != 0x00:
+                    raise ValueError(f"unexpected marker FF{marker:02X} "
+                                     "inside entropy data")
+            self.acc = byte
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _canonical_codes(counts: list[int], symbols: list[int]):
+    """JPEG canonical Huffman: counts[i] symbols of length i+1 ->
+    {symbol: (code, length)} and the decode map {(length, code): symbol}."""
+    enc, dec = {}, {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            enc[symbols[k]] = (code, length)
+            dec[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return enc, dec
+
+
+def _uniform_table(symbols: list[int], length: int):
+    """All ``symbols`` at the same code ``length`` (valid iff
+    len(symbols) < 2^length)."""
+    counts = [0] * 16
+    counts[length - 1] = len(symbols)
+    return counts, symbols
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def encode_jpeg_gray(img) -> bytes:
+    """REAL baseline JPEG encoder for an (H, W) uint8 grayscale array
+    with H, W multiples of 8: float64 FDCT, unit quantization, canonical
+    Huffman entropy coding with the tables written into DHT. Lossless on
+    block-constant images (integer coefficients); standard JPEG-lossy
+    otherwise."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    if h % 8 or w % 8:
+        raise ValueError("dimensions must be multiples of 8")
+    A = _dct_matrix()
+    dc_counts, dc_syms = _uniform_table(_DC_SYMBOLS, 4)
+    ac_counts, ac_syms = _uniform_table(_AC_SYMBOLS, 8)
+    dc_enc, _ = _canonical_codes(dc_counts, dc_syms)
+    ac_enc, _ = _canonical_codes(ac_counts, ac_syms)
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            coef = A @ (block.astype(np.float64) - 128.0) @ A.T
+            q = np.rint(coef).astype(np.int64)       # unit quant
+            zz = [int(q.flat[_ZIGZAG[i]]) for i in range(64)]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            t = _category(diff)
+            code, ln = dc_enc[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    c, l2 = ac_enc[0xF0]              # ZRL
+                    bw.write(c, l2)
+                    run -= 16
+                s = _category(zz[i])
+                c, l2 = ac_enc[(run << 4) | s]
+                bw.write(c, l2)
+                v = zz[i]
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                c, l2 = ac_enc[0x00]                  # EOB
+                bw.write(c, l2)
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes([1] * 64))     # table 0, all ones
+    dht = (seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
+           + seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1)
+              + bytes([1, 0x11, 0]))                  # comp 1, 1x1, Tq 0
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + dht + sof + sos + entropy + b"\xff\xd9")
+
+
+def decode_jpeg_gray(payload: bytes):
+    """REAL baseline JPEG decoder (stdlib+numpy): walks DQT/DHT/SOF0/SOS,
+    Huffman-decodes the entropy stream with the FILE'S OWN tables,
+    dezigzags, dequantizes, applies the exact float64 IDCT, and returns
+    the (H, W) uint8 image. Supports 8-bit grayscale baseline (1
+    component, no subsampling, no restart intervals); raises on anything
+    else — never silently wrong pixels."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    h = w = None
+    tq = 0
+    entropy_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tqn = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise ValueError("only 8-bit quant tables supported")
+                qt[tqn] = list(body[i + 1:i + 65])
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                counts = list(body[i + 1:i + 17])
+                n = sum(counts)
+                syms = list(body[i + 17:i + 17 + n])
+                _, dec = _canonical_codes(counts, syms)
+                huff[(tc, th)] = dec
+                i += 17 + n
+        elif marker == 0xC0:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or ncomp != 1 or body[6] != 0x11:
+                raise ValueError("only 8-bit gray 1x1 baseline supported")
+            tq = body[7]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xDA:
+            td, ta = body[2] >> 4, body[2] & 0xF
+            entropy_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if h is None or entropy_start is None:
+        raise ValueError("missing SOF0/SOS")
+    dc_dec, ac_dec = huff[(0, td)], huff[(1, ta)]
+    quant = np.array([qt[tq][i] for i in range(64)], dtype=np.float64)
+
+    br = _BitReader(payload[entropy_start:])
+
+    def read_symbol(dec: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | br.read_bit()
+            length += 1
+            if (length, code) in dec:
+                return dec[(length, code)]
+        raise ValueError("invalid Huffman code")
+
+    def extend(v: int, t: int) -> int:
+        return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+    A = _dct_matrix()
+    bh, bw_ = h // 8 + (h % 8 > 0), w // 8 + (w % 8 > 0)
+    img = np.zeros((bh * 8, bw_ * 8), dtype=np.uint8)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw_):
+            zz = np.zeros(64, dtype=np.float64)
+            t = read_symbol(dc_dec)
+            diff = extend(br.read_bits(t), t) if t else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                sym = read_symbol(ac_dec)
+                if sym == 0x00:                       # EOB
+                    break
+                if sym == 0xF0:                       # ZRL
+                    i += 16
+                    continue
+                run, size = sym >> 4, sym & 0xF
+                i += run
+                if i >= 64:
+                    raise ValueError("AC run past block end")
+                zz[i] = extend(br.read_bits(size), size)
+                i += 1
+            coef = np.zeros(64, dtype=np.float64)
+            for k in range(64):
+                coef[_ZIGZAG[k]] = zz[k] * quant[k]
+            block = A.T @ coef.reshape(8, 8) @ A + 128.0
+            img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                np.rint(block), 0, 255).astype(np.uint8)
+    return img[:h, :w]
+
+
+def synth_blocky_image(doc_id: int):
+    """Block-constant (H, W) uint8: block (bx, by) has value
+    (11*bx + 23*by + doc_id) % 256, with W/8 = doc_id % 4 + 1 and
+    H/8 = doc_id % 3 + 1 — the closed form the JPEG oracle evaluates."""
+    import numpy as np
+    bw_, bh = doc_id % 4 + 1, doc_id % 3 + 1
+    bx = np.arange(bw_, dtype=np.int64)
+    by = np.arange(bh, dtype=np.int64)
+    vals = (11 * bx[None, :] + 23 * by[:, None] + doc_id) % 256
+    return np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+
+
+@register(
+    "q_media_jpeg_roundtrip",
+    # Closed-form oracle over the block grid: each block contributes 64
+    # identical pixels, so per-doc sums are exact integer sums over
+    # (bx, by) — lossless because DC-only blocks with unit quant carry
+    # integer coefficients through the codec.
+    oracle="""
+    WITH vid AS (
+        SELECT doc_id, doc_id % 4 + 1 AS bw, doc_id % 3 + 1 AS bh
+        FROM documents WHERE doc_id % 3 = 2
+    ), blk AS (
+        SELECT doc_id, bw, unnest(range(0, bw * bh)) AS k FROM vid
+    ), px AS (
+        SELECT doc_id,
+               (11 * (k % bw) + 23 * (k // bw) + doc_id) % 256 AS v
+        FROM blk
+    ), stat AS (
+        SELECT doc_id,
+               CAST(64 * COUNT(*) AS BIGINT) AS n_pixels,
+               CAST(64 * SUM(v) AS BIGINT) AS sum_pixels,
+               CAST(MAX(v) AS BIGINT) AS max_pixel
+        FROM px GROUP BY doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(n_pixels) AS BIGINT) AS total_pixels,
+           CAST(SUM(sum_pixels) AS BIGINT) AS total_value,
+           CAST(MAX(max_pixel) AS BIGINT) AS max_value
+    FROM stat
+    """,
+)
+def q_media_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode, oracle-certified: block-constant synthetic
+    images encode to true baseline JPEGs worker-side (FDCT + unit quant
+    + canonical Huffman — integer DC-only coefficients make the lossy
+    format exact here), the blobs cross an exchange as Arrow binaries,
+    the full baseline decoder (file-declared Huffman tables, zigzag,
+    dequant, float64 IDCT) recovers the pixels, and the aggregated sums
+    hash-match the oracle's direct evaluation of the generating
+    formulas. With PNG/WAV (q_media_pixel_stats) this closes the last
+    modality stub: all three container formats now have real decode.
+
+    Scale: same embarrassingly-parallel mapInPandas encode/decode shape
+    as q_media_pixel_stats."""
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"] if int(d) % 3 == 2]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [encode_jpeg_gray(synth_blocky_image(d))
+                            for d in ids],
+            })
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            rows = {"doc_id": [], "n_pixels": [], "sum_pixels": [],
+                    "max_pixel": []}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_jpeg_gray(bytes(p)).astype("int64")
+                rows["doc_id"].append(d)
+                rows["n_pixels"].append(int(img.size))
+                rows["sum_pixels"].append(int(img.sum()))
+                rows["max_pixel"].append(int(img.max()))
+            yield pd.DataFrame(rows)
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(encode, "doc_id long, payload binary") \
+        .repartition("doc_id")
+    stats = media.mapInPandas(
+        decode, "doc_id long, n_pixels long, sum_pixels long, "
+                "max_pixel long")
+    return stats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_assets"),
+        F.sum("n_pixels").cast("long").alias("total_pixels"),
+        F.sum("sum_pixels").cast("long").alias("total_value"),
+        F.max("max_pixel").cast("long").alias("max_value"))
