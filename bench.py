@@ -111,16 +111,18 @@ def main() -> None:
     rows: dict[str, int] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best, n = None, 0
+        samples, n = [], 0
         for _ in range(PASSES):
             t0 = time.time()
             n = drain(fn(spark, sf_dir))
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            samples.append(time.time() - t0)
+        samples.sort()
+        best = samples[0]
+        median = samples[len(samples) // 2]
         timings[name] = round(best, 3)
         rows[name] = n
-        print(f"# {name}: {n} rows in {best:.3f}s (min of {PASSES})",
-              file=sys.stderr)
+        print(f"# {name}: {n} rows min {best:.3f}s median {median:.3f}s "
+              f"(of {PASSES})", file=sys.stderr)
 
     # reference-format throughput line (trainer.py:352-358): rows/sec of
     # the single-column probe over lineitem
@@ -133,7 +135,12 @@ def main() -> None:
           f"examples per second", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    # per-query row counts go to STDERR only: the driver records the last
+    # 2000 bytes of stdout, and round 5's JSON line outgrew that tail once
+    # `rows` was inlined (BENCH_r05.json parsed:null). Keep the stdout
+    # line compact and assert it fits with headroom.
+    print(f"# rows: {json.dumps(rows)}", file=sys.stderr)
+    line = json.dumps({
         "metric": "total_headline_sec",
         "value": total,
         "unit": "sec",
@@ -142,9 +149,10 @@ def main() -> None:
         "warmup_sec": round(warmup, 3),
         "passes_per_query": PASSES,
         "reported": "min",
-        "rows": rows,
         "examples_per_sec": round(n_rows / dt, 1),
-    }))
+    })
+    assert len(line) < 1800, f"bench JSON line too long: {len(line)} bytes"
+    print(line)
 
 
 if __name__ == "__main__":

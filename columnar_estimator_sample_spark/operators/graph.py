@@ -767,24 +767,33 @@ def _lpa_label_frame(spark: SparkSession, sf_dir: str):
     directed-both-ways list (lazily checkpointed — it feeds every round
     plus the init, and would otherwise be re-mined 4x; measured -30% at
     sf0.1), labels is (node, lab) after the final round."""
-    from pyspark.sql.window import Window as W
-
     from columnar_estimator_sample_spark.sources.tables import table
-    li = table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    freq = (items.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    # Pair mining as BASKET EXPANSION, not an order-key self-join: the r5
+    # sf1 profile put ~6 of LPA's 8.3 s in the mining stage — distinct +
+    # two self-join shuffles + SMJ sorts over the full (order, part)
+    # list. Baskets are tiny (an order holds ≤7 lineitems in this
+    # schema), so collect the frequent items per order ONCE and expand
+    # the ordered pairs inline with array transforms: one partial-
+    # distinct aggregate for item support, one shuffle of the
+    # support-filtered rows, zero joins. The per-order k(k-1)/2 blowup
+    # is bounded by the basket size, so no skew risk; support counting
+    # stays map-side combinable.
+    freq = (li.groupBy("pk")
+            .agg(F.count_distinct("ok").alias("c"))
             .filter(F.col("c") >= LPA_MINSUP_ITEM)
-            .select("l_partkey"))
-    a = items.select(F.col("l_orderkey").alias("ok"),
-                     F.col("l_partkey").alias("u"))
-    b = items.select(F.col("l_orderkey").alias("ok"),
-                     F.col("l_partkey").alias("v"))
+            .select("pk"))
+    baskets = (li.join(F.broadcast(freq), "pk")
+               .groupBy("ok")
+               .agg(F.sort_array(F.collect_set("pk")).alias("ps"))
+               .filter(F.size("ps") >= 2))
     pairs = (
-        a.join(F.broadcast(freq.select(F.col("l_partkey").alias("u"))),
-               "u")
-        .join(b.join(F.broadcast(
-            freq.select(F.col("l_partkey").alias("v"))), "v"), "ok")
-        .filter(F.col("u") < F.col("v"))
+        baskets.select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) -> "
+            "transform(slice(ps, i + 2, size(ps)), "
+            "y -> struct(x AS u, y AS v))))")).alias("p"))
+        .select("p.u", "p.v")
         .groupBy("u", "v")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= LPA_MINSUP_PAIR)
@@ -796,14 +805,25 @@ def _lpa_label_frame(spark: SparkSession, sf_dir: str):
     labels = edges.select(F.col("src").alias("node")).distinct() \
         .withColumn("lab", F.col("node"))
     for _ in range(LPA_ROUNDS):
-        votes = (edges.join(labels,
-                            edges.src == labels.node)
+        # labels is O(nodes), far below O(edges) on any support-pruned
+        # co-purchase graph — but do NOT force F.broadcast here: AQE
+        # already converts the join to broadcast from runtime stats, and
+        # an explicit hint schedules a separate broadcast-build job per
+        # round (A/B at both scales: plain 1.17/1.35 s vs forced
+        # broadcast 1.57/1.91 s for the 3 rounds at sf0.1/sf1). The vote
+        # count is map-side combinable either way.
+        votes = (edges.join(labels, edges.src == labels.node)
                  .groupBy(F.col("dst").alias("node"), "lab")
                  .agg(F.count("*").cast("long").alias("cnt")))
-        w = W.partitionBy("node").orderBy(F.desc("cnt"), "lab")
-        labels = (votes.withColumn("rn", F.row_number().over(w))
-                  .filter(F.col("rn") == 1)
-                  .select("node", "lab"))
+        # top-1 per node as a MAX over (cnt, -lab) structs — one hash
+        # aggregate with partial combine instead of a sort-based window:
+        # struct order = max cnt first, then max(-lab) = smallest label,
+        # exactly the (cnt DESC, lab ASC) tie-break the oracle replays.
+        labels = (votes.groupBy("node")
+                  .agg(F.max(F.struct(
+                      F.col("cnt"),
+                      (-F.col("lab")).alias("neglab"))).alias("m"))
+                  .select("node", (-F.col("m.neglab")).alias("lab")))
     return edges, labels
 
 

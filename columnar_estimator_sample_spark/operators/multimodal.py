@@ -10,12 +10,12 @@ by modality:
     five scanline filters) — :func:`decode_png_gray`; encoder twin
     :func:`encode_png_gray`; oracle-certified by q_media_pixel_stats.
   * WAV: REAL PCM decode — :func:`decode_wav_pcm16` (+ encoder twin).
-  * JPEG: header/dimension parse is real (:func:`parse_jpeg_dims`);
-    pixel decode needs a DCT entropy codec not present in this
-    container, so it is the one clearly-marked STUB —
-    ``decode_stub`` raises NotImplementedError unless ``fake=True``,
-    where it derives deterministic pseudo-features so the pipeline is
-    end-to-end testable.
+  * JPEG: REAL baseline codec (round 6) — :func:`encode_jpeg_gray` /
+    :func:`decode_jpeg_gray` (FDCT/IDCT, zigzag, canonical Huffman,
+    file-declared tables); header parse :func:`parse_jpeg_dims`;
+    oracle-certified by q_media_jpeg_roundtrip. The generic
+    ``decode_stub`` remains only as the documented extension point for
+    codecs genuinely absent here (color JPEG, video frames).
 
 Scale notes:
   * binary payloads ride Arrow record batches — tune
@@ -65,11 +65,12 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 
 def decode_stub(payload: bytes, media_type: str, *, fake: bool = False)\
         -> list[float]:
-    """STUB decode kernel — since round 5 only JPEG still needs it: PNG
-    pixel decode is real (:func:`decode_png_gray`), WAV sample decode is
-    real (:func:`decode_wav_pcm16`), container headers are real
-    (:func:`decode_header`). JPEG entropy decode requires a DCT codec
-    (PIL/pyav) not available here. With ``fake=True`` returns a
+    """STUB decode kernel — the documented extension point for codecs
+    genuinely absent in this environment (color JPEG, video frames).
+    All three shipped modalities now have real decode: PNG
+    (:func:`decode_png_gray`), WAV (:func:`decode_wav_pcm16`), grayscale
+    baseline JPEG (:func:`decode_jpeg_gray`), plus real container header
+    parsing (:func:`decode_header`). With ``fake=True`` returns a
     deterministic 8-dim pseudo-feature (byte histogram moments) so the
     pipeline plumbing is testable."""
     if not fake:
@@ -1052,9 +1053,9 @@ def decode_jpeg_gray(payload: bytes):
                 i += 17 + n
         elif marker == 0xC0:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or ncomp != 1 or body[6] != 0x11:
+            if prec != 8 or ncomp != 1 or body[7] != 0x11:
                 raise ValueError("only 8-bit gray 1x1 baseline supported")
-            tq = body[7]
+            tq = body[8]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError("only baseline SOF0 supported")
         elif marker == 0xDA:

@@ -61,6 +61,65 @@ def q_ndv_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Catalog-driven broadcast join (the injected Catalyst rule, dogfooded)
+# ---------------------------------------------------------------------------
+
+#: tables the row-count catalog screens for broadcast-safety before the
+#: star join below (every dimension of the customer->nation->region path)
+_NDV_DIM_TABLES = ["region", "nation", "customer"]
+
+
+@register(
+    "q_ndv_broadcast_join",
+    oracle="""
+    SELECT r_name AS region_name, n_name AS nation_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE)
+               AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_ndv_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-hinted star join whose build-side selection is driven by the
+    maintained row-count catalog, not file-size heuristics: the query
+    refreshes the catalog (one count per candidate dimension) and
+    publishes its broadcast verdict to ``spark.graft.ndv.broadcastTables``
+    — the conf the Catalyst-injected NdvCatalogExtension rule reads
+    (plans/jvm/, loaded via ``get_spark(ndv_extension=True)`` /
+    ``SPARK_GRAFT_NDV_EXT=1``). Under an extension-loaded session the
+    physical plan broadcasts nation and region even with
+    autoBroadcastJoinThreshold=-1 (plan-asserted in the fresh-JVM test);
+    results are identical either way, which is what the oracle certifies.
+
+    Scale: the catalog refresh is count-only metadata work (parquet
+    row-group footers); at 100 TB the verdict comes from the persisted
+    NDV catalog instead of per-query counts — the rule's conf surface is
+    the same."""
+    from columnar_estimator_sample_spark.plans.stats import (
+        ndv_broadcast_conf,
+    )
+
+    counts = {t: table(spark, sf_dir, t).count() for t in _NDV_DIM_TABLES}
+    spark.conf.set("spark.graft.ndv.broadcastTables",
+                   ndv_broadcast_conf(counts))
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region")
+    return (cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+            .join(reg, nat.n_regionkey == reg.r_regionkey)
+            .groupBy(F.col("r_name").alias("region_name"),
+                     F.col("n_name").alias("nation_name"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+                 F.sum(F.col("c_acctbal").cast("decimal(27,4)"))
+                  .cast("double").alias("total_acctbal"))
+            .orderBy("region_name", "nation_name"))
+
+
+# ---------------------------------------------------------------------------
 # Column-profile correlation matrix
 # ---------------------------------------------------------------------------
 

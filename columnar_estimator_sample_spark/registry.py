@@ -74,47 +74,40 @@ _loaded = False
 # in and out of the window is additionally verified by
 # ``tools/check_oracle.py`` (same compare semantics) before commit.
 #
-# Round-5 window: the 5 round-4 hash-reds lead (all five shared one root
-# cause — DuckDB SUM(BIGINT)->HUGEINT result columns, now cast to BIGINT
-# — and need their confirming driver rows), then the 8 LATENT queries the
-# same executed-type audit flagged (uncast HUGEINT oracles that had never
-# been driver-sampled; also now cast), then the never-driver-checked
-# queries in registration order: the graph tier tail, textstats tail,
-# timeseries tier, and quality/eval tier. 86 unchecked remain before this
-# round; this window covers 50, leaving 36 for round 6 to finish the
-# registry.
-_DRIVER_WINDOW_R5 = [
-    # round-4 reds, re-check first
-    "q_corpus_prep_pipeline", "q_tfrecord_roundtrip", "q_rate_anomaly",
-    "q_event_transitions", "q_slo_burn",
-    # latent HUGEINT oracles, cast this round, first driver sample
-    "q_repetition_ratios", "q_vocab_coverage", "q_bigram_lm",
-    "q_bigram_novelty", "q_k_anonymity", "q_capture_recapture",
-    "q_embed_quantize", "q_benford",
+# Round-6 window: the FINAL 40 never-driver-checked queries — after this
+# round every registry entry has a driver row (union r1-r6 = 242/242).
+# q_media_jpeg_roundtrip leads (the round-5 late-commit bug, fixed this
+# round — its confirming driver row matters most), then q_source_mixture
+# (closes the last SURVEY §2 asterisk: D4's oracle was local-green only),
+# then the remaining 38 in registration order (quality/eval tier,
+# sketches, corpus tail, vq/pq, media, layout, stats, geo). 40 < 50, so
+# the window's last 10 slots fall through to already-green queries in
+# registration order — harmless re-confirmation.
+_DRIVER_WINDOW_R6 = [
+    "q_media_jpeg_roundtrip", "q_source_mixture",
+    # round-6-new: the catalog-driven broadcast join (NdvCatalogExtension
+    # dogfood) gets its driver row in its first round
+    "q_ndv_broadcast_join",
     # never-driver-checked, registration order
-    "q_substring_hotspots", "q_cheapest_route", "q_two_hop_reach",
-    "q_degree_histogram", "q_lpa_communities", "q_modularity",
-    "q_item_cf", "q_token_bigrams", "q_label_balance",
-    "q_doc_lm_score", "q_hapax_share", "q_simpson_diversity",
-    "q_length_percentiles", "q_kwic", "q_autocomplete",
-    "q_token_colocation", "q_zipf_check", "q_snapshot_diff",
-    "q_resample_ohlc", "q_gap_fill", "q_ewma", "q_rolling_active",
-    "q_weekday_seasonality", "q_mad_outliers", "q_seasonal_backtest",
-    "q_burstiness", "q_haar_levels", "q_cusum_changepoint",
-    "q_tail_risk", "q_rolling_zscore", "q_ols_trend",
-    "q_inventory_clamped", "q_theilsen_trend", "q_expectations",
-    # round-5-new operators (real-codec round trip, the two streaming
-    # entries): newest code gets a driver row first; the three deferred
-    # registration-order items (q_table_checksum, q_split_gini,
-    # q_exact_auc) lead the round-6 window
-    "q_media_pixel_stats", "q_stream_daily_counts", "q_stream_sessions",
+    "q_table_checksum", "q_split_gini", "q_exact_auc",
+    "q_calibration_bins", "q_ks_test", "q_joinability",
+    "q_completeness", "q_dp_release", "q_f1_threshold",
+    "q_bitmap_retention", "q_bloom_fpr", "q_kmv_distinct",
+    "q_join_size_estimate", "q_quantile_filter", "q_seqlen_histogram",
+    "q_chunk_sliding", "q_source_temperature", "q_source_overlap",
+    "q_abc_parts", "q_negative_sampling", "q_srm_check", "q_ab_test",
+    "q_sample_weighted", "q_dataset_card", "q_vq_refine",
+    "q_embed_centroids", "q_embed_pq", "q_pq_adc_topk",
+    "q_media_features", "q_zorder_layout", "q_compaction_plan",
+    "q_corr_matrix", "q_column_profile", "q_chi_square", "q_histogram",
+    "q_quantile_sketch", "q_geo_grid_knn", "q_geo_dbscan",
 ]
 
 
 def _window_order(d: dict) -> dict:
     """Reorder ``d`` so the current driver window comes first (names
     missing from ``d`` are ignored; the rest keep registration order)."""
-    front = [k for k in _DRIVER_WINDOW_R5 if k in d]
+    front = [k for k in _DRIVER_WINDOW_R6 if k in d]
     rest = [k for k in d if k not in set(front)]
     return {k: d[k] for k in front + rest}
 

@@ -30,9 +30,21 @@ def default_parallelism() -> int:
 
 def get_spark(app_name: str = "columnar_estimator_sample_spark",
               parallelism: int | None = None,
-              extra_conf: dict[str, str] | None = None) -> SparkSession:
-    """Build (or reuse) the engine's SparkSession."""
+              extra_conf: dict[str, str] | None = None,
+              ndv_extension: bool | None = None) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``ndv_extension=True`` (or env ``SPARK_GRAFT_NDV_EXT=1``) loads the
+    Catalyst-injected NDV estimator plugin (plans/jvm/) so the maintained
+    cardinality catalog drives join build-side selection inside the
+    optimizer itself. Opt-in because ``spark.sql.extensions`` is a static
+    conf: it only takes effect when this call CREATES the JVM — on an
+    already-running shared session it is ignored (Spark logs a warning),
+    which is why the plan-flip proof lives in a fresh-JVM subprocess test
+    (tests/test_jvm_extension.py)."""
     cores = parallelism or default_parallelism()
+    if ndv_extension is None:
+        ndv_extension = os.environ.get("SPARK_GRAFT_NDV_EXT", "") == "1"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("SPARK_MASTER", f"local[{cores}]"))
@@ -50,6 +62,17 @@ def get_spark(app_name: str = "columnar_estimator_sample_spark",
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    if ndv_extension:
+        from columnar_estimator_sample_spark.plans.stats import (
+            extension_jar,
+        )
+        jar = extension_jar()
+        if os.path.exists(jar):
+            builder = (
+                builder.config("spark.jars", jar)
+                .config("spark.driver.extraClassPath", jar)
+                .config("spark.sql.extensions",
+                        "sparkgraft.NdvCatalogExtension"))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -436,25 +436,31 @@ def q_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame is materialized from the audited read-back rows, so a later
     re-collect cannot re-read the temp files under different conditions.
     """
+    import shutil
     import tempfile
 
     register_tfrecord(spark)
     out = tempfile.mkdtemp(prefix="tfrec_roundtrip_")
-    docs = (table(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") < 200)
-            .select("doc_id", "lang", "n_chars"))
-    expected = _roundtrip_fingerprint(docs)
-    (docs.write.format("tfrecord_example")
-     .option("compression", "gzip").mode("overwrite").save(out))
-    back = (spark.read.format("tfrecord_example")
-            .schema("doc_id long, lang string, n_chars long").load(out))
-    got = _roundtrip_fingerprint(back)
-    if got != expected:
-        raise IOError(
-            "tfrecord round trip corrupted data: "
-            f"wrote {expected} read back {got} (dir {out})")
-    result = [(r.lang, r.n_docs, r.total_chars, r.first_doc)
-              for r in got]
+    try:
+        docs = (table(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") < 200)
+                .select("doc_id", "lang", "n_chars"))
+        expected = _roundtrip_fingerprint(docs)
+        (docs.write.format("tfrecord_example")
+         .option("compression", "gzip").mode("overwrite").save(out))
+        back = (spark.read.format("tfrecord_example")
+                .schema("doc_id long, lang string, n_chars long").load(out))
+        got = _roundtrip_fingerprint(back)
+        if got != expected:
+            raise IOError(
+                "tfrecord round trip corrupted data: "
+                f"wrote {expected} read back {got} (dir {out})")
+        result = [(r.lang, r.n_docs, r.total_chars, r.first_doc)
+                  for r in got]
+    finally:
+        # fingerprints above force materialization; nothing lazy still
+        # reads the temp files, so reclaim them instead of leaking /tmp
+        shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(
         result,
         "lang string, n_docs long, total_chars long, first_doc long")

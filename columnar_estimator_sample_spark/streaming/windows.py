@@ -184,14 +184,20 @@ def q_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the memory sink is the test/driver harness — production uses
     foreachBatch into the partitioned parquet writer (sources/io.py)
     with exactly-once via checkpoint + idempotent epoch overwrite."""
+    import shutil
     import tempfile
 
     _STREAM_RUN_SEQ[0] += 1
     name = f"stream_daily_counts_{_STREAM_RUN_SEQ[0]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_stream_daily_")
-    ev = events_stream(spark, sf_dir)
-    res = run_to_completion(daily_counts_stream(ev), ckpt, name,
-                            mode="complete")
+    try:
+        ev = events_stream(spark, sf_dir)
+        res = run_to_completion(daily_counts_stream(ev), ckpt, name,
+                                mode="complete")
+    finally:
+        # the drained memory sink holds the rows; the checkpoint is only
+        # needed while the stream runs — don't leak a /tmp dir per call
+        shutil.rmtree(ckpt, ignore_errors=True)
     return res.orderBy("day", "event_type")
 
 
@@ -229,14 +235,18 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: state is O(active users) open windows, merged and closed by
     the watermark; the memory sink is the harness, production drains via
     foreachBatch."""
+    import shutil
     import tempfile
 
     _STREAM_RUN_SEQ[0] += 1
     name = f"stream_sessions_{_STREAM_RUN_SEQ[0]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_stream_sessions_")
-    ev = events_stream(spark, sf_dir)
-    res = run_to_completion(session_stream(ev), ckpt, name,
-                            mode="complete")
+    try:
+        ev = events_stream(spark, sf_dir)
+        res = run_to_completion(session_stream(ev), ckpt, name,
+                                mode="complete")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return res.orderBy("user_id", "start_us")
 
 

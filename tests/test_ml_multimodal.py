@@ -246,6 +246,47 @@ class TestRealCodecs:
         with pytest.raises(ValueError):
             decode_wav_pcm16(bytes(payload))
 
+    def test_jpeg_roundtrip_blocky_is_lossless(self):
+        # block-constant images + unit quant tables give DC-only integer
+        # coefficients, so the lossy format round-trips exactly here
+        import numpy as np
+        from columnar_estimator_sample_spark.operators.multimodal import (
+            decode_jpeg_gray, encode_jpeg_gray, synth_blocky_image,
+        )
+        for doc_id in [2, 5, 8, 11, 23]:
+            img = synth_blocky_image(doc_id)
+            assert (decode_jpeg_gray(encode_jpeg_gray(img)) == img).all()
+
+    def test_jpeg_roundtrip_arbitrary_content_near_exact(self):
+        import numpy as np
+        from columnar_estimator_sample_spark.operators.multimodal import (
+            decode_jpeg_gray, encode_jpeg_gray,
+        )
+        rng = np.random.default_rng(7)
+        for shape in [(8, 8), (24, 24), (64, 48), (8, 128)]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            dec = decode_jpeg_gray(encode_jpeg_gray(img))
+            assert dec.shape == img.shape
+            # unit quant: only IDCT float rounding, never > 1 LSB
+            assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+
+    def test_jpeg_corruption_raises(self):
+        import numpy as np
+        import pytest
+        from columnar_estimator_sample_spark.operators.multimodal import (
+            decode_jpeg_gray, encode_jpeg_gray, synth_blocky_image,
+        )
+        payload = bytearray(encode_jpeg_gray(synth_blocky_image(2)))
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(b"\x00\x00" + bytes(payload[2:]))  # no SOI
+        # corrupt the SOF0 sampling byte -> unsupported-format error
+        sof = payload.find(b"\xff\xc0")
+        assert sof >= 0
+        bad = bytearray(payload)
+        bad[sof + 2 + 2 + 7] = 0x22  # H/V sampling 2x2
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(bytes(bad))
+
     def test_synth_formulas_match_oracle_closed_form(self):
         from columnar_estimator_sample_spark.operators.multimodal import (
             synth_audio, synth_image,

@@ -27,6 +27,25 @@ def _duck(sql: str, sf_dir: str):
     return con.execute(sql).fetchdf()
 
 
+def test_local_ledger_covers_registry():
+    """A registered-but-never-locally-gated query is exactly how the
+    round-5 JPEG bug shipped: CORRECTNESS_LOCAL.json must cover every
+    registry entry, so regenerating the ledger (tools/check_oracle.py)
+    is mandatory in the same commit that registers a query."""
+    import json
+    import os
+
+    ledger_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "CORRECTNESS_LOCAL.json")
+    ledger = json.load(open(ledger_path))
+    missing = sorted(set(QUERIES) - set(ledger["queries"]))
+    assert not missing, (
+        f"queries registered but absent from CORRECTNESS_LOCAL.json "
+        f"(run tools/check_oracle.py and commit the ledger): {missing}")
+    assert ledger["n_fail"] == 0
+
+
 def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
 
