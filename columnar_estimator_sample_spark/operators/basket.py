@@ -10,10 +10,15 @@ relationally.
 Scale design: the classic blow-up is the per-order pair explosion —
 O(sum over orders of k²). The a-priori prune keeps only parts whose
 item-level support clears a floor BEFORE pairing (downward closure: no
-pair can be frequent if a member isn't), so the self-join runs on the
-pruned item set; the join is keyed on l_orderkey so the shuffle is the
-fact table's natural key, and the frequent-item filter is a broadcast
-semi-join on each side. Lift is integer permille — exact cross-engine.
+pair can be frequent if a member isn't). Pairing itself is BASKET
+EXPANSION, not an order-key self-join (r6 — the self-join exchanged the
+full item list twice more and was the worst ×data outlier at sf1,
+5.3×): collect the frequent items of each order into a sorted array
+(one shuffle of the support-filtered rows) and expand the ordered pairs
+inline with array transforms — baskets are order-sized (≤7 lineitems
+here), so the k(k-1)/2 blowup is bounded and skew-free, and the support
+count that follows is map-side combinable. Lift is integer permille —
+exact cross-engine.
 """
 
 from __future__ import annotations
@@ -27,6 +32,37 @@ from columnar_estimator_sample_spark.sources.tables import table
 ITEM_MINSUP = 3    # a part is frequent when it appears in >= 3 orders
 PAIR_MINSUP = 2    # report pairs co-occurring in >= 2 orders
 BASKET_TOP = 25
+
+
+def frequent_pair_supports(li: DataFrame, item_minsup: int,
+                           pair_minsup: int):
+    """A-priori frequent-pair mining by basket expansion, shared by
+    q_copurchase and the LPA community tier (operators/graph.py).
+
+    ``li`` is the raw (ok, pk) fact projection (duplicates allowed).
+    Returns ``(pairs, freq)``: pairs = (u, v, support) with u < v and
+    support >= pair_minsup counted over distinct orders; freq =
+    (pk, c) distinct-order item supports, c >= item_minsup. freq is
+    broadcast into the basket build — the support floor keeps the
+    frequent-item dictionary small by construction (downward closure),
+    which is what makes the hint safe at scale."""
+    freq = (li.groupBy("pk")
+            .agg(F.count_distinct("ok").cast("long").alias("c"))
+            .filter(F.col("c") >= item_minsup))
+    baskets = (li.join(F.broadcast(freq.select("pk")), "pk")
+               .groupBy("ok")
+               .agg(F.sort_array(F.collect_set("pk")).alias("ps"))
+               .filter(F.size("ps") >= 2))
+    pairs = (
+        baskets.select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) -> "
+            "transform(slice(ps, i + 2, size(ps)), "
+            "y -> struct(x AS u, y AS v))))")).alias("p"))
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= pair_minsup))
+    return pairs, freq
 
 
 @register(
@@ -64,34 +100,27 @@ BASKET_TOP = 25
 )
 def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent co-purchased part pairs with lift: a-priori-pruned
-    same-order self-join, support = co-occurring orders, lift_pm =
+    basket expansion, support = co-occurring orders, lift_pm =
     1000 * support * n_orders / (c_a * c_b) (integer floor — >1000 means
     the parts co-occur more than independence predicts)."""
-    li = table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
     # 1-row broadcast, folded into the plan (no driver-side count() at
     # plan-construction time — same contract as q_markov_stationary).
-    n_ord = (items.select("l_orderkey").distinct()
-             .agg(F.count("*").cast("long").alias("n_orders")))
-    freq = (items.groupBy("l_partkey")
-            .agg(F.count("*").cast("long").alias("c"))
-            .filter(F.col("c") >= ITEM_MINSUP))
-    fa = freq.select(F.col("l_partkey").alias("part_a"),
-                     F.col("c").alias("c_a"))
-    fb = freq.select(F.col("l_partkey").alias("part_b"),
-                     F.col("c").alias("c_b"))
-    a = items.select(F.col("l_orderkey").alias("ok"),
-                     F.col("l_partkey").alias("part_a"))
-    b = items.select(F.col("l_orderkey").alias("ok"),
-                     F.col("l_partkey").alias("part_b"))
-    pairs = (
-        a.join(F.broadcast(fa), "part_a")
-        .join(b.join(F.broadcast(fb), "part_b"), "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").cast("long").alias("support"),
-             F.min("c_a").alias("c_a"), F.min("c_b").alias("c_b"))
-        .filter(F.col("support") >= PAIR_MINSUP))
+    n_ord = (li.agg(F.count_distinct("ok").cast("long")
+                    .alias("n_orders")))
+    raw_pairs, freq = frequent_pair_supports(li, ITEM_MINSUP, PAIR_MINSUP)
+    # item supports rejoin on the POST-threshold pair frame (tiny) —
+    # the old self-join carried c_a/c_b through the full fact join
+    pairs = (raw_pairs
+             .select(F.col("u").alias("part_a"),
+                     F.col("v").alias("part_b"), "support")
+             .join(F.broadcast(freq.select(
+                 F.col("pk").alias("part_a"), F.col("c").alias("c_a"))),
+                 "part_a")
+             .join(F.broadcast(freq.select(
+                 F.col("pk").alias("part_b"), F.col("c").alias("c_b"))),
+                 "part_b"))
     return (
         pairs.crossJoin(F.broadcast(n_ord))
         .select(
@@ -165,39 +194,31 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     support/sqrt(c_a*c_b); ranking is invariant under squaring, so the
     engines compare the exact integer cos² in ppm and no sqrt ever runs.
 
-    Scale: reuses q_copurchase's a-priori-pruned pair mining (frequent
-    items broadcast-filtered BEFORE the orderkey-keyed self-join — the
-    shuffle is the fact table's natural key, never all-pairs), then the
-    kNN selection is one window over the pair aggregate keyed by item.
+    Scale: reuses q_copurchase's a-priori-pruned basket miner
+    (frequent_pair_supports — frequent items broadcast-filtered before
+    one orderkey-keyed basket build, pairs expanded inline, never
+    all-pairs), then the kNN selection is one window over the pair
+    aggregate keyed by item.
     The neighbor lists are exactly the artifact a serving layer ships.
 
     Reference tie-in: the reference's pipeline feeds a recommender-style
     estimator on co-occurrence features (/root/reference/trainer.py:
     240-267); this is the co-occurrence model expressed as a query."""
-    li = table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    freq = (items.groupBy("l_partkey")
-            .agg(F.count("*").cast("long").alias("c"))
-            .filter(F.col("c") >= ITEM_MINSUP))
-    fa = freq.select(F.col("l_partkey").alias("part_a"),
-                     F.col("c").alias("c_a"))
-    fb = freq.select(F.col("l_partkey").alias("part_b"),
-                     F.col("c").alias("c_b"))
-    a = items.select(F.col("l_orderkey").alias("ok"),
-                     F.col("l_partkey").alias("part_a"))
-    b = items.select(F.col("l_orderkey").alias("ok"),
-                     F.col("l_partkey").alias("part_b"))
-    pairs = (
-        a.join(F.broadcast(fa), "part_a")
-        .join(b.join(F.broadcast(fb), "part_b"), "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").cast("long").alias("support"),
-             F.min("c_a").alias("c_a"), F.min("c_b").alias("c_b"))
-        .filter(F.col("support") >= PAIR_MINSUP)
-        .withColumn("cos2_ppm",
-                    F.expr("(1000000 * support * support)"
-                           " div (c_a * c_b)")))
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    raw_pairs, freq = frequent_pair_supports(li, ITEM_MINSUP, PAIR_MINSUP)
+    pairs = (raw_pairs
+             .select(F.col("u").alias("part_a"),
+                     F.col("v").alias("part_b"), "support")
+             .join(F.broadcast(freq.select(
+                 F.col("pk").alias("part_a"), F.col("c").alias("c_a"))),
+                 "part_a")
+             .join(F.broadcast(freq.select(
+                 F.col("pk").alias("part_b"), F.col("c").alias("c_b"))),
+                 "part_b")
+             .withColumn("cos2_ppm",
+                         F.expr("(1000000 * support * support)"
+                                " div (c_a * c_b)")))
     sym = (pairs.select(F.col("part_a").alias("item"),
                         F.col("part_b").alias("neighbor"),
                         "support", "cos2_ppm")

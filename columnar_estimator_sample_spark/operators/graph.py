@@ -767,37 +767,18 @@ def _lpa_label_frame(spark: SparkSession, sf_dir: str):
     directed-both-ways list (lazily checkpointed — it feeds every round
     plus the init, and would otherwise be re-mined 4x; measured -30% at
     sf0.1), labels is (node, lab) after the final round."""
+    from columnar_estimator_sample_spark.operators.basket import (
+        frequent_pair_supports,
+    )
     from columnar_estimator_sample_spark.sources.tables import table
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-    # Pair mining as BASKET EXPANSION, not an order-key self-join: the r5
-    # sf1 profile put ~6 of LPA's 8.3 s in the mining stage — distinct +
-    # two self-join shuffles + SMJ sorts over the full (order, part)
-    # list. Baskets are tiny (an order holds ≤7 lineitems in this
-    # schema), so collect the frequent items per order ONCE and expand
-    # the ordered pairs inline with array transforms: one partial-
-    # distinct aggregate for item support, one shuffle of the
-    # support-filtered rows, zero joins. The per-order k(k-1)/2 blowup
-    # is bounded by the basket size, so no skew risk; support counting
-    # stays map-side combinable.
-    freq = (li.groupBy("pk")
-            .agg(F.count_distinct("ok").alias("c"))
-            .filter(F.col("c") >= LPA_MINSUP_ITEM)
-            .select("pk"))
-    baskets = (li.join(F.broadcast(freq), "pk")
-               .groupBy("ok")
-               .agg(F.sort_array(F.collect_set("pk")).alias("ps"))
-               .filter(F.size("ps") >= 2))
-    pairs = (
-        baskets.select(F.explode(F.expr(
-            "flatten(transform(ps, (x, i) -> "
-            "transform(slice(ps, i + 2, size(ps)), "
-            "y -> struct(x AS u, y AS v))))")).alias("p"))
-        .select("p.u", "p.v")
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= LPA_MINSUP_PAIR)
-        .select("u", "v"))
+    # Pair mining as BASKET EXPANSION, not an order-key self-join (r6 —
+    # the r5 sf1 profile put ~6 of LPA's 8.3 s in the mining stage's
+    # distinct + two self-join shuffles + SMJ sorts): shared a-priori
+    # miner with q_copurchase, see basket.frequent_pair_supports.
+    pairs = frequent_pair_supports(
+        li, LPA_MINSUP_ITEM, LPA_MINSUP_PAIR)[0].select("u", "v")
     edges = (pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
              .unionAll(pairs.select(F.col("v").alias("src"),
                                     F.col("u").alias("dst"))))
