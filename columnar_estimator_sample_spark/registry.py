@@ -86,8 +86,9 @@ _loaded = False
 _DRIVER_WINDOW_R6 = [
     "q_media_jpeg_roundtrip", "q_source_mixture",
     # round-6-new: the catalog-driven broadcast join (NdvCatalogExtension
-    # dogfood) gets its driver row in its first round
-    "q_ndv_broadcast_join",
+    # dogfood) and the streaming dedup census get driver rows in their
+    # first round
+    "q_ndv_broadcast_join", "q_stream_dedup_census",
     # never-driver-checked, registration order
     "q_table_checksum", "q_split_gini", "q_exact_auc",
     "q_calibration_bins", "q_ks_test", "q_joinability",

@@ -286,3 +286,67 @@ def _register_streaming_sessions() -> None:
 
 
 _register_streaming_sessions()
+
+
+def q_stream_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication (watermarked ``dropDuplicates``
+    state store) drained to a distinct-key census, oracle-checked
+    against a batch COUNT DISTINCT.
+
+    The stream projects events to their (user_id, event_type) key BEFORE
+    dedup so the appended row set is exactly the distinct key set — which
+    arrival order won each race doesn't matter, making the nondeterminism
+    of "first seen" invisible to the oracle. The census then aggregates
+    the drained sink per event_type (distinct users per type).
+
+    Semantics note (the operator's honest 100 TB contract): dedup state
+    lives inside the 1-day watermark horizon — duplicates farther apart
+    than the horizon would re-emit, which is the standard bounded-state
+    trade every streaming dedup makes. The fixture's duplicate keys all
+    fall inside one micro-batch (one file), so the drained set is exact
+    and the batch oracle certifies the whole path: file-stream source,
+    key projection, dedup state store, availableNow drain, append sink.
+
+    Scale: state is O(distinct in-horizon keys); production swaps the
+    memory sink for foreachBatch into the idempotent parquet writer."""
+    import shutil
+    import tempfile
+
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"stream_dedup_census_{_STREAM_RUN_SEQ[0]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_dedup_")
+    try:
+        ev = events_stream(spark, sf_dir)
+        keys = (ev.select("user_id", "event_type", "ts")
+                .withWatermark("ts", "1 day")
+                .dropDuplicates(["user_id", "event_type"])
+                .select("user_id", "event_type"))
+        sink = run_to_completion(keys, ckpt, name, mode="append")
+        # the sink is materialized (memory sink holds rows); the census
+        # below is a plain batch aggregate over the drained key set
+        res = (sink.groupBy("event_type")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+               .orderBy("event_type"))
+        res = spark.createDataFrame(res.collect(),
+                                    "event_type string, n_users long")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return res
+
+
+def _register_streaming_dedup() -> None:
+    from columnar_estimator_sample_spark.registry import register
+
+    register(
+        "q_stream_dedup_census",
+        oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+        """,
+    )(q_stream_dedup_census)
+
+
+_register_streaming_dedup()

@@ -53,10 +53,19 @@ class TestCorpusPlanShapes:
         plan = plan_of(spark, "q_contamination_check")
         assert "BroadcastExchange" in plan
         assert "TakeOrderedAndProject" in plan
-        # train side: scan -> explode -> broadcast-join without a
-        # repartition of the exploded training n-grams before the join;
-        # the only hash exchange is the pair-count aggregate.
-        assert n_shuffles(plan) <= 1, plan
+        # r6 contraction shape: the raw corpus is exchanged exactly once
+        # (the md5-census fingerprint window); every other exchange runs
+        # on representative/aggregate frames. The single-partition
+        # exchange is the rep-pair cutoff window (content-bounded), and
+        # the exploded train n-grams still reach the eval join through a
+        # broadcast, never a repartition.
+        assert plan.count("Exchange SinglePartition") <= 1, plan
+        assert "CartesianProduct" not in plan
+        import re
+        fp_exchanges = [
+            seg for seg in re.findall(r"Exchange hashpartitioning\(([^)]*)", plan)
+            if "fp" in seg]
+        assert fp_exchanges, plan  # the census window is present
 
     def test_stratified_sampling_is_scan_plus_one_exchange(self, spark):
         plan = plan_of(spark, "q_sample_stratified")
@@ -67,6 +76,60 @@ class TestCorpusPlanShapes:
         assert plan.count("*(") >= 1  # codegen'd stages carry "*(n)"
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_contamination_contraction_equals_naive_on_duplicated_corpus(
+        spark, tmp_path):
+    """The r6 exact-dup contraction must reproduce the naive member-level
+    join EXACTLY on a corpus with duplicate groups that straddle the
+    eval/train split (doc_id % 50) — the subtle case where one content
+    group contributes members to BOTH sides — including the top-20
+    cutoff's tie behavior. Brute force is the pre-r6 formulation."""
+    from columnar_estimator_sample_spark.operators.corpus import (
+        _word3_expr,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    other = ("one two three four five six seven eight nine ten eleven "
+             "twelve alpha beta gamma delta epsilon zeta")
+    rows = []
+    # group A: eval member (id 0, 0%50==0) + train twins (3, 7, 103)
+    for i in [0, 3, 7, 103]:
+        rows.append((i, base))
+    # group B: eval-only duplicates (50, 100) sharing a prefix with A
+    for i in [50, 100]:
+        rows.append((i, other))
+    # group C: train-only near content (unique docs)
+    rows += [(11, base.replace("kappa", "KAPPA")),
+             (12, other.replace("ten", "TEN")),
+             (13, "totally disjoint words with no trigram overlap here")]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+        str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    grams = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", F.explode(_word3_expr("toks")).alias("ngram"))
+    ev = (grams.filter(F.col("doc_id") % 50 == 0)
+          .withColumnRenamed("doc_id", "eval_doc"))
+    tr = (grams.filter(F.col("doc_id") % 50 != 0)
+          .withColumnRenamed("doc_id", "train_doc"))
+    naive = (tr.join(ev, "ngram")
+             .groupBy("train_doc", "eval_doc")
+             .agg(F.count("*").alias("n_shared"))
+             .filter(F.col("n_shared") >= 3)
+             .orderBy(F.desc("n_shared"), "train_doc", "eval_doc")
+             .limit(20))
+    want = [tuple(r) for r in naive.collect()]
+    got = [tuple(r) for r in
+           queries()["q_contamination_check"](spark, sf).collect()]
+    assert got == want
+    # the corpus must actually exercise the cross-class group (A) and
+    # produce enough pairs that the cutoff logic runs
+    assert any(e == 0 and t in (3, 7, 103) for t, e, _ in want)
+    assert len(want) >= 5
 
 
 def test_split_by_user_no_leakage(spark):

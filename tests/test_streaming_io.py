@@ -65,6 +65,23 @@ class TestStreaming:
                    for r in queries()["q_sessionize"](spark, sf_dir).collect())
         assert s == b
 
+    def test_stream_dedup_census_matches_batch_distinct(self, spark,
+                                                        sf_dir):
+        """q_stream_dedup_census (watermarked dropDuplicates -> append
+        sink -> census) must equal the batch COUNT DISTINCT per type."""
+        from columnar_estimator_sample_spark.registry import queries
+        from columnar_estimator_sample_spark.sources.tables import table
+
+        got = sorted(tuple(r) for r in
+                     queries()["q_stream_dedup_census"](
+                         spark, sf_dir).collect())
+        want = sorted(tuple(r) for r in
+                      table(spark, sf_dir, "events")
+                      .groupBy("event_type")
+                      .agg(F.count_distinct("user_id").cast("long")
+                           .alias("n_users")).collect())
+        assert got == want and len(got) > 0
+
     def test_dedup_stream(self, spark, sf_dir, ckpt):
         from columnar_estimator_sample_spark.streaming.windows import (
             dedup_stream, events_stream, run_to_completion,
