@@ -334,6 +334,71 @@ def q_stream_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join (the fourth streaming
+    operator class after windows, sessions, and dedup state): attribute
+    each click to the same user's views within the preceding 10 minutes.
+    The joined pair SET is deterministic (every qualifying pair is
+    emitted exactly once regardless of arrival interleaving), so the
+    batch self-join oracle certifies the whole path: two file streams,
+    per-side watermarks, the time-range condition Spark derives the
+    state-eviction bound from, availableNow drain, append sink.
+
+    Scale: join state is bounded by the watermark + range horizon —
+    a buffered view is dropped once the click watermark passes
+    ``view.ts + 10 min``; the equi-key (user_id) keeps the join
+    hash-partitioned, the range predicate only gates within-partition
+    matches."""
+    import shutil
+    import tempfile
+
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"stream_attribution_{_STREAM_RUN_SEQ[0]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_attr_")
+    try:
+        ev = events_stream(spark, sf_dir)
+        views = ev.filter(F.col("event_type") == "view")
+        clicks = ev.filter(F.col("event_type") == "click")
+        joined = stream_stream_join(views, clicks, within="10 minutes")
+        sink = run_to_completion(joined, ckpt, name, mode="append")
+        res = (sink.select(F.col("l_user").alias("user_id"),
+                           F.col("l_id").alias("view_id"),
+                           F.col("r_id").alias("click_id"), "lag_us")
+               .orderBy("user_id", "view_id", "click_id"))
+        res = spark.createDataFrame(
+            res.collect(),
+            "user_id long, view_id long, click_id long, lag_us long")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return res
+
+
+def _register_streaming_attribution() -> None:
+    from columnar_estimator_sample_spark.registry import register
+
+    register(
+        "q_stream_attribution",
+        oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+            FROM events
+        )
+        SELECT v.user_id AS user_id,
+               v.event_id AS view_id,
+               c.event_id AS click_id,
+               c.us - v.us AS lag_us
+        FROM e v
+        JOIN e c ON v.user_id = c.user_id
+                AND c.us >= v.us AND c.us <= v.us + 600000000
+        WHERE v.event_type = 'view' AND c.event_type = 'click'
+        ORDER BY user_id, view_id, click_id
+        """,
+    )(q_stream_attribution)
+
+
+_register_streaming_attribution()
+
+
 def _register_streaming_dedup() -> None:
     from columnar_estimator_sample_spark.registry import register
 
