@@ -996,7 +996,8 @@ def _ssjoin_bounds(measure: str, t_millis: int):
 
 def prefix_filter_candidates(docs: DataFrame,
                              t_millis: int = SSJOIN_T_MILLIS,
-                             measure: str = "jaccard") -> DataFrame:
+                             measure: str = "jaccard",
+                             toks: DataFrame | None = None) -> DataFrame:
     """Candidate pairs (doc_a, doc_b, na, nb) surviving the length,
     prefix, AND positional filters — every true measure>=t pair is here
     (completeness guarantee), and nothing else is ever scored.
@@ -1017,7 +1018,8 @@ def prefix_filter_candidates(docs: DataFrame,
     from pyspark.sql.window import Window
 
     prefix_f, length_f, pos_f, _ = _ssjoin_bounds(measure, t_millis)
-    toks = _ssjoin_tokens(docs)
+    if toks is None:
+        toks = _ssjoin_tokens(docs)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     freq = toks.groupBy("h").agg(F.count("*").alias("tf"))
     ranked = (
@@ -1045,7 +1047,8 @@ def prefix_filter_candidates(docs: DataFrame,
 
 
 def _verified_pairs(docs: DataFrame, t_millis: int,
-                    measure: str = "jaccard") -> DataFrame:
+                    measure: str = "jaccard",
+                    toks: DataFrame | None = None) -> DataFrame:
     """Candidates -> exact verification by GATHERING each side's token
     set (one collect_list per doc) onto the candidate row and computing
     ``size(array_intersect(...))`` in codegen.
@@ -1059,8 +1062,9 @@ def _verified_pairs(docs: DataFrame, t_millis: int,
     (distinct n-grams of one document), so a gathered row stays small;
     at 100 TB both sides hash-partition on doc ids exactly as before."""
     _, _, _, verify_f = _ssjoin_bounds(measure, t_millis)
-    toks = _ssjoin_tokens(docs)
-    cand = prefix_filter_candidates(docs, t_millis, measure)
+    if toks is None:
+        toks = _ssjoin_tokens(docs)
+    cand = prefix_filter_candidates(docs, t_millis, measure, toks=toks)
     arrs = toks.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
     ga = arrs.select(F.col("doc_id").alias("doc_a"),
                      F.col("hs").alias("ha"))
@@ -1100,10 +1104,15 @@ def _contracted_setjoin(docs: DataFrame, t_millis: int,
     na = nb = inter = |rep tokens| and expanded to C(|g|, 2) member
     pairs exactly like cross pairs."""
     members, reps = contract_exact_dups(docs, "doc_id", "text")
-    rep_sizes = _ssjoin_tokens(reps).groupBy("doc_id").agg(
-        F.count("*").alias("n"))
+    # one token frame shared by sizes, frequency ranking, candidate join
+    # and verification-gather — the explode+md5 pass otherwise re-runs in
+    # every subtree (3x; measured ~1.4 s of the 6 s at sf0.1). Lazy local
+    # checkpoint: materialized once at first use, constant lineage after
+    # (on a cluster: checkpoint() to the cluster FS, same shape).
+    rep_toks = _ssjoin_tokens(reps).localCheckpoint(eager=False)
+    rep_sizes = rep_toks.groupBy("doc_id").agg(F.count("*").alias("n"))
 
-    rep_pairs = _verified_pairs(reps, t_millis, measure)
+    rep_pairs = _verified_pairs(reps, t_millis, measure, toks=rep_toks)
     self_pairs = (members.filter((F.col("doc_id") == F.col("gid"))
                                  & (F.col("gsz") >= 2))
                   .join(rep_sizes, "doc_id")
