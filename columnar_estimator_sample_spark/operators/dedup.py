@@ -196,6 +196,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_input = reps
     else:
         lsh_input = docs
+    # NOTE r6: tried lazily checkpointing this frame to share the array
+    # build between the two verification sides — measured NEUTRAL at
+    # sf0.1 and 1.1 s SLOWER at sf1: materializing wide shingle arrays
+    # costs more than recomputing the codegen'd transform (unlike the
+    # narrow 8-byte token rows in _contracted_setjoin, where sharing won)
     sh = lsh_input.select(
         "doc_id", _shingles_expr("text").alias("shingles"))
     bands = minhash_bands(lsh_input)
