@@ -67,6 +67,55 @@ class TestBigramNovelty:
 
 
 class TestCopurchase:
+    def test_frequent_pair_supports_matches_brute_force(self, spark):
+        """The shared basket miner (r6: replaced the order-key self-join
+        for q_copurchase / q_item_cf / LPA) against a pure-Python brute
+        force over a hand-built fact list exercising: duplicate (ok, pk)
+        rows (distinct-order support semantics), singleton baskets,
+        baskets with infrequent items filtered mid-basket, and pairs
+        straddling the support threshold."""
+        import itertools
+
+        from columnar_estimator_sample_spark.operators.basket import (
+            frequent_pair_supports,
+        )
+        rows = [  # (order, part) with intra-order duplicates
+            (1, 10), (1, 11), (1, 12), (1, 10),
+            (2, 10), (2, 11), (2, 13),
+            (3, 10), (3, 11), (3, 12),
+            (4, 12), (4, 13), (4, 13),
+            (5, 10), (5, 99),          # 99 infrequent -> filtered
+            (6, 11), (6, 12),
+            (7, 14),                   # singleton basket
+            (8, 13), (8, 10),
+        ]
+        item_minsup, pair_minsup = 3, 2
+        baskets: dict = {}
+        for ok, pk in rows:
+            baskets.setdefault(ok, set()).add(pk)
+        supp: dict = {}
+        for pk in {p for _, p in rows}:
+            supp[pk] = sum(1 for b in baskets.values() if pk in b)
+        freq_want = {p: c for p, c in supp.items() if c >= item_minsup}
+        pair_want: dict = {}
+        for b in baskets.values():
+            fb = sorted(p for p in b if p in freq_want)
+            for u, v in itertools.combinations(fb, 2):
+                pair_want[(u, v)] = pair_want.get((u, v), 0) + 1
+        pair_want = {k: v for k, v in pair_want.items()
+                     if v >= pair_minsup}
+
+        li = spark.createDataFrame(rows, ["ok", "pk"])
+        pairs, freq = frequent_pair_supports(li, item_minsup, pair_minsup)
+        got_pairs = {(r.u, r.v): r.support for r in pairs.collect()}
+        got_freq = {r.pk: r.c for r in freq.collect()}
+        assert got_freq == freq_want
+        assert got_pairs == pair_want
+        # the fixture must exercise every edge it claims to
+        assert 99 not in got_freq and 14 not in got_freq
+        assert any(v == pair_minsup for v in pair_want.values())
+        assert len(pair_want) >= 2
+
     def test_support_and_ordering(self, spark, sf_dir):
         rows = q_copurchase(spark, sf_dir).collect()
         assert rows
