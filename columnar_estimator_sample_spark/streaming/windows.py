@@ -334,6 +334,61 @@ def q_stream_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_stream_sliding_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING-window aggregation (1 h window / 30 min slide
+    — each event lands in exactly window/slide = 2 overlapping windows),
+    drained availableNow and oracle-checked against DuckDB's explicit
+    two-slot replay: Spark assigns event t to epoch-aligned starts
+    {floor(t/30min)·30min, that − 30min}, which the oracle reproduces
+    with a UNION ALL of the two slot expressions. Completes the §2.8
+    window matrix (tumbling, sliding, session).
+
+    Scale: state is O(in-flight windows) = 2× the tumbling count; the
+    decimal sum is the same exact-arithmetic dsum as the batch tier."""
+    import shutil
+    import tempfile
+
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"stream_sliding_{_STREAM_RUN_SEQ[0]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_sliding_")
+    try:
+        ev = events_stream(spark, sf_dir)
+        res = run_to_completion(sliding_value_stream(ev), ckpt, name,
+                                mode="complete")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return res.orderBy("win_start_s")
+
+
+def _register_streaming_sliding() -> None:
+    from columnar_estimator_sample_spark.functions.exact import sql_dsum
+    from columnar_estimator_sample_spark.registry import register
+
+    slide_us = 30 * 60 * 1_000_000
+    register(
+        "q_stream_sliding_value",
+        oracle=f"""
+        WITH e AS (
+            SELECT epoch_us(ts) AS us, value FROM events
+        ), w AS (
+            SELECT (us // {slide_us}) * {slide_us} AS ws, value FROM e
+            UNION ALL
+            SELECT (us // {slide_us}) * {slide_us} - {slide_us} AS ws,
+                   value FROM e
+        )
+        SELECT CAST(ws // 1000000 AS BIGINT) AS win_start_s,
+               COUNT(*) AS n_events,
+               {sql_dsum("value", "total_value", 6)}
+        FROM w
+        GROUP BY 1
+        ORDER BY win_start_s
+        """,
+    )(q_stream_sliding_value)
+
+
+_register_streaming_sliding()
+
+
 def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked STREAM-STREAM inner join (the fourth streaming
     operator class after windows, sessions, and dedup state): attribute
