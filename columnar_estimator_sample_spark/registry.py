@@ -56,6 +56,7 @@ _OPERATOR_MODULES = [
     "columnar_estimator_sample_spark.operators.geo",
     "columnar_estimator_sample_spark.operators.entity",
     "columnar_estimator_sample_spark.streaming.windows",
+    "columnar_estimator_sample_spark.streaming.stateful",
 ]
 
 _loaded = False
@@ -74,15 +75,15 @@ _loaded = False
 # in and out of the window is additionally verified by
 # ``tools/check_oracle.py`` (same compare semantics) before commit.
 #
-# Round-6 window: the FINAL 44 never-driver-checked queries (40 from
-# rounds 1-5 plus the 4 registered this round) — after this round every
-# registry entry has a driver row (union r1-r6 = 246/246).
+# Round-6 window: the FINAL 45 never-driver-checked queries (40 from
+# rounds 1-5 plus the 5 registered this round) — after this round every
+# registry entry has a driver row (union r1-r6 = 247/247).
 # q_media_jpeg_roundtrip leads (the round-5 late-commit bug, fixed this
 # round — its confirming driver row matters most), then q_source_mixture
 # (closes the last SURVEY §2 asterisk: D4's oracle was local-green only),
 # then the round-6-new queries, then the remaining 38 in registration
 # order (quality/eval tier, sketches, corpus tail, vq/pq, media, layout,
-# stats, geo). 44 < 50, so the window's last slots fall through to
+# stats, geo). 45 < 50, so the window's last slots fall through to
 # already-green queries in registration order — harmless re-confirmation.
 _DRIVER_WINDOW_R6 = [
     "q_media_jpeg_roundtrip", "q_source_mixture",
@@ -91,6 +92,7 @@ _DRIVER_WINDOW_R6 = [
     # first round
     "q_ndv_broadcast_join", "q_stream_dedup_census",
     "q_stream_attribution", "q_stream_sliding_value",
+    "q_stream_user_totals",
     # never-driver-checked, registration order
     "q_table_checksum", "q_split_gini", "q_exact_auc",
     "q_calibration_bins", "q_ks_test", "q_joinability",

@@ -65,3 +65,119 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Registered query: exact-arithmetic running totals (driver-gated)
+# ---------------------------------------------------------------------------
+
+EXACT_OUT_SCHEMA = ("user_id long, n_events long, total_micros long, "
+                    "first_us long, last_us long")
+EXACT_STATE_SCHEMA = "n long, total_micros long, first_us long, last_us long"
+
+
+def _update_user_totals_exact(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState) -> Iterable[pd.DataFrame]:
+    """Exact-integer twin of :func:`_update_user_totals`: the running sum
+    is kept in integer MICROS (values are 6-decimal fixed point across
+    the engine, see functions/exact.dsum), so accumulation is order-free
+    — a float running sum would depend on the per-batch row order the
+    state-store shuffle happens to produce, which no oracle can pin."""
+    if state.exists:
+        n, total_micros, first_us, last_us = state.get
+    else:
+        n, total_micros, first_us, last_us = 0, 0, None, None
+    for pdf in pdfs:
+        n += len(pdf)
+        total_micros += int(
+            (pdf["value"] * 1_000_000).round().astype("int64").sum())
+        lo = int(pdf["us"].min())
+        hi = int(pdf["us"].max())
+        first_us = lo if first_us is None else min(first_us, lo)
+        last_us = hi if last_us is None else max(last_us, hi)
+    state.update((n, total_micros, first_us, last_us))
+    yield pd.DataFrame([{
+        "user_id": key[0], "n_events": n, "total_micros": total_micros,
+        "first_us": first_us, "last_us": last_us,
+    }])
+
+
+def running_user_totals_exact(events: DataFrame) -> DataFrame:
+    """Integer-exact stateful running totals per user (registered as
+    q_stream_user_totals)."""
+    return (
+        events.select("user_id", "value", "us")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals_exact,
+            outputStructType=EXACT_OUT_SCHEMA,
+            stateStructType=EXACT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def q_stream_user_totals(spark, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``),
+    driver-gated: per-user running accumulators that survive across
+    micro-batches — the §2.8 arbitrary-state class the built-in windows
+    can't express. The update-mode sink receives one running row per
+    (user, batch-with-activity); the final value per user is selected
+    with a max-over-structs (running counters are monotone), so the
+    result is batch-split-invariant and the batch GROUP BY oracle
+    certifies the whole path: state store, Arrow batches into the Python
+    worker, integer-exact accumulation, availableNow drain.
+
+    Scale: state is O(active users) small tuples, partitioned by key
+    across executors; Arrow batch transfer per (key, micro-batch)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from columnar_estimator_sample_spark.streaming.windows import (
+        _STREAM_RUN_SEQ, events_stream, run_to_completion,
+    )
+
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"stream_user_totals_{_STREAM_RUN_SEQ[0]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_totals_")
+    try:
+        ev = events_stream(spark, sf_dir)
+        sink = run_to_completion(running_user_totals_exact(ev), ckpt,
+                                 name, mode="update")
+        final = (sink.groupBy("user_id")
+                 .agg(F.max(F.struct("n_events", "total_micros",
+                                     "first_us", "last_us")).alias("m"))
+                 .select("user_id", "m.n_events", "m.total_micros",
+                         "m.first_us", "m.last_us")
+                 .orderBy("user_id"))
+        res = spark.createDataFrame(final.collect(), EXACT_OUT_SCHEMA)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return res
+
+
+def _register_stateful() -> None:
+    from columnar_estimator_sample_spark.registry import register
+
+    register(
+        "q_stream_user_totals",
+        oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(round(value * 1000000) AS BIGINT))
+                    AS BIGINT) AS total_micros,
+               MIN(epoch_us(ts)) AS first_us,
+               MAX(epoch_us(ts)) AS last_us
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+        """,
+    )(q_stream_user_totals)
+
+
+_register_stateful()

@@ -30,19 +30,40 @@ def events_stream(spark: SparkSession, sf_dir: str,
                   max_files_per_trigger: int | None = None) -> DataFrame:
     """The events table as a file stream (one parquet file = one
     micro-batch unit). Restates nanosecond ``ts`` as a timestamp for
-    watermarking, plus integer ``us`` for exact arithmetic."""
+    watermarking, plus integer ``us`` for exact arithmetic.
+
+    Replay caveat: the gen_scale benchdata dirs replay N key-shifted
+    copies of the SAME time range as successive micro-batches, so the
+    watermarked operators (windows, sessions, join) legitimately drop
+    later copies as late data — that is watermark semantics under an
+    adversarial replay order, not a bug. The watermark-free operators
+    (stateful totals, key-disjoint dedup) stay exact there (parity-
+    checked at sf1, 10 micro-batches); the driver's single-file layout
+    drains everything in one batch, so every oracle comparison is
+    exact."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # same UTC pin as sources/tables.events_table: window()/date math
     # read the SESSION timezone, the oracles' epoch arithmetic is
     # timezone-free — a plain session on a non-UTC host would shift
     # every day boundary
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import os
+
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # file streams take a directory; pathGlobFilter selects the table
-    df = (spark.readStream.schema(static.schema)
-          .option("maxFilesPerTrigger", max_files_per_trigger or 1)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(sf_dir))
+    reader = (spark.readStream.schema(static.schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger or 1))
+    if os.path.isdir(f"{sf_dir}/events.parquet"):
+        # Spark-written layout (events.parquet is a DIRECTORY of part
+        # files, e.g. the gen_scale benchdata dirs): stream the directory
+        # itself — a pathGlobFilter of "events.parquet" would match no
+        # leaf file and silently stream zero rows (r6 bug: every
+        # streaming query returned empty on multi-file scale dirs)
+        df = reader.parquet(f"{sf_dir}/events.parquet")
+    else:
+        # driver layout: one flat file per table in sf_dir; file streams
+        # take a directory, pathGlobFilter selects the table
+        df = reader.option("pathGlobFilter", "events.parquet")\
+            .parquet(sf_dir)
     # Same two physical encodings as the batch loader (sources/tables.py):
     # TIMESTAMP(NANOS) surfaces as bigint under nanosAsLong; µs/ms files
     # arrive as a timestamp type directly.

@@ -38,3 +38,33 @@ def test_running_user_totals_converges_to_batch(spark, sf_dir, tmp_path):
     want = {r["user_id"]: (r["n"], r["first_us"], r["last_us"])
             for r in batch.collect()}
     assert got == want
+
+
+def test_exact_totals_accumulate_across_micro_batches(spark, sf_dir,
+                                                      tmp_path):
+    """q_stream_user_totals against a MULTI-FILE events directory (the
+    Spark-written layout): state must accumulate across micro-batches
+    (maxFilesPerTrigger=1 -> one batch per part file) and the final
+    integer-micros totals must equal the batch aggregate exactly. Also
+    regression-pins the r6 events_stream glob bug where directory
+    layouts silently streamed zero rows."""
+    from columnar_estimator_sample_spark.registry import queries
+    from columnar_estimator_sample_spark.sources.tables import table
+
+    src = table(spark, sf_dir, "events")
+    # split the driver's single file into 4 part files under a table
+    # directory, preserving the nanosecond ts as-is via us
+    (src.repartition(4)
+     .write.mode("overwrite").parquet(str(tmp_path / "events.parquet")))
+    d = str(tmp_path)
+
+    got = {r.user_id: (r.n_events, r.total_micros, r.first_us, r.last_us)
+           for r in queries()["q_stream_user_totals"](spark, d).collect()}
+    want = {r.user_id: (r.n, r.tm, r.first_us, r.last_us)
+            for r in src.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(F.round(F.col("value") * 1_000_000).cast("long"))
+                 .cast("long").alias("tm"),
+                 F.min("us").alias("first_us"),
+                 F.max("us").alias("last_us")).collect()}
+    assert len(got) > 0 and got == want
