@@ -290,3 +290,62 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                    f" div (n_files_after * {COMPACT_TARGET_BYTES})"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Registered query: skew-resistant salted fact⋈dim join
+# ---------------------------------------------------------------------------
+
+from columnar_estimator_sample_spark.functions.exact import dsum, sql_dsum
+
+SALT_N = 8
+
+
+@register(
+    "q_skew_salted_join",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation revenue via a SALTED fact⋈dim join: the big side
+    is scattered by a key-independent per-row salt and the dim side
+    replicated ``SALT_N`` ways, so a hot supplier's rows spread over
+    ``SALT_N`` tasks instead of stalling one straggler. The dim side is
+    hinted ``shuffle_hash`` to force the shuffled regime salting exists
+    for — under broadcast the salt is decorative (and at this dim size
+    Spark WOULD broadcast; the hint makes the registered plan the one
+    that matters at 100 TB, where AQE skew-split handles sort-merge
+    spills but a deliberately salted shuffle-hash join is the
+    deterministic fix when a single key exceeds a task's memory).
+    Salting changes only row placement, never the multiset of joined
+    rows — the plain-join oracle certifies that.
+
+    Scale: shuffle volume is fact + SALT_N·dim (dims are tiny); the
+    nation attach stays a plain broadcast; the final aggregate is
+    map-side partial on 25 groups.
+    """
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount")
+    sup = (_table(spark, sf_dir, "supplier")
+           .select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
+           .hint("shuffle_hash"))
+    nation = _table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    joined = salted_join(li, sup, "l_suppkey", n_salts=SALT_N)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.join(F.broadcast(nation),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+             dsum(revenue, "revenue"))
+        .orderBy("n_name")
+    )

@@ -502,3 +502,167 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (adc.withColumn("rank", F.row_number().over(w_q))
             .filter(F.col("rank") <= PQ_TOPK)
             .orderBy("query_id", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication via cluster-blocked cosine pruning
+# ---------------------------------------------------------------------------
+
+SEM_T = 0.35  # pair-similarity threshold, the engine's ANN_COS_T convention
+
+
+@register(
+    "q_semdedup",
+    oracle=f"""
+    WITH ex AS ({_SQL_EX}
+    ), norms AS (
+        SELECT vec_id, CAST(SUM(vi * vi) AS BIGINT) AS n_s
+        FROM ex GROUP BY vec_id
+    ), cex AS (
+        SELECT vec_id AS centroid_id, i, vi AS ci FROM ex
+        WHERE vec_id < {K}
+    ), cn AS (
+        SELECT centroid_id, CAST(SUM(ci * ci) AS BIGINT) AS c_s
+        FROM cex GROUP BY centroid_id
+    ), d AS (
+        SELECT e.vec_id, c.centroid_id,
+               CAST(SUM(e.vi * c.ci) AS BIGINT) AS dot_s
+        FROM ex e JOIN cex c ON c.i = e.i
+        GROUP BY 1, 2
+    ), mem AS (
+        SELECT vec_id, centroid_id, cos FROM (
+            SELECT d.vec_id, d.centroid_id,
+                   CAST(dot_s AS DOUBLE)
+                   / (sqrt(CAST(n.n_s AS DOUBLE))
+                      * sqrt(CAST(cn.c_s AS DOUBLE))) AS cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.vec_id
+                       ORDER BY CAST(dot_s AS DOUBLE)
+                                / (sqrt(CAST(n.n_s AS DOUBLE))
+                                   * sqrt(CAST(cn.c_s AS DOUBLE))) DESC,
+                                d.centroid_id) AS rnk
+            FROM d
+            JOIN norms n ON n.vec_id = d.vec_id
+            JOIN cn ON cn.centroid_id = d.centroid_id
+        ) WHERE rnk = 1
+    ), pe AS (
+        SELECT m.centroid_id, e.vec_id, e.i, e.vi
+        FROM ex e JOIN mem m ON m.vec_id = e.vec_id
+    ), pd AS (
+        SELECT a.centroid_id, a.vec_id AS va, b.vec_id AS vb,
+               CAST(SUM(a.vi * b.vi) AS BIGINT) AS dot_s
+        FROM pe a JOIN pe b
+          ON a.centroid_id = b.centroid_id AND a.i = b.i
+             AND a.vec_id < b.vec_id
+        GROUP BY 1, 2, 3
+    ), pairs AS (
+        SELECT pd.centroid_id, va, vb
+        FROM pd
+        JOIN norms na ON na.vec_id = pd.va
+        JOIN norms nb ON nb.vec_id = pd.vb
+        WHERE CAST(dot_s AS DOUBLE)
+              / (sqrt(CAST(na.n_s AS DOUBLE))
+                 * sqrt(CAST(nb.n_s AS DOUBLE))) >= {SEM_T}
+    ), pruned AS (
+        SELECT DISTINCT p.centroid_id,
+               CASE WHEN ma.cos > mb.cos THEN p.va ELSE p.vb END AS pv
+        FROM pairs p
+        JOIN mem ma ON ma.vec_id = p.va
+        JOIN mem mb ON mb.vec_id = p.vb
+    ), mc AS (
+        SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM mem GROUP BY centroid_id
+    ), pc AS (
+        SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+        FROM pairs GROUP BY centroid_id
+    ), rc AS (
+        SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_pruned
+        FROM pruned GROUP BY centroid_id
+    )
+    SELECT mc.centroid_id, mc.n_members,
+           CAST(COALESCE(pc.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           CAST(COALESCE(rc.n_pruned, 0) AS BIGINT) AS n_pruned,
+           mc.n_members - CAST(COALESCE(rc.n_pruned, 0) AS BIGINT)
+               AS n_kept
+    FROM mc
+    LEFT JOIN pc ON pc.centroid_id = mc.centroid_id
+    LEFT JOIN rc ON rc.centroid_id = mc.centroid_id
+    ORDER BY mc.centroid_id
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication with the pair search BLOCKED by coarse k-means cells —
+    assign every embedding to its max-cosine cell (the {K} seed
+    centroids, same argmax/tie-break as q_vq_refine's iteration 0), score
+    cosine only WITHIN a cell, and for each pair above the threshold
+    prune the member that sits CLOSER to the centroid (the paper keeps
+    the lowest-centroid-similarity member of each duplicate group to
+    preserve diversity; ties prune the higher vec_id). Output is the
+    per-cell census: members, duplicate pairs, pruned and kept counts.
+
+    Scale: this is the published answer to embedding dedup at 100 TB —
+    the quadratic pair search runs per-cell (O(Σ cᵢ²), bounded by the
+    cell-size cap a production K enforces), the cell assignment is one
+    broadcast join + argmax, and every aggregate is map-side partial.
+    The LSH tier (q_dedup_embedding_lsh) bands globally; SemDeDup blocks
+    semantically, which the paper shows prunes MORE redundancy at the
+    same budget. Integer-scaled exact dots (see similarity._exploded)
+    keep both engines bit-identical through the cosine division.
+    """
+    ex = _exploded(table(spark, sf_dir, "embeddings"))
+    norms = ex.groupBy("vec_id").agg(
+        F.sum(F.col("vi") * F.col("vi")).alias("n_s"))
+    cex = (ex.filter(F.col("vec_id") < K)
+           .select(F.col("vec_id").alias("centroid_id"), "i",
+                   F.col("vi").alias("ci")))
+    mem = _assign(ex, norms, cex, decimal_cnorm=False)
+
+    pe = ex.join(mem.select("vec_id", "centroid_id"), "vec_id")
+    a = pe.select("centroid_id", F.col("vec_id").alias("va"), "i",
+                  F.col("vi").alias("xa"))
+    b = pe.select("centroid_id", F.col("vec_id").alias("vb"), "i",
+                  F.col("vi").alias("xb"))
+    dots = (a.join(b, ["centroid_id", "i"])
+            .filter(F.col("va") < F.col("vb"))
+            .groupBy("centroid_id", "va", "vb")
+            .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot_s")))
+    na = norms.select(F.col("vec_id").alias("va"),
+                      F.col("n_s").alias("na_s"))
+    nb = norms.select(F.col("vec_id").alias("vb"),
+                      F.col("n_s").alias("nb_s"))
+    pairs = (dots.join(F.broadcast(na), "va")
+             .join(F.broadcast(nb), "vb")
+             .filter((F.col("dot_s").cast("double")
+                      / (F.sqrt(F.col("na_s").cast("double"))
+                         * F.sqrt(F.col("nb_s").cast("double"))))
+                     >= SEM_T)
+             .select("centroid_id", "va", "vb"))
+
+    ca = mem.select(F.col("vec_id").alias("va"), F.col("cos").alias("ca"))
+    cb = mem.select(F.col("vec_id").alias("vb"), F.col("cos").alias("cb"))
+    pruned = (pairs.join(F.broadcast(ca), "va")
+              .join(F.broadcast(cb), "vb")
+              .select("centroid_id",
+                      F.when(F.col("ca") > F.col("cb"), F.col("va"))
+                      .otherwise(F.col("vb")).alias("pv"))
+              .distinct())
+
+    mc = mem.groupBy("centroid_id").agg(
+        F.count("*").cast("long").alias("n_members"))
+    pc = pairs.groupBy("centroid_id").agg(
+        F.count("*").cast("long").alias("n_dup_pairs"))
+    rc = pruned.groupBy("centroid_id").agg(
+        F.count("*").cast("long").alias("n_pruned"))
+    return (
+        mc.join(pc, "centroid_id", "left")
+        .join(rc, "centroid_id", "left")
+        .select("centroid_id", "n_members",
+                F.coalesce("n_dup_pairs", F.lit(0)).cast("long")
+                .alias("n_dup_pairs"),
+                F.coalesce("n_pruned", F.lit(0)).cast("long")
+                .alias("n_pruned"))
+        .withColumn("n_kept",
+                    (F.col("n_members") - F.col("n_pruned")).cast("long"))
+        .orderBy("centroid_id")
+    )

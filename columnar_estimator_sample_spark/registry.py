@@ -75,17 +75,18 @@ _loaded = False
 # in and out of the window is additionally verified by
 # ``tools/check_oracle.py`` (same compare semantics) before commit.
 #
-# Round-6 window: the FINAL 45 never-driver-checked queries (40 from
-# rounds 1-5 plus the 5 registered this round) — after this round every
-# registry entry has a driver row (union r1-r6 = 247/247).
-# q_media_jpeg_roundtrip leads (the round-5 late-commit bug, fixed this
-# round — its confirming driver row matters most), then q_source_mixture
-# (closes the last SURVEY §2 asterisk: D4's oracle was local-green only),
-# then the round-6-new queries, then the remaining 38 in registration
-# order (quality/eval tier, sketches, corpus tail, vq/pq, media, layout,
-# stats, geo). 45 < 50, so the window's last slots fall through to
-# already-green queries in registration order — harmless re-confirmation.
-_DRIVER_WINDOW_R6 = [
+# Round-7 window: the round-6 verify never recorded (no
+# CORRECTNESS_r06.json landed), so the round-6 window of 45
+# never-driver-checked queries stays in place verbatim — union r1-r5 is
+# still 202/247 and these 45 are exactly the complement. The two
+# round-7-new queries (q_semdedup, q_skew_salted_join) join the front so
+# they get driver rows in their first round; 47 < 50, the last slots
+# fall through to already-green queries — harmless re-confirmation.
+# q_media_jpeg_roundtrip stays near the front (the round-5 late-commit
+# bug, fixed in r6 — its confirming driver row matters most), then
+# q_source_mixture (closes the last SURVEY §2 asterisk).
+_DRIVER_WINDOW_R7 = [
+    "q_semdedup", "q_skew_salted_join",
     "q_media_jpeg_roundtrip", "q_source_mixture",
     # round-6-new: the catalog-driven broadcast join (NdvCatalogExtension
     # dogfood) and the streaming dedup census get driver rows in their
@@ -112,7 +113,7 @@ _DRIVER_WINDOW_R6 = [
 def _window_order(d: dict) -> dict:
     """Reorder ``d`` so the current driver window comes first (names
     missing from ``d`` are ignored; the rest keep registration order)."""
-    front = [k for k in _DRIVER_WINDOW_R6 if k in d]
+    front = [k for k in _DRIVER_WINDOW_R7 if k in d]
     rest = [k for k in d if k not in set(front)]
     return {k: d[k] for k in front + rest}
 

@@ -181,3 +181,104 @@ def _register_stateful() -> None:
 
 
 _register_stateful()
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 typed-state API) — capability-gated
+# ---------------------------------------------------------------------------
+
+def transform_with_state_available() -> bool:
+    """The transformWithStateInPandas Python worker talks to the JVM's
+    state server over a protobuf protocol, so it needs the ``protobuf``
+    package at RUNTIME (the DataFrame API itself imports fine without
+    it — the stream then crashes at start with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). This container
+    ships no Python protobuf, so the operator is gated, not registered:
+    the processor LOGIC is unit-tested against a fake state harness, and
+    the live path lights up unmodified wherever protobuf exists."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+TWS_OUT_SCHEMA = ("user_id long, event_type string, n_occurrences long, "
+                  "first_us long")
+
+try:
+    from pyspark.sql.streaming import StatefulProcessor
+except ImportError:  # pragma: no cover - pyspark >= 4 always has it
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+
+
+class FirstSeenCensus(StatefulProcessor):
+    """Typed-state (MapState) per-user first-seen census: for every user
+    maintain event_type -> (first_us, n) across micro-batches and emit
+    the user's full map each batch the user appears in (update-mode
+    running rows — monotone in n, so the final row per key is the
+    max-struct, the same batch-split-invariant selection as
+    q_stream_user_totals).
+
+    This is the transformWithState class of operator the older
+    applyInPandasWithState can't express as naturally: named typed state
+    handles (here one MapState; ValueState/ListState/timers/TTL hang off
+    the same handle) instead of one opaque state tuple per key.
+
+    Scale: state is O(active users x event types) small entries in the
+    RocksDB state store (transformWithState requires the RocksDB
+    provider), partitioned by user across executors; Arrow batches carry
+    rows into the Python worker per (key, micro-batch)."""
+
+    def init(self, handle) -> None:
+        self._seen = handle.getMapState(
+            "seen", "event_type string", "first_us long, n long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        for pdf in rows:
+            agg = pdf.groupby("event_type").agg(
+                first_us=("us", "min"), n=("us", "size"))
+            for et, row in agg.iterrows():
+                if self._seen.containsKey((et,)):
+                    cur_first, cur_n = self._seen.getValue((et,))
+                    self._seen.updateValue(
+                        (et,), (min(cur_first, int(row.first_us)),
+                                cur_n + int(row.n)))
+                else:
+                    self._seen.updateValue(
+                        (et,), (int(row.first_us), int(row.n)))
+        out = [{"user_id": key[0], "event_type": et[0],
+                "n_occurrences": v[1], "first_us": v[0]}
+               for et, v in self._seen.iterator()]
+        yield pd.DataFrame(out)
+
+    def close(self) -> None:
+        pass
+
+
+def first_seen_census(events: DataFrame) -> DataFrame:
+    """Per-user (event_type, first_us, running n) via
+    ``transformWithStateInPandas``. Requires Python protobuf at runtime
+    (see :func:`transform_with_state_available`) and the RocksDB state
+    store provider on the session:
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+    """
+    if not transform_with_state_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the protobuf package in the "
+            "Python worker; not available in this environment "
+            "(see transform_with_state_available)")
+    return (
+        events.select("user_id", "event_type", "us")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=FirstSeenCensus(),
+            outputStructType=TWS_OUT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    )

@@ -68,3 +68,94 @@ def test_exact_totals_accumulate_across_micro_batches(spark, sf_dir,
                  F.min("us").alias("first_us"),
                  F.max("us").alias("last_us")).collect()}
     assert len(got) > 0 and got == want
+
+
+class _FakeMapState:
+    """Dict-backed stand-in for the transformWithState MapState handle
+    (tuple-keyed, tuple-valued, same method surface the processor uses)."""
+
+    def __init__(self):
+        self._d = {}
+
+    def containsKey(self, key):
+        return key in self._d
+
+    def getValue(self, key):
+        return self._d[key]
+
+    def updateValue(self, key, value):
+        self._d[key] = value
+
+    def iterator(self):
+        return iter(sorted(self._d.items()))
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.map_state = _FakeMapState()
+
+    def getMapState(self, name, key_schema, value_schema, ttl=None):
+        return self.map_state
+
+
+class TestFirstSeenCensusProcessor:
+    """transformWithStateInPandas can't RUN here (no Python protobuf —
+    see transform_with_state_available), so the processor logic is
+    pinned against a fake typed-state harness: same micro-batch
+    splitting invariants the live state store would provide."""
+
+    def _drive(self, batches):
+        import pandas as pd
+
+        from columnar_estimator_sample_spark.streaming.stateful import (
+            FirstSeenCensus,
+        )
+
+        proc = FirstSeenCensus()
+        proc.init(_FakeHandle())
+        emitted = []
+        for batch in batches:
+            out = list(proc.handleInputRows(
+                (7,), iter([pd.DataFrame(batch)]), None))
+            emitted.append(pd.concat(out, ignore_index=True))
+        proc.close()
+        return emitted
+
+    def test_accumulates_across_batches(self):
+        b1 = [{"event_type": "view", "us": 100},
+              {"event_type": "view", "us": 50},
+              {"event_type": "click", "us": 200}]
+        b2 = [{"event_type": "view", "us": 10},
+              {"event_type": "buy", "us": 300}]
+        final = self._drive([b1, b2])[-1]
+        got = {r.event_type: (r.n_occurrences, r.first_us)
+               for r in final.itertuples()}
+        assert got == {"view": (3, 10), "click": (1, 200),
+                       "buy": (1, 300)}
+
+    def test_batch_split_invariant(self):
+        rows = [{"event_type": t, "us": u}
+                for t, u in [("a", 5), ("b", 9), ("a", 3), ("c", 7),
+                             ("b", 1), ("a", 8)]]
+        one = self._drive([rows])[-1]
+        split = self._drive([rows[:2], rows[2:4], rows[4:]])[-1]
+        assert one.sort_values("event_type").reset_index(drop=True).equals(
+            split.sort_values("event_type").reset_index(drop=True))
+
+    def test_emits_full_map_every_batch(self):
+        b1 = [{"event_type": "x", "us": 1}]
+        b2 = [{"event_type": "y", "us": 2}]
+        emitted = self._drive([b1, b2])
+        assert set(emitted[0].event_type) == {"x"}
+        assert set(emitted[1].event_type) == {"x", "y"}
+
+    def test_live_stream_requires_protobuf(self):
+        import pytest
+
+        from columnar_estimator_sample_spark.streaming.stateful import (
+            first_seen_census, transform_with_state_available,
+        )
+        if transform_with_state_available():
+            pytest.skip("protobuf present: gate inactive on this host")
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            first_seen_census(None)
