@@ -71,6 +71,9 @@ HEADLINE = [
     "q_er_entities",
     "q_lpa_communities",
     "q_geo_dbscan",
+    # round-7 tier representatives
+    "q_semdedup",
+    "q_dsir_selection",
 ]
 
 

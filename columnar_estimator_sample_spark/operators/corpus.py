@@ -1306,3 +1306,104 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             'english_share_permille', (1000 * n_en) div n_docs,
             'mean_tokens_per_doc', n_tokens div n_docs
         ) AS (metric, value)""")
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling
+# ---------------------------------------------------------------------------
+
+DSIR_B = 64       # hashed unigram feature buckets
+DSIR_K = 100      # documents selected
+DSIR_PS = 10 ** 9   # bucket-probability scale
+DSIR_RS = 10 ** 6   # importance-ratio scale (ppm; 1e6 = "same as corpus")
+
+
+@register(
+    "q_dsir_selection",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               {sql_h64("t.w")} % {DSIR_B} AS b
+        FROM documents, unnest(string_split(text, ' ')) AS t(w)
+    ), bc AS (
+        SELECT b,
+               CAST(COUNT(*) AS BIGINT) AS cs,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ct
+        FROM tok GROUP BY b
+    ), tot AS (
+        SELECT CAST(SUM(cs) AS BIGINT) AS ns,
+               CAST(SUM(ct) AS BIGINT) AS nt
+        FROM bc
+    ), ratio AS (
+        SELECT b,
+               ((ct + 1) * {DSIR_PS} // (nt + {DSIR_B})) * {DSIR_RS}
+               // GREATEST((cs + 1) * {DSIR_PS} // (ns + {DSIR_B}), 1)
+                   AS r
+        FROM bc, tot
+    ), scored AS (
+        SELECT tok.doc_id,
+               CAST(SUM(r) // COUNT(*) AS BIGINT) AS score_ppm
+        FROM tok JOIN ratio ON ratio.b = tok.b
+        GROUP BY tok.doc_id
+    ), sel AS (
+        SELECT s.doc_id, s.score_ppm, d.lang
+        FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+        ORDER BY s.score_ppm DESC, s.doc_id
+        LIMIT {DSIR_K}
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm
+    FROM sel
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169): data selection via
+    importance resampling restated relationally — hashed unigram feature
+    buckets ({DSIR_B} via the portable md5 hash), add-one-smoothed bucket
+    distributions for the TARGET domain (lang='en' stands in for the
+    held-out domain sample) and the RAW corpus, per-document importance
+    score = mean target/raw bucket ratio over the document's token
+    occurrences, and a top-{DSIR_K} selection whose per-language census is
+    the report (does importance weighting pull the sample toward the
+    target domain?). All-integer two-step floor-divided probabilities, so
+    both engines rank identically — no logs, no cross-engine libm risk.
+
+    Scale: the bucket table is {DSIR_B} rows (broadcast); scoring is one
+    token explode joined against it with a map-side-partial per-doc
+    aggregate; selection is TakeOrderedAndProject (per-partition partial
+    top-k — no global sort); the census aggregates {DSIR_K} rows. At
+    100 TB the explode dominates and is embarrassingly parallel; the
+    n-gram generalization only widens the explode, never the joins.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id", "lang",
+                       F.explode(F.split("text", " ")).alias("w"))
+           .select("doc_id", "lang", (h64(F.col("w")) % DSIR_B).alias("b")))
+    bc = tok.groupBy("b").agg(
+        F.count("*").cast("long").alias("cs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long").alias("ct"))
+    tot = bc.agg(F.sum("cs").cast("long").alias("ns"),
+                 F.sum("ct").cast("long").alias("nt"))
+    ratio = (bc.crossJoin(F.broadcast(tot))
+             .select("b", F.expr(
+                 f"((ct + 1) * {DSIR_PS} DIV (nt + {DSIR_B}))"
+                 f" * {DSIR_RS}"
+                 f" DIV GREATEST((cs + 1) * {DSIR_PS}"
+                 f" DIV (ns + {DSIR_B}), 1)").alias("r")))
+    scored = (tok.join(F.broadcast(ratio), "b")
+              .groupBy("doc_id")
+              .agg(F.expr("SUM(r) DIV COUNT(*)").cast("long")
+                   .alias("score_ppm")))
+    sel = (scored.join(docs.select("doc_id", "lang"), "doc_id")
+           .orderBy(F.desc("score_ppm"), "doc_id")
+           .limit(DSIR_K))
+    return (sel.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_selected"),
+                 F.expr("SUM(score_ppm) DIV COUNT(*)").cast("long")
+                 .alias("mean_score_ppm"))
+            .orderBy("lang"))

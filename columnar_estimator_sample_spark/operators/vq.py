@@ -610,13 +610,62 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same budget. Integer-scaled exact dots (see similarity._exploded)
     keep both engines bit-identical through the cosine division.
     """
-    ex = _exploded(table(spark, sf_dir, "embeddings"))
-    norms = ex.groupBy("vec_id").agg(
-        F.sum(F.col("vi") * F.col("vi")).alias("n_s"))
-    cex = (ex.filter(F.col("vec_id") < K)
+    return semdedup_census(table(spark, sf_dir, "embeddings"))
+
+
+# fingerprint of the INTEGER-SCALED payload — two embeddings are exact
+# dups iff every 1e-6-rounded element matches, the same rounding the
+# cosine arithmetic sees, so contraction can never merge vectors the
+# scorer would distinguish
+_SEM_FP = ("md5(concat_ws(',', transform(embedding, x ->"
+           " CAST(CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))"
+           " * 1000000 AS BIGINT) AS STRING))))")
+
+
+def semdedup_census(emb: DataFrame) -> DataFrame:
+    """Core SemDeDup census over an (vec_id, embedding, ...) frame, with
+    EXACT-DUP CONTRACTION (the engine's standard move for replicated
+    corpora, cf. operators/dedup.contract_exact_dups): identical payloads
+    collapse to their min-id representative before assignment/scoring,
+    and the census re-expands in closed form —
+
+      * identical vectors share every cosine, so a group lands in ONE
+        cell and its members pair with each other at cos 1.0 >= SEM_T:
+        within-group dup pairs = C(m, 2), within-group pruned = m - 1
+        (every member pair ties on centroid-cos, pruning the higher id,
+        so the survivor is the min id = the representative);
+      * a scored rep pair (g, h) expands to m_g * m_h member pairs, all
+        with the SAME cosines — if c_g > c_h every member of g is pruned
+        (its rep already counts the non-rep members via m - 1, so only
+        the rep flips from kept to pruned: +1); ties (c_g == c_h)
+        prune the higher-gid rep, exactly the member-level rule applied
+        to the reps (gid_h < u for every u in g iff gid_h < gid_g).
+
+    So n_pruned(cell) = Σ(m - 1) + |cross-pruned reps| — bit-identical
+    to the member-level spec the DuckDB oracle computes exhaustively
+    (certified at sf0.01 where the table happens to be dup-free, and by
+    the duplicated-fixture unit test where it isn't)."""
+    groups = (emb.select(F.expr(_SEM_FP).alias("fp"), "vec_id")
+              .groupBy("fp")
+              .agg(F.min("vec_id").alias("vec_id"),
+                   F.count("*").cast("long").alias("m"))
+              .drop("fp"))
+    reps = emb.join(groups.select("vec_id"), "vec_id")
+
+    ex = _exploded(reps)
+    norms = (ex.groupBy("vec_id")
+             .agg(F.sum(F.col("vi") * F.col("vi")).alias("n_s"))
+             .localCheckpoint(eager=False))
+    # seeds stay the ORIGINAL vec_id < K vectors (spec), dup or not
+    cex = (_exploded(emb.filter(F.col("vec_id") < K))
            .select(F.col("vec_id").alias("centroid_id"), "i",
                    F.col("vi").alias("ci")))
-    mem = _assign(ex, norms, cex, decimal_cnorm=False)
+    # the argmax assignment feeds FIVE consumers (pair gather, both
+    # centroid-cos sides of the prune rule, the member census) — lazily
+    # checkpoint it once (cluster: checkpoint() to the cluster FS) so the
+    # broadcast-join/argmax subtree runs once, not per reference
+    mem = (_assign(ex, norms, cex, decimal_cnorm=False)
+           .localCheckpoint(eager=False))
 
     pe = ex.join(mem.select("vec_id", "centroid_id"), "vec_id")
     a = pe.select("centroid_id", F.col("vec_id").alias("va"), "i",
@@ -631,37 +680,51 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_s").alias("na_s"))
     nb = norms.select(F.col("vec_id").alias("vb"),
                       F.col("n_s").alias("nb_s"))
+    ga = groups.select(F.col("vec_id").alias("va"),
+                       F.col("m").alias("m_a"))
+    gb = groups.select(F.col("vec_id").alias("vb"),
+                       F.col("m").alias("m_b"))
     pairs = (dots.join(F.broadcast(na), "va")
              .join(F.broadcast(nb), "vb")
              .filter((F.col("dot_s").cast("double")
                       / (F.sqrt(F.col("na_s").cast("double"))
                          * F.sqrt(F.col("nb_s").cast("double"))))
                      >= SEM_T)
-             .select("centroid_id", "va", "vb"))
+             .join(F.broadcast(ga), "va")
+             .join(F.broadcast(gb), "vb")
+             .select("centroid_id", "va", "vb", "m_a", "m_b")
+             .localCheckpoint(eager=False))
 
     ca = mem.select(F.col("vec_id").alias("va"), F.col("cos").alias("ca"))
     cb = mem.select(F.col("vec_id").alias("vb"), F.col("cos").alias("cb"))
-    pruned = (pairs.join(F.broadcast(ca), "va")
-              .join(F.broadcast(cb), "vb")
-              .select("centroid_id",
-                      F.when(F.col("ca") > F.col("cb"), F.col("va"))
-                      .otherwise(F.col("vb")).alias("pv"))
-              .distinct())
+    cross_pruned = (pairs.join(F.broadcast(ca), "va")
+                    .join(F.broadcast(cb), "vb")
+                    .select("centroid_id",
+                            F.when(F.col("ca") > F.col("cb"), F.col("va"))
+                            .otherwise(F.col("vb")).alias("pv"))
+                    .distinct()
+                    .groupBy("centroid_id")
+                    .agg(F.count("*").cast("long").alias("n_rep_pruned")))
 
-    mc = mem.groupBy("centroid_id").agg(
-        F.count("*").cast("long").alias("n_members"))
+    mc = (mem.join(groups, "vec_id")
+          .groupBy("centroid_id")
+          .agg(F.sum("m").cast("long").alias("n_members"),
+               F.expr("CAST(SUM(m * (m - 1) DIV 2) AS BIGINT)")
+               .alias("n_within_pairs"),
+               F.expr("CAST(SUM(m - 1) AS BIGINT)").alias("n_base_pruned")))
     pc = pairs.groupBy("centroid_id").agg(
-        F.count("*").cast("long").alias("n_dup_pairs"))
-    rc = pruned.groupBy("centroid_id").agg(
-        F.count("*").cast("long").alias("n_pruned"))
+        F.expr("CAST(SUM(m_a * m_b) AS BIGINT)").alias("n_cross_pairs"))
     return (
         mc.join(pc, "centroid_id", "left")
-        .join(rc, "centroid_id", "left")
-        .select("centroid_id", "n_members",
-                F.coalesce("n_dup_pairs", F.lit(0)).cast("long")
-                .alias("n_dup_pairs"),
-                F.coalesce("n_pruned", F.lit(0)).cast("long")
-                .alias("n_pruned"))
+        .join(cross_pruned, "centroid_id", "left")
+        .select(
+            "centroid_id", "n_members",
+            (F.col("n_within_pairs")
+             + F.coalesce("n_cross_pairs", F.lit(0))).cast("long")
+            .alias("n_dup_pairs"),
+            (F.col("n_base_pruned")
+             + F.coalesce("n_rep_pruned", F.lit(0))).cast("long")
+            .alias("n_pruned"))
         .withColumn("n_kept",
                     (F.col("n_members") - F.col("n_pruned")).cast("long"))
         .orderBy("centroid_id")

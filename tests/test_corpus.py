@@ -313,3 +313,51 @@ class TestSRMCheck:
         split_rows = {r.split: r.n_users
                       for r in q_split_by_user(spark, sf_dir).collect()}
         assert split_rows == {s: r.n for s, r in rows.items()}
+
+
+class TestDsirSelection:
+    def test_python_replay(self, spark, sf_dir):
+        """Brute-force Python replay of the DSIR pipeline (hashed unigram
+        buckets, add-one smoothed two-step floor-divided probabilities,
+        mean-ratio doc scores, top-K by (score DESC, doc_id), per-lang
+        census) — must match the query exactly."""
+        import hashlib
+        from collections import Counter, defaultdict
+
+        from columnar_estimator_sample_spark.operators.corpus import (
+            DSIR_B, DSIR_K, DSIR_PS, DSIR_RS, q_dsir_selection,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+
+        got = {r.lang: (r.n_selected, r.mean_score_ppm)
+               for r in q_dsir_selection(spark, sf_dir).collect()}
+
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text").collect()
+
+        def h64(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        cs, ct = Counter(), Counter()
+        doc_buckets = {}
+        for r in docs:
+            bs = [h64(w) % DSIR_B for w in r.text.split(" ")]
+            doc_buckets[r.doc_id] = bs
+            for b in bs:
+                cs[b] += 1
+                if r.lang == "en":
+                    ct[b] += 1
+        ns, nt = sum(cs.values()), sum(ct.values())
+        ratio = {b: ((ct[b] + 1) * DSIR_PS // (nt + DSIR_B)) * DSIR_RS
+                 // max((cs[b] + 1) * DSIR_PS // (ns + DSIR_B), 1)
+                 for b in cs}
+        scores = {d: sum(ratio[b] for b in bs) // len(bs)
+                  for d, bs in doc_buckets.items()}
+        lang_of = {r.doc_id: r.lang for r in docs}
+        sel = sorted(scores, key=lambda d: (-scores[d], d))[:DSIR_K]
+        per_lang = defaultdict(list)
+        for d in sel:
+            per_lang[lang_of[d]].append(scores[d])
+        want = {lg: (len(v), sum(v) // len(v)) for lg, v in per_lang.items()}
+        assert got == want
+        assert sum(v[0] for v in got.values()) == DSIR_K

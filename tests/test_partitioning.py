@@ -252,3 +252,42 @@ class TestMaterializedRollup:
         a = {r.day: (r.rev, r.n) for r in maintained.collect()}
         b = {r.day: (r.rev, r.n) for r in full.collect()}
         assert a == b
+
+
+class TestSkewSaltedJoinQuery:
+    def test_plan_joins_on_salt_not_broadcast(self, spark, sf_dir):
+        """The registered query must exercise the SHUFFLED salted regime:
+        the fact⋈dim join keys include __salt and that join is NOT a
+        BroadcastHashJoin (the shuffle_hash hint pins it — under
+        broadcast the salt would be decorative)."""
+        from columnar_estimator_sample_spark.operators.partitioning import (
+            q_skew_salted_join,
+        )
+        plan = (q_skew_salted_join(spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+        shj = [ln for ln in plan.splitlines() if "ShuffledHashJoin" in ln]
+        assert shj and any("__salt" in ln for ln in shj), plan
+        assert "BroadcastHashJoin" in plan  # the nation attach stays bcast
+
+    def test_matches_plain_join(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.partitioning import (
+            q_skew_salted_join,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+
+        got = {r.n_name: (r.n_items, round(r.revenue, 6))
+               for r in q_skew_salted_join(spark, sf_dir).collect()}
+        li = table(spark, sf_dir, "lineitem")
+        sup = table(spark, sf_dir, "supplier")
+        nat = table(spark, sf_dir, "nation")
+        plain = (li.join(sup, li.l_suppkey == sup.s_suppkey)
+                 .join(nat, sup.s_nationkey == nat.n_nationkey)
+                 .groupBy("n_name")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))).alias("rev")))
+        want = {r.n_name: (r.n, round(r.rev, 6)) for r in plain.collect()}
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == want[k][0]
+            assert abs(got[k][1] - want[k][1]) < 1e-3

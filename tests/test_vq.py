@@ -96,3 +96,115 @@ class TestPQADC:
             # mean true rank of the ADC picks sits in the nearest half
             mean_rank = np.mean([true_rank[pos[r.neighbor_id]] for r in rs])
             assert mean_rank < n / 2, (q, mean_rank, n)
+
+
+def _semdedup_brute(ids, X):
+    """Member-level brute-force SemDeDup census (the SPEC the oracle also
+    computes): argmax-cosine cell assignment (ties to the lower centroid
+    id), exhaustive within-cell pairs at the threshold, prune the pair
+    member with the HIGHER centroid cosine (ties prune the higher
+    vec_id). No contraction anywhere — this is what the contracted
+    engine path must reproduce exactly."""
+    import numpy as np
+
+    from columnar_estimator_sample_spark.operators.vq import K, SEM_T
+
+    ids = np.asarray(ids)
+    # same integer scaling as similarity._exploded
+    Xi = np.round(np.round(np.asarray(X, dtype=np.float64), 6)
+                  * 1_000_000).astype(np.int64)
+    norms = (Xi * Xi).sum(axis=1)
+    cent_rows = {v: k for k, v in enumerate(ids) if v < K}
+    C = Xi[[cent_rows[c] for c in range(K)]]
+    cn = (C * C).sum(axis=1)
+    cos_c = (Xi @ C.T).astype(np.float64) / (
+        np.sqrt(norms.astype(np.float64))[:, None]
+        * np.sqrt(cn.astype(np.float64))[None, :])
+    cell = cos_c.argmax(axis=1)   # ties to the LOWER centroid id
+    ccos = cos_c[np.arange(len(ids)), cell]
+
+    n_members = {c: 0 for c in range(K)}
+    pairs = {c: 0 for c in range(K)}
+    pruned = {c: set() for c in range(K)}
+    for c in range(K):
+        rows = np.where(cell == c)[0]
+        n_members[c] = len(rows)
+        for ai in range(len(rows)):
+            for bi in range(ai + 1, len(rows)):
+                a, b = rows[ai], rows[bi]
+                if ids[a] > ids[b]:
+                    a, b = b, a
+                dot = int(Xi[a] @ Xi[b])
+                cos = dot / (np.sqrt(float(norms[a]))
+                             * np.sqrt(float(norms[b])))
+                if cos >= SEM_T:
+                    pairs[c] += 1
+                    victim = a if ccos[a] > ccos[b] else b
+                    pruned[c].add(ids[victim])
+    return {c: (n_members[c], pairs[c], len(pruned[c]),
+                n_members[c] - len(pruned[c]))
+            for c in range(K) if n_members[c]}
+
+
+class TestSemDeDup:
+    def test_numpy_replay(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.vq import q_semdedup
+        from columnar_estimator_sample_spark.sources.tables import table
+
+        got = {r.centroid_id:
+               (r.n_members, r.n_dup_pairs, r.n_pruned, r.n_kept)
+               for r in q_semdedup(spark, sf_dir).collect()}
+        emb = (table(spark, sf_dir, "embeddings")
+               .orderBy("vec_id").collect())
+        want = _semdedup_brute([r.vec_id for r in emb],
+                               [r.embedding for r in emb])
+        assert got == want
+
+    def test_duplicated_corpus_contraction_exact(self, spark, sf_dir):
+        """The closed-form census expansion must equal the member-level
+        spec on a corpus WITH exact duplicates (the driver tables are
+        dup-free, so this is the only cover for the m>1 arithmetic):
+        3 extra copies of every 4th vector, one of them duplicating a
+        SEED vector (vec_id < K) to cover the duplicated-centroid edge,
+        with interleaved new ids so group members straddle other
+        groups' id ranges."""
+        from columnar_estimator_sample_spark.operators.vq import (
+            semdedup_census,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+
+        base = (table(spark, sf_dir, "embeddings")
+                .select("vec_id", "embedding").orderBy("vec_id").collect())
+        rows = [(int(r.vec_id), list(r.embedding)) for r in base]
+        nxt = max(i for i, _ in rows) + 1
+        dup_rows = []
+        for j, (i, v) in enumerate(rows):
+            if i % 4 == 0 or i == 3:  # every 4th + seed vec 3
+                for _ in range(3 if i % 8 == 0 else 1):
+                    dup_rows.append((nxt, v))
+                    nxt += 1
+        all_rows = rows + dup_rows
+        emb = spark.createDataFrame(
+            all_rows, "vec_id long, embedding array<float>")
+
+        got = {r.centroid_id:
+               (r.n_members, r.n_dup_pairs, r.n_pruned, r.n_kept)
+               for r in semdedup_census(emb).collect()}
+        want = _semdedup_brute([i for i, _ in all_rows],
+                               [v for _, v in all_rows])
+        assert got == want
+
+    def test_prune_rule_keeps_diverse_member(self, spark, sf_dir):
+        """The pruned member of every dup pair must sit CLOSER to its
+        centroid than a kept pair-mate (the paper's diversity rule) —
+        checked structurally: n_pruned < n_members wherever pairs exist
+        (at least one survivor per dup group) and n_kept + n_pruned
+        reconciles."""
+        from columnar_estimator_sample_spark.operators.vq import q_semdedup
+
+        for r in q_semdedup(spark, sf_dir).collect():
+            assert r.n_kept + r.n_pruned == r.n_members
+            if r.n_dup_pairs > 0:
+                assert 0 < r.n_pruned < r.n_members
+            else:
+                assert r.n_pruned == 0
