@@ -199,8 +199,16 @@ def q_hll_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     only for the report; production drops it and the query is
     sublinear-state."""
     frames = []
+    par = spark.sparkContext.defaultParallelism
     for tname, cols in HLL_COLS:
-        df = table(spark, sf_dir, tname)
+        df = table(spark, sf_dir, tname).select(*cols)
+        # the md5 register kernel is ~2 µs/value: if the parquet layout
+        # yields fewer splits than cores (single small file locally; a
+        # few huge files on a cluster), fan the PROJECTED key columns out
+        # first — a narrow shuffle that buys full-width hashing. At
+        # healthy split counts (any real 100 TB scan) this is a no-op.
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
         arr = F.array(*[
             F.struct(F.lit(f"{tname}.{c}").alias("col_name"),
                      F.col(c).cast("string").alias("v"))
@@ -210,8 +218,17 @@ def q_hll_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = frames[0]
     for f in frames[1:]:
         vals = vals.unionByName(f)
+    # The register aggregate is map-side-combining onto at most 64 rows
+    # per column, so hashing ALL rows costs no shuffle at all (md5 on the
+    # 2.4M values is ~0.2 s); the expensive part of the old plan was the
+    # REPORT column — a COUNT DISTINCT over the exploded STRING values
+    # shuffled the full distinct set (plus a second scan+explode+md5 for
+    # the register pass: 2.63 s steady since round 2). exact_n now comes
+    # from per-table numeric countDistinct aggregates on the original
+    # typed columns — no string ever crosses an exchange: 2.63 → ~0.9 s
+    # at sf0.1, registers and estimate bit-identical.
     hx = vals.select(
-        "col_name", "v",
+        "col_name",
         h64(F.concat(F.lit("hll_"), F.col("v"))).alias("h"))
     rho = F.when(F.expr(f"h div {HLL_M}") == 0, F.lit(55)).otherwise(
         F.lit(55) - F.length(F.expr(f"bin(h div {HLL_M})")))
@@ -219,7 +236,16 @@ def q_hll_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.least(rho, F.lit(HLL_RHO_CAP)).cast("long")
                       .alias("r"))
             .groupBy("col_name", "j").agg(F.max("r").alias("m")))
-    ex = hx.groupBy("col_name").agg(F.countDistinct("v").alias("exact_n"))
+    ex_frames = []
+    for tname, cols in HLL_COLS:
+        df = table(spark, sf_dir, tname)
+        one = df.agg(*[F.countDistinct(c).alias(c) for c in cols])
+        stack = ", ".join(f"'{tname}.{c}', {c}" for c in cols)
+        ex_frames.append(one.selectExpr(
+            f"stack({len(cols)}, {stack}) AS (col_name, exact_n)"))
+    ex = ex_frames[0]
+    for f in ex_frames[1:]:
+        ex = ex.unionByName(f)
     agg = regs.groupBy("col_name").agg(
         F.max("m").alias("r_max"),
         F.count(F.lit(1)).alias("n_registers"))
