@@ -491,3 +491,54 @@ def _register_streaming_dedup() -> None:
 
 
 _register_streaming_dedup()
+
+
+# ---------------------------------------------------------------------------
+# Production file sink: foreachBatch with exactly-once epoch overwrite
+# ---------------------------------------------------------------------------
+
+def foreach_batch_parquet_sink(stream_df: DataFrame, out_dir: str,
+                               checkpoint_dir: str,
+                               fail_on_batch: "int | None" = None) -> None:
+    """The production drain every streaming docstring in this module
+    refers to: ``foreachBatch`` into a parquet table partitioned by the
+    micro-batch epoch, EXACTLY-ONCE under failure by construction —
+
+      * the checkpoint tracks which batch ids are committed; after a
+        crash the stream REPLAYS the uncommitted batch with the same
+        batch_id and the same rows (file sources are replayable);
+      * each batch writes ``epoch=batch_id`` with dynamic partition
+        overwrite, so a replayed batch REPLACES its own partial output
+        instead of appending a duplicate — idempotent per epoch, and
+        readers never see a torn epoch partition mix of two attempts.
+
+    ``fail_on_batch`` injects a crash AFTER the batch's files are
+    written but BEFORE foreachBatch returns (i.e. before the epoch
+    commits) — the worst-case window the overwrite exists for; tests
+    restart from the same checkpoint and must see no loss and no dupes.
+
+    Scale: this is the standard Spark lakehouse landing pattern; the
+    per-epoch directory doubles as the compaction unit
+    (operators/partitioning.q_compaction_plan) and the write-audit-
+    publish staging root (sources/io.py)."""
+    from pyspark.sql import functions as FF
+
+    fired = {"armed": fail_on_batch is not None}
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (df.withColumn("epoch", FF.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch")
+         .parquet(out_dir))
+        if fired["armed"] and batch_id == fail_on_batch:
+            fired["armed"] = False
+            raise RuntimeError(
+                f"injected crash after writing epoch {batch_id}")
+
+    q = (stream_df.writeStream
+         .foreachBatch(write_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -342,3 +342,43 @@ class TestWriteAuditPublish:
         assert report["published"] and report["dest"] == dest
         assert spark.read.parquet(dest).count() == 25
         assert all(ok for _, ok, _ in report["audits"])
+
+
+class TestForeachBatchExactlyOnce:
+    def test_crash_replay_no_loss_no_dupes(self, spark, sf_dir, tmp_path):
+        """Exactly-once of the foreachBatch epoch-overwrite sink under a
+        worst-case crash: the failure is injected AFTER batch 1's files
+        land but BEFORE its epoch commits, so the restart REPLAYS batch 1
+        over its own partial output. Final table must equal the batch
+        source exactly — no loss, no duplicates — and carry one epoch per
+        micro-batch."""
+        import pytest
+
+        from columnar_estimator_sample_spark.sources.tables import table
+        from columnar_estimator_sample_spark.streaming.windows import (
+            events_stream, foreach_batch_parquet_sink,
+        )
+
+        src = table(spark, sf_dir, "events")
+        (src.repartition(4).write.mode("overwrite")
+         .parquet(str(tmp_path / "events.parquet")))
+        d = str(tmp_path)
+        out = str(tmp_path / "landed")
+        ckpt = str(tmp_path / "ckpt")
+
+        ev = events_stream(spark, d).select("event_id", "user_id", "us")
+        with pytest.raises(Exception, match="injected crash"):
+            foreach_batch_parquet_sink(ev, out, ckpt, fail_on_batch=1)
+
+        # restart from the same checkpoint: batch 1 replays, 2..3 follow
+        ev2 = events_stream(spark, d).select("event_id", "user_id", "us")
+        foreach_batch_parquet_sink(ev2, out, ckpt)
+
+        landed = spark.read.parquet(out)
+        assert landed.select("epoch").distinct().count() == 4
+        got = landed.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_id").alias("nd")).first()
+        want = src.count()
+        assert got.n == want, "loss or duplication across the crash"
+        assert got.nd == want
