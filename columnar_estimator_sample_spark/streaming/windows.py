@@ -542,3 +542,64 @@ def foreach_batch_parquet_sink(stream_df: DataFrame, out_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def q_stream_landing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end drive of the production landing path: the events
+    stream drains through :func:`foreach_batch_parquet_sink` (epoch-
+    partitioned parquet, exactly-once overwrite), the LANDED table is
+    read back and censused per event type — so the oracle (a plain batch
+    GROUP BY over the source) certifies sink completeness: every source
+    row landed exactly once, through a real checkpointed foreachBatch
+    drain, not a memory sink.
+
+    Scale: the sink is the standard lakehouse landing pattern (see
+    foreach_batch_parquet_sink); the census is one map-side-partial
+    aggregate over the landed files."""
+    import shutil
+    import tempfile
+
+    from columnar_estimator_sample_spark.functions.exact import dsum
+
+    out = tempfile.mkdtemp(prefix="land_stream_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_land_stream_")
+    try:
+        ev = events_stream(spark, sf_dir).select(
+            "event_id", "event_type", "value")
+        foreach_batch_parquet_sink(ev, out, ckpt)
+        landed = spark.read.parquet(out)
+        res = (landed.groupBy("event_type")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                    F.count_distinct("event_id").cast("long")
+                    .alias("n_distinct_ids"),
+                    dsum(F.col("value"), "total_value", 6))
+               .orderBy("event_type"))
+        # materialize before the landing dir is removed
+        rows = res.collect()
+        out_schema = ("event_type string, n_events long, "
+                      "n_distinct_ids long, total_value double")
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _register_streaming_landing() -> None:
+    from columnar_estimator_sample_spark.functions.exact import sql_dsum
+    from columnar_estimator_sample_spark.registry import register
+
+    register(
+        "q_stream_landing_census",
+        oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct_ids,
+               {sql_dsum("value", "total_value", 6)}
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+        """,
+    )(q_stream_landing_census)
+
+
+_register_streaming_landing()
