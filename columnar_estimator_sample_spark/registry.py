@@ -87,7 +87,7 @@ _loaded = False
 # q_source_mixture (closes the last SURVEY §2 asterisk).
 _DRIVER_WINDOW_R7 = [
     "q_semdedup", "q_skew_salted_join", "q_dsir_selection",
-    "q_stream_landing_census",
+    "q_stream_landing_census", "q_tfrecord_stream_census",
     "q_media_jpeg_roundtrip", "q_source_mixture",
     # round-6-new: the catalog-driven broadcast join (NdvCatalogExtension
     # dogfood) and the streaming dedup census get driver rows in their

@@ -43,6 +43,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql import types as T
@@ -355,9 +356,60 @@ def _to_proto_scalar(v: object, dt: T.DataType) -> object:
     raise TypeError(f"unsupported tfrecord type {dt}")
 
 
+class TFRecordStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of :class:`TFRecordReader`: replays a directory of
+    tfrecord shards as micro-batches in sorted-filename order — the
+    "stream training examples from TFRecord shards" shape (the
+    reference's input format, served incrementally). Offsets are
+    ``{"files_seen": n}`` over the sorted listing: ``read`` picks up
+    every file past the offset, ``readBetweenOffsets`` replays a
+    committed range deterministically (file contents are immutable), so
+    the source composes exactly-once with the checkpointed sinks
+    (memory for tests, foreach_batch_parquet_sink in production).
+
+    Scale: the simple-reader API executes reads driver-side and is the
+    right tool for a BOUNDED shard queue (landing buckets, training
+    shards); unbounded high-volume streams belong on the partitioned
+    DataSourceStreamReader variant with per-executor splits."""
+
+    def __init__(self, schema: T.StructType, options: dict):
+        self._schema = schema
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("tfrecord stream source requires a path")
+
+    def _files(self) -> list:
+        pat = (os.path.join(self._dir, "*")
+               if os.path.isdir(self._dir) else self._dir)
+        return sorted(p for p in _glob.glob(pat) if os.path.isfile(p))
+
+    def initialOffset(self) -> dict:
+        return {"files_seen": 0}
+
+    def _rows(self, files: list) -> list:
+        # a LIST, not a generator: the simple-reader protocol pickles the
+        # read result to cache it for executor replay
+        fields = self._schema.fields
+        return [tuple(_convert(ex.get(f.name, []), f.dataType)
+                      for f in fields)
+                for path in files
+                for ex in map(decode_example, read_tfrecords(path))]
+
+    def read(self, start: dict):
+        files = self._files()
+        n0 = int(start["files_seen"])
+        return self._rows(files[n0:]), {"files_seen": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        return self._rows(files[int(start["files_seen"])
+                                :int(end["files_seen"])])
+
+
 class TFRecordDataSource(DataSource):
     """``spark.read.format("tfrecord_example").schema(s).load(path)`` /
-    ``df.write.format("tfrecord_example").save(path)``."""
+    ``df.write.format("tfrecord_example").save(path)`` /
+    ``spark.readStream.format("tfrecord_example").schema(s).load(dir)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -374,6 +426,10 @@ class TFRecordDataSource(DataSource):
     def writer(self, schema: T.StructType,
                overwrite: bool) -> TFRecordWriter:
         return TFRecordWriter(schema, self.options, overwrite)
+
+    def simpleStreamReader(self, schema: T.StructType)\
+            -> TFRecordStreamReader:
+        return TFRecordStreamReader(schema, self.options)
 
 
 def register_tfrecord(spark) -> None:
@@ -463,4 +519,68 @@ def q_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(
         result,
+        "lang string, n_docs long, total_chars long, first_doc long")
+
+
+@register(
+    "q_tfrecord_stream_census",
+    # oracle aggregates the parquet source: a hash-match proves the
+    # STREAMING tfrecord read (offsets, shard replay, decode) delivered
+    # every exported row exactly once
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS first_doc
+    FROM documents
+    WHERE doc_id < 200
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_tfrecord_stream_census(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """S2 meets §2.8: export a documents slice as gzipped TFRecord
+    shards, then read them back THROUGH THE STREAMING SOURCE
+    (:class:`TFRecordStreamReader` — the pure-Python
+    ``simpleStreamReader``, drained availableNow through a checkpoint)
+    and census per language. The batch oracle over the parquet source
+    certifies the whole incremental path: offset bookkeeping, shard
+    ordering, varint/CRC framing, proto decode.
+
+    Scale: the shard queue is the training-data landing pattern — new
+    shards picked up by filename order, replayable between offsets; see
+    TFRecordStreamReader for the bounded-queue caveat."""
+    import shutil
+    import tempfile
+
+    from columnar_estimator_sample_spark.streaming.windows import (
+        run_to_completion,
+    )
+
+    register_tfrecord(spark)
+    out = tempfile.mkdtemp(prefix="tfrec_stream_q_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_tfrec_stream_q_")
+    try:
+        docs = (table(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") < 200)
+                .select("doc_id", "lang", "n_chars"))
+        (docs.repartition(4).write.format("tfrecord_example")
+         .option("compression", "gzip").mode("overwrite").save(out))
+        stream = (spark.readStream.format("tfrecord_example")
+                  .schema("doc_id long, lang string, n_chars long")
+                  .option("path", out).load())
+        census = (stream.groupBy("lang")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                       F.sum("n_chars").cast("long").alias("total_chars"),
+                       F.min("doc_id").alias("first_doc")))
+        res = run_to_completion(census, ckpt, "tfrec_stream_census",
+                                mode="complete")
+        rows = [(r.lang, r.n_docs, r.total_chars, r.first_doc)
+                for r in res.orderBy("lang").collect()]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
         "lang string, n_docs long, total_chars long, first_doc long")
