@@ -196,6 +196,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_input = reps
     else:
         lsh_input = docs
+    # single-split scans serialize the shingle-md5 kernel (see
+    # sources.tables.fanout) — fan the narrow (doc_id, text) frame once;
+    # both the signature and the verification subtree inherit it
+    from columnar_estimator_sample_spark.sources.tables import fanout
+    lsh_input = fanout(lsh_input)
     # NOTE r6: tried lazily checkpointing this frame to share the array
     # build between the two verification sides — measured NEUTRAL at
     # sf0.1 and 1.1 s SLOWER at sf1: materializing wide shingle arrays
@@ -1109,6 +1114,8 @@ def _contracted_setjoin(docs: DataFrame, t_millis: int,
     na = nb = inter = |rep tokens| and expanded to C(|g|, 2) member
     pairs exactly like cross pairs."""
     members, reps = contract_exact_dups(docs, "doc_id", "text")
+    # (no fanout here: reps exits the contraction WINDOW already at
+    # shuffle-partition width, unlike minhash's uncontracted branch)
     # one token frame shared by sizes, frequency ranking, candidate join
     # and verification-gather — the explode+md5 pass otherwise re-runs in
     # every subtree (3x; measured ~1.4 s of the 6 s at sf0.1). Lazy local

@@ -68,3 +68,20 @@ def register_views(spark: SparkSession, sf_dir: str,
     """Register testdata tables as temp views for ``spark.sql`` queries."""
     for name in names or TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def fanout(df: DataFrame) -> DataFrame:
+    """Fan a frame out to the session's core count when its scan yields
+    fewer splits — one small parquet file locally, a few huge files on a
+    cluster — so per-row kernels (md5 shingles, minhash, proto decode)
+    run full-width instead of on a handful of tasks. A narrow
+    round-robin shuffle of the PROJECTED columns; a no-op whenever the
+    source already has healthy split counts (any real 100 TB scan).
+    Placement-only: every downstream aggregate in this engine is
+    order-free (exact integer/decimal lanes), so results are unchanged.
+    """
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
