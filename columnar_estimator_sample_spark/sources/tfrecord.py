@@ -41,6 +41,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -406,6 +407,54 @@ class TFRecordStreamReader(SimpleDataSourceStreamReader):
                                 :int(end["files_seen"])])
 
 
+class TFRecordPartitionedStreamReader(DataSourceStreamReader):
+    """The SCALE face of the TFRecord stream: offsets are still
+    ``{"files_seen": n}`` over the sorted listing, but each micro-batch
+    plans ONE :class:`InputPartition` PER NEW SHARD and decodes on the
+    EXECUTORS — the driver only lists filenames (``latestOffset``), so
+    shard payloads never visit it and a batch of K new shards reads
+    K-wide. This is the default stream reader;
+    ``option("reader", "simple")`` selects the driver-side
+    :class:`TFRecordStreamReader` (fine for small bounded queues, and
+    the replay-cache semantics differ slightly — simple readers prefetch
+    driver-side)."""
+
+    def __init__(self, schema: T.StructType, options: dict):
+        self._schema = schema
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("tfrecord stream source requires a path")
+
+    def _files(self) -> list:
+        pat = (os.path.join(self._dir, "*")
+               if os.path.isdir(self._dir) else self._dir)
+        return sorted(p for p in _glob.glob(pat) if os.path.isfile(p))
+
+    def initialOffset(self) -> dict:
+        return {"files_seen": 0}
+
+    def latestOffset(self) -> dict:
+        return {"files_seen": len(self._files())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._files()
+        new = files[int(start["files_seen"]):int(end["files_seen"])]
+        # an empty batch still needs >=1 partition in the v2 protocol
+        return [_FilePartition(p) for p in new] or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return
+        fields = self._schema.fields
+        for payload in read_tfrecords(partition.path):
+            ex = decode_example(payload)
+            yield tuple(_convert(ex.get(f.name, []), f.dataType)
+                        for f in fields)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class TFRecordDataSource(DataSource):
     """``spark.read.format("tfrecord_example").schema(s).load(path)`` /
     ``df.write.format("tfrecord_example").save(path)`` /
@@ -426,6 +475,18 @@ class TFRecordDataSource(DataSource):
     def writer(self, schema: T.StructType,
                overwrite: bool) -> TFRecordWriter:
         return TFRecordWriter(schema, self.options, overwrite)
+
+    def streamReader(self, schema: T.StructType)\
+            -> TFRecordPartitionedStreamReader:
+        if self.options.get("reader") == "simple":
+            # the exact exception pyspark's _streamReader catches to fall
+            # back to simpleStreamReader (builtin NotImplementedError is
+            # NOT caught there)
+            from pyspark.errors import PySparkNotImplementedError
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"})
+        return TFRecordPartitionedStreamReader(schema, self.options)
 
     def simpleStreamReader(self, schema: T.StructType)\
             -> TFRecordStreamReader:

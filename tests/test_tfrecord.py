@@ -134,8 +134,11 @@ class TestDataSource:
 
 
 class TestTFRecordStreamSource:
+    import pytest as _pytest
+
+    @_pytest.mark.parametrize("reader", ["partitioned", "simple"])
     def test_incremental_shards_across_restart(self, spark, sf_dir,
-                                               tmp_path):
+                                               tmp_path, reader):
         """Offset bookkeeping of the simpleStreamReader: drain a 2-shard
         directory, add 2 more shards, restart from the SAME checkpoint —
         the second drain must deliver ONLY the new shards (no re-read,
@@ -166,7 +169,8 @@ class TestTFRecordStreamSource:
                 foreach_batch_parquet_sink,
             )
             stream = (spark.readStream.format("tfrecord_example")
-                      .schema(schema).option("path", d).load())
+                      .schema(schema).option("path", d)
+                      .option("reader", reader).load())
             # memory sinks refuse checkpoint recovery; the exactly-once
             # parquet sink is the restartable drain
             foreach_batch_parquet_sink(stream, out, ckpt)
