@@ -640,6 +640,14 @@ def semdedup_census(emb: DataFrame) -> DataFrame:
     (certified at sf0.01 where the table happens to be dup-free, and by
     the duplicated-fixture unit test where it isn't).
 
+    PRECONDITION (enforced): every embedding has a non-zero norm. The
+    contraction's closed form assumes identical vectors pair at
+    cos 1.0 >= SEM_T, but an all-zero group has NaN cosine — the
+    relational spec (and the DuckDB oracle) counts NO pairs for it,
+    so the closed form would silently diverge. A plan-side
+    ``assert_true(n_s > 0)`` guard fails the job loudly if a zero
+    vector ever enters the corpus instead of producing a wrong census.
+
     Pair scoring rides :func:`similarity.score_candidates_gather` (the
     LSH tier's distributed join-gather + Arrow int64 einsum, bit-
     identical to the relational form and already threshold-filtered at
@@ -664,8 +672,15 @@ def semdedup_census(emb: DataFrame) -> DataFrame:
               .select("vec_id", F.col("gsz").cast("long").alias("m")))
 
     ex = _exploded(reps)
-    norms = ex.groupBy("vec_id").agg(
-        F.sum(F.col("vi") * F.col("vi")).alias("n_s"))
+    # assert_true is NULL when the guard holds (keeping every row) and
+    # raises on a zero-norm vector — the contraction precondition above,
+    # enforced in-plan with no extra job.
+    norms = (ex.groupBy("vec_id")
+             .agg(F.sum(F.col("vi") * F.col("vi")).alias("n_s"))
+             .filter(F.assert_true(
+                 F.col("n_s") > 0,
+                 "semdedup contraction requires non-zero embedding norms"
+             ).isNull()))
     # seeds stay the ORIGINAL vec_id < K vectors (spec), dup or not
     cex = (_exploded(emb.filter(F.col("vec_id") < K))
            .select(F.col("vec_id").alias("centroid_id"), "i",
@@ -699,10 +714,14 @@ def semdedup_census(emb: DataFrame) -> DataFrame:
              .select("centroid_id", "va", "vb", "m_a", "m_b")
              .localCheckpoint(eager=False))
 
+    # NOTE: ca/cb are one row per DISTINCT vector (the whole mem frame) —
+    # broadcasting them would ship the full corpus to every executor at
+    # scale. pairs is post-threshold and id-keyed, so the shuffled
+    # (sort-merge / shuffle-hash) join is cheap and scale-safe.
     ca = mem.select(F.col("vec_id").alias("va"), F.col("cos").alias("ca"))
     cb = mem.select(F.col("vec_id").alias("vb"), F.col("cos").alias("cb"))
-    cross_pruned = (pairs.join(F.broadcast(ca), "va")
-                    .join(F.broadcast(cb), "vb")
+    cross_pruned = (pairs.join(ca, "va")
+                    .join(cb, "vb")
                     .select("centroid_id",
                             F.when(F.col("ca") > F.col("cb"), F.col("va"))
                             .otherwise(F.col("vb")).alias("pv"))

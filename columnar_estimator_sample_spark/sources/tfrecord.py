@@ -361,12 +361,20 @@ class TFRecordStreamReader(SimpleDataSourceStreamReader):
     """Streaming twin of :class:`TFRecordReader`: replays a directory of
     tfrecord shards as micro-batches in sorted-filename order — the
     "stream training examples from TFRecord shards" shape (the
-    reference's input format, served incrementally). Offsets are
-    ``{"files_seen": n}`` over the sorted listing: ``read`` picks up
-    every file past the offset, ``readBetweenOffsets`` replays a
-    committed range deterministically (file contents are immutable), so
-    the source composes exactly-once with the checkpointed sinks
-    (memory for tests, foreach_batch_parquet_sink in production).
+    reference's input format, served incrementally). Offsets carry the
+    EXPLICIT seen-file list, ``{"files": [...]}``, the same design as
+    Spark's FileStreamSource seen-files log: ``read`` picks up every
+    listed file not in the committed set (so a shard landing with a
+    name that sorts before already-committed files is still read), and
+    ``readBetweenOffsets`` replays the set difference of the two
+    offsets WITHOUT re-listing the directory — a batch is a pure
+    function of its offsets, so replay is exact even while new shards
+    land (file contents are immutable). The source composes
+    exactly-once with the checkpointed sinks (memory for tests,
+    foreach_batch_parquet_sink in production). Production note: a
+    long-lived queue would compact the seen list the way
+    FileStreamSource's metadata log does; for the bounded shard queues
+    this reader targets the explicit list is the honest size.
 
     Scale: the simple-reader API executes reads driver-side and is the
     right tool for a BOUNDED shard queue (landing buckets, training
@@ -385,7 +393,15 @@ class TFRecordStreamReader(SimpleDataSourceStreamReader):
         return sorted(p for p in _glob.glob(pat) if os.path.isfile(p))
 
     def initialOffset(self) -> dict:
-        return {"files_seen": 0}
+        return {"files": []}
+
+    def _seen(self, offset: dict) -> set:
+        """Committed file set from an offset; tolerates the legacy
+        ``{"files_seen": n}`` count form (pre-round-8 checkpoints) by
+        mapping it onto the current sorted listing's prefix."""
+        if "files" in offset:
+            return set(offset["files"])
+        return set(self._files()[:int(offset.get("files_seen", 0))])
 
     def _rows(self, files: list) -> list:
         # a LIST, not a generator: the simple-reader protocol pickles the
@@ -397,23 +413,27 @@ class TFRecordStreamReader(SimpleDataSourceStreamReader):
                 for ex in map(decode_example, read_tfrecords(path))]
 
     def read(self, start: dict):
-        files = self._files()
-        n0 = int(start["files_seen"])
-        return self._rows(files[n0:]), {"files_seen": len(files)}
+        seen = self._seen(start)
+        new = sorted(p for p in self._files() if p not in seen)
+        return self._rows(new), {"files": sorted(seen | set(new))}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        files = self._files()
-        return self._rows(files[int(start["files_seen"])
-                                :int(end["files_seen"])])
+        # pure function of the two offsets — no directory re-listing, so
+        # shards landing during replay cannot shift the batch contents
+        seen = self._seen(start)
+        return self._rows(sorted(p for p in end.get("files", [])
+                                 if p not in seen))
 
 
 class TFRecordPartitionedStreamReader(DataSourceStreamReader):
-    """The SCALE face of the TFRecord stream: offsets are still
-    ``{"files_seen": n}`` over the sorted listing, but each micro-batch
-    plans ONE :class:`InputPartition` PER NEW SHARD and decodes on the
-    EXECUTORS — the driver only lists filenames (``latestOffset``), so
-    shard payloads never visit it and a batch of K new shards reads
-    K-wide. This is the default stream reader;
+    """The SCALE face of the TFRecord stream: offsets carry the same
+    explicit ``{"files": [...]}`` seen list as the simple reader, and
+    each micro-batch plans ONE :class:`InputPartition` PER NEW SHARD
+    and decodes on the EXECUTORS — the driver only lists filenames
+    (``latestOffset``), so shard payloads never visit it and a batch of
+    K new shards reads K-wide. ``partitions(start, end)`` is computed
+    from the offsets alone (set difference), never from a fresh
+    listing, so a batch replays the exact file set its offsets record. This is the default stream reader;
     ``option("reader", "simple")`` selects the driver-side
     :class:`TFRecordStreamReader` (fine for small bounded queues, and
     the replay-cache semantics differ slightly — simple readers prefetch
@@ -431,14 +451,22 @@ class TFRecordPartitionedStreamReader(DataSourceStreamReader):
         return sorted(p for p in _glob.glob(pat) if os.path.isfile(p))
 
     def initialOffset(self) -> dict:
-        return {"files_seen": 0}
+        return {"files": []}
 
     def latestOffset(self) -> dict:
-        return {"files_seen": len(self._files())}
+        return {"files": self._files()}
+
+    def _seen(self, offset: dict) -> set:
+        """Committed file set; tolerates legacy count-form offsets."""
+        if "files" in offset:
+            return set(offset["files"])
+        return set(self._files()[:int(offset.get("files_seen", 0))])
 
     def partitions(self, start: dict, end: dict):
-        files = self._files()
-        new = files[int(start["files_seen"]):int(end["files_seen"])]
+        seen = self._seen(start)
+        end_files = (end["files"] if "files" in end
+                     else self._files()[:int(end.get("files_seen", 0))])
+        new = sorted(p for p in end_files if p not in seen)
         # an empty batch still needs >=1 partition in the v2 protocol
         return [_FilePartition(p) for p in new] or [_FilePartition("")]
 
@@ -603,15 +631,17 @@ def q_tfrecord_stream_census(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """S2 meets §2.8: export a documents slice as gzipped TFRecord
     shards, then read them back THROUGH THE STREAMING SOURCE
-    (:class:`TFRecordStreamReader` — the pure-Python
-    ``simpleStreamReader``, drained availableNow through a checkpoint)
-    and census per language. The batch oracle over the parquet source
-    certifies the whole incremental path: offset bookkeeping, shard
-    ordering, varint/CRC framing, proto decode.
+    (:class:`TFRecordPartitionedStreamReader` — the default,
+    executor-side shard decode; drained availableNow through a
+    checkpoint) and census per language. The batch oracle over the
+    parquet source certifies the whole incremental path: offset
+    bookkeeping, shard replay, varint/CRC framing, proto decode. The
+    driver-side ``simpleStreamReader`` twin is exercised by the
+    parametrized unit test (``option("reader", "simple")``).
 
     Scale: the shard queue is the training-data landing pattern — new
-    shards picked up by filename order, replayable between offsets; see
-    TFRecordStreamReader for the bounded-queue caveat."""
+    shards picked up via the seen-file-list offsets, replayable between
+    offsets; see TFRecordStreamReader for the bounded-queue caveat."""
     import shutil
     import tempfile
 

@@ -180,14 +180,17 @@ class TestTFRecordStreamSource:
         assert got1 == {r.doc_id for r in first.collect()}
 
         # land two more shards with DISTINCT names (the part-* names of a
-        # second write would collide; the reader orders by filename)
+        # second write would collide). The "aa-" prefix sorts BEFORE the
+        # already-committed part-* shards on purpose: the seen-file-list
+        # offsets must pick up late arrivals regardless of sort order
+        # (the old count-based offsets silently dropped these).
         import os
         tmp2 = str(tmp_path / "extra")
         (second.repartition(2).write.format("tfrecord_example")
          .mode("overwrite").save(tmp2))
         for i, f in enumerate(sorted(os.listdir(tmp2))):
             os.rename(os.path.join(tmp2, f),
-                      os.path.join(d, f"zz-extra-{i}-{f}"))
+                      os.path.join(d, f"aa-extra-{i}-{f}"))
 
         got2 = drain()
         assert got2 == {r.doc_id for r in docs.collect()}, \
