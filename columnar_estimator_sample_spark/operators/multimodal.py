@@ -1204,3 +1204,227 @@ def q_media_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pixels").cast("long").alias("total_pixels"),
         F.sum("sum_pixels").cast("long").alias("total_value"),
         F.max("max_pixel").cast("long").alias("max_value"))
+
+
+# --------------------------------------------------------------------------
+# Image NEAR-duplicate detection (round 8): perceptual dHash + banded
+# Hamming join.
+#
+# q_media_dedup is content-digest EXACT; real crawls are full of
+# re-encoded / brightness-shifted / resized copies that no digest
+# catches. The standard first tier is a perceptual difference hash
+# (dHash): bucket the image into an 8x9 cell grid, emit one bit per
+# horizontal neighbor comparison (64 bits), and call two images
+# near-duplicates when the hashes differ in <= DHASH_HAM_T bits. The
+# pair search reuses the simhash discipline (operators/dedup.py):
+# split the 64-bit hash into DHASH_BANDS 16-bit bands — at Hamming <= 3
+# the pigeonhole principle guarantees a matching pair agrees on at
+# least one full band, so a band-keyed equi-join is LOSSLESS, never
+# all-pairs. Exact-hash groups contract to their min-id representative
+# first (operators/dedup.contract_exact_dups discipline, closed-form
+# re-expansion), so replicated corpora pay distinct-content cost.
+# --------------------------------------------------------------------------
+
+DHASH_HAM_T = 3   # near-dup threshold (bits); must stay < DHASH_BANDS
+DHASH_BANDS = 4   # 16-bit bands over the 64-bit hash (pigeonhole-lossless)
+
+
+import numpy as np  # noqa: E402  (worker-side kernels below)
+
+
+def dhash_gray(img) -> tuple:
+    """64-bit difference hash of a grayscale image as (hi, lo) 32-bit
+    halves (DuckDB/Spark-safe BIGINTs, no sign-bit games).
+
+    Grid: pixel (x, y) belongs to cell (y*8//H, x*9//W) — an 8-row,
+    9-column integer partition (narrow images leave some cells empty;
+    empty cells sum to 0, deterministically on both engines). Cell
+    value is the plain integer SUM of member pixels (a mean would need
+    a rounding contract; the sum compares identically for equal-width
+    cells and deterministically always). Bit (cy, i) = 1 iff
+    cell(cy, i+1) > cell(cy, i), packed at position cy*8 + i."""
+    h, w = img.shape
+    ys = (np.arange(h, dtype=np.int64) * 8) // h
+    xs = (np.arange(w, dtype=np.int64) * 9) // w
+    idx = (ys[:, None] * 9 + xs[None, :]).ravel()
+    # float64 bincount weights are exact here: a cell sum is < 285*255
+    cells = np.bincount(idx, weights=img.astype(np.int64).ravel(),
+                        minlength=72).astype(np.int64).reshape(8, 9)
+    bits = (cells[:, 1:] > cells[:, :-1]).astype(np.int64).ravel()
+    pw = np.arange(32, dtype=np.int64)
+    return (int((bits[32:] << pw).sum()), int((bits[:32] << pw).sum()))
+
+
+def decode_dhash(media: DataFrame) -> DataFrame:
+    """Worker-side PNG decode + dHash: blobs never leave the executor,
+    only (doc_id, hi, lo) 24-byte rows enter the pair machinery."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "hi": [], "lo": []}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                hi, lo = dhash_gray(decode_png_gray(bytes(p)))
+                out["doc_id"].append(d)
+                out["hi"].append(hi)
+                out["lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, "doc_id long, hi long, lo long")
+
+
+@register(
+    "q_media_neardup",
+    # The oracle computes the SAME dHash from the synth_image closed
+    # form (no codec needed) and runs the EXHAUSTIVE all-pairs join over
+    # distinct hashes — a hash match certifies the PNG round trip, the
+    # bit-exact dHash, AND that the engine's banded join lost zero pairs.
+    oracle=f"""
+    WITH img AS (
+        SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
+        FROM documents WHERE doc_id % 3 = 0
+    ), px AS (
+        SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM img
+    ), cells AS (
+        SELECT doc_id,
+               ((k // w) * 8) // h AS cy,
+               ((k % w) * 9) // w AS cx,
+               SUM((3 * (k % w) + 7 * (k // w) + doc_id) % 256) AS s
+        FROM px GROUP BY 1, 2, 3
+    ), grid AS (
+        SELECT i.doc_id, g.cy, g.cx, COALESCE(c.s, 0) AS s
+        FROM img i
+        CROSS JOIN (SELECT cy, cx
+                    FROM (SELECT unnest(range(0, 8)) AS cy)
+                    CROSS JOIN (SELECT unnest(range(0, 9)) AS cx)) g
+        LEFT JOIN cells c
+          ON c.doc_id = i.doc_id AND c.cy = g.cy AND c.cx = g.cx
+    ), bits AS (
+        SELECT doc_id, cy, cx, bit FROM (
+            SELECT doc_id, cy, cx,
+                   CASE WHEN LEAD(s) OVER (PARTITION BY doc_id, cy
+                                           ORDER BY cx) > s
+                        THEN 1 ELSE 0 END AS bit
+            FROM grid)
+        WHERE cx < 8
+    ), hashes AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN cy*8+cx < 32
+                             THEN bit * (CAST(1 AS BIGINT) << (cy*8+cx))
+                             ELSE 0 END) AS BIGINT) AS lo,
+               CAST(SUM(CASE WHEN cy*8+cx >= 32
+                             THEN bit * (CAST(1 AS BIGINT) << (cy*8+cx-32))
+                             ELSE 0 END) AS BIGINT) AS hi
+        FROM bits GROUP BY doc_id
+    ), grp AS (
+        SELECT hi, lo, CAST(COUNT(*) AS BIGINT) AS m,
+               MIN(doc_id) AS gid
+        FROM hashes GROUP BY hi, lo
+    ), zero AS (
+        SELECT CAST(0 AS BIGINT) AS ham,
+               CAST(COALESCE(SUM((m * (m - 1)) // 2), 0) AS BIGINT)
+                   AS n_member_pairs,
+               CAST(COALESCE(SUM(CASE WHEN m >= 2 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_rep_pairs
+        FROM grp
+    ), near AS (
+        SELECT bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                   AS ham,
+               a.m * b.m AS mm
+        FROM grp a JOIN grp b ON a.gid < b.gid
+    ), nn AS (
+        SELECT CAST(ham AS BIGINT) AS ham,
+               CAST(SUM(mm) AS BIGINT) AS n_member_pairs,
+               CAST(COUNT(*) AS BIGINT) AS n_rep_pairs
+        FROM near WHERE ham BETWEEN 1 AND {DHASH_HAM_T} GROUP BY ham
+    ), allrows AS (
+        SELECT * FROM zero UNION ALL SELECT * FROM nn
+    ), spine AS (SELECT unnest(range(0, {DHASH_HAM_T + 1})) AS ham)
+    SELECT CAST(s.ham AS BIGINT) AS ham,
+           CAST(COALESCE(a.n_member_pairs, 0) AS BIGINT) AS n_member_pairs,
+           CAST(COALESCE(a.n_rep_pairs, 0) AS BIGINT) AS n_rep_pairs
+    FROM spine s LEFT JOIN allrows a ON a.ham = s.ham
+    ORDER BY s.ham
+    """,
+)
+def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-duplicate census by Hamming distance: synthetic
+    grayscale images (closed-form pixels) are encoded to true PNGs and
+    decoded back worker-side (the full zlib/filter/CRC codec), each
+    image gets a 64-bit dHash, exact-hash groups contract to their
+    min-id representative, and the banded Hamming join finds every
+    representative pair within {DHASH_HAM_T} bits. Output: per distance
+    0..{DHASH_HAM_T}, the member-expanded and representative pair
+    counts (ham 0 = within-group pairs C(m,2) / groups with m >= 2).
+
+    Scale: the only full-width stage is the embarrassingly-parallel
+    encode/decode/hash pipeline (blobs stay scan-local; 24-byte hash
+    rows enter the shuffle). The pair search joins on 16-bit band keys
+    over DISTINCT hashes — pigeonhole-lossless at Hamming <=
+    {DHASH_HAM_T} (< {DHASH_BANDS} bands), candidate volume bounded by
+    band-bucket sizes, never all-pairs; replicated corpora pay
+    distinct-content cost via the contraction (same discipline as
+    q_dedup_minhash_lsh / q_semdedup). At 100 TB: identical shape —
+    band keys distribute well, and the distinct-hash frame is orders of
+    magnitude smaller than the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    media = (encode_media_batches(docs)
+             .filter(F.col("media_type") == "image")
+             .repartition("doc_id"))
+    hashes = decode_dhash(media)
+    # exact-hash contraction: the decode+hash pipeline feeds three
+    # consumers (ham-0 closed form, both banded-join sides) — checkpoint
+    # the tiny distinct-hash frame once
+    grp = (hashes.groupBy("hi", "lo")
+           .agg(F.count("*").cast("long").alias("m"),
+                F.min("doc_id").alias("gid"))
+           .localCheckpoint(eager=False))
+    zero = (grp.agg(
+        F.coalesce(F.sum(F.expr("m * (m - 1) DIV 2")), F.lit(0))
+        .cast("long").alias("n_member_pairs"),
+        F.coalesce(F.sum(F.when(F.col("m") >= 2, 1).otherwise(0)),
+                   F.lit(0)).cast("long").alias("n_rep_pairs"))
+        .select(F.lit(0).cast("long").alias("ham"),
+                "n_member_pairs", "n_rep_pairs"))
+    band_slices = [("lo", 0), ("lo", 16), ("hi", 0), ("hi", 16)]
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("b"),
+                 F.shiftright(F.col(c), s).bitwiseAND(F.lit(0xFFFF))
+                 .alias("key"))
+        for b, (c, s) in enumerate(band_slices)])
+    banded = (grp.select("gid", "hi", "lo", "m",
+                         F.explode(bands).alias("bk"))
+              .select("gid", "hi", "lo", "m",
+                      F.col("bk.b").alias("b"), F.col("bk.key").alias("key")))
+    lhs = banded.select("b", "key", F.col("gid").alias("gid_a"),
+                        F.col("hi").alias("hi_a"),
+                        F.col("lo").alias("lo_a"),
+                        F.col("m").alias("m_a"))
+    rhs = banded.select("b", "key", F.col("gid").alias("gid_b"),
+                        F.col("hi").alias("hi_b"),
+                        F.col("lo").alias("lo_b"),
+                        F.col("m").alias("m_b"))
+    # a pair matching in k bands appears k times — distinct on the pair
+    # key before counting (hi/lo/m are functionally dependent on gid)
+    cand = (lhs.join(rhs, ["b", "key"])
+            .filter(F.col("gid_a") < F.col("gid_b"))
+            .select("gid_a", "gid_b", "hi_a", "lo_a", "hi_b", "lo_b",
+                    "m_a", "m_b")
+            .distinct())
+    near = (cand.withColumn(
+        "ham",
+        (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+         + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))))
+        .cast("long"))
+        .filter((F.col("ham") >= 1) & (F.col("ham") <= DHASH_HAM_T))
+        .groupBy("ham")
+        .agg(F.sum(F.expr("m_a * m_b")).cast("long")
+             .alias("n_member_pairs"),
+             F.count("*").cast("long").alias("n_rep_pairs")))
+    spine = (spark.range(DHASH_HAM_T + 1)
+             .select(F.col("id").cast("long").alias("ham")))
+    return (spine.join(zero.unionByName(near), "ham", "left")
+            .select("ham",
+                    F.coalesce("n_member_pairs", F.lit(0)).cast("long")
+                    .alias("n_member_pairs"),
+                    F.coalesce("n_rep_pairs", F.lit(0)).cast("long")
+                    .alias("n_rep_pairs"))
+            .orderBy("ham"))

@@ -308,3 +308,48 @@ class TestRealCodecs:
         assert set(rows) == {"image", "audio"}
         assert rows["image"]["max_value"] <= 255
         assert rows["audio"]["total_units"] > 0
+
+
+class TestMediaNearDup:
+    def test_dhash_brightness_invariance(self):
+        """dHash compares neighbor cells, so a constant brightness shift
+        that doesn't wrap mod 256 leaves every bit unchanged — the
+        property that makes it a NEAR-dup key where md5 is useless.
+        (Sum-based cells are shift-invariant when the grid divides the
+        image evenly — 72x64 gives every cell exactly 8x8 pixels.)"""
+        import numpy as np
+
+        from columnar_estimator_sample_spark.operators.multimodal import (
+            dhash_gray,
+        )
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 200, size=(64, 72)).astype(np.uint8)
+        assert dhash_gray(img) == dhash_gray(img + 40)
+
+    def test_dhash_locality_and_determinism(self):
+        import numpy as np
+
+        from columnar_estimator_sample_spark.operators.multimodal import (
+            dhash_gray,
+        )
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, size=(16, 18)).astype(np.uint8)
+        hi, lo = dhash_gray(img)
+        assert (hi, lo) == dhash_gray(img.copy())
+        assert 0 <= hi < 2 ** 32 and 0 <= lo < 2 ** 32
+        # flipping one pixel moves at most the 2 bits its cell borders
+        tweaked = img.copy()
+        tweaked[3, 4] = (int(tweaked[3, 4]) + 128) % 256
+        thi, tlo = dhash_gray(tweaked)
+        ham = bin((hi ^ thi)).count("1") + bin((lo ^ tlo)).count("1")
+        assert ham <= 2
+
+    def test_neardup_census_spark(self, spark, sf_dir):
+        """End-to-end plumbing: 4 spine rows, non-negative counts,
+        member pairs >= rep pairs (contraction expands, never shrinks).
+        Oracle exactness is covered by the differential gate."""
+        from columnar_estimator_sample_spark.registry import queries
+        rows = queries()["q_media_neardup"](spark, sf_dir).collect()
+        assert [r["ham"] for r in rows] == [0, 1, 2, 3]
+        for r in rows:
+            assert r["n_member_pairs"] >= r["n_rep_pairs"] >= 0
