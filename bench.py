@@ -74,6 +74,10 @@ HEADLINE = [
     # round-7 tier representatives
     "q_semdedup",
     "q_dsir_selection",
+    # round-8 tier representatives
+    "q_media_neardup",
+    "q_dsir_bigram",
+    "q_ann_ivf_pq_topk",
 ]
 
 

@@ -372,8 +372,7 @@ def q_split_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: a stateless map + one two-column aggregate; nothing about the
     100 TB event log is ordered or windowed.
     """
-    from columnar_estimator_sample_spark.sources.tables import events_table
-    ev = events_table(spark, sf_dir)
+    ev = table(spark, sf_dir, "events")
     h = h64(F.concat(F.lit("split|"), F.col("user_id").cast("string")))
     split = (F.when(F.pmod(h, F.lit(100)) < 80, "train")
              .otherwise("heldout"))
@@ -1090,8 +1089,7 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference tie-in: train/eval experimentation is the reference's
     operating loop (trainer.py:294-316); this is the online-experiment
     counterpart expressed as a query."""
-    from columnar_estimator_sample_spark.sources.tables import events_table
-    ev = events_table(spark, sf_dir)
+    ev = table(spark, sf_dir, "events")
     u = (ev.groupBy("user_id")
          .agg(F.expr(f"CASE WHEN COUNT(CASE WHEN event_type = 'purchase'"
                      f" THEN 1 END) >= {AB_SUCCESS_MIN}"
@@ -1396,6 +1394,110 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                  f" DIV GREATEST((cs + 1) * {DSIR_PS}"
                  f" DIV (ns + {DSIR_B}), 1)").alias("r")))
     scored = (tok.join(F.broadcast(ratio), "b")
+              .groupBy("doc_id")
+              .agg(F.expr("SUM(r) DIV COUNT(*)").cast("long")
+                   .alias("score_ppm")))
+    sel = (scored.join(docs.select("doc_id", "lang"), "doc_id")
+           .orderBy(F.desc("score_ppm"), "doc_id")
+           .limit(DSIR_K))
+    return (sel.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_selected"),
+                 F.expr("SUM(score_ppm) DIV COUNT(*)").cast("long")
+                 .alias("mean_score_ppm"))
+            .orderBy("lang"))
+
+
+@register(
+    "q_dsir_bigram",
+    oracle=f"""
+    WITH wsrc AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ws
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, lang, {sql_h64("t.w")} % {DSIR_B} AS b
+        FROM wsrc, unnest(ws) AS t(w)
+        UNION ALL
+        SELECT doc_id, lang,
+               {sql_h64("ws[i + 1] || ' ' || ws[i + 2]")} % {DSIR_B} AS b
+        FROM wsrc, unnest(range(0, len(ws) - 1)) AS r(i)
+    ), bc AS (
+        SELECT b,
+               CAST(COUNT(*) AS BIGINT) AS cs,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ct
+        FROM tok GROUP BY b
+    ), tot AS (
+        SELECT CAST(SUM(cs) AS BIGINT) AS ns,
+               CAST(SUM(ct) AS BIGINT) AS nt
+        FROM bc
+    ), ratio AS (
+        SELECT b,
+               ((ct + 1) * {DSIR_PS} // (nt + {DSIR_B})) * {DSIR_RS}
+               // GREATEST((cs + 1) * {DSIR_PS} // (ns + {DSIR_B}), 1)
+                   AS r
+        FROM bc, tot
+    ), scored AS (
+        SELECT tok.doc_id,
+               CAST(SUM(r) // COUNT(*) AS BIGINT) AS score_ppm
+        FROM tok JOIN ratio ON ratio.b = tok.b
+        GROUP BY tok.doc_id
+    ), sel AS (
+        SELECT s.doc_id, s.score_ppm, d.lang
+        FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+        ORDER BY s.score_ppm DESC, s.doc_id
+        LIMIT {DSIR_K}
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm
+    FROM sel
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_dsir_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR with the paper's hashed N-GRAM features (Xie et al. 2023,
+    arXiv:2302.03169 §3: unigrams AND bigrams hashed into a shared
+    bucket table): every document contributes its unigram occurrences
+    plus its adjacent-pair bigrams, all md5-hashed into the same
+    {DSIR_B} buckets, then the identical two-step all-integer
+    importance machinery as q_dsir_selection — add-one-smoothed
+    target/raw bucket ratios, per-doc mean score, top-{DSIR_K}
+    selection, per-language census. Bigrams capture word-order evidence
+    the unigram variant cannot (the paper's reported config).
+
+    Scale: the bigram features come from an in-row array ``transform``
+    over the already-split token array — the explode just widens
+    (2n - 1 features per n-token doc), no joins are added, and the
+    bucket/ratio tables stay {DSIR_B} broadcast rows. Selection remains
+    TakeOrderedAndProject. At 100 TB this is the same embarrassingly
+    parallel scan shape as the unigram query, ~2x the exploded rows."""
+    docs = table(spark, sf_dir, "documents")
+    feats = (docs
+             .select("doc_id", "lang", F.split("text", " ").alias("ws"))
+             .select("doc_id", "lang", F.explode(F.expr("""
+                 concat(ws,
+                        CASE WHEN size(ws) >= 2
+                             THEN transform(sequence(0, size(ws) - 2),
+                                            i -> concat(ws[i], ' ',
+                                                        ws[i + 1]))
+                             ELSE array() END)
+             """)).alias("w"))
+             .select("doc_id", "lang",
+                     (h64(F.col("w")) % DSIR_B).alias("b")))
+    bc = feats.groupBy("b").agg(
+        F.count("*").cast("long").alias("cs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long").alias("ct"))
+    tot = bc.agg(F.sum("cs").cast("long").alias("ns"),
+                 F.sum("ct").cast("long").alias("nt"))
+    ratio = (bc.crossJoin(F.broadcast(tot))
+             .select("b", F.expr(
+                 f"((ct + 1) * {DSIR_PS} DIV (nt + {DSIR_B}))"
+                 f" * {DSIR_RS}"
+                 f" DIV GREATEST((cs + 1) * {DSIR_PS}"
+                 f" DIV (ns + {DSIR_B}), 1)").alias("r")))
+    scored = (feats.join(F.broadcast(ratio), "b")
               .groupBy("doc_id")
               .agg(F.expr("SUM(r) DIV COUNT(*)").cast("long")
                    .alias("score_ppm")))

@@ -35,15 +35,25 @@ TRACE_FIXTURE = os.path.join(os.path.dirname(os.path.dirname(
     "trace_events.ndjson")
 
 
+# (applicationId, path) -> raw trace handle: JSON schema inference runs
+# a driver job per read; the fixture is immutable, so share the handle
+# (same discipline as sources.tables._HANDLES).
+_TRACE_HANDLES: dict[tuple[str, str], DataFrame] = {}
+
+
 def flatten_trace(spark: SparkSession,
                   path: str = TRACE_FIXTURE) -> DataFrame:
     """NDJSON trace docs -> one row per trace event, with ordinal.
 
     Mirrors notebook cell 7 / README.md:179-193: lateral flatten with
     offset + nested projection/rename. Schema is inferred
-    (autodetect=True analogue, README.md:151-153).
+    (autodetect=True analogue, README.md:151-153) — once per session.
     """
-    raw = spark.read.json(path)
+    key = (spark.sparkContext.applicationId, path)
+    raw = _TRACE_HANDLES.get(key)
+    if raw is None:
+        raw = spark.read.json(path)
+        _TRACE_HANDLES[key] = raw
     ev = raw.select(F.posexplode("traceEvents").alias("index", "e"))
     return ev.select(
         "index",

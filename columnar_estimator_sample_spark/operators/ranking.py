@@ -174,12 +174,14 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    n_docs, corpus_len = dl.agg(
-        F.count("*").cast("long"), F.sum("dl").cast("long")).first()
+    # corpus stats ride a 1-row broadcast INSIDE the plan (the round-2
+    # "fold the count() into the plan" treatment) — no job at build time
+    stats = dl.agg(F.count("*").cast("long").alias("bm25_n"),
+                   F.sum("dl").cast("long").alias("bm25_l"))
     tf = (tok.filter(F.col("term").isin(*QUERY_TERMS))
           .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n, l = F.lit(n_docs), F.lit(corpus_len)
+    n, l = F.col("bm25_n"), F.col("bm25_l")
     dec = "decimal(38,0)"
     num = (F.lit(44).cast(dec) * l * F.col("tf")
            * (2 * n - 2 * F.col("df") + 1) * F.lit(1_000_000))
@@ -188,6 +190,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
            * (2 * F.col("df") + 1))
     scored = (tf.join(F.broadcast(df), "term")
               .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
               .select("doc_id",
                       num.cast(dec).alias("num"),
                       den.cast(dec).alias("den"))

@@ -177,6 +177,11 @@ ANN_ROWS = ANN_PLANES // ANN_BANDS  # 6
 ANN_COS_T = 0.35
 
 
+# Fixed cap on the driver-side sign-table width: comfortably above the
+# corpus's 64-dim embeddings, still a trivially-broadcastable 256 rows.
+SIGN_DIM_CAP = 256
+
+
 def _plane_signs(p: int, dim: int) -> list[int]:
     """±1 components of hyperplane ``p``: md5 parity of "pl{p}_{i}" —
     computed ONCE driver-side (hashlib md5 ≡ engine md5 on ASCII input)
@@ -224,10 +229,13 @@ def ann_signatures(spark: SparkSession, sf_dir: str,
     """
     if emb is None:
         emb = table(spark, sf_dir, "embeddings")
-    # 64 is the corpus's fixed embedding width; the probe only guards
-    # against a wider table, and the fallback keeps empty inputs planful
-    dim = (emb.select(F.max(F.size("embedding")).alias("d"))
-           .collect()[0]["d"]) or 64
+    # Sign(i) is dim-independent (md5 of "pl{p}_{i}"), so the sign table
+    # is built to a fixed cap and the index join restricts it to the
+    # actual width — ZERO jobs at plan-build time (the old max(size())
+    # probe ran a scan at query-registry time). An in-plan assert_true
+    # guard fails loudly if a vector ever exceeds the cap instead of
+    # silently dropping elements from the inner join.
+    dim = SIGN_DIM_CAP
     # The ±1 signs come in as a BROADCAST 64-row table joined on the
     # element index, so each plane sum is a plain column multiply inside
     # codegen. The earlier element_at(array(<64 literals>), i+1) per
@@ -235,13 +243,19 @@ def ann_signatures(spark: SparkSession, sf_dir: str,
     # evaluation — measured 2.2 s vs 1.0 s for this join at sf0.1 on the
     # identical 48-sum aggregate (plain sums: 0.4 s).
     spark_ = emb.sparkSession
-    sign_rows = [(i, *[_plane_signs(p, dim)[i] for p in range(n_planes)])
+    plane = [_plane_signs(p, dim) for p in range(n_planes)]
+    sign_rows = [(i, *[plane[p][i] for p in range(n_planes)])
                  for i in range(dim)]
     signs = spark_.createDataFrame(
         sign_rows, ["i"] + [f"g{p}" for p in range(n_planes)])
     sums = [F.sum(F.col("vi") * F.col(f"g{p}")).alias(f"s{p}")
             for p in range(n_planes)]
-    agg = (_exploded(emb).join(F.broadcast(signs), "i")
+    agg = (_exploded(emb)
+           .join(F.broadcast(signs), "i", "left")
+           .filter(F.assert_true(
+               F.col("g0").isNotNull(),
+               f"embedding wider than SIGN_DIM_CAP={SIGN_DIM_CAP}"
+           ).isNull())
            .groupBy("vec_id").agg(*sums))
     return agg.select(
         "vec_id",

@@ -145,10 +145,15 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (ev.groupBy("event_type", "day_num")
              .agg(F.count("*").cast("long").alias("n_events"),
                   davg(F.col("value"), "avg_value", 6)))
-    mn, mx = ev.agg(F.min("day_num"), F.max("day_num")).first()
+    # day bounds ride a 1-row broadcast + in-plan sequence() explode —
+    # the old .first() probe ran a full scan at plan-build time
+    bounds = ev.agg(F.min("day_num").alias("mn"),
+                    F.max("day_num").alias("mx"))
     grid = (ev.select("event_type").distinct()
-            .crossJoin(spark.range(mn, mx + 1)
-                       .select(F.col("id").alias("day_num"))))
+            .crossJoin(F.broadcast(bounds))
+            .select("event_type",
+                    F.explode(F.sequence(F.col("mn"), F.col("mx")))
+                    .alias("day_num")))
     w = (Window.partitionBy("event_type").orderBy("day_num")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (grid.join(daily, ["event_type", "day_num"], "left")

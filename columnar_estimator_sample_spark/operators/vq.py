@@ -41,7 +41,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from columnar_estimator_sample_spark.operators.similarity import (
-    ANN_COS_T, _SQL_EX, _exploded)
+    ANN_COS_T, IVF_NLIST, IVF_NPROBE, N_QUERIES, TOP_K, _SQL_EX,
+    _exploded)
 from columnar_estimator_sample_spark.registry import register
 from columnar_estimator_sample_spark.sources.tables import table
 
@@ -752,3 +753,202 @@ def semdedup_census(emb: DataFrame) -> DataFrame:
                     (F.col("n_members") - F.col("n_pruned")).cast("long"))
         .orderBy("centroid_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composed end-to-end: coarse probe -> ADC scoring (round 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ann_ivf_pq_topk",
+    oracle=f"""
+    WITH ex AS ({_SQL_EX}
+    ), norms AS (
+        SELECT vec_id, CAST(SUM(vi * vi) AS BIGINT) AS n_s
+        FROM ex GROUP BY vec_id
+    ), cex AS (
+        SELECT vec_id AS centroid_id, i, vi AS ci
+        FROM ex WHERE vec_id < {IVF_NLIST}
+    ), vc AS (
+        SELECT e.vec_id, c.centroid_id,
+               CAST(SUM(e.vi * c.ci) AS BIGINT) AS dot_s
+        FROM ex e JOIN cex c ON c.i = e.i
+        GROUP BY 1, 2
+    ), cranked AS (
+        SELECT vc.vec_id, vc.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vc.vec_id
+                   ORDER BY CAST(dot_s AS DOUBLE)
+                            / (sqrt(CAST(nv.n_s AS DOUBLE))
+                               * sqrt(CAST(nc.n_s AS DOUBLE))) DESC,
+                            vc.centroid_id) AS rnk
+        FROM vc
+        JOIN norms nv ON nv.vec_id = vc.vec_id
+        JOIN norms nc ON nc.vec_id = vc.centroid_id
+    ), assign AS (
+        SELECT vec_id, centroid_id FROM cranked WHERE rnk = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, centroid_id
+        FROM cranked WHERE vec_id < {N_QUERIES} AND rnk <= {IVF_NPROBE}
+    ), cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+        WHERE a.vec_id <> p.query_id
+    ), sub AS (
+        SELECT vec_id, i // {PQ_SUBDIM} AS s, i % {PQ_SUBDIM} AS j, vi
+        FROM ex
+    ), cb AS (
+        SELECT s, j, vec_id AS code, vi AS cj FROM sub
+        WHERE vec_id < {PQ_K}
+    ), d AS (
+        SELECT v.vec_id, v.s, c.code,
+               CAST(SUM((v.vi - c.cj) * (v.vi - c.cj)) AS BIGINT) AS d2
+        FROM sub v JOIN cb c ON c.s = v.s AND c.j = v.j
+        GROUP BY 1, 2, 3
+    ), codes AS (
+        SELECT vec_id, s, code FROM (
+            SELECT vec_id, s, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d2, code) AS rnk
+            FROM d
+        ) WHERE rnk = 1
+    ), dtab AS (
+        SELECT q.vec_id AS query_id, q.s, c.code,
+               CAST(SUM((q.vi - c.cj) * (q.vi - c.cj)) AS BIGINT) AS d2
+        FROM sub q JOIN cb c ON c.s = q.s AND c.j = q.j
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY 1, 2, 3
+    ), adc AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               CAST(SUM(t.d2) AS BIGINT) AS adc_d2
+        FROM cand cd
+        JOIN codes v ON v.vec_id = cd.neighbor_id
+        JOIN dtab t ON t.query_id = cd.query_id
+                   AND t.s = v.s AND t.code = v.code
+        GROUP BY 1, 2
+    ), topk AS (
+        SELECT query_id, neighbor_id, adc_d2,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d2, neighbor_id) AS rank
+        FROM adc
+    ), edots AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               CAST(SUM(q.vi * d.vi) AS BIGINT) AS dot_s
+        FROM ex q JOIN ex d ON d.i = q.i AND d.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY 1, 2
+    ), exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY CAST(dot_s AS DOUBLE)
+                                / (sqrt(CAST(nq.n_s AS DOUBLE))
+                                   * sqrt(CAST(nd.n_s AS DOUBLE))) DESC,
+                                neighbor_id) AS rank
+            FROM edots
+            JOIN norms nq ON nq.vec_id = edots.query_id
+            JOIN norms nd ON nd.vec_id = edots.neighbor_id
+        ) WHERE rank <= {TOP_K}
+    )
+    SELECT t.query_id, t.rank, t.neighbor_id, t.adc_d2,
+           CAST(CASE WHEN e.neighbor_id IS NULL THEN 0 ELSE 1 END
+                AS BIGINT) AS in_exact
+    FROM topk t
+    LEFT JOIN exact e ON e.query_id = t.query_id
+                     AND e.neighbor_id = t.neighbor_id
+    WHERE t.rank <= {TOP_K}
+    ORDER BY t.query_id, t.rank
+    """,
+)
+def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed end-to-end — the actual FAISS-at-100 TB layout:
+    the coarse IVF probe (q_ann_ivf_topk's cell machinery) restricts
+    each query to its {IVF_NPROBE} nearest cells' members, and the
+    candidates are scored by PQ asymmetric distance (q_pq_adc_topk's
+    broadcast distance tables over the stored {PQ_SUB}x{PQ_K} codes) —
+    the original vectors are never touched at scan time. Each returned
+    neighbor carries an ``in_exact`` recall flag against the
+    brute-force exact-cosine top-k lane, so the census certifies probe,
+    codes, ADC ranking, AND the recall measurement in one hash. (PQ
+    here codes raw vectors, not IVF residuals — the residual refinement
+    is a documented delta from FAISS, orthogonal to the composition.)
+
+    Scale: assignment/probe as in q_ann_ivf_topk (bucketed-by-cell
+    index at 100 TB prunes partitions); ADC joins the candidate list to
+    the N x {PQ_SUB} codes and a broadcast |Q| x {PQ_SUB} x {PQ_K}
+    table — candidate volume is probe-bounded, never O(N) per query;
+    the exact lane exists for recall truth and stays |Q|-bounded via a
+    broadcast of the {N_QUERIES} query vectors."""
+    from columnar_estimator_sample_spark.operators.similarity import (
+        IVF_NPROBE, N_QUERIES, TOP_K, _ivf_cells,
+    )
+    ranked, norms, ex = _ivf_cells(spark, sf_dir)
+    assign = (ranked.filter(F.col("rnk") == 1)
+              .select("vec_id", "centroid_id"))
+    probes = (ranked.filter((F.col("vec_id") < N_QUERIES)
+                            & (F.col("rnk") <= IVF_NPROBE))
+              .select(F.col("vec_id").alias("query_id"), "centroid_id"))
+    cand = (probes.join(assign, "centroid_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+            .dropDuplicates(["query_id", "neighbor_id"]))
+
+    sub = ex.select("vec_id",
+                    F.expr(f"i div {PQ_SUBDIM}").alias("s"),
+                    (F.col("i") % PQ_SUBDIM).alias("j"), "vi")
+    cb = (sub.filter(F.col("vec_id") < PQ_K)
+          .select("s", "j", F.col("vec_id").alias("code"),
+                  F.col("vi").alias("cj")))
+    d2 = F.sum((F.col("vi") - F.col("cj"))
+               * (F.col("vi") - F.col("cj"))).cast("long").alias("d2")
+    d = (sub.join(F.broadcast(cb), ["s", "j"])
+         .groupBy("vec_id", "s", "code").agg(d2))
+    w_code = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
+    codes = (d.withColumn("rnk", F.row_number().over(w_code))
+             .filter(F.col("rnk") == 1)
+             .select(F.col("vec_id").alias("neighbor_id"), "s", "code"))
+    dtab = (sub.filter(F.col("vec_id") < N_QUERIES)
+            .join(F.broadcast(cb), ["s", "j"])
+            .groupBy(F.col("vec_id").alias("query_id"), "s", "code")
+            .agg(d2))
+    adc = (cand.join(codes, "neighbor_id")
+           .join(F.broadcast(dtab), ["query_id", "s", "code"])
+           .groupBy("query_id", "neighbor_id")
+           .agg(F.sum("d2").cast("long").alias("adc_d2")))
+    w_q = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    topk = (adc.withColumn("rank", F.row_number().over(w_q))
+            .filter(F.col("rank") <= TOP_K))
+
+    # exact recall lane: the |Q| query vectors broadcast against the
+    # corpus — O(N * dim * |Q|) map-side rows, no shuffled self-join
+    qv = (ex.filter(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("query_id"), "i",
+                  F.col("vi").alias("qv")))
+    edots = (ex.select(F.col("vec_id").alias("neighbor_id"), "i",
+                       F.col("vi").alias("dv"))
+             .join(F.broadcast(qv), "i")
+             .filter(F.col("neighbor_id") != F.col("query_id"))
+             .groupBy("query_id", "neighbor_id")
+             .agg(F.sum(F.col("qv") * F.col("dv")).alias("dot_s")))
+    nq = norms.select(F.col("vec_id").alias("query_id"),
+                      F.col("n_s").alias("nq_s"))
+    nd = norms.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("n_s").alias("nd_s"))
+    w_e = Window.partitionBy("query_id").orderBy(
+        (F.col("dot_s").cast("double")
+         / (F.sqrt(F.col("nq_s").cast("double"))
+            * F.sqrt(F.col("nd_s").cast("double")))).desc(),
+        F.asc("neighbor_id"))
+    exact = (edots.join(F.broadcast(nq), "query_id")
+             .join(F.broadcast(nd), "neighbor_id")
+             .withColumn("erank", F.row_number().over(w_e))
+             .filter(F.col("erank") <= TOP_K)
+             .select("query_id", "neighbor_id",
+                     F.lit(1).cast("long").alias("hit")))
+    return (topk.join(exact, ["query_id", "neighbor_id"], "left")
+            .select("query_id", "rank", "neighbor_id", "adc_d2",
+                    F.coalesce("hit", F.lit(0)).cast("long")
+                    .alias("in_exact"))
+            .orderBy("query_id", "rank"))

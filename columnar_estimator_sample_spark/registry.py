@@ -75,46 +75,54 @@ _loaded = False
 # in and out of the window is additionally verified by
 # ``tools/check_oracle.py`` (same compare semantics) before commit.
 #
-# Round-7 window: the round-6 verify never recorded (no
-# CORRECTNESS_r06.json landed), so the round-6 window of 45
-# never-driver-checked queries stays in place verbatim — union r1-r5 is
-# still 202/247 and these 45 are exactly the complement. The two
-# round-7-new queries (q_semdedup, q_skew_salted_join) join the front so
-# they get driver rows in their first round; 47 < 50, the last slots
-# fall through to already-green queries — harmless re-confirmation.
-# q_media_jpeg_roundtrip stays near the front (the round-5 late-commit
-# bug, fixed in r6 — its confirming driver row matters most), then
-# q_source_mixture (closes the last SURVEY §2 asterisk).
-_DRIVER_WINDOW_R7 = [
-    "q_semdedup", "q_skew_salted_join", "q_dsir_selection",
-    "q_stream_landing_census", "q_tfrecord_stream_census",
-    "q_media_jpeg_roundtrip", "q_source_mixture",
-    # round-6-new: the catalog-driven broadcast join (NdvCatalogExtension
-    # dogfood) and the streaming dedup census get driver rows in their
-    # first round
-    "q_ndv_broadcast_join", "q_stream_dedup_census",
-    "q_stream_attribution", "q_stream_sliding_value",
-    "q_stream_user_totals",
-    # never-driver-checked, registration order
-    "q_table_checksum", "q_split_gini", "q_exact_auc",
-    "q_calibration_bins", "q_ks_test", "q_joinability",
-    "q_completeness", "q_dp_release", "q_f1_threshold",
-    "q_bitmap_retention", "q_bloom_fpr", "q_kmv_distinct",
-    "q_join_size_estimate", "q_quantile_filter", "q_seqlen_histogram",
-    "q_chunk_sliding", "q_source_temperature", "q_source_overlap",
-    "q_abc_parts", "q_negative_sampling", "q_srm_check", "q_ab_test",
-    "q_sample_weighted", "q_dataset_card", "q_vq_refine",
-    "q_embed_centroids", "q_embed_pq", "q_pq_adc_topk",
-    "q_media_features", "q_zorder_layout", "q_compaction_plan",
-    "q_corr_matrix", "q_column_profile", "q_chi_square", "q_histogram",
-    "q_quantile_sketch", "q_geo_grid_knn", "q_geo_dbscan",
+# Round-8 window: CORRECTNESS_r07 landed 50/50 green, taking the driver
+# union to 252/252 — so this round re-certifies by STALENESS. Several
+# heavily-rewritten operators still rest on driver rows from rounds 1-4
+# that predate their r5-r8 rewrites (the round-7 verdict's lead item).
+# Order: (a) the round-8-new queries (q_media_neardup, q_dsir_bigram,
+# q_ann_ivf_pq_topk) plus the two r7-certified queries whose code
+# changed THIS round (q_semdedup: broadcast-hint drop + zero-norm guard;
+# q_tfrecord_stream_census: seen-file-list offsets); (b) the 10 queries
+# whose latest row is still round 1; (c) the two rewritten r4-row
+# queries; (d) 33 of the 47 round-3-latest rows, verdict-named rewrites
+# first (q_er_* also changed this round: shared-pairs memo + CC edge
+# explode). The 14 untouched-stable r3 rows (cohort_retention, funnel,
+# hypertable_rollup, merge_upsert, normalization_stats,
+# feature_hash_buckets, split_by_user, sample_exact_k,
+# sample_stratified, pack_chunks, phrase_search, pii_redaction,
+# media_metadata, ndv_catalog) rotate in next round, then the r2/r4
+# cohorts.
+_DRIVER_WINDOW_R8 = [
+    # (a) round-8-new + rewritten-this-round r7 rows
+    "q_media_neardup", "q_dsir_bigram", "q_ann_ivf_pq_topk",
+    "q_semdedup", "q_tfrecord_stream_census",
+    # (b) latest driver row is round 1
+    "q_dedup_exact", "q_dedup_fingerprint", "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard", "q_dedup_simhash", "q_json_extract",
+    "q_posexplode_tokens", "q_sessionize", "q_time_buckets",
+    "q_trace_top_ops",
+    # (c) rewritten since their round-4 rows
+    "q_dedup_cosine_setjoin", "q_sequence_mining",
+    # (d) round-3 rows, verdict-named rewrites first
+    "q_contamination_check", "q_copurchase", "q_dedup_prefix_filter",
+    "q_hll_ndv", "q_dedup_embedding_lsh", "q_er_entities",
+    "q_er_sorted_neighborhood", "q_dedup_clusters",
+    "q_ann_ivf_topk", "q_ann_recall", "q_bm25_search", "q_bpe_learn",
+    "q_chunk_dedup_census", "q_countmin_hh", "q_dedup_containment",
+    "q_dedup_editdistance", "q_dedup_embedding_cosine",
+    "q_dedup_incremental", "q_dedup_simhash_pairs", "q_hll_rollup",
+    "q_hybrid_rrf", "q_inverted_index", "q_kcore_census",
+    "q_media_dedup", "q_similarity_topk", "q_similarity_topk_fast",
+    "q_text_bpe_tokens", "q_text_fingerprint", "q_text_langid",
+    "q_text_quality", "q_text_token_stats", "q_tfidf_terms",
+    "q_triangle_count",
 ]
 
 
 def _window_order(d: dict) -> dict:
     """Reorder ``d`` so the current driver window comes first (names
     missing from ``d`` are ignored; the rest keep registration order)."""
-    front = [k for k in _DRIVER_WINDOW_R7 if k in d]
+    front = [k for k in _DRIVER_WINDOW_R8 if k in d]
     rest = [k for k in d if k not in set(front)]
     return {k: d[k] for k in front + rest}
 

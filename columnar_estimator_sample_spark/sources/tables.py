@@ -22,11 +22,26 @@ TABLES = [
 ]
 
 
+# (applicationId, sf_dir, name) -> loaded handle. spark.read.parquet
+# runs a small schema-inference job on the DRIVER at every call; with
+# ~250 registered queries each touching 1-3 tables that is hundreds of
+# pointless jobs at plan-build time. The handle is an immutable lazy
+# plan, so one per (session, sf_dir, table) is always safe to share.
+_HANDLES: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table as a DataFrame (lazy; no action)."""
-    if name == "events":
-        return events_table(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load one testdata table as a DataFrame (lazy; no action after
+    the first schema read per session/table)."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _HANDLES.get(key)
+    if df is None:
+        if name == "events":
+            df = events_table(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _HANDLES[key] = df
+    return df
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:

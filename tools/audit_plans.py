@@ -43,6 +43,45 @@ ARROW_ALLOWED = {"q_media_features", "q_similarity_topk_fast",
                  # not by this grep)
                  "q_semdedup"}
 
+# Queries whose BUILDER legitimately runs Spark jobs. Everything else
+# must build its plan with ZERO jobs: a scan at plan/registry time is
+# the round-2/round-7 "fold the probe into the plan" class of defect
+# (this gate caught and removed three in round 8: q_gap_fill's
+# day-bounds .first(), q_bm25_search's corpus-stats .first(), and
+# ann_signatures' max(size()) width probe). Kept intentionally explicit
+# so a new probe trips the gate. Categories:
+BUILD_RUNS_JOBS = {
+    # iterative algorithms: driver loop pulls ONE convergence scalar per
+    # superstep; labels/edges stay distributed (operators/graph.py,
+    # geo.py, entity.py)
+    "q_dedup_clusters", "q_dedup_savings", "q_er_entities",
+    "q_kcore_census", "q_lpa_communities", "q_modularity", "q_pagerank",
+    "q_geo_dbscan",
+    # driver-loop algorithm: BPE merge selection collects the single
+    # best pair per round (operators/textstats.py)
+    "q_bpe_learn",
+    # dogfood instrumentation: the profiler / NDV-catalog queries RUN
+    # instrumented jobs by design (plans/profiler.py, plans/stats.py)
+    "q_cbo_estimation", "q_ndv_broadcast_join",
+    # bounded query-set collect: the <=25-vector packed query set
+    # (operators/similarity.py:134,792)
+    "q_similarity_topk_fast",
+    # lazy localCheckpoint subtrees: executedPlan() forces the
+    # checkpoint RDD to materialize, pulling part of normal EXECUTION
+    # forward into this audit's build step — not a plan-time probe
+    "q_dedup_minhash_lsh", "q_dedup_cosine_setjoin",
+    "q_dedup_prefix_filter", "q_media_neardup", "q_semdedup",
+    "q_er_sorted_neighborhood",
+    # streaming availableNow drains + IO roundtrips: the builder runs
+    # the stream / write-read cycle end-to-end and returns the landed
+    # result as a local frame
+    "q_stream_attribution", "q_stream_daily_counts",
+    "q_stream_dedup_census", "q_stream_landing_census",
+    "q_stream_sessions", "q_stream_sliding_value",
+    "q_stream_user_totals", "q_tfrecord_stream_census",
+    "q_tfrecord_roundtrip",
+}
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -55,15 +94,37 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
+    # Warm the per-session table handles so each table's one-time parquet
+    # schema-inference job is not attributed to whichever query happens
+    # to read it first (the memo in sources.tables makes later reads
+    # job-free).
+    from columnar_estimator_sample_spark.sources.tables import (
+        TABLES, table,
+    )
+    for t in TABLES:
+        table(spark, sf_dir, t)
+    from columnar_estimator_sample_spark.operators.flatten import (
+        flatten_trace,
+    )
+    flatten_trace(spark)  # same one-time schema-inference warm-up
+
+    tracker = spark.sparkContext.statusTracker()
+
     rows, violations = [], []
     t_start = time.time()
     for name, fn in qs.items():
+        jobs_before = len(tracker.getJobIdsForGroup(None))
         try:
             plan = (fn(spark, sf_dir)._jdf.queryExecution()
                     .executedPlan().toString())
         except Exception as e:  # noqa: BLE001
             violations.append(f"{name}: plan build failed: {e}")
             continue
+        build_jobs = len(tracker.getJobIdsForGroup(None)) - jobs_before
+        if build_jobs > 0 and name not in BUILD_RUNS_JOBS:
+            violations.append(
+                f"{name}: ran {build_jobs} Spark job(s) at plan-build "
+                "time (outside the documented allowlist)")
         has_pyrow = "BatchEvalPython" in plan
         has_cart = "CartesianProduct" in plan
         has_arrow = ("ArrowEvalPython" in plan) or ("MapInPandas" in plan)
