@@ -76,6 +76,7 @@ HEADLINE = [
     "q_dsir_selection",
     # round-8 tier representatives
     "q_media_neardup",
+    "q_media_audio_neardup",
     "q_dsir_bigram",
     "q_ann_ivf_pq_topk",
 ]

@@ -1271,6 +1271,42 @@ def decode_dhash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, "doc_id long, hi long, lo long")
 
 
+# Shared oracle census tail over a preceding `hashes` (doc_id, hi, lo)
+# CTE: exact-hash contraction with closed-form ham-0 re-expansion, the
+# EXHAUSTIVE all-pairs join over distinct hashes (certifies zero banding
+# loss), and the dense 0..{DHASH_HAM_T} distance spine. Appended by both
+# near-dup oracles (image dHash, audio envelope hash).
+_NEARDUP_CENSUS_SQL = f"""grp AS (
+        SELECT hi, lo, CAST(COUNT(*) AS BIGINT) AS m,
+               MIN(doc_id) AS gid
+        FROM hashes GROUP BY hi, lo
+    ), zero AS (
+        SELECT CAST(0 AS BIGINT) AS ham,
+               CAST(COALESCE(SUM((m * (m - 1)) // 2), 0) AS BIGINT)
+                   AS n_member_pairs,
+               CAST(COALESCE(SUM(CASE WHEN m >= 2 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_rep_pairs
+        FROM grp
+    ), near AS (
+        SELECT bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                   AS ham,
+               a.m * b.m AS mm
+        FROM grp a JOIN grp b ON a.gid < b.gid
+    ), nn AS (
+        SELECT CAST(ham AS BIGINT) AS ham,
+               CAST(SUM(mm) AS BIGINT) AS n_member_pairs,
+               CAST(COUNT(*) AS BIGINT) AS n_rep_pairs
+        FROM near WHERE ham BETWEEN 1 AND {DHASH_HAM_T} GROUP BY ham
+    ), allrows AS (
+        SELECT * FROM zero UNION ALL SELECT * FROM nn
+    ), spine AS (SELECT unnest(range(0, {DHASH_HAM_T + 1})) AS ham)
+    SELECT CAST(s.ham AS BIGINT) AS ham,
+           CAST(COALESCE(a.n_member_pairs, 0) AS BIGINT) AS n_member_pairs,
+           CAST(COALESCE(a.n_rep_pairs, 0) AS BIGINT) AS n_rep_pairs
+    FROM spine s LEFT JOIN allrows a ON a.ham = s.ham
+    ORDER BY s.ham"""
+
+
 @register(
     "q_media_neardup",
     # The oracle computes the SAME dHash from the synth_image closed
@@ -1314,35 +1350,7 @@ def decode_dhash(media: DataFrame) -> DataFrame:
                              THEN bit * (CAST(1 AS BIGINT) << (cy*8+cx-32))
                              ELSE 0 END) AS BIGINT) AS hi
         FROM bits GROUP BY doc_id
-    ), grp AS (
-        SELECT hi, lo, CAST(COUNT(*) AS BIGINT) AS m,
-               MIN(doc_id) AS gid
-        FROM hashes GROUP BY hi, lo
-    ), zero AS (
-        SELECT CAST(0 AS BIGINT) AS ham,
-               CAST(COALESCE(SUM((m * (m - 1)) // 2), 0) AS BIGINT)
-                   AS n_member_pairs,
-               CAST(COALESCE(SUM(CASE WHEN m >= 2 THEN 1 ELSE 0 END), 0)
-                    AS BIGINT) AS n_rep_pairs
-        FROM grp
-    ), near AS (
-        SELECT bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
-                   AS ham,
-               a.m * b.m AS mm
-        FROM grp a JOIN grp b ON a.gid < b.gid
-    ), nn AS (
-        SELECT CAST(ham AS BIGINT) AS ham,
-               CAST(SUM(mm) AS BIGINT) AS n_member_pairs,
-               CAST(COUNT(*) AS BIGINT) AS n_rep_pairs
-        FROM near WHERE ham BETWEEN 1 AND {DHASH_HAM_T} GROUP BY ham
-    ), allrows AS (
-        SELECT * FROM zero UNION ALL SELECT * FROM nn
-    ), spine AS (SELECT unnest(range(0, {DHASH_HAM_T + 1})) AS ham)
-    SELECT CAST(s.ham AS BIGINT) AS ham,
-           CAST(COALESCE(a.n_member_pairs, 0) AS BIGINT) AS n_member_pairs,
-           CAST(COALESCE(a.n_rep_pairs, 0) AS BIGINT) AS n_rep_pairs
-    FROM spine s LEFT JOIN allrows a ON a.ham = s.ham
-    ORDER BY s.ham
+    ), {_NEARDUP_CENSUS_SQL}
     """,
 )
 def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1369,7 +1377,17 @@ def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = (encode_media_batches(docs)
              .filter(F.col("media_type") == "image")
              .repartition("doc_id"))
-    hashes = decode_dhash(media)
+    return hamming_neardup_census(decode_dhash(media))
+
+
+def hamming_neardup_census(hashes: DataFrame) -> DataFrame:
+    """Shared banded-Hamming near-dup census over a (doc_id, hi, lo)
+    64-bit-hash frame: exact-hash contraction (closed-form ham-0
+    re-expansion), {DHASH_BANDS}x16-bit banded candidate join
+    (pigeonhole-lossless at Hamming <= {DHASH_HAM_T}), member-expanded
+    census per distance. Used by the image (dHash) and audio (envelope
+    hash) near-dup tiers — one pair discipline, two perceptual hashes."""
+    spark = hashes.sparkSession
     # exact-hash contraction: the decode+hash pipeline feeds three
     # consumers (ham-0 closed form, both banded-join sides) — checkpoint
     # the tiny distinct-hash frame once
@@ -1428,3 +1446,104 @@ def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n_rep_pairs", F.lit(0)).cast("long")
                     .alias("n_rep_pairs"))
             .orderBy("ham"))
+
+
+# --------------------------------------------------------------------------
+# Audio NEAR-duplicate detection (round 8): envelope hash + the shared
+# banded-Hamming census. The 1-D twin of the image dHash: 65 integer
+# energy cells over the waveform (cell c = sum |sample| for samples with
+# i*65//n == c), 64 neighbor-comparison bits. Shift- and rate-invariant
+# enough to group re-encoded copies; fully integer, so the oracle
+# reproduces every bit from the synth_audio closed form.
+# --------------------------------------------------------------------------
+
+
+def envelope_hash(samples) -> tuple:
+    """64-bit audio envelope hash as (hi, lo) 32-bit halves: bit c = 1
+    iff energy-cell c+1 > energy-cell c over a 65-cell integer partition
+    of |samples| (empty cells sum to 0 — deterministic on both
+    engines)."""
+    v = np.abs(samples.astype(np.int64))
+    n = v.size
+    cs = (np.arange(n, dtype=np.int64) * 65) // n
+    cells = np.bincount(cs, weights=v, minlength=65).astype(np.int64)
+    bits = (cells[1:] > cells[:-1]).astype(np.int64)
+    pw = np.arange(32, dtype=np.int64)
+    return (int((bits[32:] << pw).sum()), int((bits[:32] << pw).sum()))
+
+
+def decode_envelope_hash(media: DataFrame) -> DataFrame:
+    """Worker-side WAV decode + envelope hash (blobs stay put; 24-byte
+    hash rows enter the pair machinery)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "hi": [], "lo": []}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                hi, lo = envelope_hash(decode_wav_pcm16(bytes(p))[1])
+                out["doc_id"].append(d)
+                out["hi"].append(hi)
+                out["lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, "doc_id long, hi long, lo long")
+
+
+@register(
+    "q_media_audio_neardup",
+    # Same certification shape as q_media_neardup: the oracle evaluates
+    # the envelope hash from the synth_audio closed form and joins
+    # exhaustively — hash match proves the WAV codec, the bit-exact
+    # envelope hash, and zero banding loss.
+    oracle=f"""
+    WITH aud AS (
+        SELECT doc_id, doc_id % 50 + 10 AS n
+        FROM documents WHERE doc_id % 3 = 1
+    ), smp AS (
+        SELECT doc_id, n, unnest(range(0, n)) AS i FROM aud
+    ), cells0 AS (
+        SELECT doc_id, (i * 65) // n AS c,
+               SUM(ABS((31 * doc_id + 17 * i) % 65536 - 32768)) AS s
+        FROM smp GROUP BY 1, 2
+    ), grid AS (
+        SELECT a.doc_id, g.c, COALESCE(c0.s, 0) AS s
+        FROM aud a
+        CROSS JOIN (SELECT unnest(range(0, 65)) AS c) g
+        LEFT JOIN cells0 c0 ON c0.doc_id = a.doc_id AND c0.c = g.c
+    ), bits AS (
+        SELECT doc_id, c, bit FROM (
+            SELECT doc_id, c,
+                   CASE WHEN LEAD(s) OVER (PARTITION BY doc_id
+                                           ORDER BY c) > s
+                        THEN 1 ELSE 0 END AS bit
+            FROM grid)
+        WHERE c < 64
+    ), hashes AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN c < 32
+                             THEN bit * (CAST(1 AS BIGINT) << c)
+                             ELSE 0 END) AS BIGINT) AS lo,
+               CAST(SUM(CASE WHEN c >= 32
+                             THEN bit * (CAST(1 AS BIGINT) << (c - 32))
+                             ELSE 0 END) AS BIGINT) AS hi
+        FROM bits GROUP BY doc_id
+    ), {_NEARDUP_CENSUS_SQL}
+    """,
+)
+def q_media_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio NEAR-duplicate census: synthetic PCM waveforms (closed-form
+    samples) are encoded to true WAV containers and decoded back
+    worker-side, each clip gets a 64-bit envelope hash (65 integer
+    energy cells, neighbor-comparison bits — the 1-D twin of the image
+    dHash), and the SHARED banded-Hamming census
+    (:func:`hamming_neardup_census`) reports member-expanded and
+    representative pair counts per distance 0..{DHASH_HAM_T}.
+
+    Scale: identical to q_media_neardup — embarrassingly-parallel
+    decode+hash, contraction, 16-bit band keys over distinct hashes;
+    a production pipeline swaps the envelope hash for a spectrogram
+    fingerprint with the same 64-bit interface."""
+    docs = table(spark, sf_dir, "documents")
+    media = (encode_media_batches(docs)
+             .filter(F.col("media_type") == "audio")
+             .repartition("doc_id"))
+    return hamming_neardup_census(decode_envelope_hash(media))

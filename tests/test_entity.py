@@ -21,12 +21,16 @@ class TestSortedNeighborhood:
 
     def test_pairing_needs_no_join(self, spark, sf_dir):
         """Pairs come from LEAD() over one window — the physical plan
-        must contain a Window and NO join of any kind."""
+        must contain a Window and NO join of any kind. Inspect
+        snm_pairs directly: er_matched_pairs wraps it in the shared
+        per-session checkpoint memo, which prints as Scan ExistingRDD
+        once materialized."""
         from columnar_estimator_sample_spark.operators.entity import (
-            er_matched_pairs,
+            snm_pairs,
         )
-        plan = er_matched_pairs(spark, sf_dir)._jdf.queryExecution() \
-            .executedPlan().toString()
+        from columnar_estimator_sample_spark.sources.tables import table
+        plan = snm_pairs(table(spark, sf_dir, "part"))._jdf \
+            .queryExecution().executedPlan().toString()
         assert "Window" in plan
         assert "Join" not in plan
 

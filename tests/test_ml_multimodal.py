@@ -353,3 +353,36 @@ class TestMediaNearDup:
         assert [r["ham"] for r in rows] == [0, 1, 2, 3]
         for r in rows:
             assert r["n_member_pairs"] >= r["n_rep_pairs"] >= 0
+
+    def test_audio_envelope_hash_and_shared_census(self, spark, sf_dir):
+        """The shared census helper on a CONSTRUCTED hash frame: exact
+        groups expand in closed form and every 1..3-bit pair survives
+        the banded join (sf0.01's audio corpus happens to produce only
+        exact groups, so the near lanes are pinned here instead)."""
+        from columnar_estimator_sample_spark.operators.multimodal import (
+            hamming_neardup_census,
+        )
+        # distances: G={1,2,3} (m=3); G-A=1 (lo bit0), G-B=1 (hi bit0),
+        # G-C=3 (hi bit31 + lo bits 4,5 — crosses bands, pigeonhole
+        # match on the all-zero second lo band), A-B=2, A-C=4 (dropped),
+        # B-C=4 (dropped)
+        rows = [
+            (1, 0, 0b1010), (2, 0, 0b1010), (3, 0, 0b1010),  # group G
+            (4, 0, 0b1011),            # A
+            (5, 0b1, 0b1010),          # B
+            (6, 1 << 31, 0b111010),    # C
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, hi long, lo long")
+        got = {r["ham"]: (r["n_member_pairs"], r["n_rep_pairs"])
+               for r in hamming_neardup_census(df).collect()}
+        assert got[0] == (3, 1)        # C(3,2) member pairs, 1 dup group
+        assert got[1] == (6, 2)        # G-A and G-B, each expanding m=3
+        assert got[2] == (1, 1)        # A-B
+        assert got[3] == (3, 1)        # G-C expands m=3
+
+    def test_audio_neardup_spark(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.registry import queries
+        rows = queries()["q_media_audio_neardup"](spark, sf_dir).collect()
+        assert [r["ham"] for r in rows] == [0, 1, 2, 3]
+        for r in rows:
+            assert r["n_member_pairs"] >= r["n_rep_pairs"] >= 0
