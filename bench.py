@@ -79,6 +79,7 @@ HEADLINE = [
     "q_media_audio_neardup",
     "q_dsir_bigram",
     "q_ann_ivf_pq_topk",
+    "q_ann_ivf_pq_residual",
 ]
 
 

@@ -952,3 +952,167 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("hit", F.lit(0)).cast("long")
                     .alias("in_exact"))
             .orderBy("query_id", "rank"))
+
+
+@register(
+    "q_ann_ivf_pq_residual",
+    oracle=f"""
+    WITH ex AS ({_SQL_EX}
+    ), norms AS (
+        SELECT vec_id, CAST(SUM(vi * vi) AS BIGINT) AS n_s
+        FROM ex GROUP BY vec_id
+    ), cex AS (
+        SELECT vec_id AS centroid_id, i, vi AS ci
+        FROM ex WHERE vec_id < {IVF_NLIST}
+    ), vc AS (
+        SELECT e.vec_id, c.centroid_id,
+               CAST(SUM(e.vi * c.ci) AS BIGINT) AS dot_s
+        FROM ex e JOIN cex c ON c.i = e.i
+        GROUP BY 1, 2
+    ), cranked AS (
+        SELECT vc.vec_id, vc.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vc.vec_id
+                   ORDER BY CAST(dot_s AS DOUBLE)
+                            / (sqrt(CAST(nv.n_s AS DOUBLE))
+                               * sqrt(CAST(nc.n_s AS DOUBLE))) DESC,
+                            vc.centroid_id) AS rnk
+        FROM vc
+        JOIN norms nv ON nv.vec_id = vc.vec_id
+        JOIN norms nc ON nc.vec_id = vc.centroid_id
+    ), assign AS (
+        SELECT vec_id, centroid_id FROM cranked WHERE rnk = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, centroid_id
+        FROM cranked WHERE vec_id < {N_QUERIES} AND rnk <= {IVF_NPROBE}
+    ), res AS (
+        SELECT e.vec_id, a.centroid_id,
+               e.i // {PQ_SUBDIM} AS s, e.i % {PQ_SUBDIM} AS j,
+               e.vi - c.ci AS ri
+        FROM ex e
+        JOIN assign a ON a.vec_id = e.vec_id
+        JOIN cex c ON c.centroid_id = a.centroid_id AND c.i = e.i
+    ), rcb AS (
+        SELECT s, j, vec_id AS code, ri AS cw FROM res
+        WHERE vec_id < {PQ_K}
+    ), d AS (
+        SELECT v.vec_id, v.s, c.code,
+               CAST(SUM((v.ri - c.cw) * (v.ri - c.cw)) AS BIGINT) AS d2
+        FROM res v JOIN rcb c ON c.s = v.s AND c.j = v.j
+        GROUP BY 1, 2, 3
+    ), codes AS (
+        SELECT vec_id, s, code FROM (
+            SELECT vec_id, s, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d2, code) AS rnk
+            FROM d
+        ) WHERE rnk = 1
+    ), qres AS (
+        SELECT p.query_id, p.centroid_id,
+               e.i // {PQ_SUBDIM} AS s, e.i % {PQ_SUBDIM} AS j,
+               e.vi - c.ci AS qr
+        FROM probes p
+        JOIN ex e ON e.vec_id = p.query_id
+        JOIN cex c ON c.centroid_id = p.centroid_id AND c.i = e.i
+    ), dtab AS (
+        SELECT q.query_id, q.centroid_id, q.s, c.code,
+               CAST(SUM((q.qr - c.cw) * (q.qr - c.cw)) AS BIGINT) AS d2
+        FROM qres q JOIN rcb c ON c.s = q.s AND c.j = q.j
+        GROUP BY 1, 2, 3, 4
+    ), cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+               a.centroid_id
+        FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+        WHERE a.vec_id <> p.query_id
+    ), adc AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               CAST(SUM(t.d2) AS BIGINT) AS adc_d2
+        FROM cand cd
+        JOIN codes v ON v.vec_id = cd.neighbor_id
+        JOIN dtab t ON t.query_id = cd.query_id
+                   AND t.centroid_id = cd.centroid_id
+                   AND t.s = v.s AND t.code = v.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_d2, rank FROM (
+        SELECT query_id, neighbor_id, adc_d2,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d2, neighbor_id) AS rank
+        FROM adc
+    ) WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ — the full FAISS-IVFPQ encoding that
+    q_ann_ivf_pq_topk documents as its delta: PQ codes are learned and
+    assigned over RESIDUALS (vector minus its coarse centroid), and each
+    query builds a distance table PER PROBED CELL from its
+    cell-relative residual, so the asymmetric distance approximates
+    ||q - x|| rather than mixing cell offsets into the codes. Residuals
+    stay in the exact integer lane (vi - ci of already-scaled int64
+    components), so the oracle reproduces codes, tables, and ranking
+    bit for bit.
+
+    Scale: identical join shapes to q_ann_ivf_pq_topk, plus one
+    broadcast of the {IVF_NLIST} x dim centroid components into the
+    residual projection (map-side, no extra shuffle); the query
+    distance tables grow by the nprobe factor
+    (|Q| x {IVF_NPROBE} x {PQ_SUB} x {PQ_K} rows) and stay broadcast.
+    This is the layout FAISS ships as IndexIVFPQ."""
+    from columnar_estimator_sample_spark.operators.similarity import (
+        _ivf_cells,
+    )
+    ranked, norms, ex = _ivf_cells(spark, sf_dir)
+    assign = (ranked.filter(F.col("rnk") == 1)
+              .select("vec_id", "centroid_id"))
+    probes = (ranked.filter((F.col("vec_id") < N_QUERIES)
+                            & (F.col("rnk") <= IVF_NPROBE))
+              .select(F.col("vec_id").alias("query_id"), "centroid_id"))
+    cexp = (ex.filter(F.col("vec_id") < IVF_NLIST)
+            .select(F.col("vec_id").alias("centroid_id"), "i",
+                    F.col("vi").alias("ci")))
+    res = (ex.join(assign, "vec_id")
+           .join(F.broadcast(cexp), ["centroid_id", "i"])
+           .select("vec_id", "centroid_id",
+                   F.expr(f"i div {PQ_SUBDIM}").alias("s"),
+                   (F.col("i") % PQ_SUBDIM).alias("j"),
+                   (F.col("vi") - F.col("ci")).alias("ri")))
+    rcb = (res.filter(F.col("vec_id") < PQ_K)
+           .select("s", "j", F.col("vec_id").alias("code"),
+                   F.col("ri").alias("cw")))
+    rd2 = F.sum((F.col("ri") - F.col("cw"))
+                * (F.col("ri") - F.col("cw"))).cast("long").alias("d2")
+    d = (res.join(F.broadcast(rcb), ["s", "j"])
+         .groupBy("vec_id", "s", "code").agg(rd2))
+    w_code = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
+    codes = (d.withColumn("rnk", F.row_number().over(w_code))
+             .filter(F.col("rnk") == 1)
+             .select(F.col("vec_id").alias("neighbor_id"), "s", "code"))
+    qres = (probes
+            .join(ex.filter(F.col("vec_id") < N_QUERIES)
+                  .select(F.col("vec_id").alias("query_id"), "i",
+                          F.col("vi").alias("qv")), "query_id")
+            .join(F.broadcast(cexp), ["centroid_id", "i"])
+            .select("query_id", "centroid_id",
+                    F.expr(f"i div {PQ_SUBDIM}").alias("s"),
+                    (F.col("i") % PQ_SUBDIM).alias("j"),
+                    (F.col("qv") - F.col("ci")).alias("qr")))
+    qd2 = F.sum((F.col("qr") - F.col("cw"))
+                * (F.col("qr") - F.col("cw"))).cast("long").alias("d2")
+    dtab = (qres.join(F.broadcast(rcb), ["s", "j"])
+            .groupBy("query_id", "centroid_id", "s", "code").agg(qd2))
+    cand = (probes.join(assign, "centroid_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "centroid_id")
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    adc = (cand.join(codes, "neighbor_id")
+           .join(F.broadcast(dtab),
+                 ["query_id", "centroid_id", "s", "code"])
+           .groupBy("query_id", "neighbor_id")
+           .agg(F.sum("d2").cast("long").alias("adc_d2")))
+    w_q = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (adc.withColumn("rank", F.row_number().over(w_q))
+            .filter(F.col("rank") <= TOP_K)
+            .orderBy("query_id", "rank"))

@@ -205,16 +205,34 @@ def main() -> int:
 
     print(f"\n{len(passed)} passed, {len(failed)} failed, "
           f"{len(rows_only)} rows-only")
-    if emit_json and not only:
+    if emit_json:
         import json
         import os
         out = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "CORRECTNESS_LOCAL.json")
-        with open(out, "w") as f:
-            json.dump({"sf_dir": sf_dir, "n_pass": len(passed),
+        if only:
+            # subset run: MERGE the fresh rows into the existing ledger
+            # (full regeneration stays the norm; the merge keeps the
+            # ledger covering newly-registered queries without a 30-min
+            # full pass per addition — every merged row still comes from
+            # a real differential run above)
+            with open(out) as f:
+                prev = json.load(f)
+            prev["queries"].update(ledger)
+            counts = {"pass": 0, "fail": 0, "rows_only": 0}
+            for row in prev["queries"].values():
+                counts[row["status"]] += 1
+            prev["n_pass"] = counts["pass"]
+            prev["n_fail"] = counts["fail"]
+            prev["n_rows_only"] = counts["rows_only"]
+            payload = prev
+        else:
+            payload = {"sf_dir": sf_dir, "n_pass": len(passed),
                        "n_fail": len(failed),
                        "n_rows_only": len(rows_only),
-                       "queries": ledger}, f, indent=1, sort_keys=True)
+                       "queries": ledger}
+        with open(out, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
         print(f"wrote {out}")
     return 1 if failed else 0
 
