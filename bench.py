@@ -77,6 +77,7 @@ HEADLINE = [
     # round-8 tier representatives
     "q_media_neardup",
     "q_media_audio_neardup",
+    "q_media_video_neardup",
     "q_dsir_bigram",
     "q_ann_ivf_pq_topk",
     "q_ann_ivf_pq_residual",

@@ -1547,3 +1547,126 @@ def q_media_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("media_type") == "audio")
              .repartition("doc_id"))
     return hamming_neardup_census(decode_envelope_hash(media))
+
+
+# --------------------------------------------------------------------------
+# Video NEAR-duplicate detection (round 8): Walsh-Hadamard pHash over
+# the real JPEG round trip. A classic pHash takes the sign pattern of
+# low-frequency DCT coefficients; the DCT's float cosines would put a
+# libm divergence between the engines, so this tier uses the
+# Walsh-Hadamard transform instead — the same "sign of coarse spectral
+# coefficients" structure with EXACT integer arithmetic
+# (s(u,c) = (-1)^popcount(u AND c)), reproducible bit for bit in SQL.
+# Completes the near-dup suite across all three modalities (PNG dHash,
+# WAV envelope hash, JPEG WHT pHash) on one shared census.
+# --------------------------------------------------------------------------
+
+# ±1 Hadamard sign matrix S[u, c] = (-1)^popcount(u & c), 8x8
+_WHT_S = np.array([[(-1) ** bin(u & c).count("1") for c in range(8)]
+                   for u in range(8)], dtype=np.int64)
+
+
+def phash_wht(img) -> tuple:
+    """64-bit Walsh-Hadamard perceptual hash as (hi, lo): downsample to
+    an 8x8 integer cell grid (block-sums; the synthetic frames are
+    8x8-block-aligned so the grid divides exactly), 2-D WHT
+    C = S @ cells @ S^T, bit(u, v) = 1 iff C(u, v) > 0, packed at
+    position u*8 + v (the DC bit is constant for non-empty frames and
+    contributes nothing to any Hamming distance)."""
+    img = img.astype(np.int64)
+    h, w = img.shape
+    bh, bw = h // 8, w // 8
+    cells = img.reshape(8, bh, 8, bw).sum(axis=(1, 3))
+    coef = _WHT_S @ cells @ _WHT_S.T
+    bits = (coef > 0).astype(np.int64).ravel()
+    pw = np.arange(32, dtype=np.int64)
+    return (int((bits[32:] << pw).sum()), int((bits[:32] << pw).sum()))
+
+
+@register(
+    "q_media_video_neardup",
+    # Oracle evaluates the WHT pHash from the blocky-frame closed form
+    # (per-pixel unnest -> cell sums -> (-1)^popcount sign products) and
+    # joins exhaustively — a hash match certifies the JPEG round trip,
+    # the bit-exact transform, and zero banding loss.
+    oracle=f"""
+    WITH vid AS (
+        SELECT doc_id, doc_id % 4 + 1 AS bw, doc_id % 3 + 1 AS bh
+        FROM documents WHERE doc_id % 3 = 2
+    ), px AS (
+        SELECT doc_id, bw, bh,
+               unnest(range(0, 64 * bw * bh)) AS k
+        FROM vid
+    ), cells AS (
+        SELECT doc_id,
+               ((k // (8 * bw)) // bh) AS cy,
+               ((k % (8 * bw)) // bw) AS cx,
+               SUM((11 * ((k % (8 * bw)) // 8)
+                    + 23 * ((k // (8 * bw)) // 8)
+                    + doc_id) % 256) AS s
+        FROM px GROUP BY 1, 2, 3
+    ), uv AS (
+        SELECT u, v FROM (SELECT unnest(range(0, 8)) AS u)
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS v)
+    ), coef AS (
+        SELECT c.doc_id, g.u, g.v,
+               SUM(c.s * (1 - 2 * (bit_count(g.u & c.cy) % 2))
+                       * (1 - 2 * (bit_count(g.v & c.cx) % 2))) AS coef
+        FROM cells c CROSS JOIN uv g
+        GROUP BY 1, 2, 3
+    ), bits AS (
+        SELECT doc_id, u * 8 + v AS pos,
+               CASE WHEN coef > 0 THEN 1 ELSE 0 END AS bit
+        FROM coef
+    ), hashes AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN pos < 32
+                             THEN bit * (CAST(1 AS BIGINT) << pos)
+                             ELSE 0 END) AS BIGINT) AS lo,
+               CAST(SUM(CASE WHEN pos >= 32
+                             THEN bit * (CAST(1 AS BIGINT) << (pos - 32))
+                             ELSE 0 END) AS BIGINT) AS hi
+        FROM bits GROUP BY doc_id
+    ), {_NEARDUP_CENSUS_SQL}
+    """,
+)
+def q_media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame NEAR-duplicate census: block-constant synthetic
+    frames round-trip through REAL baseline JPEGs (FDCT, Huffman,
+    zigzag — lossless for DC-only content), each decoded frame gets a
+    64-bit Walsh-Hadamard pHash (sign pattern of the 8x8 coarse
+    spectral coefficients — the pHash family with the float DCT
+    replaced by the exact integer WHT), and the SHARED
+    :func:`hamming_neardup_census` reports pairs per distance
+    0..{DHASH_HAM_T}. With q_media_neardup (PNG dHash) and
+    q_media_audio_neardup (WAV envelope hash) this puts perceptual
+    near-dup on all three modalities through one banded pair
+    discipline.
+
+    Scale: same shape as the other two tiers — the only full-width
+    stage is decode+hash; production swaps per-frame hashes for
+    sampled-frame hashes (frame_sample_plan) with the same 64-bit
+    interface."""
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"] if int(d) % 3 == 2]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [encode_jpeg_gray(synth_blocky_image(d))
+                            for d in ids]})
+
+    def hash_(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "hi": [], "lo": []}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                hi, lo = phash_wht(decode_jpeg_gray(bytes(p)))
+                out["doc_id"].append(d)
+                out["hi"].append(hi)
+                out["lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    media = (docs.mapInPandas(encode, "doc_id long, payload binary")
+             .repartition("doc_id"))
+    hashes = media.mapInPandas(hash_, "doc_id long, hi long, lo long")
+    return hamming_neardup_census(hashes)

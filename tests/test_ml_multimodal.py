@@ -386,3 +386,41 @@ class TestMediaNearDup:
         assert [r["ham"] for r in rows] == [0, 1, 2, 3]
         for r in rows:
             assert r["n_member_pairs"] >= r["n_rep_pairs"] >= 0
+
+    def test_wht_phash_properties(self):
+        """WHT pHash: deterministic, brightness-shift invariant on
+        non-DC bits (a constant shift only moves the DC coefficient),
+        and bit-identical to a direct O(n^2) transform."""
+        import numpy as np
+
+        from columnar_estimator_sample_spark.operators.multimodal import (
+            phash_wht,
+        )
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 200, size=(24, 16)).astype(np.uint8)
+        hi, lo = phash_wht(img)
+        assert (hi, lo) == phash_wht(img.copy())
+        shi, slo = phash_wht(img + 40)
+        # only bit 0 (the DC sign, position u=v=0 -> lo bit 0) may move
+        assert hi == shi and (lo | 1) == (slo | 1)
+        # direct-definition replay
+        cells = img.astype(np.int64).reshape(8, 3, 8, 2).sum(axis=(1, 3))
+        direct = np.zeros((8, 8), dtype=np.int64)
+        for u in range(8):
+            for v in range(8):
+                for cy in range(8):
+                    for cx in range(8):
+                        s = (-1) ** (bin(u & cy).count("1")
+                                     + bin(v & cx).count("1"))
+                        direct[u, v] += s * cells[cy, cx]
+        bits = (direct > 0).astype(np.int64).ravel()
+        pw = np.arange(32, dtype=np.int64)
+        assert hi == int((bits[32:] << pw).sum())
+        assert lo == int((bits[:32] << pw).sum())
+
+    def test_video_neardup_spark(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.registry import queries
+        rows = queries()["q_media_video_neardup"](spark, sf_dir).collect()
+        assert [r["ham"] for r in rows] == [0, 1, 2, 3]
+        for r in rows:
+            assert r["n_member_pairs"] >= r["n_rep_pairs"] >= 0

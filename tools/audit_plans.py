@@ -33,6 +33,7 @@ ARROW_ALLOWED = {"q_media_features", "q_similarity_topk_fast",
                  # r8: PNG decode + dHash is the vectorized worker-side
                  # stage of the image near-dup tier
                  "q_media_neardup", "q_media_audio_neardup",
+                 "q_media_video_neardup",
                  # r7: rides the same gather+einsum scorer as the LSH
                  # tier. CAVEAT: its MapInPandas sits BEHIND a lazy
                  # localCheckpoint boundary, which the printed plan
@@ -71,7 +72,7 @@ BUILD_RUNS_JOBS = {
     # forward into this audit's build step — not a plan-time probe
     "q_dedup_minhash_lsh", "q_dedup_cosine_setjoin",
     "q_dedup_prefix_filter", "q_media_neardup",
-    "q_media_audio_neardup", "q_semdedup",
+    "q_media_audio_neardup", "q_media_video_neardup", "q_semdedup",
     "q_er_sorted_neighborhood",
     # streaming availableNow drains + IO roundtrips: the builder runs
     # the stream / write-read cycle end-to-end and returns the landed
