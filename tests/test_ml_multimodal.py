@@ -424,3 +424,35 @@ class TestMediaNearDup:
         assert [r["ham"] for r in rows] == [0, 1, 2, 3]
         for r in rows:
             assert r["n_member_pairs"] >= r["n_rep_pairs"] >= 0
+
+    def test_dhash_and_envelope_direct_replay(self):
+        """Both remaining perceptual hashes replayed from their direct
+        definitions (the WHT test already replays phash_wht) — pins the
+        vectorized numpy kernels to the spec the oracles evaluate."""
+        import numpy as np
+
+        from columnar_estimator_sample_spark.operators.multimodal import (
+            dhash_gray, envelope_hash,
+        )
+        rng = np.random.RandomState(5)
+        img = rng.randint(0, 256, size=(13, 17)).astype(np.uint8)
+        h, w = img.shape
+        cells = [[0] * 9 for _ in range(8)]
+        for y in range(h):
+            for x in range(w):
+                cells[y * 8 // h][x * 9 // w] += int(img[y, x])
+        bits = [1 if cells[cy][i + 1] > cells[cy][i] else 0
+                for cy in range(8) for i in range(8)]
+        lo = sum(b << p for p, b in enumerate(bits[:32]))
+        hi = sum(b << p for p, b in enumerate(bits[32:]))
+        assert dhash_gray(img) == (hi, lo)
+
+        s = rng.randint(-32768, 32768, size=37).astype("<i2")
+        n = len(s)
+        ecells = [0] * 65
+        for i in range(n):
+            ecells[i * 65 // n] += abs(int(s[i]))
+        ebits = [1 if ecells[c + 1] > ecells[c] else 0 for c in range(64)]
+        elo = sum(b << p for p, b in enumerate(ebits[:32]))
+        ehi = sum(b << p for p, b in enumerate(ebits[32:]))
+        assert envelope_hash(s) == (ehi, elo)
