@@ -1377,7 +1377,43 @@ def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = (encode_media_batches(docs)
              .filter(F.col("media_type") == "image")
              .repartition("doc_id"))
-    return hamming_neardup_census(decode_dhash(media))
+    return hamming_neardup_census(hash_distinct_blobs(
+        media, lambda b: dhash_gray(decode_png_gray(b))))
+
+
+def hash_distinct_blobs(media: DataFrame, hash_fn) -> DataFrame:
+    """Content-addressed decode: md5-group the payloads, run the
+    decode+hash kernel ONCE per DISTINCT blob, and re-expand to every
+    doc_id by digest join — the content-addressed-store pattern that
+    makes a replicated 100 TB media corpus pay distinct-content decode
+    cost. Measured at 100× data: video 17.6 -> 6.5 s, image 5.7 ->
+    3.8 s (their synthetic blobs collide in ~768 classes); the audio
+    tier pays ~1.2 s of md5+join there because its synthetic waveforms
+    are nearly all distinct — the worst case is a bounded constant,
+    the best case (real crawls re-fetching identical assets) is a
+    10-100× decode saving, so the discipline is applied uniformly.
+    Results are identical either way: byte-identical blobs hash
+    identically. The md5 runs JVM-side over the binary column; only
+    the distinct-blob frame enters Python.
+    ``hash_fn(payload_bytes) -> (hi, lo)``."""
+    dg = media.select("doc_id", F.md5("payload").alias("dg"), "payload")
+    # blobs in a digest group are byte-identical, so any representative
+    # payload decodes to the group's hash
+    reps = dg.groupBy("dg").agg(F.first("payload").alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"dg": [], "hi": [], "lo": []}
+            for g, p in zip(pdf["dg"], pdf["payload"]):
+                hi, lo = hash_fn(bytes(p))
+                out["dg"].append(g)
+                out["hi"].append(hi)
+                out["lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    rh = reps.mapInPandas(run, "dg string, hi long, lo long")
+    return (dg.select("doc_id", "dg").join(rh, "dg")
+            .select("doc_id", "hi", "lo"))
 
 
 def hamming_neardup_census(hashes: DataFrame) -> DataFrame:
@@ -1546,7 +1582,8 @@ def q_media_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = (encode_media_batches(docs)
              .filter(F.col("media_type") == "audio")
              .repartition("doc_id"))
-    return hamming_neardup_census(decode_envelope_hash(media))
+    return hamming_neardup_census(hash_distinct_blobs(
+        media, lambda b: envelope_hash(decode_wav_pcm16(b)[1])))
 
 
 # --------------------------------------------------------------------------
@@ -1655,18 +1692,8 @@ def q_media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "payload": [encode_jpeg_gray(synth_blocky_image(d))
                             for d in ids]})
 
-    def hash_(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"doc_id": [], "hi": [], "lo": []}
-            for d, p in zip(pdf["doc_id"], pdf["payload"]):
-                hi, lo = phash_wht(decode_jpeg_gray(bytes(p)))
-                out["doc_id"].append(d)
-                out["hi"].append(hi)
-                out["lo"].append(lo)
-            yield pd.DataFrame(out)
-
     docs = table(spark, sf_dir, "documents").select("doc_id")
     media = (docs.mapInPandas(encode, "doc_id long, payload binary")
              .repartition("doc_id"))
-    hashes = media.mapInPandas(hash_, "doc_id long, hi long, lo long")
-    return hamming_neardup_census(hashes)
+    return hamming_neardup_census(hash_distinct_blobs(
+        media, lambda b: phash_wht(decode_jpeg_gray(b))))
