@@ -456,3 +456,55 @@ class TestMediaNearDup:
         elo = sum(b << p for p, b in enumerate(ebits[:32]))
         ehi = sum(b << p for p, b in enumerate(ebits[32:]))
         assert envelope_hash(s) == (ehi, elo)
+
+    def test_census_matches_bruteforce_on_random_hashes(self, spark):
+        """Adversarial check of the banding machinery itself: 120
+        random 64-bit hashes (some duplicated), census vs a direct
+        O(n^2) numpy replay — proves the 4x16-bit pigeonhole join loses
+        nothing on arbitrary (non-formula) inputs."""
+        import numpy as np
+
+        from columnar_estimator_sample_spark.operators.multimodal import (
+            DHASH_HAM_T, hamming_neardup_census,
+        )
+        rng = np.random.RandomState(42)
+        base = rng.randint(0, 2 ** 32, size=(80, 2), dtype=np.uint64)
+        # duplicates + near misses: copy rows and flip 1-4 random bits
+        extra = []
+        for k in range(40):
+            hi, lo = base[k % 80]
+            for _ in range(k % 5):  # 0..4 bit flips
+                pos = rng.randint(64)
+                if pos < 32:
+                    lo = np.uint64(lo) ^ np.uint64(1 << pos)
+                else:
+                    hi = np.uint64(hi) ^ np.uint64(1 << (pos - 32))
+            extra.append((hi, lo))
+        allh = [(int(h), int(lo)) for h, lo in list(map(tuple, base)) + extra]
+        rows = [(i, h, lo) for i, (h, lo) in enumerate(allh)]
+        df = spark.createDataFrame(rows, "doc_id long, hi long, lo long")
+        got = {r["ham"]: (r["n_member_pairs"], r["n_rep_pairs"])
+               for r in hamming_neardup_census(df).collect()}
+
+        # brute force
+        import collections
+        groups = collections.Counter(allh)
+        exp = collections.Counter()
+        reps = collections.Counter()
+        for m in groups.values():
+            if m >= 2:
+                exp[0] += m * (m - 1) // 2
+                reps[0] += 1
+        ghs = list(groups.items())
+        for a in range(len(ghs)):
+            for b in range(a + 1, len(ghs)):
+                (h1, l1), m1 = ghs[a]
+                (h2, l2), m2 = ghs[b]
+                ham = bin(h1 ^ h2).count("1") + bin(l1 ^ l2).count("1")
+                if 1 <= ham <= DHASH_HAM_T:
+                    exp[ham] += m1 * m2
+                    reps[ham] += 1
+        for ham in range(DHASH_HAM_T + 1):
+            assert got[ham] == (exp[ham], reps[ham]), (
+                f"ham={ham}: census {got[ham]} != brute "
+                f"{(exp[ham], reps[ham])}")
