@@ -81,6 +81,7 @@ HEADLINE = [
     "q_dsir_bigram",
     "q_ann_ivf_pq_topk",
     "q_ann_ivf_pq_residual",
+    "q_contamination_semantic",
 ]
 
 

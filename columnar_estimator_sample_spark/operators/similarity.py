@@ -961,3 +961,132 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000 * n_candidates)"
                " div GREATEST(n_vec * (n_vec - 1) DIV 2, 1)")
         .alias("candidate_frac_pm"))
+
+
+# --- Semantic benchmark decontamination ----------------------------------
+# The n-gram screen (operators/corpus.q_contamination_check) catches
+# verbatim leakage; modern decontamination reports (retrieval-based /
+# paraphrase-aware) also screen EVAL items against the training corpus in
+# embedding space. This is the cross-SET (asymmetric) variant of the
+# banded hyperplane LSH: eval-side band keys broadcast against the train
+# corpus's bands, exact cosine only for bucket mates.
+
+SEMCON_NEVAL = 25  # vec_id < 25 stand in for the benchmark/eval vectors
+
+
+def _semcon_oracle() -> str:
+    return f"""
+    WITH ex AS ({_SQL_EX}
+    ), terms AS (
+        SELECT vec_id, p.p,
+               CASE WHEN CAST(('0x' || substr(md5('pl' || p.p || '_'
+                         || ex.i), 1, 15)) AS BIGINT) % 2 = 0
+                    THEN vi ELSE -vi END AS t
+        FROM ex, (SELECT unnest(range(0, {ANN_PLANES})) AS p) p
+    ), sums AS (
+        SELECT vec_id, p, SUM(t) AS s FROM terms GROUP BY vec_id, p
+    ), bands AS (
+        SELECT vec_id, p // {ANN_ROWS} AS band,
+               SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END
+                   * (1::BIGINT << (p % {ANN_ROWS}))) AS band_key
+        FROM sums GROUP BY vec_id, p // {ANN_ROWS}
+    ), cand AS (
+        SELECT DISTINCT l.vec_id AS eval_id, r.vec_id AS train_id
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.band_key = r.band_key
+         AND l.vec_id < {SEMCON_NEVAL} AND r.vec_id >= {SEMCON_NEVAL}
+    ), norms AS (
+        SELECT vec_id, CAST(SUM(vi * vi) AS BIGINT) AS n_s
+        FROM ex GROUP BY vec_id
+    ), flagged AS (
+        SELECT c.eval_id, c.train_id,
+               CAST(dot_s AS DOUBLE)
+               / (sqrt(CAST(na.n_s AS DOUBLE))
+                  * sqrt(CAST(nb.n_s AS DOUBLE))) AS cosine
+        FROM (SELECT c.eval_id, c.train_id,
+                     CAST(SUM(a.vi * b.vi) AS BIGINT) AS dot_s
+              FROM cand c
+              JOIN ex a ON a.vec_id = c.eval_id
+              JOIN ex b ON b.vec_id = c.train_id AND b.i = a.i
+              GROUP BY 1, 2) c
+        JOIN norms na ON na.vec_id = c.eval_id
+        JOIN norms nb ON nb.vec_id = c.train_id
+        WHERE CAST(dot_s AS DOUBLE)
+              / (sqrt(CAST(na.n_s AS DOUBLE))
+                 * sqrt(CAST(nb.n_s AS DOUBLE))) >= {ANN_COS_T}
+    ), top AS (
+        SELECT eval_id, train_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY eval_id
+                                  ORDER BY cosine DESC, train_id) AS rnk
+        FROM flagged
+    ), census AS (
+        SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_flagged
+        FROM flagged GROUP BY eval_id
+    ), spine AS (SELECT unnest(range(0, {SEMCON_NEVAL})) AS eval_id)
+    SELECT CAST(s.eval_id AS BIGINT) AS eval_id,
+           CAST(COALESCE(c.n_flagged, 0) AS BIGINT) AS n_flagged,
+           t.train_id AS top_match,
+           t.cosine AS top_cos
+    FROM spine s
+    LEFT JOIN census c ON c.eval_id = s.eval_id
+    LEFT JOIN top t ON t.eval_id = s.eval_id AND t.rnk = 1
+    ORDER BY s.eval_id
+    """
+
+
+@register("q_contamination_semantic", oracle=_semcon_oracle())
+def q_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination: for each of the
+    {SEMCON_NEVAL} eval vectors, how many TRAINING vectors sit above
+    the cosine threshold, and which is the closest — the embedding-space
+    screen that catches paraphrased/near-verbatim leakage the n-gram
+    check (q_contamination_check) cannot. Candidates come from the
+    banded hyperplane LSH (same signatures/bands as
+    q_dedup_embedding_lsh) joined ASYMMETRICALLY: eval bands against
+    train bands, exact cosine only for bucket mates; evals with no
+    match report a zero row via the spine.
+
+    Scale: the eval side is a few hundred band-key rows — BROADCAST —
+    so the training corpus's band frame never shuffles for the screen;
+    exact scoring rides the distributed join-gather + Arrow einsum
+    kernel over the candidate stream (output-proportional). The eval
+    signature scan prunes to the eval vectors (filter pushes below the
+    per-vector aggregate); the train side is one signature pass —
+    identical cost profile to the within-set LSH dedup, minus its
+    self-join."""
+    emb = table(spark, sf_dir, "embeddings")
+    bits = ann_signatures(spark, sf_dir, ANN_PLANES, emb=emb)
+    band_keys = [
+        sum((F.col(f"b{b * ANN_ROWS + r}") * (2 ** r)
+             for r in range(ANN_ROWS)), start=F.lit(0))
+        for b in range(ANN_BANDS)
+    ]
+    bands = bits.select(
+        "vec_id",
+        F.posexplode(F.array(*band_keys)).alias("band", "band_key"))
+    eval_b = (bands.filter(F.col("vec_id") < SEMCON_NEVAL)
+              .select(F.col("vec_id").alias("vec_a"), "band", "band_key"))
+    train_b = (bands.filter(F.col("vec_id") >= SEMCON_NEVAL)
+               .select(F.col("vec_id").alias("vec_b"), "band", "band_key"))
+    cand = (train_b.join(F.broadcast(eval_b), ["band", "band_key"])
+            .select("vec_a", "vec_b")
+            .dropDuplicates(["vec_a", "vec_b"]))
+    scored = score_candidates_gather(cand, emb)  # keeps cos >= ANN_COS_T
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cosine"),
+                                            F.asc("vec_b"))
+    top = (scored.withColumn("rnk", F.row_number().over(w))
+           .filter(F.col("rnk") == 1)
+           .select(F.col("vec_a").alias("eval_id"),
+                   F.col("vec_b").alias("top_match"),
+                   F.col("cosine").alias("top_cos")))
+    census = (scored.groupBy(F.col("vec_a").alias("eval_id"))
+              .agg(F.count("*").cast("long").alias("n_flagged")))
+    spine = (spark.range(SEMCON_NEVAL)
+             .select(F.col("id").cast("long").alias("eval_id")))
+    return (spine.join(census, "eval_id", "left")
+            .join(top, "eval_id", "left")
+            .select("eval_id",
+                    F.coalesce("n_flagged", F.lit(0)).cast("long")
+                    .alias("n_flagged"),
+                    "top_match", "top_cos")
+            .orderBy("eval_id"))

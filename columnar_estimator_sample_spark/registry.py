@@ -91,14 +91,14 @@ _loaded = False
 # feature_hash_buckets, split_by_user, sample_exact_k,
 # sample_stratified, pack_chunks, phrase_search, pii_redaction,
 # media_metadata, ndv_catalog — plus triangle_count,
-# tfidf_terms and text_token_stats, bumped by the round-8 audio/video
-# near-dup and residual-PQ queries) rotate in next round, then the r2/r4
+# tfidf_terms, text_token_stats and text_quality, bumped by the round-8
+# audio/video near-dup, residual-PQ and semantic-contamination queries) rotate in next round, then the r2/r4
 # cohorts.
 _DRIVER_WINDOW_R8 = [
     # (a) round-8-new + rewritten-this-round r7 rows
     "q_media_neardup", "q_media_audio_neardup", "q_dsir_bigram",
     "q_ann_ivf_pq_topk", "q_ann_ivf_pq_residual",
-    "q_media_video_neardup",
+    "q_media_video_neardup", "q_contamination_semantic",
     "q_semdedup", "q_tfrecord_stream_census",
     # (b) latest driver row is round 1
     "q_dedup_exact", "q_dedup_fingerprint", "q_dedup_minhash_lsh",
@@ -118,7 +118,6 @@ _DRIVER_WINDOW_R8 = [
     "q_hybrid_rrf", "q_inverted_index", "q_kcore_census",
     "q_media_dedup", "q_similarity_topk", "q_similarity_topk_fast",
     "q_text_bpe_tokens", "q_text_fingerprint", "q_text_langid",
-    "q_text_quality",
 ]
 
 

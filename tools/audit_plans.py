@@ -29,6 +29,8 @@ import time
 # documented throughput path; everything else is pure Catalyst)
 ARROW_ALLOWED = {"q_media_features", "q_similarity_topk_fast",
                  "q_dedup_embedding_lsh", "q_media_pixel_stats",
+                 # r8: cross-set gather scorer (eval-vs-train screen)
+                 "q_contamination_semantic",
                  "q_media_jpeg_roundtrip",
                  # r8: PNG decode + dHash is the vectorized worker-side
                  # stage of the image near-dup tier
