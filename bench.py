@@ -82,6 +82,7 @@ HEADLINE = [
     "q_ann_ivf_pq_topk",
     "q_ann_ivf_pq_residual",
     "q_contamination_semantic",
+    "q_dedup_minhash_recall",
 ]
 
 

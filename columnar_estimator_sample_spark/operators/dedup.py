@@ -1262,3 +1262,119 @@ def q_dedup_cosine_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     return cosine_setjoin_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+def _minhash_recall_oracle() -> str:
+    a, bq = minhash_params(MINHASH_K)
+    a_lit = "[{}]".format(",".join(str(v) for v in a))
+    b_lit = "[{}]".format(",".join(str(v) for v in bq))
+    rows = MINHASH_K // LSH_BANDS
+    shingles = _sql_shingles("text")
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, lang, {shingles} AS shingles
+        FROM documents WHERE doc_id < 500
+    ), hx AS (
+        SELECT doc_id, shingles,
+               list_transform(shingles,
+                   s -> {sql_h64('s')} % {MERSENNE_P}) AS xs
+        FROM sh
+    ), sigs AS (
+        SELECT doc_id,
+               list_transform(range(1, {MINHASH_K} + 1),
+                   i -> list_min(list_transform(xs,
+                        x -> (({a_lit}[CAST(i AS INT)] * x
+                               + {b_lit}[CAST(i AS INT)]) % {MERSENNE_P})))
+               ) AS sig
+        FROM hx
+    ), bands AS (
+        SELECT doc_id, b.band,
+               md5(array_to_string(
+                   sig[b.band * {rows} + 1 : (b.band + 1) * {rows}],
+                   '-')) AS band_key
+        FROM sigs, (SELECT unnest(range(0, {LSH_BANDS})) AS band) b
+    ), cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.band_key = r.band_key
+         AND l.doc_id < r.doc_id
+    ), truth AS (
+        SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles)))
+              >= {JACCARD_T}
+    ), hits AS (
+        SELECT t.lang, t.doc_a, t.doc_b
+        FROM truth t JOIN cand c
+          ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    ), tc AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_truth
+        FROM truth GROUP BY lang
+    ), hc AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM hits GROUP BY lang
+    )
+    SELECT tc.lang, tc.n_truth,
+           CAST(COALESCE(hc.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(1000000 * COALESCE(hc.n_hits, 0) // tc.n_truth AS BIGINT)
+               AS recall_ppm
+    FROM tc LEFT JOIN hc ON hc.lang = tc.lang
+    ORDER BY tc.lang
+    """
+
+
+@register("q_dedup_minhash_recall", oracle=_minhash_recall_oracle())
+def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine recall evaluation of the MinHash-LSH BANDING against
+    exhaustive ground truth — the text-tier twin of q_ann_recall: over
+    the bounded evaluation slice (doc_id < 500, where the exhaustive
+    same-language Jaccard join is affordable), how many true near-dup
+    pairs (exact n-gram Jaccard >= {JACCARD_T}) does the 8x4 band join
+    surface as candidates? Per-language census with integer recall_ppm,
+    so drift in the banding config is caught by the driver gate, not
+    discovered in production.
+
+    Scale: this is the evaluation harness — the exhaustive truth join
+    is priced as a fixed cost on the bounded slice (same contract as
+    q_ann_recall's RECALL_N audit slice); the banded lane is the
+    production shape."""
+    docs = (table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 500)
+            .select("doc_id", "lang", "text"))
+    bands = minhash_bands(docs.select("doc_id", "text"))
+    left, right = bands.alias("l"), bands.alias("r")
+    cand = (left.join(right,
+                      (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.band_key") == F.col("r.band_key"))
+                      & (F.col("l.doc_id") < F.col("r.doc_id")))
+            .select(F.col("l.doc_id").alias("doc_a"),
+                    F.col("r.doc_id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+    sh = docs.select("doc_id", "lang",
+                     _shingles_expr("text").alias("shingles"))
+    a_df, b_df = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"),
+                                     F.col("b.shingles")))
+    union = (F.size(F.col("a.shingles")) + F.size(F.col("b.shingles"))
+             - inter)
+    truth = (a_df.join(b_df, (F.col("a.lang") == F.col("b.lang"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .filter((inter.cast("double") / union) >= JACCARD_T)
+             .select(F.col("a.lang").alias("lang"),
+                     F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b")))
+    hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    tc = truth.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_truth"))
+    hc = hits.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_hits"))
+    return (tc.join(hc, "lang", "left")
+            .select("lang", "n_truth",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    F.expr("CAST(1000000 * COALESCE(n_hits, 0)"
+                           " DIV n_truth AS BIGINT)").alias("recall_ppm"))
+            .orderBy("lang"))

@@ -91,7 +91,7 @@ _loaded = False
 # feature_hash_buckets, split_by_user, sample_exact_k,
 # sample_stratified, pack_chunks, phrase_search, pii_redaction,
 # media_metadata, ndv_catalog — plus triangle_count,
-# tfidf_terms, text_token_stats and text_quality, bumped by the round-8
+# tfidf_terms, text_token_stats, text_quality and text_langid, bumped by the round-8
 # audio/video near-dup, residual-PQ and semantic-contamination queries) rotate in next round, then the r2/r4
 # cohorts.
 _DRIVER_WINDOW_R8 = [
@@ -99,6 +99,7 @@ _DRIVER_WINDOW_R8 = [
     "q_media_neardup", "q_media_audio_neardup", "q_dsir_bigram",
     "q_ann_ivf_pq_topk", "q_ann_ivf_pq_residual",
     "q_media_video_neardup", "q_contamination_semantic",
+    "q_dedup_minhash_recall",
     "q_semdedup", "q_tfrecord_stream_census",
     # (b) latest driver row is round 1
     "q_dedup_exact", "q_dedup_fingerprint", "q_dedup_minhash_lsh",
@@ -117,7 +118,7 @@ _DRIVER_WINDOW_R8 = [
     "q_dedup_incremental", "q_dedup_simhash_pairs", "q_hll_rollup",
     "q_hybrid_rrf", "q_inverted_index", "q_kcore_census",
     "q_media_dedup", "q_similarity_topk", "q_similarity_topk_fast",
-    "q_text_bpe_tokens", "q_text_fingerprint", "q_text_langid",
+    "q_text_bpe_tokens", "q_text_fingerprint",
 ]
 
 
