@@ -1255,22 +1255,6 @@ def dhash_gray(img) -> tuple:
     return (int((bits[32:] << pw).sum()), int((bits[:32] << pw).sum()))
 
 
-def decode_dhash(media: DataFrame) -> DataFrame:
-    """Worker-side PNG decode + dHash: blobs never leave the executor,
-    only (doc_id, hi, lo) 24-byte rows enter the pair machinery."""
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"doc_id": [], "hi": [], "lo": []}
-            for d, p in zip(pdf["doc_id"], pdf["payload"]):
-                hi, lo = dhash_gray(decode_png_gray(bytes(p)))
-                out["doc_id"].append(d)
-                out["hi"].append(hi)
-                out["lo"].append(lo)
-            yield pd.DataFrame(out)
-
-    return media.mapInPandas(run, "doc_id long, hi long, lo long")
-
-
 # Shared oracle census tail over a preceding `hashes` (doc_id, hi, lo)
 # CTE: exact-hash contraction with closed-form ham-0 re-expansion, the
 # EXHAUSTIVE all-pairs join over distinct hashes (certifies zero banding
@@ -1506,22 +1490,6 @@ def envelope_hash(samples) -> tuple:
     bits = (cells[1:] > cells[:-1]).astype(np.int64)
     pw = np.arange(32, dtype=np.int64)
     return (int((bits[32:] << pw).sum()), int((bits[:32] << pw).sum()))
-
-
-def decode_envelope_hash(media: DataFrame) -> DataFrame:
-    """Worker-side WAV decode + envelope hash (blobs stay put; 24-byte
-    hash rows enter the pair machinery)."""
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"doc_id": [], "hi": [], "lo": []}
-            for d, p in zip(pdf["doc_id"], pdf["payload"]):
-                hi, lo = envelope_hash(decode_wav_pcm16(bytes(p))[1])
-                out["doc_id"].append(d)
-                out["hi"].append(hi)
-                out["lo"].append(lo)
-            yield pd.DataFrame(out)
-
-    return media.mapInPandas(run, "doc_id long, hi long, lo long")
 
 
 @register(

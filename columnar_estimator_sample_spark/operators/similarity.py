@@ -533,6 +533,18 @@ IVF_NLIST = 16
 IVF_NPROBE = 4
 
 
+# (applicationId, sf_dir) -> (ranked, norms, ex) of _ivf_cells. The
+# coarse O(N·NLIST) assignment scan is the IVF family's shared linear
+# term (q_ann_ivf_topk / q_ann_ivf_pq_topk / q_ann_ivf_pq_residual all
+# start from it — the 100×-data probes showed this scan IS their ×data
+# growth); memoizing the lazily-checkpointed ranking per session makes
+# the family pay it once, the same materialized-index discipline as
+# entity._PAIRS_MEMO (production: the assignment table is WRITTEN once,
+# bucketed by centroid_id, and every query reads it). Keyed by
+# applicationId so a new session never sees another JVM's checkpoint.
+_IVF_MEMO: dict[tuple[str, str], tuple] = {}
+
+
 def _ivf_cells(spark: SparkSession, sf_dir: str):
     """(ranked, norms, ex): centroid-distance ranking for every vector.
 
@@ -540,8 +552,14 @@ def _ivf_cells(spark: SparkSession, sf_dir: str):
     by exact cosine (desc, centroid_id tiebreak) — rnk=1 is the vector's
     cell assignment; rnk<=NPROBE for a query vector is its probe list.
     One broadcast join against the NLIST exploded centroids; shuffle is
-    O(N · NLIST) narrow rows.
+    O(N · NLIST) narrow rows. ``ranked``/``norms`` are lazily local-
+    checkpointed and memoized per (session, sf_dir) — see ``_IVF_MEMO``
+    (cluster: checkpoint() to the cluster FS, same shape).
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _IVF_MEMO.get(key)
+    if memo is not None:
+        return memo
     emb = table(spark, sf_dir, "embeddings")
     ex = _exploded(emb)
     norms = (ex.groupBy("vec_id")
@@ -565,9 +583,13 @@ def _ivf_cells(spark: SparkSession, sf_dir: str):
                 .alias("ccos")))
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"),
                                              F.asc("centroid_id"))
-    ranked = scored.select("vec_id", "centroid_id",
-                           F.row_number().over(w).alias("rnk"))
-    return ranked, norms, ex
+    ranked = (scored.select("vec_id", "centroid_id",
+                            F.row_number().over(w).alias("rnk"))
+              .localCheckpoint(eager=False))
+    norms = norms.localCheckpoint(eager=False)
+    memo = (ranked, norms, ex)
+    _IVF_MEMO[key] = memo
+    return memo
 
 
 @register(

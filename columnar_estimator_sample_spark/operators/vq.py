@@ -760,6 +760,39 @@ def semdedup_census(emb: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _exact_topk_hits(ex: DataFrame, norms: DataFrame) -> DataFrame:
+    """Brute-force exact-cosine top-{TOP_K} per query vector, as a
+    (query_id, neighbor_id, hit=1) flag frame — the recall-truth lane
+    shared by the IVF-PQ census queries. The |Q| query vectors broadcast
+    against the corpus: O(N · dim · |Q|) map-side rows, no shuffled
+    self-join; a fixed audit cost that certifies ADC quality in the same
+    driver-hashed row as the ranking itself."""
+    qv = (ex.filter(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("query_id"), "i",
+                  F.col("vi").alias("qv")))
+    edots = (ex.select(F.col("vec_id").alias("neighbor_id"), "i",
+                       F.col("vi").alias("dv"))
+             .join(F.broadcast(qv), "i")
+             .filter(F.col("neighbor_id") != F.col("query_id"))
+             .groupBy("query_id", "neighbor_id")
+             .agg(F.sum(F.col("qv") * F.col("dv")).alias("dot_s")))
+    nq = norms.select(F.col("vec_id").alias("query_id"),
+                      F.col("n_s").alias("nq_s"))
+    nd = norms.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("n_s").alias("nd_s"))
+    w_e = Window.partitionBy("query_id").orderBy(
+        (F.col("dot_s").cast("double")
+         / (F.sqrt(F.col("nq_s").cast("double"))
+            * F.sqrt(F.col("nd_s").cast("double")))).desc(),
+        F.asc("neighbor_id"))
+    return (edots.join(F.broadcast(nq), "query_id")
+            .join(F.broadcast(nd), "neighbor_id")
+            .withColumn("erank", F.row_number().over(w_e))
+            .filter(F.col("erank") <= TOP_K)
+            .select("query_id", "neighbor_id",
+                    F.lit(1).cast("long").alias("hit")))
+
+
 @register(
     "q_ann_ivf_pq_topk",
     oracle=f"""
@@ -921,32 +954,9 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = (adc.withColumn("rank", F.row_number().over(w_q))
             .filter(F.col("rank") <= TOP_K))
 
-    # exact recall lane: the |Q| query vectors broadcast against the
-    # corpus — O(N * dim * |Q|) map-side rows, no shuffled self-join
-    qv = (ex.filter(F.col("vec_id") < N_QUERIES)
-          .select(F.col("vec_id").alias("query_id"), "i",
-                  F.col("vi").alias("qv")))
-    edots = (ex.select(F.col("vec_id").alias("neighbor_id"), "i",
-                       F.col("vi").alias("dv"))
-             .join(F.broadcast(qv), "i")
-             .filter(F.col("neighbor_id") != F.col("query_id"))
-             .groupBy("query_id", "neighbor_id")
-             .agg(F.sum(F.col("qv") * F.col("dv")).alias("dot_s")))
-    nq = norms.select(F.col("vec_id").alias("query_id"),
-                      F.col("n_s").alias("nq_s"))
-    nd = norms.select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("n_s").alias("nd_s"))
-    w_e = Window.partitionBy("query_id").orderBy(
-        (F.col("dot_s").cast("double")
-         / (F.sqrt(F.col("nq_s").cast("double"))
-            * F.sqrt(F.col("nd_s").cast("double")))).desc(),
-        F.asc("neighbor_id"))
-    exact = (edots.join(F.broadcast(nq), "query_id")
-             .join(F.broadcast(nd), "neighbor_id")
-             .withColumn("erank", F.row_number().over(w_e))
-             .filter(F.col("erank") <= TOP_K)
-             .select("query_id", "neighbor_id",
-                     F.lit(1).cast("long").alias("hit")))
+    # exact recall lane: see _exact_topk_hits (shared with the residual
+    # census)
+    exact = _exact_topk_hits(ex, norms)
     return (topk.join(exact, ["query_id", "neighbor_id"], "left")
             .select("query_id", "rank", "neighbor_id", "adc_d2",
                     F.coalesce("hit", F.lit(0)).cast("long")
@@ -1033,14 +1043,39 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AND t.centroid_id = cd.centroid_id
                    AND t.s = v.s AND t.code = v.code
         GROUP BY 1, 2
-    )
-    SELECT query_id, neighbor_id, adc_d2, rank FROM (
+    ), topk AS (
         SELECT query_id, neighbor_id, adc_d2,
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY adc_d2, neighbor_id) AS rank
         FROM adc
-    ) WHERE rank <= {TOP_K}
-    ORDER BY query_id, rank
+    ), edots AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               CAST(SUM(q.vi * d.vi) AS BIGINT) AS dot_s
+        FROM ex q JOIN ex d ON d.i = q.i AND d.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY 1, 2
+    ), exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY CAST(dot_s AS DOUBLE)
+                                / (sqrt(CAST(nq.n_s AS DOUBLE))
+                                   * sqrt(CAST(nd.n_s AS DOUBLE))) DESC,
+                                neighbor_id) AS rank
+            FROM edots
+            JOIN norms nq ON nq.vec_id = edots.query_id
+            JOIN norms nd ON nd.vec_id = edots.neighbor_id
+        ) WHERE rank <= {TOP_K}
+    )
+    SELECT t.query_id, t.rank, t.neighbor_id, t.adc_d2,
+           CAST(CASE WHEN e.neighbor_id IS NULL THEN 0 ELSE 1 END
+                AS BIGINT) AS in_exact
+    FROM topk t
+    LEFT JOIN exact e ON e.query_id = t.query_id
+                     AND e.neighbor_id = t.neighbor_id
+    WHERE t.rank <= {TOP_K}
+    ORDER BY t.query_id, t.rank
     """,
 )
 def q_ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1052,7 +1087,10 @@ def q_ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ||q - x|| rather than mixing cell offsets into the codes. Residuals
     stay in the exact integer lane (vi - ci of already-scaled int64
     components), so the oracle reproduces codes, tables, and ranking
-    bit for bit.
+    bit for bit. Each neighbor carries the ``in_exact`` recall flag
+    against the brute-force exact-cosine top-k lane (round 9 — same
+    census as q_ann_ivf_pq_topk / q_ann_recall), so the residual
+    encoding's quality is itself driver-gated.
 
     Scale: identical join shapes to q_ann_ivf_pq_topk, plus one
     broadcast of the {IVF_NLIST} x dim centroid components into the
@@ -1113,6 +1151,13 @@ def q_ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("query_id", "neighbor_id")
            .agg(F.sum("d2").cast("long").alias("adc_d2")))
     w_q = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
-    return (adc.withColumn("rank", F.row_number().over(w_q))
-            .filter(F.col("rank") <= TOP_K)
+    topk = (adc.withColumn("rank", F.row_number().over(w_q))
+            .filter(F.col("rank") <= TOP_K))
+    # recall census (round 9): same in_exact flag as q_ann_ivf_pq_topk,
+    # so the RESIDUAL encoding's ADC quality is driver-gated too
+    exact = _exact_topk_hits(ex, norms)
+    return (topk.join(exact, ["query_id", "neighbor_id"], "left")
+            .select("query_id", "rank", "neighbor_id", "adc_d2",
+                    F.coalesce("hit", F.lit(0)).cast("long")
+                    .alias("in_exact"))
             .orderBy("query_id", "rank"))

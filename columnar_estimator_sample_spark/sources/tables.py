@@ -27,7 +27,21 @@ TABLES = [
 # ~250 registered queries each touching 1-3 tables that is hundreds of
 # pointless jobs at plan-build time. The handle is an immutable lazy
 # plan, so one per (session, sf_dir, table) is always safe to share.
+#
+# IMMUTABILITY CONTRACT: the handle pins the parquet file listing
+# captured at first read — an in-session overwrite/append to
+# {sf_dir}/{name}.parquet is invisible for the rest of the application.
+# The driver's testdata dirs are immutable per session, so this is the
+# intended semantics; a test that rewrites a table in place must call
+# :func:`reset_handles` after writing.
 _HANDLES: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def reset_handles() -> None:
+    """Drop every cached table handle (see the immutability contract on
+    ``_HANDLES``): the next :func:`table` call re-reads the parquet
+    listing. For tests that rewrite a testdata table in place."""
+    _HANDLES.clear()
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -419,9 +419,13 @@ class TFRecordStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         # pure function of the two offsets — no directory re-listing, so
-        # shards landing during replay cannot shift the batch contents
+        # shards landing during replay cannot shift the batch contents.
+        # END may still be a legacy {"files_seen": n} count offset (a
+        # pre-round-8 checkpoint whose last committed batch predates the
+        # explicit-list format): resolve it through _seen the same way
+        # START is, instead of silently replaying zero files.
         seen = self._seen(start)
-        return self._rows(sorted(p for p in end.get("files", [])
+        return self._rows(sorted(p for p in self._seen(end)
                                  if p not in seen))
 
 

@@ -136,6 +136,37 @@ class TestDataSource:
 class TestTFRecordStreamSource:
     import pytest as _pytest
 
+    @_pytest.mark.parametrize("cls_name", ["TFRecordStreamReader",
+                                           "TFRecordPartitionedStreamReader"])
+    def test_legacy_count_offsets_replay(self, tmp_path, cls_name):
+        """A committed range whose offsets are BOTH in the pre-round-8
+        {"files_seen": n} count form must replay the same shards after a
+        restart — both stream readers resolve legacy START and END
+        offsets against the sorted listing prefix (round-9 advice fix:
+        the simple reader's readBetweenOffsets returned zero rows for a
+        legacy END, silent data loss on old checkpoints)."""
+        import os
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from columnar_estimator_sample_spark.sources import tfrecord as tfr
+
+        d = str(tmp_path / "shards")
+        os.makedirs(d)
+        for i in range(3):
+            write_tfrecords(os.path.join(d, f"part-{i:05d}.tfrecord"),
+                            iter([encode_example({"a": i})]), None)
+        schema = StructType([StructField("a", LongType())])
+        reader = getattr(tfr, cls_name)(schema, {"path": d})
+        start, end = {"files_seen": 1}, {"files_seen": 3}
+        if cls_name == "TFRecordStreamReader":
+            rows = reader.readBetweenOffsets(start, end)
+            assert sorted(r[0] for r in rows) == [1, 2]
+        else:
+            parts = reader.partitions(start, end)
+            vals = sorted(r[0] for p in parts for r in reader.read(p))
+            assert vals == [1, 2]
+
     @_pytest.mark.parametrize("reader", ["partitioned", "simple"])
     def test_incremental_shards_across_restart(self, spark, sf_dir,
                                                tmp_path, reader):

@@ -76,6 +76,10 @@ BUILD_RUNS_JOBS = {
     "q_dedup_prefix_filter", "q_media_neardup",
     "q_media_audio_neardup", "q_media_video_neardup", "q_semdedup",
     "q_er_sorted_neighborhood",
+    # r9: the IVF family shares one lazily-checkpointed coarse
+    # assignment (similarity._IVF_MEMO); whichever builds first
+    # materializes it
+    "q_ann_ivf_topk", "q_ann_ivf_pq_topk", "q_ann_ivf_pq_residual",
     # streaming availableNow drains + IO roundtrips: the builder runs
     # the stream / write-read cycle end-to-end and returns the landed
     # result as a local frame
@@ -114,17 +118,26 @@ def main() -> int:
 
     tracker = spark.sparkContext.statusTracker()
 
+    def _max_job_id() -> int:
+        # Job IDs are monotonically increasing, so a max-id delta stays
+        # correct even after the UI store evicts old jobs
+        # (spark.ui.retainedJobs, default 1000 — len() deltas undercount
+        # or go negative once eviction starts across ~260 builds plus
+        # streaming drains, silently passing new plan-time probes).
+        ids = tracker.getJobIdsForGroup(None)
+        return max(ids) if ids else -1
+
     rows, violations = [], []
     t_start = time.time()
     for name, fn in qs.items():
-        jobs_before = len(tracker.getJobIdsForGroup(None))
+        jobs_before = _max_job_id()
         try:
             plan = (fn(spark, sf_dir)._jdf.queryExecution()
                     .executedPlan().toString())
         except Exception as e:  # noqa: BLE001
             violations.append(f"{name}: plan build failed: {e}")
             continue
-        build_jobs = len(tracker.getJobIdsForGroup(None)) - jobs_before
+        build_jobs = _max_job_id() - jobs_before
         if build_jobs > 0 and name not in BUILD_RUNS_JOBS:
             violations.append(
                 f"{name}: ran {build_jobs} Spark job(s) at plan-build "

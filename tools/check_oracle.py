@@ -210,14 +210,24 @@ def main() -> int:
         import os
         out = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "CORRECTNESS_LOCAL.json")
-        if only:
+        prev = None
+        if only and os.path.exists(out):
             # subset run: MERGE the fresh rows into the existing ledger
             # (full regeneration stays the norm; the merge keeps the
             # ledger covering newly-registered queries without a 30-min
             # full pass per addition — every merged row still comes from
-            # a real differential run above)
+            # a real differential run above). A subset run with no prior
+            # ledger falls through to the fresh-payload branch; a subset
+            # run against a DIFFERENT sf_dir than the ledger's is refused
+            # (mixing scale factors would silently corrupt the ledger).
             with open(out) as f:
                 prev = json.load(f)
+            if prev.get("sf_dir") != sf_dir:
+                print(f"REFUSING merge: ledger sf_dir={prev.get('sf_dir')}"
+                      f" != run sf_dir={sf_dir}; rerun the full ledger at"
+                      " this scale factor or drop --json")
+                return 1
+        if prev is not None:
             prev["queries"].update(ledger)
             counts = {"pass": 0, "fail": 0, "rows_only": 0}
             for row in prev["queries"].values():
