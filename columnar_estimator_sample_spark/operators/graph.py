@@ -76,7 +76,10 @@ def connected_components(pairs: DataFrame,
         .select("doc_id", F.col("doc_id").alias("label"))
         .localCheckpoint(eager=False)
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # No standalone init probe: prev_sum=None makes the first fixpoint
+    # test vacuous (labels only decrease, so convergence needs two
+    # consecutive equal sums) — one job round-trip saved per CC call.
+    prev_sum = None
     for _ in range(MAX_SUPERSTEPS):
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
