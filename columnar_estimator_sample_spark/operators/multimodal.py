@@ -309,40 +309,6 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-HEADER_SCHEMA = ("doc_id long, media_type string, n_bytes long, "
-                 "width long, height long, sample_rate long, "
-                 "duration_ms long")
-
-
-def extract_header_features(media: DataFrame,
-                            batch_size: int = 256) -> DataFrame:
-    """REAL header decode over binary containers: each Arrow batch of
-    (doc_id, media_type, payload) rows is parsed worker-side by the pure
-    stdlib decoders (:func:`decode_header`) — PNG/JPEG dimensions, WAV
-    rate/duration — with the blob consumed inside the task and only
-    integer metadata emitted. A malformed container raises (framing is
-    CRC'd/length-checked), never yields silently wrong fields."""
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                   str(batch_size))
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            metas = [decode_header(bytes(p), m)
-                     for p, m in zip(pdf["payload"], pdf["media_type"])]
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "media_type": pdf["media_type"],
-                "n_bytes": pdf["payload"].map(len),
-                "width": [m["width"] for m in metas],
-                "height": [m["height"] for m in metas],
-                "sample_rate": [m["sample_rate"] for m in metas],
-                "duration_ms": [m["duration_ms"] for m in metas],
-            })
-
-    return media.mapInPandas(run, HEADER_SCHEMA)
-
-
 @register(
     "q_media_features",
     # The oracle computes the EXPECTED parse results from the closed-form
@@ -391,10 +357,35 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: blobs never shuffle — they are consumed inside the scan-side
     mapInPandas task and only integer metadata reaches the aggregate;
-    batch size is capped so megabyte blobs can't blow an Arrow batch."""
+    batch size is capped so megabyte blobs can't blow an Arrow batch.
+    Deliberately NOT content-addressed (r9, measured): the header parse
+    reads a few dozen bytes per blob — cheaper than the md5 + digest
+    exchange map_distinct_blobs would spend to dedup it (sf10 probe:
+    1.65 s scan-local vs 2.92 s content-addressed). The distinct-blob
+    discipline pays for FULL-decode kernels (q_media_pixel_stats,
+    q_media_jpeg_roundtrip, the near-dup hashes), not for header
+    sniffing."""
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
     media = documents_as_media_containers(
         table(spark, sf_dir, "documents"))
-    feats = extract_header_features(media)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_header(bytes(p), m)
+                     for p, m in zip(pdf["payload"], pdf["media_type"])]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["payload"].map(len),
+                "width": [m["width"] for m in metas],
+                "height": [m["height"] for m in metas],
+                "sample_rate": [m["sample_rate"] for m in metas],
+                "duration_ms": [m["duration_ms"] for m in metas],
+            })
+
+    feats = media.mapInPandas(
+        run, "doc_id long, media_type string, n_bytes long, width long, "
+             "height long, sample_rate long, duration_ms long")
     return (
         feats.groupBy("media_type")
         .agg(F.count(F.lit(1)).alias("n_assets"),
@@ -713,36 +704,6 @@ def encode_media_batches(docs: DataFrame) -> DataFrame:
         run, "doc_id long, media_type string, payload binary")
 
 
-PIXEL_STAT_SCHEMA = ("doc_id long, media_type string, n_units long, "
-                     "sum_units long, max_unit long")
-
-
-def decode_media_stats(media: DataFrame) -> DataFrame:
-    """Worker-side REAL decode of the binary containers back to pixel /
-    sample arrays, emitting per-asset integer stats (count, sum, max of
-    the decoded values). Every byte goes through the full codec path —
-    CRC checks, zlib inflate, unfiltering, PCM frombuffer."""
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {"doc_id": [], "media_type": [], "n_units": [],
-                    "sum_units": [], "max_unit": []}
-            for d, m, p in zip(pdf["doc_id"], pdf["media_type"],
-                               pdf["payload"]):
-                buf = bytes(p)
-                if m == "image":
-                    vals = decode_png_gray(buf).astype("int64").ravel()
-                else:
-                    vals = decode_wav_pcm16(buf)[1].astype("int64")
-                rows["doc_id"].append(d)
-                rows["media_type"].append(m)
-                rows["n_units"].append(int(vals.size))
-                rows["sum_units"].append(int(vals.sum()))
-                rows["max_unit"].append(int(vals.max()))
-            yield pd.DataFrame(rows)
-
-    return media.mapInPandas(run, PIXEL_STAT_SCHEMA)
-
-
 @register(
     "q_media_pixel_stats",
     # The oracle evaluates the synth_image/synth_audio closed forms
@@ -802,12 +763,25 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     see decode_stub.)
 
     Scale: encode and decode are embarrassingly parallel mapInPandas
-    stages; only integer stats reach the aggregate. The repartition is
-    deliberate here (round-trip proof); production pipelines keep blobs
-    scan-local exactly like q_media_features."""
+    stages; only integer stats reach the aggregate. Decode is
+    content-addressed (map_distinct_blobs, r9): one full codec pass per
+    DISTINCT blob — the synthetic images collide in ~768 content
+    classes, so a replicated corpus pays distinct-content decode — and
+    the blobs still genuinely cross an exchange (the digest groupBy)
+    between encoder and decoder, preserving the round-trip proof."""
     docs = table(spark, sf_dir, "documents")
-    media = encode_media_batches(docs).repartition(8, "doc_id")
-    stats = decode_media_stats(media)
+    media = encode_media_batches(docs)
+
+    def kernel(p: bytes, mt: str) -> dict:
+        if mt == "image":
+            vals = decode_png_gray(p).astype("int64").ravel()
+        else:
+            vals = decode_wav_pcm16(p)[1].astype("int64")
+        return {"n_units": int(vals.size), "sum_units": int(vals.sum()),
+                "max_unit": int(vals.max())}
+
+    stats = map_distinct_blobs(
+        media, kernel, "n_units long, sum_units long, max_unit long")
     return (stats.groupBy("media_type")
             .agg(F.count(F.lit(1)).alias("n_assets"),
                  F.sum("n_units").cast("long").alias("total_units"),
@@ -1170,7 +1144,10 @@ def q_media_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     modality stub: all three container formats now have real decode.
 
     Scale: same embarrassingly-parallel mapInPandas encode/decode shape
-    as q_media_pixel_stats."""
+    as q_media_pixel_stats, with the decode content-addressed
+    (map_distinct_blobs, r9 — the blocky JPEGs collide in ~768 content
+    classes; blobs cross the digest exchange between codec halves, so
+    the round trip still proves shuffled-binary fidelity)."""
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = [int(d) for d in pdf["doc_id"] if int(d) % 3 == 2]
@@ -1180,25 +1157,15 @@ def q_media_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                             for d in ids],
             })
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-        for pdf in batches:
-            rows = {"doc_id": [], "n_pixels": [], "sum_pixels": [],
-                    "max_pixel": []}
-            for d, p in zip(pdf["doc_id"], pdf["payload"]):
-                img = decode_jpeg_gray(bytes(p)).astype("int64")
-                rows["doc_id"].append(d)
-                rows["n_pixels"].append(int(img.size))
-                rows["sum_pixels"].append(int(img.sum()))
-                rows["max_pixel"].append(int(img.max()))
-            yield pd.DataFrame(rows)
+    def kernel(p: bytes, _mt) -> dict:
+        img = decode_jpeg_gray(p).astype("int64")
+        return {"n_pixels": int(img.size), "sum_pixels": int(img.sum()),
+                "max_pixel": int(img.max())}
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    media = docs.mapInPandas(encode, "doc_id long, payload binary") \
-        .repartition("doc_id")
-    stats = media.mapInPandas(
-        decode, "doc_id long, n_pixels long, sum_pixels long, "
-                "max_pixel long")
+    media = docs.mapInPandas(encode, "doc_id long, payload binary")
+    stats = map_distinct_blobs(
+        media, kernel, "n_pixels long, sum_pixels long, max_pixel long")
     return stats.agg(
         F.count(F.lit(1)).cast("long").alias("n_assets"),
         F.sum("n_pixels").cast("long").alias("total_pixels"),
@@ -1365,38 +1332,66 @@ def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         media, lambda b: dhash_gray(decode_png_gray(b))))
 
 
-def hash_distinct_blobs(media: DataFrame, hash_fn) -> DataFrame:
-    """Content-addressed decode: md5-group the payloads, run the
-    decode+hash kernel ONCE per DISTINCT blob, and re-expand to every
-    doc_id by digest join — the content-addressed-store pattern that
-    makes a replicated 100 TB media corpus pay distinct-content decode
-    cost. Measured at 100× data: video 17.6 -> 6.5 s, image 5.7 ->
-    3.8 s (their synthetic blobs collide in ~768 classes); the audio
-    tier pays ~1.2 s of md5+join there because its synthetic waveforms
-    are nearly all distinct — the worst case is a bounded constant,
-    the best case (real crawls re-fetching identical assets) is a
-    10-100× decode saving, so the discipline is applied uniformly.
-    Results are identical either way: byte-identical blobs hash
-    identically. The md5 runs JVM-side over the binary column; only
-    the distinct-blob frame enters Python.
-    ``hash_fn(payload_bytes) -> (hi, lo)``."""
-    dg = media.select("doc_id", F.md5("payload").alias("dg"), "payload")
+def map_distinct_blobs(media: DataFrame, kernel,
+                       out_schema: str) -> DataFrame:
+    """Content-addressed decode: md5-group the payloads, run the decode
+    kernel ONCE per DISTINCT blob, and re-expand to every doc_id by
+    digest join — the content-addressed-store pattern that makes a
+    replicated 100 TB media corpus pay distinct-content decode cost
+    (real crawls re-fetch identical assets under many URLs: 10-100×
+    decode saving; the worst case — all blobs distinct — pays a bounded
+    md5+join constant, so the discipline is applied uniformly across
+    the media tier). Results are identical either way: the kernel's
+    outputs are pure functions of the payload bytes (plus the
+    payload-determined media_type), and byte-identical blobs share
+    them. The md5 runs JVM-side over the binary column; only the
+    distinct-blob frame enters Python, and blobs cross exactly ONE
+    exchange (the digest groupBy) on their way to the kernel.
+
+    ``kernel(payload_bytes, media_type) -> dict`` of the columns named
+    in ``out_schema`` (one value each). Returns
+    (doc_id, media_type, <out_schema columns>)."""
+    has_mt = "media_type" in media.columns
+    mt_col = (F.col("media_type") if has_mt
+              else F.lit(None).cast("string").alias("media_type"))
+    dg = media.select("doc_id", mt_col.alias("media_type"),
+                      F.md5("payload").alias("dg"), "payload")
     # blobs in a digest group are byte-identical, so any representative
-    # payload decodes to the group's hash
-    reps = dg.groupBy("dg").agg(F.first("payload").alias("payload"))
+    # payload decodes to the group's values (media_type rides along:
+    # identical bytes are the same container)
+    reps = dg.groupBy("dg").agg(F.first("payload").alias("payload"),
+                                F.first("media_type").alias("media_type"))
+    names = [f.split()[0] for f in out_schema.split(",")]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"dg": [], "hi": [], "lo": []}
-            for g, p in zip(pdf["dg"], pdf["payload"]):
-                hi, lo = hash_fn(bytes(p))
-                out["dg"].append(g)
-                out["hi"].append(hi)
-                out["lo"].append(lo)
+            out = {"dg": list(pdf["dg"])}
+            cols = {n: [] for n in names}
+            for p, m in zip(pdf["payload"], pdf["media_type"]):
+                row = kernel(bytes(p), m)
+                for n in names:
+                    cols[n].append(row[n])
+            out.update(cols)
             yield pd.DataFrame(out)
 
-    rh = reps.mapInPandas(run, "dg string, hi long, lo long")
-    return (dg.select("doc_id", "dg").join(rh, "dg")
+    rh = reps.mapInPandas(run, "dg string, " + out_schema)
+    return (dg.select("doc_id", "media_type", "dg").join(rh, "dg")
+            .drop("dg"))
+
+
+def hash_distinct_blobs(media: DataFrame, hash_fn) -> DataFrame:
+    """Perceptual-hash face of :func:`map_distinct_blobs` (the near-dup
+    tiers): decode+hash once per distinct blob, emit (doc_id, hi, lo)
+    24-byte rows into the pair machinery. Measured at 100× data: video
+    17.6 -> 6.5 s, image 5.7 -> 3.8 s (their synthetic blobs collide in
+    ~768 classes); audio pays ~1.2 s of md5+join there because its
+    synthetic waveforms are nearly all distinct.
+    ``hash_fn(payload_bytes) -> (hi, lo)``."""
+    def kernel(p: bytes, _mt) -> dict:
+        hi, lo = hash_fn(p)
+        return {"hi": hi, "lo": lo}
+
+    return (map_distinct_blobs(media, kernel, "hi long, lo long")
             .select("doc_id", "hi", "lo"))
 
 
