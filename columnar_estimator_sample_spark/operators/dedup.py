@@ -325,39 +325,46 @@ def _minhash_pair_ctes(k: int = MINHASH_K, n_bands: int = LSH_BANDS) -> str:
     b_lit = "[{}]".format(",".join(str(v) for v in bq))
     rows = k // n_bands
     shingles = _sql_shingles("text")
-    return f"""sh AS (
+    # Signature/band computation is RELATIONAL (unnest -> vectorized
+    # grouped MIN -> ordered string_agg), not nested list lambdas, and
+    # the CTEs are MATERIALIZED: DuckDB inlines plain CTEs, so the
+    # lambda form re-evaluated the whole k x |shingles| fold once per
+    # band row and interpreted every multiply — the minhash oracle
+    # family cost ~55 s EACH at sf0.01 (r9: this one change takes the
+    # full-ledger regen down by minutes; band keys are bit-identical:
+    # string_agg ORDER BY i == array_to_string of the sig slice).
+    return f"""sh AS MATERIALIZED (
         SELECT doc_id, {shingles} AS shingles FROM documents
-    ), hx AS (
-        SELECT doc_id, shingles,
-               list_transform(shingles,
-                   s -> {sql_h64('s')} % {MERSENNE_P}) AS xs
-        FROM sh
-    ), sigs AS (
-        SELECT doc_id, shingles,
-               list_transform(range(1, {k} + 1),
-                   i -> list_min(list_transform(xs,
-                        x -> (({a_lit}[CAST(i AS INT)] * x
-                               + {b_lit}[CAST(i AS INT)]) % {MERSENNE_P})))
-               ) AS sig
-        FROM hx
-    ), bands AS (
-        SELECT doc_id, shingles, b.band,
-               md5(array_to_string(
-                   sig[b.band * {rows} + 1 : (b.band + 1) * {rows}],
-                   '-')) AS band_key
-        FROM sigs, (SELECT unnest(range(0, {n_bands})) AS band) b
+    ), tokx AS MATERIALIZED (
+        SELECT doc_id, {sql_h64('tok')} % {MERSENNE_P} AS x
+        FROM (SELECT doc_id, unnest(shingles) AS tok FROM sh)
+    ), sigv AS MATERIALIZED (
+        SELECT doc_id, hi.i,
+               MIN(({a_lit}[CAST(hi.i AS INT)] * x
+                    + {b_lit}[CAST(hi.i AS INT)]) % {MERSENNE_P}) AS sv
+        FROM tokx, (SELECT unnest(range(1, {k} + 1)) AS i) hi
+        GROUP BY 1, 2
+    ), bands AS MATERIALIZED (
+        SELECT doc_id, CAST((i - 1) // {rows} AS BIGINT) AS band,
+               md5(string_agg(CAST(sv AS VARCHAR), '-' ORDER BY i))
+                   AS band_key
+        FROM sigv GROUP BY doc_id, (i - 1) // {rows}
     ), cand AS (
-        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
-               l.shingles AS sh_a, r.shingles AS sh_b
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
         FROM bands l JOIN bands r
           ON l.band = r.band AND l.band_key = r.band_key
          AND l.doc_id < r.doc_id
+    ), candx AS (
+        SELECT c.doc_a, c.doc_b, sa.shingles AS sh_a, sb.shingles AS sh_b
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
     ), pairs AS (
         SELECT doc_a, doc_b,
                CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
                / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
                    AS jaccard
-        FROM cand
+        FROM candx
         WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
               / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
               >= {JACCARD_T}
@@ -1271,41 +1278,51 @@ def _minhash_recall_oracle() -> str:
     rows = MINHASH_K // LSH_BANDS
     shingles = _sql_shingles("text")
     return f"""
-    WITH sh AS (
+    WITH sh AS MATERIALIZED (
         SELECT doc_id, lang, {shingles} AS shingles
         FROM documents WHERE doc_id < 500
-    ), hx AS (
-        SELECT doc_id, shingles,
-               list_transform(shingles,
-                   s -> {sql_h64('s')} % {MERSENNE_P}) AS xs
-        FROM sh
-    ), sigs AS (
-        SELECT doc_id,
-               list_transform(range(1, {MINHASH_K} + 1),
-                   i -> list_min(list_transform(xs,
-                        x -> (({a_lit}[CAST(i AS INT)] * x
-                               + {b_lit}[CAST(i AS INT)]) % {MERSENNE_P})))
-               ) AS sig
-        FROM hx
-    ), bands AS (
-        SELECT doc_id, b.band,
-               md5(array_to_string(
-                   sig[b.band * {rows} + 1 : (b.band + 1) * {rows}],
-                   '-')) AS band_key
-        FROM sigs, (SELECT unnest(range(0, {LSH_BANDS})) AS band) b
+    ), tokx AS MATERIALIZED (
+        -- relational signature lane, same restatement as
+        -- _minhash_pair_ctes (r9): vectorized grouped MIN over exploded
+        -- shingle hashes instead of per-band re-evaluated list lambdas
+        SELECT doc_id, {sql_h64('t')} % {MERSENNE_P} AS x
+        FROM (SELECT doc_id, unnest(shingles) AS t FROM sh)
+    ), sigv AS MATERIALIZED (
+        SELECT doc_id, hi.i,
+               MIN(({a_lit}[CAST(hi.i AS INT)] * x
+                    + {b_lit}[CAST(hi.i AS INT)]) % {MERSENNE_P}) AS sv
+        FROM tokx, (SELECT unnest(range(1, {MINHASH_K} + 1)) AS i) hi
+        GROUP BY 1, 2
+    ), bands AS MATERIALIZED (
+        SELECT doc_id, CAST((i - 1) // {rows} AS BIGINT) AS band,
+               md5(string_agg(CAST(sv AS VARCHAR), '-' ORDER BY i))
+                   AS band_key
+        FROM sigv GROUP BY doc_id, (i - 1) // {rows}
     ), cand AS (
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
         FROM bands l JOIN bands r
           ON l.band = r.band AND l.band_key = r.band_key
          AND l.doc_id < r.doc_id
+    ), tok AS (
+        -- shingle lists are DISTINCT (list_distinct in _sql_shingles),
+        -- so |intersection| = matched-token count and the exhaustive
+        -- truth restates as a token hash-join instead of O(n²) pairwise
+        -- list_intersect over full arrays (r9: the whole-suite oracle
+        -- regen was dominated by this one CTE, ~55 s); zero-overlap
+        -- pairs are Jaccard 0 < {JACCARD_T} and never truth rows, so
+        -- the join form is exhaustive over the same slice
+        SELECT doc_id, lang, len(shingles) AS n, unnest(shingles) AS s
+        FROM sh
+    ), co AS (
+        SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+               MIN(a.n) AS na, MIN(b.n) AS nb,
+               COUNT(*) AS i
+        FROM tok a JOIN tok b
+          ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3
     ), truth AS (
-        SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sh a JOIN sh b
-          ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-              / (len(a.shingles) + len(b.shingles)
-                 - len(list_intersect(a.shingles, b.shingles)))
-              >= {JACCARD_T}
+        SELECT lang, doc_a, doc_b FROM co
+        WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {JACCARD_T}
     ), hits AS (
         SELECT t.lang, t.doc_a, t.doc_b
         FROM truth t JOIN cand c
