@@ -75,57 +75,50 @@ _loaded = False
 # in and out of the window is additionally verified by
 # ``tools/check_oracle.py`` (same compare semantics) before commit.
 #
-# Round-8 window: CORRECTNESS_r07 landed 50/50 green, taking the driver
-# union to 252/252 — so this round re-certifies by STALENESS. Several
-# heavily-rewritten operators still rest on driver rows from rounds 1-4
-# that predate their r5-r8 rewrites (the round-7 verdict's lead item).
-# Order: (a) the round-8-new queries (q_media_neardup, q_dsir_bigram,
-# q_ann_ivf_pq_topk) plus the two r7-certified queries whose code
-# changed THIS round (q_semdedup: broadcast-hint drop + zero-norm guard;
-# q_tfrecord_stream_census: seen-file-list offsets); (b) the 10 queries
-# whose latest row is still round 1; (c) the two rewritten r4-row
-# queries; (d) 33 of the 47 round-3-latest rows, verdict-named rewrites
-# first (q_er_* also changed this round: shared-pairs memo + CC edge
-# explode). The 14 untouched-stable r3 rows (cohort_retention, funnel,
-# hypertable_rollup, merge_upsert, normalization_stats,
-# feature_hash_buckets, split_by_user, sample_exact_k,
-# sample_stratified, pack_chunks, phrase_search, pii_redaction,
-# media_metadata, ndv_catalog — plus triangle_count,
-# tfidf_terms, text_token_stats, text_quality and text_langid, bumped by the round-8
-# audio/video near-dup, residual-PQ and semantic-contamination queries) rotate in next round, then the r2/r4
-# cohorts.
-_DRIVER_WINDOW_R8 = [
-    # (a) round-8-new + rewritten-this-round r7 rows
-    "q_media_neardup", "q_media_audio_neardup", "q_dsir_bigram",
-    "q_ann_ivf_pq_topk", "q_ann_ivf_pq_residual",
-    "q_media_video_neardup", "q_contamination_semantic",
-    "q_dedup_minhash_recall",
-    "q_semdedup", "q_tfrecord_stream_census",
-    # (b) latest driver row is round 1
-    "q_dedup_exact", "q_dedup_fingerprint", "q_dedup_minhash_lsh",
-    "q_dedup_ngram_jaccard", "q_dedup_simhash", "q_json_extract",
-    "q_posexplode_tokens", "q_sessionize", "q_time_buckets",
-    "q_trace_top_ops",
-    # (c) rewritten since their round-4 rows
-    "q_dedup_cosine_setjoin", "q_sequence_mining",
-    # (d) round-3 rows, verdict-named rewrites first
-    "q_contamination_check", "q_copurchase", "q_dedup_prefix_filter",
-    "q_hll_ndv", "q_dedup_embedding_lsh", "q_er_entities",
-    "q_er_sorted_neighborhood", "q_dedup_clusters",
-    "q_ann_ivf_topk", "q_ann_recall", "q_bm25_search", "q_bpe_learn",
-    "q_chunk_dedup_census", "q_countmin_hh", "q_dedup_containment",
-    "q_dedup_editdistance", "q_dedup_embedding_cosine",
-    "q_dedup_incremental", "q_dedup_simhash_pairs", "q_hll_rollup",
-    "q_hybrid_rrf", "q_inverted_index", "q_kcore_census",
-    "q_media_dedup", "q_similarity_topk", "q_similarity_topk_fast",
-    "q_text_bpe_tokens", "q_text_fingerprint",
+# Round-9 window (the round-8 verdict's lead item: rotate certification
+# to the deferred cohorts, and every query rewritten THIS round must
+# re-enter the window so no driver row predates its code/oracle):
+# (a) the 16 queries whose code or oracle changed in round 9 — the IVF
+#     family (shared _IVF_MEMO coarse assignment; the residual lane also
+#     gained the in_exact recall census), the ER/CC tier (entity memo,
+#     CC init-probe fold), the basket miner family (one shared items
+#     dedup: copurchase/item_cf/lpa/modularity), the minhash-oracle
+#     family (relational signature restatement: lsh/recall/clusters/
+#     savings/incremental), and the content-addressed media decodes
+#     (pixel_stats/jpeg_roundtrip; media_features inlined scan-local);
+# (b) the 19 deferred round-3 rows named by the round-8 verdict;
+# (c) the 15 TPC-H queries of the round-2 cohort (its oldest slice —
+#     the remaining 35 r2 rows and the 43 r4 rows rotate in round 10).
+_DRIVER_WINDOW_R9 = [
+    # (a) rewritten this round (code or oracle)
+    "q_ann_ivf_topk", "q_ann_ivf_pq_topk", "q_ann_ivf_pq_residual",
+    "q_er_entities", "q_copurchase", "q_item_cf", "q_lpa_communities",
+    "q_modularity", "q_dedup_minhash_lsh", "q_dedup_minhash_recall",
+    "q_dedup_clusters", "q_dedup_savings", "q_dedup_incremental",
+    "q_media_pixel_stats", "q_media_jpeg_roundtrip", "q_media_features",
+    # (b) deferred round-3 rows
+    "q_cohort_retention", "q_funnel", "q_hypertable_rollup",
+    "q_merge_upsert", "q_normalization_stats", "q_feature_hash_buckets",
+    "q_split_by_user", "q_sample_exact_k", "q_sample_stratified",
+    "q_pack_chunks", "q_phrase_search", "q_pii_redaction",
+    "q_media_metadata", "q_ndv_catalog", "q_triangle_count",
+    "q_tfidf_terms", "q_text_token_stats", "q_text_quality",
+    "q_text_langid",
+    # (c) round-2 cohort, TPC-H slice first
+    "q01_pricing_summary", "q02_min_cost_supplier",
+    "q03_shipping_priority", "q04_order_priority_check",
+    "q05_regional_revenue", "q06_forecast_revenue", "q07_nation_volume",
+    "q08_market_share", "q09_product_profit", "q10_top_customers",
+    "q12_shipmode_priority", "q14_promo_revenue_ratio",
+    "q16_supplier_part_variety", "q19_disjunctive_predicates",
+    "q22_global_sales_opportunity",
 ]
 
 
 def _window_order(d: dict) -> dict:
     """Reorder ``d`` so the current driver window comes first (names
     missing from ``d`` are ignored; the rest keep registration order)."""
-    front = [k for k in _DRIVER_WINDOW_R8 if k in d]
+    front = [k for k in _DRIVER_WINDOW_R9 if k in d]
     rest = [k for k in d if k not in set(front)]
     return {k: d[k] for k in front + rest}
 
