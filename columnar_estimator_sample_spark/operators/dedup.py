@@ -1395,3 +1395,60 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("CAST(1000000 * COALESCE(n_hits, 0)"
                            " DIV n_truth AS BIGINT)").alias("recall_ppm"))
             .orderBy("lang"))
+
+
+@register(
+    "q_dedup_minhash_precision",
+    oracle=f"""
+    WITH {_minhash_pair_ctes()}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_verified,
+           CAST(1000000 * (SELECT COUNT(*) FROM pairs)
+                // GREATEST((SELECT COUNT(*) FROM cand), 1) AS BIGINT)
+               AS precision_ppm
+    """,
+)
+def q_dedup_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision of the MinHash-LSH banding — the complement of
+    q_dedup_minhash_recall (r8) that closes the banding-quality loop:
+    of all candidate pairs the 8x4 band join surfaces over the raw
+    corpus, what fraction verifies at exact Jaccard >= {JACCARD_T}?
+    Low precision means the bands waste verification work (widen rows
+    per band); low recall means they miss dups (add bands) — a
+    production pipeline tracks BOTH as the corpus drifts, and this pair
+    of driver-gated censuses is exactly that dashboard.
+
+    Scale: the candidate join is the production banding plan itself
+    (O(reps·bands) shuffle, never all-pairs); verification touches only
+    candidate pairs; the report is one row of three integers, so the
+    whole query is output-proportional on top of the banding cost."""
+    from columnar_estimator_sample_spark.sources.tables import fanout
+    docs = fanout(table(spark, sf_dir, "documents")
+                  .select("doc_id", "text"))
+    bands = minhash_bands(docs)
+    left, right = bands.alias("l"), bands.alias("r")
+    cand = (left.join(right,
+                      (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.band_key") == F.col("r.band_key"))
+                      & (F.col("l.doc_id") < F.col("r.doc_id")))
+            .select(F.col("l.doc_id").alias("doc_a"),
+                    F.col("r.doc_id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+    sh = docs.select("doc_id", _shingles_expr("text").alias("shingles"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    verified = (cand.join(sa, "doc_a").join(sb, "doc_b")
+                .filter((inter.cast("double") / union) >= JACCARD_T))
+    agg = (cand.agg(F.count("*").cast("long").alias("n_candidates"))
+           .crossJoin(F.broadcast(
+               verified.agg(F.count("*").cast("long")
+                            .alias("n_verified")))))
+    return agg.select(
+        "n_candidates", "n_verified",
+        F.expr("CAST(1000000 * n_verified"
+               " DIV GREATEST(n_candidates, 1) AS BIGINT)")
+        .alias("precision_ppm"))

@@ -653,11 +653,10 @@ def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LM_SCORE_BOTTOM = 15
 
-
-@register(
-    "q_doc_lm_score",
-    oracle="""
-    WITH t AS (
+# Shared oracle CTE chain ending in ``scores(doc_id, lang, n_bigrams,
+# lm_score_permille)`` — the SQL twin of :func:`doc_lm_scores`, used by
+# the q_doc_lm_score (bottom-k) and q_ccnet_tiers (tier census) oracles.
+_DOC_LM_SQL = """t AS (
         SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
     ),
     bg AS (
@@ -689,14 +688,23 @@ LM_SCORE_BOTTOM = 15
                AS p_permille
         FROM corpus
     ),
-    s AS (
-        SELECT d.doc_id, d.lang,
-               CAST(SUM(d.k) AS BIGINT) AS n_bigrams,
-               CAST(SUM(d.k * p.p_permille) AS BIGINT) AS sp
-        FROM docbg d JOIN p USING (w1, w2) GROUP BY 1, 2
-    )
-    SELECT doc_id, lang, n_bigrams, sp // n_bigrams AS lm_score_permille
-    FROM s
+    scores AS (
+        SELECT doc_id, lang, n_bigrams, sp // n_bigrams AS lm_score_permille
+        FROM (
+            SELECT d.doc_id, d.lang,
+                   CAST(SUM(d.k) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(d.k * p.p_permille) AS BIGINT) AS sp
+            FROM docbg d JOIN p USING (w1, w2) GROUP BY 1, 2
+        )
+    )"""
+
+
+@register(
+    "q_doc_lm_score",
+    oracle=f"""
+    WITH {_DOC_LM_SQL}
+    SELECT doc_id, lang, n_bigrams, lm_score_permille
+    FROM scores
     ORDER BY lm_score_permille, doc_id
     LIMIT 15
     """)
@@ -715,6 +723,16 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab², never corpus size. All-integer arithmetic end to end, so the
     DuckDB oracle matches bit for bit; ranking is total-ordered
     (score, doc_id) under TakeOrderedAndProject."""
+    return (doc_lm_scores(spark, sf_dir)
+            .orderBy("lm_score_permille", "doc_id")
+            .limit(LM_SCORE_BOTTOM))
+
+
+def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_bigrams, lm_score_permille) for every document
+    with >= 1 bigram: mean corpus-LM transition probability in integer
+    permille — the scoring frame behind q_doc_lm_score (bottom-k report)
+    and q_ccnet_tiers (per-language tier census)."""
     from pyspark.sql import Window as W
     docs = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -742,9 +760,65 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.expr("k * p_permille")).cast("long").alias("sp"),
                  F.sum("k").cast("long").alias("n_bigrams"))
             .select("doc_id", "lang", "n_bigrams",
-                    F.expr("sp div n_bigrams").alias("lm_score_permille"))
-            .orderBy("lm_score_permille", "doc_id")
-            .limit(LM_SCORE_BOTTOM))
+                    F.expr("sp div n_bigrams").alias("lm_score_permille")))
+
+
+@register(
+    "q_ccnet_tiers",
+    oracle=f"""
+    WITH {_DOC_LM_SQL},
+    tiers AS (
+        SELECT lang, doc_id, lm_score_permille,
+               NTILE(3) OVER (PARTITION BY lang
+                              ORDER BY lm_score_permille DESC, doc_id)
+                   AS tier
+        FROM scores
+    )
+    SELECT t.lang,
+           CAST(t.tier AS BIGINT) AS tier,
+           ['head', 'middle', 'tail'][CAST(t.tier AS INT)] AS tier_name,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           MIN(t.lm_score_permille) AS min_score,
+           MAX(t.lm_score_permille) AS max_score
+    FROM tiers t JOIN documents d ON d.doc_id = t.doc_id
+    GROUP BY t.lang, t.tier
+    ORDER BY 1, 2
+    """)
+def q_ccnet_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality tiers (Wenzek et al. 2020, arXiv:1911.00359):
+    per language, split documents into head / middle / tail terciles by
+    their language-model score (the paper uses KenLM perplexity; this
+    engine's corpus-trained bigram LM plays that role — LOW mean
+    transition probability == high perplexity == tail), and report the
+    per-tier census a mixing pipeline consumes: doc count, character
+    mass, and the score range. Tie-breaks on doc_id make the tercile
+    assignment a total order, so both engines cut identical tiers.
+
+    Scale: scoring is the q_doc_lm_score frame (one text scan, LM join
+    bounded by vocab²); the tercile is one window over the doc-count-
+    sized score frame partitioned by language; the census aggregates
+    map-side. At 100 TB the NTILE window is the classic per-language
+    sort — CCNet itself shards exactly this way (per-lang buckets)."""
+    from pyspark.sql import Window as W
+    scores = doc_lm_scores(spark, sf_dir)
+    w = W.partitionBy("lang").orderBy(F.desc("lm_score_permille"),
+                                      F.asc("doc_id"))
+    tiers = scores.withColumn("tier", F.ntile(3).over(w).cast("long"))
+    chars = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (tiers.join(chars, "doc_id")
+            .groupBy("lang", "tier")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.min("lm_score_permille").alias("min_score"),
+                 F.max("lm_score_permille").alias("max_score"))
+            .withColumn("tier_name",
+                        F.element_at(F.array(F.lit("head"), F.lit("middle"),
+                                             F.lit("tail")),
+                                     F.col("tier").cast("int")))
+            .select("lang", "tier", "tier_name", "n_docs", "total_chars",
+                    "min_score", "max_score")
+            .orderBy("lang", "tier"))
 
 
 # ---------------------------------------------------------------------------

@@ -87,10 +87,14 @@ _loaded = False
 #     savings/incremental), and the content-addressed media decodes
 #     (pixel_stats/jpeg_roundtrip; media_features inlined scan-local);
 # (b) the 19 deferred round-3 rows named by the round-8 verdict;
-# (c) the 15 TPC-H queries of the round-2 cohort (its oldest slice —
-#     the remaining 35 r2 rows and the 43 r4 rows rotate in round 10).
+# (c) the TPC-H slice of the round-2 cohort (its oldest rows — the
+#     remaining 38 r2 rows and the 43 r4 rows rotate in round 10).
 _DRIVER_WINDOW_R9 = [
-    # (a) rewritten this round (code or oracle)
+    # (a0) new this round
+    "q_ccnet_tiers", "q_dedup_minhash_precision",
+    # (a) rewritten this round (code or oracle; q_doc_lm_score: scoring
+    #     frame extracted as the shared doc_lm_scores helper)
+    "q_doc_lm_score",
     "q_ann_ivf_topk", "q_ann_ivf_pq_topk", "q_ann_ivf_pq_residual",
     "q_er_entities", "q_copurchase", "q_item_cf", "q_lpa_communities",
     "q_modularity", "q_dedup_minhash_lsh", "q_dedup_minhash_recall",
@@ -110,8 +114,6 @@ _DRIVER_WINDOW_R9 = [
     "q05_regional_revenue", "q06_forecast_revenue", "q07_nation_volume",
     "q08_market_share", "q09_product_profit", "q10_top_customers",
     "q12_shipmode_priority", "q14_promo_revenue_ratio",
-    "q16_supplier_part_variety", "q19_disjunctive_predicates",
-    "q22_global_sales_opportunity",
 ]
 
 
