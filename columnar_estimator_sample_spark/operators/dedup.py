@@ -1370,19 +1370,34 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("l.doc_id").alias("doc_a"),
                     F.col("r.doc_id").alias("doc_b"))
             .dropDuplicates(["doc_a", "doc_b"]))
-    sh = docs.select("doc_id", "lang",
-                     _shingles_expr("text").alias("shingles"))
-    a_df, b_df = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.shingles"),
-                                     F.col("b.shingles")))
-    union = (F.size(F.col("a.shingles")) + F.size(F.col("b.shingles"))
-             - inter)
-    truth = (a_df.join(b_df, (F.col("a.lang") == F.col("b.lang"))
-                       & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .filter((inter.cast("double") / union) >= JACCARD_T)
-             .select(F.col("a.lang").alias("lang"),
-                     F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b")))
+    # Exhaustive truth restated as a TOKEN hash-join (r9, same move as
+    # the oracle): shingle lists are DISTINCT, so |intersection| is the
+    # matched-token count — the O(pairs · |shingles|) array_intersect
+    # over full arrays becomes one shuffle on the 8-byte-ish token key
+    # with map-side-combinable pair counts (engine side 7.0 -> ~1.5 s
+    # at sf0.1); zero-overlap pairs are Jaccard 0 < the threshold and
+    # never truth rows, so the join form is exhaustive over the slice.
+    tok = docs.select("doc_id", "lang",
+                      F.explode(_shingles_expr("text")).alias("s"))
+    sizes = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    ta, tb = tok.alias("a"), tok.alias("b")
+    co = (ta.join(tb, (F.col("a.s") == F.col("b.s"))
+                  & (F.col("a.lang") == F.col("b.lang"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+          .groupBy(F.col("a.lang").alias("lang"),
+                   F.col("a.doc_id").alias("doc_a"),
+                   F.col("b.doc_id").alias("doc_b"))
+          .agg(F.count("*").cast("long").alias("i")))
+    na = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n").alias("nb"))
+    truth = (co.join(F.broadcast(na), "doc_a")
+             .join(F.broadcast(nb), "doc_b")
+             .filter((F.col("i").cast("double")
+                      / (F.col("na") + F.col("nb") - F.col("i")))
+                     >= JACCARD_T)
+             .select("lang", "doc_a", "doc_b"))
     hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
     tc = truth.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_truth"))

@@ -311,6 +311,34 @@ class TestRealCodecs:
 
 
 class TestMediaNearDup:
+    def test_map_distinct_blobs_once_per_distinct(self, spark):
+        """Content-addressing contract: the decode kernel runs exactly
+        once per DISTINCT payload (counted with an accumulator), and the
+        re-expansion returns every doc_id with its payload's value —
+        duplicated blobs share one kernel invocation."""
+        from pyspark.sql import functions as F
+
+        from columnar_estimator_sample_spark.operators.multimodal import (
+            map_distinct_blobs,
+        )
+        acc = spark.sparkContext.accumulator(0)
+        docs = spark.range(30).select(
+            F.col("id").alias("doc_id"),
+            F.lit("image").alias("media_type"),
+            # 30 docs, 5 distinct payloads
+            F.concat(F.lit("blob-"), (F.col("id") % 5).cast("string"))
+            .cast("binary").alias("payload"))
+
+        def kernel(p: bytes, _mt) -> dict:
+            acc.add(1)
+            return {"v": int(p[-1])}
+
+        out = map_distinct_blobs(docs, kernel, "v long").collect()
+        assert len(out) == 30
+        got = {r["doc_id"]: r["v"] for r in out}
+        assert all(got[d] == ord(str(d % 5)) for d in range(30))
+        assert acc.value == 5
+
     def test_dhash_brightness_invariance(self):
         """dHash compares neighbor cells, so a constant brightness shift
         that doesn't wrap mod 256 leaves every bit unchanged — the
