@@ -318,6 +318,73 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_tokenizer_fertility",
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe,
+               len(string_split(text, ' ')) AS ws,
+               length(text) AS chars,
+               octet_length(encode(text)) AS bytes
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(bpe) AS BIGINT) AS n_tokens,
+           CAST(SUM(ws) AS BIGINT) AS n_words,
+           CAST(SUM(bytes) AS BIGINT) AS n_bytes,
+           CAST(1000000 * SUM(bpe) // SUM(ws) AS BIGINT)
+               AS fertility_ppm,
+           CAST(1000000 * SUM(chars) // SUM(bpe) AS BIGINT)
+               AS chars_per_token_ppm,
+           CAST(1000000 * SUM(bytes) // SUM(bpe) AS BIGINT)
+               AS bytes_per_token_ppm
+    FROM t
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility census per language — the standard
+    multilingual tokenizer-quality report (fertility = subword tokens
+    per whitespace word; a tokenizer that fragments a language inflates
+    its training cost and shrinks its effective context): corpus-level
+    tokens/words/bytes plus integer-ppm fertility, chars-per-token and
+    bytes-per-token, using the same BPE-ish pre-tokenizer as
+    q_text_bpe_tokens. Languages whose bytes_per_token is far below the
+    corpus norm are the ones a vocabulary rebuild should up-weight.
+
+    Scale: one text scan with per-row regexp counting (codegen,
+    JVM-side), one |langs|-row hash aggregate with map-side partials —
+    nothing shuffles but (lang, partial sums). All-integer ppm ratios,
+    so the DuckDB oracle matches bit for bit."""
+    docs = table(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all(
+        "text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0))
+    agg = (docs.select(
+        "lang", bpe.alias("bpe"),
+        F.size(F.split("text", " ")).alias("ws"),
+        F.length("text").alias("chars"),
+        F.octet_length("text").alias("bytes"))
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("bpe").cast("long").alias("n_tokens"),
+             F.sum("ws").cast("long").alias("n_words"),
+             F.sum("chars").cast("long").alias("n_chars_sum"),
+             F.sum("bytes").cast("long").alias("n_bytes")))
+    return (agg.select(
+        "lang", "n_docs", "n_tokens", "n_words", "n_bytes",
+        F.expr("CAST(1000000 * n_tokens DIV n_words AS BIGINT)")
+        .alias("fertility_ppm"),
+        F.expr("CAST(1000000 * n_chars_sum DIV n_tokens AS BIGINT)")
+        .alias("chars_per_token_ppm"),
+        F.expr("CAST(1000000 * n_bytes DIV n_tokens AS BIGINT)")
+        .alias("bytes_per_token_ppm"))
+        .orderBy("lang"))
+
+
+@register(
     "q_text_fingerprint",
     oracle=f"""
     SELECT doc_id,

@@ -91,7 +91,7 @@ _loaded = False
 #     remaining 38 r2 rows and the 43 r4 rows rotate in round 10).
 _DRIVER_WINDOW_R9 = [
     # (a0) new this round
-    "q_ccnet_tiers", "q_dedup_minhash_precision",
+    "q_ccnet_tiers", "q_dedup_minhash_precision", "q_tokenizer_fertility",
     # (a) rewritten this round (code or oracle; q_doc_lm_score: scoring
     #     frame extracted as the shared doc_lm_scores helper)
     "q_doc_lm_score",
@@ -113,7 +113,7 @@ _DRIVER_WINDOW_R9 = [
     "q03_shipping_priority", "q04_order_priority_check",
     "q05_regional_revenue", "q06_forecast_revenue", "q07_nation_volume",
     "q08_market_share", "q09_product_profit", "q10_top_customers",
-    "q12_shipmode_priority", "q14_promo_revenue_ratio",
+    "q12_shipmode_priority",
 ]
 
 
