@@ -315,11 +315,13 @@ def expand_member_pairs(pairs: DataFrame, members: DataFrame,
     )
 
 
-def _minhash_pair_ctes(k: int = MINHASH_K, n_bands: int = LSH_BANDS) -> str:
+def _minhash_pair_ctes(k: int = MINHASH_K, n_bands: int = LSH_BANDS,
+                       src: str = "documents") -> str:
     """CTE list computing the verified MinHash-LSH near-dup pairs, ending in
     ``pairs(doc_a, doc_b, jaccard)``. Shared by :func:`_minhash_oracle`,
-    the connected-components oracle in ``operators/graph.py``, and (at
-    k=16/4 bands) the incremental-ingest oracle."""
+    the connected-components oracle in ``operators/graph.py``, (at
+    k=16/4 bands) the incremental-ingest oracle, and (over a contracted
+    ``src``) the precision census."""
     a, bq = minhash_params(k)
     a_lit = "[{}]".format(",".join(str(v) for v in a))
     b_lit = "[{}]".format(",".join(str(v) for v in bq))
@@ -334,7 +336,7 @@ def _minhash_pair_ctes(k: int = MINHASH_K, n_bands: int = LSH_BANDS) -> str:
     # full-ledger regen down by minutes; band keys are bit-identical:
     # string_agg ORDER BY i == array_to_string of the sig slice).
     return f"""sh AS MATERIALIZED (
-        SELECT doc_id, {shingles} AS shingles FROM documents
+        SELECT doc_id, {shingles} AS shingles FROM {src}
     ), tokx AS MATERIALIZED (
         SELECT doc_id, {sql_h64('tok')} % {MERSENNE_P} AS x
         FROM (SELECT doc_id, unnest(shingles) AS tok FROM sh)
@@ -1415,7 +1417,12 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_minhash_precision",
     oracle=f"""
-    WITH {_minhash_pair_ctes()}
+    WITH grp AS (
+        SELECT MIN(doc_id) AS gid FROM documents GROUP BY md5(text)
+    ), reps AS (
+        SELECT d.doc_id, d.text FROM documents d
+        JOIN grp g ON g.gid = d.doc_id
+    ), {_minhash_pair_ctes(src="reps")}
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_verified,
            CAST(1000000 * (SELECT COUNT(*) FROM pairs)
@@ -1426,20 +1433,30 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision of the MinHash-LSH banding — the complement of
     q_dedup_minhash_recall (r8) that closes the banding-quality loop:
-    of all candidate pairs the 8x4 band join surfaces over the raw
-    corpus, what fraction verifies at exact Jaccard >= {JACCARD_T}?
-    Low precision means the bands waste verification work (widen rows
-    per band); low recall means they miss dups (add bands) — a
-    production pipeline tracks BOTH as the corpus drifts, and this pair
-    of driver-gated censuses is exactly that dashboard.
+    of all candidate pairs the 8x4 band join surfaces, what fraction
+    verifies at exact Jaccard >= {JACCARD_T}? Low precision means the
+    bands waste verification work (widen rows per band); low recall
+    means they miss dups (add bands) — a production pipeline tracks
+    BOTH as the corpus drifts, and this pair of driver-gated censuses
+    is exactly that dashboard.
+
+    Measured over DISTINCT content (exact-dup contraction first, the
+    tier's standard move): replicated corpora would both inflate the
+    metric with Jaccard-1.0 duplicate pairs AND pay an O(copies²)
+    candidate term (measured 5.9× wall at 10× data on the 10-way-
+    duplicated sf1 replica before contraction; FLAT after — 2.2 s at
+    both sf0.1 and sf1, distinct content being ~constant there) — the
+    distinct-content number is the one that predicts verification
+    waste per unit of unique corpus.
 
     Scale: the candidate join is the production banding plan itself
     (O(reps·bands) shuffle, never all-pairs); verification touches only
     candidate pairs; the report is one row of three integers, so the
     whole query is output-proportional on top of the banding cost."""
     from columnar_estimator_sample_spark.sources.tables import fanout
-    docs = fanout(table(spark, sf_dir, "documents")
-                  .select("doc_id", "text"))
+    all_docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    _, reps = contract_exact_dups(all_docs, "doc_id", "text")
+    docs = fanout(reps)
     bands = minhash_bands(docs)
     left, right = bands.alias("l"), bands.alias("r")
     cand = (left.join(right,
