@@ -1414,6 +1414,123 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
+SPAN_K = 8           # anchor window: K consecutive whitespace tokens
+SPAN_MAX_SPREAD = 8  # windows in more docs are boilerplate, not near-dup
+SPAN_TOP = 25
+
+
+@register(
+    "q_dedup_exactsubstr",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), anchors AS MATERIALIZED (
+        SELECT doc_id, u.p AS p, u.h AS h FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(ws) - {SPAN_K - 1}, 0) + 1),
+                       i -> {{'p': i,
+                             'h': {sql_h64(
+                                 "array_to_string(ws[CAST(i AS INT):"
+                                 f"CAST(i + {SPAN_K - 1} AS INT)], ' ')")}
+                            }})) AS u
+            FROM w)
+    ), spread AS (
+        SELECT h FROM anchors GROUP BY h
+        HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {SPAN_MAX_SPREAD}
+    ), hits AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+        FROM anchors a
+        JOIN spread s ON s.h = a.h
+        JOIN anchors b ON b.h = a.h AND a.doc_id < b.doc_id
+    ), runs AS (
+        SELECT doc_a, doc_b, pa - pb AS diag,
+               pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                       ORDER BY pa) AS grp
+        FROM hits
+    ), spans AS (
+        SELECT doc_a, doc_b,
+               CAST(COUNT(*) + {SPAN_K - 1} AS BIGINT) AS run_tokens
+        FROM runs GROUP BY doc_a, doc_b, diag, grp
+    )
+    SELECT doc_a, doc_b,
+           MAX(run_tokens) AS max_shared_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_spans
+    FROM spans
+    GROUP BY doc_a, doc_b
+    ORDER BY max_shared_tokens DESC, doc_a, doc_b
+    LIMIT {SPAN_TOP}
+    """,
+)
+def q_dedup_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr pair census (Lee et al. 2022, arXiv:2107.06499): the
+    verbatim-span tier of dedup — for each document pair sharing a run
+    of >= {SPAN_K} consecutive whitespace tokens, the LONGEST shared run
+    (in tokens) and the number of distinct maximal shared spans; top
+    {SPAN_TOP} pairs. The paper builds a suffix array; relationally the
+    same census falls out of ANCHOR WINDOWS + run chaining: hash every
+    {SPAN_K}-token window, join anchors on the window hash, and chain
+    consecutive matches on the same alignment diagonal (pa - pb) with
+    the gaps-and-islands trick (pa - row_number per diagonal), so a
+    shared run of L tokens appears as an island of L - {SPAN_K} + 1
+    anchors and reports exactly L.
+
+    Windows appearing in more than {SPAN_MAX_SPREAD} documents are
+    boilerplate, not near-duplication, and are excluded BY SPEC in both
+    engines (not a silent cap — the high-spread tier is exactly what
+    q_substring_hotspots censuses; the near-verbatim PAIR signal lives
+    in rare windows).
+
+    Scale: anchors are one narrow explode (8-byte hash + position —
+    text never shuffles); the spread filter is a combiner-backed
+    aggregate; the anchor self-join is keyed by window hash with volume
+    capped by the spread bound (<= C({SPAN_MAX_SPREAD},2) doc pairs per
+    window); the islands pass is one window over the hit rows, already
+    partitioned by pair. This is the audit-grade complement to the
+    probabilistic tiers: MinHash finds mostly-similar documents,
+    ExactSubstr finds verbatim copying inside otherwise-different ones."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    from columnar_estimator_sample_spark.sources.tables import fanout
+    ws = fanout(docs).select(
+        "doc_id", F.split("text", " ").alias("ws"))
+    # CASE-guard the short-doc branch: Spark's sequence(1, 0) yields a
+    # DESCENDING [1, 0], not empty (DuckDB's range(1, 1) is empty)
+    wins = F.expr(
+        f"CASE WHEN size(ws) >= {SPAN_K} THEN "
+        f"transform(sequence(1, size(ws) - {SPAN_K - 1}), "
+        f"i -> concat_ws(' ', slice(ws, i, {SPAN_K}))) "
+        "ELSE array() END")
+    anchors = (ws.select("doc_id", F.posexplode(wins).alias("p0", "win"))
+               .select("doc_id", (F.col("p0") + 1).alias("p"),
+                       h64(F.col("win")).alias("h")))
+    spread = (anchors.groupBy("h")
+              .agg(F.count_distinct("doc_id").alias("sp"))
+              .filter((F.col("sp") >= 2) & (F.col("sp") <= SPAN_MAX_SPREAD))
+              .select("h"))
+    anch_f = anchors.join(spread, "h")
+    a, b = anch_f.alias("a"), anch_f.alias("b")
+    hits = (a.join(b, (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.p").alias("pa"), F.col("b.p").alias("pb")))
+    from pyspark.sql.window import Window
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    w_run = Window.partitionBy("doc_a", "doc_b",
+                               F.col("pa") - F.col("pb")).orderBy("pa")
+    runs = hits.select("doc_a", "doc_b", diag,
+                       (F.col("pa") - F.row_number().over(w_run))
+                       .alias("grp"))
+    spans = (runs.groupBy("doc_a", "doc_b", "diag", "grp")
+             .agg((F.count("*") + (SPAN_K - 1)).cast("long")
+                  .alias("run_tokens")))
+    return (spans.groupBy("doc_a", "doc_b")
+            .agg(F.max("run_tokens").alias("max_shared_tokens"),
+                 F.count("*").cast("long").alias("n_spans"))
+            .orderBy(F.desc("max_shared_tokens"), "doc_a", "doc_b")
+            .limit(SPAN_TOP))
+
+
 @register(
     "q_dedup_minhash_precision",
     oracle=f"""
@@ -1456,6 +1573,12 @@ def q_dedup_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     from columnar_estimator_sample_spark.sources.tables import fanout
     all_docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     _, reps = contract_exact_dups(all_docs, "doc_id", "text")
+    # fanout: AQE coalesces the small contraction shuffle to a handful
+    # of partitions locally, serializing the shingle-md5 kernel
+    # (measured 3.9 s vs 2.2 s at sf0.1 without it); its partition
+    # probe materializes the contraction subtree at build time, which
+    # the plan audit allowlists for this query (execution pulled
+    # forward, same category as the lazy-checkpoint materializations)
     docs = fanout(reps)
     bands = minhash_bands(docs)
     left, right = bands.alias("l"), bands.alias("r")

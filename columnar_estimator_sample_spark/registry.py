@@ -92,6 +92,7 @@ _loaded = False
 _DRIVER_WINDOW_R9 = [
     # (a0) new this round
     "q_ccnet_tiers", "q_dedup_minhash_precision", "q_tokenizer_fertility",
+    "q_dedup_exactsubstr",
     # (a) rewritten this round (code or oracle; q_doc_lm_score: scoring
     #     frame extracted as the shared doc_lm_scores helper)
     "q_doc_lm_score",
@@ -113,7 +114,6 @@ _DRIVER_WINDOW_R9 = [
     "q03_shipping_priority", "q04_order_priority_check",
     "q05_regional_revenue", "q06_forecast_revenue", "q07_nation_volume",
     "q08_market_share", "q09_product_profit", "q10_top_customers",
-    "q12_shipmode_priority",
 ]
 
 

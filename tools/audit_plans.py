@@ -80,6 +80,10 @@ BUILD_RUNS_JOBS = {
     # assignment (similarity._IVF_MEMO); whichever builds first
     # materializes it
     "q_ann_ivf_topk", "q_ann_ivf_pq_topk", "q_ann_ivf_pq_residual",
+    # r9: fanout's partition probe on the post-contraction frame
+    # materializes that subtree at build (execution pulled forward —
+    # same class as the checkpoint materializations above)
+    "q_dedup_minhash_precision",
     # streaming availableNow drains + IO roundtrips: the builder runs
     # the stream / write-read cycle end-to-end and returns the landed
     # result as a local frame
