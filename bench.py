@@ -83,6 +83,10 @@ HEADLINE = [
     "q_ann_ivf_pq_residual",
     "q_contamination_semantic",
     "q_dedup_minhash_recall",
+    # round-9 tier representatives
+    "q_ccnet_tiers",
+    "q_dedup_exactsubstr",
+    "q_dedup_minhash_precision",
 ]
 
 
