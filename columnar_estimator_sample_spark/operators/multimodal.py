@@ -410,6 +410,133 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 @register(
+    "q_media_frame_census",
+    oracle="""
+    WITH v AS (
+        SELECT doc_id,
+               least(octet_length(encode(text)) // 10, 50) + 1 AS n_frames
+        FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_videos,
+           CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+           CAST(MIN(n_frames) AS BIGINT) AS min_frames,
+           CAST(MAX(n_frames) AS BIGINT) AS max_frames
+    FROM v
+    """,
+)
+def q_media_frame_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out census, driver-gated: every video blob's
+    sampled-frame row count (one frame per 10 payload bytes, capped at
+    51 — :func:`frame_sample_plan`'s explode), aggregated to the decode
+    budget a frame-level dataset build schedules against. The oracle
+    recomputes the per-video frame counts from octet_length, so the
+    hash match certifies the explode fan-out itself — the step between
+    "video corpus" and "frame dataset" whose row multiplication is the
+    scheduling quantity at 100 TB.
+
+    Scale: the explode emits capped (doc_id, frame_idx) narrow rows
+    map-side; the census is one global aggregate with partials. The
+    per-frame DECODE stays the per-distinct-blob kernel of the video
+    tier (q_media_video_neardup decodes real JPEG frames)."""
+    media = documents_as_media(table(spark, sf_dir, "documents"))
+    frames = frame_sample_plan(media)
+    per_doc = frames.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_frames"))
+    return per_doc.agg(
+        F.count("*").cast("long").alias("n_videos"),
+        F.sum("n_frames").cast("long").alias("total_frames"),
+        F.min("n_frames").alias("min_frames"),
+        F.max("n_frames").alias("max_frames"))
+
+
+RESIZE_TH = 4  # thumbnail grid: 4x4 integer-partition cells
+RESIZE_TW = 4
+
+
+def resize_cells(img, th: int = RESIZE_TH, tw: int = RESIZE_TW):
+    """Integer box-downsample ("area" resize without the division):
+    pixel (x, y) belongs to thumbnail cell (y*th//h, x*tw//w) — the same
+    integer grid partition as dhash_gray — and each cell carries the
+    exact int64 SUM of its member pixels (the mean needs a rounding
+    contract; the sum is the resize's sufficient statistic and is exact
+    cross-engine). Returns the th*tw sums row-major."""
+    h, w = img.shape
+    ys = (np.arange(h, dtype=np.int64) * th) // h
+    xs = (np.arange(w, dtype=np.int64) * tw) // w
+    idx = (ys[:, None] * tw + xs[None, :]).ravel()
+    return np.bincount(idx, weights=img.astype(np.int64).ravel(),
+                       minlength=th * tw).astype(np.int64)
+
+
+@register(
+    "q_media_resize",
+    # The oracle evaluates the resize from the synth_image closed form
+    # (pixel (x, y) of doc d = (3x + 7y + d) % 256) — a hash match
+    # certifies the PNG round trip AND every thumbnail cell sum.
+    oracle=f"""
+    WITH img AS (
+        SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
+        FROM documents WHERE doc_id % 3 = 0
+    ), px AS (
+        SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM img
+    ), cells AS (
+        SELECT doc_id,
+               ((k // w) * {RESIZE_TH}) // h AS cy,
+               ((k % w) * {RESIZE_TW}) // w AS cx,
+               SUM((3 * (k % w) + 7 * (k // w) + doc_id) % 256) AS s
+        FROM px GROUP BY 1, 2, 3
+    )
+    SELECT CAST(cy AS BIGINT) AS cy, CAST(cx AS BIGINT) AS cx,
+           CAST(COUNT(*) AS BIGINT) AS n_imgs,
+           CAST(SUM(s) AS BIGINT) AS total_value,
+           CAST(MIN(s) AS BIGINT) AS min_value,
+           CAST(MAX(s) AS BIGINT) AS max_value
+    FROM cells
+    GROUP BY cy, cx
+    ORDER BY cy, cx
+    """,
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, oracle-certified: synthetic closed-form images
+    encode to true PNGs, decode worker-side through the full codec, and
+    each image box-downsamples to a {RESIZE_TH}x{RESIZE_TW} integer
+    thumbnail (:func:`resize_cells` — exact cell sums, the
+    area-resize's sufficient statistic). The census aggregates every
+    cell position across the corpus (count / total / min / max), and
+    the oracle recomputes all of it from the generating formulas — so
+    the hash match certifies the decode AND every resized cell value.
+    Resize is the standard pre-processing step between a raw image
+    corpus and a fixed-shape training tensor; this is its Spark-native
+    shape: decode+resize fused in one content-addressed kernel, only
+    {RESIZE_TH}x{RESIZE_TW} integers per DISTINCT image ever leaving
+    the executor.
+
+    Scale: content-addressed via :func:`map_distinct_blobs` (the
+    synthetic images collide in ~768 classes; real corpora in their
+    re-fetched assets); thumbnails ride one narrow posexplode into a
+    16-key aggregate with map-side partials."""
+    docs = table(spark, sf_dir, "documents")
+    media = (encode_media_batches(docs)
+             .filter(F.col("media_type") == "image"))
+
+    def kernel(p: bytes, _mt) -> dict:
+        return {"cells": [int(v) for v in resize_cells(decode_png_gray(p))]}
+
+    thumbs = map_distinct_blobs(media, kernel, "cells array<bigint>")
+    cell = (thumbs.select("doc_id",
+                          F.posexplode("cells").alias("i", "s"))
+            .select(F.expr(f"CAST(i div {RESIZE_TW} AS BIGINT)").alias("cy"),
+                    (F.col("i") % RESIZE_TW).cast("long").alias("cx"),
+                    "s"))
+    return (cell.groupBy("cy", "cx")
+            .agg(F.count("*").cast("long").alias("n_imgs"),
+                 F.sum("s").cast("long").alias("total_value"),
+                 F.min("s").alias("min_value"),
+                 F.max("s").alias("max_value"))
+            .orderBy("cy", "cx"))
+
+
+@register(
     "q_media_dedup",
     oracle="""
     WITH m AS (

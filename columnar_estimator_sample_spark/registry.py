@@ -87,12 +87,13 @@ _loaded = False
 #     savings/incremental), and the content-addressed media decodes
 #     (pixel_stats/jpeg_roundtrip; media_features inlined scan-local);
 # (b) the 19 deferred round-3 rows named by the round-8 verdict;
-# (c) the TPC-H slice of the round-2 cohort (its oldest rows — the
-#     remaining 38 r2 rows and the 43 r4 rows rotate in round 10).
+# (c) the TPC-H slice of the round-2 cohort — the remaining 42 r2 rows
+#     and the 43 r4 rows rotate in round 10+ (new/rewritten queries
+#     outrank re-certs of stable, never-rewritten rows for slots).
 _DRIVER_WINDOW_R9 = [
     # (a0) new this round
     "q_ccnet_tiers", "q_dedup_minhash_precision", "q_tokenizer_fertility",
-    "q_dedup_exactsubstr",
+    "q_dedup_exactsubstr", "q_media_resize", "q_media_frame_census",
     # (a) rewritten this round (code or oracle; q_doc_lm_score: scoring
     #     frame extracted as the shared doc_lm_scores helper)
     "q_doc_lm_score",
@@ -113,7 +114,7 @@ _DRIVER_WINDOW_R9 = [
     "q01_pricing_summary", "q02_min_cost_supplier",
     "q03_shipping_priority", "q04_order_priority_check",
     "q05_regional_revenue", "q06_forecast_revenue", "q07_nation_volume",
-    "q08_market_share", "q09_product_profit", "q10_top_customers",
+    "q08_market_share",
 ]
 
 

@@ -36,6 +36,8 @@ ARROW_ALLOWED = {"q_media_features", "q_similarity_topk_fast",
                  # stage of the image near-dup tier
                  "q_media_neardup", "q_media_audio_neardup",
                  "q_media_video_neardup",
+                 # r9: decode+box-downsample fused kernel
+                 "q_media_resize",
                  # r7: rides the same gather+einsum scorer as the LSH
                  # tier. CAVEAT: its MapInPandas sits BEHIND a lazy
                  # localCheckpoint boundary, which the printed plan
