@@ -1491,7 +1491,15 @@ def q_dedup_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ExactSubstr finds verbatim copying inside otherwise-different ones."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     from columnar_estimator_sample_spark.sources.tables import fanout
-    ws = fanout(docs).select(
+    return exactsubstr_census(fanout(docs))
+
+
+def exactsubstr_census(docs: DataFrame) -> DataFrame:
+    """Core ExactSubstr pair census over a (doc_id, text) frame — see
+    :func:`q_dedup_exactsubstr` (anchor windows + spread cap +
+    gaps-and-islands run chaining). Unit-pinned on constructed corpora
+    (known shared runs, boilerplate exclusion) beside the oracle."""
+    ws = docs.select(
         "doc_id", F.split("text", " ").alias("ws"))
     # CASE-guard the short-doc branch: Spark's sequence(1, 0) yields a
     # DESCENDING [1, 0], not empty (DuckDB's range(1, 1) is empty)

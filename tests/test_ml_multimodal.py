@@ -339,6 +339,25 @@ class TestMediaNearDup:
         assert all(got[d] == ord(str(d % 5)) for d in range(30))
         assert acc.value == 5
 
+    def test_resize_cells_exact_partition(self):
+        """resize_cells is an exact integer partition: cell sums add up
+        to the image sum, a constant image distributes by cell pixel
+        counts, and an evenly-dividing grid gives exact block sums."""
+        import numpy as np
+
+        from columnar_estimator_sample_spark.operators.multimodal import (
+            resize_cells,
+        )
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, size=(10, 14)).astype(np.uint8)
+        cells = resize_cells(img)
+        assert cells.sum() == img.astype(np.int64).sum()
+        # evenly dividing 8x8 -> each 2x2 block sums exactly
+        img2 = np.arange(64, dtype=np.int64).reshape(8, 8)
+        cells2 = resize_cells(img2.astype(np.uint8)).reshape(4, 4)
+        expect = img2.reshape(4, 2, 4, 2).sum(axis=(1, 3))
+        assert (cells2 == expect).all()
+
     def test_dhash_brightness_invariance(self):
         """dHash compares neighbor cells, so a constant brightness shift
         that doesn't wrap mod 256 leaves every bit unchanged — the

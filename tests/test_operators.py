@@ -40,6 +40,43 @@ class TestTraceAnalytics:
 
 
 class TestDedup:
+    def test_exactsubstr_known_runs(self, spark):
+        """Constructed corpus pins the islands logic: two docs share
+        exactly one 12-token verbatim run (reported as 12), another
+        pair shares two disjoint 8-token runs (max 8, n_spans 2), and a
+        window repeated across >SPAN_MAX_SPREAD docs is boilerplate and
+        must anchor NO pair."""
+        from columnar_estimator_sample_spark.operators.dedup import (
+            SPAN_MAX_SPREAD, exactsubstr_census,
+        )
+
+        def words(prefix, n):
+            return " ".join(f"{prefix}{i}" for i in range(n))
+
+        shared12 = words("s", 12)
+        runA, runB = words("p", 8), words("q", 8)
+        boiler = words("b", 8)
+        rows = [
+            (1, f"{words('x', 5)} {shared12} {words('y', 5)}"),
+            (2, f"{words('z', 3)} {shared12} {words('w', 7)}"),
+            # two disjoint 8-token runs, interrupted by unique tokens
+            (3, f"{runA} u3a {runB} {words('m', 4)}"),
+            (4, f"{runA} u4a {runB} {words('n', 4)}"),
+        ] + [
+            # boilerplate: the same 8-token window in 10 > SPAN_MAX_SPREAD
+            # docs, padded with unique tokens so no other window repeats
+            (100 + i, f"{boiler} {words(f'f{i}_', 6)}")
+            for i in range(SPAN_MAX_SPREAD + 2)
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {(r["doc_a"], r["doc_b"]): (r["max_shared_tokens"],
+                                          r["n_spans"])
+               for r in exactsubstr_census(docs).collect()}
+        assert got[(1, 2)] == (12, 1)
+        assert got[(3, 4)] == (8, 2)
+        assert all(a < 100 for a, _ in got), \
+            f"boilerplate window anchored pairs: {got}"
+
     def test_shingles(self, spark):
         from columnar_estimator_sample_spark.operators.dedup import (
             _shingles_expr,
