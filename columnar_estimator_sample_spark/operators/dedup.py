@@ -1102,8 +1102,21 @@ def _verified_pairs(docs: DataFrame, t_millis: int,
         verify_f(F.col("inter_size"), F.col("na"), F.col("nb")))
 
 
+# (applicationId, sf_dir) -> (members, rep tokens checkpoint, rep
+# sizes) shared by the jaccard and cosine set-join queries: the
+# contraction window + explode/md5 token pass is identical for both
+# measures, so the second tier to run in a session reuses the
+# materialized frames (same per-session memo pattern as
+# similarity._IVF_MEMO / entity._ENTITY_MEMO). Keyed only when the
+# registered queries pass their (appId, sf_dir) key — helper calls on
+# constructed frames (property tests) never touch it.
+_SETJOIN_MEMO: dict[tuple[str, str], tuple] = {}
+
+
 def _contracted_setjoin(docs: DataFrame, t_millis: int,
-                        measure: str) -> DataFrame:
+                        measure: str,
+                        memo_key: tuple[str, str] | None = None
+                        ) -> DataFrame:
     """(doc_a, doc_b, na, nb, inter_size) for all measure>=t pairs.
 
     Exact duplicates are contracted FIRST (md5(text) census, min-id
@@ -1122,16 +1135,24 @@ def _contracted_setjoin(docs: DataFrame, t_millis: int,
     within-group pairs are emitted as representative SELF-pairs carrying
     na = nb = inter = |rep tokens| and expanded to C(|g|, 2) member
     pairs exactly like cross pairs."""
-    members, reps = contract_exact_dups(docs, "doc_id", "text")
-    # (no fanout here: reps exits the contraction WINDOW already at
-    # shuffle-partition width, unlike minhash's uncontracted branch)
-    # one token frame shared by sizes, frequency ranking, candidate join
-    # and verification-gather — the explode+md5 pass otherwise re-runs in
-    # every subtree (3x; measured ~1.4 s of the 6 s at sf0.1). Lazy local
-    # checkpoint: materialized once at first use, constant lineage after
-    # (on a cluster: checkpoint() to the cluster FS, same shape).
-    rep_toks = _ssjoin_tokens(reps).localCheckpoint(eager=False)
-    rep_sizes = rep_toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    memo = _SETJOIN_MEMO.get(memo_key) if memo_key else None
+    if memo is None:
+        members, reps = contract_exact_dups(docs, "doc_id", "text")
+        # (no fanout here: reps exits the contraction WINDOW already at
+        # shuffle-partition width, unlike minhash's uncontracted branch)
+        # one token frame shared by sizes, frequency ranking, candidate
+        # join and verification-gather — the explode+md5 pass otherwise
+        # re-runs in every subtree (3x; measured ~1.4 s of the 6 s at
+        # sf0.1). Lazy local checkpoint: materialized once at first use,
+        # constant lineage after (on a cluster: checkpoint() to the
+        # cluster FS, same shape).
+        rep_toks = _ssjoin_tokens(reps).localCheckpoint(eager=False)
+        rep_sizes = rep_toks.groupBy("doc_id").agg(
+            F.count("*").alias("n"))
+        if memo_key:
+            _SETJOIN_MEMO[memo_key] = (members, reps, rep_toks, rep_sizes)
+    else:
+        members, reps, rep_toks, rep_sizes = memo
 
     rep_pairs = _verified_pairs(reps, t_millis, measure, toks=rep_toks)
     self_pairs = (members.filter((F.col("doc_id") == F.col("gid"))
@@ -1147,11 +1168,14 @@ def _contracted_setjoin(docs: DataFrame, t_millis: int,
 
 
 def prefix_filter_pairs(docs: DataFrame,
-                        t_millis: int = SSJOIN_T_MILLIS) -> DataFrame:
+                        t_millis: int = SSJOIN_T_MILLIS,
+                        memo_key: tuple[str, str] | None = None
+                        ) -> DataFrame:
     """All pairs of ``docs(doc_id, text)`` with word-3-gram Jaccard >= t
     (contraction + filters + verification: :func:`_contracted_setjoin`)."""
     u = F.col("na") + F.col("nb") - F.col("inter_size")
-    return _contracted_setjoin(docs, t_millis, "jaccard").select(
+    return _contracted_setjoin(docs, t_millis, "jaccard",
+                               memo_key=memo_key).select(
         "doc_a", "doc_b",
         F.col("inter_size").cast("long").alias("inter_size"),
         u.cast("long").alias("union_size"),
@@ -1160,12 +1184,15 @@ def prefix_filter_pairs(docs: DataFrame,
 
 
 def cosine_setjoin_pairs(docs: DataFrame,
-                         t_millis: int = SSJOIN_COS_T_MILLIS) -> DataFrame:
+                         t_millis: int = SSJOIN_COS_T_MILLIS,
+                         memo_key: tuple[str, str] | None = None
+                         ) -> DataFrame:
     """All pairs of ``docs(doc_id, text)`` with word-3-gram binary-cosine
     i/√(na·nb) >= t. Reported as exact integer cos²·1e6 (ppm) — the
     same fixed-point convention as q_item_cf — so no engine ever takes a
     square root."""
-    return _contracted_setjoin(docs, t_millis, "cosine").select(
+    return _contracted_setjoin(docs, t_millis, "cosine",
+                               memo_key=memo_key).select(
         "doc_a", "doc_b",
         F.col("inter_size").cast("long").alias("inter_size"),
         F.expr("(1000000 * inter_size * inter_size) DIV (na * nb)")
@@ -1219,7 +1246,9 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle does the exhaustive join, so the driver's hash match certifies
     the pruning is complete, not just fast."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    return prefix_filter_pairs(docs).orderBy("doc_a", "doc_b")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return (prefix_filter_pairs(docs, memo_key=key)
+            .orderBy("doc_a", "doc_b"))
 
 
 @register(
@@ -1270,7 +1299,9 @@ def q_dedup_cosine_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     score reported as exact integer cos²·1e6, float-free in both
     engines."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    return cosine_setjoin_pairs(docs).orderBy("doc_a", "doc_b")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return (cosine_setjoin_pairs(docs, memo_key=key)
+            .orderBy("doc_a", "doc_b"))
 
 
 def _minhash_recall_oracle() -> str:
