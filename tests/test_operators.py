@@ -77,6 +77,76 @@ class TestDedup:
         assert all(a < 100 for a, _ in got), \
             f"boilerplate window anchored pairs: {got}"
 
+    def test_exactsubstr_fuzz_vs_bruteforce(self, spark):
+        """Seeded-random corpora (docs stitched from a shared phrase
+        pool, so verbatim runs really occur) replayed by a pure-Python
+        brute force of the full spec — window hashing (by content),
+        spread cap, per-diagonal islands — must match the engine
+        exactly."""
+        import random
+
+        from columnar_estimator_sample_spark.operators.dedup import (
+            SPAN_K, SPAN_MAX_SPREAD, exactsubstr_census,
+        )
+
+        def brute(texts):
+            wins = {}
+            for d, t in texts.items():
+                toks = t.split(" ")
+                wins[d] = [" ".join(toks[i:i + SPAN_K])
+                           for i in range(len(toks) - SPAN_K + 1)]
+            docs_of = {}
+            for d, ww in wins.items():
+                for w in ww:
+                    docs_of.setdefault(w, set()).add(d)
+            ok = {w for w, ds in docs_of.items()
+                  if 2 <= len(ds) <= SPAN_MAX_SPREAD}
+            out = {}
+            ids = sorted(texts)
+            for i, a in enumerate(ids):
+                for b in ids[i + 1:]:
+                    diags = {}
+                    for pa, wa in enumerate(wins[a]):
+                        if wa not in ok:
+                            continue
+                        for pb, wb in enumerate(wins[b]):
+                            if wb == wa:
+                                diags.setdefault(pa - pb, set()).add(pa)
+                    spans = []
+                    for pas in diags.values():
+                        pas = sorted(pas)
+                        run = 1
+                        for j in range(1, len(pas) + 1):
+                            if j < len(pas) and pas[j] == pas[j - 1] + 1:
+                                run += 1
+                            else:
+                                spans.append(run + SPAN_K - 1)
+                                run = 1
+                    if spans:
+                        out[(a, b)] = (max(spans), len(spans))
+            return out
+
+        rng = random.Random(17)
+        for trial in range(3):
+            pool = [[f"t{trial}_{p}_{i}" for i in range(rng.randint(5, 10))]
+                    for p in range(6)]
+            texts = {}
+            for d in range(10):
+                toks = []
+                for _ in range(rng.randint(3, 5)):
+                    toks += rng.choice(pool)
+                    toks += [f"u{trial}_{d}_{len(toks)}"] * rng.randint(0, 2)
+                texts[d] = " ".join(toks)
+            expect = sorted(
+                ((a, b, m, n) for (a, b), (m, n) in brute(texts).items()),
+                key=lambda r: (-r[2], r[0], r[1]))[:25]
+            df = spark.createDataFrame(list(texts.items()),
+                                       ["doc_id", "text"])
+            got = [(r["doc_a"], r["doc_b"], r["max_shared_tokens"],
+                    r["n_spans"])
+                   for r in exactsubstr_census(df).collect()]
+            assert got == expect, (trial, got, expect)
+
     def test_shingles(self, spark):
         from columnar_estimator_sample_spark.operators.dedup import (
             _shingles_expr,

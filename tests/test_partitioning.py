@@ -40,6 +40,43 @@ class TestBucketing:
             spark.sql("DROP TABLE li_bkt")
             spark.sql("DROP TABLE ord_bkt")
 
+    def test_ivf_assignment_bucketed_probe(self, spark, sf_dir):
+        """Substantiates the IVF scale claim (similarity.q_ann_ivf_topk
+        docstring: "at 100 TB the assignment table is written bucketed
+        BY centroid_id, so the probe prunes partitions"): the coarse
+        assignment persisted via bucketed_ctas on centroid_id joins the
+        probe list with NO exchange on the assignment side, and the
+        probe-joined candidate set matches the in-memory plan's."""
+        from columnar_estimator_sample_spark.operators.partitioning import (
+            bucketed_ctas,
+        )
+        from columnar_estimator_sample_spark.operators.similarity import (
+            IVF_NPROBE, N_QUERIES, _ivf_cells,
+        )
+        ranked, _, _ = _ivf_cells(spark, sf_dir)
+        assign = (ranked.filter(F.col("rnk") == 1)
+                  .select("vec_id", "centroid_id"))
+        probes = (ranked.filter((F.col("vec_id") < N_QUERIES)
+                                & (F.col("rnk") <= IVF_NPROBE))
+                  .select(F.col("vec_id").alias("query_id"),
+                          "centroid_id"))
+        bucketed_ctas(spark, "ivf_assign_bkt", assign, "centroid_id", 8)
+        bucketed_ctas(spark, "ivf_probe_bkt", probes, "centroid_id", 8)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = (spark.table("ivf_probe_bkt")
+                 .join(spark.table("ivf_assign_bkt"), "centroid_id"))
+            assert "Exchange hashpartitioning" not in final_plan(j)
+            mem = {(r["query_id"], r["vec_id"])
+                   for r in probes.join(assign, "centroid_id").collect()}
+            got = {(r["query_id"], r["vec_id"]) for r in j.collect()}
+            assert got == mem and len(got) > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                           str(64 * 1024 * 1024))
+            spark.sql("DROP TABLE ivf_assign_bkt")
+            spark.sql("DROP TABLE ivf_probe_bkt")
+
     def test_bucketed_join_correct(self, spark, sf_dir):
         from columnar_estimator_sample_spark.operators.partitioning import (
             bucketed_ctas,
