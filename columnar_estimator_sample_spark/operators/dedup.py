@@ -1525,11 +1525,11 @@ def q_dedup_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exactsubstr_census(fanout(docs))
 
 
-def exactsubstr_census(docs: DataFrame) -> DataFrame:
-    """Core ExactSubstr pair census over a (doc_id, text) frame — see
-    :func:`q_dedup_exactsubstr` (anchor windows + spread cap +
-    gaps-and-islands run chaining). Unit-pinned on constructed corpora
-    (known shared runs, boilerplate exclusion) beside the oracle."""
+def _exactsubstr_anchors(docs: DataFrame) -> DataFrame:
+    """(doc_id, p, h) anchor windows surviving the spread cap: every
+    1-based token position p whose {SPAN_K}-token window hash h appears
+    in 2..{SPAN_MAX_SPREAD} documents. Shared by the pair census and
+    the removal-accounting census."""
     ws = docs.select(
         "doc_id", F.split("text", " ").alias("ws"))
     # CASE-guard the short-doc branch: Spark's sequence(1, 0) yields a
@@ -1546,7 +1546,15 @@ def exactsubstr_census(docs: DataFrame) -> DataFrame:
               .agg(F.count_distinct("doc_id").alias("sp"))
               .filter((F.col("sp") >= 2) & (F.col("sp") <= SPAN_MAX_SPREAD))
               .select("h"))
-    anch_f = anchors.join(spread, "h")
+    return anchors.join(spread, "h")
+
+
+def exactsubstr_census(docs: DataFrame) -> DataFrame:
+    """Core ExactSubstr pair census over a (doc_id, text) frame — see
+    :func:`q_dedup_exactsubstr` (anchor windows + spread cap +
+    gaps-and-islands run chaining). Unit-pinned on constructed corpora
+    (known shared runs, boilerplate exclusion) beside the oracle."""
+    anch_f = _exactsubstr_anchors(docs)
     a, b = anch_f.alias("a"), anch_f.alias("b")
     hits = (a.join(b, (F.col("a.h") == F.col("b.h"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -1568,6 +1576,124 @@ def exactsubstr_census(docs: DataFrame) -> DataFrame:
                  F.count("*").cast("long").alias("n_spans"))
             .orderBy(F.desc("max_shared_tokens"), "doc_a", "doc_b")
             .limit(SPAN_TOP))
+
+
+@register(
+    "q_dedup_exactsubstr_savings",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), anchors AS MATERIALIZED (
+        SELECT doc_id, u.p AS p, u.h AS h FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(ws) - {SPAN_K - 1}, 0) + 1),
+                       i -> {{'p': i,
+                             'h': {sql_h64(
+                                 "array_to_string(ws[CAST(i AS INT):"
+                                 f"CAST(i + {SPAN_K - 1} AS INT)], ' ')")}
+                            }})) AS u
+            FROM w)
+    ), spread AS (
+        SELECT h FROM anchors GROUP BY h
+        HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {SPAN_MAX_SPREAD}
+    ), shared AS (
+        SELECT DISTINCT a.doc_id, a.p
+        FROM anchors a JOIN spread s ON s.h = a.h
+    ), isl AS (
+        SELECT doc_id, p,
+               CASE WHEN p > COALESCE(MAX(p + {SPAN_K - 1}) OVER (
+                       PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS new_isl
+        FROM shared
+    ), grp AS (
+        SELECT doc_id, p,
+               SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS g
+        FROM isl
+    ), spans AS (
+        SELECT doc_id, g,
+               MAX(p) + {SPAN_K - 1} - MIN(p) + 1 AS covered
+        FROM grp GROUP BY doc_id, g
+    ), per_doc AS (
+        SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id
+    ), tot AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        FROM documents
+    )
+    SELECT t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN COALESCE(p.dup_tokens, 0) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_affected,
+           CAST(SUM(COALESCE(p.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+           CAST(SUM(t.n_toks) AS BIGINT) AS total_tokens,
+           CAST(1000000 * SUM(COALESCE(p.dup_tokens, 0))
+                // SUM(t.n_toks) AS BIGINT) AS dup_share_ppm
+    FROM tot t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+    GROUP BY t.lang
+    ORDER BY t.lang
+    """,
+)
+def q_dedup_exactsubstr_savings(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL accounting (the operation Lee et al. 2022
+    actually ship — delete the duplicated substrings, keep the rest):
+    per language, the token mass sitting inside verbatim-duplicated
+    spans. A document position is duplicated when its {SPAN_K}-token
+    window appears verbatim in another document (2..{SPAN_MAX_SPREAD}
+    docs — the same spread spec as q_dedup_exactsubstr); overlapping
+    windows merge by interval union (running-max gaps-and-islands over
+    positions, each covering [p, p+{SPAN_K - 1}]), so a token is
+    counted ONCE however many windows cover it. Census: docs, affected
+    docs, duplicated tokens, total tokens, integer-ppm duplicated
+    share — the headline number that decides whether the corpus needs
+    span-level dedup at all.
+
+    Scale: no pair join at all — the census only needs each doc's own
+    shared positions (anchors joined to the spread filter), one per-doc
+    window for the interval union, and a |langs|-row aggregate; cheaper
+    than the pair census by construction."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+    from columnar_estimator_sample_spark.sources.tables import fanout
+    docs = fanout(docs)
+    from pyspark.sql.window import Window
+    shared = (_exactsubstr_anchors(docs.select("doc_id", "text"))
+              .select("doc_id", "p").distinct())
+    w_prev = (Window.partitionBy("doc_id").orderBy("p")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    isl = shared.withColumn(
+        "new_isl",
+        F.when(F.col("p") > F.coalesce(
+            F.max(F.col("p") + (SPAN_K - 1)).over(w_prev), F.lit(-1)),
+            1).otherwise(0))
+    w_run = (Window.partitionBy("doc_id").orderBy("p")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    grp = isl.withColumn("g", F.sum("new_isl").over(w_run))
+    spans = (grp.groupBy("doc_id", "g")
+             .agg((F.max("p") + (SPAN_K - 1) - F.min("p") + 1)
+                  .alias("covered")))
+    per_doc = (spans.groupBy("doc_id")
+               .agg(F.sum("covered").cast("long").alias("dup_tokens")))
+    tot = docs.select("doc_id", "lang",
+                      F.size(F.split("text", " ")).cast("long")
+                      .alias("n_toks"))
+    return (tot.join(per_doc, "doc_id", "left")
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.when(F.coalesce("dup_tokens", F.lit(0)) > 0, 1)
+                       .otherwise(0)).cast("long")
+                 .alias("n_docs_affected"),
+                 F.sum(F.coalesce("dup_tokens", F.lit(0))).cast("long")
+                 .alias("dup_tokens"),
+                 F.sum("n_toks").cast("long").alias("total_tokens"))
+            .withColumn("dup_share_ppm",
+                        F.expr("CAST(1000000 * dup_tokens"
+                               " DIV total_tokens AS BIGINT)"))
+            .orderBy("lang"))
 
 
 @register(

@@ -93,7 +93,8 @@ _loaded = False
 _DRIVER_WINDOW_R9 = [
     # (a0) new this round
     "q_ccnet_tiers", "q_dedup_minhash_precision", "q_tokenizer_fertility",
-    "q_dedup_exactsubstr", "q_media_resize", "q_media_frame_census",
+    "q_dedup_exactsubstr", "q_dedup_exactsubstr_savings",
+    "q_media_resize", "q_media_frame_census",
     # (a) rewritten this round (code or oracle; q_doc_lm_score: scoring
     #     frame extracted as the shared doc_lm_scores helper)
     "q_doc_lm_score",
@@ -114,7 +115,6 @@ _DRIVER_WINDOW_R9 = [
     "q01_pricing_summary", "q02_min_cost_supplier",
     "q03_shipping_priority", "q04_order_priority_check",
     "q05_regional_revenue", "q06_forecast_revenue", "q07_nation_volume",
-    "q08_market_share",
 ]
 
 
