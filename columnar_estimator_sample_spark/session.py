@@ -20,8 +20,27 @@ Scale notes (100 TB / 1000-executor design intent):
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
+
+# Per-process managed-table warehouse. ``spark.sql.warehouse.dir`` is a
+# static conf read once at JVM creation; defaulting it to the cwd's
+# ./spark-warehouse means an orphaned directory from a killed run makes
+# the next run's ``saveAsTable`` fail with LOCATION_ALREADY_EXISTS (the
+# fresh in-memory catalog has no table entry, so DROP TABLE IF EXISTS is
+# a no-op and cannot clear the stale location). A tmpdir per process
+# keeps every pytest/bench/driver run hermetic; override with
+# SPARK_GRAFT_WAREHOUSE for a durable warehouse.
+_WAREHOUSE_DIR: str | None = None
+
+
+def _warehouse_dir() -> str:
+    global _WAREHOUSE_DIR
+    if _WAREHOUSE_DIR is None:
+        _WAREHOUSE_DIR = os.environ.get("SPARK_GRAFT_WAREHOUSE") or \
+            tempfile.mkdtemp(prefix="spark-graft-warehouse-")
+    return _WAREHOUSE_DIR
 
 
 def default_parallelism() -> int:
@@ -58,6 +77,7 @@ def get_spark(app_name: str = "columnar_estimator_sample_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.warehouse.dir", _warehouse_dir())
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
