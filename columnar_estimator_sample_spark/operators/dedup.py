@@ -24,7 +24,7 @@ from columnar_estimator_sample_spark.functions.hashing import (
     MERSENNE_P, h64, minhash_params, sql_h64,
 )
 from columnar_estimator_sample_spark.registry import register
-from columnar_estimator_sample_spark.sources.tables import table
+from columnar_estimator_sample_spark.sources.tables import register_memo, table
 
 SHINGLE_K = 8          # character shingle width
 MINHASH_K = 32         # signature length
@@ -1110,7 +1110,7 @@ def _verified_pairs(docs: DataFrame, t_millis: int,
 # similarity._IVF_MEMO / entity._ENTITY_MEMO). Keyed only when the
 # registered queries pass their (appId, sf_dir) key — helper calls on
 # constructed frames (property tests) never touch it.
-_SETJOIN_MEMO: dict[tuple[str, str], tuple] = {}
+_SETJOIN_MEMO: dict[tuple[str, str], tuple] = register_memo({})
 
 
 def _contracted_setjoin(docs: DataFrame, t_millis: int,
@@ -1517,7 +1517,12 @@ def q_dedup_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the anchor self-join is keyed by window hash with volume
     capped by the spread bound (<= C({SPAN_MAX_SPREAD},2) doc pairs per
     window); the islands pass is one window over the hit rows, already
-    partitioned by pair. This is the audit-grade complement to the
+    partitioned by pair. Caveat: the spread cap bounds distinct DOCS
+    per window, not occurrences per doc — a window repeated m times
+    within each of two docs emits O(m²) hit rows for that pair
+    (semantics stay correct; the islands chaining absorbs them), so a
+    pathologically self-repetitive corpus wants an additional
+    per-(doc, h) occurrence cap before the join. This is the audit-grade complement to the
     probabilistic tiers: MinHash finds mostly-similar documents,
     ExactSubstr finds verbatim copying inside otherwise-different ones."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from columnar_estimator_sample_spark.registry import register
-from columnar_estimator_sample_spark.sources.tables import table
+from columnar_estimator_sample_spark.sources.tables import register_memo, table
 
 ER_W = 4        # sorted-neighborhood window: each record pairs with W-1
 ER_LEV_T = 2    # max name edit distance for a match
@@ -128,7 +128,7 @@ def snm_pairs(recs: DataFrame) -> DataFrame:
 # pairs instead of re-running the scan — the production "materialized
 # matching view" shape. Keyed by applicationId so a new session never
 # sees another JVM's checkpoint.
-_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = register_memo({})
 
 # (applicationId, sf_dir) -> (membership, comp): the contraction join
 # and the connected-components label table of q_er_entities. CC is an
@@ -138,7 +138,7 @@ _PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
 # sf0.1); one materialized entity map per session is the production
 # shape anyway (an ER pipeline WRITES the entity table, queries read
 # it).
-_ENTITY_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_ENTITY_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = register_memo({})
 
 
 def er_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -36,6 +36,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from columnar_estimator_sample_spark.registry import register
 from columnar_estimator_sample_spark.sources.tables import table
@@ -1488,7 +1489,11 @@ def map_distinct_blobs(media: DataFrame, kernel,
     # identical bytes are the same container)
     reps = dg.groupBy("dg").agg(F.first("payload").alias("payload"),
                                 F.first("media_type").alias("media_type"))
-    names = [f.split()[0] for f in out_schema.split(",")]
+    # parse field names from the real schema object, not a split(',')
+    # heuristic — out_schema is the media tier's shared extension point
+    # and a type containing a comma (map<string,int>, nested struct)
+    # must not silently mis-split
+    names = T._parse_datatype_string(out_schema).fieldNames()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

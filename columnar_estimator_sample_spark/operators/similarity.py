@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from columnar_estimator_sample_spark.registry import register
-from columnar_estimator_sample_spark.sources.tables import table
+from columnar_estimator_sample_spark.sources.tables import register_memo, table
 
 N_QUERIES = 5   # vec_id < 5 are the query vectors
 TOP_K = 5
@@ -541,8 +541,11 @@ IVF_NPROBE = 4
 # the family pay it once, the same materialized-index discipline as
 # entity._PAIRS_MEMO (production: the assignment table is WRITTEN once,
 # bucketed by centroid_id, and every query reads it). Keyed by
-# applicationId so a new session never sees another JVM's checkpoint.
-_IVF_MEMO: dict[tuple[str, str], tuple] = {}
+# applicationId so a new session never sees another JVM's checkpoint;
+# registered with tables.reset_handles() (register_memo) so a long-lived
+# session iterating several sf_dirs has a release hook for the pinned
+# checkpoint blocks.
+_IVF_MEMO: dict[tuple[str, str], tuple] = register_memo({})
 
 
 def _ivf_cells(spark: SparkSession, sf_dir: str):

@@ -33,15 +33,39 @@ TABLES = [
 # {sf_dir}/{name}.parquet is invisible for the rest of the application.
 # The driver's testdata dirs are immutable per session, so this is the
 # intended semantics; a test that rewrites a table in place must call
-# :func:`reset_handles` after writing.
+# :func:`reset_handles` after writing. The same contract covers the
+# operator-level derived caches (IVF coarse assignments, ER pair/entity
+# frames, set-join contractions, ...): they memoize locally-checkpointed
+# frames built FROM these handles, so they go stale — and pin executor
+# blocks — exactly when the handles do. They register themselves below
+# via :func:`register_memo` and are cleared by the same call.
 _HANDLES: dict[tuple[str, str, str], DataFrame] = {}
+
+# Operator-level memo dicts keyed by (applicationId, sf_dir[, ...]).
+# Each operator module owning a per-session memo registers it here at
+# import time so reset_handles() is the ONE cache-invalidation point.
+_MEMOS: list[dict] = []
+
+
+def register_memo(memo: dict) -> dict:
+    """Register an operator-level memo dict for clearing alongside the
+    table handles (see the immutability contract on ``_HANDLES``).
+    Returns the dict for one-line ``_X_MEMO = register_memo({})`` use."""
+    _MEMOS.append(memo)
+    return memo
 
 
 def reset_handles() -> None:
-    """Drop every cached table handle (see the immutability contract on
-    ``_HANDLES``): the next :func:`table` call re-reads the parquet
-    listing. For tests that rewrite a testdata table in place."""
+    """Drop every cached table handle AND every registered operator memo
+    (see the immutability contract on ``_HANDLES``): the next
+    :func:`table` call re-reads the parquet listing, and derived caches
+    (IVF/ER/set-join/...) rebuild from the fresh handles. For tests that
+    rewrite a testdata table in place, and as the release hook for
+    long-lived sessions iterating several sf_dirs (each memo otherwise
+    pins its locally-checkpointed blocks for the application lifetime)."""
     _HANDLES.clear()
+    for m in _MEMOS:
+        m.clear()
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -418,12 +418,18 @@ class TFRecordStreamReader(SimpleDataSourceStreamReader):
         return self._rows(new), {"files": sorted(seen | set(new))}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        # pure function of the two offsets — no directory re-listing, so
-        # shards landing during replay cannot shift the batch contents.
-        # END may still be a legacy {"files_seen": n} count offset (a
-        # pre-round-8 checkpoint whose last committed batch predates the
-        # explicit-list format): resolve it through _seen the same way
-        # START is, instead of silently replaying zero files.
+        # For explicit-list offsets this is a pure function of the two
+        # offsets — no directory re-listing, so shards landing during
+        # replay cannot shift the batch contents. END may still be a
+        # legacy {"files_seen": n} count offset (a pre-round-8 checkpoint
+        # whose last committed batch predates the explicit-list format):
+        # resolve it through _seen the same way START is, instead of
+        # silently replaying zero files. That legacy path inherently
+        # re-lists (the count only means anything as a sorted-listing
+        # prefix), so its replay purity holds only while no new shard
+        # sorts before the recorded prefix — acceptable for a one-time
+        # checkpoint-format migration, and the first committed batch
+        # after it rewrites the offset in explicit-list form.
         seen = self._seen(start)
         return self._rows(sorted(p for p in self._seen(end)
                                  if p not in seen))

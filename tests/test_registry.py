@@ -148,3 +148,21 @@ class TestCLI:
         assert main(["sql", "SELECT COUNT(*) AS n FROM nation",
                      "--sf-dir", sf_dir]) == 0
         assert "25" in capsys.readouterr().out
+
+
+def test_reset_handles_clears_registered_memos(spark, sf_dir):
+    """reset_handles() is the single cache-invalidation point: it must
+    clear the operator-level per-session memos (IVF / ER / set-join)
+    alongside the table handles, so a test that rewrites a testdata
+    table in place never sees a stale checkpointed frame."""
+    from columnar_estimator_sample_spark.operators import entity, similarity
+    from columnar_estimator_sample_spark.sources import tables
+
+    tables.table(spark, sf_dir, "nation")
+    similarity._IVF_MEMO[("app", sf_dir)] = ("sentinel",)
+    entity._PAIRS_MEMO[("app", sf_dir)] = "sentinel"
+    assert tables._HANDLES and similarity._IVF_MEMO and entity._PAIRS_MEMO
+    tables.reset_handles()
+    assert not tables._HANDLES
+    assert not similarity._IVF_MEMO
+    assert not entity._PAIRS_MEMO
