@@ -77,6 +77,71 @@ class TestDedup:
         assert all(a < 100 for a, _ in got), \
             f"boilerplate window anchored pairs: {got}"
 
+    def test_exactsubstr_apply_span_merge(self, spark):
+        """Replay test for the apply step's interval union: adjacent,
+        overlapping, and nested covered windows must merge so each
+        duplicated token is removed exactly once, survivors rejoin with
+        single spaces, and a fully-covered doc empties."""
+        from columnar_estimator_sample_spark.operators.dedup import (
+            exactsubstr_apply, exactsubstr_spans,
+        )
+
+        def words(prefix, n):
+            return " ".join(f"{prefix}{i}" for i in range(n))
+
+        # shared12: one 12-token run -> overlapping windows (p..p+7 for
+        # p in 1..5 of the run) union to ONE 12-token interval.
+        # runA + mid + runB where mid is ALSO shared: nested/adjacent
+        # islands chain into one 17-token interval (8 + 1 + 8).
+        # doc 5/6: the entire text is one shared run -> doc empties.
+        shared12 = words("s", 12)
+        runA, runB = words("p", 8), words("q", 8)
+        whole = words("w", 9)
+        rows = [
+            (1, f"{words('x', 5)} {shared12} {words('y', 5)}"),
+            (2, f"{words('z', 3)} {shared12} {words('v', 7)}"),
+            (3, f"{runA} mid {runB} {words('m', 4)}"),
+            (4, f"{runA} mid {runB} {words('n', 4)}"),
+            (5, whole),
+            (6, whole),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+        spans = {r["doc_id"]: (r["lo"], r["hi"])
+                 for r in exactsubstr_spans(docs).collect()}
+        # one merged interval per doc despite many overlapping windows
+        assert len(spans) == 6
+        assert spans[1] == (6, 17)      # 12 tokens after the 5-token pad
+        assert spans[3] == (1, 17)      # runA+mid+runB chain as one
+        assert spans[5] == (1, 9)       # whole doc covered
+
+        got = {r["doc_id"]: (r["clean_text"], r["n_toks"], r["kept_toks"])
+               for r in exactsubstr_apply(docs).collect()}
+        assert got[1] == (f"{words('x', 5)} {words('y', 5)}", 22, 10)
+        assert got[2] == (f"{words('z', 3)} {words('v', 7)}", 22, 10)
+        assert got[3] == (words("m", 4), 21, 4)
+        assert got[4] == (words("n", 4), 21, 4)
+        assert got[5] == ("", 9, 0)
+        assert got[6] == ("", 9, 0)
+
+    def test_exactsubstr_apply_matches_savings(self, spark, sf_dir):
+        """Invariant: tokens removed by the apply census equals the
+        savings census's dup_tokens, language by language (the apply
+        step removes exactly the mass the savings census prices)."""
+        from columnar_estimator_sample_spark.operators.dedup import (
+            q_dedup_exactsubstr_apply, q_dedup_exactsubstr_savings,
+        )
+        ap = {r["lang"]: r for r in
+              q_dedup_exactsubstr_apply(spark, sf_dir).collect()}
+        sv = {r["lang"]: r for r in
+              q_dedup_exactsubstr_savings(spark, sf_dir).collect()}
+        assert set(ap) == set(sv)
+        for lang, a in ap.items():
+            s = sv[lang]
+            assert a["tokens_before"] == s["total_tokens"]
+            assert a["tokens_before"] - a["tokens_after"] == s["dup_tokens"]
+            assert a["docs_affected"] == s["n_docs_affected"]
+
     def test_exactsubstr_fuzz_vs_bruteforce(self, spark):
         """Seeded-random corpora (docs stitched from a shared phrase
         pool, so verbatim runs really occur) replayed by a pure-Python
