@@ -23,6 +23,7 @@ oracle-checked query keeps the exact formulation.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -595,6 +596,60 @@ def _ivf_cells(spark: SparkSession, sf_dir: str):
     return memo
 
 
+# (applicationId, sf_dir) -> (assign_table, probes_table): the IVF
+# inverted file PROMOTED from a per-session checkpoint memo to the
+# write-once materialized layer it stands in for (SCALE.md §3): the
+# coarse assignment and the query probe lists are persisted as
+# centroid-bucketed tables (bucketed_ctas), so the probe join reads two
+# co-bucketed scans and needs NO exchange at all — plan-asserted in
+# tests/test_graph_ann.py. Table names carry the sf tag AND the
+# applicationId so concurrent/successive sessions sharing a warehouse
+# directory never collide on a location.
+_IVF_TABLES: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = \
+    register_memo({})
+
+
+def ivf_bucketed_assignment(spark: SparkSession, sf_dir: str
+                            ) -> tuple[DataFrame, DataFrame]:
+    """Materialize the IVF inverted file as centroid-bucketed tables.
+
+    Returns ``(assign, probes)``: ``assign`` holds every vector's cell
+    (vec_id, centroid_id; rnk=1 of :func:`_ivf_cells`), ``probes`` the
+    query fan-out (query_id, centroid_id; rnk <= {IVF_NPROBE}) — both
+    written ONCE per (session, sf_dir) via
+    :func:`~columnar_estimator_sample_spark.operators.partitioning.bucketed_ctas`
+    bucketed+sorted by centroid_id with {IVF_NLIST} buckets. Joining
+    them on centroid_id is exchange-free: both sides' hash partitioning
+    comes from the bucketed scan itself (at 100 TB this is exactly the
+    FAISS layout — the inverted file is written once, bucketed by cell,
+    and every probe is a co-located lookup)."""
+    import re
+    from columnar_estimator_sample_spark.operators.partitioning import (
+        bucketed_ctas,
+    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _IVF_TABLES.get(key)
+    if memo is not None:
+        return memo
+    tag = re.sub(r"[^0-9A-Za-z]+", "_",
+                 os.path.basename(sf_dir.rstrip("/")) + "_"
+                 + spark.sparkContext.applicationId)
+    ranked, _, _ = _ivf_cells(spark, sf_dir)
+    assign = (ranked.filter(F.col("rnk") == 1)
+              .select("vec_id", "centroid_id"))
+    probes = (ranked.filter((F.col("vec_id") < N_QUERIES)
+                            & (F.col("rnk") <= IVF_NPROBE))
+              .select(F.col("vec_id").alias("query_id"), "centroid_id"))
+    memo = (
+        bucketed_ctas(spark, f"ivf_assign_{tag}", assign,
+                      "centroid_id", n_buckets=IVF_NLIST),
+        bucketed_ctas(spark, f"ivf_probes_{tag}", probes,
+                      "centroid_id", n_buckets=IVF_NLIST),
+    )
+    _IVF_TABLES[key] = memo
+    return memo
+
+
 @register(
     "q_ann_ivf_topk",
     oracle=f"""
@@ -664,17 +719,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     there — the FAISS-IVF layout as a relational plan.
 
     Scale: assignment is one broadcast-join pass O(N·NLIST); the probe
-    is a semi-join on centroid_id (at 100 TB the assignment table is
-    written bucketed BY centroid_id, so the probe prunes partitions);
-    exact scoring touches O(candidates·dim), never O(N·dim) per query.
-    The brute-force :func:`q_similarity_topk` is the recall baseline;
-    tests measure overlap.
+    reads the WRITTEN inverted file — :func:`ivf_bucketed_assignment`
+    persists assignment and probe lists as tables bucketed+sorted by
+    centroid_id, so the probe join is exchange-free (plan-asserted in
+    tests; at 100 TB the bucketed scan also prunes to the probed
+    cells); exact scoring touches O(candidates·dim), never O(N·dim)
+    per query. The brute-force :func:`q_similarity_topk` is the recall
+    baseline; tests measure overlap.
     """
-    ranked, norms, ex = _ivf_cells(spark, sf_dir)
-    assign = ranked.filter(F.col("rnk") == 1).select("vec_id", "centroid_id")
-    probes = (ranked.filter((F.col("vec_id") < N_QUERIES)
-                            & (F.col("rnk") <= IVF_NPROBE))
-              .select(F.col("vec_id").alias("query_id"), "centroid_id"))
+    _, norms, ex = _ivf_cells(spark, sf_dir)
+    assign, probes = ivf_bucketed_assignment(spark, sf_dir)
     cand = (
         probes.join(assign, "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))

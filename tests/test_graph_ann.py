@@ -82,6 +82,45 @@ class TestIvfAnn:
         for r in cand_per_q:
             assert r["count"] < n
 
+    def test_ivf_bucketed_probe_no_exchange(self, spark, sf_dir):
+        """The promoted inverted file (SCALE.md §3: memo -> write-once
+        bucketed table): probing the materialized assignment is a join
+        of two tables bucketed+sorted on centroid_id, so the physical
+        plan must contain NO exchange of any kind — no shuffle (the
+        bucketed scans already carry the hash partitioning) and, forced
+        off broadcast with a merge hint, no broadcast either. The rows
+        must equal the memo-path candidate join bit for bit."""
+        from columnar_estimator_sample_spark.operators.similarity import (
+            IVF_NPROBE, N_QUERIES, _ivf_cells, ivf_bucketed_assignment,
+        )
+        assign, probes = ivf_bucketed_assignment(spark, sf_dir)
+        j = (probes.hint("merge")
+             .join(assign, "centroid_id")
+             .select("query_id", F.col("vec_id").alias("neighbor_id")))
+        j.collect()
+        plan = (j._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0])
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan \
+            or "bucket" in plan.lower(), plan
+
+        ranked, _, _ = _ivf_cells(spark, sf_dir)
+        memo_assign = ranked.filter(F.col("rnk") == 1)
+        memo_probes = ranked.filter((F.col("vec_id") < N_QUERIES)
+                                    & (F.col("rnk") <= IVF_NPROBE))
+        expect = (memo_probes
+                  .select(F.col("vec_id").alias("query_id"), "centroid_id")
+                  .join(memo_assign.select(
+                      F.col("vec_id").alias("neighbor_id"), "centroid_id"),
+                      "centroid_id")
+                  .select("query_id", "neighbor_id"))
+        got = sorted((r["query_id"], r["neighbor_id"])
+                     for r in j.collect())
+        want = sorted((r["query_id"], r["neighbor_id"])
+                      for r in expect.collect())
+        assert got == want
+
     def test_ivf_recall_vs_brute_force(self, spark, sf_dir):
         from columnar_estimator_sample_spark.operators.similarity import (
             q_ann_ivf_topk, q_similarity_topk,
