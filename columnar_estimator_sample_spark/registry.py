@@ -75,53 +75,49 @@ _loaded = False
 # in and out of the window is additionally verified by
 # ``tools/check_oracle.py`` (same compare semantics) before commit.
 #
-# Round-9 window (the round-8 verdict's lead item: rotate certification
-# to the deferred cohorts, and every query rewritten THIS round must
-# re-enter the window so no driver row predates its code/oracle):
-# (a) the 16 queries whose code or oracle changed in round 9 — the IVF
-#     family (shared _IVF_MEMO coarse assignment; the residual lane also
-#     gained the in_exact recall census), the ER/CC tier (entity memo,
-#     CC init-probe fold), the basket miner family (one shared items
-#     dedup: copurchase/item_cf/lpa/modularity), the minhash-oracle
-#     family (relational signature restatement: lsh/recall/clusters/
-#     savings/incremental), and the content-addressed media decodes
-#     (pixel_stats/jpeg_roundtrip; media_features inlined scan-local);
-# (b) the 19 deferred round-3 rows named by the round-8 verdict;
-# (c) the TPC-H slice of the round-2 cohort — the remaining 42 r2 rows
-#     and the 43 r4 rows rotate in round 10+ (new/rewritten queries
-#     outrank re-certs of stable, never-rewritten rows for slots).
-_DRIVER_WINDOW_R9 = [
-    # (a0) new this round
-    "q_ccnet_tiers", "q_dedup_minhash_precision", "q_tokenizer_fertility",
-    "q_dedup_exactsubstr", "q_dedup_exactsubstr_savings",
-    "q_media_resize", "q_media_frame_census",
-    # (a) rewritten this round (code or oracle; q_doc_lm_score: scoring
-    #     frame extracted as the shared doc_lm_scores helper)
-    "q_doc_lm_score",
-    "q_ann_ivf_topk", "q_ann_ivf_pq_topk", "q_ann_ivf_pq_residual",
-    "q_er_entities", "q_copurchase", "q_item_cf", "q_lpa_communities",
-    "q_modularity", "q_dedup_minhash_lsh", "q_dedup_minhash_recall",
-    "q_dedup_clusters", "q_dedup_savings", "q_dedup_incremental",
-    "q_media_pixel_stats", "q_media_jpeg_roundtrip", "q_media_features",
-    # (b) deferred round-3 rows
-    "q_cohort_retention", "q_funnel", "q_hypertable_rollup",
-    "q_merge_upsert", "q_normalization_stats", "q_feature_hash_buckets",
-    "q_split_by_user", "q_sample_exact_k", "q_sample_stratified",
-    "q_pack_chunks", "q_phrase_search", "q_pii_redaction",
-    "q_media_metadata", "q_ndv_catalog", "q_triangle_count",
-    "q_tfidf_terms", "q_text_token_stats", "q_text_quality",
-    "q_text_langid",
-    # (c) round-2 cohort, TPC-H slice first
-    "q01_pricing_summary", "q02_min_cost_supplier",
-    "q03_shipping_priority", "q04_order_priority_check",
-    "q05_regional_revenue", "q06_forecast_revenue", "q07_nation_volume",
+# Round-10 window (the round-9 verdict's lead item: rotate to the
+# oldest certifications — the round-2 cohort in full plus the head of
+# the round-4 cohort — and every query whose code or oracle changed
+# THIS round re-enters first so no driver row predates its code):
+# (a) new/rewritten in round 10 — the ExactSubstr APPLY step (new),
+#     the savings census (refactored onto the shared exactsubstr_spans
+#     interval-union helper), and q_ann_ivf_topk (probe now reads the
+#     written centroid-bucketed assignment tables);
+# (b) all 41 remaining round-2-certified rows (TPC-H q08-q22 slice and
+#     the relational/window/sketch tier in registration order);
+# (c) the head of the round-4 cohort — its TPC-H rows; the remaining
+#     ~36 r4 rows rotate in round 11 (precedence stays
+#     rewritten > new > stale re-certs).
+_DRIVER_WINDOW_R10 = [
+    # (a) new/rewritten this round
+    "q_dedup_exactsubstr_apply", "q_dedup_exactsubstr_savings",
+    "q_ann_ivf_topk",
+    # (b) the round-2 cohort, TPC-H first
+    "q08_market_share", "q09_product_profit", "q10_top_customers",
+    "q12_shipmode_priority", "q14_promo_revenue_ratio",
+    "q16_supplier_part_variety", "q19_disjunctive_predicates",
+    "q22_global_sales_opportunity",
+    "q_anti_join", "q_argmin_argmax", "q_array_agg", "q_asof_join",
+    "q_assortment_turnover", "q_case_expr", "q_conditional_pivot",
+    "q_cube", "q_date_funcs", "q_distinct", "q_grouping_sets",
+    "q_hash_sample", "q_in_subquery", "q_math_funcs",
+    "q_outer_join_coalesce", "q_percentiles", "q_pivot",
+    "q_price_index", "q_regexp", "q_revenue_movers", "q_rollup",
+    "q_scalar_subquery", "q_semi_join", "q_set_ops",
+    "q_single_column_probe", "q_skyline_parts", "q_string_funcs",
+    "q_trimmed_mean", "q_unpivot", "q_weighted_median",
+    "q_window_ranks", "q_window_running", "q_window_topk_per_group",
+    # (c) round-4 cohort head: its TPC-H rows
+    "q11_important_stock", "q13_order_distribution", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q20_excess_suppliers",
 ]
 
 
 def _window_order(d: dict) -> dict:
     """Reorder ``d`` so the current driver window comes first (names
     missing from ``d`` are ignored; the rest keep registration order)."""
-    front = [k for k in _DRIVER_WINDOW_R9 if k in d]
+    front = [k for k in _DRIVER_WINDOW_R10 if k in d]
     rest = [k for k in d if k not in set(front)]
     return {k: d[k] for k in front + rest}
 
