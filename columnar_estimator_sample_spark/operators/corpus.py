@@ -28,6 +28,9 @@ from pyspark.sql import functions as F
 
 from columnar_estimator_sample_spark.functions.hashing import h64, sql_h64
 from columnar_estimator_sample_spark.registry import register
+from columnar_estimator_sample_spark.operators.textstats import (
+    _DOC_LM_SQL,
+)
 from columnar_estimator_sample_spark.sources.tables import table
 
 # Context-window size (tokens) for sequence packing.
@@ -643,6 +646,221 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_shared"), "train_doc", "eval_doc")
         .limit(20)
     )
+
+
+@register(
+    "q_contamination_apply",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    g AS MATERIALIZED (
+        SELECT doc_id, {_SQL_WORD3} AS ngrams FROM d
+    ),
+    e AS (
+        SELECT doc_id AS eval_doc, unnest(ngrams) AS ngram
+        FROM g WHERE doc_id % 50 = 0
+    ),
+    t AS (
+        SELECT doc_id AS train_doc, unnest(ngrams) AS ngram
+        FROM g WHERE doc_id % 50 <> 0
+    ),
+    contam AS (
+        SELECT DISTINCT train_doc FROM (
+            SELECT t.train_doc, e.eval_doc
+            FROM t JOIN e USING (ngram)
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3)
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS docs_before,
+           CAST(SUM(CASE WHEN c.train_doc IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_removed,
+           CAST(SUM(CASE WHEN c.train_doc IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_after,
+           CAST(SUM(CASE WHEN c.train_doc IS NULL
+                         THEN len(d.toks) ELSE 0 END) AS BIGINT)
+               AS tokens_after,
+           CAST(1000000 * SUM(CASE WHEN c.train_doc IS NOT NULL
+                                   THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS removed_ppm
+    FROM d LEFT JOIN contam c ON c.train_doc = d.doc_id
+    WHERE d.doc_id % 50 <> 0
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def q_contamination_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination APPLY — the removal step behind
+    :func:`q_contamination_check`'s screen: drop every training document
+    sharing >= 3 distinct word trigrams with ANY held-out eval document
+    (every 50th doc plays the eval set), and census the cleaned training
+    corpus per language: docs before/removed/after, tokens after,
+    integer-ppm removed share. This is the step an LLM pipeline runs
+    between benchmark ingestion and training-set freeze.
+
+    Scale (same contraction discipline as the check, minus its top-k
+    machinery): identical texts contract to min-id representatives, the
+    trigram intersection is counted once per distinct content pair
+    (only the small eval rep side broadcasts), and contaminated
+    representative ids expand back to members through the census frame.
+    Unlike the check there is no global window at all — the verdict per
+    train rep is a >=3 filter and a distinct."""
+    from columnar_estimator_sample_spark.operators.dedup import (
+        contract_exact_dups,
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+    members, reps = contract_exact_dups(
+        docs.select("doc_id", "text"), "doc_id", "text")
+    ev_g = (members.filter(F.col("doc_id") % 50 == 0)
+            .select("gid").distinct())
+    tr_g = (members.filter(F.col("doc_id") % 50 != 0)
+            .select("gid").distinct())
+    grams = (reps.select(F.col("doc_id").alias("gid"),
+                         F.split("text", " ").alias("toks"))
+             .select("gid", F.explode(_word3_expr("toks")).alias("ngram")))
+    evg = (grams.join(F.broadcast(ev_g), "gid")
+           .select(F.col("gid").alias("eval_gid"), "ngram"))
+    trg = (grams.join(tr_g, "gid")
+           .select(F.col("gid").alias("train_gid"), "ngram"))
+    contam_g = (trg.join(F.broadcast(evg), "ngram")
+                .groupBy("train_gid", "eval_gid")
+                .agg(F.count("*").alias("n_shared"))
+                .filter(F.col("n_shared") >= 3)
+                .select(F.col("train_gid").alias("gid")).distinct())
+    contam_docs = (members.filter(F.col("doc_id") % 50 != 0)
+                   .join(contam_g, "gid")
+                   .select("doc_id", F.lit(1).alias("is_c")))
+    train = (docs.filter(F.col("doc_id") % 50 != 0)
+             .withColumn("n_toks",
+                         F.size(F.split("text", " ")).cast("long")))
+    return (train.join(contam_docs, "doc_id", "left")
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("docs_before"),
+                 F.sum(F.when(F.col("is_c") == 1, 1).otherwise(0))
+                 .cast("long").alias("docs_removed"),
+                 F.sum(F.when(F.col("is_c").isNull(), 1).otherwise(0))
+                 .cast("long").alias("docs_after"),
+                 F.sum(F.when(F.col("is_c").isNull(), F.col("n_toks"))
+                       .otherwise(0)).cast("long").alias("tokens_after"))
+            .withColumn("removed_ppm",
+                        F.expr("CAST(1000000 * docs_removed"
+                               " DIV docs_before AS BIGINT)"))
+            .orderBy("lang"))
+
+
+# Per-language token budget as a permille of the scored pool: relative
+# budgets keep the query meaningful at every scale factor (an absolute
+# budget would trivially keep everything at sf0.001 and nothing at sf1).
+PACK_BUDGET_PERMILLE = 200
+
+
+@register(
+    "q_token_budget_pack",
+    oracle=f"""
+    WITH {_DOC_LM_SQL},
+    pool AS (
+        SELECT s.doc_id, s.lang, s.lm_score_permille AS score,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks
+        FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    bud AS (
+        SELECT lang,
+               CAST(SUM(n_toks) * {PACK_BUDGET_PERMILLE} // 1000
+                    AS BIGINT) AS budget_tokens
+        FROM pool GROUP BY lang
+    ),
+    ranked AS (
+        SELECT lang, doc_id, score, n_toks,
+               SUM(n_toks) OVER (PARTITION BY lang
+                                 ORDER BY score DESC, doc_id) AS cum
+        FROM pool
+    ),
+    kept AS (
+        SELECT r.* FROM ranked r JOIN bud b USING (lang)
+        WHERE r.cum <= b.budget_tokens
+    )
+    SELECT b.lang, b.budget_tokens,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS docs_kept,
+           CAST(COALESCE(SUM(k.n_toks), 0) AS BIGINT) AS tokens_kept,
+           CAST(COALESCE(MIN(k.score), -1) AS BIGINT) AS cut_score,
+           CAST(1000000 * COALESCE(SUM(k.n_toks), 0)
+                // GREATEST(b.budget_tokens, 1) AS BIGINT)
+               AS utilization_ppm
+    FROM bud b LEFT JOIN kept k USING (lang)
+    GROUP BY b.lang, b.budget_tokens
+    ORDER BY b.lang
+    """,
+)
+def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked selection under a token budget — the "fill the
+    training mix" step: per language, keep the highest-LM-score
+    documents (corpus-trained bigram LM, the CCNet-style quality signal
+    of :func:`~columnar_estimator_sample_spark.operators.textstats.doc_lm_scores`)
+    whose running token total stays within a budget of
+    {PACK_BUDGET_PERMILLE}‰ of the language's scored pool. Prefix
+    semantics: documents are ordered (score DESC, doc_id) and kept
+    while the cumulative token count <= budget. Census per language:
+    budget, docs/tokens kept, the score cut, integer-ppm budget
+    utilization.
+
+    Scale: NO global per-language sort. The integer permille score is
+    its own <=1001-bucket histogram, so selection is two-phase: (1) a
+    (lang, score) token-mass aggregate — tiny — carries the running
+    mass of strictly-better tiers; (2) each document's exact cumulative
+    position = its tier's prefix mass + a within-tier window
+    partitioned by (lang, score) — an embarrassingly parallel shuffle,
+    not an ordered repartition. The DuckDB oracle states the same
+    selection as the naive single-window cumsum; identical kept sets
+    because the two-phase decomposition is exact (unique (score,
+    doc_id) order within every partition)."""
+    from columnar_estimator_sample_spark.operators.textstats import (
+        doc_lm_scores,
+    )
+    pool = (doc_lm_scores(spark, sf_dir)
+            .select("doc_id", "lang",
+                    F.col("lm_score_permille").alias("score"))
+            .join(table(spark, sf_dir, "documents")
+                  .select("doc_id",
+                          F.size(F.split("text", " ")).cast("long")
+                          .alias("n_toks")),
+                  "doc_id"))
+    bud = (pool.groupBy("lang")
+           .agg(F.expr(f"CAST(SUM(n_toks) * {PACK_BUDGET_PERMILLE}"
+                       " DIV 1000 AS BIGINT)").alias("budget_tokens")))
+    tiers = (pool.groupBy("lang", "score")
+             .agg(F.sum("n_toks").cast("long").alias("mass")))
+    w_tier = (Window.partitionBy("lang").orderBy(F.desc("score"))
+              .rowsBetween(Window.unboundedPreceding, -1))
+    tiers = tiers.withColumn(
+        "cum_before", F.coalesce(F.sum("mass").over(w_tier), F.lit(0)))
+    w_in = (Window.partitionBy("lang", "score").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    kept = (pool
+            .withColumn("cum_in", F.sum("n_toks").over(w_in))
+            .join(F.broadcast(tiers.select("lang", "score", "cum_before")),
+                  ["lang", "score"])
+            .join(F.broadcast(bud), "lang")
+            .filter(F.col("cum_before") + F.col("cum_in")
+                    <= F.col("budget_tokens")))
+    return (bud.join(kept.groupBy("lang")
+                     .agg(F.count("*").cast("long").alias("docs_kept"),
+                          F.sum("n_toks").cast("long")
+                          .alias("tokens_kept"),
+                          F.min("score").cast("long").alias("cut_score")),
+                     "lang", "left")
+            .select("lang", "budget_tokens",
+                    F.coalesce("docs_kept", F.lit(0)).cast("long")
+                    .alias("docs_kept"),
+                    F.coalesce("tokens_kept", F.lit(0)).cast("long")
+                    .alias("tokens_kept"),
+                    F.coalesce("cut_score", F.lit(-1)).cast("long")
+                    .alias("cut_score"))
+            .withColumn("utilization_ppm",
+                        F.expr("CAST(1000000 * tokens_kept DIV "
+                               "GREATEST(budget_tokens, 1) AS BIGINT)"))
+            .orderBy("lang"))
 
 
 # ---------------------------------------------------------------------------

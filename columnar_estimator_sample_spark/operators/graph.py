@@ -218,6 +218,91 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_apply_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_pair_ctes()},
+    edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc_id, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.label
+        FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    comp AS (
+        SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+    ),
+    rem AS (
+        SELECT doc_id FROM comp WHERE doc_id != cluster_id
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS docs_before,
+           CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_removed,
+           CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_after,
+           CAST(SUM(CASE WHEN r.doc_id IS NULL
+                         THEN len(string_split(d.text, ' '))
+                         ELSE 0 END) AS BIGINT) AS tokens_after,
+           CAST(SUM(CASE WHEN r.doc_id IS NULL THEN d.n_chars
+                         ELSE 0 END) AS BIGINT) AS chars_after,
+           CAST(1000000 * SUM(CASE WHEN r.doc_id IS NOT NULL
+                                   THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS removed_ppm
+    FROM documents d LEFT JOIN rem r ON d.doc_id = r.doc_id
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """
+
+
+@register("q_dedup_apply", oracle=_dedup_apply_oracle())
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level near-dup dedup APPLY — the kept-corpus manifest:
+    every document whose near-dup cluster (q_dedup_clusters semantics:
+    connected components over verified MinHash-LSH pairs; exact dups
+    collapse inside the same components at jaccard = 1) elects it as
+    the min-doc_id survivor stays; every other cluster member goes.
+    Census per language of the TRAINING-READY corpus: docs before /
+    removed / after, tokens and characters after, integer-ppm removed
+    share. q_dedup_savings prices the removal per source (the triage
+    view); this is the after-state per language (the manifest handed to
+    tokenization).
+
+    Scale: identical plan family to q_dedup_savings — LSH pairs ~linear
+    in corpus, log-round pointer-jumping CC on the (small) clustered
+    set, then one doc_id-keyed left join and a |langs|-row aggregate;
+    survivor selection adds nothing (the component label IS the
+    survivor id)."""
+    docs = (table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "n_chars",
+                    F.size(F.split("text", " ")).cast("long")
+                    .alias("n_toks")))
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    removed = (connected_components(pairs)
+               .filter(F.col("doc_id") != F.col("cluster_id"))
+               .select("doc_id", F.lit(1).alias("is_removed")))
+    return (docs.join(removed, "doc_id", "left")
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("docs_before"),
+                 F.sum(F.when(F.col("is_removed") == 1, 1).otherwise(0))
+                 .cast("long").alias("docs_removed"),
+                 F.sum(F.when(F.col("is_removed").isNull(), 1)
+                       .otherwise(0)).cast("long").alias("docs_after"),
+                 F.sum(F.when(F.col("is_removed").isNull(),
+                              F.col("n_toks")).otherwise(0))
+                 .cast("long").alias("tokens_after"),
+                 F.sum(F.when(F.col("is_removed").isNull(),
+                              F.col("n_chars")).otherwise(0))
+                 .cast("long").alias("chars_after"))
+            .withColumn("removed_ppm",
+                        F.expr("CAST(1000000 * docs_removed"
+                               " DIV docs_before AS BIGINT)"))
+            .orderBy("lang"))
+
+
 @register("q_dedup_clusters", oracle=_clusters_oracle())
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS: connected components over the verified

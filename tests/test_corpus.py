@@ -361,3 +361,100 @@ class TestDsirSelection:
         want = {lg: (len(v), sum(v) // len(v)) for lg, v in per_lang.items()}
         assert got == want
         assert sum(v[0] for v in got.values()) == DSIR_K
+
+
+class TestRound10ApplyOps:
+    def test_token_budget_pack_matches_naive_single_window(self, spark,
+                                                           sf_dir):
+        """The two-phase (tier histogram + within-tier window) selection
+        must keep EXACTLY the prefix a naive per-language global-sort
+        cumsum keeps."""
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window as W
+        from columnar_estimator_sample_spark.operators.corpus import (
+            PACK_BUDGET_PERMILLE, q_token_budget_pack,
+        )
+        from columnar_estimator_sample_spark.operators.textstats import (
+            doc_lm_scores,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+
+        pool = (doc_lm_scores(spark, sf_dir)
+                .select("doc_id", "lang",
+                        F.col("lm_score_permille").alias("score"))
+                .join(table(spark, sf_dir, "documents")
+                      .select("doc_id",
+                              F.size(F.split("text", " ")).cast("long")
+                              .alias("n_toks")), "doc_id"))
+        bud = (pool.groupBy("lang")
+               .agg(F.expr(f"CAST(SUM(n_toks) * {PACK_BUDGET_PERMILLE}"
+                           " DIV 1000 AS BIGINT)").alias("budget_tokens")))
+        w = (W.partitionBy("lang").orderBy(F.desc("score"), "doc_id")
+             .rowsBetween(W.unboundedPreceding, 0))
+        naive = (pool.withColumn("cum", F.sum("n_toks").over(w))
+                 .join(bud, "lang")
+                 .filter(F.col("cum") <= F.col("budget_tokens"))
+                 .groupBy("lang")
+                 .agg(F.count("*").alias("docs_kept"),
+                      F.sum("n_toks").alias("tokens_kept"),
+                      F.min("score").alias("cut_score")))
+        want = {r["lang"]: (r["docs_kept"], r["tokens_kept"],
+                            r["cut_score"]) for r in naive.collect()}
+        got = {r["lang"]: (r["docs_kept"], r["tokens_kept"],
+                           r["cut_score"])
+               for r in q_token_budget_pack(spark, sf_dir).collect()}
+        assert got == want
+        # and the budget is actually binding: utilization < 100%
+        for r in q_token_budget_pack(spark, sf_dir).collect():
+            assert r["tokens_kept"] <= r["budget_tokens"]
+
+    def test_contamination_apply_matches_naive_member_level(self, spark,
+                                                            sf_dir):
+        """The contraction-based removal must flag exactly the train
+        docs a naive member-level trigram join flags."""
+        import pyspark.sql.functions as F
+        from columnar_estimator_sample_spark.operators.corpus import (
+            _word3_expr, q_contamination_apply,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text")
+        grams = docs.select(
+            "doc_id", F.split("text", " ").alias("toks")).select(
+            "doc_id", F.explode(_word3_expr("toks")).alias("ngram"))
+        ev = (grams.filter(F.col("doc_id") % 50 == 0)
+              .select(F.col("doc_id").alias("eval_doc"), "ngram"))
+        tr = (grams.filter(F.col("doc_id") % 50 != 0)
+              .select(F.col("doc_id").alias("train_doc"), "ngram"))
+        contam = (tr.join(ev, "ngram")
+                  .groupBy("train_doc", "eval_doc")
+                  .agg(F.count("*").alias("n"))
+                  .filter(F.col("n") >= 3)
+                  .select("train_doc").distinct())
+        naive = (docs.filter(F.col("doc_id") % 50 != 0)
+                 .join(contam.withColumnRenamed("train_doc", "doc_id")
+                       .withColumn("is_c", F.lit(1)), "doc_id", "left")
+                 .groupBy("lang")
+                 .agg(F.sum(F.when(F.col("is_c") == 1, 1).otherwise(0))
+                      .alias("docs_removed"),
+                      F.count("*").alias("docs_before")))
+        want = {r["lang"]: (r["docs_before"], r["docs_removed"])
+                for r in naive.collect()}
+        got = {r["lang"]: (r["docs_before"], r["docs_removed"])
+               for r in q_contamination_apply(spark, sf_dir).collect()}
+        assert got == want
+
+    def test_dedup_apply_complements_savings(self, spark, sf_dir):
+        """q_dedup_apply (per-lang after-state) and q_dedup_savings
+        (per-source removed-state) must agree on the corpus-wide removal
+        count, and each lang row must balance."""
+        from columnar_estimator_sample_spark.operators.graph import (
+            q_dedup_apply, q_dedup_savings,
+        )
+        ap = q_dedup_apply(spark, sf_dir).collect()
+        sv = q_dedup_savings(spark, sf_dir).collect()
+        assert sum(r["docs_removed"] for r in ap) == \
+            sum(r["n_removed"] for r in sv)
+        for r in ap:
+            assert r["docs_before"] == r["docs_removed"] + r["docs_after"]

@@ -59,7 +59,7 @@ BUILD_RUNS_JOBS = {
     # iterative algorithms: driver loop pulls ONE convergence scalar per
     # superstep; labels/edges stay distributed (operators/graph.py,
     # geo.py, entity.py)
-    "q_dedup_clusters", "q_dedup_savings", "q_er_entities",
+    "q_dedup_apply", "q_dedup_clusters", "q_dedup_savings", "q_er_entities",
     "q_kcore_census", "q_lpa_communities", "q_modularity", "q_pagerank",
     "q_geo_dbscan",
     # driver-loop algorithm: BPE merge selection collects the single
