@@ -87,6 +87,9 @@ HEADLINE = [
     "q_ccnet_tiers",
     "q_dedup_exactsubstr",
     "q_dedup_minhash_precision",
+    # round-10 tier representatives (the apply/pack layer)
+    "q_dedup_exactsubstr_apply",
+    "q_token_budget_pack",
 ]
 
 
