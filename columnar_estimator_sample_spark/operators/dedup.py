@@ -1590,9 +1590,33 @@ def exactsubstr_spans(docs: DataFrame) -> DataFrame:
     computed with running-max gaps-and-islands over shared positions.
     The shared core of the savings census (which PRICES the duplicated
     mass) and :func:`exactsubstr_apply` (which REMOVES it)."""
-    from pyspark.sql.window import Window
     shared = (_exactsubstr_anchors(docs.select("doc_id", "text"))
               .select("doc_id", "p").distinct())
+    return _interval_union(shared)
+
+
+def exactsubstr_keepfirst_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, lo, hi) covering only NON-FIRST window occurrences: for
+    each spread-surviving window hash, the globally first occurrence
+    (min (doc_id, p)) is exempt and every later occurrence's cover
+    [p, p+K-1] enters the union — the faithful Lee et al. 2022 removal
+    rule (delete later copies, keep one). Caveat (the paper shares it):
+    the kept first copy can itself sit inside intervals contributed by
+    OTHER hashes where its document is not first, so 'at least one
+    occurrence survives' holds per window rule, not per final text."""
+    from pyspark.sql.window import Window
+    anch = _exactsubstr_anchors(docs.select("doc_id", "text"))
+    w_occ = Window.partitionBy("h").orderBy("doc_id", "p")
+    nonfirst = (anch.withColumn("rn", F.row_number().over(w_occ))
+                .filter(F.col("rn") > 1).select("doc_id", "p"))
+    return _interval_union(nonfirst)
+
+
+def _interval_union(shared: DataFrame) -> DataFrame:
+    """Merge each doc's window covers [p, p+{SPAN_K}-1] into disjoint
+    (doc_id, lo, hi) intervals: running-max gaps-and-islands over a
+    (doc_id, p) position frame (p unique per doc_id)."""
+    from pyspark.sql.window import Window
     w_prev = (Window.partitionBy("doc_id").orderBy("p")
               .rowsBetween(Window.unboundedPreceding, -1))
     isl = shared.withColumn(
@@ -1609,7 +1633,8 @@ def exactsubstr_spans(docs: DataFrame) -> DataFrame:
             .select("doc_id", "lo", "hi"))
 
 
-def exactsubstr_apply(docs: DataFrame) -> DataFrame:
+def exactsubstr_apply(docs: DataFrame,
+                      spans: DataFrame | None = None) -> DataFrame:
     """ExactSubstr APPLY (Lee et al. 2022 §4 — the deduplicated corpus
     itself, not just its accounting): every token position covered by a
     verbatim-duplicated interval (see :func:`exactsubstr_spans`) is
@@ -1626,8 +1651,13 @@ def exactsubstr_apply(docs: DataFrame) -> DataFrame:
     (interval count per doc is small BY CONSTRUCTION: intervals are
     disjoint and each is >= {SPAN_K} tokens, so a doc carries at most
     n_toks / {SPAN_K} of them) and a higher-order filter — no explode
-    of the token stream, text crosses no extra exchange."""
-    spans = exactsubstr_spans(docs)
+    of the token stream, text crosses no extra exchange.
+
+    ``spans`` overrides the removal intervals (default: every
+    duplicated position, :func:`exactsubstr_spans`; pass
+    :func:`exactsubstr_keepfirst_spans` for the keep-one-copy rule)."""
+    if spans is None:
+        spans = exactsubstr_spans(docs)
     per_doc = spans.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("lo", "hi"))).alias("spans"))
     ws = docs.withColumn("ws", F.split("text", " "))
@@ -1642,6 +1672,27 @@ def exactsubstr_apply(docs: DataFrame) -> DataFrame:
             .withColumn("n_toks", F.size("ws").cast("long"))
             .withColumn("kept_toks", F.size("clean_ws").cast("long"))
             .drop("ws", "clean_ws", "spans"))
+
+
+def _cleaned_corpus_census(cleaned: DataFrame) -> DataFrame:
+    """Per-language census of an :func:`exactsubstr_apply` output frame:
+    docs, affected, emptied, tokens before/after, chars after, integer
+    removed ppm — the shared report of both removal rules."""
+    return (cleaned.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.when(F.col("kept_toks") < F.col("n_toks"), 1)
+                       .otherwise(0)).cast("long").alias("docs_affected"),
+                 F.sum(F.when(F.col("kept_toks") == 0, 1)
+                       .otherwise(0)).cast("long").alias("docs_emptied"),
+                 F.sum("n_toks").cast("long").alias("tokens_before"),
+                 F.sum("kept_toks").cast("long").alias("tokens_after"),
+                 F.sum(F.length("clean_text")).cast("long")
+                 .alias("chars_after"))
+            .withColumn("removed_ppm",
+                        F.expr("CAST(1000000 * (tokens_before - "
+                               "tokens_after) DIV tokens_before "
+                               "AS BIGINT)"))
+            .orderBy("lang"))
 
 
 @register(
@@ -1740,21 +1791,114 @@ def q_dedup_exactsubstr_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "text")
     from columnar_estimator_sample_spark.sources.tables import fanout
     cleaned = exactsubstr_apply(fanout(docs))
-    return (cleaned.groupBy("lang")
-            .agg(F.count("*").cast("long").alias("n_docs"),
-                 F.sum(F.when(F.col("kept_toks") < F.col("n_toks"), 1)
-                       .otherwise(0)).cast("long").alias("docs_affected"),
-                 F.sum(F.when(F.col("kept_toks") == 0, 1)
-                       .otherwise(0)).cast("long").alias("docs_emptied"),
-                 F.sum("n_toks").cast("long").alias("tokens_before"),
-                 F.sum("kept_toks").cast("long").alias("tokens_after"),
-                 F.sum(F.length("clean_text")).cast("long")
-                 .alias("chars_after"))
-            .withColumn("removed_ppm",
-                        F.expr("CAST(1000000 * (tokens_before - "
-                               "tokens_after) DIV tokens_before "
-                               "AS BIGINT)"))
-            .orderBy("lang"))
+    return _cleaned_corpus_census(cleaned)
+
+
+@register(
+    "q_dedup_exactsubstr_keepfirst",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+    ), anchors AS MATERIALIZED (
+        SELECT doc_id, u.p AS p, u.h AS h FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(ws) - {SPAN_K - 1}, 0) + 1),
+                       i -> {{'p': i,
+                             'h': {sql_h64(
+                                 "array_to_string(ws[CAST(i AS INT):"
+                                 f"CAST(i + {SPAN_K - 1} AS INT)], ' ')")}
+                            }})) AS u
+            FROM w)
+    ), spread AS (
+        SELECT h FROM anchors GROUP BY h
+        HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {SPAN_MAX_SPREAD}
+    ), occ AS (
+        SELECT a.doc_id, a.p,
+               ROW_NUMBER() OVER (PARTITION BY a.h
+                                  ORDER BY a.doc_id, a.p) AS rn
+        FROM anchors a JOIN spread s ON s.h = a.h
+    ), shared AS (
+        SELECT doc_id, p FROM occ WHERE rn > 1
+    ), isl AS (
+        SELECT doc_id, p,
+               CASE WHEN p > COALESCE(MAX(p + {SPAN_K - 1}) OVER (
+                       PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS new_isl
+        FROM shared
+    ), grp AS (
+        SELECT doc_id, p,
+               SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS g
+        FROM isl
+    ), spans AS (
+        SELECT doc_id, g, MIN(p) AS lo, MAX(p) + {SPAN_K - 1} AS hi
+        FROM grp GROUP BY doc_id, g
+    ), toks AS MATERIALIZED (
+        SELECT doc_id, u.p AS p, u.tok AS tok FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ws) + 1),
+                       i -> {{'p': i, 'tok': ws[CAST(i AS INT)]}})) AS u
+            FROM w)
+    ), cov AS (
+        SELECT DISTINCT t.doc_id, t.p
+        FROM toks t JOIN spans s
+          ON s.doc_id = t.doc_id AND t.p BETWEEN s.lo AND s.hi
+    ), kept AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS kept_toks,
+               CAST(SUM(len(t.tok)) AS BIGINT) AS kept_len
+        FROM toks t ANTI JOIN cov c
+          ON c.doc_id = t.doc_id AND c.p = t.p
+        GROUP BY t.doc_id
+    ), per_doc AS (
+        SELECT w.doc_id, w.lang,
+               CAST(len(w.ws) AS BIGINT) AS n_toks,
+               COALESCE(k.kept_toks, 0) AS kept_toks,
+               COALESCE(k.kept_len, 0)
+                   + GREATEST(COALESCE(k.kept_toks, 0) - 1, 0) AS chars
+        FROM w LEFT JOIN kept k ON k.doc_id = w.doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN kept_toks < n_toks THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_affected,
+           CAST(SUM(CASE WHEN kept_toks = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_emptied,
+           CAST(SUM(n_toks) AS BIGINT) AS tokens_before,
+           CAST(SUM(kept_toks) AS BIGINT) AS tokens_after,
+           CAST(SUM(chars) AS BIGINT) AS chars_after,
+           CAST(1000000 * (SUM(n_toks) - SUM(kept_toks))
+                // SUM(n_toks) AS BIGINT) AS removed_ppm
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_dedup_exactsubstr_keepfirst(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """ExactSubstr apply under the FAITHFUL Lee et al. 2022 removal
+    rule: for each duplicated {SPAN_K}-token window, the globally FIRST
+    occurrence (min (doc_id, position)) survives and only later
+    occurrences are removed — the corpus keeps one copy of every
+    verbatim span instead of losing all of them
+    (:func:`q_dedup_exactsubstr_apply`'s both-copies union is the
+    savings-census-exact variant). Same cleaned-corpus census per
+    language. By construction removes STRICTLY less than the apply
+    variant wherever any span exists (pinned in tests).
+
+    Scale: one extra window over the (8-byte hash, position) anchor
+    frame partitioned by window hash — bounded per partition by the
+    spread cap × per-doc occurrences; everything else is the apply
+    plan."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+    from columnar_estimator_sample_spark.sources.tables import fanout
+    docs = fanout(docs)
+    cleaned = exactsubstr_apply(
+        docs, spans=exactsubstr_keepfirst_spans(docs))
+    return _cleaned_corpus_census(cleaned)
 
 
 @register(

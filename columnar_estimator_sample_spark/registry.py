@@ -90,8 +90,8 @@ _loaded = False
 #     rewritten > new > stale re-certs).
 _DRIVER_WINDOW_R10 = [
     # (a) new/rewritten this round
-    "q_dedup_exactsubstr_apply", "q_dedup_exactsubstr_savings",
-    "q_ann_ivf_topk",
+    "q_dedup_exactsubstr_apply", "q_dedup_exactsubstr_keepfirst",
+    "q_dedup_exactsubstr_savings", "q_ann_ivf_topk",
     "q_dedup_apply", "q_contamination_apply", "q_token_budget_pack",
     # (b) the round-2 cohort, TPC-H first
     "q08_market_share", "q09_product_profit", "q10_top_customers",
@@ -108,10 +108,10 @@ _DRIVER_WINDOW_R10 = [
     "q_single_column_probe", "q_skyline_parts", "q_string_funcs",
     "q_trimmed_mean", "q_unpivot", "q_weighted_median",
     "q_window_ranks", "q_window_running", "q_window_topk_per_group",
-    # (c) round-4 cohort head: its first TPC-H rows (q17/q18/q20 and the
-    #     rest of the r4 cohort rotate in round 11 — three slots went to
-    #     the round-10 apply/pack operators above)
-    "q11_important_stock", "q13_order_distribution", "q15_top_supplier",
+    # (c) round-4 cohort head: its first TPC-H rows (q15/q17/q18/q20 and
+    #     the rest of the r4 cohort rotate in round 11 — four slots went
+    #     to the round-10 apply/pack operators above)
+    "q11_important_stock", "q13_order_distribution",
 ]
 
 

@@ -124,6 +124,53 @@ class TestDedup:
         assert got[5] == ("", 9, 0)
         assert got[6] == ("", 9, 0)
 
+    def test_exactsubstr_keepfirst_keeps_one_copy(self, spark, sf_dir):
+        """The Lee et al. removal rule: the globally first occurrence of
+        each duplicated window survives. On the constructed corpus the
+        first doc of the whole-text-duplicated pair keeps its full text
+        and the second empties; and corpus-wide the keepfirst rule
+        removes strictly less than the both-copies apply rule."""
+        from columnar_estimator_sample_spark.operators.dedup import (
+            exactsubstr_apply, exactsubstr_keepfirst_spans,
+            q_dedup_exactsubstr_apply, q_dedup_exactsubstr_keepfirst,
+        )
+
+        def words(prefix, n):
+            return " ".join(f"{prefix}{i}" for i in range(n))
+
+        whole = words("w", 9)
+        rows = [
+            (1, f"{words('x', 5)} {words('s', 12)} {words('y', 5)}"),
+            (2, f"{words('z', 3)} {words('s', 12)} {words('v', 7)}"),
+            (5, whole),
+            (6, whole),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r["doc_id"]: (r["clean_text"], r["kept_toks"])
+               for r in exactsubstr_apply(
+                   docs, spans=exactsubstr_keepfirst_spans(docs))
+               .collect()}
+        # doc 1 holds the first occurrence of every shared window
+        assert got[1] == (f"{words('x', 5)} {words('s', 12)} "
+                          f"{words('y', 5)}", 22)
+        assert got[2] == (f"{words('z', 3)} {words('v', 7)}", 10)
+        assert got[5] == (whole, 9)
+        assert got[6] == ("", 0)
+
+        ap = {r["lang"]: r for r in
+              q_dedup_exactsubstr_apply(spark, sf_dir).collect()}
+        kf = {r["lang"]: r for r in
+              q_dedup_exactsubstr_keepfirst(spark, sf_dir).collect()}
+        assert set(ap) == set(kf)
+        for lang, a in ap.items():
+            k = kf[lang]
+            assert k["tokens_before"] == a["tokens_before"]
+            # keepfirst never removes more; strictly less wherever the
+            # both-copies rule removed anything
+            assert k["tokens_after"] >= a["tokens_after"]
+            if a["tokens_after"] < a["tokens_before"]:
+                assert k["tokens_after"] > a["tokens_after"]
+
     def test_exactsubstr_apply_matches_savings(self, spark, sf_dir):
         """Invariant: tokens removed by the apply census equals the
         savings census's dup_tokens, language by language (the apply
