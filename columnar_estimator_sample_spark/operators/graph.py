@@ -34,7 +34,10 @@ from columnar_estimator_sample_spark.operators.dedup import (
     _minhash_pair_ctes, q_dedup_minhash_lsh,
 )
 from columnar_estimator_sample_spark.registry import register
-from columnar_estimator_sample_spark.sources.tables import table
+from columnar_estimator_sample_spark.sources.tables import (
+    register_memo,
+    table,
+)
 
 MAX_SUPERSTEPS = 25  # >= log2(diameter) for any plausible dup graph
 
@@ -218,6 +221,34 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (applicationId, sf_dir) -> localCheckpointed (doc_id) frame of near-dup
+# cluster NON-survivors (CC over the verified MinHash-LSH pairs, label =
+# min doc_id). The LSH + iterative-CC build is the expensive shared term
+# of the cluster-consuming queries; the memo is the per-session stand-in
+# for the materialized cluster-membership table a production pipeline
+# writes once (same discipline as _ENTITY_MEMO / _IVF_MEMO; registered
+# with reset_handles() for invalidation/release). q_dedup_apply reads it
+# today; q_dedup_clusters / q_dedup_savings adopt it when they next
+# rotate through the driver window (changing their build path re-enters
+# them, and their r9 certifications are still fresh).
+_NEARDUP_REMOVED_MEMO: dict[tuple[str, str], DataFrame] = register_memo({})
+
+
+def neardup_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id) frame of near-dup cluster non-survivors, checkpointed
+    and memoized per (session, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    removed = _NEARDUP_REMOVED_MEMO.get(key)
+    if removed is None:
+        pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+        removed = (connected_components(pairs)
+                   .filter(F.col("doc_id") != F.col("cluster_id"))
+                   .select("doc_id")
+                   .localCheckpoint(eager=False))
+        _NEARDUP_REMOVED_MEMO[key] = removed
+    return removed
+
+
 def _dedup_apply_oracle() -> str:
     return f"""
     WITH RECURSIVE {_minhash_pair_ctes()},
@@ -280,9 +311,7 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "n_chars",
                     F.size(F.split("text", " ")).cast("long")
                     .alias("n_toks")))
-    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    removed = (connected_components(pairs)
-               .filter(F.col("doc_id") != F.col("cluster_id"))
+    removed = (neardup_removed(spark, sf_dir)
                .select("doc_id", F.lit(1).alias("is_removed")))
     return (docs.join(removed, "doc_id", "left")
             .groupBy("lang")
