@@ -15,7 +15,10 @@ from pyspark.sql import functions as F
 
 from columnar_estimator_sample_spark.functions.exact import davg, sql_davg
 from columnar_estimator_sample_spark.registry import register
-from columnar_estimator_sample_spark.sources.tables import table
+from columnar_estimator_sample_spark.sources.tables import (
+    register_memo,
+    table,
+)
 
 # A small English stopword list; used as the "English-likeness" signal in
 # the language-ID heuristic and the quality score.
@@ -795,11 +798,27 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(LM_SCORE_BOTTOM))
 
 
+# (applicationId, sf_dir) -> localCheckpointed doc_lm_scores frame. The
+# per-doc bigram census + corpus-LM join is the shared linear term of
+# q_doc_lm_score, q_ccnet_tiers and q_token_budget_pack; one session
+# builds it once — the stand-in for the written quality-scores table a
+# CCNet-style pipeline materializes before any selection runs (same
+# discipline as _IVF_MEMO / _ENTITY_MEMO; registered with
+# reset_handles() for invalidation/release).
+_LM_SCORES_MEMO: dict[tuple[str, str], DataFrame] = register_memo({})
+
+
 def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, n_bigrams, lm_score_permille) for every document
     with >= 1 bigram: mean corpus-LM transition probability in integer
-    permille — the scoring frame behind q_doc_lm_score (bottom-k report)
-    and q_ccnet_tiers (per-language tier census)."""
+    permille — the scoring frame behind q_doc_lm_score (bottom-k
+    report), q_ccnet_tiers (per-language tier census) and
+    q_token_budget_pack (budget selection); checkpointed and memoized
+    per (session, sf_dir), see ``_LM_SCORES_MEMO``."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _LM_SCORES_MEMO.get(key)
+    if memo is not None:
+        return memo
     from pyspark.sql import Window as W
     docs = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -822,12 +841,15 @@ def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
          .withColumn("c1", F.sum("c12").over(W.partitionBy("w1")))
          .select("w1", "w2",
                  F.expr("(1000 * c12) DIV c1").alias("p_permille")))
-    return (docbg.join(p, ["w1", "w2"])
+    scores = (docbg.join(p, ["w1", "w2"])
             .groupBy("doc_id", "lang")
             .agg(F.sum(F.expr("k * p_permille")).cast("long").alias("sp"),
                  F.sum("k").cast("long").alias("n_bigrams"))
             .select("doc_id", "lang", "n_bigrams",
-                    F.expr("sp div n_bigrams").alias("lm_score_permille")))
+                    F.expr("sp div n_bigrams").alias("lm_score_permille"))
+            .localCheckpoint(eager=False))
+    _LM_SCORES_MEMO[key] = scores
+    return scores
 
 
 @register(

@@ -93,6 +93,7 @@ _DRIVER_WINDOW_R10 = [
     "q_dedup_exactsubstr_apply", "q_dedup_exactsubstr_keepfirst",
     "q_dedup_exactsubstr_savings", "q_ann_ivf_topk",
     "q_dedup_apply", "q_contamination_apply", "q_token_budget_pack",
+    "q_doc_lm_score", "q_ccnet_tiers",
     # (b) the round-2 cohort, TPC-H first
     "q08_market_share", "q09_product_profit", "q10_top_customers",
     "q12_shipmode_priority", "q14_promo_revenue_ratio",
@@ -108,10 +109,11 @@ _DRIVER_WINDOW_R10 = [
     "q_single_column_probe", "q_skyline_parts", "q_string_funcs",
     "q_trimmed_mean", "q_unpivot", "q_weighted_median",
     "q_window_ranks", "q_window_running", "q_window_topk_per_group",
-    # (c) round-4 cohort head: its first TPC-H rows (q15/q17/q18/q20 and
-    #     the rest of the r4 cohort rotate in round 11 — four slots went
-    #     to the round-10 apply/pack operators above)
-    "q11_important_stock", "q13_order_distribution",
+    # The round-4 cohort rotates in round 11 in full: every slot behind
+    # the 41 r2 rows went to round-10 new/rewritten queries (the
+    # apply/pack layer, the bucketed IVF probe, and the two LM-score
+    # consumers that now share the checkpointed doc_lm_scores memo) —
+    # the verdict's precedence order (rewritten > new > stale re-certs).
 ]
 
 

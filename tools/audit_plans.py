@@ -80,8 +80,12 @@ BUILD_RUNS_JOBS = {
     "q_er_sorted_neighborhood",
     # r9: the IVF family shares one lazily-checkpointed coarse
     # assignment (similarity._IVF_MEMO); whichever builds first
-    # materializes it
+    # materializes it (r10: q_ann_ivf_topk also writes the bucketed
+    # assignment tables once per session)
     "q_ann_ivf_topk", "q_ann_ivf_pq_topk", "q_ann_ivf_pq_residual",
+    # r10: the LM-score consumers share one lazily-checkpointed
+    # doc_lm_scores frame (textstats._LM_SCORES_MEMO)
+    "q_doc_lm_score", "q_ccnet_tiers", "q_token_budget_pack",
     # r9: fanout's partition probe on the post-contraction frame
     # materializes that subtree at build (execution pulled forward —
     # same class as the checkpoint materializations above)
