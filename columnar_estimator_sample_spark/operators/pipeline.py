@@ -25,7 +25,10 @@ from pyspark.sql.window import Window
 
 from columnar_estimator_sample_spark.operators.textstats import STOPWORDS
 from columnar_estimator_sample_spark.registry import register
-from columnar_estimator_sample_spark.sources.tables import table
+from columnar_estimator_sample_spark.sources.tables import (
+    register_memo,
+    table,
+)
 
 MIN_TOKENS = 20
 # quality gate: stopword ratio > 1/20, tested as the exact integer
@@ -155,3 +158,169 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus export: the dedup pipeline's MATERIALIZATION step
+# ---------------------------------------------------------------------------
+
+# (applicationId, sf_dir) -> landed parquet path. The export writes ONCE
+# per session (the corpus is deterministic), the census query reads the
+# LANDED files — write-once / read-many, the same contract as the other
+# per-session memos (registered with reset_handles()).
+_EXPORT_MEMO: dict[tuple[str, str], str] = register_memo({})
+
+
+def _corpus_export_oracle() -> str:
+    from columnar_estimator_sample_spark.operators.dedup import (
+        SPAN_K, SPAN_MAX_SPREAD, _minhash_pair_ctes,
+    )
+    from columnar_estimator_sample_spark.functions.hashing import sql_h64
+    h = sql_h64("array_to_string(ws[CAST(i AS INT):"
+                f"CAST(i + {SPAN_K - 1} AS INT)], ' ')")
+    return f"""
+    WITH RECURSIVE {_minhash_pair_ctes()},
+    edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc_id, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.label
+        FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    comp AS (
+        SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+    ),
+    rem AS (
+        SELECT doc_id FROM comp WHERE doc_id != cluster_id
+    ),
+    w AS MATERIALIZED (
+        SELECT d.doc_id, d.lang, string_split(d.text, ' ') AS ws
+        FROM documents d ANTI JOIN rem r ON r.doc_id = d.doc_id
+    ),
+    anchors AS MATERIALIZED (
+        SELECT doc_id, u.p AS p, u.h AS h FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(ws) - {SPAN_K - 1}, 0) + 1),
+                       i -> {{'p': i, 'h': {h}}})) AS u
+            FROM w)
+    ),
+    spread AS (
+        SELECT h FROM anchors GROUP BY h
+        HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {SPAN_MAX_SPREAD}
+    ),
+    occ AS (
+        SELECT a.doc_id, a.p,
+               ROW_NUMBER() OVER (PARTITION BY a.h
+                                  ORDER BY a.doc_id, a.p) AS rn
+        FROM anchors a JOIN spread s ON s.h = a.h
+    ),
+    shared AS (
+        SELECT doc_id, p FROM occ WHERE rn > 1
+    ),
+    isl AS (
+        SELECT doc_id, p,
+               CASE WHEN p > COALESCE(MAX(p + {SPAN_K - 1}) OVER (
+                       PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS new_isl
+        FROM shared
+    ),
+    grp AS (
+        SELECT doc_id, p,
+               SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS g
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, g, MIN(p) AS lo, MAX(p) + {SPAN_K - 1} AS hi
+        FROM grp GROUP BY doc_id, g
+    ),
+    toks AS MATERIALIZED (
+        SELECT doc_id, u.p AS p, u.tok AS tok FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ws) + 1),
+                       i -> {{'p': i, 'tok': ws[CAST(i AS INT)]}})) AS u
+            FROM w)
+    ),
+    cov AS (
+        SELECT DISTINCT t.doc_id, t.p
+        FROM toks t JOIN spans s
+          ON s.doc_id = t.doc_id AND t.p BETWEEN s.lo AND s.hi
+    ),
+    kept AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS kept_toks,
+               CAST(SUM(len(t.tok)) AS BIGINT) AS kept_len
+        FROM toks t ANTI JOIN cov c
+          ON c.doc_id = t.doc_id AND c.p = t.p
+        GROUP BY t.doc_id
+    )
+    SELECT w.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(k.kept_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(k.kept_len + GREATEST(k.kept_toks - 1, 0)) AS BIGINT)
+               AS n_chars
+    FROM kept k JOIN w ON w.doc_id = k.doc_id
+    GROUP BY w.lang
+    ORDER BY w.lang
+    """
+
+
+@register("q_corpus_export", oracle=_corpus_export_oracle())
+def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's MATERIALIZATION step — the artifact every
+    upstream census only priced: documents lose their near-dup cluster
+    non-survivors (:func:`~columnar_estimator_sample_spark.operators.graph.neardup_removed`),
+    the survivors lose later occurrences of every verbatim span
+    (:func:`~columnar_estimator_sample_spark.operators.dedup.exactsubstr_keepfirst_spans`
+    — the Lee et al. keep-one-copy rule), emptied docs drop, and the
+    TRAINING-READY corpus lands as REAL parquet partitioned by lang
+    (written once per session). The registered census reads the LANDED
+    files back — per language: docs, whitespace tokens, characters —
+    so the driver's hash gate certifies the bytes on disk, not an
+    in-plan projection (the batch twin of q_stream_landing_census).
+
+    Scale: both removal stages are the audited plans of their source
+    queries (LSH+CC memo; anchor hashes only); the write is one
+    lang-partitioned parquet sink (at 100 TB: add a bucket/sort spec
+    for downstream co-location); the census is a scan of the landed
+    table with a |langs|-row aggregate."""
+    import os
+    import tempfile
+
+    from columnar_estimator_sample_spark.operators.dedup import (
+        exactsubstr_apply, exactsubstr_keepfirst_spans,
+    )
+    from columnar_estimator_sample_spark.operators.graph import (
+        neardup_removed,
+    )
+    from columnar_estimator_sample_spark.sources.tables import fanout
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _EXPORT_MEMO.get(key)
+    if path is None:
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text")
+        kept = fanout(docs.join(neardup_removed(spark, sf_dir),
+                                "doc_id", "left_anti"))
+        cleaned = exactsubstr_apply(
+            kept, spans=exactsubstr_keepfirst_spans(kept))
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="spark-graft-export-"), "corpus")
+        (cleaned.filter(F.col("kept_toks") > 0)
+         .select("doc_id", "lang", "clean_text")
+         .write.mode("overwrite").partitionBy("lang").parquet(path))
+        _EXPORT_MEMO[key] = path
+    landed = spark.read.parquet(path)
+    return (landed.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.size(F.split("clean_text", " ")))
+                 .cast("long").alias("n_tokens"),
+                 F.sum(F.length("clean_text")).cast("long")
+                 .alias("n_chars"))
+            .orderBy("lang"))

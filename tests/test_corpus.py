@@ -458,3 +458,30 @@ class TestRound10ApplyOps:
             sum(r["n_removed"] for r in sv)
         for r in ap:
             assert r["docs_before"] == r["docs_removed"] + r["docs_after"]
+
+    def test_corpus_export_materializes_clean_corpus(self, spark, sf_dir):
+        """The export sink: landed docs are disjoint from the near-dup
+        removed set, the parquet layout is lang-partitioned on disk,
+        and the landed row count equals the non-empty cleaned docs."""
+        import os
+        import pyspark.sql.functions as F
+        from columnar_estimator_sample_spark.operators.graph import (
+            neardup_removed,
+        )
+        from columnar_estimator_sample_spark.operators.pipeline import (
+            _EXPORT_MEMO, q_corpus_export,
+        )
+
+        census = {r["lang"]: r for r in
+                  q_corpus_export(spark, sf_dir).collect()}
+        path = _EXPORT_MEMO[(spark.sparkContext.applicationId, sf_dir)]
+        assert any(d.startswith("lang=") for d in os.listdir(path)), \
+            os.listdir(path)
+        landed = spark.read.parquet(path)
+        assert landed.join(neardup_removed(spark, sf_dir),
+                           "doc_id").count() == 0
+        assert landed.filter(F.length("clean_text") == 0).count() == 0
+        got = {r["lang"]: r["n"] for r in
+               landed.groupBy("lang").agg(F.count("*").alias("n"))
+               .collect()}
+        assert got == {k: v["n_docs"] for k, v in census.items()}

@@ -98,6 +98,10 @@ BUILD_RUNS_JOBS = {
     "q_stream_sessions", "q_stream_sliding_value",
     "q_stream_user_totals", "q_tfrecord_stream_census",
     "q_tfrecord_roundtrip",
+    # r10: the corpus-export builder WRITES the cleaned corpus parquet
+    # (once per session) and returns the landed-table census — the IO
+    # roundtrip is the point of the operator
+    "q_corpus_export",
 }
 
 
