@@ -1525,9 +1525,34 @@ def q_dedup_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(doc, h) occurrence cap before the join. This is the audit-grade complement to the
     probabilistic tiers: MinHash finds mostly-similar documents,
     ExactSubstr finds verbatim copying inside otherwise-different ones."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    from columnar_estimator_sample_spark.sources.tables import fanout
-    return exactsubstr_census(fanout(docs))
+    return exactsubstr_census(
+        None, anchors=exactsubstr_anchors_table(spark, sf_dir))
+
+
+# (applicationId, sf_dir) -> localCheckpointed anchor frame over the
+# documents table. The anchor build (window explode + h64 + spread
+# filter) is the shared linear term of the four ExactSubstr queries
+# (pair census, savings, apply, keepfirst); one session pays it once —
+# the stand-in for the written anchor-index table (same discipline as
+# the other per-session memos; registered with reset_handles()).
+_EXACTSUBSTR_ANCHORS_MEMO: dict[tuple[str, str], DataFrame] = \
+    register_memo({})
+
+
+def exactsubstr_anchors_table(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Spread-surviving anchor windows (doc_id, p, h) over the
+    ``documents`` table, checkpointed and memoized per (session,
+    sf_dir) — see ``_EXACTSUBSTR_ANCHORS_MEMO``."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    anchors = _EXACTSUBSTR_ANCHORS_MEMO.get(key)
+    if anchors is None:
+        from columnar_estimator_sample_spark.sources.tables import fanout
+        docs = fanout(table(spark, sf_dir, "documents")
+                      .select("doc_id", "text"))
+        anchors = _exactsubstr_anchors(docs).localCheckpoint(eager=False)
+        _EXACTSUBSTR_ANCHORS_MEMO[key] = anchors
+    return anchors
 
 
 def _exactsubstr_anchors(docs: DataFrame) -> DataFrame:
@@ -1554,12 +1579,14 @@ def _exactsubstr_anchors(docs: DataFrame) -> DataFrame:
     return anchors.join(spread, "h")
 
 
-def exactsubstr_census(docs: DataFrame) -> DataFrame:
+def exactsubstr_census(docs: DataFrame | None,
+                       anchors: DataFrame | None = None) -> DataFrame:
     """Core ExactSubstr pair census over a (doc_id, text) frame — see
     :func:`q_dedup_exactsubstr` (anchor windows + spread cap +
     gaps-and-islands run chaining). Unit-pinned on constructed corpora
     (known shared runs, boilerplate exclusion) beside the oracle."""
-    anch_f = _exactsubstr_anchors(docs)
+    anch_f = (anchors if anchors is not None
+              else _exactsubstr_anchors(docs))
     a, b = anch_f.alias("a"), anch_f.alias("b")
     hits = (a.join(b, (F.col("a.h") == F.col("b.h"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -1583,19 +1610,22 @@ def exactsubstr_census(docs: DataFrame) -> DataFrame:
             .limit(SPAN_TOP))
 
 
-def exactsubstr_spans(docs: DataFrame) -> DataFrame:
+def exactsubstr_spans(docs: DataFrame,
+                      anchors: DataFrame | None = None) -> DataFrame:
     """(doc_id, lo, hi): merged disjoint verbatim-duplicated token
     intervals per document (1-based, inclusive) — the interval union of
     every spread-surviving {SPAN_K}-token window's cover [p, p+K-1],
     computed with running-max gaps-and-islands over shared positions.
     The shared core of the savings census (which PRICES the duplicated
     mass) and :func:`exactsubstr_apply` (which REMOVES it)."""
-    shared = (_exactsubstr_anchors(docs.select("doc_id", "text"))
-              .select("doc_id", "p").distinct())
-    return _interval_union(shared)
+    if anchors is None:
+        anchors = _exactsubstr_anchors(docs.select("doc_id", "text"))
+    return _interval_union(anchors.select("doc_id", "p").distinct())
 
 
-def exactsubstr_keepfirst_spans(docs: DataFrame) -> DataFrame:
+def exactsubstr_keepfirst_spans(
+        docs: DataFrame,
+        anchors: DataFrame | None = None) -> DataFrame:
     """(doc_id, lo, hi) covering only NON-FIRST window occurrences: for
     each spread-surviving window hash, the globally first occurrence
     (min (doc_id, p)) is exempt and every later occurrence's cover
@@ -1605,7 +1635,8 @@ def exactsubstr_keepfirst_spans(docs: DataFrame) -> DataFrame:
     OTHER hashes where its document is not first, so 'at least one
     occurrence survives' holds per window rule, not per final text."""
     from pyspark.sql.window import Window
-    anch = _exactsubstr_anchors(docs.select("doc_id", "text"))
+    anch = (anchors if anchors is not None
+            else _exactsubstr_anchors(docs.select("doc_id", "text")))
     w_occ = Window.partitionBy("h").orderBy("doc_id", "p")
     nonfirst = (anch.withColumn("rn", F.row_number().over(w_occ))
                 .filter(F.col("rn") > 1).select("doc_id", "p"))
@@ -1790,7 +1821,10 @@ def q_dedup_exactsubstr_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text")
     from columnar_estimator_sample_spark.sources.tables import fanout
-    cleaned = exactsubstr_apply(fanout(docs))
+    docs = fanout(docs)
+    cleaned = exactsubstr_apply(
+        docs, spans=exactsubstr_spans(
+            docs, anchors=exactsubstr_anchors_table(spark, sf_dir)))
     return _cleaned_corpus_census(cleaned)
 
 
@@ -1897,7 +1931,8 @@ def q_dedup_exactsubstr_keepfirst(spark: SparkSession,
     from columnar_estimator_sample_spark.sources.tables import fanout
     docs = fanout(docs)
     cleaned = exactsubstr_apply(
-        docs, spans=exactsubstr_keepfirst_spans(docs))
+        docs, spans=exactsubstr_keepfirst_spans(
+            docs, anchors=exactsubstr_anchors_table(spark, sf_dir)))
     return _cleaned_corpus_census(cleaned)
 
 
@@ -1983,7 +2018,8 @@ def q_dedup_exactsubstr_savings(spark: SparkSession,
         "doc_id", "lang", "text")
     from columnar_estimator_sample_spark.sources.tables import fanout
     docs = fanout(docs)
-    spans = exactsubstr_spans(docs)
+    spans = exactsubstr_spans(
+        docs, anchors=exactsubstr_anchors_table(spark, sf_dir))
     per_doc = (spans.groupBy("doc_id")
                .agg(F.sum(F.col("hi") - F.col("lo") + 1).cast("long")
                     .alias("dup_tokens")))

@@ -91,7 +91,8 @@ _loaded = False
 _DRIVER_WINDOW_R10 = [
     # (a) new/rewritten this round
     "q_dedup_exactsubstr_apply", "q_dedup_exactsubstr_keepfirst",
-    "q_dedup_exactsubstr_savings", "q_ann_ivf_topk",
+    "q_dedup_exactsubstr_savings", "q_dedup_exactsubstr",
+    "q_ann_ivf_topk",
     "q_dedup_apply", "q_contamination_apply", "q_token_budget_pack",
     "q_doc_lm_score", "q_ccnet_tiers", "q_corpus_export",
     # (b) the round-2 cohort, TPC-H first
@@ -108,9 +109,10 @@ _DRIVER_WINDOW_R10 = [
     "q_scalar_subquery", "q_semi_join", "q_set_ops",
     "q_single_column_probe", "q_skyline_parts", "q_string_funcs",
     "q_trimmed_mean", "q_unpivot", "q_weighted_median",
-    "q_window_ranks", "q_window_running",
-    # (q_window_topk_per_group rotates in r11 with the r4 cohort — its
-    # slot went to q_corpus_export)
+    "q_window_ranks",
+    # (q_window_running / q_window_topk_per_group rotate in r11 with the
+    # r4 cohort — their slots went to q_corpus_export and the rewritten
+    # q_dedup_exactsubstr)
     # The round-4 cohort rotates in round 11 in full: every slot behind
     # the 41 r2 rows went to round-10 new/rewritten queries (the
     # apply/pack layer, the bucketed IVF probe, and the two LM-score

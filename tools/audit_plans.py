@@ -86,6 +86,10 @@ BUILD_RUNS_JOBS = {
     # r10: the LM-score consumers share one lazily-checkpointed
     # doc_lm_scores frame (textstats._LM_SCORES_MEMO)
     "q_doc_lm_score", "q_ccnet_tiers", "q_token_budget_pack",
+    # r10: the ExactSubstr family shares one lazily-checkpointed anchor
+    # frame (dedup._EXACTSUBSTR_ANCHORS_MEMO)
+    "q_dedup_exactsubstr", "q_dedup_exactsubstr_savings",
+    "q_dedup_exactsubstr_apply", "q_dedup_exactsubstr_keepfirst",
     # r9: fanout's partition probe on the post-contraction frame
     # materializes that subtree at build (execution pulled forward —
     # same class as the checkpoint materializations above)
