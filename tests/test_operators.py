@@ -189,6 +189,70 @@ class TestDedup:
             assert a["tokens_before"] - a["tokens_after"] == s["dup_tokens"]
             assert a["docs_affected"] == s["n_docs_affected"]
 
+    def test_exactsubstr_apply_fuzz_vs_bruteforce(self, spark):
+        """Seeded-random corpora replayed by a pure-Python brute force
+        of BOTH removal rules — both-copies interval union and the
+        keep-first-occurrence rule — must match the engine's cleaned
+        texts exactly, doc for doc."""
+        import random
+
+        from columnar_estimator_sample_spark.operators.dedup import (
+            SPAN_K, SPAN_MAX_SPREAD, exactsubstr_apply,
+            exactsubstr_keepfirst_spans,
+        )
+
+        def brute_clean(texts, keepfirst):
+            wins, docs_of = {}, {}
+            for d in sorted(texts):
+                toks = texts[d].split(" ")
+                wins[d] = [" ".join(toks[i:i + SPAN_K])
+                           for i in range(len(toks) - SPAN_K + 1)]
+                for w in wins[d]:
+                    docs_of.setdefault(w, set()).add(d)
+            ok = {w for w, ds in docs_of.items()
+                  if 2 <= len(ds) <= SPAN_MAX_SPREAD}
+            first = {}
+            for d in sorted(texts):
+                for i, w in enumerate(wins[d]):
+                    if w in ok and w not in first:
+                        first[w] = (d, i)
+            out = {}
+            for d, t in texts.items():
+                toks = t.split(" ")
+                covered = set()
+                for i, w in enumerate(wins[d]):
+                    if w not in ok:
+                        continue
+                    if keepfirst and first[w] == (d, i):
+                        continue
+                    covered.update(range(i, i + SPAN_K))
+                kept = [tok for i, tok in enumerate(toks)
+                        if i not in covered]
+                out[d] = " ".join(kept)
+            return out
+
+        rng = random.Random(23)
+        for trial in range(3):
+            pool = [[f"a{trial}_{p}_{i}" for i in range(rng.randint(6, 11))]
+                    for p in range(6)]
+            texts = {}
+            for d in range(12):
+                toks = []
+                for _ in range(rng.randint(2, 5)):
+                    toks += rng.choice(pool)
+                    toks += [f"u{trial}_{d}_{len(toks)}"] * rng.randint(0, 2)
+                texts[d] = " ".join(toks)
+            df = spark.createDataFrame(list(texts.items()),
+                                       ["doc_id", "text"])
+            got_both = {r["doc_id"]: r["clean_text"]
+                        for r in exactsubstr_apply(df).collect()}
+            assert got_both == brute_clean(texts, keepfirst=False), trial
+            got_kf = {r["doc_id"]: r["clean_text"]
+                      for r in exactsubstr_apply(
+                          df, spans=exactsubstr_keepfirst_spans(df))
+                      .collect()}
+            assert got_kf == brute_clean(texts, keepfirst=True), trial
+
     def test_exactsubstr_fuzz_vs_bruteforce(self, spark):
         """Seeded-random corpora (docs stitched from a shared phrase
         pool, so verbatim runs really occur) replayed by a pure-Python
