@@ -1792,3 +1792,164 @@ def q_media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
              .repartition("doc_id"))
     return hamming_neardup_census(hash_distinct_blobs(
         media, lambda b: phash_wht(decode_jpeg_gray(b))))
+
+
+# --------------------------------------------------------------------------
+# Media near-dup APPLY (round 10): survivor selection over the image tier
+# --------------------------------------------------------------------------
+
+
+def _hamming_rep_pairs(grp: DataFrame) -> DataFrame:
+    """(gid_a, gid_b) representative pairs within Hamming 1..{DHASH_HAM_T}
+    over a (hi, lo, gid) distinct-hash frame — the banded candidate
+    machinery of :func:`hamming_neardup_census` restated as a pair
+    emitter (the census adopts this helper when its queries next rotate
+    through the driver window; until then its internal twin stays
+    byte-identical to its certified code)."""
+    band_slices = [("lo", 0), ("lo", 16), ("hi", 0), ("hi", 16)]
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("b"),
+                 F.shiftright(F.col(c), s).bitwiseAND(F.lit(0xFFFF))
+                 .alias("key"))
+        for b, (c, s) in enumerate(band_slices)])
+    banded = (grp.select("gid", "hi", "lo", F.explode(bands).alias("bk"))
+              .select("gid", "hi", "lo",
+                      F.col("bk.b").alias("b"), F.col("bk.key").alias("key")))
+    lhs = banded.select("b", "key", F.col("gid").alias("gid_a"),
+                        F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"))
+    rhs = banded.select("b", "key", F.col("gid").alias("gid_b"),
+                        F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"))
+    return (lhs.join(rhs, ["b", "key"])
+            .filter(F.col("gid_a") < F.col("gid_b"))
+            .select("gid_a", "gid_b", "hi_a", "lo_a", "hi_b", "lo_b")
+            .distinct()
+            .withColumn(
+                "ham",
+                (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+                 + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))))
+            .filter((F.col("ham") >= 1) & (F.col("ham") <= DHASH_HAM_T))
+            .select("gid_a", "gid_b"))
+
+
+@register(
+    "q_media_dedup_apply",
+    oracle=f"""
+    WITH RECURSIVE img AS (
+        SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
+        FROM documents WHERE doc_id % 3 = 0
+    ), px AS (
+        SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM img
+    ), cells AS (
+        SELECT doc_id,
+               ((k // w) * 8) // h AS cy,
+               ((k % w) * 9) // w AS cx,
+               SUM((3 * (k % w) + 7 * (k // w) + doc_id) % 256) AS s
+        FROM px GROUP BY 1, 2, 3
+    ), grid AS (
+        SELECT i.doc_id, g.cy, g.cx, COALESCE(c.s, 0) AS s
+        FROM img i
+        CROSS JOIN (SELECT cy, cx
+                    FROM (SELECT unnest(range(0, 8)) AS cy)
+                    CROSS JOIN (SELECT unnest(range(0, 9)) AS cx)) g
+        LEFT JOIN cells c
+          ON c.doc_id = i.doc_id AND c.cy = g.cy AND c.cx = g.cx
+    ), bits AS (
+        SELECT doc_id, cy, cx, bit FROM (
+            SELECT doc_id, cy, cx,
+                   CASE WHEN LEAD(s) OVER (PARTITION BY doc_id, cy
+                                           ORDER BY cx) > s
+                        THEN 1 ELSE 0 END AS bit
+            FROM grid)
+        WHERE cx < 8
+    ), hashes AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN cy*8+cx < 32
+                             THEN bit * (CAST(1 AS BIGINT) << (cy*8+cx))
+                             ELSE 0 END) AS BIGINT) AS lo,
+               CAST(SUM(CASE WHEN cy*8+cx >= 32
+                             THEN bit * (CAST(1 AS BIGINT) << (cy*8+cx-32))
+                             ELSE 0 END) AS BIGINT) AS hi
+        FROM bits GROUP BY doc_id
+    ), grp AS (
+        SELECT hi, lo, MIN(doc_id) AS gid FROM hashes GROUP BY hi, lo
+    ), mem AS (
+        SELECT h.doc_id, g.gid
+        FROM hashes h JOIN grp g ON g.hi = h.hi AND g.lo = h.lo
+    ), rp AS (
+        SELECT a.gid AS src, b.gid AS dst
+        FROM grp a JOIN grp b ON a.gid < b.gid
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+              BETWEEN 1 AND {DHASH_HAM_T}
+    ), edges AS MATERIALIZED (
+        SELECT src, dst FROM rp
+        UNION ALL
+        SELECT dst, src FROM rp
+    ), reach(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ), comp AS (
+        SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+    ), rem_g AS (
+        SELECT node AS gid FROM comp WHERE node != cluster_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_imgs,
+           CAST(SUM(CASE WHEN m.doc_id != m.gid THEN 1 ELSE 0 END)
+                AS BIGINT) AS removed_exact,
+           CAST(SUM(CASE WHEN m.doc_id = m.gid AND r.gid IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS removed_near,
+           CAST(SUM(CASE WHEN m.doc_id = m.gid AND r.gid IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN m.doc_id = m.gid AND r.gid IS NULL
+                         THEN (m.doc_id % 16 + 4) * (m.doc_id % 12 + 4)
+                         ELSE 0 END) AS BIGINT) AS pixels_kept
+    FROM mem m LEFT JOIN rem_g r ON r.gid = m.gid
+    """,
+)
+def q_media_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup APPLY — the multimodal face of the survivor
+    selection the text tier ships in q_dedup_apply: images collapse to
+    exact-hash representatives (dHash over the decoded PNG), near-dup
+    representative CLUSTERS (connected components over the banded
+    Hamming 1..{DHASH_HAM_T} pairs) elect their min-doc_id survivor,
+    and the census reports the deduplicated image store: images,
+    exact-dup removals, near-dup removals, survivors, surviving pixel
+    mass (the storage the content-addressed store actually retains).
+
+    Scale: the decode/hash pipeline is the scan-local Arrow stage of
+    q_media_neardup; everything after runs on the DISTINCT-hash frame
+    (banded pairs, log-round CC on rep clusters, one member join) —
+    blob payloads never enter a shuffle."""
+    from columnar_estimator_sample_spark.operators.graph import (
+        connected_components,
+    )
+    docs = table(spark, sf_dir, "documents")
+    media = (encode_media_batches(docs)
+             .filter(F.col("media_type") == "image")
+             .repartition("doc_id"))
+    hashes = hash_distinct_blobs(
+        media, lambda b: dhash_gray(decode_png_gray(b)))
+    grp = (hashes.groupBy("hi", "lo")
+           .agg(F.min("doc_id").alias("gid"))
+           .localCheckpoint(eager=False))
+    mem = hashes.join(grp, ["hi", "lo"]).select("doc_id", "gid")
+    pairs = _hamming_rep_pairs(grp).withColumnRenamed("gid_a", "doc_a") \
+        .withColumnRenamed("gid_b", "doc_b")
+    rem_g = (connected_components(pairs)
+             .filter(F.col("doc_id") != F.col("cluster_id"))
+             .select(F.col("doc_id").alias("gid"),
+                     F.lit(1).alias("is_rem")))
+    pixels = F.expr("(doc_id % 16 + 4) * (doc_id % 12 + 4)")
+    return (mem.join(rem_g, "gid", "left")
+            .agg(F.count("*").cast("long").alias("n_imgs"),
+                 F.sum(F.when(F.col("doc_id") != F.col("gid"), 1)
+                       .otherwise(0)).cast("long").alias("removed_exact"),
+                 F.sum(F.when((F.col("doc_id") == F.col("gid"))
+                              & (F.col("is_rem") == 1), 1)
+                       .otherwise(0)).cast("long").alias("removed_near"),
+                 F.sum(F.when((F.col("doc_id") == F.col("gid"))
+                              & F.col("is_rem").isNull(), 1)
+                       .otherwise(0)).cast("long").alias("n_kept"),
+                 F.sum(F.when((F.col("doc_id") == F.col("gid"))
+                              & F.col("is_rem").isNull(), pixels)
+                       .otherwise(0)).cast("long").alias("pixels_kept")))

@@ -76,17 +76,19 @@ _loaded = False
 # ``tools/check_oracle.py`` (same compare semantics) before commit.
 #
 # Round-10 window (the round-9 verdict's lead item: rotate to the
-# oldest certifications — the round-2 cohort in full plus the head of
-# the round-4 cohort — and every query whose code or oracle changed
-# THIS round re-enters first so no driver row predates its code):
-# (a) new/rewritten in round 10 — the ExactSubstr APPLY step (new),
-#     the savings census (refactored onto the shared exactsubstr_spans
-#     interval-union helper), and q_ann_ivf_topk (probe now reads the
-#     written centroid-bucketed assignment tables);
-# (b) all 41 remaining round-2-certified rows (TPC-H q08-q22 slice and
-#     the relational/window/sketch tier in registration order);
-# (c) the head of the round-4 cohort — its TPC-H rows; the remaining
-#     ~36 r4 rows rotate in round 11 (precedence stays
+# oldest certifications, with every query whose code or oracle changed
+# THIS round re-entering first so no driver row predates its code):
+# (a) the 12 round-10 new/rewritten rows — the apply layer (ExactSubstr
+#     both-copies + keep-first, doc-level dedup, decontamination, media
+#     near-dup survivor selection), token-budget packing, the corpus
+#     export sink, the bucketed-probe q_ann_ivf_topk, and the queries
+#     that adopted shared per-session memos (exactsubstr census +
+#     savings on the anchors memo; doc_lm_score + ccnet_tiers on the
+#     LM-scores memo);
+# (b) 38 of the 41 round-2-certified rows (TPC-H q08-q22 slice first,
+#     then the relational/window/sketch tier in registration order);
+#     q_window_ranks/q_window_running/q_window_topk_per_group plus the
+#     whole round-4 cohort rotate in round 11 (precedence stays
 #     rewritten > new > stale re-certs).
 _DRIVER_WINDOW_R10 = [
     # (a) new/rewritten this round
@@ -95,6 +97,7 @@ _DRIVER_WINDOW_R10 = [
     "q_ann_ivf_topk",
     "q_dedup_apply", "q_contamination_apply", "q_token_budget_pack",
     "q_doc_lm_score", "q_ccnet_tiers", "q_corpus_export",
+    "q_media_dedup_apply",
     # (b) the round-2 cohort, TPC-H first
     "q08_market_share", "q09_product_profit", "q10_top_customers",
     "q12_shipmode_priority", "q14_promo_revenue_ratio",
@@ -109,9 +112,9 @@ _DRIVER_WINDOW_R10 = [
     "q_scalar_subquery", "q_semi_join", "q_set_ops",
     "q_single_column_probe", "q_skyline_parts", "q_string_funcs",
     "q_trimmed_mean", "q_unpivot", "q_weighted_median",
-    "q_window_ranks",
-    # (q_window_running / q_window_topk_per_group rotate in r11 with the
-    # r4 cohort — their slots went to q_corpus_export and the rewritten
+    # (q_window_ranks / q_window_running / q_window_topk_per_group
+    # rotate in r11 with the r4 cohort — their slots went to
+    # q_corpus_export, q_media_dedup_apply, and the rewritten
     # q_dedup_exactsubstr)
     # The round-4 cohort rotates in round 11 in full: every slot behind
     # the 41 r2 rows went to round-10 new/rewritten queries (the

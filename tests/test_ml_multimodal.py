@@ -555,3 +555,26 @@ class TestMediaNearDup:
             assert got[ham] == (exp[ham], reps[ham]), (
                 f"ham={ham}: census {got[ham]} != brute "
                 f"{(exp[ham], reps[ham])}")
+
+
+def test_media_dedup_apply_balances(spark, sf_dir):
+    """Survivor-selection accounting must balance: every image is
+    exactly one of {exact-dup removal, near-dup removal, survivor},
+    and survivors can't exceed the distinct-hash count."""
+    import pyspark.sql.functions as F
+    from columnar_estimator_sample_spark.operators.multimodal import (
+        decode_png_gray, dhash_gray, encode_media_batches,
+        hash_distinct_blobs, q_media_dedup_apply,
+    )
+    from columnar_estimator_sample_spark.sources.tables import table
+
+    row = q_media_dedup_apply(spark, sf_dir).collect()[0]
+    assert row["n_imgs"] == (row["removed_exact"] + row["removed_near"]
+                             + row["n_kept"])
+    media = (encode_media_batches(table(spark, sf_dir, "documents"))
+             .filter(F.col("media_type") == "image"))
+    distinct_hashes = (hash_distinct_blobs(
+        media, lambda b: dhash_gray(decode_png_gray(b)))
+        .select("hi", "lo").distinct().count())
+    assert 0 < row["n_kept"] <= distinct_hashes
+    assert row["pixels_kept"] > 0

@@ -38,6 +38,9 @@ ARROW_ALLOWED = {"q_media_features", "q_similarity_topk_fast",
                  "q_media_video_neardup",
                  # r9: decode+box-downsample fused kernel
                  "q_media_resize",
+                 # r10: near-dup survivor selection rides the same
+                 # decode+dHash Arrow stage as q_media_neardup
+                 "q_media_dedup_apply",
                  # r7: rides the same gather+einsum scorer as the LSH
                  # tier. CAVEAT: its MapInPandas sits BEHIND a lazy
                  # localCheckpoint boundary, which the printed plan
@@ -60,6 +63,7 @@ BUILD_RUNS_JOBS = {
     # superstep; labels/edges stay distributed (operators/graph.py,
     # geo.py, entity.py)
     "q_dedup_apply", "q_dedup_clusters", "q_dedup_savings", "q_er_entities",
+    "q_media_dedup_apply",
     "q_kcore_census", "q_lpa_communities", "q_modularity", "q_pagerank",
     "q_geo_dbscan",
     # driver-loop algorithm: BPE merge selection collects the single
