@@ -826,8 +826,17 @@ def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.size(F.split("text", " ")).cast("long")
                           .alias("n_toks")),
                   "doc_id"))
+    return budget_pack(pool, PACK_BUDGET_PERMILLE)
+
+
+def budget_pack(pool: DataFrame, budget_permille: int) -> DataFrame:
+    """Two-phase ordered-prefix budget selection over a (doc_id, lang,
+    score, n_toks) pool frame — the core of :func:`q_token_budget_pack`
+    (see its docstring for the histogram decomposition and its exact
+    equivalence to the naive per-language global-sort cumsum, which a
+    property test replays on constructed pools)."""
     bud = (pool.groupBy("lang")
-           .agg(F.expr(f"CAST(SUM(n_toks) * {PACK_BUDGET_PERMILLE}"
+           .agg(F.expr(f"CAST(SUM(n_toks) * {budget_permille}"
                        " DIV 1000 AS BIGINT)").alias("budget_tokens")))
     tiers = (pool.groupBy("lang", "score")
              .agg(F.sum("n_toks").cast("long").alias("mass")))

@@ -485,3 +485,50 @@ class TestRound10ApplyOps:
                landed.groupBy("lang").agg(F.count("*").alias("n"))
                .collect()}
         assert got == {k: v["n_docs"] for k, v in census.items()}
+
+    def test_budget_pack_property_constructed_pools(self, spark):
+        """Seeded-random constructed pools (score ties, single-doc
+        langs, huge docs that overflow the budget instantly, zero and
+        100%+ budgets) — the two-phase histogram selection must equal a
+        pure-Python ordered-prefix replay exactly."""
+        import random
+        import pyspark.sql.functions as F  # noqa: F401
+        from columnar_estimator_sample_spark.operators.corpus import (
+            budget_pack,
+        )
+
+        rng = random.Random(41)
+        for trial, permille in [(0, 200), (1, 0), (2, 1000), (3, 1500),
+                                (4, 7)]:
+            rows = []
+            did = 0
+            for lang in ["aa", "bb", "cc"]:
+                for _ in range(rng.randint(1, 15)):
+                    rows.append((did, lang,
+                                 rng.choice([0, 5, 5, 9, 1000]),
+                                 rng.choice([1, 3, 10_000])))
+                    did += 1
+            pool = spark.createDataFrame(
+                rows, ["doc_id", "lang", "score", "n_toks"])
+
+            def brute(rows, permille):
+                out = {}
+                langs = {r[1] for r in rows}
+                for lang in langs:
+                    pl = sorted((r for r in rows if r[1] == lang),
+                                key=lambda r: (-r[2], r[0]))
+                    budget = sum(r[3] for r in pl) * permille // 1000
+                    cum, kept = 0, []
+                    for r in pl:
+                        cum += r[3]
+                        if cum <= budget:
+                            kept.append(r)
+                    out[lang] = (budget, len(kept),
+                                 sum(r[3] for r in kept),
+                                 min((r[2] for r in kept), default=-1))
+                return out
+
+            got = {r["lang"]: (r["budget_tokens"], r["docs_kept"],
+                               r["tokens_kept"], r["cut_score"])
+                   for r in budget_pack(pool, permille).collect()}
+            assert got == brute(rows, permille), (trial, permille)
