@@ -28,14 +28,22 @@ from columnar_estimator_sample_spark.registry import register
 
 
 def bucketed_ctas(spark: SparkSession, name: str, df: DataFrame,
-                  bucket_col: str, n_buckets: int = 16) -> DataFrame:
+                  bucket_col: str, n_buckets: int = 16,
+                  path: str | None = None) -> DataFrame:
     """Persist ``df`` bucketed and sorted by ``bucket_col``. Joins between
     tables bucketed identically on the join key skip both the exchange
-    and (with sortBy) the sort."""
-    (df.write.mode("overwrite")
-     .bucketBy(n_buckets, bucket_col)
-     .sortBy(bucket_col)
-     .saveAsTable(name))
+    and (with sortBy) the sort.
+
+    ``path`` makes the table EXTERNAL at an explicit location instead of
+    the session warehouse — use it when the caller must not depend on
+    the warehouse directory being writable (e.g. a query materializing
+    under an arbitrary host session)."""
+    w = (df.write.mode("overwrite")
+         .bucketBy(n_buckets, bucket_col)
+         .sortBy(bucket_col))
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(name)
     return spark.table(name)
 
 

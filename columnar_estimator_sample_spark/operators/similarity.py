@@ -624,6 +624,7 @@ def ivf_bucketed_assignment(spark: SparkSession, sf_dir: str
     FAISS layout — the inverted file is written once, bucketed by cell,
     and every probe is a co-located lookup)."""
     import re
+    import tempfile
     from columnar_estimator_sample_spark.operators.partitioning import (
         bucketed_ctas,
     )
@@ -640,11 +641,17 @@ def ivf_bucketed_assignment(spark: SparkSession, sf_dir: str
     probes = (ranked.filter((F.col("vec_id") < N_QUERIES)
                             & (F.col("rnk") <= IVF_NPROBE))
               .select(F.col("vec_id").alias("query_id"), "centroid_id"))
+    # explicit external location: the write must not depend on the HOST
+    # session's warehouse dir being writable (the driver gate runs
+    # queries under its own plain session in an arbitrary cwd)
+    base = tempfile.mkdtemp(prefix="spark-graft-ivf-")
     memo = (
         bucketed_ctas(spark, f"ivf_assign_{tag}", assign,
-                      "centroid_id", n_buckets=IVF_NLIST),
+                      "centroid_id", n_buckets=IVF_NLIST,
+                      path=os.path.join(base, "assign")),
         bucketed_ctas(spark, f"ivf_probes_{tag}", probes,
-                      "centroid_id", n_buckets=IVF_NLIST),
+                      "centroid_id", n_buckets=IVF_NLIST,
+                      path=os.path.join(base, "probes")),
     )
     _IVF_TABLES[key] = memo
     return memo
