@@ -39,6 +39,28 @@ def main() -> int:
     for q in unchecked:
         mark = "" if q in oracles else " *"
         print(f"  {q}{mark}")
+
+    # Certification-age ledger: once every row has SOME driver cert
+    # (round 9+), rotation targets the OLDEST ones. Latest green round
+    # per query, grouped oldest-first — the candidate pool in priority
+    # order (anything rewritten in the current round still outranks
+    # these re-certs).
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
+        d = json.load(open(f))
+        for k, v in d.items():
+            if v.get("err") is None and v.get("rows_match"):
+                latest[k] = max(latest.get(k, 0), rnd)
+    by_round: dict[int, list[str]] = {}
+    for q in qs:
+        if q in latest:
+            by_round.setdefault(latest[q], []).append(q)
+    print("\ncertification age (latest green driver round -> rows):")
+    for rnd in sorted(by_round):
+        rows = by_round[rnd]
+        print(f"  r{rnd}: {len(rows)} rows")
+        print("    " + " ".join(sorted(rows)))
     return 0
 
 
