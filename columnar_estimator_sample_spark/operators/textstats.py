@@ -852,6 +852,70 @@ def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores
 
 
+def ntile3_by_score(pool: DataFrame, n_parts: int = 32) -> DataFrame:
+    """NTILE(3) over (lang ORDER BY score DESC, doc_id) WITHOUT a
+    per-language window — returns (doc_id, lang, score, tier).
+
+    Histogram decomposition (same discipline as
+    :func:`~columnar_estimator_sample_spark.operators.corpus.budget_pack`):
+    the (lang, score) count histogram carries each score block's
+    position range [cum_before+1, cum_before+cnt]; blocks lying wholly
+    inside one tercile assign their docs with NO window at all, and
+    only the <= 2 blocks per language that straddle a tercile boundary
+    rank their docs by doc_id — via a two-phase prefix count (range
+    partition, local row_number, tiny offset table), never a
+    single-task sort. Exactly matches NTILE semantics: with n = per-lang
+    count, q = n DIV 3, r = n % 3, the first r terciles hold q+1 docs."""
+    from pyspark.sql import Window as W
+    hist = (pool.groupBy("lang", "score")
+            .agg(F.count("*").cast("long").alias("cnt")))
+    w_h = (W.partitionBy("lang").orderBy(F.desc("score"))
+           .rowsBetween(W.unboundedPreceding, -1))
+    hist = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w_h), F.lit(0)))
+    bounds = (pool.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+              .select("lang",
+                      F.expr("n DIV 3 + CASE WHEN n % 3 >= 1 THEN 1 "
+                             "ELSE 0 END").alias("b1"),
+                      F.expr("2 * (n DIV 3) + CASE WHEN n % 3 >= 1 THEN 1 "
+                             "ELSE 0 END + CASE WHEN n % 3 >= 2 THEN 1 "
+                             "ELSE 0 END").alias("b2")))
+    tier_of = ("CASE WHEN {pos} <= b1 THEN 1 "
+               "WHEN {pos} <= b2 THEN 2 ELSE 3 END")
+    blocks = (hist.join(F.broadcast(bounds), "lang")
+              .withColumn("t_start",
+                          F.expr(tier_of.format(pos="cum_before + 1")))
+              .withColumn("t_end",
+                          F.expr(tier_of.format(pos="cum_before + cnt"))))
+    uniform = (blocks.filter(F.col("t_start") == F.col("t_end"))
+               .select("lang", "score",
+                       F.col("t_start").cast("long").alias("tier")))
+    straddle = (blocks.filter(F.col("t_start") != F.col("t_end"))
+                .select("lang", "score", "cum_before", "b1", "b2"))
+    base = pool.select("doc_id", "lang", "score")
+    kept_uniform = base.join(F.broadcast(uniform), ["lang", "score"])
+    bdocs = (base.join(F.broadcast(straddle), ["lang", "score"])
+             .repartitionByRange(n_parts, "lang", "score", "doc_id")
+             .withColumn("__pid", F.spark_partition_id()))
+    w_local = W.partitionBy("__pid", "lang", "score").orderBy("doc_id")
+    local = bdocs.withColumn("__lr", F.row_number().over(w_local))
+    w_off = (W.partitionBy("lang", "score").orderBy("__pid")
+             .rowsBetween(W.unboundedPreceding, -1))
+    offsets = (local.groupBy("__pid", "lang", "score")
+               .agg(F.count("*").alias("__pc"))
+               .withColumn("__off",
+                           F.coalesce(F.sum("__pc").over(w_off), F.lit(0)))
+               .select("__pid", "lang", "score", "__off"))
+    kept_straddle = (
+        local.join(F.broadcast(offsets), ["__pid", "lang", "score"])
+        .withColumn("tier",
+                    F.expr(tier_of.format(
+                        pos="cum_before + __off + __lr")).cast("long"))
+        .select("doc_id", "lang", "score", "tier"))
+    return kept_uniform.select("doc_id", "lang", "score", "tier") \
+        .unionByName(kept_straddle)
+
+
 @register(
     "q_ccnet_tiers",
     oracle=f"""
@@ -887,8 +951,15 @@ def q_ccnet_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: scoring is the q_doc_lm_score frame (one text scan, LM join
     bounded by vocab²); the tercile is one window over the doc-count-
     sized score frame partitioned by language; the census aggregates
-    map-side. At 100 TB the NTILE window is the classic per-language
-    sort — CCNet itself shards exactly this way (per-lang buckets)."""
+    map-side. The per-language NTILE holds one lang's (doc_id, score)
+    rows in one task — fine to ~10⁸ docs/lang (narrow rows), and
+    MEASURED faster than the histogram decomposition at every testable
+    scale (0.27 vs 1.5 s at sf0.1, 1.4 vs 4.0 s at 100× — the tier
+    output is doc-linear either way, and heavy score ties put most of
+    a language in the straddle block). Beyond that, switch to
+    :func:`ntile3_by_score` (property-pinned NTILE-exact, no
+    single-task sort) — the deliberate measured trade, same class as
+    media_features staying scan-local."""
     from pyspark.sql import Window as W
     scores = doc_lm_scores(spark, sf_dir)
     w = W.partitionBy("lang").orderBy(F.desc("lm_score_permille"),

@@ -532,3 +532,31 @@ class TestRound10ApplyOps:
                                r["tokens_kept"], r["cut_score"])
                    for r in budget_pack(pool, permille).collect()}
             assert got == brute(rows, permille), (trial, permille)
+
+    def test_ntile3_histogram_matches_naive_window(self, spark):
+        """The histogram-decomposed NTILE(3) must assign the exact tier
+        the naive per-language window assigns, on constructed pools
+        covering heavy score ties, n % 3 in {0,1,2}, single-doc langs,
+        and a lang smaller than 3 docs."""
+        import random
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window as W
+        from columnar_estimator_sample_spark.operators.textstats import (
+            ntile3_by_score,
+        )
+
+        rng = random.Random(7)
+        rows, did = [], 0
+        for lang, n in [("aa", 1), ("bb", 2), ("cc", 3), ("dd", 7),
+                        ("ee", 30), ("ff", 31), ("gg", 32)]:
+            for _ in range(n):
+                rows.append((did, lang, rng.choice([0, 5, 5, 5, 9])))
+                did += 1
+        pool = spark.createDataFrame(rows, ["doc_id", "lang", "score"])
+        w = W.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+        want = {(r["doc_id"]): r["tier"] for r in
+                pool.withColumn("tier", F.ntile(3).over(w).cast("long"))
+                .collect()}
+        got = {r["doc_id"]: r["tier"] for r in
+               ntile3_by_score(pool).collect()}
+        assert got == want
