@@ -166,3 +166,22 @@ def test_reset_handles_clears_registered_memos(spark, sf_dir):
     assert not tables._HANDLES
     assert not similarity._IVF_MEMO
     assert not entity._PAIRS_MEMO
+
+
+def test_driver_window_invariants():
+    """The driver certifies exactly the first 50 queries() entries, so
+    the rotation list must hold exactly 50 names, every one registered
+    WITH an oracle (a rows-only or unregistered name would waste a
+    certification slot), no duplicates, and queries() must lead with it
+    in order."""
+    from columnar_estimator_sample_spark import registry
+    W = registry._DRIVER_WINDOW_R10
+    assert len(W) == 50
+    assert len(set(W)) == 50
+    qs = list(registry.queries())
+    ors = registry.oracle_sql()
+    missing = [q for q in W if q not in qs]
+    assert not missing, f"window names not registered: {missing}"
+    unoracled = [q for q in W if q not in ors]
+    assert not unoracled, f"window names without oracles: {unoracled}"
+    assert qs[:50] == W
