@@ -702,8 +702,11 @@ def q_contamination_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (same contraction discipline as the check, minus its top-k
     machinery): identical texts contract to min-id representatives, the
     trigram intersection is counted once per distinct content pair
-    (only the small eval rep side broadcasts), and contaminated
-    representative ids expand back to members through the census frame.
+    (only the eval GID SET is hint-broadcast; the exploded eval trigram
+    frame grows with the corpus, so its join is left to
+    autoBroadcastJoinThreshold — a shuffled hash join at scale), and
+    contaminated representative ids expand back to members through the
+    census frame.
     Unlike the check there is no global window at all — the verdict per
     train rep is a >=3 filter and a distinct."""
     from columnar_estimator_sample_spark.operators.dedup import (
@@ -724,7 +727,10 @@ def q_contamination_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("gid").alias("eval_gid"), "ngram"))
     trg = (grams.join(tr_g, "gid")
            .select(F.col("gid").alias("train_gid"), "ngram"))
-    contam_g = (trg.join(F.broadcast(evg), "ngram")
+    # no broadcast hint: evg is ~2% of the corpus x every trigram —
+    # far past broadcastable at the 100 TB design point; let AQE /
+    # autoBroadcastJoinThreshold pick (it still broadcasts at test SFs)
+    contam_g = (trg.join(evg, "ngram")
                 .groupBy("train_gid", "eval_gid")
                 .agg(F.count("*").alias("n_shared"))
                 .filter(F.col("n_shared") >= 3)

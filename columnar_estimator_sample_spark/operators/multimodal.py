@@ -1492,8 +1492,13 @@ def map_distinct_blobs(media: DataFrame, kernel,
     # parse field names from the real schema object, not a split(',')
     # heuristic — out_schema is the media tier's shared extension point
     # and a type containing a comma (map<string,int>, nested struct)
-    # must not silently mis-split
-    names = T._parse_datatype_string(out_schema).fieldNames()
+    # must not silently mis-split. Public StructType.fromDDL first
+    # (Spark 3.5+); the private parser only as a fallback for older
+    # runtimes.
+    try:
+        names = T.StructType.fromDDL(out_schema).fieldNames()
+    except AttributeError:  # pragma: no cover - pyspark < 3.5
+        names = T._parse_datatype_string(out_schema).fieldNames()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

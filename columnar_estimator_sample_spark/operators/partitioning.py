@@ -29,7 +29,8 @@ from columnar_estimator_sample_spark.registry import register
 
 def bucketed_ctas(spark: SparkSession, name: str, df: DataFrame,
                   bucket_col: str, n_buckets: int = 16,
-                  path: str | None = None) -> DataFrame:
+                  path: str | None = None,
+                  partition_by: str | None = None) -> DataFrame:
     """Persist ``df`` bucketed and sorted by ``bucket_col``. Joins between
     tables bucketed identically on the join key skip both the exchange
     and (with sortBy) the sort.
@@ -37,10 +38,18 @@ def bucketed_ctas(spark: SparkSession, name: str, df: DataFrame,
     ``path`` makes the table EXTERNAL at an explicit location instead of
     the session warehouse — use it when the caller must not depend on
     the warehouse directory being writable (e.g. a query materializing
-    under an arbitrary host session)."""
+    under an arbitrary host session).
+
+    ``partition_by`` adds a hive-style partition column ON TOP of the
+    bucketing (e.g. the corpus export: partitioned by lang for partition
+    pruning, bucketed by doc_id for exchange-free downstream joins) —
+    the bucketed scan still reports hash(bucket_col) output
+    partitioning across partitions, so the join elision survives."""
     w = (df.write.mode("overwrite")
          .bucketBy(n_buckets, bucket_col)
          .sortBy(bucket_col))
+    if partition_by is not None:
+        w = w.partitionBy(partition_by)
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(name)

@@ -299,7 +299,9 @@ def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from columnar_estimator_sample_spark.operators.graph import (
         neardup_removed,
     )
-    from columnar_estimator_sample_spark.sources.tables import fanout
+    from columnar_estimator_sample_spark.sources.tables import (
+        fanout, register_tempdir,
+    )
 
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _EXPORT_MEMO.get(key)
@@ -311,7 +313,9 @@ def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         cleaned = exactsubstr_apply(
             kept, spans=exactsubstr_keepfirst_spans(kept))
         path = os.path.join(
-            tempfile.mkdtemp(prefix="spark-graft-export-"), "corpus")
+            register_tempdir(
+                tempfile.mkdtemp(prefix="spark-graft-export-")),
+            "corpus")
         (cleaned.filter(F.col("kept_toks") > 0)
          .select("doc_id", "lang", "clean_text")
          .write.mode("overwrite").partitionBy("lang").parquet(path))

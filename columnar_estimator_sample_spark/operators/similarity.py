@@ -535,9 +535,55 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # codebook with the corpus, NLIST ≈ √N (the FAISS rule), keeping
 # per-query candidates ~NPROBE·N/√N. Plan shape is unchanged — NLIST is
 # data, not structure (the centroid frame stays broadcastable far past
-# 10⁶ cells).
+# 10⁶ cells). IVF_NLIST is the FLOOR and the constant the static
+# oracle strings embed; :func:`ivf_nlist` derives the effective cell
+# count from the corpus size (r11, implementing the r10 note).
 IVF_NLIST = 16
 IVF_NPROBE = 4
+
+
+def ivf_nlist(n_vectors: int) -> int:
+    """Effective IVF cell count for a corpus of ``n_vectors``:
+    the largest power of two <= sqrt(N)/2, floored at {IVF_NLIST}.
+
+    The /2 damping pins the derived value to the floor at every gate
+    and bench scale (N=500 at sf0.001/sf0.01, N=2000 at sf0.1) so the
+    static DuckDB oracle strings — which embed {IVF_NLIST} — and
+    round-over-round bench comparability both hold byte-exact, while
+    the 10x/100x ×data probes get sqrt-N growth: N=20k -> 64 cells,
+    N=200k -> 128, N=2M -> 512. Per-query candidate volume is
+    ~NPROBE*N/NLIST — sublinear in N once the floor lifts — and the
+    O(N*NLIST) coarse assignment stays one broadcast-join pass (the
+    centroid frame is broadcastable far past 10^6 cells)."""
+    import math
+    if n_vectors < 4 * IVF_NLIST * IVF_NLIST:
+        return IVF_NLIST
+    return 2 ** int(math.floor(math.log2(math.sqrt(n_vectors) / 2)))
+
+
+def _parquet_num_rows(path: str) -> int:
+    """Row count from parquet FOOTERS — a driver-side metadata read, not
+    a Spark job (the plan-build zero-jobs gate stays intact). At 100 TB
+    the same number comes from the table catalog's stats."""
+    import pyarrow.parquet as pq
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
+            for r, _, fs in os.walk(path) for f in fs
+            if f.endswith(".parquet"))
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def ivf_nlist_for(sf_dir: str) -> int:
+    """Derived NLIST for ``sf_dir``'s embeddings table (footer count ->
+    :func:`ivf_nlist`); memoized — the footers never change under the
+    tables.py immutability contract."""
+    n = _NLIST_MEMO.get(sf_dir)
+    if n is None:
+        n = ivf_nlist(
+            _parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet")))
+        _NLIST_MEMO[sf_dir] = n
+    return n
 
 
 # (applicationId, sf_dir) -> (ranked, norms, ex) of _ivf_cells. The
@@ -553,6 +599,10 @@ IVF_NPROBE = 4
 # session iterating several sf_dirs has a release hook for the pinned
 # checkpoint blocks.
 _IVF_MEMO: dict[tuple[str, str], tuple] = register_memo({})
+
+# sf_dir -> derived NLIST (parquet-footer row count; cleared with the
+# table handles so an in-place testdata rewrite re-derives it).
+_NLIST_MEMO: dict[str, int] = register_memo({})
 
 
 def _ivf_cells(spark: SparkSession, sf_dir: str):
@@ -570,11 +620,12 @@ def _ivf_cells(spark: SparkSession, sf_dir: str):
     memo = _IVF_MEMO.get(key)
     if memo is not None:
         return memo
+    nlist = ivf_nlist_for(sf_dir)  # == IVF_NLIST at gate/bench SFs
     emb = table(spark, sf_dir, "embeddings")
     ex = _exploded(emb)
     norms = (ex.groupBy("vec_id")
              .agg(F.sum(F.col("vi") * F.col("vi")).alias("n_s")))
-    cex = (ex.filter(F.col("vec_id") < IVF_NLIST)
+    cex = (ex.filter(F.col("vec_id") < nlist)
            .select(F.col("vec_id").alias("centroid_id"), "i",
                    F.col("vi").alias("ci")))
     vc = (ex.join(F.broadcast(cex), "i")
@@ -629,17 +680,27 @@ def ivf_bucketed_assignment(spark: SparkSession, sf_dir: str
     comes from the bucketed scan itself (at 100 TB this is exactly the
     FAISS layout — the inverted file is written once, bucketed by cell,
     and every probe is a co-located lookup)."""
+    import hashlib
     import re
     import tempfile
     from columnar_estimator_sample_spark.operators.partitioning import (
         bucketed_ctas,
     )
+    from columnar_estimator_sample_spark.sources.tables import (
+        register_tempdir,
+    )
     key = (spark.sparkContext.applicationId, sf_dir)
     memo = _IVF_TABLES.get(key)
     if memo is not None:
         return memo
+    # the tag carries a hash of the FULL sf_dir path, not just its leaf:
+    # two sf_dirs sharing a basename (regenerated 'sf0.001' copies under
+    # different parents) in one session must never collide on a table
+    # name — an overwrite would silently re-point the first memo's lazy
+    # spark.table() reference at the other dataset
     tag = re.sub(r"[^0-9A-Za-z]+", "_",
                  os.path.basename(sf_dir.rstrip("/")) + "_"
+                 + hashlib.md5(sf_dir.encode()).hexdigest()[:8] + "_"
                  + spark.sparkContext.applicationId)
     ranked, _, _ = _ivf_cells(spark, sf_dir)
     assign = (ranked.filter(F.col("rnk") == 1)
@@ -650,13 +711,14 @@ def ivf_bucketed_assignment(spark: SparkSession, sf_dir: str
     # explicit external location: the write must not depend on the HOST
     # session's warehouse dir being writable (the driver gate runs
     # queries under its own plain session in an arbitrary cwd)
-    base = tempfile.mkdtemp(prefix="spark-graft-ivf-")
+    base = register_tempdir(tempfile.mkdtemp(prefix="spark-graft-ivf-"))
+    nlist = ivf_nlist_for(sf_dir)  # bucket count tracks the cell count
     memo = (
         bucketed_ctas(spark, f"ivf_assign_{tag}", assign,
-                      "centroid_id", n_buckets=IVF_NLIST,
+                      "centroid_id", n_buckets=nlist,
                       path=os.path.join(base, "assign")),
         bucketed_ctas(spark, f"ivf_probes_{tag}", probes,
-                      "centroid_id", n_buckets=IVF_NLIST,
+                      "centroid_id", n_buckets=nlist,
                       path=os.path.join(base, "probes")),
     )
     _IVF_TABLES[key] = memo

@@ -1099,7 +1099,7 @@ def q_ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|Q| x {IVF_NPROBE} x {PQ_SUB} x {PQ_K} rows) and stay broadcast.
     This is the layout FAISS ships as IndexIVFPQ."""
     from columnar_estimator_sample_spark.operators.similarity import (
-        _ivf_cells,
+        _ivf_cells, ivf_nlist_for,
     )
     ranked, norms, ex = _ivf_cells(spark, sf_dir)
     assign = (ranked.filter(F.col("rnk") == 1)
@@ -1107,7 +1107,10 @@ def q_ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = (ranked.filter((F.col("vec_id") < N_QUERIES)
                             & (F.col("rnk") <= IVF_NPROBE))
               .select(F.col("vec_id").alias("query_id"), "centroid_id"))
-    cexp = (ex.filter(F.col("vec_id") < IVF_NLIST)
+    # centroid component filter must track the DERIVED cell count
+    # (== IVF_NLIST at gate SFs, sqrt-N beyond) or residuals would read
+    # components for cells the coarse ranking never assigned
+    cexp = (ex.filter(F.col("vec_id") < ivf_nlist_for(sf_dir))
             .select(F.col("vec_id").alias("centroid_id"), "i",
                     F.col("vi").alias("ci")))
     res = (ex.join(assign, "vec_id")

@@ -13,6 +13,8 @@ materializes or collects.
 
 from __future__ import annotations
 
+import atexit
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -46,6 +48,31 @@ _HANDLES: dict[tuple[str, str, str], DataFrame] = {}
 # import time so reset_handles() is the ONE cache-invalidation point.
 _MEMOS: list[dict] = []
 
+# Scratch directories created by materializing operators (the IVF
+# inverted file, the corpus export landing). Each is one mkdtemp per
+# (session, sf_dir); without tracking, a long-lived session iterating
+# sf_dirs — exactly the use case reset_handles() serves — would leak a
+# full parquet copy per iteration. reset_handles() removes them with
+# the memos that point at them; an atexit hook sweeps whatever is left
+# when the interpreter exits.
+_TEMPDIRS: list[str] = []
+
+
+def register_tempdir(path: str) -> str:
+    """Track a mkdtemp scratch dir for removal by :func:`reset_handles`
+    (and at interpreter exit). Returns ``path`` for one-line use."""
+    _TEMPDIRS.append(path)
+    return path
+
+
+def _sweep_tempdirs() -> None:
+    import shutil
+    while _TEMPDIRS:
+        shutil.rmtree(_TEMPDIRS.pop(), ignore_errors=True)
+
+
+atexit.register(_sweep_tempdirs)
+
 
 def register_memo(memo: dict) -> dict:
     """Register an operator-level memo dict for clearing alongside the
@@ -62,10 +89,14 @@ def reset_handles() -> None:
     (IVF/ER/set-join/...) rebuild from the fresh handles. For tests that
     rewrite a testdata table in place, and as the release hook for
     long-lived sessions iterating several sf_dirs (each memo otherwise
-    pins its locally-checkpointed blocks for the application lifetime)."""
+    pins its locally-checkpointed blocks for the application lifetime).
+    Scratch dirs the memos point at (IVF bucketed tables, the corpus
+    export landing) are removed too — the memo was the only live
+    reference to those files."""
     _HANDLES.clear()
     for m in _MEMOS:
         m.clear()
+    _sweep_tempdirs()
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -404,9 +404,17 @@ class TestRound10ApplyOps:
                            r["cut_score"])
                for r in q_token_budget_pack(spark, sf_dir).collect()}
         assert got == want
-        # and the budget is actually binding: utilization < 100%
+        # and the budget is actually binding: every language keeps
+        # strictly FEWER tokens than its pool holds (something was
+        # excluded), on top of the cap itself
+        pool_toks = {r["lang"]: r["pool_tokens"]
+                     for r in pool.groupBy("lang")
+                     .agg(F.sum("n_toks").alias("pool_tokens")).collect()}
         for r in q_token_budget_pack(spark, sf_dir).collect():
             assert r["tokens_kept"] <= r["budget_tokens"]
+            assert r["tokens_kept"] < pool_toks[r["lang"]], (
+                f"budget not binding for {r['lang']}: kept all "
+                f"{pool_toks[r['lang']]} pool tokens")
 
     def test_contamination_apply_matches_naive_member_level(self, spark,
                                                             sf_dir):

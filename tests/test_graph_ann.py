@@ -60,6 +60,32 @@ class TestConnectedComponents:
 
 
 class TestIvfAnn:
+    def test_ivf_nlist_tracks_corpus_size(self, sf_dir):
+        """NLIST ~ sqrt(N) (the FAISS rule, r10 100x-sweep finding made
+        behavior in r11): pinned at the 16 floor at every gate/bench
+        scale — so the static {IVF_NLIST}-embedding oracle strings stay
+        byte-exact — and sqrt-N power-of-two growth beyond, keeping
+        per-query candidates ~NPROBE*N/NLIST sublinear in N."""
+        from columnar_estimator_sample_spark.operators.similarity import (
+            IVF_NLIST, ivf_nlist, ivf_nlist_for,
+        )
+        # gate SFs (N=500) and the sf0.1 bench (N=2000) stay at the floor
+        assert ivf_nlist(500) == IVF_NLIST
+        assert ivf_nlist(2000) == IVF_NLIST
+        # sqrt-N growth at the x-data probe scales
+        assert ivf_nlist(20_000) == 64
+        assert ivf_nlist(200_000) == 128
+        assert ivf_nlist(2_000_000) == 512
+        # structural invariants: power of two, monotone, <= N
+        prev = 0
+        for n in [16, 1000, 1024, 4096, 10**4, 10**5, 10**6, 10**8]:
+            k = ivf_nlist(n)
+            assert k & (k - 1) == 0 and k >= IVF_NLIST
+            assert k >= prev and k <= max(n, IVF_NLIST)
+            prev = k
+        # the footer-derived value for the test sf_dir is the floor
+        assert ivf_nlist_for(sf_dir) == IVF_NLIST
+
     def test_ivf_prunes_candidates(self, spark, sf_dir):
         from columnar_estimator_sample_spark.operators.similarity import (
             IVF_NPROBE, N_QUERIES, _ivf_cells,

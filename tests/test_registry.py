@@ -168,6 +168,56 @@ def test_reset_handles_clears_registered_memos(spark, sf_dir):
     assert not entity._PAIRS_MEMO
 
 
+def test_reset_handles_sweeps_registered_tempdirs(spark, sf_dir):
+    """Materializing operators (IVF bucketed tables, corpus export)
+    mkdtemp once per (session, sf_dir); reset_handles() must REMOVE
+    those directories alongside clearing the memos that point at them —
+    a long-lived session iterating sf_dirs must not leak a parquet copy
+    per iteration."""
+    import os
+    import tempfile
+
+    from columnar_estimator_sample_spark.sources import tables
+
+    d = tables.register_tempdir(tempfile.mkdtemp(prefix="graft-test-"))
+    open(os.path.join(d, "payload"), "w").write("x")
+    assert os.path.isdir(d)
+    tables.reset_handles()
+    assert not os.path.exists(d)
+    assert not tables._TEMPDIRS
+
+
+def test_ivf_table_tag_distinguishes_same_basename_sf_dirs(spark, sf_dir,
+                                                           tmp_path):
+    """Two sf_dirs with the SAME leaf name (regenerated copies under
+    different parents) must never collide on the bucketed IVF table
+    name — a collision would silently re-point the first memo's lazy
+    spark.table() reference at the other dataset."""
+    import os
+    import shutil
+
+    from columnar_estimator_sample_spark.operators.similarity import (
+        ivf_bucketed_assignment,
+    )
+    from columnar_estimator_sample_spark.sources import tables
+
+    copy = tmp_path / os.path.basename(sf_dir.rstrip("/"))
+    copy.mkdir()
+    shutil.copy(os.path.join(sf_dir, "embeddings.parquet"),
+                copy / "embeddings.parquet")
+    assign1, _ = ivf_bucketed_assignment(spark, sf_dir)
+    files1 = set(assign1.inputFiles())
+    assign2, _ = ivf_bucketed_assignment(spark, str(copy))
+    # distinct full paths -> distinct table names and locations; on a
+    # name collision the second CTAS overwrite would re-point assign1's
+    # lazy spark.table() at the copy's location and these sets would
+    # coincide
+    assert files1, "bucketed assign table has no files"
+    assert files1.isdisjoint(set(assign2.inputFiles()))
+    assert files1 == set(assign1.inputFiles())
+    tables.reset_handles()
+
+
 def test_driver_window_invariants():
     """The driver certifies exactly the first 50 queries() entries, so
     the rotation list must hold exactly 50 names, every one registered
