@@ -19,6 +19,8 @@ broadcast-sized).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -164,11 +166,70 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Corpus export: the dedup pipeline's MATERIALIZATION step
 # ---------------------------------------------------------------------------
 
-# (applicationId, sf_dir) -> landed parquet path. The export writes ONCE
+# (applicationId, sf_dir) -> landed TABLE NAME. The export writes ONCE
 # per session (the corpus is deterministic), the census query reads the
-# LANDED files — write-once / read-many, the same contract as the other
-# per-session memos (registered with reset_handles()).
+# LANDED table — write-once / read-many, the same contract as the other
+# per-session memos (registered with reset_handles()). Landed as a
+# bucketed CTAS (lang-partitioned, doc_id-bucketed) so downstream joins
+# against the cleaned corpus are exchange-free — see q_corpus_export.
 _EXPORT_MEMO: dict[tuple[str, str], str] = register_memo({})
+
+# doc_id bucket count of the landed corpus. 16 suffices at test SFs; at
+# 100 TB size it so a bucket's files land near the target file size
+# (buckets ~ corpus_bytes / 1 GB), same sizing rule as any bucketed fact
+# table — the join-elision property is bucket-count-for-bucket-count.
+EXPORT_BUCKETS = 16
+
+
+def corpus_export_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LANDED training-ready corpus (write-once per session): lang-
+    partitioned, doc_id-bucketed+sorted parquet behind a table name —
+    reading it back carries hash(doc_id) output partitioning, so a
+    downstream join against any equally-bucketed side (labels, scores,
+    pack assignments) plans with NO exchange (plan-asserted in
+    tests/test_insights.py). This is the bucket/sort spec the export
+    sink promises for 100 TB downstream co-location."""
+    import hashlib
+    import re
+    import tempfile
+
+    from columnar_estimator_sample_spark.operators.dedup import (
+        exactsubstr_apply, exactsubstr_keepfirst_spans,
+    )
+    from columnar_estimator_sample_spark.operators.graph import (
+        neardup_removed,
+    )
+    from columnar_estimator_sample_spark.operators.partitioning import (
+        bucketed_ctas,
+    )
+    from columnar_estimator_sample_spark.sources.tables import (
+        fanout, register_tempdir,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    name = _EXPORT_MEMO.get(key)
+    if name is None:
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text")
+        kept = fanout(docs.join(neardup_removed(spark, sf_dir),
+                                "doc_id", "left_anti"))
+        cleaned = exactsubstr_apply(
+            kept, spans=exactsubstr_keepfirst_spans(kept))
+        tag = re.sub(r"[^0-9A-Za-z]+", "_",
+                     os.path.basename(sf_dir.rstrip("/")) + "_"
+                     + hashlib.md5(sf_dir.encode()).hexdigest()[:8] + "_"
+                     + spark.sparkContext.applicationId)
+        name = f"corpus_export_{tag}"
+        base = register_tempdir(
+            tempfile.mkdtemp(prefix="spark-graft-export-"))
+        bucketed_ctas(
+            spark, name,
+            cleaned.filter(F.col("kept_toks") > 0)
+            .select("doc_id", "lang", "clean_text"),
+            "doc_id", n_buckets=EXPORT_BUCKETS,
+            path=os.path.join(base, "corpus"), partition_by="lang")
+        _EXPORT_MEMO[key] = name
+    return spark.table(name)
 
 
 def _corpus_export_oracle() -> str:
@@ -287,40 +348,12 @@ def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both removal stages are the audited plans of their source
     queries (LSH+CC memo; anchor hashes only); the write is one
-    lang-partitioned parquet sink (at 100 TB: add a bucket/sort spec
-    for downstream co-location); the census is a scan of the landed
-    table with a |langs|-row aggregate."""
-    import os
-    import tempfile
-
-    from columnar_estimator_sample_spark.operators.dedup import (
-        exactsubstr_apply, exactsubstr_keepfirst_spans,
-    )
-    from columnar_estimator_sample_spark.operators.graph import (
-        neardup_removed,
-    )
-    from columnar_estimator_sample_spark.sources.tables import (
-        fanout, register_tempdir,
-    )
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    path = _EXPORT_MEMO.get(key)
-    if path is None:
-        docs = table(spark, sf_dir, "documents").select(
-            "doc_id", "lang", "text")
-        kept = fanout(docs.join(neardup_removed(spark, sf_dir),
-                                "doc_id", "left_anti"))
-        cleaned = exactsubstr_apply(
-            kept, spans=exactsubstr_keepfirst_spans(kept))
-        path = os.path.join(
-            register_tempdir(
-                tempfile.mkdtemp(prefix="spark-graft-export-")),
-            "corpus")
-        (cleaned.filter(F.col("kept_toks") > 0)
-         .select("doc_id", "lang", "clean_text")
-         .write.mode("overwrite").partitionBy("lang").parquet(path))
-        _EXPORT_MEMO[key] = path
-    landed = spark.read.parquet(path)
+    bucketed CTAS — lang-partitioned for partition pruning AND
+    doc_id-bucketed+sorted ({EXPORT_BUCKETS} buckets) so downstream
+    joins against the cleaned corpus run exchange-free (plan-asserted;
+    :func:`corpus_export_table` is the read handle); the census is a
+    scan of the landed table with a |langs|-row aggregate."""
+    landed = corpus_export_table(spark, sf_dir)
     return (landed.groupBy("lang")
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum(F.size(F.split("clean_text", " ")))

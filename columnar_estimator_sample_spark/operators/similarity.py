@@ -561,27 +561,18 @@ def ivf_nlist(n_vectors: int) -> int:
     return 2 ** int(math.floor(math.log2(math.sqrt(n_vectors) / 2)))
 
 
-def _parquet_num_rows(path: str) -> int:
-    """Row count from parquet FOOTERS — a driver-side metadata read, not
-    a Spark job (the plan-build zero-jobs gate stays intact). At 100 TB
-    the same number comes from the table catalog's stats."""
-    import pyarrow.parquet as pq
-    if os.path.isdir(path):
-        return sum(
-            pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
-            for r, _, fs in os.walk(path) for f in fs
-            if f.endswith(".parquet"))
-    return pq.ParquetFile(path).metadata.num_rows
-
-
 def ivf_nlist_for(sf_dir: str) -> int:
     """Derived NLIST for ``sf_dir``'s embeddings table (footer count ->
-    :func:`ivf_nlist`); memoized — the footers never change under the
-    tables.py immutability contract."""
+    :func:`ivf_nlist`; a driver-side metadata read, never a Spark job);
+    memoized — the footers never change under the tables.py
+    immutability contract."""
+    from columnar_estimator_sample_spark.sources.tables import (
+        parquet_num_rows,
+    )
     n = _NLIST_MEMO.get(sf_dir)
     if n is None:
         n = ivf_nlist(
-            _parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet")))
+            parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet")))
         _NLIST_MEMO[sf_dir] = n
     return n
 

@@ -10,6 +10,8 @@ DuckDB's regexp_replace gets the 'g' flag to match Java's replace-all.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -916,6 +918,39 @@ def ntile3_by_score(pool: DataFrame, n_parts: int = 32) -> DataFrame:
         .unionByName(kept_straddle)
 
 
+# Switch-over threshold for q_ccnet_tiers' per-language NTILE window:
+# one language's narrow (doc_id, score) rows must fit one task — ~10^8
+# rows (~1.6 GB at 16 B/row) is the documented bound (SCALE.md §5).
+# Below it the window path is MEASURED faster (0.27 vs 1.5 s at sf0.1,
+# 1.4 vs 4.0 s at 100x); above it the query takes the histogram path
+# (:func:`ntile3_by_score`) automatically — no manual edit.
+CCNET_WINDOW_MAX_DOCS_PER_LANG = 100_000_000
+
+
+def _ccnet_docs_per_lang_bound(spark: SparkSession, sf_dir: str) -> int:
+    """Job-free upper bound on docs-per-language for the switch-over:
+    the documents footer row count (plan-time metadata read) divided by
+    the lang NDV when the session's NDV catalog holds persisted column
+    stats for an ANALYZEd ``documents`` table (plans/stats.py), else by
+    1 — the conservative all-one-language bound. Either way: metadata
+    only, never a plan-build job."""
+    from columnar_estimator_sample_spark.sources.tables import (
+        parquet_num_rows,
+    )
+    n = parquet_num_rows(os.path.join(sf_dir, "documents.parquet"))
+    ndv = 1
+    try:
+        from columnar_estimator_sample_spark.plans.stats import (
+            column_stats,
+        )
+        d = column_stats(spark, "documents", "lang").get("distinct_count")
+        if d is not None and str(d).isdigit() and int(d) > 0:
+            ndv = int(d)
+    except Exception:
+        pass  # no analyzed catalog table in this session -> bound by 1
+    return n // max(ndv, 1)
+
+
 @register(
     "q_ccnet_tiers",
     oracle=f"""
@@ -949,22 +984,35 @@ def q_ccnet_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment a total order, so both engines cut identical tiers.
 
     Scale: scoring is the q_doc_lm_score frame (one text scan, LM join
-    bounded by vocab²); the tercile is one window over the doc-count-
-    sized score frame partitioned by language; the census aggregates
-    map-side. The per-language NTILE holds one lang's (doc_id, score)
-    rows in one task — fine to ~10⁸ docs/lang (narrow rows), and
-    MEASURED faster than the histogram decomposition at every testable
-    scale (0.27 vs 1.5 s at sf0.1, 1.4 vs 4.0 s at 100× — the tier
-    output is doc-linear either way, and heavy score ties put most of
-    a language in the straddle block). Beyond that, switch to
-    :func:`ntile3_by_score` (property-pinned NTILE-exact, no
-    single-task sort) — the deliberate measured trade, same class as
-    media_features staying scan-local."""
+    bounded by vocab²); the census aggregates map-side. The tercile
+    assignment picks its path by a plan-time metadata check
+    (:func:`_ccnet_docs_per_lang_bound` vs
+    {CCNET_WINDOW_MAX_DOCS_PER_LANG} — no manual edit): the
+    per-language NTILE window holds one lang's (doc_id, score) rows in
+    one task — fine to ~10⁸ docs/lang (narrow rows), and MEASURED
+    faster than the histogram decomposition at every testable scale
+    (0.27 vs 1.5 s at sf0.1, 1.4 vs 4.0 s at 100× — the tier output is
+    doc-linear either way, and heavy score ties put most of a language
+    in the straddle block); when a language can outgrow a task the
+    query takes :func:`ntile3_by_score` (property-pinned NTILE-exact,
+    no single-task sort; tests pin both paths equal on the same pool)
+    — the deliberate measured trade, same class as media_features
+    staying scan-local."""
     from pyspark.sql import Window as W
     scores = doc_lm_scores(spark, sf_dir)
-    w = W.partitionBy("lang").orderBy(F.desc("lm_score_permille"),
-                                      F.asc("doc_id"))
-    tiers = scores.withColumn("tier", F.ntile(3).over(w).cast("long"))
+    if (_ccnet_docs_per_lang_bound(spark, sf_dir)
+            > CCNET_WINDOW_MAX_DOCS_PER_LANG):
+        tiers = (ntile3_by_score(
+            scores.select("doc_id", "lang",
+                          F.col("lm_score_permille").alias("score")))
+            .select("doc_id", "lang",
+                    F.col("score").alias("lm_score_permille"),
+                    F.col("tier").cast("long").alias("tier")))
+    else:
+        w = W.partitionBy("lang").orderBy(F.desc("lm_score_permille"),
+                                          F.asc("doc_id"))
+        tiers = scores.withColumn("tier",
+                                  F.ntile(3).over(w).cast("long"))
     chars = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return (tiers.join(chars, "doc_id")
             .groupBy("lang", "tier")

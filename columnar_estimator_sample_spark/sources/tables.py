@@ -99,6 +99,22 @@ def reset_handles() -> None:
     _sweep_tempdirs()
 
 
+def parquet_num_rows(path: str) -> int:
+    """Row count from parquet FOOTERS — a driver-side metadata read,
+    never a Spark job (the plan-build zero-jobs gate stays intact). The
+    scale-adaptive parameter derivations (IVF NLIST ~ sqrt(N), the
+    ccnet window/histogram switch) size themselves from this; at 100 TB
+    the same number comes from the table catalog's stats."""
+    import pyarrow.parquet as pq
+    import os as _os
+    if _os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(_os.path.join(r, f)).metadata.num_rows
+            for r, _, fs in _os.walk(path) for f in fs
+            if f.endswith(".parquet"))
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy; no action after
     the first schema read per session/table)."""

@@ -471,21 +471,19 @@ class TestRound10ApplyOps:
         """The export sink: landed docs are disjoint from the near-dup
         removed set, the parquet layout is lang-partitioned on disk,
         and the landed row count equals the non-empty cleaned docs."""
-        import os
         import pyspark.sql.functions as F
         from columnar_estimator_sample_spark.operators.graph import (
             neardup_removed,
         )
         from columnar_estimator_sample_spark.operators.pipeline import (
-            _EXPORT_MEMO, q_corpus_export,
+            corpus_export_table, q_corpus_export,
         )
 
         census = {r["lang"]: r for r in
                   q_corpus_export(spark, sf_dir).collect()}
-        path = _EXPORT_MEMO[(spark.sparkContext.applicationId, sf_dir)]
-        assert any(d.startswith("lang=") for d in os.listdir(path)), \
-            os.listdir(path)
-        landed = spark.read.parquet(path)
+        landed = corpus_export_table(spark, sf_dir)
+        assert any("lang=" in f for f in landed.inputFiles()), \
+            landed.inputFiles()[:3]
         assert landed.join(neardup_removed(spark, sf_dir),
                            "doc_id").count() == 0
         assert landed.filter(F.length("clean_text") == 0).count() == 0
@@ -493,6 +491,47 @@ class TestRound10ApplyOps:
                landed.groupBy("lang").agg(F.count("*").alias("n"))
                .collect()}
         assert got == {k: v["n_docs"] for k, v in census.items()}
+
+    def test_corpus_export_downstream_join_no_exchange(self, spark,
+                                                       sf_dir):
+        """The landed corpus carries its doc_id bucket spec (the 100 TB
+        co-location promise): a join against any equally-bucketed side
+        — here per-doc LM scores, the realistic 'join scores to
+        training text' step — must plan as a SortMergeJoin with ZERO
+        exchanges, both sides' partitioning coming from the bucketed
+        scans themselves."""
+        import os
+        import tempfile
+
+        from columnar_estimator_sample_spark.operators.partitioning import (
+            bucketed_ctas,
+        )
+        from columnar_estimator_sample_spark.operators.pipeline import (
+            EXPORT_BUCKETS, corpus_export_table,
+        )
+        from columnar_estimator_sample_spark.operators.textstats import (
+            doc_lm_scores,
+        )
+        from columnar_estimator_sample_spark.sources.tables import (
+            register_tempdir,
+        )
+
+        landed = corpus_export_table(spark, sf_dir)
+        base = register_tempdir(tempfile.mkdtemp(prefix="graft-scores-"))
+        scores = bucketed_ctas(
+            spark, "test_doc_scores_bucketed",
+            doc_lm_scores(spark, sf_dir)
+            .select("doc_id", "lm_score_permille"),
+            "doc_id", n_buckets=EXPORT_BUCKETS,
+            path=os.path.join(base, "scores"))
+        j = (landed.hint("merge").join(scores, "doc_id")
+             .select("doc_id", "lang", "lm_score_permille"))
+        n = j.count()
+        assert n == landed.count()  # every landed doc has a score row
+        plan = (j._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0])
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
 
     def test_budget_pack_property_constructed_pools(self, spark):
         """Seeded-random constructed pools (score ties, single-doc
@@ -540,6 +579,24 @@ class TestRound10ApplyOps:
                                r["tokens_kept"], r["cut_score"])
                    for r in budget_pack(pool, permille).collect()}
             assert got == brute(rows, permille), (trial, permille)
+
+    def test_ccnet_switchover_paths_equal(self, spark, sf_dir,
+                                          monkeypatch):
+        """q_ccnet_tiers picks window vs histogram by a plan-time
+        metadata check (docs-per-lang bound vs the task threshold —
+        verdict r10 #6: a config check, not a manual edit). Forcing the
+        histogram path via the threshold must yield the byte-identical
+        census the default window path yields."""
+        import columnar_estimator_sample_spark.operators.textstats as ts
+
+        bound = ts._ccnet_docs_per_lang_bound(spark, sf_dir)
+        assert 0 < bound <= ts.CCNET_WINDOW_MAX_DOCS_PER_LANG
+        base = sorted(tuple(r) for r in
+                      ts.q_ccnet_tiers(spark, sf_dir).collect())
+        monkeypatch.setattr(ts, "CCNET_WINDOW_MAX_DOCS_PER_LANG", 0)
+        forced = sorted(tuple(r) for r in
+                        ts.q_ccnet_tiers(spark, sf_dir).collect())
+        assert forced == base
 
     def test_ntile3_histogram_matches_naive_window(self, spark):
         """The histogram-decomposed NTILE(3) must assign the exact tier
