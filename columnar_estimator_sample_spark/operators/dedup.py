@@ -259,15 +259,49 @@ def contract_exact_dups(df: DataFrame, id_col: str, payload_col: str,
     before any candidate generation, and verified representative pairs
     expand back via :func:`expand_member_pairs`.
 
-    One window pass over the fingerprint exchange (no groupBy+join; the
-    payload rides along so representatives need no join back). Returns
-    ``(members, reps)``: members = (id_col, gid, gsz) — gid is the
-    group's min id, gsz its size; reps = (id_col, payload_col) for the
-    representative rows only.
+    Returns ``(members, reps)``: members = (id_col, gid, gsz) — gid is
+    the group's min id, gsz its size; reps = (id_col, payload_col) for
+    the representative rows only.
+
+    Implementation (r11): the per-fingerprint (min id, size) comes from
+    a MAP-SIDE-COMBINABLE groupBy — the payload never enters the fp
+    exchange — and members/reps join back on fp/gid, so no single task
+    ever holds a whole fingerprint group's payload. This replaced the
+    r2–r10 single-window form (:func:`contract_exact_dups_window`)
+    after the planted-viral-document probe measured the restatement >=
+    the window EVERYWHERE: sf1 clean 1.12 vs 1.24 s, +10⁵ viral copies
+    1.17 vs 1.28, +10⁶ copies 1.94 vs 3.62 (the window's one-task
+    payload wall; tools/probe_contract_skew.py, BENCH_SF1.md) — same
+    measure-both discipline as budget_pack's boundary tier. Bit-equal
+    output is test-pinned.
 
     ``fp`` overrides the fingerprint expression (default
     ``md5(payload_col)``, correct for string payloads; array payloads
     need a null-preserving encoding such as md5(to_json(...)))."""
+    fpc = fp if fp is not None else F.md5(payload_col)
+    keyed = df.withColumn("fp", fpc)
+    agg = (keyed.groupBy("fp")
+           .agg(F.min(id_col).alias("gid"),
+                F.count(F.lit(1)).alias("gsz")))
+    members = (keyed.select(id_col, "fp")
+               .join(agg, "fp")
+               .select(id_col, "gid", "gsz"))
+    reps = (df.join(agg.select(F.col("gid").alias(id_col)), id_col)
+            .select(id_col, payload_col))
+    return members, reps
+
+
+def contract_exact_dups_window(df: DataFrame, id_col: str,
+                               payload_col: str,
+                               fp: "F.Column | None" = None):
+    """The r2–r10 single-window contraction form, kept for the skew
+    probe and the bit-equality pin against :func:`contract_exact_dups`:
+    one window pass over the fp exchange, the PAYLOAD riding along so
+    representatives need no join back. Cheaper by one join on clean
+    corpora in principle, but a whole fingerprint group's payload lands
+    in one task — the planted-viral-document probe measured it losing
+    everywhere it was supposed to win (tools/probe_contract_skew.py),
+    so it is no longer the default."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("fp")

@@ -75,59 +75,59 @@ _loaded = False
 # in and out of the window is additionally verified by
 # ``tools/check_oracle.py`` (same compare semantics) before commit.
 #
-# Round-10 window (the round-9 verdict's lead item: rotate to the
-# oldest certifications, with every query whose code or oracle changed
-# THIS round re-entering first so no driver row predates its code):
-# (a) the 12 round-10 new/rewritten rows — the apply layer (ExactSubstr
-#     both-copies + keep-first, doc-level dedup, decontamination, media
-#     near-dup survivor selection), token-budget packing, the corpus
-#     export sink, the bucketed-probe q_ann_ivf_topk, and the queries
-#     that adopted shared per-session memos (exactsubstr census +
-#     savings on the anchors memo; doc_lm_score + ccnet_tiers on the
-#     LM-scores memo);
-# (b) 38 of the 41 round-2-certified rows (TPC-H q08-q22 slice first,
-#     then the relational/window/sketch tier in registration order);
-#     q_window_ranks/q_window_running/q_window_topk_per_group plus the
-#     whole round-4 cohort rotate in round 11 (precedence stays
-#     rewritten > new > stale re-certs).
-_DRIVER_WINDOW_R10 = [
-    # (a) new/rewritten this round
-    "q_dedup_exactsubstr_apply", "q_dedup_exactsubstr_keepfirst",
-    "q_dedup_exactsubstr_savings", "q_dedup_exactsubstr",
-    "q_ann_ivf_topk",
-    "q_dedup_apply", "q_contamination_apply", "q_token_budget_pack",
-    "q_doc_lm_score", "q_ccnet_tiers", "q_corpus_export",
-    "q_media_dedup_apply",
-    # (b) the round-2 cohort, TPC-H first
-    "q08_market_share", "q09_product_profit", "q10_top_customers",
-    "q12_shipmode_priority", "q14_promo_revenue_ratio",
-    "q16_supplier_part_variety", "q19_disjunctive_predicates",
-    "q22_global_sales_opportunity",
-    "q_anti_join", "q_argmin_argmax", "q_array_agg", "q_asof_join",
-    "q_assortment_turnover", "q_case_expr", "q_conditional_pivot",
-    "q_cube", "q_date_funcs", "q_distinct", "q_grouping_sets",
-    "q_hash_sample", "q_in_subquery", "q_math_funcs",
-    "q_outer_join_coalesce", "q_percentiles", "q_pivot",
-    "q_price_index", "q_regexp", "q_revenue_movers", "q_rollup",
-    "q_scalar_subquery", "q_semi_join", "q_set_ops",
-    "q_single_column_probe", "q_skyline_parts", "q_string_funcs",
-    "q_trimmed_mean", "q_unpivot", "q_weighted_median",
-    # (q_window_ranks / q_window_running / q_window_topk_per_group
-    # rotate in r11 with the r4 cohort — their slots went to
-    # q_corpus_export, q_media_dedup_apply, and the rewritten
-    # q_dedup_exactsubstr)
-    # The round-4 cohort rotates in round 11 in full: every slot behind
-    # the 41 r2 rows went to round-10 new/rewritten queries (the
-    # apply/pack layer, the bucketed IVF probe, and the two LM-score
-    # consumers that now share the checkpointed doc_lm_scores memo) —
-    # the verdict's precedence order (rewritten > new > stale re-certs).
+# Round-11 window (the round-10 verdict's lead item: retire the ENTIRE
+# remaining certification backlog — after this window no driver cert is
+# older than r5): exactly the 45 stale rows (3 r2-age window-function
+# rows + the full 42-row r4 cohort: the TPC-H q11..q21 slice and the
+# events.py attribution/funnel/cohort tier) plus the 5 queries whose
+# OWN registered body changed this round —
+#   q_corpus_export      (lands via bucketed CTAS: lang-partitioned,
+#                         doc_id-bucketed; census reads the table)
+#   q_ccnet_tiers        (plan-time window/histogram switch-over)
+#   q_ann_ivf_topk       (derived NLIST ~ sqrt(N); bucket count +
+#                         path-hashed table tag)
+#   q_ann_ivf_pq_residual(residual centroid filter tracks derived NLIST)
+#   q_contamination_apply(broadcast hint dropped on the eval trigram
+#                         frame — unbroadcastable at scale)
+# Result-identical SHARED-HELPER changes this round do NOT displace
+# backlog rows (the one change this window cannot absorb both ways):
+# the contract_exact_dups swap to the skew-proof agg+join form is
+# bit-equality test-pinned (tests/test_operators.py) and every consumer
+# (minhash lsh/precision/recall, ngram/cosine set-join, embedding LSH,
+# semdedup, contamination check, dedup clusters/savings/apply/
+# incremental, q_ann_ivf_pq_topk via _ivf_cells) was re-verified
+# hash-exact at BOTH gate SFs post-swap (tools/check_oracle.py, r11);
+# their fresh r8-r10 driver certs are one round old at most.
+_DRIVER_WINDOW_R11 = [
+    # (a) rewritten this round
+    "q_corpus_export", "q_ccnet_tiers", "q_ann_ivf_topk",
+    "q_ann_ivf_pq_residual", "q_contamination_apply",
+    # (b) the r2-age window-function rows
+    "q_window_ranks", "q_window_running", "q_window_topk_per_group",
+    # (c) the full r4 cohort: TPC-H slice first, then the events tier
+    #     in registration order
+    "q11_important_stock", "q13_order_distribution", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q20_excess_suppliers", "q21_sole_late_supplier",
+    "q_activity_lorenz", "q_aqp_ci", "q_attribution",
+    "q_attribution_linear", "q_bounce_rate", "q_churn_hazard",
+    "q_cohort_ltv", "q_cuped", "q_daily_arpu", "q_decay_engagement",
+    "q_distribution_drift", "q_dormancy_segments", "q_event_paths",
+    "q_first_order_predictiveness", "q_funnel_exclusion",
+    "q_funnel_latency", "q_group_topn_other", "q_growth_accounting",
+    "q_hierarchy_rollup", "q_interval_enrich", "q_largest_remainder",
+    "q_longest_streak", "q_markov_stationary", "q_max_concurrency",
+    "q_pagerank", "q_postings_delta", "q_purchase_intervals",
+    "q_range_join_binned", "q_return_rate_segment",
+    "q_revenue_decomposition", "q_rfm_segments", "q_scd2_history",
+    "q_segment_median_order", "q_ship_latency", "q_value_migration",
 ]
 
 
 def _window_order(d: dict) -> dict:
     """Reorder ``d`` so the current driver window comes first (names
     missing from ``d`` are ignored; the rest keep registration order)."""
-    front = [k for k in _DRIVER_WINDOW_R10 if k in d]
+    front = [k for k in _DRIVER_WINDOW_R11 if k in d]
     rest = [k for k in d if k not in set(front)]
     return {k: d[k] for k in front + rest}
 

@@ -791,3 +791,31 @@ class TestSessionWindowParity:
         for r in rows:
             assert r.n_clean + r.n_tainted <= r.n_purchases
             assert 0 <= r.clean_permille <= 1000
+
+
+class TestContractExactDups:
+    def test_window_and_aggjoin_forms_bit_identical(self, spark):
+        """contract_exact_dups (the r11 default: map-side-combinable
+        aggregate + join back, skew-proof) and contract_exact_dups_window
+        (the r2-r10 form; payload rides the fp exchange) must
+        return the same (members, reps) on a pool with a viral group,
+        singletons, ties at the min id, and an empty payload."""
+        from columnar_estimator_sample_spark.operators.dedup import (
+            contract_exact_dups, contract_exact_dups_window,
+        )
+
+        rows = [(7, "viral"), (3, "viral"), (11, "viral"), (30, "viral"),
+                (1, "solo-a"), (2, "solo-b"), (5, ""), (9, ""),
+                (20, "pair"), (21, "pair")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        m1, r1 = contract_exact_dups(df, "doc_id", "text")
+        m2, r2 = contract_exact_dups_window(df, "doc_id", "text")
+        assert sorted(map(tuple, m1.collect())) == \
+            sorted(map(tuple, m2.collect()))
+        assert sorted(map(tuple, r1.collect())) == \
+            sorted(map(tuple, r2.collect()))
+        # spot-check the contract itself: viral group -> gid 3, gsz 4
+        mem = {r["doc_id"]: (r["gid"], r["gsz"]) for r in m1.collect()}
+        assert mem[7] == (3, 4) and mem[30] == (3, 4)
+        assert mem[5] == (5, 2) and mem[9] == (5, 2)
+        assert mem[1] == (1, 1)
