@@ -29,9 +29,44 @@ from pyspark.sql import functions as F
 from columnar_estimator_sample_spark.registry import register
 from columnar_estimator_sample_spark.sources.tables import table
 
-ITEM_MINSUP = 3    # a part is frequent when it appears in >= 3 orders
-PAIR_MINSUP = 2    # report pairs co-occurring in >= 2 orders
+ITEM_MINSUP = 3    # FLOOR: a part is frequent in >= 3 orders
+PAIR_MINSUP = 2    # FLOOR: report pairs co-occurring in >= 2 orders
 BASKET_TOP = 25
+
+# Relative a-priori support (r10 100x-sweep finding made behavior in
+# r11): ABSOLUTE thresholds dissolve downward-closure pruning at scale —
+# at 100x data essentially every part cleared minsup 3 and the basket
+# expansion went super-linear (lpa 8x / copurchase 13x wall for 10x
+# rows, BENCH_SF1.md). Production mines at RELATIVE support, so the
+# thresholds are parts-per-million of the order count with the absolute
+# values as floors. Rates are calibrated so the derived values EQUAL
+# the floors at every gate/bench SF (orders <= 150k: 20 ppm * 150k = 3,
+# ceil(10 ppm * 150k) = 2) — static oracles and round-over-round bench
+# stay byte-exact — and the frequent-item dictionary becomes
+# scale-invariant beyond (sf1: 30/15, sf10: 300/150).
+ITEM_MINSUP_PPM = 20
+PAIR_MINSUP_PPM = 10
+
+
+def minsups_for_orders(n_orders: int) -> tuple[int, int]:
+    """(item_minsup, pair_minsup) for a corpus of ``n_orders`` baskets:
+    ceil(ppm * n), floored at the r2 absolutes."""
+    return (max(ITEM_MINSUP, -(-n_orders * ITEM_MINSUP_PPM // 1_000_000)),
+            max(PAIR_MINSUP, -(-n_orders * PAIR_MINSUP_PPM // 1_000_000)))
+
+
+def basket_minsups(sf_dir: str) -> tuple[int, int]:
+    """:func:`minsups_for_orders` of ``sf_dir``'s order count, read from
+    the orders parquet footers — a plan-time metadata read, never a job
+    (lineitem's distinct orderkeys == |orders| in this schema; at
+    100 TB the same number comes from catalog stats)."""
+    import os
+
+    from columnar_estimator_sample_spark.sources.tables import (
+        parquet_num_rows,
+    )
+    return minsups_for_orders(
+        parquet_num_rows(os.path.join(sf_dir, "orders.parquet")))
 
 
 def frequent_pair_supports(li: DataFrame, item_minsup: int,
@@ -123,10 +158,12 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     count itself (the a-priori item filter is exactly the sound prune:
     downward closure). Measured ×data: 10× rows -> ~2.0-2.6× wall
     (sf0.1 -> sf1 min-of-4, r9), i.e. sub-linear; the r8-reported 3.8×
-    was bench-session drift on the same plan shape. For corpora whose
-    baskets are NOT bounded (carts of thousands), the production knob
-    is a higher item_minsup / per-basket size cap — a semantics change
-    this fixed-spec query deliberately does not make."""
+    was bench-session drift on the same plan shape. The support
+    thresholds are RELATIVE beyond the gate/bench SFs
+    (:func:`basket_minsups` — the r10 100× sweep measured absolute
+    floors dissolving the prune at scale), so the pruning claim holds
+    at any corpus size; for baskets that are themselves unbounded
+    (carts of thousands) the remaining knob is a per-basket size cap."""
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
     # 1-row broadcast, folded into the plan (no driver-side count() at
@@ -136,7 +173,8 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_ord = (li.dropDuplicates(["ok", "pk"])
              .agg(F.count_distinct("ok").cast("long")
                   .alias("n_orders")))
-    raw_pairs, freq = frequent_pair_supports(li, ITEM_MINSUP, PAIR_MINSUP)
+    item_ms, pair_ms = basket_minsups(sf_dir)  # == floors at gate/bench SFs
+    raw_pairs, freq = frequent_pair_supports(li, item_ms, pair_ms)
     # item supports rejoin on the POST-threshold pair frame (tiny) —
     # the old self-join carried c_a/c_b through the full fact join
     pairs = (raw_pairs
@@ -233,7 +271,8 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     240-267); this is the co-occurrence model expressed as a query."""
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-    raw_pairs, freq = frequent_pair_supports(li, ITEM_MINSUP, PAIR_MINSUP)
+    item_ms, pair_ms = basket_minsups(sf_dir)  # == floors at gate/bench SFs
+    raw_pairs, freq = frequent_pair_supports(li, item_ms, pair_ms)
     pairs = (raw_pairs
              .select(F.col("u").alias("part_a"),
                      F.col("v").alias("part_b"), "support")

@@ -835,8 +835,8 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 LPA_ROUNDS = 3
-LPA_MINSUP_ITEM = 3   # q_copurchase's a-priori item threshold
-LPA_MINSUP_PAIR = 2   # edge = parts co-bought in >= 2 orders
+LPA_MINSUP_ITEM = 3   # FLOOR (oracle constant); runtime uses basket_minsups
+LPA_MINSUP_PAIR = 2   # FLOOR: edge = parts co-bought in >= 2 orders
 LPA_TOP = 15
 
 
@@ -892,7 +892,7 @@ def _lpa_label_frame(spark: SparkSession, sf_dir: str):
     plus the init, and would otherwise be re-mined 4x; measured -30% at
     sf0.1), labels is (node, lab) after the final round."""
     from columnar_estimator_sample_spark.operators.basket import (
-        frequent_pair_supports,
+        basket_minsups, frequent_pair_supports,
     )
     from columnar_estimator_sample_spark.sources.tables import table
     li = table(spark, sf_dir, "lineitem").select(
@@ -901,8 +901,10 @@ def _lpa_label_frame(spark: SparkSession, sf_dir: str):
     # the r5 sf1 profile put ~6 of LPA's 8.3 s in the mining stage's
     # distinct + two self-join shuffles + SMJ sorts): shared a-priori
     # miner with q_copurchase, see basket.frequent_pair_supports.
+    # Thresholds are the shared relative-support derivation (== the
+    # LPA_MINSUP_* floors at gate/bench SFs).
     pairs = frequent_pair_supports(
-        li, LPA_MINSUP_ITEM, LPA_MINSUP_PAIR)[0].select("u", "v")
+        li, *basket_minsups(sf_dir))[0].select("u", "v")
     edges = (pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
              .unionAll(pairs.select(F.col("v").alias("src"),
                                     F.col("u").alias("dst"))))
@@ -1117,22 +1119,23 @@ def q_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     same census to pick the unroll budget, and bucket-by-degree variants
     (peel all k ascending) reuse the identical round shape."""
     from columnar_estimator_sample_spark.operators.basket import (
-        ITEM_MINSUP, PAIR_MINSUP,
+        basket_minsups,
     )
     from columnar_estimator_sample_spark.sources.tables import table
+    item_ms, pair_ms = basket_minsups(sf_dir)  # == floors at gate SFs
     li = table(spark, sf_dir, "lineitem")
     items = (li.select("l_orderkey", "l_partkey").distinct()
              .select(F.col("l_orderkey").alias("ok"),
                      F.col("l_partkey").alias("p")))
     freq = (items.groupBy("p").agg(F.count("*").alias("c"))
-            .filter(F.col("c") >= ITEM_MINSUP).select("p"))
+            .filter(F.col("c") >= item_ms).select("p"))
     a = items.join(F.broadcast(freq), "p").select(
         "ok", F.col("p").alias("a"))
     b = items.join(F.broadcast(freq), "p").select(
         "ok", F.col("p").alias("b"))
     e = (a.join(b, "ok").filter(F.col("a") < F.col("b"))
          .groupBy("a", "b").agg(F.count("*").alias("s"))
-         .filter(F.col("s") >= PAIR_MINSUP)
+         .filter(F.col("s") >= pair_ms)
          .select("a", "b")
          .localCheckpoint(eager=False))
     census = []

@@ -831,3 +831,29 @@ class TestSequenceMining:
         want = {(">".join(it[0] for it in r.sequence), r.freq)
                 for r in ps.findFrequentSequentialPatterns(seqs).collect()}
         assert got == want and len(got) > 0
+
+
+def test_basket_minsups_relative_with_floors(sf_dir):
+    """Relative a-priori support (the r10 100x finding made behavior):
+    derived thresholds EQUAL the absolute floors at every gate/bench SF
+    — static oracles and bench comparability hold byte-exact — and grow
+    with the order count beyond, restoring downward-closure pruning at
+    scale."""
+    from columnar_estimator_sample_spark.operators.basket import (
+        ITEM_MINSUP, PAIR_MINSUP, basket_minsups, minsups_for_orders,
+    )
+
+    # gate SFs (1.5k / 15k orders) and the sf0.1 bench (150k) -> floors
+    for n in (1_500, 15_000, 150_000):
+        assert minsups_for_orders(n) == (ITEM_MINSUP, PAIR_MINSUP)
+    assert basket_minsups(sf_dir) == (ITEM_MINSUP, PAIR_MINSUP)
+    # scale-invariant relative support beyond: sf1 / sf10 equivalents
+    assert minsups_for_orders(1_500_000) == (30, 15)
+    assert minsups_for_orders(15_000_000) == (300, 150)
+    # monotone, never below the floors
+    prev = (0, 0)
+    for n in (1, 10**4, 10**6, 10**8, 10**10):
+        i, p = minsups_for_orders(n)
+        assert i >= ITEM_MINSUP and p >= PAIR_MINSUP
+        assert (i, p) >= prev
+        prev = (i, p)
