@@ -263,45 +263,27 @@ def contract_exact_dups(df: DataFrame, id_col: str, payload_col: str,
     the group's min id, gsz its size; reps = (id_col, payload_col) for
     the representative rows only.
 
-    Implementation (r11): the per-fingerprint (min id, size) comes from
-    a MAP-SIDE-COMBINABLE groupBy — the payload never enters the fp
-    exchange — and members/reps join back on fp/gid, so no single task
-    ever holds a whole fingerprint group's payload. This replaced the
-    r2–r10 single-window form (:func:`contract_exact_dups_window`)
-    after the planted-viral-document probe measured the restatement >=
-    the window EVERYWHERE: sf1 clean 1.12 vs 1.24 s, +10⁵ viral copies
-    1.17 vs 1.28, +10⁶ copies 1.94 vs 3.62 (the window's one-task
-    payload wall; tools/probe_contract_skew.py, BENCH_SF1.md) — same
-    measure-both discipline as budget_pack's boundary tier. Bit-equal
-    output is test-pinned.
+    One window pass over the fingerprint exchange (no groupBy+join; the
+    payload rides along so representatives need no join back) — and,
+    decisively, ``members`` and ``reps`` are two projections of ONE
+    windowed frame, so a consumer draining both reuses a single scan +
+    fp exchange (ReusedExchange). The r11 A/B measured this INSIDE the
+    real consumers at 100× data (two processes, warm min-of-5,
+    tools/probe_contract_form_consumers.py): window 6.5/5.4/5.2/5.4 s
+    vs agg+join 19.1/13.0/12.2/6.4 s for minhash LSH / cosine set-join
+    / prefix filter / embedding LSH — the window form wins 1.2–2.9×
+    even though the ISOLATED contraction probe
+    (tools/probe_contract_skew.py) has the agg+join form ahead; the
+    microbenchmark misses the consumer-level exchange reuse. The priced
+    residual risk stays: one fingerprint group's payload lands in one
+    task, so a pathologically viral corpus (≫10⁶ byte-identical copies
+    of one doc) should switch to :func:`contract_exact_dups_aggjoin`
+    (bit-equal, test-pinned; 1.9× ahead on the planted 10⁶-copy
+    contraction in isolation).
 
     ``fp`` overrides the fingerprint expression (default
     ``md5(payload_col)``, correct for string payloads; array payloads
     need a null-preserving encoding such as md5(to_json(...)))."""
-    fpc = fp if fp is not None else F.md5(payload_col)
-    keyed = df.withColumn("fp", fpc)
-    agg = (keyed.groupBy("fp")
-           .agg(F.min(id_col).alias("gid"),
-                F.count(F.lit(1)).alias("gsz")))
-    members = (keyed.select(id_col, "fp")
-               .join(agg, "fp")
-               .select(id_col, "gid", "gsz"))
-    reps = (df.join(agg.select(F.col("gid").alias(id_col)), id_col)
-            .select(id_col, payload_col))
-    return members, reps
-
-
-def contract_exact_dups_window(df: DataFrame, id_col: str,
-                               payload_col: str,
-                               fp: "F.Column | None" = None):
-    """The r2–r10 single-window contraction form, kept for the skew
-    probe and the bit-equality pin against :func:`contract_exact_dups`:
-    one window pass over the fp exchange, the PAYLOAD riding along so
-    representatives need no join back. Cheaper by one join on clean
-    corpora in principle, but a whole fingerprint group's payload lands
-    in one task — the planted-viral-document probe measured it losing
-    everywhere it was supposed to win (tools/probe_contract_skew.py),
-    so it is no longer the default."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("fp")
@@ -311,6 +293,35 @@ def contract_exact_dups_window(df: DataFrame, id_col: str,
         .withColumn("gsz", F.count(F.lit(1)).over(w)))
     members = grouped.select(id_col, "gid", "gsz")
     reps = (grouped.filter(F.col(id_col) == F.col("gid"))
+            .select(id_col, payload_col))
+    return members, reps
+
+
+def contract_exact_dups_aggjoin(df: DataFrame, id_col: str,
+                                payload_col: str,
+                                fp: "F.Column | None" = None):
+    """Skew-proof restatement of :func:`contract_exact_dups` (SCALE.md
+    §4): the per-fingerprint (min id, size) comes from a map-side-
+    combinable groupBy — the payload never enters the fp exchange — and
+    members/reps join back on fp/gid, so no single task ever holds a
+    whole fingerprint group's payload. Bit-equal output (test-pinned).
+
+    This is the documented SWITCH for pathologically viral corpora
+    (≫10⁶ byte-identical copies of one payload: 1.9× ahead of the
+    window form on the planted 10⁶-copy contraction,
+    tools/probe_contract_skew.py), NOT the default: inside real
+    consumers the window form's shared scan + fp exchange wins 1.2–2.9×
+    at 100× data (tools/probe_contract_form_consumers.py) because this
+    form rescans and refingerprints the payload once per branch."""
+    fpc = fp if fp is not None else F.md5(payload_col)
+    keyed = df.withColumn("fp", fpc)
+    agg = (keyed.groupBy("fp")
+           .agg(F.min(id_col).alias("gid"),
+                F.count(F.lit(1)).alias("gsz")))
+    members = (keyed.select(id_col, "fp")
+               .join(agg, "fp")
+               .select(id_col, "gid", "gsz"))
+    reps = (df.join(agg.select(F.col("gid").alias(id_col)), id_col)
             .select(id_col, payload_col))
     return members, reps
 

@@ -89,15 +89,19 @@ _loaded = False
 #   q_ann_ivf_pq_residual(residual centroid filter tracks derived NLIST)
 #   q_contamination_apply(broadcast hint dropped on the eval trigram
 #                         frame — unbroadcastable at scale)
-# Result-identical SHARED-HELPER changes this round do NOT displace
-# backlog rows (the one change this window cannot absorb both ways):
-# the contract_exact_dups swap to the skew-proof agg+join form is
-# bit-equality test-pinned (tests/test_operators.py) and every consumer
-# (minhash lsh/precision/recall, ngram/cosine set-join, embedding LSH,
-# semdedup, contamination check, dedup clusters/savings/apply/
-# incremental, q_ann_ivf_pq_topk via _ivf_cells) was re-verified
-# hash-exact at BOTH gate SFs post-swap (tools/check_oracle.py, r11);
-# their fresh r8-r10 driver certs are one round old at most.
+# Result-identical SHARED-HELPER work this round does NOT displace
+# backlog rows: contract_exact_dups was A/B'd in two forms (the
+# agg+join restatement is bit-equality test-pinned,
+# tests/test_operators.py; every consumer — minhash lsh/precision/
+# recall, ngram/cosine set-join, embedding LSH, semdedup, contamination
+# check, dedup clusters/savings/apply/incremental — was re-verified
+# hash-exact at BOTH gate SFs under it) and the WINDOW form stayed the
+# default after the consumer-level 100x A/B won 1.2-2.9x
+# (tools/probe_contract_form_consumers.py), i.e. the shipped code path
+# is the one the fresh r8-r10 driver certs already certify. The
+# relative basket-minsup derivation and IVF NLIST ~ sqrt(N) equal
+# their old constants at every gate/bench SF (test-pinned), so those
+# certs hold byte-exact too.
 _DRIVER_WINDOW_R11 = [
     # (a) rewritten this round
     "q_corpus_export", "q_ccnet_tiers", "q_ann_ivf_topk",

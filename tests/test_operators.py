@@ -795,13 +795,13 @@ class TestSessionWindowParity:
 
 class TestContractExactDups:
     def test_window_and_aggjoin_forms_bit_identical(self, spark):
-        """contract_exact_dups (the r11 default: map-side-combinable
-        aggregate + join back, skew-proof) and contract_exact_dups_window
-        (the r2-r10 form; payload rides the fp exchange) must
+        """contract_exact_dups (the default window form; payload rides
+        the fp exchange) and contract_exact_dups_aggjoin (the skew-proof
+        viral-corpus switch of SCALE.md §4) must
         return the same (members, reps) on a pool with a viral group,
         singletons, ties at the min id, and an empty payload."""
         from columnar_estimator_sample_spark.operators.dedup import (
-            contract_exact_dups, contract_exact_dups_window,
+            contract_exact_dups, contract_exact_dups_aggjoin,
         )
 
         rows = [(7, "viral"), (3, "viral"), (11, "viral"), (30, "viral"),
@@ -809,7 +809,7 @@ class TestContractExactDups:
                 (20, "pair"), (21, "pair")]
         df = spark.createDataFrame(rows, ["doc_id", "text"])
         m1, r1 = contract_exact_dups(df, "doc_id", "text")
-        m2, r2 = contract_exact_dups_window(df, "doc_id", "text")
+        m2, r2 = contract_exact_dups_aggjoin(df, "doc_id", "text")
         assert sorted(map(tuple, m1.collect())) == \
             sorted(map(tuple, m2.collect()))
         assert sorted(map(tuple, r1.collect())) == \

@@ -5,9 +5,12 @@ fingerprint group's members (payload included) land in one task, so a
 pathologically viral document concentrates its payload there. This
 probe plants a 10^5-copy ~1 KB document next to the sf1 corpus and
 measures the window form against the mechanical skew-proof restatement
-(map-side-combinable fp aggregate + join back — shipped as the default
-``contract_exact_dups`` after this probe won everywhere) — the same
-measure-both discipline budget_pack's boundary tier got in r10.
+(``contract_exact_dups_aggjoin``: map-side-combinable fp aggregate +
+join back). CAVEAT this probe taught r11: it measures the contraction
+IN ISOLATION, where agg+join wins — but inside real consumers the
+window form's shared scan + fp exchange wins 1.2-2.9x at 100x
+(tools/probe_contract_form_consumers.py is the decisive probe), so the
+window form stays the default and agg+join is the viral-corpus switch.
 
     python tools/probe_contract_skew.py [sf_dir] [viral_copies]
 """
@@ -28,7 +31,7 @@ def main(argv: list[str]) -> int:
     copies = int(argv[1]) if len(argv) > 1 else 100_000
     from pyspark.sql import functions as F
     from columnar_estimator_sample_spark.operators.dedup import (
-        contract_exact_dups, contract_exact_dups_window,
+        contract_exact_dups, contract_exact_dups_aggjoin,
     )
     from columnar_estimator_sample_spark.session import get_spark
     from columnar_estimator_sample_spark.sources.tables import table
@@ -64,8 +67,8 @@ def main(argv: list[str]) -> int:
               f"members={nm} reps={nr}")
         return samples[0]
 
-    w = run("window   (r2-r10)  ", contract_exact_dups_window)
-    a = run("agg+join (default) ", contract_exact_dups)
+    w = run("window   (default) ", contract_exact_dups)
+    a = run("agg+join (switch)  ", contract_exact_dups_aggjoin)
     print(f"verdict: {'agg+join' if a < w else 'window'} wins "
           f"({min(a, w):.2f}s vs {max(a, w):.2f}s)")
     return 0
