@@ -625,3 +625,25 @@ class TestRound10ApplyOps:
         got = {r["doc_id"]: r["tier"] for r in
                ntile3_by_score(pool).collect()}
         assert got == want
+
+
+def test_corpus_export_rebuilds_after_reset_handles(spark, sf_dir):
+    """reset_handles() now REMOVES the export's scratch dir with the
+    memo; a later call must rebuild the bucketed table cleanly (same
+    catalog name, new external location) and census identically."""
+    from columnar_estimator_sample_spark.operators.pipeline import (
+        corpus_export_table, q_corpus_export,
+    )
+    from columnar_estimator_sample_spark.sources import tables
+
+    before = sorted(tuple(r) for r in
+                    q_corpus_export(spark, sf_dir).collect())
+    first_files = set(corpus_export_table(spark, sf_dir).inputFiles())
+    tables.reset_handles()
+    after = sorted(tuple(r) for r in
+                   q_corpus_export(spark, sf_dir).collect())
+    assert after == before
+    # rebuilt at a fresh location (old dir was swept)
+    assert set(corpus_export_table(spark, sf_dir).inputFiles()) \
+        .isdisjoint(first_files)
+    tables.reset_handles()

@@ -261,3 +261,23 @@ class TestTopkFast:
         assert set(slow) == set(fast)
         for q in slow:
             assert len(fast[q] & slow[q]) >= len(slow[q]) - 1, q
+
+
+def test_ivf_bucketed_rebuilds_after_reset_handles(spark, sf_dir):
+    """Same rebuild contract for the IVF inverted file: after
+    reset_handles() sweeps the scratch dir, the next call re-creates
+    the bucketed tables (overwriting the catalog names) with identical
+    assignment rows."""
+    from columnar_estimator_sample_spark.operators.similarity import (
+        ivf_bucketed_assignment,
+    )
+    from columnar_estimator_sample_spark.sources import tables
+
+    assign1, _ = ivf_bucketed_assignment(spark, sf_dir)
+    rows1 = sorted(tuple(r) for r in assign1.collect())
+    files1 = set(assign1.inputFiles())
+    tables.reset_handles()
+    assign2, _ = ivf_bucketed_assignment(spark, sf_dir)
+    assert sorted(tuple(r) for r in assign2.collect()) == rows1
+    assert set(assign2.inputFiles()).isdisjoint(files1)
+    tables.reset_handles()
