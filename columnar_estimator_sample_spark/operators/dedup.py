@@ -2162,3 +2162,207 @@ def q_dedup_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(1000000 * n_verified"
                " DIV GREATEST(n_candidates, 1) AS BIGINT)")
         .alias("precision_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# Soft deduplication: frequency-based reweighting instead of removal
+# ---------------------------------------------------------------------------
+
+# Fixed-point scale for the 1/c duplication weights: micro-units keep the
+# whole census in exact integer arithmetic (house rule — no libm, no
+# engine-dependent double->decimal rounding path).
+SOFT_MICRO = 1_000_000
+
+
+@register(
+    "q_dedup_soft",
+    oracle=f"""
+    WITH fp AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS toks,
+               COUNT(*) OVER (PARTITION BY md5(text)) AS c
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens,
+           CAST(SUM({SOFT_MICRO} // c) AS DOUBLE) / {SOFT_MICRO}
+               AS eff_docs,
+           CAST(SUM((toks * {SOFT_MICRO}) // c) AS DOUBLE) / {SOFT_MICRO}
+               AS eff_tokens
+    FROM fp
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup census: instead of dropping duplicates, weight every
+    document by the inverse of its exact-duplicate group size (SoftDeDup,
+    arXiv:2407.06654 — "sampling weight 1/c preserves distributional
+    coverage while removing the duplication gradient bias"), and report
+    per-source effective document/token mass next to the raw counts. The
+    gap between ``n_tokens`` and ``eff_tokens`` is each source's
+    duplication inflation — the number a data-mixing stage reweights by.
+
+    Weights are exact integer micro-units (``SOFT_MICRO // c``): the sum
+    is order-free integer arithmetic, and the single trailing division
+    per output row is one deterministic IEEE op on identical inputs in
+    both engines. Group size comes from a window over the md5 digest —
+    the contraction lesson (SCALE.md §4): one exchange on the 16-byte
+    digest serves the count without a join-back, and the shuffle never
+    carries text, only (source, toks, digest).
+    """
+    from pyspark.sql.window import Window
+    docs = table(spark, sf_dir, "documents")
+    c = F.count(F.lit(1)).over(Window.partitionBy(F.md5("text")))
+    fp = docs.select(
+        "source",
+        F.size(F.split("text", " ")).alias("toks"),
+        c.alias("c"),
+    )
+    return (
+        fp.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+             .cast("long").alias("n_dup_docs"),
+             F.sum("toks").cast("long").alias("n_tokens"),
+             (F.sum(F.expr(f"{SOFT_MICRO} DIV c")).cast("double")
+              / SOFT_MICRO).alias("eff_docs"),
+             (F.sum(F.expr(f"(toks * {SOFT_MICRO}) DIV c")).cast("double")
+              / SOFT_MICRO).alias("eff_tokens"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS): rolling-window minimum of k-gram hashes
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4        # token k-gram width
+WINNOW_W = 4        # winnowing window (guarantee: any match >= w+k-1
+                    # tokens shares a fingerprint)
+WINNOW_MAXDF = 20   # drop boilerplate fingerprints present in > MAXDF docs
+WINNOW_MINSHARED = 2
+WINNOW_TOP = 20
+
+
+def _winnow_oracle() -> str:
+    gram = " || ' ' || ".join(
+        ["t"] + [f"lead(t, {i}) OVER w" for i in range(1, WINNOW_K)])
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ), kg0 AS (
+        SELECT doc_id, pos, {sql_h64(f"({gram})")} AS h
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), kg AS (
+        SELECT doc_id, pos, h FROM kg0 WHERE h IS NOT NULL
+    ), wm AS (
+        SELECT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {WINNOW_W - 1} FOLLOWING) AS fp,
+               lead(h, {WINNOW_W - 1})
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS h_end
+        FROM kg
+    ), fps AS (
+        SELECT DISTINCT doc_id, fp FROM wm WHERE h_end IS NOT NULL
+    ), df AS (
+        SELECT fp FROM fps GROUP BY fp
+        HAVING COUNT(*) <= {WINNOW_MAXDF}
+    ), kept AS (
+        SELECT f.doc_id, f.fp FROM fps f JOIN df USING (fp)
+    ), nf AS (
+        SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS shared
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {WINNOW_MINSHARED}
+    )
+    SELECT doc_a, doc_b,
+           CAST(shared AS BIGINT) AS shared_fps,
+           CAST(na.n AS BIGINT) AS fps_a,
+           CAST(nb.n AS BIGINT) AS fps_b,
+           CAST(1000 * shared // (na.n + nb.n - shared) AS BIGINT)
+               AS jaccard_permille
+    FROM pairs
+    JOIN nf na ON na.doc_id = doc_a
+    JOIN nf nb ON nb.doc_id = doc_b
+    ORDER BY shared_fps DESC, doc_a, doc_b
+    LIMIT {WINNOW_TOP}
+    """
+
+
+@register("q_dedup_winnow", oracle=_winnow_oracle())
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup detection (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the MOSS fingerprinter): hash every token ``WINNOW_K``-gram, slide a
+    ``WINNOW_W``-window over the hash sequence and keep each window's
+    minimum as a fingerprint. Any shared substring of
+    ``WINNOW_W + WINNOW_K - 1`` tokens is GUARANTEED to share a
+    fingerprint — a deterministic positional sibling of MinHash that also
+    localizes the match. Fingerprints present in more than
+    ``WINNOW_MAXDF`` documents are dropped as boilerplate (the MOSS
+    "ignore common library code" rule), then doc pairs sharing >=
+    ``WINNOW_MINSHARED`` fingerprints are ranked.
+
+    Scale: the k-gram/rolling-min windows are per-document (one exchange
+    on doc_id, tasks see one document's grams at a time); fingerprints
+    shrink the corpus ~1/W before the pair join; the join itself is an
+    inverted-index self-join whose bucket width is capped by the MAXDF
+    filter — the same bounded-bucket discipline as the LSH band joins, so
+    nothing here is all-pairs. The shuffle carries (doc_id, 8-byte
+    fingerprint), never text."""
+    from pyspark.sql.window import Window
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "t"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos0")
+    gram = F.concat_ws(
+        " ", F.col("t"),
+        *[F.lead("t", i).over(wdoc) for i in range(1, WINNOW_K)])
+    # concat_ws skips NULLs (unlike ||), so gate on the last lead directly
+    kg = (toks.select(
+            "doc_id", "pos0",
+            F.when(F.lead("t", WINNOW_K - 1).over(wdoc).isNotNull(),
+                   h64(gram)).alias("h"))
+          .filter(F.col("h").isNotNull()))
+    wroll = wdoc.rowsBetween(0, WINNOW_W - 1)
+    wm = kg.select(
+        "doc_id",
+        F.min("h").over(wroll).alias("fp"),
+        F.lead("h", WINNOW_W - 1).over(wdoc).alias("h_end"))
+    fps = (wm.filter(F.col("h_end").isNotNull())
+           .select("doc_id", "fp").distinct())
+    df_ok = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+             .filter(F.col("df") <= WINNOW_MAXDF).select("fp"))
+    kept = fps.join(df_ok, "fp")
+    nf = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (a.join(b, "fp")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("shared"))
+             .filter(F.col("shared") >= WINNOW_MINSHARED))
+    na = nf.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("fps_a"))
+    nb = nf.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("fps_b"))
+    return (pairs.join(na, "doc_a").join(nb, "doc_b")
+            .select("doc_a", "doc_b",
+                    F.col("shared").cast("long").alias("shared_fps"),
+                    F.col("fps_a").cast("long").alias("fps_a"),
+                    F.col("fps_b").cast("long").alias("fps_b"),
+                    F.expr("CAST(1000 * shared DIV "
+                           "(fps_a + fps_b - shared) AS BIGINT)")
+                    .alias("jaccard_permille"))
+            .orderBy(F.desc("shared_fps"), "doc_a", "doc_b")
+            .limit(WINNOW_TOP))

@@ -1158,3 +1158,92 @@ def q_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in census[1:]:
         out = out.unionAll(c)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: Resource-Allocation index over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+LP_TOP = 20
+# Fixed-point scale for the 1/deg(z) contributions: integer pico-units
+# keep the score sum order-free exact (house rule: no libm — RA is the
+# log-free sibling of Adamic-Adar, Zhou/Lu/Zhang 2009).
+LP_PICO = 1_000_000_000_000
+
+
+@register(
+    "q_link_prediction",
+    oracle=_lpa_ctes(0) + f""",
+    deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM edges GROUP BY src
+    ), cand AS (
+        SELECT e1.dst AS a, e2.dst AS b, e1.src AS mid
+        FROM edges e1 JOIN edges e2
+          ON e1.src = e2.src AND e1.dst < e2.dst
+    ), scored AS (
+        SELECT a, b,
+               CAST(COUNT(*) AS BIGINT) AS n_common,
+               CAST(SUM({LP_PICO} // d.d) AS BIGINT) AS ra_pico
+        FROM cand JOIN deg d ON d.node = cand.mid
+        GROUP BY a, b
+    )
+    SELECT a AS part_a, b AS part_b, n_common,
+           CAST(ra_pico AS DOUBLE) / {LP_PICO} AS ra_score
+    FROM scored s
+    WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                      WHERE p.u = s.a AND p.v = s.b)
+    ORDER BY ra_pico DESC, part_a, part_b
+    LIMIT {LP_TOP}
+    """,
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the support-pruned co-purchase graph: for every
+    NON-adjacent part pair with at least one common neighbor, the
+    Resource-Allocation index RA(a,b) = sum over common neighbors z of
+    1/deg(z) (Zhou/Lu/Zhang 2009 — the logarithm-free sibling of
+    Adamic-Adar, and the better-performing one in their benchmark). The
+    top-scoring absent edges are the "customers also bought" candidates a
+    recommender backfills.
+
+    Scale: candidates come from the two-hop expansion of the a-priori
+    support-pruned edge list (same bounded-degree regime as
+    q_triangle_count — the minsup floor caps deg(z), so the wedge count
+    is Σ deg(z)² over frequent parts, never all-pairs); contributions are
+    exact integer pico-units (one deterministic trailing division per
+    output row); the known-edge removal is one anti-join AFTER the wedge
+    aggregation has already collapsed the frame to distinct pairs."""
+    from columnar_estimator_sample_spark.operators.basket import (
+        basket_minsups, frequent_pair_supports,
+    )
+    from columnar_estimator_sample_spark.sources.tables import table
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    pairs = frequent_pair_supports(
+        li, *basket_minsups(sf_dir))[0].select("u", "v")
+    pairs = pairs.localCheckpoint(eager=False)
+    edges = (pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+             .unionAll(pairs.select(F.col("v").alias("src"),
+                                    F.col("u").alias("dst"))))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d"))
+    e1 = edges.select(F.col("src").alias("mid"), F.col("dst").alias("a"))
+    e2 = edges.select(F.col("src").alias("mid"), F.col("dst").alias("b"))
+    scored = (
+        e1.join(e2, "mid").filter(F.col("a") < F.col("b"))
+        .join(deg, F.col("mid") == F.col("node"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"),
+             F.sum(F.expr(f"{LP_PICO} DIV d")).cast("long")
+             .alias("ra_pico")))
+    absent = scored.join(
+        pairs, (scored.a == pairs.u) & (scored.b == pairs.v), "left_anti")
+    return (absent.select(
+                F.col("a").alias("part_a"), F.col("b").alias("part_b"),
+                "n_common",
+                (F.col("ra_pico").cast("double") / LP_PICO)
+                .alias("ra_score"),
+                "ra_pico")
+            .orderBy(F.desc("ra_pico"), "part_a", "part_b")
+            .limit(LP_TOP)
+            .drop("ra_pico"))

@@ -1582,3 +1582,89 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in bests[1:]:
         out = out.unionByName(b)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Trained bag-of-words language classifier: token-rate scoring + confusion
+# ---------------------------------------------------------------------------
+
+# Fixed-point scale for per-language token rates: nano-units (1e9) keep
+# the whole train/score/argmax path in exact integer arithmetic — the
+# log-free linear sibling of multinomial Naive Bayes (scores are additive
+# per-token language rates instead of log-probabilities, monotone-
+# equivalent for ranking languages on this synthetic vocabulary).
+CLS_NANO = 1_000_000_000
+
+
+@register(
+    "q_langid_classifier",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ), totals AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS total
+        FROM toks GROUP BY lang
+    ), rates AS (
+        SELECT k.lang AS cand, k.t,
+               (CAST(COUNT(*) AS BIGINT) * {CLS_NANO}) // m.total AS r
+        FROM toks k JOIN totals m ON m.lang = k.lang
+        GROUP BY k.lang, k.t, m.total
+    ), scores AS (
+        SELECT tk.doc_id, tk.lang, r.cand,
+               CAST(SUM(r.r) AS BIGINT) AS score
+        FROM toks tk JOIN rates r ON r.t = tk.t
+        GROUP BY 1, 2, 3
+    ), pred AS (
+        SELECT doc_id, lang, cand AS pred_lang FROM (
+            SELECT doc_id, lang, cand,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, cand) AS rn
+            FROM scores)
+        WHERE rn = 1
+    )
+    SELECT lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred
+    GROUP BY lang, pred_lang
+    ORDER BY lang, pred_lang
+    """,
+)
+def q_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained language-ID classifier with a confusion-matrix census:
+    training estimates per-language token rates (integer nano-units of
+    count(lang, token)/total(lang) — the log-free linear form of
+    multinomial Naive Bayes), scoring sums each document's token rates
+    under every candidate language and predicts the argmax (resubstitution
+    evaluation on the labeled corpus, ties broken by language name). The
+    confusion matrix (true lang x predicted lang) is the filter-quality
+    readout a corpus pipeline gates its language routing on.
+
+    Scale: the model is |langs| x |vocab| rates — bounded by the
+    vocabulary, broadcast into the scoring join so the corpus-side token
+    explode is never reshuffled by model size; scoring is one explode +
+    one hash aggregate with map-side partials; everything is exact
+    integer arithmetic end-to-end (the argmax needs no division at
+    all)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("t"))
+    totals = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("total"))
+    rates = (toks.groupBy(F.col("lang").alias("cand"), "t")
+             .agg(F.count(F.lit(1)).cast("long").alias("c"))
+             .join(F.broadcast(totals.withColumnRenamed("lang", "cand")),
+                   "cand")
+             .select("cand", "t",
+                     F.expr(f"(c * {CLS_NANO}) DIV total").alias("r")))
+    scores = (toks.join(F.broadcast(rates), "t")
+              .groupBy("doc_id", "lang", "cand")
+              .agg(F.sum("r").cast("long").alias("score")))
+    pred = (scores.groupBy("doc_id", "lang")
+            .agg(F.min_by(
+                "cand",
+                F.struct((-F.col("score")).alias("neg"), F.col("cand")))
+                .alias("pred_lang")))
+    return (pred.groupBy("lang", "pred_lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .orderBy("lang", "pred_lang"))

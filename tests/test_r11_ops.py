@@ -1,0 +1,179 @@
+"""Round-11 operators: pure-Python brute-force cross-checks (independent
+of both Spark and DuckDB) for soft dedup, winnowing fingerprints, link
+prediction, the trained langid classifier, and SQ8 ANN."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter, defaultdict
+from itertools import combinations
+
+import duckdb
+
+
+def _h64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _docs(sf_dir):
+    return duckdb.sql(
+        "SELECT doc_id, text, lang, source FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+
+
+class TestSoftDedup:
+    def test_matches_python_recompute(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.dedup import (
+            SOFT_MICRO, q_dedup_soft,
+        )
+        docs = _docs(sf_dir)
+        c = Counter(hashlib.md5(t.encode()).hexdigest() for _, t, _, _ in docs)
+        per = defaultdict(lambda: [0, 0, 0, 0, 0])
+        for _, text, _, source in docs:
+            g = c[hashlib.md5(text.encode()).hexdigest()]
+            toks = len(text.split(" "))
+            row = per[source]
+            row[0] += 1
+            row[1] += 1 if g > 1 else 0
+            row[2] += toks
+            row[3] += SOFT_MICRO // g
+            row[4] += (toks * SOFT_MICRO) // g
+        got = {r["source"]: r for r in q_dedup_soft(spark, sf_dir).collect()}
+        assert set(got) == set(per)
+        for src, (n, nd, tok, effd, efft) in per.items():
+            r = got[src]
+            assert (r["n_docs"], r["n_dup_docs"], r["n_tokens"]) == (n, nd, tok)
+            assert r["eff_docs"] == effd / SOFT_MICRO
+            assert r["eff_tokens"] == efft / SOFT_MICRO
+            # weights never inflate mass, and only duplication deflates it
+            assert r["eff_docs"] <= r["n_docs"]
+            assert (r["eff_docs"] == r["n_docs"]) == (r["n_dup_docs"] == 0)
+
+
+def _winnow_fps(text: str, k: int, w: int) -> set[int]:
+    toks = text.split(" ")
+    hs = [_h64(" ".join(toks[i:i + k])) for i in range(len(toks) - k + 1)]
+    return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+
+class TestWinnow:
+    def test_matches_python_recompute(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.dedup import (
+            WINNOW_K, WINNOW_MAXDF, WINNOW_MINSHARED, WINNOW_TOP, WINNOW_W,
+            q_dedup_winnow,
+        )
+        docs = _docs(sf_dir)
+        fps = {d: _winnow_fps(t, WINNOW_K, WINNOW_W) for d, t, _, _ in docs}
+        df = Counter(f for s in fps.values() for f in s)
+        kept = {d: {f for f in s if df[f] <= WINNOW_MAXDF}
+                for d, s in fps.items()}
+        inv = defaultdict(list)
+        for d, s in kept.items():
+            for f in s:
+                inv[f].append(d)
+        shared = Counter()
+        for f, ds in inv.items():
+            for a, b in combinations(sorted(ds), 2):
+                shared[(a, b)] += 1
+        rows = []
+        for (a, b), s in shared.items():
+            if s >= WINNOW_MINSHARED:
+                na, nb = len(kept[a]), len(kept[b])
+                rows.append((a, b, s, na, nb, 1000 * s // (na + nb - s)))
+        rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+        expect = rows[:WINNOW_TOP]
+        got = [tuple(r) for r in q_dedup_winnow(spark, sf_dir).collect()]
+        assert got == expect
+
+    def test_guarantee_on_planted_match(self):
+        # two texts sharing a run of >= w+k-1 tokens MUST share a fp
+        from columnar_estimator_sample_spark.operators.dedup import (
+            WINNOW_K, WINNOW_W,
+        )
+        run = " ".join(f"tok{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+        a = "alpha beta gamma " + run + " delta"
+        b = "one two " + run + " three four five"
+        fa = _winnow_fps(a, WINNOW_K, WINNOW_W)
+        fb = _winnow_fps(b, WINNOW_K, WINNOW_W)
+        assert fa & fb
+
+
+class TestLinkPrediction:
+    def test_matches_python_recompute(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.basket import (
+            basket_minsups, frequent_pair_supports,
+        )
+        from columnar_estimator_sample_spark.operators.graph import (
+            LP_PICO, LP_TOP, q_link_prediction,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        import pyspark.sql.functions as F
+        li = table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        edges = {(r["u"], r["v"]) for r in frequent_pair_supports(
+            li, *basket_minsups(sf_dir))[0].select("u", "v").collect()}
+        adj = defaultdict(set)
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+        cn, ra = Counter(), Counter()
+        for z, nbrs in adj.items():
+            for a, b in combinations(sorted(nbrs), 2):
+                cn[(a, b)] += 1
+                ra[(a, b)] += LP_PICO // len(adj[z])
+        rows = [(a, b, cn[(a, b)], ra[(a, b)])
+                for (a, b) in cn if (a, b) not in edges]
+        rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+        expect = [(a, b, c, p / LP_PICO) for a, b, c, p in rows[:LP_TOP]]
+        got = [tuple(r) for r in q_link_prediction(spark, sf_dir).collect()]
+        assert got == expect
+        # every predicted link is absent from the mined edge set
+        for a, b, *_ in got:
+            assert (a, b) not in edges and (b, a) not in edges
+
+
+class TestLangidClassifier:
+    def test_matches_python_recompute(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.textstats import (
+            CLS_NANO, q_langid_classifier,
+        )
+        docs = _docs(sf_dir)
+        tok_counts, totals = defaultdict(Counter), Counter()
+        for _, text, lang, _ in docs:
+            toks = text.split(" ")
+            tok_counts[lang].update(toks)
+            totals[lang] += len(toks)
+        rates = {(l, t): (c * CLS_NANO) // totals[l]
+                 for l, tc in tok_counts.items() for t, c in tc.items()}
+        conf = Counter()
+        for _, text, lang, _ in docs:
+            toks = text.split(" ")
+            scores = {l: sum(rates.get((l, t), 0) for t in toks)
+                      for l in totals}
+            pred = min(totals, key=lambda l: (-scores[l], l))
+            conf[(lang, pred)] += 1
+        expect = sorted((l, p, n) for (l, p), n in conf.items())
+        got = [tuple(r) for r in q_langid_classifier(spark, sf_dir).collect()]
+        assert got == expect
+        assert sum(n for _, _, n in got) == len(docs)
+
+
+class TestSq8Ann:
+    def test_shortlist_rescore_matches_exact_topk(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.similarity import (
+            q_ann_sq8_topk, q_similarity_topk,
+        )
+        exact = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+                 for r in q_similarity_topk(spark, sf_dir).collect()}
+        sq8 = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+               for r in q_ann_sq8_topk(spark, sf_dir).collect()}
+        assert set(sq8) == set(exact)
+        hits = sum(sq8[k][0] == exact[k][0] for k in exact)
+        # int8 with a 5x-overfetch shortlist recovers nearly all of the
+        # exact top-k on this corpus; the rescored cosines are EXACT for
+        # every truly-shared neighbor
+        assert hits / len(exact) >= 0.8
+        for k in exact:
+            if sq8[k][0] == exact[k][0]:
+                assert sq8[k][1] == exact[k][1]
