@@ -90,6 +90,11 @@ HEADLINE = [
     # round-10 tier representatives (the apply/pack layer)
     "q_dedup_exactsubstr_apply",
     "q_token_budget_pack",
+    # round-11 tier representatives
+    "q_dedup_winnow",
+    "q_ann_sq8_topk",
+    "q_link_prediction",
+    "q_langid_classifier",
 ]
 
 

@@ -943,9 +943,13 @@ def _ccnet_docs_per_lang_bound(spark: SparkSession, sf_dir: str) -> int:
         from columnar_estimator_sample_spark.plans.stats import (
             column_stats,
         )
-        d = column_stats(spark, "documents", "lang").get("distinct_count")
-        if d is not None and str(d).isdigit() and int(d) > 0:
-            ndv = int(d)
+        # tableExists first: DESCRIBE on a missing table raises (and
+        # Spark logs a scary analyzer ERROR before we can catch it)
+        if spark.catalog.tableExists("documents"):
+            d = column_stats(spark, "documents",
+                             "lang").get("distinct_count")
+            if d is not None and str(d).isdigit() and int(d) > 0:
+                ndv = int(d)
     except Exception:
         pass  # no analyzed catalog table in this session -> bound by 1
     return n // max(ndv, 1)

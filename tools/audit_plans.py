@@ -79,6 +79,9 @@ BUILD_RUNS_JOBS = {
     # checkpoint RDD to materialize, pulling part of normal EXECUTION
     # forward into this audit's build step — not a plan-time probe
     "q_dedup_minhash_lsh", "q_dedup_cosine_setjoin",
+    # r11: the mined pair frame feeds 7 plan references (edges x3 wedge
+    # sides, deg, anti-join) — lazily checkpointed like the LPA edges
+    "q_link_prediction",
     "q_dedup_prefix_filter", "q_media_neardup",
     "q_media_audio_neardup", "q_media_video_neardup", "q_semdedup",
     "q_er_sorted_neighborhood",
