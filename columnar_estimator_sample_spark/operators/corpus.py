@@ -1776,3 +1776,80 @@ def q_dsir_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("SUM(score_ppm) DIV COUNT(*)").cast("long")
                  .alias("mean_score_ppm"))
             .orderBy("lang"))
+
+
+# ---------------------------------------------------------------------------
+# Quality filter cascade with first-failing-gate attribution
+# ---------------------------------------------------------------------------
+
+# Gate thresholds (integer, exact in both engines). Order IS the cascade:
+# cheap structural gates first, the model-based gate last — the standard
+# Gopher/FineWeb filter-stack shape, where each document is attributed to
+# the FIRST gate that rejects it.
+CASCADE_MIN_TOKENS = 20     # too_short below this
+CASCADE_MAX_TOKENS = 90     # too_long above this
+CASCADE_MIN_TTR_PM = 420    # repetitive: distinct/total tokens permille
+CASCADE_MIN_LM_PM = 32      # low_lm: corpus-LM mean transition permille
+
+_CASCADE_VERDICT = f"""CASE
+        WHEN n_toks < {CASCADE_MIN_TOKENS} THEN 'too_short'
+        WHEN n_toks > {CASCADE_MAX_TOKENS} THEN 'too_long'
+        WHEN ttr_pm < {CASCADE_MIN_TTR_PM} THEN 'repetitive'
+        WHEN lm_pm < {CASCADE_MIN_LM_PM} THEN 'low_lm'
+        ELSE 'keep' END"""
+
+
+@register(
+    "q_quality_cascade",
+    oracle=f"""
+    WITH {{lm}},
+    sig AS (
+        SELECT d.doc_id, d.lang,
+               len(string_split(d.text, ' ')) AS n_toks,
+               (1000 * len(list_distinct(string_split(d.text, ' '))))
+                   // len(string_split(d.text, ' ')) AS ttr_pm,
+               coalesce(s.lm_score_permille, -1) AS lm_pm
+        FROM documents d
+        LEFT JOIN scores s ON s.doc_id = d.doc_id
+    )
+    SELECT lang, {_CASCADE_VERDICT} AS verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+    FROM sig
+    GROUP BY lang, verdict
+    ORDER BY lang, verdict
+    """.format(lm=_DOC_LM_SQL),
+)
+def q_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filter cascade with first-failing-gate attribution (the
+    Gopher rules / FineWeb filter-stack shape, Rae et al. 2021 §A1.1,
+    Penedo et al. 2024): structural gates first (length band, type-token
+    repetition), the model-based gate last (corpus-LM score — the CCNet
+    perplexity signal), each document attributed to the FIRST gate that
+    rejects it. The (lang, verdict) census with token mass is the
+    filter-funnel dashboard a pipeline tunes thresholds against: it shows
+    not just how much survives but WHICH gate eats each language's mass.
+
+    Scale: structural signals fold into the document scan; the LM score
+    joins from the shared per-session `doc_lm_scores` frame (the written
+    quality-scores table at 100 TB); one hash aggregate with map-side
+    partials over ~|langs| x 5 output rows."""
+    from columnar_estimator_sample_spark.operators.textstats import (
+        doc_lm_scores,
+    )
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sig = (docs.select(
+               "doc_id", "lang",
+               F.size(toks).alias("n_toks"),
+               F.expr("(1000 * size(array_distinct(split(text, ' '))))"
+                      " DIV size(split(text, ' '))").alias("ttr_pm"))
+           .join(doc_lm_scores(spark, sf_dir)
+                 .select("doc_id", "lm_score_permille"),
+                 "doc_id", "left")
+           .withColumn("lm_pm",
+                       F.coalesce("lm_score_permille", F.lit(-1))))
+    return (sig.groupBy("lang", F.expr(_CASCADE_VERDICT).alias("verdict"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_toks").cast("long").alias("n_tokens"))
+            .orderBy("lang", "verdict"))

@@ -177,3 +177,100 @@ class TestSq8Ann:
         for k in exact:
             if sq8[k][0] == exact[k][0]:
                 assert sq8[k][1] == exact[k][1]
+
+
+class TestMmrRerank:
+    def test_greedy_rule_matches_python(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+        from columnar_estimator_sample_spark.operators.similarity import (
+            MMR_K, MMR_LAMBDA, MMR_SHORTLIST, N_QUERIES, _dot_dec,
+            q_mmr_rerank,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        from pyspark.sql.window import Window
+        emb = table(spark, sf_dir, "embeddings")
+        nrm = F.sqrt(_dot_dec("embedding", "embedding"))
+        corpus = emb.select(F.col("vec_id").alias("nid"),
+                            F.col("embedding").alias("d_emb"),
+                            nrm.alias("d_nrm"))
+        qs = (emb.filter(F.col("vec_id") < N_QUERIES)
+              .select(F.col("vec_id").alias("qid"),
+                      F.col("embedding").alias("q_emb"),
+                      nrm.alias("q_nrm")))
+        w = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("nid"))
+        cand = (corpus.join(F.broadcast(qs), F.col("nid") != F.col("qid"))
+                .select("qid", "nid",
+                        (_dot_dec("q_emb", "d_emb")
+                         / (F.col("q_nrm") * F.col("d_nrm"))).alias("rel"))
+                .withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= MMR_SHORTLIST))
+        rel = {(r["qid"], r["nid"]): r["rel"] for r in cand.collect()}
+        ids = sorted({n for _, n in rel})
+        pair_emb = emb.filter(F.col("vec_id").isin(ids))
+        a = pair_emb.select(F.col("vec_id").alias("na"),
+                            F.col("embedding").alias("ea"), nrm.alias("xa"))
+        b = pair_emb.select(F.col("vec_id").alias("nb"),
+                            F.col("embedding").alias("eb"), nrm.alias("xb"))
+        sims = {(r["na"], r["nb"]): r["sim"]
+                for r in a.join(b, F.col("na") != F.col("nb"))
+                .select("na", "nb",
+                        (_dot_dec("ea", "eb")
+                         / (F.col("xa") * F.col("xb"))).alias("sim"))
+                .collect()}
+        lam, mu = MMR_LAMBDA, round(1 - MMR_LAMBDA, 10)
+        expect = []
+        for q in range(N_QUERIES):
+            pool = {n: r for (qq, n), r in rel.items() if qq == q}
+            first = min(pool, key=lambda n: (-pool[n], n))
+            picked = [first]
+            expect.append((q, 1, first, pool[first], pool[first]))
+            for rank in range(2, MMR_K + 1):
+                best = None
+                for n, r in pool.items():
+                    if n in picked:
+                        continue
+                    ms = max(sims[(n, p)] for p in picked)
+                    score = lam * r - mu * ms
+                    key = (-score, n)
+                    if best is None or key < best[0]:
+                        best = (key, n, r, score)
+                expect.append((q, rank, best[1], best[2], best[3]))
+                picked.append(best[1])
+        got = [tuple(r) for r in q_mmr_rerank(spark, sf_dir).collect()]
+        assert got == expect
+
+
+class TestQualityCascade:
+    def test_matches_python_recompute(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.corpus import (
+            CASCADE_MAX_TOKENS, CASCADE_MIN_LM_PM, CASCADE_MIN_TOKENS,
+            CASCADE_MIN_TTR_PM, q_quality_cascade,
+        )
+        from columnar_estimator_sample_spark.operators.textstats import (
+            doc_lm_scores,
+        )
+        lm = {r["doc_id"]: r["lm_score_permille"]
+              for r in doc_lm_scores(spark, sf_dir).collect()}
+        agg = defaultdict(lambda: [0, 0])
+        docs = _docs(sf_dir)
+        for doc_id, text, lang, _ in docs:
+            toks = text.split(" ")
+            n = len(toks)
+            ttr = 1000 * len(set(toks)) // n
+            if n < CASCADE_MIN_TOKENS:
+                v = "too_short"
+            elif n > CASCADE_MAX_TOKENS:
+                v = "too_long"
+            elif ttr < CASCADE_MIN_TTR_PM:
+                v = "repetitive"
+            elif lm.get(doc_id, -1) < CASCADE_MIN_LM_PM:
+                v = "low_lm"
+            else:
+                v = "keep"
+            agg[(lang, v)][0] += 1
+            agg[(lang, v)][1] += n
+        expect = sorted((l, v, c[0], c[1]) for (l, v), c in agg.items())
+        got = [tuple(r) for r in q_quality_cascade(spark, sf_dir).collect()]
+        assert got == expect
+        # the cascade partitions the corpus: census covers every doc once
+        assert sum(r[2] for r in got) == len(docs)

@@ -82,6 +82,9 @@ BUILD_RUNS_JOBS = {
     # r11: the mined pair frame feeds 7 plan references (edges x3 wedge
     # sides, deg, anti-join) — lazily checkpointed like the LPA edges
     "q_link_prediction",
+    # r11: MMR's shortlist + pairwise-sim frames feed every greedy round
+    # — both lazily checkpointed
+    "q_mmr_rerank",
     "q_dedup_prefix_filter", "q_media_neardup",
     "q_media_audio_neardup", "q_media_video_neardup", "q_semdedup",
     "q_er_sorted_neighborhood",
@@ -93,6 +96,7 @@ BUILD_RUNS_JOBS = {
     # r10: the LM-score consumers share one lazily-checkpointed
     # doc_lm_scores frame (textstats._LM_SCORES_MEMO)
     "q_doc_lm_score", "q_ccnet_tiers", "q_token_budget_pack",
+    "q_quality_cascade",
     # r10: the ExactSubstr family shares one lazily-checkpointed anchor
     # frame (dedup._EXACTSUBSTR_ANCHORS_MEMO)
     "q_dedup_exactsubstr", "q_dedup_exactsubstr_savings",
