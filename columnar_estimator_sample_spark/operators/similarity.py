@@ -1252,15 +1252,17 @@ _SQ8_Q = ("CASE WHEN {a} = 0 THEN 0 "
           "END")
 
 
-def _sq8_oracle() -> str:
+def _sq8_ctes() -> str:
+    """Shared SQ8 oracle chain: calibrate -> quantize -> shortlist ->
+    exact rescore -> ranked. Reused by the top-k and recall oracles."""
     return f"""
-    WITH ex AS (
+    WITH ex AS MATERIALIZED (
         SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                CAST(unnest(embedding) AS DOUBLE) AS v
         FROM embeddings
     ), amax AS (
         SELECT i, MAX(abs(v)) AS a FROM ex GROUP BY i
-    ), q8 AS (
+    ), q8 AS MATERIALIZED (
         SELECT e.vec_id, e.i,
                {_SQ8_Q.format(x="e.v", a="a.a")} AS qv
         FROM ex e JOIN amax a ON a.i = e.i
@@ -1275,7 +1277,7 @@ def _sq8_oracle() -> str:
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY qdot DESC, neighbor_id) AS srk
         FROM qdots
-    ), cand AS (
+    ), cand AS MATERIALIZED (
         SELECT query_id, neighbor_id FROM short
         WHERE srk <= {SQ8_SHORTLIST}
     ), dots AS (
@@ -1285,7 +1287,7 @@ def _sq8_oracle() -> str:
         JOIN ex q ON q.vec_id = c.query_id
         JOIN ex d ON d.vec_id = c.neighbor_id AND d.i = q.i
         GROUP BY 1, 2
-    ), norms AS (
+    ), norms AS MATERIALIZED (
         SELECT vec_id,
                sqrt(CAST(SUM(CAST(v * v AS DECIMAL(30,6))) AS DOUBLE)) AS nrm
         FROM ex GROUP BY vec_id
@@ -1299,28 +1301,21 @@ def _sq8_oracle() -> str:
         JOIN norms nq ON nq.vec_id = query_id
         JOIN norms nd ON nd.vec_id = neighbor_id
     )
+    """
+
+
+def _sq8_oracle() -> str:
+    return _sq8_ctes() + f"""
     SELECT query_id, neighbor_id, cosine, rank
     FROM ranked WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
     """
 
 
-@register("q_ann_sq8_topk", oracle=_sq8_oracle())
-def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar-quantized ANN: calibrate a per-dimension symmetric int8 grid
-    (max-|x| over the corpus), run the top-``SQ8_SHORTLIST`` shortlist
-    entirely in the integer lane, then rescore only the shortlist with the
-    exact decimal cosine (the standard SQ8 + refine pipeline — 4x less
-    scan bandwidth and int8 SIMD in the scoring loop at 100 TB, with the
-    float vectors touched only for |Q| x SHORTLIST rows).
-
-    Scale: calibration is a 64-row aggregate folded into one broadcast
-    single-row array (pure plan — no driver collect, no plan-time job);
-    quantized scoring is the brute-force shape on int8 lanes (the IVF
-    inverted file bounds the candidate set when N outgrows brute force —
-    SQ8 composes with it, it does not replace it); the rescore join
-    touches |Q| x SHORTLIST narrow rows, and the ranking windows shuffle
-    (query_id, neighbor_id, qdot) only — vectors never ride a shuffle."""
+def sq8_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id) top-``SQ8_SHORTLIST`` per query in the
+    int8-quantized lane — the candidate stage shared by q_ann_sq8_topk
+    and the q_ann_sq8_recall drift gate."""
     emb = table(spark, sf_dir, "embeddings")
     ex = emb.select("vec_id", F.posexplode("embedding").alias("i", "v"))
     amax_row = (ex.groupBy("i")
@@ -1345,10 +1340,30 @@ def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "(acc, v) -> acc + v)").alias("qdot")))
     ws = Window.partitionBy("query_id").orderBy(F.desc("qdot"),
                                                 F.asc("neighbor_id"))
-    cand = (qdots.select("query_id", "neighbor_id",
+    return (qdots.select("query_id", "neighbor_id",
                          F.row_number().over(ws).alias("srk"))
             .filter(F.col("srk") <= SQ8_SHORTLIST)
             .select("query_id", "neighbor_id"))
+
+
+@register("q_ann_sq8_topk", oracle=_sq8_oracle())
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN: calibrate a per-dimension symmetric int8 grid
+    (max-|x| over the corpus), run the top-``SQ8_SHORTLIST`` shortlist
+    entirely in the integer lane, then rescore only the shortlist with the
+    exact decimal cosine (the standard SQ8 + refine pipeline — 4x less
+    scan bandwidth and int8 SIMD in the scoring loop at 100 TB, with the
+    float vectors touched only for |Q| x SHORTLIST rows).
+
+    Scale: calibration is a 64-row aggregate folded into one broadcast
+    single-row array (pure plan — no driver collect, no plan-time job);
+    quantized scoring is the brute-force shape on int8 lanes (the IVF
+    inverted file bounds the candidate set when N outgrows brute force —
+    SQ8 composes with it, it does not replace it); the rescore join
+    touches |Q| x SHORTLIST narrow rows, and the ranking windows shuffle
+    (query_id, neighbor_id, qdot) only — vectors never ride a shuffle."""
+    cand = sq8_shortlist(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
     nrm = F.sqrt(_dot_dec("embedding", "embedding"))
     d_side = emb.select(F.col("vec_id").alias("neighbor_id"),
                         F.col("embedding").alias("d_emb"),
@@ -1562,3 +1577,84 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (res.select("query_id", "rank", "neighbor_id", "rel",
                        "mmr_score")
             .orderBy("query_id", "rank"))
+
+
+def _sq8_recall_oracle() -> str:
+    return _sq8_ctes() + f""", fdots AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               CAST(SUM(CAST(q.v * d.v AS DECIMAL(30,6))) AS DOUBLE) AS dot
+        FROM ex q JOIN ex d ON q.i = d.i
+        WHERE q.vec_id < {N_QUERIES} AND d.vec_id <> q.vec_id
+        GROUP BY 1, 2
+    ), eranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot / (nq.nrm * nd.nrm) DESC,
+                                           neighbor_id) AS rk
+        FROM fdots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nd ON nd.vec_id = neighbor_id
+    ), exact5 AS (
+        SELECT query_id, neighbor_id FROM eranked WHERE rk <= {TOP_K}
+    ), sq85 AS (
+        SELECT query_id, neighbor_id FROM ranked WHERE rank <= {TOP_K}
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact5) AS n_exact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM exact5 e
+             WHERE EXISTS (SELECT 1 FROM sq85 s
+                           WHERE s.query_id = e.query_id
+                             AND s.neighbor_id = e.neighbor_id))
+               AS n_hits_topk,
+           (1000 * (SELECT COUNT(*) FROM exact5 e
+                    WHERE EXISTS (SELECT 1 FROM sq85 s
+                                  WHERE s.query_id = e.query_id
+                                    AND s.neighbor_id = e.neighbor_id)))
+               // GREATEST((SELECT COUNT(*) FROM exact5), 1)
+               AS recall_topk_pm,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM exact5 e
+             WHERE EXISTS (SELECT 1 FROM cand c
+                           WHERE c.query_id = e.query_id
+                             AND c.neighbor_id = e.neighbor_id))
+               AS n_hits_shortlist,
+           (1000 * (SELECT COUNT(*) FROM exact5 e
+                    WHERE EXISTS (SELECT 1 FROM cand c
+                                  WHERE c.query_id = e.query_id
+                                    AND c.neighbor_id = e.neighbor_id)))
+               // GREATEST((SELECT COUNT(*) FROM exact5), 1)
+               AS recall_shortlist_pm
+    """
+
+
+@register("q_ann_sq8_recall", oracle=_sq8_recall_oracle())
+def q_ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quality, measured IN the engine (the scalar-quantization twin
+    of q_ann_recall / q_dedup_minhash_recall): recall of the int8 lane
+    against brute-force exact cosine, at BOTH stages — the final
+    rescored top-k and the quantized shortlist it rescores from. A
+    calibration or quantization-grid drift fails the driver's hash gate
+    here instead of silently degrading retrieval.
+
+    Scale: the exact lane is the bounded |Q| x N brute-force pass (the
+    evaluation harness, priced as fixed cost like q_ann_recall); overlap
+    counting joins |Q| x k frames."""
+    exact5 = q_similarity_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id")
+    sq85 = q_ann_sq8_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    short = sq8_shortlist(spark, sf_dir)
+    n_exact = exact5.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    hits_k = (exact5.join(sq85, ["query_id", "neighbor_id"])
+              .agg(F.count(F.lit(1)).cast("long").alias("n_hits_topk")))
+    hits_s = (exact5.join(short, ["query_id", "neighbor_id"])
+              .agg(F.count(F.lit(1)).cast("long")
+                   .alias("n_hits_shortlist")))
+    return (n_exact.crossJoin(F.broadcast(hits_k))
+            .crossJoin(F.broadcast(hits_s))
+            .select(
+                "n_exact", "n_hits_topk",
+                F.expr("CAST(1000 * n_hits_topk"
+                       " DIV GREATEST(n_exact, 1) AS BIGINT)")
+                .alias("recall_topk_pm"),
+                "n_hits_shortlist",
+                F.expr("CAST(1000 * n_hits_shortlist"
+                       " DIV GREATEST(n_exact, 1) AS BIGINT)")
+                .alias("recall_shortlist_pm")))
