@@ -274,3 +274,19 @@ class TestQualityCascade:
         assert got == expect
         # the cascade partitions the corpus: census covers every doc once
         assert sum(r[2] for r in got) == len(docs)
+
+
+class TestSq8Recall:
+    def test_census_consistent_with_lanes(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.similarity import (
+            N_QUERIES, TOP_K, q_ann_sq8_recall,
+        )
+        r = q_ann_sq8_recall(spark, sf_dir).collect()[0]
+        assert r["n_exact"] == N_QUERIES * TOP_K
+        # the rescore can only reorder what the shortlist surfaced
+        assert r["n_hits_topk"] <= r["n_hits_shortlist"] <= r["n_exact"]
+        assert r["recall_topk_pm"] == 1000 * r["n_hits_topk"] // r["n_exact"]
+        assert (r["recall_shortlist_pm"]
+                == 1000 * r["n_hits_shortlist"] // r["n_exact"])
+        # the int8 grid is not a toy: shortlist recall stays high
+        assert r["recall_shortlist_pm"] >= 800
