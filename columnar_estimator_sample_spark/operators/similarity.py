@@ -1312,10 +1312,11 @@ def _sq8_oracle() -> str:
     """
 
 
-def sq8_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, neighbor_id) top-``SQ8_SHORTLIST`` per query in the
-    int8-quantized lane — the candidate stage shared by q_ann_sq8_topk
-    and the q_ann_sq8_recall drift gate."""
+def sq8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, qv): every embedding quantized to the per-dim symmetric
+    int8 grid (corpus max-|x| calibration folded into one broadcast
+    array row — pure plan). Shared by the SQ8 shortlist and the IVF×SQ8
+    composition."""
     emb = table(spark, sf_dir, "embeddings")
     ex = emb.select("vec_id", F.posexplode("embedding").alias("i", "v"))
     amax_row = (ex.groupBy("i")
@@ -1323,10 +1324,17 @@ def sq8_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.expr("transform(array_sort(collect_list("
                             "struct(i, a))), s -> s.a)").alias("amax")))
     q_expr = _SQ8_Q.format(x="x", a="a")
-    qemb = (emb.crossJoin(F.broadcast(amax_row))
+    return (emb.crossJoin(F.broadcast(amax_row))
             .select("vec_id",
                     F.expr(f"zip_with(embedding, amax, (x, a) -> {q_expr})")
                     .alias("qv")))
+
+
+def sq8_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id) top-``SQ8_SHORTLIST`` per query in the
+    int8-quantized lane — the candidate stage shared by q_ann_sq8_topk
+    and the q_ann_sq8_recall drift gate."""
+    qemb = sq8_quantized(spark, sf_dir)
     corpus = qemb.select(F.col("vec_id").alias("neighbor_id"),
                          F.col("qv").alias("dv"))
     queries = (qemb.filter(F.col("vec_id") < N_QUERIES)
@@ -1658,3 +1666,158 @@ def q_ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("CAST(1000 * n_hits_shortlist"
                        " DIV GREATEST(n_exact, 1) AS BIGINT)")
                 .alias("recall_shortlist_pm")))
+
+
+# ---------------------------------------------------------------------------
+# IVF x SQ8 composed: inverted-file candidates, int8 shortlist, exact
+# rescore — the full 100 TB retrieval layout in one registered query
+# ---------------------------------------------------------------------------
+
+
+def _ivf_sq_oracle() -> str:
+    return f"""
+    WITH ex AS MATERIALIZED ({_SQL_EX}
+    ), norms AS MATERIALIZED (
+        SELECT vec_id, CAST(SUM(vi * vi) AS BIGINT) AS n_s
+        FROM ex GROUP BY vec_id
+    ), cex AS (
+        SELECT vec_id AS centroid_id, i, vi AS ci
+        FROM ex WHERE vec_id < {IVF_NLIST}
+    ), vc AS (
+        SELECT e.vec_id, c.centroid_id,
+               CAST(SUM(e.vi * c.ci) AS BIGINT) AS dot_s
+        FROM ex e JOIN cex c ON c.i = e.i
+        GROUP BY 1, 2
+    ), cranked AS MATERIALIZED (
+        SELECT vc.vec_id, vc.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vc.vec_id
+                   ORDER BY CAST(dot_s AS DOUBLE)
+                            / (sqrt(CAST(nv.n_s AS DOUBLE))
+                               * sqrt(CAST(nc.n_s AS DOUBLE))) DESC,
+                            centroid_id) AS rnk
+        FROM vc
+        JOIN norms nv ON nv.vec_id = vc.vec_id
+        JOIN (SELECT vec_id AS c_id, n_s FROM norms) nc
+          ON nc.c_id = vc.centroid_id
+    ), cand AS MATERIALIZED (
+        SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+        FROM (SELECT vec_id, centroid_id FROM cranked
+              WHERE vec_id < {N_QUERIES} AND rnk <= {IVF_NPROBE}) p
+        JOIN (SELECT vec_id, centroid_id FROM cranked WHERE rnk = 1) a
+          ON a.centroid_id = p.centroid_id
+        WHERE a.vec_id <> p.vec_id
+    ), exd AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ), amax AS (
+        SELECT i, MAX(abs(v)) AS a FROM exd GROUP BY i
+    ), q8 AS MATERIALIZED (
+        SELECT e.vec_id, e.i,
+               {_SQ8_Q.format(x="e.v", a="a.a")} AS qv
+        FROM exd e JOIN amax a ON a.i = e.i
+    ), qdots AS (
+        SELECT c.query_id, c.neighbor_id,
+               CAST(SUM(CAST(q.qv AS BIGINT) * d.qv) AS BIGINT) AS qdot
+        FROM cand c
+        JOIN q8 q ON q.vec_id = c.query_id
+        JOIN q8 d ON d.vec_id = c.neighbor_id AND d.i = q.i
+        GROUP BY 1, 2
+    ), short AS (
+        SELECT query_id, neighbor_id FROM qdots
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY qdot DESC, neighbor_id)
+                <= {SQ8_SHORTLIST}
+    ), dots AS (
+        SELECT s.query_id, s.neighbor_id,
+               CAST(SUM(q.vi * d.vi) AS BIGINT) AS dot_s
+        FROM short s
+        JOIN ex q ON q.vec_id = s.query_id
+        JOIN ex d ON d.vec_id = s.neighbor_id AND d.i = q.i
+        GROUP BY 1, 2
+    ), final AS (
+        SELECT query_id, neighbor_id,
+               CAST(dot_s AS DOUBLE)
+               / (sqrt(CAST(nq.n_s AS DOUBLE))
+                  * sqrt(CAST(nd.n_s AS DOUBLE))) AS cosine
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nd ON nd.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC,
+                                             neighbor_id) AS rank
+          FROM final)
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+@register("q_ann_ivf_sq_topk", oracle=_ivf_sq_oracle())
+def q_ann_ivf_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × SQ8 composed end-to-end — the production retrieval layout
+    at 100 TB (FAISS ``IVF,SQ8``): the inverted file bounds WHICH vectors
+    each query touches (nprobe/NLIST of the corpus, read from the
+    centroid-bucketed tables), the int8 lane bounds what each candidate
+    costs (4× less scan bandwidth, integer SIMD), and the exact
+    integer-lane cosine rescore runs only on the top-``SQ8_SHORTLIST``
+    survivors. Composes the two orthogonal accelerations this engine
+    certifies separately (q_ann_ivf_topk, q_ann_sq8_topk) into one plan.
+
+    Scale: candidates = O(nprobe·N/NLIST) per query with sqrt-N NLIST
+    (sublinear); the quantized scoring join carries (query_id,
+    neighbor_id, 64-byte int8 array); vectors never ride a shuffle past
+    the candidate stage; rescore touches |Q| × SHORTLIST rows."""
+    _, norms, ex = _ivf_cells(spark, sf_dir)
+    assign, probes = ivf_bucketed_assignment(spark, sf_dir)
+    cand = (probes.join(assign, "centroid_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    qv = sq8_quantized(spark, sf_dir)
+    qq = (qv.filter(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("qv").alias("qqv")))
+    dq = qv.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("qv").alias("dv"))
+    qdots = (cand.join(dq, "neighbor_id")
+             .join(F.broadcast(qq), "query_id")
+             .select("query_id", "neighbor_id",
+                     F.expr("aggregate(zip_with(qqv, dv, (x, y) -> "
+                            "CAST(x AS BIGINT) * y), CAST(0 AS BIGINT), "
+                            "(acc, v) -> acc + v)").alias("qdot")))
+    ws = Window.partitionBy("query_id").orderBy(F.desc("qdot"),
+                                                F.asc("neighbor_id"))
+    short = (qdots.select("query_id", "neighbor_id",
+                          F.row_number().over(ws).alias("srk"))
+             .filter(F.col("srk") <= SQ8_SHORTLIST)
+             .select("query_id", "neighbor_id"))
+    q = ex.select(F.col("vec_id").alias("query_id"), "i",
+                  F.col("vi").alias("qe"))
+    d = ex.select(F.col("vec_id").alias("neighbor_id"), "i",
+                  F.col("vi").alias("de"))
+    dots = (short.join(q, "query_id")
+            .join(d, ["neighbor_id", "i"])
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.sum(F.col("qe") * F.col("de")).alias("dot_s")))
+    nq = norms.select(F.col("vec_id").alias("query_id"),
+                      F.col("n_s").alias("nq_s"))
+    nd = norms.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("n_s").alias("nd_s"))
+    scored = (dots.join(F.broadcast(nq), "query_id")
+              .join(F.broadcast(nd), "neighbor_id")
+              .select("query_id", "neighbor_id",
+                      (F.col("dot_s").cast("double")
+                       / (F.sqrt(F.col("nq_s").cast("double"))
+                          * F.sqrt(F.col("nd_s").cast("double"))))
+                      .alias("cosine")))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                                F.asc("neighbor_id"))
+    return (scored.select("query_id", "neighbor_id", "cosine",
+                          F.row_number().over(wr).alias("rank"))
+            .filter(F.col("rank") <= TOP_K)
+            .orderBy("query_id", "rank"))

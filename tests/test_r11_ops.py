@@ -290,3 +290,29 @@ class TestSq8Recall:
                 == 1000 * r["n_hits_shortlist"] // r["n_exact"])
         # the int8 grid is not a toy: shortlist recall stays high
         assert r["recall_shortlist_pm"] >= 800
+
+
+class TestIvfSq:
+    def test_composes_ivf_candidates_with_sq8_shortlist(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+        from columnar_estimator_sample_spark.operators.similarity import (
+            ivf_bucketed_assignment, q_ann_ivf_sq_topk, q_ann_ivf_topk,
+        )
+        assign, probes = ivf_bucketed_assignment(spark, sf_dir)
+        cand = {(r["query_id"], r["vec_id"])
+                for r in probes.join(assign, "centroid_id")
+                .filter(F.col("vec_id") != F.col("query_id"))
+                .select("query_id", "vec_id").collect()}
+        ivf = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+               for r in q_ann_ivf_topk(spark, sf_dir).collect()}
+        got = q_ann_ivf_sq_topk(spark, sf_dir).collect()
+        for r in got:
+            # every returned neighbor came through the inverted file
+            assert (r["query_id"], r["neighbor_id"]) in cand
+            # the rescore lane is the same exact integer cosine
+            k = (r["query_id"], r["neighbor_id"])
+            if k in ivf:
+                assert r["cosine"] == ivf[k]
+        # int8 shortlist keeps nearly all of the IVF-exact top-k
+        hits = sum((r["query_id"], r["neighbor_id"]) in ivf for r in got)
+        assert hits / len(ivf) >= 0.8

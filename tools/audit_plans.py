@@ -93,6 +93,7 @@ BUILD_RUNS_JOBS = {
     # materializes it (r10: q_ann_ivf_topk also writes the bucketed
     # assignment tables once per session)
     "q_ann_ivf_topk", "q_ann_ivf_pq_topk", "q_ann_ivf_pq_residual",
+    "q_ann_ivf_sq_topk",
     # r10: the LM-score consumers share one lazily-checkpointed
     # doc_lm_scores frame (textstats._LM_SCORES_MEMO)
     "q_doc_lm_score", "q_ccnet_tiers", "q_token_budget_pack",
