@@ -1164,3 +1164,174 @@ def q_ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("hit", F.lit(0)).cast("long")
                     .alias("in_exact"))
             .orderBy("query_id", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space anisotropy: top principal direction by power iteration
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 8       # unrolled power-iteration steps (fixed spec, like
+                    # the LPA/k-core round unrolling)
+PCA_TOP_DIMS = 8    # loading rows reported
+PCA_Q = 10 ** 9     # eigenvector quantization (nano-units) per round
+
+# Component lane for the Gram matrix: the 1e6 int lane floored to
+# mil-units. floor(vi / 1000.0) — NOT integer DIV — because Spark's DIV
+# truncates toward zero while DuckDB's // floors; floor of the exact
+# IEEE quotient is identical in both engines for negative components
+# too (quotients land on integers only at exact multiples of 1000).
+_PCA_MIL = "CAST(floor(vi / 1000.0) AS BIGINT)"
+
+
+def _pca_ctes() -> str:
+    """Gram matrix + unrolled power iteration. Every SUM is exact
+    integer/decimal; doubles appear only in per-row normalization chains
+    that are textually identical in both engines and are immediately
+    re-quantized to integers — nothing floating is ever accumulated."""
+    ctes = [f"""exm AS MATERIALIZED (
+        SELECT vec_id, i, {_PCA_MIL} AS vm
+        FROM ({_SQL_EX})
+    ), gram AS MATERIALIZED (
+        SELECT a.i AS gi, b.i AS gj,
+               CAST(SUM(a.vm * b.vm) AS BIGINT) AS m
+        FROM exm a JOIN exm b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i
+    ), v0 AS (
+        SELECT gi AS j, CAST({PCA_Q} AS BIGINT) AS vq
+        FROM gram WHERE gj = 0
+    )"""]
+    for r in range(PCA_ITERS):
+        ctes.append(f"""
+    w{r} AS MATERIALIZED (
+        SELECT g.gi AS j,
+               CAST(SUM(CAST(g.m AS DECIMAL(38,0)) * v.vq)
+                    AS DECIMAL(38,0)) AS wj
+        FROM gram g JOIN v{r} v ON v.j = g.gj
+        GROUP BY g.gi
+    ), n{r} AS MATERIALIZED (
+        SELECT MAX(ABS(wj)) AS mw FROM w{r}
+    ), v{r + 1} AS MATERIALIZED (
+        SELECT w.j,
+               CAST(floor(CAST(w.wj AS DOUBLE) / CAST(n.mw AS DOUBLE)
+                          * {PCA_Q} + 0.5) AS BIGINT) AS vq
+        FROM w{r} w, n{r} n
+    )""")
+    ctes.append(f"""
+    vfin AS MATERIALIZED (SELECT j, vq FROM v{PCA_ITERS}),
+    norm2 AS (
+        SELECT CAST(SUM(CAST(vq AS DECIMAL(38,0)) * vq)
+                    AS DECIMAL(38,0)) AS n2
+        FROM vfin
+    ), quad AS (
+        SELECT CAST(SUM(CAST(g.m AS DECIMAL(38,0)) * a.vq * b.vq)
+                    AS DECIMAL(38,0)) AS qd
+        FROM gram g
+        JOIN vfin a ON a.j = g.gi
+        JOIN vfin b ON b.j = g.gj
+    ), tr AS (
+        SELECT CAST(SUM(m) AS BIGINT) AS trace FROM gram WHERE gi = gj
+    )""")
+    return "WITH " + ",".join(ctes)
+
+
+def _pca_oracle() -> str:
+    return _pca_ctes() + f"""
+    SELECT CAST(row_number() OVER (ORDER BY ABS(vq) DESC, j) AS BIGINT)
+               AS rank,
+           CAST(j AS BIGINT) AS dim,
+           CAST(vq AS DOUBLE)
+               / sqrt(CAST((SELECT n2 FROM norm2) AS DOUBLE)) AS loading,
+           CAST((SELECT qd FROM quad) AS DOUBLE)
+               / CAST((SELECT n2 FROM norm2) AS DOUBLE) / 1e6 AS eigval,
+           CAST(1000 * (CAST((SELECT qd FROM quad) AS DOUBLE)
+                / (CAST((SELECT n2 FROM norm2) AS DOUBLE)
+                   * CAST((SELECT trace FROM tr) AS DOUBLE)))
+               AS BIGINT) AS share_pm
+    FROM vfin
+    ORDER BY ABS(vq) DESC, j
+    LIMIT {PCA_TOP_DIMS}
+    """
+
+
+@register("q_embed_pca", oracle=_pca_oracle())
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy diagnostic: the corpus's dominant
+    direction (top singular direction of the raw embedding cloud) by
+    ``PCA_ITERS`` unrolled power-iteration steps over the exact Gram
+    matrix Σ x·xᵀ, plus its variance share of the trace — the standard
+    check for the anisotropic "common direction" that degrades cosine
+    retrieval (Ethayarajh 2019, arXiv:1909.00512) and the signal behind
+    whitening/centering decisions in an embedding pipeline.
+
+    Exactness (the integer-trajectory construction): components ride a
+    mil-unit integer lane, the Gram matrix is an exact int64 aggregate,
+    and each iteration's eigenvector estimate is RE-QUANTIZED to integer
+    nano-units after a max-normalization whose double chain is textually
+    identical in both engines — so the entire 8-step trajectory is
+    integer-exact and no floating value is ever summed. Determinism
+    comes from the fixed uniform start; this is a defined 8-step spec,
+    not a convergence loop — on a near-isotropic corpus (tiny eigengap,
+    like this synthetic one: share_pm barely above the 1000/64 isotropic
+    floor) the estimate is the spec'd trajectory, not the converged
+    eigenvector; on a real anisotropic embedding table (the case the
+    diagnostic exists for) the gap makes 8 steps plenty. The engine
+    test pins the exact integer trajectory AND brackets the Rayleigh
+    quotient between the mean and max true eigenvalues.
+
+    Scale: the ONLY corpus-sized work is the Gram aggregate — dim²-fan
+    explode into 4096 map-side-combinable groups (the standard
+    distributed Gram shape; the shuffle is 4096 rows regardless of N —
+    int64 headroom to ~10¹² vectors at mil-units, decimal beyond); the
+    iteration runs on a 64-row frame, pure plan composition."""
+    exm = (_exploded(table(spark, sf_dir, "embeddings"))
+           .select("vec_id", "i", F.expr(_PCA_MIL).alias("vm")))
+    a = exm.select("vec_id", F.col("i").alias("gi"),
+                   F.col("vm").alias("va"))
+    b = exm.select("vec_id", F.col("i").alias("gj"),
+                   F.col("vm").alias("vb"))
+    gram = (a.join(b, "vec_id")
+            .groupBy("gi", "gj")
+            .agg(F.expr("CAST(SUM(va * vb) AS BIGINT)").alias("m"))
+            .localCheckpoint(eager=False))
+    v = (gram.filter(F.col("gj") == 0)
+         .select(F.col("gi").alias("j"),
+                 F.lit(PCA_Q).cast("long").alias("vq")))
+    for _ in range(PCA_ITERS):
+        w = (gram.join(v, v.j == gram.gj)
+             .groupBy(F.col("gi").alias("wj_key"))
+             .agg(F.expr("CAST(SUM(CAST(m AS DECIMAL(38,0)) * vq)"
+                         " AS DECIMAL(38,0))").alias("wj"))
+             .localCheckpoint(eager=False))  # 64-row frame; prevents
+        # the w-subtree doubling per round (norm + update both read it)
+        mw = w.agg(F.max(F.abs(F.col("wj"))).alias("mw"))
+        v = (w.crossJoin(F.broadcast(mw))
+             .select(F.col("wj_key").alias("j"),
+                     F.expr(f"CAST(floor(CAST(wj AS DOUBLE)"
+                            f" / CAST(mw AS DOUBLE) * {PCA_Q} + 0.5)"
+                            f" AS BIGINT)").alias("vq")))
+    v = v.localCheckpoint(eager=False)
+    norm2 = v.agg(F.expr("CAST(SUM(CAST(vq AS DECIMAL(38,0)) * vq)"
+                         " AS DECIMAL(38,0))").alias("n2"))
+    va2 = v.select(F.col("j").alias("gi"), F.col("vq").alias("vqa"))
+    vb2 = v.select(F.col("j").alias("gj"), F.col("vq").alias("vqb"))
+    quad = (gram.join(F.broadcast(va2), "gi")
+            .join(F.broadcast(vb2), "gj")
+            .agg(F.expr("CAST(SUM(CAST(m AS DECIMAL(38,0)) * vqa * vqb)"
+                        " AS DECIMAL(38,0))").alias("qd")))
+    tr = (gram.filter(F.col("gi") == F.col("gj"))
+          .agg(F.expr("CAST(SUM(m) AS BIGINT)").alias("trace")))
+    wro = Window.orderBy(F.desc(F.abs(F.col("vq"))), F.asc("j"))
+    return (v.crossJoin(F.broadcast(norm2)).crossJoin(F.broadcast(quad))
+            .crossJoin(F.broadcast(tr))
+            .select(F.row_number().over(wro).cast("long").alias("rank"),
+                    F.col("j").cast("long").alias("dim"),
+                    F.expr("CAST(vq AS DOUBLE)"
+                           " / sqrt(CAST(n2 AS DOUBLE))").alias("loading"),
+                    F.expr("CAST(qd AS DOUBLE) / CAST(n2 AS DOUBLE)"
+                           " / 1e6").alias("eigval"),
+                    F.expr("CAST(1000 * (CAST(qd AS DOUBLE)"
+                           " / (CAST(n2 AS DOUBLE)"
+                           " * CAST(trace AS DOUBLE))) AS BIGINT)")
+                    .alias("share_pm"))
+            .orderBy("rank")
+            .limit(PCA_TOP_DIMS))

@@ -316,3 +316,47 @@ class TestIvfSq:
         # int8 shortlist keeps nearly all of the IVF-exact top-k
         hits = sum((r["query_id"], r["neighbor_id"]) in ivf for r in got)
         assert hits / len(ivf) >= 0.8
+
+
+class TestEmbedPca:
+    def test_matches_integer_spec_and_rayleigh_bounds(self, spark, sf_dir):
+        import math
+
+        import numpy as np
+        from columnar_estimator_sample_spark.operators.vq import (
+            PCA_ITERS, PCA_Q, PCA_TOP_DIMS, q_embed_pca,
+        )
+        rows = q_embed_pca(spark, sf_dir).collect()
+        assert [r["rank"] for r in rows] == list(range(1, PCA_TOP_DIMS + 1))
+        emb = duckdb.sql(
+            f"SELECT embedding FROM read_parquet('{sf_dir}/"
+            "embeddings.parquet') ORDER BY vec_id").fetchall()
+        X = np.array([e[0] for e in emb], dtype=np.float64)
+        # replicate the engine's integer trajectory exactly: mil-lane
+        # components, int Gram, max-normalized nano-quantized iteration
+        Xq = np.floor(np.round(X, 6) * 1e6 / 1000.0).astype(object)
+        G = [[sum(int(Xq[n][i]) * int(Xq[n][j]) for n in range(len(Xq)))
+              for j in range(64)] for i in range(64)]
+        vq = [PCA_Q] * 64
+        for _ in range(PCA_ITERS):
+            w = [sum(G[i][j] * vq[j] for j in range(64)) for i in range(64)]
+            mw = max(abs(x) for x in w)
+            vq = [int(math.floor(float(x) / float(mw) * PCA_Q + 0.5))
+                  for x in w]
+        n2 = sum(q * q for q in vq)
+        quad = sum(G[i][j] * vq[i] * vq[j]
+                   for i in range(64) for j in range(64))
+        trace = sum(G[i][i] for i in range(64))
+        order = sorted(range(64), key=lambda j: (-abs(vq[j]), j))
+        expect = [(r + 1, d, float(vq[d]) / math.sqrt(float(n2)),
+                   float(quad) / float(n2) / 1e6,
+                   int(1000 * (float(quad) / (float(n2) * float(trace)))))
+                  for r, d in enumerate(order[:PCA_TOP_DIMS])]
+        got = [tuple(r) for r in rows]
+        assert got == expect
+        # Rayleigh quotient of ANY vector is bounded by the top eigenvalue
+        lam_max = float(np.linalg.eigvalsh(np.array(
+            [[float(G[i][j]) for j in range(64)] for i in range(64)]))[-1])
+        mean_eig = float(trace) / 64
+        rayleigh = float(quad) / float(n2)
+        assert mean_eig < rayleigh <= lam_max * (1 + 1e-9)

@@ -94,6 +94,8 @@ BUILD_RUNS_JOBS = {
     # assignment tables once per session)
     "q_ann_ivf_topk", "q_ann_ivf_pq_topk", "q_ann_ivf_pq_residual",
     "q_ann_ivf_sq_topk",
+    # r11: the Gram matrix feeds 8 unrolled power-iteration rounds
+    "q_embed_pca",
     # r10: the LM-score consumers share one lazily-checkpointed
     # doc_lm_scores frame (textstats._LM_SCORES_MEMO)
     "q_doc_lm_score", "q_ccnet_tiers", "q_token_budget_pack",
