@@ -2301,6 +2301,52 @@ def _winnow_oracle() -> str:
     """
 
 
+def winnow_fingerprints(docs: DataFrame, contract: bool = True) -> DataFrame:
+    """(doc_id, fp): each document's winnowing fingerprint set.
+
+    ``contract=True`` (default, A/B-measured — see SCALE.md §2 row) runs
+    the k-gram explode + two window passes on DISTINCT texts only and
+    joins the fingerprint sets back through the md5 digest: winnowing is
+    a pure function of the text, so the result is identical by
+    construction, and on a duplicated corpus the expensive gram/window
+    stage contracts by the duplication factor (the sf1 testbed is
+    10-way duplicated). ``contract=False`` is the direct member-level
+    form kept for the A/B probe."""
+    from pyspark.sql.window import Window
+    if contract:
+        keyed = docs.select("doc_id", F.md5("text").alias("dfp"), "text")
+        reps = (keyed.groupBy("dfp")
+                .agg(F.min_by("text", F.col("doc_id")).alias("text")))
+        src = reps.select(F.col("dfp").alias("doc_key"), "text")
+    else:
+        src = docs.select(F.col("doc_id").alias("doc_key"), "text")
+    toks = src.select(
+        "doc_key",
+        F.posexplode(F.split("text", " ")).alias("pos0", "t"))
+    wdoc = Window.partitionBy("doc_key").orderBy("pos0")
+    gram = F.concat_ws(
+        " ", F.col("t"),
+        *[F.lead("t", i).over(wdoc) for i in range(1, WINNOW_K)])
+    # concat_ws skips NULLs (unlike ||), so gate on the last lead directly
+    kg = (toks.select(
+            "doc_key", "pos0",
+            F.when(F.lead("t", WINNOW_K - 1).over(wdoc).isNotNull(),
+                   h64(gram)).alias("h"))
+          .filter(F.col("h").isNotNull()))
+    wroll = wdoc.rowsBetween(0, WINNOW_W - 1)
+    wm = kg.select(
+        "doc_key",
+        F.min("h").over(wroll).alias("fp"),
+        F.lead("h", WINNOW_W - 1).over(wdoc).alias("h_end"))
+    rep_fps = (wm.filter(F.col("h_end").isNotNull())
+               .select("doc_key", "fp").distinct())
+    if not contract:
+        return rep_fps.withColumnRenamed("doc_key", "doc_id")
+    return (keyed.select("doc_id", F.col("dfp").alias("doc_key"))
+            .join(rep_fps, "doc_key")
+            .select("doc_id", "fp"))
+
+
 @register("q_dedup_winnow", oracle=_winnow_oracle())
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing near-dup detection (Schleimer/Wilkerson/Aiken, SIGMOD'03
@@ -2321,28 +2367,7 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter — the same bounded-bucket discipline as the LSH band joins, so
     nothing here is all-pairs. The shuffle carries (doc_id, 8-byte
     fingerprint), never text."""
-    from pyspark.sql.window import Window
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split("text", " ")).alias("pos0", "t"))
-    wdoc = Window.partitionBy("doc_id").orderBy("pos0")
-    gram = F.concat_ws(
-        " ", F.col("t"),
-        *[F.lead("t", i).over(wdoc) for i in range(1, WINNOW_K)])
-    # concat_ws skips NULLs (unlike ||), so gate on the last lead directly
-    kg = (toks.select(
-            "doc_id", "pos0",
-            F.when(F.lead("t", WINNOW_K - 1).over(wdoc).isNotNull(),
-                   h64(gram)).alias("h"))
-          .filter(F.col("h").isNotNull()))
-    wroll = wdoc.rowsBetween(0, WINNOW_W - 1)
-    wm = kg.select(
-        "doc_id",
-        F.min("h").over(wroll).alias("fp"),
-        F.lead("h", WINNOW_W - 1).over(wdoc).alias("h_end"))
-    fps = (wm.filter(F.col("h_end").isNotNull())
-           .select("doc_id", "fp").distinct())
+    fps = winnow_fingerprints(table(spark, sf_dir, "documents"))
     df_ok = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
              .filter(F.col("df") <= WINNOW_MAXDF).select("fp"))
     kept = fps.join(df_ok, "fp")

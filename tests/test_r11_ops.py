@@ -360,3 +360,17 @@ class TestEmbedPca:
         mean_eig = float(trace) / 64
         rayleigh = float(quad) / float(n2)
         assert mean_eig < rayleigh <= lam_max * (1 + 1e-9)
+
+
+class TestWinnowContraction:
+    def test_contract_and_direct_forms_bit_equal(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        docs = table(spark, sf_dir, "documents")
+        a = {(r["doc_id"], r["fp"])
+             for r in winnow_fingerprints(docs, contract=True).collect()}
+        b = {(r["doc_id"], r["fp"])
+             for r in winnow_fingerprints(docs, contract=False).collect()}
+        assert a == b
