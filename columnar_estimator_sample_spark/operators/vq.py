@@ -1174,6 +1174,7 @@ PCA_ITERS = 8       # unrolled power-iteration steps (fixed spec, like
                     # the LPA/k-core round unrolling)
 PCA_TOP_DIMS = 8    # loading rows reported
 PCA_Q = 10 ** 9     # eigenvector quantization (nano-units) per round
+PCA_DIM = 64        # embedding width
 
 # Component lane for the Gram matrix: the 1e6 int lane floored to
 # mil-units. floor(vi / 1000.0) — NOT integer DIV — because Spark's DIV
@@ -1283,55 +1284,50 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed Gram shape; the shuffle is 4096 rows regardless of N —
     int64 headroom to ~10¹² vectors at mil-units, decimal beyond); the
     iteration runs on a 64-row frame, pure plan composition."""
-    exm = (_exploded(table(spark, sf_dir, "embeddings"))
-           .select("vec_id", "i", F.expr(_PCA_MIL).alias("vm")))
-    a = exm.select("vec_id", F.col("i").alias("gi"),
-                   F.col("vm").alias("va"))
-    b = exm.select("vec_id", F.col("i").alias("gj"),
-                   F.col("vm").alias("vb"))
-    gram = (a.join(b, "vec_id")
-            .groupBy("gi", "gj")
-            .agg(F.expr("CAST(SUM(va * vb) AS BIGINT)").alias("m"))
-            .localCheckpoint(eager=False))
-    v = (gram.filter(F.col("gj") == 0)
-         .select(F.col("gi").alias("j"),
-                 F.lit(PCA_Q).cast("long").alias("vq")))
+    import math
+
+    # mil-lane array per vector (same per-element chain as _PCA_MIL over
+    # similarity._exploded's int lane)
+    mil = F.expr(
+        "transform(embedding, vf -> CAST(floor("
+        "CAST(CAST(CAST(vf AS DOUBLE) AS DECIMAL(18,6)) * 1000000"
+        " AS BIGINT) / 1000.0) AS BIGINT))")
+    # the ONLY corpus-sized stage stays distributed — and join-free: a
+    # double posexplode fans each vector into its 4096 outer-product
+    # terms inside one whole-stage-codegen pass with map-side combine
+    # (the self-join form measured ~7 s at sf0.1; this form ~1 s). The
+    # result is dim^2-BOUNDED (4096 int64 cells, corpus-independent), so
+    # the 8-round iteration runs driver-side in exact Python integers —
+    # the same bounded-collect class as q_bpe_learn's per-round argmax
+    # (a distributed 64-row round-trip per step measured 8-17 s of pure
+    # stage scheduling for ~microseconds of arithmetic)
+    e1 = (table(spark, sf_dir, "embeddings")
+          .select(mil.alias("ma"))
+          .select(F.posexplode("ma").alias("gi", "va"), F.col("ma")))
+    cells = (e1.select("gi", "va",
+                       F.posexplode("ma").alias("gj", "vb"))
+             .groupBy("gi", "gj")
+             .agg(F.expr("CAST(SUM(va * vb) AS BIGINT)").alias("m"))
+             .collect())
+    dim = PCA_DIM
+    g = {(r["gi"], r["gj"]): r["m"] for r in cells}
+    vq = [PCA_Q] * dim
     for _ in range(PCA_ITERS):
-        w = (gram.join(v, v.j == gram.gj)
-             .groupBy(F.col("gi").alias("wj_key"))
-             .agg(F.expr("CAST(SUM(CAST(m AS DECIMAL(38,0)) * vq)"
-                         " AS DECIMAL(38,0))").alias("wj"))
-             .localCheckpoint(eager=False))  # 64-row frame; prevents
-        # the w-subtree doubling per round (norm + update both read it)
-        mw = w.agg(F.max(F.abs(F.col("wj"))).alias("mw"))
-        v = (w.crossJoin(F.broadcast(mw))
-             .select(F.col("wj_key").alias("j"),
-                     F.expr(f"CAST(floor(CAST(wj AS DOUBLE)"
-                            f" / CAST(mw AS DOUBLE) * {PCA_Q} + 0.5)"
-                            f" AS BIGINT)").alias("vq")))
-    v = v.localCheckpoint(eager=False)
-    norm2 = v.agg(F.expr("CAST(SUM(CAST(vq AS DECIMAL(38,0)) * vq)"
-                         " AS DECIMAL(38,0))").alias("n2"))
-    va2 = v.select(F.col("j").alias("gi"), F.col("vq").alias("vqa"))
-    vb2 = v.select(F.col("j").alias("gj"), F.col("vq").alias("vqb"))
-    quad = (gram.join(F.broadcast(va2), "gi")
-            .join(F.broadcast(vb2), "gj")
-            .agg(F.expr("CAST(SUM(CAST(m AS DECIMAL(38,0)) * vqa * vqb)"
-                        " AS DECIMAL(38,0))").alias("qd")))
-    tr = (gram.filter(F.col("gi") == F.col("gj"))
-          .agg(F.expr("CAST(SUM(m) AS BIGINT)").alias("trace")))
-    wro = Window.orderBy(F.desc(F.abs(F.col("vq"))), F.asc("j"))
-    return (v.crossJoin(F.broadcast(norm2)).crossJoin(F.broadcast(quad))
-            .crossJoin(F.broadcast(tr))
-            .select(F.row_number().over(wro).cast("long").alias("rank"),
-                    F.col("j").cast("long").alias("dim"),
-                    F.expr("CAST(vq AS DOUBLE)"
-                           " / sqrt(CAST(n2 AS DOUBLE))").alias("loading"),
-                    F.expr("CAST(qd AS DOUBLE) / CAST(n2 AS DOUBLE)"
-                           " / 1e6").alias("eigval"),
-                    F.expr("CAST(1000 * (CAST(qd AS DOUBLE)"
-                           " / (CAST(n2 AS DOUBLE)"
-                           " * CAST(trace AS DOUBLE))) AS BIGINT)")
-                    .alias("share_pm"))
-            .orderBy("rank")
-            .limit(PCA_TOP_DIMS))
+        w = [sum(g.get((i, j), 0) * vq[j] for j in range(dim))
+             for i in range(dim)]
+        mw = max(abs(x) for x in w)
+        vq = [int(math.floor(float(x) / float(mw) * PCA_Q + 0.5))
+              for x in w]
+    n2 = sum(q * q for q in vq)
+    quad = sum(g.get((i, j), 0) * vq[i] * vq[j]
+               for i in range(dim) for j in range(dim))
+    trace = sum(g.get((i, i), 0) for i in range(dim))
+    order = sorted(range(dim), key=lambda j: (-abs(vq[j]), j))
+    eigval = float(quad) / float(n2) / 1e6
+    share_pm = int(1000 * (float(quad) / (float(n2) * float(trace))))
+    rows = [(r + 1, d, float(vq[d]) / math.sqrt(float(n2)),
+             eigval, share_pm)
+            for r, d in enumerate(order[:PCA_TOP_DIMS])]
+    return spark.createDataFrame(
+        rows, "rank long, dim long, loading double,"
+              " eigval double, share_pm long")
