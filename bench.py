@@ -95,6 +95,10 @@ HEADLINE = [
     "q_ann_sq8_topk",
     "q_link_prediction",
     "q_langid_classifier",
+    "q_mmr_rerank",
+    "q_ann_ivf_sq_topk",
+    "q_quality_cascade",
+    "q_embed_pca",
 ]
 
 

@@ -2391,3 +2391,45 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("jaccard_permille"))
             .orderBy(F.desc("shared_fps"), "doc_a", "doc_b")
             .limit(WINNOW_TOP))
+
+
+@register(
+    "q_dedup_cross_source",
+    oracle="""
+    WITH fp AS (
+        SELECT DISTINCT md5(text) AS f, source FROM documents
+    ), pairs AS (
+        SELECT a.f, a.source AS source_a, b.source AS source_b
+        FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+    )
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_contents
+    FROM pairs
+    GROUP BY source_a, source_b
+    HAVING COUNT(*) > 0
+    ORDER BY n_shared_contents DESC, source_a, source_b
+    LIMIT 25
+    """,
+)
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    DISTINCT document contents appear in both — the mixing diagnostic
+    that distinguishes "source B is a re-crawl of A" (dedup one of them
+    wholesale) from independent sources with incidental overlap (dedup
+    survivor policy matters). Complements q_dedup_soft's per-source
+    marginal view with the pairwise structure.
+
+    Scale: distinct (digest, source) pairs contract the corpus before
+    the self-join; the join is keyed on the 16-byte digest with bucket
+    width = sources-per-content (bounded by |sources|, not corpus size);
+    text never crosses an exchange."""
+    docs = table(spark, sf_dir, "documents")
+    fp = docs.select(F.md5("text").alias("f"), "source").distinct()
+    a = fp.select("f", F.col("source").alias("source_a"))
+    b = fp.select("f", F.col("source").alias("source_b"))
+    return (a.join(b, "f")
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared_contents"))
+            .orderBy(F.desc("n_shared_contents"), "source_a", "source_b")
+            .limit(25))

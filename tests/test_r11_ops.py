@@ -374,3 +374,22 @@ class TestWinnowContraction:
         b = {(r["doc_id"], r["fp"])
              for r in winnow_fingerprints(docs, contract=False).collect()}
         assert a == b
+
+
+class TestCrossSource:
+    def test_matches_python_recompute(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.dedup import (
+            q_dedup_cross_source,
+        )
+        docs = _docs(sf_dir)
+        by_fp = defaultdict(set)
+        for _, text, _, source in docs:
+            by_fp[hashlib.md5(text.encode()).hexdigest()].add(source)
+        cnt = Counter()
+        for srcs in by_fp.values():
+            for a, b in combinations(sorted(srcs), 2):
+                cnt[(a, b)] += 1
+        rows = sorted(((a, b, n) for (a, b), n in cnt.items()),
+                      key=lambda r: (-r[2], r[0], r[1]))[:25]
+        got = [tuple(r) for r in q_dedup_cross_source(spark, sf_dir).collect()]
+        assert got == rows
