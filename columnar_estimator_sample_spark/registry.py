@@ -102,6 +102,15 @@ _loaded = False
 # relative basket-minsup derivation and IVF NLIST ~ sqrt(N) equal
 # their old constants at every gate/bench SF (test-pinned), so those
 # certs hold byte-exact too.
+# Round-11 NEW queries (q_dedup_soft/winnow/cross_source,
+# q_link_prediction, q_langid_classifier, q_ann_sq8_topk/recall,
+# q_ann_ivf_sq_topk, q_mmr_rerank, q_quality_cascade, q_embed_pca)
+# register BEHIND this window by design: the r10 verdict's lead item —
+# retiring the whole 45-row certification backlog — fills all 50 driver
+# slots this round. Each new query is differentially verified at BOTH
+# gate SFs by tools/check_oracle.py (rows merged into
+# CORRECTNESS_LOCAL.json) and becomes a front-of-window candidate for
+# the r12 rotation.
 _DRIVER_WINDOW_R11 = [
     # (a) rewritten this round
     "q_corpus_export", "q_ccnet_tiers", "q_ann_ivf_topk",
