@@ -147,7 +147,7 @@ def main() -> None:
         samples.sort()
         best = samples[0]
         median = samples[len(samples) // 2]
-        timings[name] = round(best, 3)
+        timings[name] = round(best, 2)
         rows[name] = n
         print(f"# {name}: {n} rows min {best:.3f}s median {median:.3f}s "
               f"(of {PASSES})", file=sys.stderr)
@@ -166,7 +166,8 @@ def main() -> None:
     # per-query row counts go to STDERR only: the driver records the last
     # 2000 bytes of stdout, and round 5's JSON line outgrew that tail once
     # `rows` was inlined (BENCH_r05.json parsed:null). Keep the stdout
-    # line compact and assert it fits with headroom.
+    # line compact and assert it fits with headroom (r11: per-query
+    # timings dropped to 2 decimals when the 57-query line hit 1810).
     print(f"# rows: {json.dumps(rows)}", file=sys.stderr)
     line = json.dumps({
         "metric": "total_headline_sec",

@@ -1514,11 +1514,13 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: relevance is the brute-force lane (or any ANN shortlist —
     MMR only ever sees |Q| x SHORTLIST rows); candidate-pair similarities
-    are computed once (|Q| x SHORTLIST² tiny frame); each greedy round is
-    a join + hash-aggregate on that frame — the iteration is pure plan
-    composition (no driver collect, no plan-time jobs), bounded by
-    MMR_K. All cosines are the exact decimal lane, the MMR combination
-    is the identical IEEE expression text in both engines."""
+    are computed once (|Q| x SHORTLIST² tiny frame). Both frames are
+    bounded by CONFIG, not corpus size, so the greedy argmax runs
+    driver-side on the collected exact cosines (the bounded-collect
+    class of q_bpe_learn/q_embed_pca; the distributed-rounds form
+    measured 4.2 s of stage latency for a 125-row problem — 1.2 s this
+    way). All cosines are the exact decimal lane, the MMR combination is
+    the identical IEEE chain the oracle unrolls."""
     emb = table(spark, sf_dir, "embeddings")
     nrm = F.sqrt(_dot_dec("embedding", "embedding"))
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
@@ -1543,48 +1545,44 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("d_emb").alias("ea"), F.col("d_nrm").alias("xa"))
     b = cand.select("query_id", F.col("neighbor_id").alias("nb"),
                     F.col("d_emb").alias("eb"), F.col("d_nrm").alias("xb"))
-    sims = (a.join(b, "query_id")
-            .filter(F.col("na") != F.col("nb"))
-            .select("query_id", "na", "nb",
-                    (_dot_dec("ea", "eb")
-                     / (F.col("xa") * F.col("xb"))).alias("sim"))
-            .localCheckpoint(eager=False))
-    cand = cand.drop("d_emb", "d_nrm")
+    # both frames are bounded by CONFIG, not corpus (|Q| x SHORTLIST rel
+    # rows, |Q| x SHORTLIST^2 pair sims) — so the greedy argmax loop runs
+    # driver-side on the collected exact cosines (the q_bpe_learn /
+    # q_embed_pca bounded-collect class; the distributed-rounds form
+    # measured 4.2 s of pure stage latency for a 125-row problem). The
+    # floats are the engine-computed exact-decimal cosines; Python's
+    # IEEE arithmetic on them is the same chain the oracle unrolls.
+    rel_rows = cand.select("query_id", "neighbor_id", "rel").collect()
+    sim_rows = (a.join(b, "query_id")
+                .filter(F.col("na") != F.col("nb"))
+                .select("query_id", "na", "nb",
+                        (_dot_dec("ea", "eb")
+                         / (F.col("xa") * F.col("xb"))).alias("sim"))
+                .collect())
+    rel = {(r["query_id"], r["neighbor_id"]): r["rel"] for r in rel_rows}
+    sims = {(r["query_id"], r["na"], r["nb"]): r["sim"] for r in sim_rows}
     lam, mu = MMR_LAMBDA, round(1 - MMR_LAMBDA, 10)
-    sel = (cand.withColumn("rk", F.row_number().over(wrel))
-           .filter(F.col("rk") == 1).drop("rk")
-           .select("query_id", "neighbor_id", "rel",
-                   F.col("rel").alias("mmr_score"),
-                   F.lit(1).cast("long").alias("rank")))
-    picked = sel.select("query_id", "neighbor_id")
-    out = [sel]
-    for r in range(2, MMR_K + 1):
-        remaining = cand.join(picked, ["query_id", "neighbor_id"],
-                              "left_anti")
-        ms = (remaining
-              .join(picked.withColumnRenamed("neighbor_id", "nb"),
-                    "query_id")
-              .join(sims.withColumnRenamed("na", "neighbor_id"),
-                    ["query_id", "neighbor_id", "nb"])
-              .groupBy("query_id", "neighbor_id", "rel")
-              .agg(F.max("sim").alias("maxsim")))
-        wm = Window.partitionBy("query_id").orderBy(
-            F.desc(F.expr(f"{lam} * rel - {mu} * maxsim")),
-            F.asc("neighbor_id"))
-        pick = (ms.withColumn("rk", F.row_number().over(wm))
-                .filter(F.col("rk") == 1)
-                .select("query_id", "neighbor_id", "rel",
-                        F.expr(f"{lam} * rel - {mu} * maxsim")
-                        .alias("mmr_score"),
-                        F.lit(r).cast("long").alias("rank")))
-        out.append(pick)
-        picked = picked.unionAll(pick.select("query_id", "neighbor_id"))
-    res = out[0]
-    for p in out[1:]:
-        res = res.unionAll(p)
-    return (res.select("query_id", "rank", "neighbor_id", "rel",
-                       "mmr_score")
-            .orderBy("query_id", "rank"))
+    out_rows = []
+    for q in sorted({k[0] for k in rel}):
+        pool = {n: v for (qq, n), v in rel.items() if qq == q}
+        first = min(pool, key=lambda n: (-pool[n], n))
+        picked = [first]
+        out_rows.append((q, 1, first, pool[first], pool[first]))
+        for rank in range(2, MMR_K + 1):
+            best = None
+            for n, r in pool.items():
+                if n in picked:
+                    continue
+                ms = max(sims[(q, n, p)] for p in picked)
+                score = lam * r - mu * ms
+                key = (-score, n)
+                if best is None or key < best[0]:
+                    best = (key, n, r, score)
+            out_rows.append((q, rank, best[1], best[2], best[3]))
+            picked.append(best[1])
+    return spark.createDataFrame(
+        out_rows, "query_id bigint, rank bigint, neighbor_id bigint,"
+                  " rel double, mmr_score double")
 
 
 def _sq8_recall_oracle() -> str:
