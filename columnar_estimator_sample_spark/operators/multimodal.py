@@ -37,6 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from columnar_estimator_sample_spark.registry import register
 from columnar_estimator_sample_spark.sources.tables import table
@@ -1958,3 +1959,106 @@ def q_media_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when((F.col("doc_id") == F.col("gid"))
                               & F.col("is_rem").isNull(), pixels)
                        .otherwise(0)).cast("long").alias("pixels_kept")))
+
+
+# ---------------------------------------------------------------------------
+# Query-by-image: perceptual-hash top-k search
+# ---------------------------------------------------------------------------
+
+MEDIA_SEARCH_MAXQ = 15  # query set: image docs with doc_id < 15 (%3==0)
+MEDIA_SEARCH_K = 5
+
+
+@register(
+    "q_media_search",
+    # same closed-form dHash chain as q_media_neardup's oracle, then a
+    # query-vs-corpus Hamming ranking instead of the pair census
+    oracle=f"""
+    WITH img AS (
+        SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
+        FROM documents WHERE doc_id % 3 = 0
+    ), px AS (
+        SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM img
+    ), cells AS (
+        SELECT doc_id,
+               ((k // w) * 8) // h AS cy,
+               ((k % w) * 9) // w AS cx,
+               SUM((3 * (k % w) + 7 * (k // w) + doc_id) % 256) AS s
+        FROM px GROUP BY 1, 2, 3
+    ), grid AS (
+        SELECT i.doc_id, g.cy, g.cx, COALESCE(c.s, 0) AS s
+        FROM img i
+        CROSS JOIN (SELECT cy, cx
+                    FROM (SELECT unnest(range(0, 8)) AS cy)
+                    CROSS JOIN (SELECT unnest(range(0, 9)) AS cx)) g
+        LEFT JOIN cells c
+          ON c.doc_id = i.doc_id AND c.cy = g.cy AND c.cx = g.cx
+    ), bits AS (
+        SELECT doc_id, cy, cx, bit FROM (
+            SELECT doc_id, cy, cx,
+                   CASE WHEN LEAD(s) OVER (PARTITION BY doc_id, cy
+                                           ORDER BY cx) > s
+                        THEN 1 ELSE 0 END AS bit
+            FROM grid)
+        WHERE cx < 8
+    ), hashes AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN cy*8+cx < 32
+                             THEN bit * (CAST(1 AS BIGINT) << (cy*8+cx))
+                             ELSE 0 END) AS BIGINT) AS lo,
+               CAST(SUM(CASE WHEN cy*8+cx >= 32
+                             THEN bit * (CAST(1 AS BIGINT) << (cy*8+cx-32))
+                             ELSE 0 END) AS BIGINT) AS hi
+        FROM bits GROUP BY doc_id
+    ), scored AS (
+        SELECT q.doc_id AS query_doc, d.doc_id AS match_doc,
+               CAST(bit_count(xor(q.hi, d.hi))
+                    + bit_count(xor(q.lo, d.lo)) AS BIGINT) AS ham
+        FROM hashes q JOIN hashes d ON d.doc_id <> q.doc_id
+        WHERE q.doc_id < {MEDIA_SEARCH_MAXQ}
+    )
+    SELECT query_doc, match_doc, ham,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT query_doc, match_doc, ham,
+                 row_number() OVER (PARTITION BY query_doc
+                                    ORDER BY ham, match_doc) AS rank
+          FROM scored)
+    WHERE rank <= {MEDIA_SEARCH_K}
+    ORDER BY query_doc, rank
+    """,
+)
+def q_media_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-image: top-{MEDIA_SEARCH_K} most perceptually similar
+    images per query (doc_id < {MEDIA_SEARCH_MAXQ}) by dHash Hamming
+    distance — reverse-image search over the same 64-bit hash lane the
+    near-dup census certifies, completing the multimodal tier's
+    dedupe/search pair the way SQ8/IVF complete the embedding tier's.
+
+    Scale: decode+hash stays scan-local and content-addressed (blobs
+    never shuffle; hash once per DISTINCT blob); ranking is a
+    broadcast nested-loop of the |Q|-row query hash set against the
+    24-byte hash frame — a compact-sketch linear scan, O(N·|Q|) integer
+    popcounts inside codegen (the banded equi-join stays the shape for
+    bounded-radius lookups; top-k over ALL distances needs the scan)."""
+    docs = table(spark, sf_dir, "documents")
+    media = (encode_media_batches(docs)
+             .filter(F.col("media_type") == "image")
+             .repartition("doc_id"))
+    hashes = hash_distinct_blobs(
+        media, lambda b: dhash_gray(decode_png_gray(b)))
+    hashes = hashes.localCheckpoint(eager=False)
+    q = (hashes.filter(F.col("doc_id") < MEDIA_SEARCH_MAXQ)
+         .select(F.col("doc_id").alias("query_doc"),
+                 F.col("hi").alias("qhi"), F.col("lo").alias("qlo")))
+    scored = (hashes.join(F.broadcast(q),
+                          F.col("doc_id") != F.col("query_doc"))
+              .select("query_doc", F.col("doc_id").alias("match_doc"),
+                      (F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+                       + F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo"))))
+                      .cast("long").alias("ham")))
+    w = Window.partitionBy("query_doc").orderBy("ham", "match_doc")
+    return (scored.select("query_doc", "match_doc", "ham",
+                          F.row_number().over(w).cast("long")
+                          .alias("rank"))
+            .filter(F.col("rank") <= MEDIA_SEARCH_K)
+            .orderBy("query_doc", "rank"))

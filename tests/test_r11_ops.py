@@ -393,3 +393,26 @@ class TestCrossSource:
                       key=lambda r: (-r[2], r[0], r[1]))[:25]
         got = [tuple(r) for r in q_dedup_cross_source(spark, sf_dir).collect()]
         assert got == rows
+
+
+class TestMediaSearch:
+    def test_self_duplicates_rank_first(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.multimodal import (
+            MEDIA_SEARCH_K, MEDIA_SEARCH_MAXQ, q_media_search,
+        )
+        rows = q_media_search(spark, sf_dir).collect()
+        by_q = defaultdict(list)
+        for r in rows:
+            by_q[r["query_doc"]].append(r)
+        for q, rs in by_q.items():
+            assert q < MEDIA_SEARCH_MAXQ and q % 3 == 0
+            assert [r["rank"] for r in rs] == list(
+                range(1, min(MEDIA_SEARCH_K, len(rs)) + 1))
+            hams = [r["ham"] for r in rs]
+            assert hams == sorted(hams)  # rank follows distance
+            # synth images repeat every 768 doc_ids per (w,h,phase)
+            # class: a ham-0 duplicate of the query, if present in the
+            # corpus, must occupy rank 1
+            dups = [r for r in rs if r["ham"] == 0]
+            if dups:
+                assert rs[0]["ham"] == 0

@@ -35,7 +35,7 @@ ARROW_ALLOWED = {"q_media_features", "q_similarity_topk_fast",
                  # r8: PNG decode + dHash is the vectorized worker-side
                  # stage of the image near-dup tier
                  "q_media_neardup", "q_media_audio_neardup",
-                 "q_media_video_neardup",
+                 "q_media_video_neardup", "q_media_search",
                  # r9: decode+box-downsample fused kernel
                  "q_media_resize",
                  # r10: near-dup survivor selection rides the same
@@ -85,7 +85,7 @@ BUILD_RUNS_JOBS = {
     # r11: MMR's shortlist + pairwise-sim frames feed every greedy round
     # — both lazily checkpointed
     "q_mmr_rerank",
-    "q_dedup_prefix_filter", "q_media_neardup",
+    "q_dedup_prefix_filter", "q_media_neardup", "q_media_search",
     "q_media_audio_neardup", "q_media_video_neardup", "q_semdedup",
     "q_er_sorted_neighborhood",
     # r9: the IVF family shares one lazily-checkpointed coarse
