@@ -2360,13 +2360,18 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ignore common library code" rule), then doc pairs sharing >=
     ``WINNOW_MINSHARED`` fingerprints are ranked.
 
-    Scale: the k-gram/rolling-min windows are per-document (one exchange
-    on doc_id, tasks see one document's grams at a time); fingerprints
-    shrink the corpus ~1/W before the pair join; the join itself is an
-    inverted-index self-join whose bucket width is capped by the MAXDF
-    filter — the same bounded-bucket discipline as the LSH band joins, so
-    nothing here is all-pairs. The shuffle carries (doc_id, 8-byte
-    fingerprint), never text."""
+    Scale: the k-gram/rolling-min windows run once per DISTINCT text
+    (exact-dup contraction, both-scales A/B-measured — see
+    :func:`winnow_fingerprints`); fingerprints shrink the gram stream
+    ~1/W before the pair join; the join itself is an inverted-index
+    self-join whose bucket width is capped by the MAXDF filter — the
+    same bounded-bucket discipline as the LSH band joins, so nothing
+    here is all-pairs. The shuffle carries (doc_id, 8-byte fingerprint),
+    never text. CAVEAT (measured, 100× sweep): at duplication ≫
+    WINNOW_MAXDF the boilerplate cap censors the census — exact dedup is
+    the tool for replicated corpora; winnow targets near-dups of
+    DISTINCT content (raise MAXDF with expected duplication if you need
+    both at once)."""
     fps = winnow_fingerprints(table(spark, sf_dir, "documents"))
     df_ok = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
              .filter(F.col("df") <= WINNOW_MAXDF).select("fp"))
