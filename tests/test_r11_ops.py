@@ -416,3 +416,27 @@ class TestMediaSearch:
             dups = [r for r in rs if r["ham"] == 0]
             if dups:
                 assert rs[0]["ham"] == 0
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_tok = st.text(alphabet="abcdef", min_size=1, max_size=3)
+
+
+class TestWinnowGuaranteeProperty:
+    @settings(max_examples=50, deadline=None)
+    @given(pre=st.lists(_tok, max_size=10), mid=st.lists(_tok, max_size=10),
+           run=st.lists(_tok, min_size=7, max_size=12))
+    def test_shared_run_always_shares_a_fingerprint(self, pre, mid, run):
+        # the winnowing guarantee (Schleimer et al. §3): any shared
+        # token run of length >= w + k - 1 (= 7 here) yields at least
+        # one common fingerprint, wherever it sits in either document
+        from columnar_estimator_sample_spark.operators.dedup import (
+            WINNOW_K, WINNOW_W,
+        )
+        assert WINNOW_K + WINNOW_W - 1 == 7
+        a = " ".join(pre + run)
+        b = " ".join(mid + run + ["zzz"])
+        fa = _winnow_fps(a, WINNOW_K, WINNOW_W)
+        fb = _winnow_fps(b, WINNOW_K, WINNOW_W)
+        assert fa & fb
