@@ -1502,6 +1502,58 @@ def _mmr_oracle() -> str:
     """)
 
 
+# Above this corpus size the MMR shortlist comes from the int8 lane
+# instead of the exact brute-force scan (the shortlist members are then
+# exact-rescored, so rel values stay the exact decimal lane). The gate
+# and bench SFs (N <= 20k) keep the brute-force lane, so the static
+# oracle and round-over-round bench comparability hold byte-exact —
+# same derivation discipline as ivf_nlist / basket_minsups / the ccnet
+# switch-over. 100x measured: the brute-force lane was ALL of
+# q_mmr_rerank's growth (1.2 -> 4.6 s at 200k vectors); the sq8 lane
+# scans int8 at 1/4 the bandwidth.
+MMR_BRUTE_MAX = 50_000
+
+
+def mmr_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, rel, d_emb, d_nrm): each query's
+    ``MMR_SHORTLIST`` candidates with EXACT relevance cosines. Lane
+    choice by corpus size (parquet-footer metadata read, never a job):
+    brute force below ``MMR_BRUTE_MAX`` vectors, the SQ8 int8 shortlist
+    + exact rescore above it."""
+    import os as _os
+
+    from columnar_estimator_sample_spark.sources.tables import (
+        parquet_num_rows,
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(_dot_dec("embedding", "embedding"))
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("d_emb"),
+                        nrm.alias("d_nrm"))
+    queries = (emb.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_emb"),
+                       nrm.alias("q_nrm")))
+    n_vec = parquet_num_rows(_os.path.join(sf_dir, "embeddings.parquet"))
+    if n_vec > MMR_BRUTE_MAX:
+        ids = sq8_shortlist(spark, sf_dir)  # int8 lane bounds the scan
+        return (ids.join(corpus, "neighbor_id")
+                .join(F.broadcast(queries), "query_id")
+                .select("query_id", "neighbor_id", "d_emb", "d_nrm",
+                        (_dot_dec("q_emb", "d_emb")
+                         / (F.col("q_nrm") * F.col("d_nrm"))).alias("rel")))
+    wrel = Window.partitionBy("query_id").orderBy(F.desc("rel"),
+                                                  F.asc("neighbor_id"))
+    return (corpus.join(F.broadcast(queries),
+                        F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "d_emb", "d_nrm",
+                    (_dot_dec("q_emb", "d_emb")
+                     / (F.col("q_nrm") * F.col("d_nrm"))).alias("rel"))
+            .withColumn("rrk", F.row_number().over(wrel))
+            .filter(F.col("rrk") <= MMR_SHORTLIST)
+            .drop("rrk"))
+
+
 @register("q_mmr_rerank", oracle=_mmr_oracle())
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-Marginal-Relevance re-ranking (Carbonell/Goldstein,
@@ -1512,35 +1564,19 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection rule diverse-sampling data curation uses to avoid filling
     a budget with near-identical documents.
 
-    Scale: relevance is the brute-force lane (or any ANN shortlist —
-    MMR only ever sees |Q| x SHORTLIST rows); candidate-pair similarities
-    are computed once (|Q| x SHORTLIST² tiny frame). Both frames are
+    Scale: the shortlist lane switches by corpus size
+    (:func:`mmr_shortlist` — exact brute force at gate/bench SFs, the
+    SQ8 int8 shortlist + exact rescore past ``MMR_BRUTE_MAX``; footer
+    metadata decides, never a job); MMR itself only ever sees
+    |Q| x SHORTLIST rows, and candidate-pair similarities are computed
+    once (|Q| x SHORTLIST² tiny frame). Both frames are
     bounded by CONFIG, not corpus size, so the greedy argmax runs
     driver-side on the collected exact cosines (the bounded-collect
     class of q_bpe_learn/q_embed_pca; the distributed-rounds form
     measured 4.2 s of stage latency for a 125-row problem — 1.2 s this
     way). All cosines are the exact decimal lane, the MMR combination is
     the identical IEEE chain the oracle unrolls."""
-    emb = table(spark, sf_dir, "embeddings")
-    nrm = F.sqrt(_dot_dec("embedding", "embedding"))
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
-                        F.col("embedding").alias("d_emb"),
-                        nrm.alias("d_nrm"))
-    queries = (emb.filter(F.col("vec_id") < N_QUERIES)
-               .select(F.col("vec_id").alias("query_id"),
-                       F.col("embedding").alias("q_emb"),
-                       nrm.alias("q_nrm")))
-    wrel = Window.partitionBy("query_id").orderBy(F.desc("rel"),
-                                                  F.asc("neighbor_id"))
-    cand = (corpus.join(F.broadcast(queries),
-                        F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", "neighbor_id", "d_emb", "d_nrm",
-                    (_dot_dec("q_emb", "d_emb")
-                     / (F.col("q_nrm") * F.col("d_nrm"))).alias("rel"))
-            .withColumn("rrk", F.row_number().over(wrel))
-            .filter(F.col("rrk") <= MMR_SHORTLIST)
-            .drop("rrk")
-            .localCheckpoint(eager=False))
+    cand = mmr_shortlist(spark, sf_dir).localCheckpoint(eager=False)
     a = cand.select("query_id", F.col("neighbor_id").alias("na"),
                     F.col("d_emb").alias("ea"), F.col("d_nrm").alias("xa"))
     b = cand.select("query_id", F.col("neighbor_id").alias("nb"),

@@ -440,3 +440,23 @@ class TestWinnowGuaranteeProperty:
         fa = _winnow_fps(a, WINNOW_K, WINNOW_W)
         fb = _winnow_fps(b, WINNOW_K, WINNOW_W)
         assert fa & fb
+
+
+class TestMmrScaledLane:
+    def test_sq8_lane_obeys_greedy_rule_and_overlaps_brute(
+            self, spark, sf_dir, monkeypatch):
+        import columnar_estimator_sample_spark.operators.similarity as S
+        brute = [tuple(r) for r in S.q_mmr_rerank(spark, sf_dir).collect()]
+        monkeypatch.setattr(S, "MMR_BRUTE_MAX", 0)  # force the sq8 lane
+        scaled = [tuple(r) for r in S.q_mmr_rerank(spark, sf_dir).collect()]
+        assert len(scaled) == len(brute)
+        # rank-1 = pure relevance argmax over the shortlist; with the
+        # int8 lane recovering ~all of the exact top (TestSq8Ann), the
+        # two lanes agree on most picks
+        overlap = len(set(scaled) & set(brute))
+        assert overlap / len(brute) >= 0.6
+        # within the scaled lane, rel values are still the EXACT cosines
+        brute_rel = {(q, n): rel for q, _, n, rel, _ in brute}
+        for q, _, n, rel, _ in scaled:
+            if (q, n) in brute_rel:
+                assert rel == brute_rel[(q, n)]
