@@ -104,7 +104,8 @@ _loaded = False
 # certs hold byte-exact too.
 # Round-11 NEW queries (q_dedup_soft/winnow/cross_source,
 # q_link_prediction, q_langid_classifier, q_ann_sq8_topk/recall,
-# q_ann_ivf_sq_topk, q_mmr_rerank, q_quality_cascade, q_embed_pca)
+# q_ann_ivf_sq_topk, q_mmr_rerank, q_quality_cascade, q_embed_pca,
+# q_media_search)
 # register BEHIND this window by design: the r10 verdict's lead item —
 # retiring the whole 45-row certification backlog — fills all 50 driver
 # slots this round. Each new query is differentially verified at BOTH
