@@ -1853,3 +1853,107 @@ def q_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.sum("n_toks").cast("long").alias("n_tokens"))
             .orderBy("lang", "verdict"))
+
+
+# ---------------------------------------------------------------------------
+# Quality ensemble: reciprocal-rank-fusion blend of quality signals
+# ---------------------------------------------------------------------------
+
+RRF_K0 = 60           # the standard RRF damping constant
+RRF_MICRO = 10 ** 9   # 1/(K0+rank) in exact integer nano-units
+RRF_TOP = 15
+
+
+def rrf_rank(sig: DataFrame, col: str) -> DataFrame:
+    """Global dense total-order rank of ``col`` DESC (ties by doc_id)
+    WITHOUT a global sort: rank = (# docs with a strictly higher value,
+    from a value-histogram prefix — a frame bounded by the signal's
+    value cardinality, not the corpus) + (ROW_NUMBER within the value's
+    partition — embarrassingly parallel). The budget_pack two-phase
+    shape applied to ranking."""
+    from pyspark.sql.window import Window
+    hist = sig.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy(F.desc(col))  # histogram frame: |values| rows
+    prefix = hist.select(
+        col, (F.sum("c").over(wv) - F.col("c")).alias("n_higher"))
+    ww = Window.partitionBy(col).orderBy("doc_id")
+    return (sig.join(F.broadcast(prefix), col)
+            .select("doc_id",
+                    (F.col("n_higher") + F.row_number().over(ww))
+                    .cast("long").alias(f"rank_{col}")))
+
+
+@register(
+    "q_quality_ensemble",
+    oracle=f"""
+    WITH {_DOC_LM_SQL},
+    sig AS MATERIALIZED (
+        SELECT d.doc_id, d.lang,
+               coalesce(s.lm_score_permille, -1) AS lm_pm,
+               (1000 * len(list_distinct(string_split(d.text, ' '))))
+                   // len(string_split(d.text, ' ')) AS ttr_pm,
+               len(string_split(d.text, ' ')) AS n_toks
+        FROM documents d
+        LEFT JOIN scores s ON s.doc_id = d.doc_id
+    ), ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (ORDER BY lm_pm DESC, doc_id)
+                   AS rank_lm_pm,
+               row_number() OVER (ORDER BY ttr_pm DESC, doc_id)
+                   AS rank_ttr_pm,
+               row_number() OVER (ORDER BY n_toks DESC, doc_id)
+                   AS rank_n_toks
+        FROM sig
+    )
+    SELECT doc_id, lang,
+           CAST(rank_lm_pm AS BIGINT) AS rank_lm_pm,
+           CAST(rank_ttr_pm AS BIGINT) AS rank_ttr_pm,
+           CAST(rank_n_toks AS BIGINT) AS rank_n_toks,
+           CAST({RRF_MICRO} // ({RRF_K0} + rank_lm_pm)
+                + {RRF_MICRO} // ({RRF_K0} + rank_ttr_pm)
+                + {RRF_MICRO} // ({RRF_K0} + rank_n_toks) AS BIGINT)
+               AS rrf_nano
+    FROM ranked
+    ORDER BY rrf_nano DESC, doc_id
+    LIMIT {RRF_TOP}
+    """,
+)
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal ensemble by reciprocal-rank fusion (Cormack et al.
+    SIGIR'09): documents ranked independently on each quality signal
+    (corpus-LM score, type-token ratio, length) and blended as
+    Σ 1/(60 + rank) — the rank-space combination that needs no signal
+    calibration, here in exact integer nano-units. The top blend is the
+    "best documents first" ordering a curriculum/selection stage
+    consumes, robust to any one signal's scale or outliers.
+
+    Scale: NO global sort anywhere — each signal's global rank
+    decomposes into a value-histogram prefix (a frame bounded by value
+    CARDINALITY: permille signals have <= ~1001 distinct values) plus a
+    within-value ROW_NUMBER (embarrassingly parallel), the same
+    two-phase shape as q_token_budget_pack; the final top-k is
+    TakeOrderedAndProject. Test-pinned equal to the naive single-window
+    ranking."""
+    from columnar_estimator_sample_spark.operators.textstats import (
+        doc_lm_scores,
+    )
+    docs = table(spark, sf_dir, "documents")
+    sig = (docs.select(
+               "doc_id", "lang",
+               F.expr("(1000 * size(array_distinct(split(text, ' '))))"
+                      " DIV size(split(text, ' '))").alias("ttr_pm"),
+               F.size(F.split("text", " ")).alias("n_toks"))
+           .join(doc_lm_scores(spark, sf_dir)
+                 .select("doc_id", "lm_score_permille"), "doc_id", "left")
+           .withColumn("lm_pm",
+                       F.coalesce("lm_score_permille", F.lit(-1)))
+           .select("doc_id", "lang", "lm_pm", "ttr_pm", "n_toks"))
+    out = sig.select("doc_id", "lang")
+    for col in ["lm_pm", "ttr_pm", "n_toks"]:
+        out = out.join(rrf_rank(sig.select("doc_id", col), col), "doc_id")
+    rrf = sum(F.expr(f"{RRF_MICRO} DIV ({RRF_K0} + rank_{c})")
+              for c in ["lm_pm", "ttr_pm", "n_toks"])
+    return (out.select("doc_id", "lang", "rank_lm_pm", "rank_ttr_pm",
+                       "rank_n_toks", rrf.cast("long").alias("rrf_nano"))
+            .orderBy(F.desc("rrf_nano"), "doc_id")
+            .limit(RRF_TOP))

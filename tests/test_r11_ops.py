@@ -460,3 +460,38 @@ class TestMmrScaledLane:
         for q, _, n, rel, _ in scaled:
             if (q, n) in brute_rel:
                 assert rel == brute_rel[(q, n)]
+
+
+class TestQualityEnsemble:
+    def test_two_phase_rank_equals_naive_window(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+        from pyspark.sql.window import Window
+        from columnar_estimator_sample_spark.operators.corpus import (
+            rrf_rank,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        docs = table(spark, sf_dir, "documents")
+        sig = docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_toks"))
+        naive = {r["doc_id"]: r["rk"] for r in sig.select(
+            "doc_id", F.row_number().over(
+                Window.orderBy(F.desc("n_toks"), "doc_id")).alias("rk"))
+            .collect()}
+        two_phase = {r["doc_id"]: r["rank_n_toks"]
+                     for r in rrf_rank(sig, "n_toks").collect()}
+        assert two_phase == naive
+
+    def test_rrf_blend_matches_python(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.corpus import (
+            RRF_K0, RRF_MICRO, RRF_TOP, q_quality_ensemble,
+        )
+        rows = q_quality_ensemble(spark, sf_dir).collect()
+        assert len(rows) == RRF_TOP
+        prev = None
+        for r in rows:
+            expect = sum(RRF_MICRO // (RRF_K0 + r[f"rank_{c}"])
+                         for c in ["lm_pm", "ttr_pm", "n_toks"])
+            assert r["rrf_nano"] == expect
+            if prev is not None:
+                assert (prev["rrf_nano"], ) >= (r["rrf_nano"], )
+            prev = r

@@ -99,7 +99,7 @@ BUILD_RUNS_JOBS = {
     # r10: the LM-score consumers share one lazily-checkpointed
     # doc_lm_scores frame (textstats._LM_SCORES_MEMO)
     "q_doc_lm_score", "q_ccnet_tiers", "q_token_budget_pack",
-    "q_quality_cascade",
+    "q_quality_cascade", "q_quality_ensemble",
     # r10: the ExactSubstr family shares one lazily-checkpointed anchor
     # frame (dedup._EXACTSUBSTR_ANCHORS_MEMO)
     "q_dedup_exactsubstr", "q_dedup_exactsubstr_savings",
