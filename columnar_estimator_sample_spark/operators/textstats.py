@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from columnar_estimator_sample_spark.functions.exact import davg, sql_davg
+from columnar_estimator_sample_spark.functions.hashing import sql_h64
 from columnar_estimator_sample_spark.registry import register
 from columnar_estimator_sample_spark.sources.tables import (
     register_memo,
@@ -1672,3 +1673,102 @@ def q_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pred.groupBy("lang", "pred_lang")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
             .orderBy("lang", "pred_lang"))
+
+
+HOLDOUT_FOLDS = 5  # md5(doc_id) % 5 == 0 -> evaluation fold
+
+
+@register(
+    "q_langid_holdout",
+    oracle=f"""
+    WITH folded AS (
+        SELECT doc_id, lang, text,
+               {sql_h64("CAST(doc_id AS VARCHAR)")} % {HOLDOUT_FOLDS} = 0
+                   AS is_eval
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, lang, is_eval, unnest(string_split(text, ' ')) AS t
+        FROM folded
+    ), totals AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS total
+        FROM toks WHERE NOT is_eval GROUP BY lang
+    ), rates AS (
+        SELECT k.lang AS cand, k.t,
+               (CAST(COUNT(*) AS BIGINT) * {CLS_NANO}) // m.total AS r
+        FROM toks k JOIN totals m ON m.lang = k.lang
+        WHERE NOT k.is_eval
+        GROUP BY k.lang, k.t, m.total
+    ), scores AS (
+        SELECT tk.doc_id, tk.lang, r.cand,
+               CAST(SUM(r.r) AS BIGINT) AS score
+        FROM toks tk JOIN rates r ON r.t = tk.t
+        WHERE tk.is_eval
+        GROUP BY 1, 2, 3
+    ), pred AS (
+        SELECT doc_id, lang, cand AS pred_lang FROM (
+            SELECT doc_id, lang, cand,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, cand) AS rn
+            FROM scores)
+        WHERE rn = 1
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_docs,
+           CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(1000 * SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS accuracy_pm
+    FROM pred
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_langid_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the token-rate language classifier: a
+    deterministic md5 fold split (doc_id hash % {HOLDOUT_FOLDS} == 0 =
+    eval) keeps eval documents OUT of training, so the per-language
+    accuracy is a generalization measurement — the number that actually
+    predicts router quality on new crawl data, vs
+    :func:`q_langid_classifier`'s resubstitution confusion matrix
+    (which bounds it from above). Same exact integer rate/argmax
+    machinery; same hash-split discipline as q_split_by_user.
+
+    Scale: identical shape to the resubstitution query — the fold flag
+    folds into the scan, training aggregates skip the eval fold
+    map-side, and the scoring explode is eval-fold-sized (1/{HOLDOUT_FOLDS}
+    of the corpus)."""
+    from columnar_estimator_sample_spark.functions.hashing import h64
+    docs = table(spark, sf_dir, "documents")
+    folded = docs.select(
+        "doc_id", "lang", "text",
+        ((h64(F.col("doc_id").cast("string")) % HOLDOUT_FOLDS) == 0)
+        .alias("is_eval"))
+    toks = folded.select(
+        "doc_id", "lang", "is_eval",
+        F.explode(F.split("text", " ")).alias("t"))
+    train = toks.filter(~F.col("is_eval"))
+    totals = train.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("total"))
+    rates = (train.groupBy(F.col("lang").alias("cand"), "t")
+             .agg(F.count(F.lit(1)).cast("long").alias("c"))
+             .join(F.broadcast(totals.withColumnRenamed("lang", "cand")),
+                   "cand")
+             .select("cand", "t",
+                     F.expr(f"(c * {CLS_NANO}) DIV total").alias("r")))
+    scores = (toks.filter(F.col("is_eval"))
+              .join(F.broadcast(rates), "t")
+              .groupBy("doc_id", "lang", "cand")
+              .agg(F.sum("r").cast("long").alias("score")))
+    pred = (scores.groupBy("doc_id", "lang")
+            .agg(F.min_by(
+                "cand",
+                F.struct((-F.col("score")).alias("neg"), F.col("cand")))
+                .alias("pred_lang")))
+    hit = F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)
+    return (pred.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_eval_docs"),
+                 F.sum(hit).cast("long").alias("n_correct"))
+            .select("lang", "n_eval_docs", "n_correct",
+                    F.expr("CAST(1000 * n_correct DIV n_eval_docs"
+                           " AS BIGINT)").alias("accuracy_pm"))
+            .orderBy("lang"))
