@@ -2216,12 +2216,17 @@ def q_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
     docs = table(spark, sf_dir, "documents")
-    c = F.count(F.lit(1)).over(Window.partitionBy(F.md5("text")))
-    fp = docs.select(
+    # project text DOWN to its digest before the window: partitioning
+    # directly by md5(text) keeps the text column alive through the
+    # exchange (the window's ordering projection sits above it) — this
+    # form shuffles only (source, toks, 32-char digest)
+    keyed = docs.select(
         "source",
         F.size(F.split("text", " ")).alias("toks"),
-        c.alias("c"),
-    )
+        F.md5("text").alias("dfp"))
+    fp = keyed.select(
+        "source", "toks",
+        F.count(F.lit(1)).over(Window.partitionBy("dfp")).alias("c"))
     return (
         fp.groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -1614,6 +1614,8 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 key = (-score, n)
                 if best is None or key < best[0]:
                     best = (key, n, r, score)
+            if best is None:  # pool exhausted (< MMR_K candidates) —
+                break         # degrade like the oracle's empty sel{r}
             out_rows.append((q, rank, best[1], best[2], best[3]))
             picked.append(best[1])
     return spark.createDataFrame(

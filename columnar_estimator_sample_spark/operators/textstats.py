@@ -947,10 +947,21 @@ def _ccnet_docs_per_lang_bound(spark: SparkSession, sf_dir: str) -> int:
         # tableExists first: DESCRIBE on a missing table raises (and
         # Spark logs a scary analyzer ERROR before we can catch it)
         if spark.catalog.tableExists("documents"):
-            d = column_stats(spark, "documents",
-                             "lang").get("distinct_count")
-            if d is not None and str(d).isdigit() and int(d) > 0:
-                ndv = int(d)
+            # the catalog name 'documents' is session-global, not keyed
+            # to sf_dir: trust its NDV only when its analyzed row count
+            # matches THIS sf_dir's footer count, else a stale ANALYZE
+            # of another corpus could pick the wrong lane
+            from columnar_estimator_sample_spark.plans.stats import (
+                catalog_stats,
+            )
+            import re as _re
+            stats = catalog_stats(spark, "documents").get("table", "")
+            m = _re.search(r"(\d+)\s+rows", stats)
+            if m and int(m.group(1)) == n:
+                d = column_stats(spark, "documents",
+                                 "lang").get("distinct_count")
+                if d is not None and str(d).isdigit() and int(d) > 0:
+                    ndv = int(d)
     except Exception:
         pass  # no analyzed catalog table in this session -> bound by 1
     return n // max(ndv, 1)
@@ -1704,13 +1715,24 @@ HOLDOUT_FOLDS = 5  # md5(doc_id) % 5 == 0 -> evaluation fold
         FROM toks tk JOIN rates r ON r.t = tk.t
         WHERE tk.is_eval
         GROUP BY 1, 2, 3
-    ), pred AS (
+    ), scored_pred AS (
         SELECT doc_id, lang, cand AS pred_lang FROM (
             SELECT doc_id, lang, cand,
                    row_number() OVER (PARTITION BY doc_id
                                       ORDER BY score DESC, cand) AS rn
             FROM scores)
         WHERE rn = 1
+    ), pred AS (
+        -- eval docs with ZERO training-vocab overlap score 0 for every
+        -- language: argmax degenerates to the tie-break (MIN lang);
+        -- dropping them would overstate accuracy on exactly the hardest
+        -- docs
+        SELECT f.doc_id, f.lang,
+               coalesce(sp.pred_lang,
+                        (SELECT MIN(lang) FROM totals)) AS pred_lang
+        FROM folded f
+        LEFT JOIN scored_pred sp ON sp.doc_id = f.doc_id
+        WHERE f.is_eval
     )
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_eval_docs,
@@ -1759,11 +1781,22 @@ def q_langid_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(F.broadcast(rates), "t")
               .groupBy("doc_id", "lang", "cand")
               .agg(F.sum("r").cast("long").alias("score")))
-    pred = (scores.groupBy("doc_id", "lang")
-            .agg(F.min_by(
-                "cand",
-                F.struct((-F.col("score")).alias("neg"), F.col("cand")))
-                .alias("pred_lang")))
+    scored_pred = (scores.groupBy("doc_id", "lang")
+                   .agg(F.min_by(
+                       "cand",
+                       F.struct((-F.col("score")).alias("neg"),
+                                F.col("cand")))
+                       .alias("pred_lang")))
+    # zero-overlap eval docs score 0 everywhere -> tie-break language;
+    # left join keeps them in the accuracy denominator
+    fallback = totals.agg(F.min("lang").alias("fb_lang"))
+    pred = (folded.filter("is_eval").select("doc_id", "lang")
+            .join(scored_pred.select("doc_id", "pred_lang"),
+                  "doc_id", "left")
+            .crossJoin(F.broadcast(fallback))
+            .select("doc_id", "lang",
+                    F.coalesce("pred_lang", "fb_lang")
+                    .alias("pred_lang")))
     hit = F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)
     return (pred.groupBy("lang")
             .agg(F.count(F.lit(1)).cast("long").alias("n_eval_docs"),

@@ -1244,9 +1244,9 @@ def _pca_oracle() -> str:
                / sqrt(CAST((SELECT n2 FROM norm2) AS DOUBLE)) AS loading,
            CAST((SELECT qd FROM quad) AS DOUBLE)
                / CAST((SELECT n2 FROM norm2) AS DOUBLE) / 1e6 AS eigval,
-           CAST(1000 * (CAST((SELECT qd FROM quad) AS DOUBLE)
+           CAST(floor(1000 * (CAST((SELECT qd FROM quad) AS DOUBLE)
                 / (CAST((SELECT n2 FROM norm2) AS DOUBLE)
-                   * CAST((SELECT trace FROM tr) AS DOUBLE)))
+                   * CAST((SELECT trace FROM tr) AS DOUBLE))))
                AS BIGINT) AS share_pm
     FROM vfin
     ORDER BY ABS(vq) DESC, j
