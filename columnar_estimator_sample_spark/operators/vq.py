@@ -1316,6 +1316,15 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = [sum(g.get((i, j), 0) * vq[j] for j in range(dim))
              for i in range(dim)]
         mw = max(abs(x) for x in w)
+        if mw == 0:
+            # Degenerate corpus (all-zero embeddings -> zero Gram):
+            # every iterate is zero, so the defined result is the
+            # uniform start with share 0 rather than a driver
+            # ZeroDivisionError. The oracle's unrolled SQL assumes a
+            # nonzero corpus (the diagnostic's real precondition); both
+            # gate-SF corpora satisfy it, and TestEmbedPca pins this
+            # branch directly.
+            break
         vq = [int(math.floor(float(x) / float(mw) * PCA_Q + 0.5))
               for x in w]
     n2 = sum(q * q for q in vq)
@@ -1324,7 +1333,8 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     trace = sum(g.get((i, i), 0) for i in range(dim))
     order = sorted(range(dim), key=lambda j: (-abs(vq[j]), j))
     eigval = float(quad) / float(n2) / 1e6
-    share_pm = int(1000 * (float(quad) / (float(n2) * float(trace))))
+    share_pm = (0 if trace == 0 else
+                int(1000 * (float(quad) / (float(n2) * float(trace)))))
     rows = [(r + 1, d, float(vq[d]) / math.sqrt(float(n2)),
              eigval, share_pm)
             for r, d in enumerate(order[:PCA_TOP_DIMS])]

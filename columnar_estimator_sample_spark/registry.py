@@ -75,73 +75,48 @@ _loaded = False
 # in and out of the window is additionally verified by
 # ``tools/check_oracle.py`` (same compare semantics) before commit.
 #
-# Round-11 window (the round-10 verdict's lead item: retire the ENTIRE
-# remaining certification backlog — after this window no driver cert is
-# older than r5): exactly the 45 stale rows (3 r2-age window-function
-# rows + the full 42-row r4 cohort: the TPC-H q11..q21 slice and the
-# events.py attribution/funnel/cohort tier) plus the 5 queries whose
-# OWN registered body changed this round —
-#   q_corpus_export      (lands via bucketed CTAS: lang-partitioned,
-#                         doc_id-bucketed; census reads the table)
-#   q_ccnet_tiers        (plan-time window/histogram switch-over)
-#   q_ann_ivf_topk       (derived NLIST ~ sqrt(N); bucket count +
-#                         path-hashed table tag)
-#   q_ann_ivf_pq_residual(residual centroid filter tracks derived NLIST)
-#   q_contamination_apply(broadcast hint dropped on the eval trigram
-#                         frame — unbroadcastable at scale)
-# Result-identical SHARED-HELPER work this round does NOT displace
-# backlog rows: contract_exact_dups was A/B'd in two forms (the
-# agg+join restatement is bit-equality test-pinned,
-# tests/test_operators.py; every consumer — minhash lsh/precision/
-# recall, ngram/cosine set-join, embedding LSH, semdedup, contamination
-# check, dedup clusters/savings/apply/incremental — was re-verified
-# hash-exact at BOTH gate SFs under it) and the WINDOW form stayed the
-# default after the consumer-level 100x A/B won 1.2-2.9x
-# (tools/probe_contract_form_consumers.py), i.e. the shipped code path
-# is the one the fresh r8-r10 driver certs already certify. The
-# relative basket-minsup derivation and IVF NLIST ~ sqrt(N) equal
-# their old constants at every gate/bench SF (test-pinned), so those
-# certs hold byte-exact too.
-# Round-11 NEW queries (q_dedup_soft/winnow/cross_source,
-# q_link_prediction, q_langid_classifier, q_ann_sq8_topk/recall,
-# q_ann_ivf_sq_topk, q_mmr_rerank, q_quality_cascade, q_embed_pca,
-# q_media_search)
-# register BEHIND this window by design: the r10 verdict's lead item —
-# retiring the whole 45-row certification backlog — fills all 50 driver
-# slots this round. Each new query is differentially verified at BOTH
-# gate SFs by tools/check_oracle.py (rows merged into
-# CORRECTNESS_LOCAL.json) and becomes a front-of-window candidate for
-# the r12 rotation.
-_DRIVER_WINDOW_R11 = [
-    # (a) rewritten this round
-    "q_corpus_export", "q_ccnet_tiers", "q_ann_ivf_topk",
-    "q_ann_ivf_pq_residual", "q_contamination_apply",
-    # (b) the r2-age window-function rows
-    "q_window_ranks", "q_window_running", "q_window_topk_per_group",
-    # (c) the full r4 cohort: TPC-H slice first, then the events tier
-    #     in registration order
-    "q11_important_stock", "q13_order_distribution", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q20_excess_suppliers", "q21_sole_late_supplier",
-    "q_activity_lorenz", "q_aqp_ci", "q_attribution",
-    "q_attribution_linear", "q_bounce_rate", "q_churn_hazard",
-    "q_cohort_ltv", "q_cuped", "q_daily_arpu", "q_decay_engagement",
-    "q_distribution_drift", "q_dormancy_segments", "q_event_paths",
-    "q_first_order_predictiveness", "q_funnel_exclusion",
-    "q_funnel_latency", "q_group_topn_other", "q_growth_accounting",
-    "q_hierarchy_rollup", "q_interval_enrich", "q_largest_remainder",
-    "q_longest_streak", "q_markov_stationary", "q_max_concurrency",
-    "q_pagerank", "q_postings_delta", "q_purchase_intervals",
-    "q_range_join_binned", "q_return_rate_segment",
-    "q_revenue_decomposition", "q_rfm_segments", "q_scd2_history",
-    "q_segment_median_order", "q_ship_latency", "q_value_migration",
+# Round-12 window (the round-11 verdict's lead item): the 14 round-11
+# operators that registered behind the r11 window and therefore have NO
+# driver CORRECTNESS row yet (in registration order), plus the 36
+# OLDEST r5-age re-certification rows (registration order; the 9 r5
+# leftovers — q_theilsen_trend q_expectations q_k_anonymity
+# q_capture_recapture q_embed_quantize q_benford q_tfrecord_roundtrip
+# q_stream_daily_counts q_stream_sessions — head the r13 window).
+# Round-12 NEW queries (incremental IVF maintenance, embedding
+# whitening apply) register BEHIND this window by design, exactly as
+# the r11 cohort did: each is differentially verified at BOTH gate SFs
+# by tools/check_oracle.py (rows merged into CORRECTNESS_LOCAL.json)
+# and becomes a front-of-window candidate for the r13 rotation.
+# Queries whose registered body changes this round but that are ALREADY
+# in this window (q_dedup_winnow: adaptive MAXDF; q_embed_pca: zero-mw
+# guard) need no displacement — the driver certifies the changed body.
+_DRIVER_WINDOW_R12 = [
+    # (a) the 14 never-driver-certified r11 operators
+    "q_dedup_soft", "q_dedup_winnow", "q_dedup_cross_source",
+    "q_link_prediction", "q_langid_classifier", "q_langid_holdout",
+    "q_ann_sq8_topk", "q_mmr_rerank", "q_ann_sq8_recall",
+    "q_ann_ivf_sq_topk", "q_quality_cascade", "q_quality_ensemble",
+    "q_embed_pca", "q_media_search",
+    # (b) the 36 oldest r5-age re-certs, registration order
+    "q_rate_anomaly", "q_event_transitions", "q_slo_burn",
+    "q_substring_hotspots", "q_cheapest_route", "q_two_hop_reach",
+    "q_degree_histogram", "q_token_bigrams", "q_label_balance",
+    "q_repetition_ratios", "q_vocab_coverage", "q_bigram_lm",
+    "q_bigram_novelty", "q_hapax_share", "q_simpson_diversity",
+    "q_length_percentiles", "q_kwic", "q_autocomplete",
+    "q_token_colocation", "q_zipf_check", "q_corpus_prep_pipeline",
+    "q_snapshot_diff", "q_resample_ohlc", "q_gap_fill", "q_ewma",
+    "q_rolling_active", "q_weekday_seasonality", "q_mad_outliers",
+    "q_seasonal_backtest", "q_burstiness", "q_haar_levels",
+    "q_cusum_changepoint", "q_tail_risk", "q_rolling_zscore",
+    "q_ols_trend", "q_inventory_clamped",
 ]
 
 
 def _window_order(d: dict) -> dict:
     """Reorder ``d`` so the current driver window comes first (names
     missing from ``d`` are ignored; the rest keep registration order)."""
-    front = [k for k in _DRIVER_WINDOW_R11 if k in d]
+    front = [k for k in _DRIVER_WINDOW_R12 if k in d]
     rest = [k for k in d if k not in set(front)]
     return {k: d[k] for k in front + rest}
 

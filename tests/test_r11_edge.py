@@ -43,6 +43,70 @@ class TestMmrSmallPool:
             assert ranks == [1, 2, 3]  # pool exhausted gracefully
 
 
+class TestEmbedPca:
+    def test_all_zero_corpus_defined_not_crash(self, spark, tmp_path):
+        # all-zero embeddings -> zero Gram -> every power iterate is
+        # zero; the operator must short-circuit to the uniform start
+        # with share 0 instead of ZeroDivisionError on mw/trace
+        import math
+
+        from columnar_estimator_sample_spark.operators.vq import (
+            PCA_DIM, PCA_TOP_DIMS, q_embed_pca,
+        )
+        sf = str(tmp_path)
+        _write(f"{sf}/embeddings.parquet", f"""
+            SELECT CAST(i AS BIGINT) AS vec_id,
+                   [CAST(0.0 AS FLOAT) FOR d IN range({PCA_DIM})]
+                       AS embedding,
+                   CAST(0 AS BIGINT) AS label
+            FROM range(6) t(i)""")
+        rows = q_embed_pca(spark, sf).collect()
+        assert len(rows) == PCA_TOP_DIMS
+        uniform = 1.0 / math.sqrt(float(PCA_DIM))
+        for r in rows:
+            assert r["share_pm"] == 0 and r["eigval"] == 0.0
+            assert abs(r["loading"] - uniform) < 1e-12
+
+
+class TestCrossSourceNonVacuous:
+    def test_planted_overlap_is_counted(self, spark, tmp_path):
+        # At both gate SFs q_dedup_cross_source returns 0 rows (the
+        # synthetic corpus has no cross-source exact dups), so its
+        # oracle cert compares empty-to-empty. This fixture plants
+        # identical text across sources and pins non-empty rows.
+        from columnar_estimator_sample_spark.operators.dedup import (
+            q_dedup_cross_source,
+        )
+        sf = str(tmp_path)
+        _write(f"{sf}/documents.parquet", """
+            SELECT * FROM (VALUES
+              (CAST(1 AS BIGINT), 'dup one', 'aa', 'src0',
+               CAST(7 AS BIGINT)),
+              (CAST(2 AS BIGINT), 'dup one', 'aa', 'src1',
+               CAST(7 AS BIGINT)),
+              (CAST(3 AS BIGINT), 'dup two', 'aa', 'src0',
+               CAST(7 AS BIGINT)),
+              (CAST(4 AS BIGINT), 'dup two', 'aa', 'src1',
+               CAST(7 AS BIGINT)),
+              (CAST(5 AS BIGINT), 'dup two', 'aa', 'src2',
+               CAST(7 AS BIGINT)),
+              (CAST(6 AS BIGINT), 'dup two', 'aa', 'src2',
+               CAST(7 AS BIGINT)),
+              (CAST(7 AS BIGINT), 'unique alpha', 'aa', 'src0',
+               CAST(12 AS BIGINT)),
+              (CAST(8 AS BIGINT), 'unique beta', 'aa', 'src1',
+               CAST(11 AS BIGINT))
+            ) t(doc_id, text, lang, source, n_chars)""")
+        rows = [(r["source_a"], r["source_b"], r["n_shared_contents"])
+                for r in q_dedup_cross_source(spark, sf).collect()]
+        # distinct contents per pair: src0&src1 share {dup one, dup two};
+        # src0&src2 and src1&src2 share {dup two} (doc 6's repeat within
+        # src2 must NOT double-count — the matrix is over DISTINCT
+        # contents); ordering: n_shared desc, then source names
+        assert rows == [("src0", "src1", 2), ("src0", "src2", 1),
+                        ("src1", "src2", 1)]
+
+
 class TestHoldoutZeroOverlap:
     def test_unseen_vocab_doc_stays_in_census(self, spark, tmp_path):
         from columnar_estimator_sample_spark.operators.textstats import (

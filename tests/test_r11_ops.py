@@ -518,13 +518,21 @@ class TestLangidHoldout:
             if not is_eval[doc_id]:
                 continue
             toks = text.split(" ")
-            scores = {l: sum(rates.get((l, t), 0) for t in toks)
-                      for l in totals}
-            # docs whose every token is unseen in training score 0 for
-            # every language and still predict the tie-break language —
-            # matched by the engine only if at least one token joins;
-            # with this corpus's shared vocabulary that always holds
-            pred = min(totals, key=lambda l: (-scores[l], l))
+            # engine semantics: a language is a CANDIDATE only if >=1 of
+            # the doc's tokens joins its training vocab (a joined token
+            # with rate 0 still counts); zero-overlap docs fall back to
+            # the tie-break language. Scoring every trained language
+            # instead (rates defaulting to 0) encodes stronger semantics
+            # than the operator has and can spuriously fail when vocab
+            # overlap is partial.
+            cands = {l for l in totals
+                     if any((l, t) in rates for t in toks)}
+            if cands:
+                scores = {l: sum(rates.get((l, t), 0) for t in toks)
+                          for l in cands}
+                pred = min(cands, key=lambda l: (-scores[l], l))
+            else:
+                pred = min(totals)
             per_lang[lang][0] += 1
             per_lang[lang][1] += 1 if pred == lang else 0
         expect = sorted((l, n, c, 1000 * c // n)

@@ -50,6 +50,35 @@ def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_local_ledger_matches_source_tree():
+    """Ledger-at-HEAD gate (r11 verdict #3): the round-11 close commit
+    edited 4 operator files AFTER the ledger regen, so the committed
+    ledger silently predated the shipped sources and the judge had to
+    re-verify by hand. The ledger stamps a digest of the query-relevant
+    source tree at generation time; this test recomputes it and goes
+    red on ANY package/__spark_entry__ edit not followed by a
+    ``tools/check_oracle.py ... --json`` run (full or subset merge —
+    subset merges re-stamp, so the discipline is: re-run at least the
+    affected queries after every source edit, ledger write LAST)."""
+    import json
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from check_oracle import source_tree_hash
+
+    ledger = json.load(open(os.path.join(repo, "CORRECTNESS_LOCAL.json")))
+    assert "source_sha" in ledger, (
+        "CORRECTNESS_LOCAL.json has no source stamp — regenerate with "
+        "tools/check_oracle.py <sf_dir> --json")
+    assert ledger["source_sha"] == source_tree_hash(repo), (
+        "CORRECTNESS_LOCAL.json is STALE: package sources changed after "
+        "the ledger was generated. Re-run tools/check_oracle.py (at "
+        "least the affected queries, with --json) and commit the "
+        "ledger in the same change.")
+
+
 def test_oracle_result_types_spark_representable(sf_dir):
     """Every oracle's PREPARED DuckDB result types must be in the
     Spark-representable set.
@@ -225,7 +254,7 @@ def test_driver_window_invariants():
     certification slot), no duplicates, and queries() must lead with it
     in order."""
     from columnar_estimator_sample_spark import registry
-    W = registry._DRIVER_WINDOW_R11
+    W = registry._DRIVER_WINDOW_R12
     assert len(W) == 50
     assert len(set(W)) == 50
     qs = list(registry.queries())

@@ -122,6 +122,65 @@ BUILD_RUNS_JOBS = {
     "q_corpus_export",
 }
 
+# Queries whose builder may pull a DataFrame to the DRIVER
+# (DataFrame.collect / toPandas — .first/.take/.head funnel through
+# collect). Everything else must keep every frame distributed: an
+# unlisted collect in a registered query path is the "driver-side loop
+# over corpus-sized data" defect class, and it fails this audit even
+# when the job-count gate above would have allowed it (r11 verdict #3:
+# bounded-collect discipline was convention; this makes it a gate).
+# Every entry documents its BOUND — none grows with corpus size:
+COLLECT_ALLOWED = {
+    # iterative driver loops pulling ONE convergence scalar (or one
+    # O(groups) label frame) per superstep
+    "q_dedup_apply": "1 scalar/superstep",
+    "q_dedup_clusters": "1 scalar/superstep",
+    "q_dedup_savings": "1 scalar/superstep",
+    "q_media_dedup_apply": "1 scalar/superstep",
+    "q_er_entities": "1 scalar/superstep",
+    "q_kcore_census": "1 scalar/round",
+    "q_lpa_communities": "1 scalar/round",
+    "q_modularity": "1 scalar/round",
+    "q_pagerank": "1 scalar (L1 delta)/iteration",
+    "q_geo_dbscan": "1 scalar/expansion round",
+    "q_cheapest_route": "1 scalar/relaxation round",
+    "q_vq_refine": "1 mean-cos scalar/sweep + K centroid rows",
+    "q_embed_centroids": "K centroid rows/sweep (K=8)",
+    "q_embed_pq": "K*M subspace centroid rows/sweep",
+    "q_ann_ivf_pq_topk": "PQ codebook rows (K*M, config)",
+    "q_ann_ivf_pq_residual": "PQ codebook rows (K*M, config)",
+    "q_pq_adc_topk": "PQ codebook rows (K*M, config)",
+    # duplication-census probe gating the exact-dup contraction: ONE
+    # map-side-combinable aggregate returning two scalars (n, ndv)
+    "q_dedup_minhash_lsh": "2-scalar duplication-census probe",
+    # BPE merge selection: argmax pair per merge round (config rounds)
+    "q_bpe_learn": "1 best-pair row/merge round",
+    "q_text_bpe_tokens": "learned merge table (config MERGES)",
+    # bounded query/model sets folded into broadcast literals
+    "q_similarity_topk_fast": "<=25 packed query vectors (config)",
+    "q_ann_sq8_topk": "<=25 query vectors + 1 calibration row",
+    "q_ann_sq8_recall": "<=25 query vectors + 1 calibration row",
+    "q_ann_ivf_sq_topk": "<=25 query vectors + 1 calibration row",
+    "q_mmr_rerank": "|Q|*S shortlist + S^2 pair sims (config S=25)",
+    "q_embed_pca": "dim^2 Gram frame (4096 rows, corpus-independent)",
+    # dogfood instrumentation: the profiled/estimated run IS the point
+    "q_cbo_estimation": "per-operator metric rows of ONE profiled plan",
+    "q_ndv_broadcast_join": "catalog NDV rows (1 row/column)",
+    "q_ndv_catalog": "catalog NDV rows (1 row/column)",
+    # streaming availableNow drains: the landed result IS a bounded
+    # census (distinct windows/sessions at gate SF); re-wrapped via
+    # createDataFrame for a deterministic local frame
+    "q_stream_attribution": "drained census rows",
+    "q_stream_daily_counts": "drained census rows",
+    "q_stream_dedup_census": "drained census rows",
+    "q_stream_landing_census": "drained census rows",
+    "q_stream_sessions": "drained census rows",
+    "q_stream_sliding_value": "drained census rows",
+    "q_stream_user_totals": "drained census rows",
+    "q_tfrecord_stream_census": "drained census rows",
+    "q_tfrecord_roundtrip": "per-lang census rows (|langs| bounded)",
+}
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -148,6 +207,29 @@ def main() -> int:
     )
     flatten_trace(spark)  # same one-time schema-inference warm-up
 
+    # Bounded-collect gate: intercept the two driver-materialization
+    # entry points (first/take/head all funnel through collect()) AFTER
+    # the warm-up so table-handle setup isn't attributed to a query.
+    # Patch the CONCRETE class — pyspark.sql.DataFrame is the abstract
+    # base in PySpark 4 and its methods are overridden by the classic
+    # subclass, so patching the base intercepts nothing.
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+    except ImportError:  # pre-4.0 layout
+        from pyspark.sql import DataFrame as _DF
+    _orig_collect, _orig_topandas = _DF.collect, _DF.toPandas
+    collect_calls: list[str] = []
+
+    def _rec_collect(self):
+        collect_calls.append("collect")
+        return _orig_collect(self)
+
+    def _rec_topandas(self):
+        collect_calls.append("toPandas")
+        return _orig_topandas(self)
+
+    _DF.collect, _DF.toPandas = _rec_collect, _rec_topandas
+
     tracker = spark.sparkContext.statusTracker()
 
     def _max_job_id() -> int:
@@ -163,12 +245,19 @@ def main() -> int:
     t_start = time.time()
     for name, fn in qs.items():
         jobs_before = _max_job_id()
+        del collect_calls[:]
         try:
             plan = (fn(spark, sf_dir)._jdf.queryExecution()
                     .executedPlan().toString())
         except Exception as e:  # noqa: BLE001
             violations.append(f"{name}: plan build failed: {e}")
             continue
+        n_collects = len(collect_calls)
+        if n_collects and name not in COLLECT_ALLOWED:
+            violations.append(
+                f"{name}: {n_collects} driver collect(s)/toPandas in the "
+                "query path (outside COLLECT_ALLOWED — document the bound "
+                "or keep the frame distributed)")
         build_jobs = _max_job_id() - jobs_before
         if build_jobs > 0 and name not in BUILD_RUNS_JOBS:
             violations.append(
@@ -191,8 +280,10 @@ def main() -> int:
             "yes" if "TakeOrderedAndProject" in plan else "",
             plan.count("Generate "),
             "arrow" if has_arrow else "",
+            n_collects or "",
         ))
     dt = time.time() - t_start
+    _DF.collect, _DF.toPandas = _orig_collect, _orig_topandas
 
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PLAN_AUDIT.md")
@@ -211,13 +302,23 @@ def main() -> int:
             "`BatchEvalPython` (row-at-a-time Python) in ANY plan; no "
             "`CartesianProduct` (shuffle cartesian) in ANY plan; Arrow-"
             "batched Python only in the multimodal allowlist "
-            f"({', '.join(sorted(ARROW_ALLOWED))}).\n\n"
+            f"({', '.join(sorted(ARROW_ALLOWED))}); driver "
+            "`collect()`/`toPandas()` only in the bounded-collect "
+            "allowlist below (every listed bound is corpus-size-"
+            "independent — an unlisted collect exits 1).\n\n"
             "| query | exchanges | broadcast joins | sort-merge joins | "
-            "top-k | generators | python |\n"
-            "|---|---|---|---|---|---|---|\n")
+            "top-k | generators | python | collects |\n"
+            "|---|---|---|---|---|---|---|---|\n")
         for r in sorted(rows):
             f.write(f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | {r[4]} | "
-                    f"{r[5]} | {r[6]} |\n")
+                    f"{r[5]} | {r[6]} | {r[7]} |\n")
+        f.write("\n## Bounded-collect allowlist\n\n"
+                "Queries permitted to materialize a frame on the driver, "
+                "with the documented bound (COLLECT_ALLOWED in "
+                "`tools/audit_plans.py`):\n\n"
+                "| query | driver-side bound |\n|---|---|\n")
+        for q in sorted(COLLECT_ALLOWED):
+            f.write(f"| {q} | {COLLECT_ALLOWED[q]} |\n")
         if violations:
             f.write("\n## VIOLATIONS\n\n")
             for v in violations:

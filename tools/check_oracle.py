@@ -10,12 +10,35 @@ small float report for diagnosis). Run this before every commit:
 
 from __future__ import annotations
 
+import hashlib
 import math
+import os
 import sys
 import time
 
 import duckdb
 import pandas as pd
+
+
+def source_tree_hash(repo: str) -> str:
+    """Digest of every query-relevant source file (the package +
+    ``__spark_entry__.py``). Stamped into CORRECTNESS_LOCAL.json at
+    generation time; ``tests/test_registry.py`` recomputes it and goes
+    red when the ledger predates a source edit (the r11 process miss:
+    the close commit changed 4 operator files AFTER the ledger regen,
+    and only a hand re-run caught it)."""
+    h = hashlib.sha256()
+    paths = [os.path.join(repo, "__spark_entry__.py")]
+    pkg = os.path.join(repo, "columnar_estimator_sample_spark")
+    for root, dirs, files in os.walk(pkg):
+        dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+        paths += [os.path.join(root, f) for f in sorted(files)
+                  if f.endswith(".py")]
+    for p in sorted(paths):
+        h.update(os.path.relpath(p, repo).encode())
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
 
 
 def run_duckdb(sql: str, sf_dir: str) -> tuple[pd.DataFrame, dict[str, str]]:
@@ -207,9 +230,9 @@ def main() -> int:
           f"{len(rows_only)} rows-only")
     if emit_json:
         import json
-        import os
-        out = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "CORRECTNESS_LOCAL.json")
+        import subprocess
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = os.path.join(repo, "CORRECTNESS_LOCAL.json")
         prev = None
         if only and os.path.exists(out):
             # subset run: MERGE the fresh rows into the existing ledger
@@ -241,6 +264,17 @@ def main() -> int:
                        "n_fail": len(failed),
                        "n_rows_only": len(rows_only),
                        "queries": ledger}
+        # Staleness stamp: the source tree the rows were produced from
+        # (subset merges re-stamp too — their rows come from the CURRENT
+        # sources, and a merge into a ledger whose other rows predate a
+        # source edit should go red, not hide it).
+        payload["source_sha"] = source_tree_hash(repo)
+        try:
+            payload["generated_at_commit"] = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"], cwd=repo,
+                capture_output=True, text=True, timeout=10).stdout.strip()
+        except Exception:  # noqa: BLE001
+            payload["generated_at_commit"] = "unknown"
         with open(out, "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
         print(f"wrote {out}")
