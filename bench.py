@@ -99,6 +99,8 @@ HEADLINE = [
     "q_ann_ivf_sq_topk",
     "q_quality_cascade",
     "q_embed_pca",
+    # round-12 tier representatives
+    "q_ann_ivf_incremental",
 ]
 
 

@@ -115,6 +115,33 @@ def parquet_num_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def parquet_col_max(path: str, col: str) -> int:
+    """Column MAX from parquet footer statistics — the same driver-side
+    metadata-read discipline as :func:`parquet_num_rows` (zero Spark
+    jobs; at 100 TB the catalog's column stats supply this). Raises if
+    any row group lacks statistics for ``col`` rather than silently
+    under-reporting."""
+    import pyarrow.parquet as pq
+    import os as _os
+    files = ([_os.path.join(r, f) for r, _, fs in _os.walk(path)
+              for f in sorted(fs) if f.endswith(".parquet")]
+             if _os.path.isdir(path) else [path])
+    best = None
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        idx = md.schema.names.index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError(
+                    f"no min/max statistics for {col} in {fp} "
+                    f"row group {rg}")
+            best = st.max if best is None else max(best, st.max)
+    if best is None:
+        raise ValueError(f"no row groups with statistics in {path}")
+    return best
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy; no action after
     the first schema read per session/table)."""

@@ -170,6 +170,82 @@ class TestIvfAnn:
             assert cosines == sorted(cosines, reverse=True)
 
 
+class TestIvfIncremental:
+    def test_incremental_equals_rebuild(self, spark, sf_dir):
+        """Append-after-assign must reproduce a from-scratch rebuild
+        row-for-row: the maintained table's (vec_id, centroid_id) pairs
+        equal the one-shot coarse assignment of the FULL corpus under
+        the same centroids/formula, and the batch slice is exactly the
+        IVF_INC_BATCH highest vec_ids."""
+        from columnar_estimator_sample_spark.operators.similarity import (
+            IVF_INC_BATCH, _exploded, _inc_coarse_assign,
+            inc_batch_threshold, ivf_incremental_index, ivf_nlist_for,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        idx = ivf_incremental_index(spark, sf_dir)
+        got = sorted((r["vec_id"], r["centroid_id"], r["phase"])
+                     for r in idx.collect())
+        nlist = ivf_nlist_for(sf_dir)
+        thr = inc_batch_threshold(sf_dir)
+        ex = _exploded(table(spark, sf_dir, "embeddings"))
+        cex = (ex.filter(F.col("vec_id") < nlist)
+               .select(F.col("vec_id").alias("centroid_id"), "i",
+                       F.col("vi").alias("ci")))
+        cnorms = cex.groupBy("centroid_id").agg(
+            F.sum(F.col("ci") * F.col("ci")).alias("nc_s"))
+        want = sorted(
+            (r["vec_id"], r["centroid_id"],
+             "batch" if r["vec_id"] >= thr else "base")
+            for r in _inc_coarse_assign(ex, cex, cnorms, "all").collect())
+        assert got == want
+        assert sum(1 for _, _, p in got if p == "batch") == IVF_INC_BATCH
+
+    def test_batch_scan_filter_pushed(self, spark, sf_dir):
+        """The warm-path claim: assigning an arriving batch must read
+        O(batch) rows — the vec_id >= threshold filter has to reach the
+        parquet scan as a pushed filter, not evaluate post-explode."""
+        from columnar_estimator_sample_spark.operators.similarity import (
+            _exploded, _inc_coarse_assign, inc_batch_threshold,
+            ivf_nlist_for,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        thr = inc_batch_threshold(sf_dir)
+        nlist = ivf_nlist_for(sf_dir)
+        ex = _exploded(table(spark, sf_dir, "embeddings"))
+        cex = (ex.filter(F.col("vec_id") < nlist)
+               .select(F.col("vec_id").alias("centroid_id"), "i",
+                       F.col("vi").alias("ci")))
+        cnorms = cex.groupBy("centroid_id").agg(
+            F.sum(F.col("ci") * F.col("ci")).alias("nc_s"))
+        batch = _inc_coarse_assign(ex.filter(F.col("vec_id") >= thr),
+                                   cex, cnorms, "batch")
+        plan = batch._jdf.queryExecution().executedPlan().toString()
+        assert f"GreaterThanOrEqual(vec_id,{thr})" in plan.replace(
+            " ", ""), plan
+
+    def test_memoized_no_double_append(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.similarity import (
+            IVF_INC_BATCH, q_ann_ivf_incremental,
+        )
+        a = q_ann_ivf_incremental(spark, sf_dir).collect()
+        b = q_ann_ivf_incremental(spark, sf_dir).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert sum(r["n_batch"] for r in b) == IVF_INC_BATCH
+
+    def test_census_groupby_rides_bucketing(self, spark, sf_dir):
+        """The maintained file keeps its bucketed layout THROUGH the
+        append: grouping by centroid_id on the post-append scan needs no
+        hash exchange (the only exchange in the census plan is the final
+        presentation sort)."""
+        from columnar_estimator_sample_spark.operators.similarity import (
+            q_ann_ivf_incremental,
+        )
+        df = q_ann_ivf_incremental(spark, sf_dir)
+        plan = (df._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0])
+        assert "Exchange hashpartitioning" not in plan, plan
+
+
 class TestCorpusPipeline:
     def test_funnel_monotone_and_consistent(self, spark, sf_dir):
         from columnar_estimator_sample_spark.operators.pipeline import (

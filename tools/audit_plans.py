@@ -94,6 +94,9 @@ BUILD_RUNS_JOBS = {
     # assignment tables once per session)
     "q_ann_ivf_topk", "q_ann_ivf_pq_topk", "q_ann_ivf_pq_residual",
     "q_ann_ivf_sq_topk",
+    # r12: the maintained inverted file is written once (bucketed CTAS)
+    # and the arriving batch appended at build — the IO is the operator
+    "q_ann_ivf_incremental",
     # r11: the Gram matrix feeds 8 unrolled power-iteration rounds
     "q_embed_pca",
     # r10: the LM-score consumers share one lazily-checkpointed
