@@ -33,6 +33,73 @@ LSH_ROWS = MINHASH_K // LSH_BANDS
 JACCARD_T = 0.12       # near-dup verification threshold
 
 
+# (applicationId, sf_dir) -> (n_docs, n_distinct_texts). The 2-scalar
+# digest census probe (one map-side-combinable aggregate over md5(text);
+# never shuffles text) gates the exact-dup contraction in
+# q_dedup_minhash_lsh and scales the winnow boilerplate cap — memoized
+# so a session pays the probe once per corpus.
+_DIGEST_CENSUS_MEMO: dict[tuple[str, str], tuple[int, int]] = \
+    register_memo({})
+
+
+def digest_census(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(n_docs, n_distinct_texts) for ``sf_dir``'s documents table —
+    the corpus duplication census. One aggregate over 16-byte digests
+    returning two scalars (COLLECT_ALLOWED / BUILD_RUNS_JOBS class);
+    memoized per (session, corpus)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _DIGEST_CENSUS_MEMO.get(key)
+    if memo is None:
+        row = (table(spark, sf_dir, "documents")
+               .select(F.md5("text").alias("fp"))
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.count_distinct("fp").alias("d"))
+               .first())
+        memo = (row.n, row.d)
+        _DIGEST_CENSUS_MEMO[key] = memo
+    return memo
+
+
+def duplication_estimate(spark: SparkSession, sf_dir: str) -> int:
+    """Whole-corpus duplication factor (docs per distinct content,
+    integer-floored, >= 1). Two lanes, cheapest first:
+
+      1. session catalog: ANALYZEd ``documents`` column stats for
+         ``text`` when the analyzed row count matches THIS sf_dir's
+         parquet footer count (zero jobs — the same freshness-guarded
+         lane as textstats._ccnet_docs_per_lang_bound);
+      2. otherwise the memoized :func:`digest_census` probe (one
+         2-scalar plan-time job — the minhash contraction gate's probe,
+         shared).
+
+    Gate/bench corpora are duplication-light (estimate 1, test-pinned),
+    so consumers that embed static constants in their oracles stay
+    byte-stable there; replicated corpora (the sf1/sf10 testbeds are
+    10/100-way mirrored) get the true factor."""
+    import os as _os
+    import re as _re
+    from columnar_estimator_sample_spark.sources.tables import (
+        parquet_num_rows,
+    )
+    n = parquet_num_rows(_os.path.join(sf_dir, "documents.parquet"))
+    try:
+        from columnar_estimator_sample_spark.plans.stats import (
+            catalog_stats, column_stats,
+        )
+        if spark.catalog.tableExists("documents"):
+            stats = catalog_stats(spark, "documents").get("table", "")
+            m = _re.search(r"(\d+)\s+rows", stats)
+            if m and int(m.group(1)) == n:
+                d = column_stats(spark, "documents",
+                                 "text").get("distinct_count")
+                if d is not None and str(d).isdigit() and int(d) > 0:
+                    return max(n // int(d), 1)
+    except Exception:
+        pass  # fall through to the census probe
+    n_docs, n_distinct = digest_census(spark, sf_dir)
+    return max(n_docs // max(n_distinct, 1), 1)
+
+
 def _shingles_expr(text_col: str, k: int = SHINGLE_K) -> Column:
     """Distinct character k-shingles of a string column, as array<string>.
     Pure Catalyst expression (transform over an index sequence) — stays in
@@ -186,11 +253,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (doc_a, doc_b, jaccard) for verified pairs.
     """
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    census = (docs.select(F.md5("text").alias("fp"))
-              .agg(F.count(F.lit(1)).alias("n"),
-                   F.count_distinct("fp").alias("d"))
-              .first())
-    contract = (census.n - census.d) * 20 > census.n
+    n_docs, n_distinct = digest_census(spark, sf_dir)
+    contract = (n_docs - n_distinct) * 20 > n_docs
     if contract:
         members, reps = contract_exact_dups(docs, "doc_id", "text")
         lsh_input = reps
@@ -2251,6 +2315,28 @@ WINNOW_W = 4        # winnowing window (guarantee: any match >= w+k-1
 WINNOW_MAXDF = 20   # drop boilerplate fingerprints present in > MAXDF docs
 WINNOW_MINSHARED = 2
 WINNOW_TOP = 20
+# plan-time switch to the contracted (content-level) pair join. The
+# direct doc-level join's pair volume grows ~dup^2 per fingerprint
+# bucket while the contracted lane is duplication-flat with a fixed
+# expansion overhead; measured (min-of-7, warm): direct 1.9 s vs
+# contracted 4.1 s at the 10x mirror (dup=10), direct >420 s (killed)
+# vs contracted 4.9 s at the 100x mirror (dup=100) — crossover ~25
+WINNOW_CONTRACT_PAIRS_MIN_DUP = 25
+
+
+def winnow_maxdf(spark: SparkSession, sf_dir: str) -> int:
+    """Adaptive boilerplate cap: {WINNOW_MAXDF} scaled by the plan-time
+    :func:`duplication_estimate`. The MOSS cap means "a fingerprint in
+    more than MAXDF *distinct* works is boilerplate"; on a corpus where
+    every content exists in ~dup copies, document-frequency counts are
+    inflated by dup, so the DOC-level cap must scale with it or the
+    census censors exactly the near-dups it exists to find (the r11
+    100x sweep's measured blindness: dup=100 >> 20 emptied the pair
+    join). At gate/bench SFs the estimate is 1 (test-pinned), so the
+    effective cap equals the static constant and the DuckDB oracle —
+    which embeds {WINNOW_MAXDF} — stays byte-stable; same
+    derived-parameter discipline as ivf_nlist."""
+    return WINNOW_MAXDF * duplication_estimate(spark, sf_dir)
 
 
 def _winnow_oracle() -> str:
@@ -2317,14 +2403,32 @@ def winnow_fingerprints(docs: DataFrame, contract: bool = True) -> DataFrame:
     stage contracts by the duplication factor (the sf1 testbed is
     10-way duplicated). ``contract=False`` is the direct member-level
     form kept for the A/B probe."""
-    from pyspark.sql.window import Window
     if contract:
-        keyed = docs.select("doc_id", F.md5("text").alias("dfp"), "text")
-        reps = (keyed.groupBy("dfp")
-                .agg(F.min_by("text", F.col("doc_id")).alias("text")))
-        src = reps.select(F.col("dfp").alias("doc_key"), "text")
-    else:
-        src = docs.select(F.col("doc_id").alias("doc_key"), "text")
+        members, rep_fps = _winnow_rep_fps(docs)
+        return (members.select("doc_id", F.col("dfp").alias("doc_key"))
+                .join(rep_fps, "doc_key")
+                .select("doc_id", "fp"))
+    src = docs.select(F.col("doc_id").alias("doc_key"), "text")
+    return _winnow_fps_of(src).withColumnRenamed("doc_key", "doc_id")
+
+
+def _winnow_rep_fps(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Content-level winnowing frames: ``members`` (doc_id, dfp) maps
+    every document to its md5 content digest; ``rep_fps`` (doc_key, fp)
+    holds each DISTINCT text's fingerprint set, computed once per
+    content (winnowing is a pure function of the text)."""
+    keyed = docs.select("doc_id", F.md5("text").alias("dfp"), "text")
+    reps = (keyed.groupBy("dfp")
+            .agg(F.min_by("text", F.col("doc_id")).alias("text")))
+    rep_fps = _winnow_fps_of(
+        reps.select(F.col("dfp").alias("doc_key"), "text"))
+    return keyed.select("doc_id", "dfp"), rep_fps
+
+
+def _winnow_fps_of(src: DataFrame) -> DataFrame:
+    """(doc_key, fp): winnowing fingerprint set per input row of
+    ``src`` (doc_key, text) — the k-gram hash + rolling-min windows."""
+    from pyspark.sql.window import Window
     toks = src.select(
         "doc_key",
         F.posexplode(F.split("text", " ")).alias("pos0", "t"))
@@ -2343,13 +2447,8 @@ def winnow_fingerprints(docs: DataFrame, contract: bool = True) -> DataFrame:
         "doc_key",
         F.min("h").over(wroll).alias("fp"),
         F.lead("h", WINNOW_W - 1).over(wdoc).alias("h_end"))
-    rep_fps = (wm.filter(F.col("h_end").isNotNull())
-               .select("doc_key", "fp").distinct())
-    if not contract:
-        return rep_fps.withColumnRenamed("doc_key", "doc_id")
-    return (keyed.select("doc_id", F.col("dfp").alias("doc_key"))
-            .join(rep_fps, "doc_key")
-            .select("doc_id", "fp"))
+    return (wm.filter(F.col("h_end").isNotNull())
+            .select("doc_key", "fp").distinct())
 
 
 @register("q_dedup_winnow", oracle=_winnow_oracle())
@@ -2372,14 +2471,28 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join whose bucket width is capped by the MAXDF filter — the
     same bounded-bucket discipline as the LSH band joins, so nothing
     here is all-pairs. The shuffle carries (doc_id, 8-byte fingerprint),
-    never text. CAVEAT (measured, 100× sweep): at duplication ≫
-    WINNOW_MAXDF the boilerplate cap censors the census — exact dedup is
-    the tool for replicated corpora; winnow targets near-dups of
-    DISTINCT content (raise MAXDF with expected duplication if you need
-    both at once)."""
+    never text. The boilerplate cap ADAPTS to the corpus
+    (:func:`winnow_maxdf`): the r11 100× sweep measured the static cap
+    censoring the census on a 100-way-replicated corpus (duplication ≫
+    MAXDF emptied the pair join — blindness recorded as a caveat); the
+    cap now scales with the plan-time duplication estimate, turning
+    that caveat into behavior (a replicated-corpus test pins that the
+    adaptive cap finds the planted near-dup the static cap censors),
+    while gate/bench SFs — duplication-free, estimate 1 — keep the
+    static value and the oracle byte-stable."""
+    cap = winnow_maxdf(spark, sf_dir)
+    if duplication_estimate(spark, sf_dir) >= WINNOW_CONTRACT_PAIRS_MIN_DUP:
+        return _winnow_census_contracted(spark, sf_dir, cap)
+    return _winnow_census_direct(spark, sf_dir, cap)
+
+
+def _winnow_census_direct(spark: SparkSession, sf_dir: str,
+                          cap: int) -> DataFrame:
+    """Doc-level pair join (the gate-SF lane; oracle-shaped)."""
     fps = winnow_fingerprints(table(spark, sf_dir, "documents"))
     df_ok = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-             .filter(F.col("df") <= WINNOW_MAXDF).select("fp"))
+             .filter(F.col("df") <= cap)
+             .select("fp"))
     kept = fps.join(df_ok, "fp")
     nf = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
@@ -2399,6 +2512,95 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("CAST(1000 * shared DIV "
                            "(fps_a + fps_b - shared) AS BIGINT)")
                     .alias("jaccard_permille"))
+            .orderBy(F.desc("shared_fps"), "doc_a", "doc_b")
+            .limit(WINNOW_TOP))
+
+
+def _winnow_census_contracted(spark: SparkSession, sf_dir: str,
+                              cap: int) -> DataFrame:
+    """Contracted pair join for duplicated corpora: identical texts have
+    identical fingerprint sets, so the doc-level pair join is quadratic
+    in the duplication factor (every kept bucket holds every copy — at
+    the 100x mirror that is ~5*10^8 pair rows for a 20-row answer).
+    This lane pairs DISTINCT contents (bucket width stays <= the static
+    MOSS cap regardless of duplication), then expands to doc pairs
+    output-proportionally: only content pairs whose shared-count can
+    still reach the top-{WINNOW_TOP} doc pairs are expanded (cumulative
+    member-pair counts over descending shared pick the cutoff in-plan —
+    no driver collect). Result equals the direct lane row-for-row
+    (test-pinned on gate corpora and on a replicated fixture): member
+    doc pairs of a content pair share its shared/fps/jaccard values, so
+    top-k by (shared desc, doc_a, doc_b) commutes with the expansion."""
+    from pyspark.sql.window import Window
+    members, rep_fps = _winnow_rep_fps(table(spark, sf_dir, "documents"))
+    members = members.select("doc_id", F.col("dfp").alias("doc_key"))
+    m = members.groupBy("doc_key").agg(F.count(F.lit(1)).alias("m"))
+    # doc-level document frequency = sum of member counts over the
+    # contents carrying the fingerprint (identical value to the direct
+    # lane's per-doc count; the adaptive cap is doc-level by contract)
+    df_ok = (rep_fps.join(m, "doc_key")
+             .groupBy("fp").agg(F.sum("m").alias("df"))
+             .filter(F.col("df") <= cap).select("fp"))
+    kept = rep_fps.join(df_ok, "fp")
+    nf = kept.groupBy("doc_key").agg(F.count(F.lit(1)).alias("n"))
+    a = kept.select(F.col("doc_key").alias("ka"), "fp")
+    b = kept.select(F.col("doc_key").alias("kb"), "fp")
+    cpairs = (a.join(b, "fp")
+              .filter(F.col("ka") < F.col("kb"))
+              .groupBy("ka", "kb")
+              .agg(F.count(F.lit(1)).alias("shared"))
+              .filter(F.col("shared") >= WINNOW_MINSHARED))
+    na = nf.select(F.col("doc_key").alias("ka"), F.col("n").alias("n_a"))
+    nb = nf.select(F.col("doc_key").alias("kb"), F.col("n").alias("n_b"))
+    ma = m.select(F.col("doc_key").alias("ka"), F.col("m").alias("m_a"))
+    mb = m.select(F.col("doc_key").alias("kb"), F.col("m").alias("m_b"))
+    cross = (cpairs.join(na, "ka").join(nb, "kb")
+             .join(ma, "ka").join(mb, "kb")
+             .select("ka", "kb", "shared", "n_a", "n_b",
+                     (F.col("m_a") * F.col("m_b")).alias("npairs")))
+    # within-content pairs (exact duplicates): every fingerprint shared
+    selfp = (nf.join(m, "doc_key").filter(F.col("m") >= 2)
+             .select(F.col("doc_key").alias("ka"),
+                     F.col("doc_key").alias("kb"),
+                     F.col("n").alias("shared"),
+                     F.col("n").alias("n_a"), F.col("n").alias("n_b"),
+                     F.expr("CAST(m * (m - 1) DIV 2 AS BIGINT)")
+                     .alias("npairs")))
+    allp = (cross.unionByName(selfp)
+            .filter(F.col("shared") >= WINNOW_MINSHARED))
+    # top-k cutoff: a content pair can reach the doc-level top-K iff
+    # strictly-higher shared values account for < K doc pairs; the
+    # per-shared rollup is a tiny frame (distinct shared values)
+    by_shared = allp.groupBy("shared").agg(F.sum("npairs").alias("np"))
+    wcum = (Window.orderBy(F.desc("shared"))
+            .rowsBetween(Window.unboundedPreceding, -1))
+    cut = (by_shared
+           .withColumn("cum_above",
+                       F.coalesce(F.sum("np").over(wcum), F.lit(0)))
+           .filter(F.col("cum_above") < WINNOW_TOP)
+           .agg(F.min("shared").alias("s_min")))
+    cand = allp.join(F.broadcast(cut),
+                     F.col("shared") >= F.col("s_min")).drop("s_min")
+    mx = members.select(F.col("doc_key").alias("ka"),
+                        F.col("doc_id").alias("id_x"))
+    my = members.select(F.col("doc_key").alias("kb"),
+                        F.col("doc_id").alias("id_y"))
+    exp = (cand.join(mx, "ka").join(my, "kb")
+           # a self pair enumerates each unordered member pair twice
+           .filter((F.col("ka") != F.col("kb"))
+                   | (F.col("id_x") < F.col("id_y")))
+           .select(
+               F.least("id_x", "id_y").alias("doc_a"),
+               F.greatest("id_x", "id_y").alias("doc_b"),
+               F.col("shared").cast("long").alias("shared_fps"),
+               F.when(F.col("id_x") < F.col("id_y"), F.col("n_a"))
+               .otherwise(F.col("n_b")).cast("long").alias("fps_a"),
+               F.when(F.col("id_x") < F.col("id_y"), F.col("n_b"))
+               .otherwise(F.col("n_a")).cast("long").alias("fps_b")))
+    return (exp.select("doc_a", "doc_b", "shared_fps", "fps_a", "fps_b",
+                       F.expr("CAST(1000 * shared_fps DIV "
+                              "(fps_a + fps_b - shared_fps) AS BIGINT)")
+                       .alias("jaccard_permille"))
             .orderBy(F.desc("shared_fps"), "doc_a", "doc_b")
             .limit(WINNOW_TOP))
 

@@ -85,6 +85,9 @@ BUILD_RUNS_JOBS = {
     # r11: MMR's shortlist + pairwise-sim frames feed every greedy round
     # — both lazily checkpointed
     "q_mmr_rerank",
+    # r12: the adaptive MAXDF cap falls back to the shared digest-census
+    # probe when no fresh catalog stats exist (dedup.duplication_estimate)
+    "q_dedup_winnow",
     "q_dedup_prefix_filter", "q_media_neardup", "q_media_search",
     "q_media_audio_neardup", "q_media_video_neardup", "q_semdedup",
     "q_er_sorted_neighborhood",
@@ -153,9 +156,12 @@ COLLECT_ALLOWED = {
     "q_ann_ivf_pq_topk": "PQ codebook rows (K*M, config)",
     "q_ann_ivf_pq_residual": "PQ codebook rows (K*M, config)",
     "q_pq_adc_topk": "PQ codebook rows (K*M, config)",
-    # duplication-census probe gating the exact-dup contraction: ONE
-    # map-side-combinable aggregate returning two scalars (n, ndv)
+    # duplication-census probe (shared, memoized — dedup.digest_census):
+    # ONE map-side-combinable aggregate returning two scalars (n, ndv);
+    # gates the minhash exact-dup contraction and scales the winnow
+    # boilerplate cap
     "q_dedup_minhash_lsh": "2-scalar duplication-census probe",
+    "q_dedup_winnow": "2-scalar duplication-census probe (shared memo)",
     # BPE merge selection: argmax pair per merge round (config rounds)
     "q_bpe_learn": "1 best-pair row/merge round",
     "q_text_bpe_tokens": "learned merge table (config MERGES)",
