@@ -101,6 +101,7 @@ HEADLINE = [
     "q_embed_pca",
     # round-12 tier representatives
     "q_ann_ivf_incremental",
+    "q_embed_whiten",
 ]
 
 

@@ -44,7 +44,9 @@ from columnar_estimator_sample_spark.operators.similarity import (
     ANN_COS_T, IVF_NLIST, IVF_NPROBE, N_QUERIES, TOP_K, _SQL_EX,
     _exploded)
 from columnar_estimator_sample_spark.registry import register
-from columnar_estimator_sample_spark.sources.tables import table
+from columnar_estimator_sample_spark.sources.tables import (
+    register_memo, table,
+)
 
 K = 8  # coarse cells, matching similarity.IVF_NLIST's scale
 
@@ -1286,6 +1288,40 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration runs on a 64-row frame, pure plan composition."""
     import math
 
+    g, vq, n2 = _pca_eigvec(spark, sf_dir)
+    dim = PCA_DIM
+    quad = sum(g.get((i, j), 0) * vq[i] * vq[j]
+               for i in range(dim) for j in range(dim))
+    trace = sum(g.get((i, i), 0) for i in range(dim))
+    order = sorted(range(dim), key=lambda j: (-abs(vq[j]), j))
+    eigval = float(quad) / float(n2) / 1e6
+    share_pm = (0 if trace == 0 else
+                int(1000 * (float(quad) / (float(n2) * float(trace)))))
+    rows = [(r + 1, d, float(vq[d]) / math.sqrt(float(n2)),
+             eigval, share_pm)
+            for r, d in enumerate(order[:PCA_TOP_DIMS])]
+    return spark.createDataFrame(
+        rows, "rank long, dim long, loading double,"
+              " eigval double, share_pm long")
+
+
+# (applicationId, sf_dir) -> (gram dict, vq eigenvector ints, n2). The
+# Gram aggregate is the diagnostic's only corpus-sized job; the whiten
+# apply reuses the identical trajectory, so one collect serves both.
+_PCA_MEMO: dict[tuple[str, str], tuple] = register_memo({})
+
+
+def _pca_eigvec(spark: SparkSession, sf_dir: str):
+    """(gram, vq, n2): the exact integer power-iteration trajectory of
+    q_embed_pca — Gram matrix as a dict, the PCA_ITERS-step eigenvector
+    estimate in PCA_Q nano-units, and its squared norm (a Python int;
+    it can exceed int64). Memoized per (session, sf_dir)."""
+    import math
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _PCA_MEMO.get(key)
+    if memo is not None:
+        return memo
     # mil-lane array per vector (same per-element chain as _PCA_MIL over
     # similarity._exploded's int lane)
     mil = F.expr(
@@ -1328,16 +1364,260 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         vq = [int(math.floor(float(x) / float(mw) * PCA_Q + 0.5))
               for x in w]
     n2 = sum(q * q for q in vq)
-    quad = sum(g.get((i, j), 0) * vq[i] * vq[j]
-               for i in range(dim) for j in range(dim))
-    trace = sum(g.get((i, i), 0) for i in range(dim))
-    order = sorted(range(dim), key=lambda j: (-abs(vq[j]), j))
-    eigval = float(quad) / float(n2) / 1e6
-    share_pm = (0 if trace == 0 else
-                int(1000 * (float(quad) / (float(n2) * float(trace)))))
-    rows = [(r + 1, d, float(vq[d]) / math.sqrt(float(n2)),
-             eigval, share_pm)
-            for r, d in enumerate(order[:PCA_TOP_DIMS])]
-    return spark.createDataFrame(
-        rows, "rank long, dim long, loading double,"
-              " eigval double, share_pm long")
+    memo = (g, vq, n2)
+    _PCA_MEMO[key] = memo
+    return memo
+
+
+# ---------------------------------------------------------------------------
+# Embedding whitening APPLY: remove the top principal direction, and the
+# recall-delta census that justifies (or vetoes) shipping it
+# ---------------------------------------------------------------------------
+
+_PCA_RM = ("CAST(floor(CAST(pn AS DOUBLE) * CAST(vq AS DOUBLE)"
+           " / CAST({n2} AS DOUBLE) + 0.5) AS BIGINT)")
+
+
+def whitened_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, i, vm): the corpus in the mil lane with the top
+    principal direction REMOVED — the standard post-processing for
+    anisotropic embedding spaces (Mu & Viswanath 2018, arXiv:1702.01417
+    "all-but-the-top"; q_embed_pca is the diagnosis this applies).
+
+    Exactness: the eigenvector is q_embed_pca's integer trajectory
+    (PCA_Q nano-units); the per-element removal
+    ``vm - floor(pn * vq_i / n2 + 0.5)`` runs the identical
+    double-arithmetic chain in both engines on exactly-representable
+    inputs and is re-quantized to int64 immediately, so the whitened
+    lane is integer-exact and oracle-reproducible.
+
+    Scale: the projection coefficient pn = <v, u> is one
+    map-side-combinable aggregate keyed by vec_id; the removal joins
+    the broadcast 64-row eigenvector — one corpus pass, no wide
+    shuffle, same narrow-map shape a full-corpus re-materialization
+    would bucket and write."""
+    _, vq, n2 = _pca_eigvec(spark, sf_dir)
+    ex = _exploded(table(spark, sf_dir, "embeddings"))
+    exm = ex.select("vec_id", "i", F.expr(_PCA_MIL).alias("vm"))
+    if n2 == 0:
+        # degenerate all-zero corpus: no direction to remove
+        return exm
+    vqdf = spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(vq)], "i long, vq long")
+    pn = (exm.join(F.broadcast(vqdf), "i")
+          .groupBy("vec_id")
+          .agg(F.sum(F.col("vm") * F.col("vq")).cast("long").alias("pn")))
+    # n2 can exceed int64 (sum of 64 squares of 1e9-scale ints): emit it
+    # as a DECIMAL(38,0) literal so both engines convert the same exact
+    # value to double
+    rm = _PCA_RM.format(n2=f"CAST('{n2}' AS DECIMAL(38,0))")
+    return (exm.join(F.broadcast(vqdf), "i")
+            .join(pn, "vec_id")
+            .select("vec_id", "i",
+                    F.expr(f"vm - {rm}").alias("vm")))
+
+
+def _recall_census_mil(spark: SparkSession, ex2: DataFrame,
+                       variant: str) -> DataFrame:
+    """One-row LSH-recall census over a mil-lane exploded frame
+    (vec_id, i, vm), restricted to the RECALL_N audit slice — the
+    q_ann_recall machinery parameterized by its input so the whitened
+    and raw lanes are measured by the same instrument."""
+    from columnar_estimator_sample_spark.operators.similarity import (
+        ANN_BANDS, ANN_PLANES, ANN_ROWS, RECALL_N, _plane_signs,
+    )
+    exb = ex2.filter(F.col("vec_id") < RECALL_N)
+    norms = (exb.groupBy("vec_id")
+             .agg(F.sum(F.expr("vm * vm")).cast("long").alias("n_s")))
+    l, r = exb.alias("l"), exb.alias("r")
+    dots = (l.join(r, (F.col("l.i") == F.col("r.i"))
+                   & (F.col("l.vec_id") < F.col("r.vec_id")))
+            .groupBy(F.col("l.vec_id").alias("vec_a"),
+                     F.col("r.vec_id").alias("vec_b"))
+            .agg(F.sum(F.expr("l.vm * r.vm")).cast("long")
+                 .alias("dot_s")))
+    na = norms.select(F.col("vec_id").alias("vec_a"),
+                      F.col("n_s").alias("na_s"))
+    nbn = norms.select(F.col("vec_id").alias("vec_b"),
+                       F.col("n_s").alias("nb_s"))
+    truth = (dots.join(F.broadcast(na), "vec_a")
+             .join(F.broadcast(nbn), "vec_b")
+             .filter(F.expr(
+                 "CAST(dot_s AS DOUBLE) / (sqrt(CAST(na_s AS DOUBLE))"
+                 f" * sqrt(CAST(nb_s AS DOUBLE))) >= {ANN_COS_T}"))
+             .select("vec_a", "vec_b"))
+    plane = [_plane_signs(p, PCA_DIM) for p in range(ANN_PLANES)]
+    sign_rows = [(i, *[plane[p][i] for p in range(ANN_PLANES)])
+                 for i in range(PCA_DIM)]
+    signs = spark.createDataFrame(
+        sign_rows, ["i"] + [f"g{p}" for p in range(ANN_PLANES)])
+    sums = [F.sum(F.col("vm") * F.col(f"g{p}")).alias(f"s{p}")
+            for p in range(ANN_PLANES)]
+    bits = (exb.join(F.broadcast(signs), "i")
+            .groupBy("vec_id").agg(*sums)
+            .select("vec_id",
+                    *[F.when(F.col(f"s{p}") > 0, 1).otherwise(0)
+                      .alias(f"b{p}") for p in range(ANN_PLANES)]))
+    band_keys = [
+        sum((F.col(f"b{b * ANN_ROWS + k}") * (2 ** k)
+             for k in range(ANN_ROWS)), start=F.lit(0))
+        for b in range(ANN_BANDS)
+    ]
+    bands = bits.select(
+        "vec_id",
+        F.posexplode(F.array(*band_keys)).alias("band", "band_key"))
+    bl, br = bands.alias("l"), bands.alias("r")
+    cand = (bl.join(br, (F.col("l.band") == F.col("r.band"))
+                    & (F.col("l.band_key") == F.col("r.band_key"))
+                    & (F.col("l.vec_id") < F.col("r.vec_id")))
+            .select(F.col("l.vec_id").alias("vec_a"),
+                    F.col("r.vec_id").alias("vec_b"))
+            .dropDuplicates(["vec_a", "vec_b"]))
+    found = truth.join(cand, ["vec_a", "vec_b"], "left_semi")
+    n_vec = norms.agg(F.count("*").cast("long").alias("n_vec"))
+    agg = (truth.agg(F.count("*").cast("long").alias("n_truth"))
+           .crossJoin(F.broadcast(
+               found.agg(F.count("*").cast("long").alias("n_found"))))
+           .crossJoin(F.broadcast(
+               cand.agg(F.count("*").cast("long")
+                        .alias("n_candidates"))))
+           .crossJoin(F.broadcast(n_vec)))
+    return agg.select(
+        F.lit(variant).alias("variant"),
+        "n_truth", "n_found",
+        F.expr("(1000 * n_found) div GREATEST(n_truth, 1)")
+        .alias("recall_pm"),
+        "n_candidates",
+        F.expr("(1000 * n_candidates)"
+               " div GREATEST(n_vec * (n_vec - 1) DIV 2, 1)")
+        .alias("candidate_frac_pm"))
+
+
+def _whiten_recall_ctes(src: str, sfx: str) -> str:
+    """DuckDB recall-census CTEs over a mil-lane source CTE — the
+    _ann_recall_oracle blocks parameterized by input and suffix."""
+    from columnar_estimator_sample_spark.operators.similarity import (
+        ANN_BANDS, ANN_PLANES, ANN_ROWS, RECALL_N,
+    )
+    del ANN_BANDS  # band count is implied by planes // rows
+    return f"""
+    exb{sfx} AS MATERIALIZED (
+        SELECT vec_id, i, vm FROM {src} WHERE vec_id < {RECALL_N}
+    ), norms{sfx} AS (
+        SELECT vec_id, CAST(SUM(vm * vm) AS BIGINT) AS n_s
+        FROM exb{sfx} GROUP BY vec_id
+    ), truth{sfx} AS MATERIALIZED (
+        SELECT d.va AS vec_a, d.vb AS vec_b
+        FROM (SELECT l.vec_id AS va, r.vec_id AS vb,
+                     CAST(SUM(l.vm * r.vm) AS BIGINT) AS dot_s
+              FROM exb{sfx} l JOIN exb{sfx} r
+                ON l.i = r.i AND l.vec_id < r.vec_id
+              GROUP BY 1, 2) d
+        JOIN norms{sfx} na ON na.vec_id = d.va
+        JOIN norms{sfx} nb ON nb.vec_id = d.vb
+        WHERE CAST(dot_s AS DOUBLE)
+              / (sqrt(CAST(na.n_s AS DOUBLE))
+                 * sqrt(CAST(nb.n_s AS DOUBLE))) >= {ANN_COS_T}
+    ), sums{sfx} AS (
+        SELECT vec_id, p.p,
+               SUM(CASE WHEN CAST(('0x' || substr(md5('pl' || p.p || '_'
+                        || exb{sfx}.i), 1, 15)) AS BIGINT) % 2 = 0
+                   THEN vm ELSE -vm END) AS s
+        FROM exb{sfx}, (SELECT unnest(range(0, {ANN_PLANES})) AS p) p
+        GROUP BY vec_id, p.p
+    ), bands{sfx} AS (
+        SELECT vec_id, p // {ANN_ROWS} AS band,
+               SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END
+                   * (1::BIGINT << (p % {ANN_ROWS}))) AS band_key
+        FROM sums{sfx} GROUP BY vec_id, p // {ANN_ROWS}
+    ), cand{sfx} AS MATERIALIZED (
+        SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+        FROM bands{sfx} l JOIN bands{sfx} r
+          ON l.band = r.band AND l.band_key = r.band_key
+         AND l.vec_id < r.vec_id
+    ), nvec{sfx} AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vec FROM norms{sfx}
+    )"""
+
+
+def _whiten_recall_select(sfx: str, label: str) -> str:
+    return f"""
+    SELECT '{label}' AS variant,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth{sfx}) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth{sfx} t
+             WHERE EXISTS (SELECT 1 FROM cand{sfx} c
+                           WHERE c.vec_a = t.vec_a
+                             AND c.vec_b = t.vec_b)) AS n_found,
+           (1000 * (SELECT COUNT(*) FROM truth{sfx} t
+                    WHERE EXISTS (SELECT 1 FROM cand{sfx} c
+                                  WHERE c.vec_a = t.vec_a
+                                    AND c.vec_b = t.vec_b)))
+               // GREATEST((SELECT COUNT(*) FROM truth{sfx}), 1)
+               AS recall_pm,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{sfx})
+               AS n_candidates,
+           (1000 * (SELECT COUNT(*) FROM cand{sfx}))
+               // GREATEST((((SELECT n_vec FROM nvec{sfx})
+                    * ((SELECT n_vec FROM nvec{sfx}) - 1)) // 2), 1)
+               AS candidate_frac_pm
+    """
+
+
+def _whiten_oracle() -> str:
+    rm = _PCA_RM.format(n2="(SELECT n2 FROM norm2)")
+    return (_pca_ctes() + f""",
+    pn AS MATERIALIZED (
+        SELECT e.vec_id, CAST(SUM(e.vm * v.vq) AS BIGINT) AS pn
+        FROM exm e JOIN vfin v ON v.j = e.i
+        GROUP BY e.vec_id
+    ), wex AS MATERIALIZED (
+        SELECT e.vec_id, e.i,
+               e.vm - {rm} AS vm
+        FROM exm e
+        JOIN vfin v ON v.j = e.i
+        JOIN pn p ON p.vec_id = e.vec_id
+    ),""" + _whiten_recall_ctes("exm", "_r") + ","
+            + _whiten_recall_ctes("wex", "_w")
+            + "SELECT * FROM ("
+            + _whiten_recall_select("_r", "raw")
+            + " UNION ALL "
+            + _whiten_recall_select("_w", "whitened")
+            + ") ORDER BY variant")
+
+
+@register("q_embed_whiten", oracle=_whiten_oracle())
+def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitening apply + recall-delta census: remove the corpus's top
+    principal direction (:func:`whitened_exploded` — the
+    all-but-the-top treatment q_embed_pca's anisotropy diagnostic calls
+    for) and measure hyperplane-LSH candidate recall against exact
+    cosine ground truth BEFORE and AFTER, on the same RECALL_N audit
+    slice with the same q_ann_recall instrument. Two rows
+    (variant in {raw, whitened}); the recall_pm delta is the number
+    that decides whether the whitened lane ships to retrieval — this
+    closes diagnose -> apply the way dedup/contamination did.
+
+    Both lanes run in the mil component lane (the PCA trajectory's
+    precision), so the delta isolates the whitening itself. Scale: the
+    apply is one corpus pass (broadcast 64-row eigenvector + a keyed
+    projection aggregate); the census is O(RECALL_N^2) by construction
+    — a fixed audit cost, like q_ann_recall's."""
+    from columnar_estimator_sample_spark.operators.similarity import (
+        RECALL_N,
+    )
+    # each lane feeds 3 plan references (truth left/right, signatures);
+    # lazily checkpoint the RECALL_N-bounded slice so the whiten joins
+    # and the mil projection run once, not per reference (measured
+    # 6.5 -> ~2 s at sf0.1). Whitening commutes with the slice filter:
+    # pn is per-vector and the eigenvector comes from the full-corpus
+    # Gram memo either way.
+    raw = (_exploded(table(spark, sf_dir, "embeddings"))
+           .select("vec_id", "i", F.expr(_PCA_MIL).alias("vm"))
+           .filter(F.col("vec_id") < RECALL_N)
+           .localCheckpoint(eager=False))
+    white = (whitened_exploded(spark, sf_dir)
+             .filter(F.col("vec_id") < RECALL_N)
+             .localCheckpoint(eager=False))
+    return (_recall_census_mil(spark, raw, "raw")
+            .unionByName(_recall_census_mil(spark, white, "whitened"))
+            .orderBy("variant"))

@@ -208,3 +208,56 @@ class TestSemDeDup:
                 assert 0 < r.n_pruned < r.n_members
             else:
                 assert r.n_pruned == 0
+
+
+class TestEmbedWhiten:
+    def test_residual_projection_within_rounding_bound(self, spark,
+                                                       sf_dir):
+        """After the apply, every vector's projection onto the removed
+        direction must sit inside the per-element rounding residual:
+        |<w, vq>| = |sum e_i * vq_i| <= 0.5 * sum|vq_i| (each element
+        removal rounds to nearest, |e_i| <= 0.5) — the exact-integer
+        statement of 'the direction is gone'."""
+        import pyspark.sql.functions as F
+        from columnar_estimator_sample_spark.operators.vq import (
+            _pca_eigvec, whitened_exploded,
+        )
+        _, vq, n2 = _pca_eigvec(spark, sf_dir)
+        assert n2 > 0
+        vqdf = spark.createDataFrame(
+            [(i, int(v)) for i, v in enumerate(vq)], "i long, vq long")
+        after = (whitened_exploded(spark, sf_dir)
+                 .join(F.broadcast(vqdf), "i")
+                 .groupBy("vec_id")
+                 .agg(F.sum(F.col("vm") * F.col("vq")).alias("pn")))
+        worst = after.agg(F.max(F.abs("pn"))).collect()[0][0]
+        bound = sum(abs(v) for v in vq) / 2.0
+        assert worst <= bound, (worst, bound)
+
+    def test_zero_corpus_apply_is_identity(self, spark, tmp_path):
+        import duckdb
+        from columnar_estimator_sample_spark.operators.vq import (
+            PCA_DIM, whitened_exploded,
+        )
+        duckdb.sql(f"""COPY (
+            SELECT CAST(i AS BIGINT) AS vec_id,
+                   [CAST(0.0 AS FLOAT) FOR d IN range({PCA_DIM})]
+                       AS embedding,
+                   CAST(0 AS BIGINT) AS label
+            FROM range(4) t(i)) TO '{tmp_path}/embeddings.parquet'
+            (FORMAT PARQUET)""")
+        rows = whitened_exploded(spark, str(tmp_path)).collect()
+        assert len(rows) == 4 * PCA_DIM
+        assert all(r["vm"] == 0 for r in rows)
+
+    def test_census_contract(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.vq import (
+            q_embed_whiten,
+        )
+        rows = q_embed_whiten(spark, sf_dir).collect()
+        assert [r["variant"] for r in rows] == ["raw", "whitened"]
+        for r in rows:
+            assert 0 <= r["n_found"] <= r["n_truth"]
+            assert r["recall_pm"] == (1000 * r["n_found"]
+                                      // max(r["n_truth"], 1))
+            assert r["n_candidates"] >= r["n_found"]

@@ -101,7 +101,8 @@ BUILD_RUNS_JOBS = {
     # and the arriving batch appended at build — the IO is the operator
     "q_ann_ivf_incremental",
     # r11: the Gram matrix feeds 8 unrolled power-iteration rounds
-    "q_embed_pca",
+    # (r12: the trajectory is memoized and shared with the whiten apply)
+    "q_embed_pca", "q_embed_whiten",
     # r10: the LM-score consumers share one lazily-checkpointed
     # doc_lm_scores frame (textstats._LM_SCORES_MEMO)
     "q_doc_lm_score", "q_ccnet_tiers", "q_token_budget_pack",
@@ -172,6 +173,7 @@ COLLECT_ALLOWED = {
     "q_ann_ivf_sq_topk": "<=25 query vectors + 1 calibration row",
     "q_mmr_rerank": "|Q|*S shortlist + S^2 pair sims (config S=25)",
     "q_embed_pca": "dim^2 Gram frame (4096 rows, corpus-independent)",
+    "q_embed_whiten": "dim^2 Gram frame (shared _PCA_MEMO trajectory)",
     # dogfood instrumentation: the profiled/estimated run IS the point
     "q_cbo_estimation": "per-operator metric rows of ONE profiled plan",
     "q_ndv_broadcast_join": "catalog NDV rows (1 row/column)",
