@@ -810,25 +810,24 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reset_handles() for invalidation/release).
 _LM_SCORES_MEMO: dict[tuple[str, str], DataFrame] = register_memo({})
 
+# (applicationId, sf_dir) -> checkpointed corpus bigram LM (w1, w2,
+# p_permille) — the MODEL half of doc_lm_scores, exposed separately so
+# the streaming quality cascade can score arriving documents against
+# the same (static, broadcastable, vocab^2-bounded) model the batch
+# cascade scores against.
+_LM_MODEL_MEMO: dict[tuple[str, str], DataFrame] = register_memo({})
 
-def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lang, n_bigrams, lm_score_permille) for every document
-    with >= 1 bigram: mean corpus-LM transition probability in integer
-    permille — the scoring frame behind q_doc_lm_score (bottom-k
-    report), q_ccnet_tiers (per-language tier census) and
-    q_token_budget_pack (budget selection); checkpointed and memoized
-    per (session, sf_dir), see ``_LM_SCORES_MEMO``."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    memo = _LM_SCORES_MEMO.get(key)
-    if memo is not None:
-        return memo
-    from pyspark.sql import Window as W
-    docs = table(spark, sf_dir, "documents")
+
+def doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, w1, w2, k): each document's bigram census — the
+    shared first stage of LM training and LM scoring. Works on a batch
+    frame OR a per-micro-batch frame (pure narrow ops + one keyed
+    aggregate)."""
     toks = F.split("text", " ")
     bigrams = F.expr(
         "transform(sequence(1, greatest(size(toks) - 1, 1)),"
         " i -> concat(toks[i-1], ' ', coalesce(toks[i], '')))")
-    docbg = (
+    return (
         docs.select("doc_id", "lang", toks.alias("toks"))
         .filter(F.size("toks") >= 2)
         .select("doc_id", "lang", F.explode(bigrams).alias("bigram"))
@@ -838,19 +837,60 @@ def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("split_part(bigram, ' ', 2)").alias("w2"))
         .groupBy("doc_id", "lang", "w1", "w2")
         .agg(F.count("*").cast("long").alias("k")))
-    corpus = (docbg.groupBy("w1", "w2")
+
+
+def bigram_lm_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w1, w2, p_permille): the corpus-trained bigram transition model
+    — vocab^2-bounded, checkpointed and memoized per (session, sf_dir).
+    The written-model stand-in: at 100 TB this is trained offline and
+    broadcast into every scoring join (batch or streaming)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _LM_MODEL_MEMO.get(key)
+    if memo is not None:
+        return memo
+    from pyspark.sql import Window as W
+    corpus = (doc_bigrams(table(spark, sf_dir, "documents"))
+              .groupBy("w1", "w2")
               .agg(F.sum("k").cast("long").alias("c12")))
     p = (corpus
          .withColumn("c1", F.sum("c12").over(W.partitionBy("w1")))
          .select("w1", "w2",
-                 F.expr("(1000 * c12) DIV c1").alias("p_permille")))
-    scores = (docbg.join(p, ["w1", "w2"])
+                 F.expr("(1000 * c12) DIV c1").alias("p_permille"))
+         .localCheckpoint(eager=False))
+    _LM_MODEL_MEMO[key] = p
+    return p
+
+
+def lm_score_frame(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_bigrams, lm_score_permille): score ``docs``
+    against a bigram LM ``model`` — mean transition probability over
+    the bigrams the model knows (inner join; a document whose every
+    bigram is unseen yields no row, the caller's LEFT join turns that
+    into the -1 sentinel). Exact integer arithmetic end to end."""
+    return (doc_bigrams(docs).join(F.broadcast(model), ["w1", "w2"])
             .groupBy("doc_id", "lang")
             .agg(F.sum(F.expr("k * p_permille")).cast("long").alias("sp"),
                  F.sum("k").cast("long").alias("n_bigrams"))
             .select("doc_id", "lang", "n_bigrams",
-                    F.expr("sp div n_bigrams").alias("lm_score_permille"))
-            .localCheckpoint(eager=False))
+                    F.expr("sp div n_bigrams").alias("lm_score_permille")))
+
+
+def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_bigrams, lm_score_permille) for every document
+    with >= 1 bigram: mean corpus-LM transition probability in integer
+    permille — the scoring frame behind q_doc_lm_score (bottom-k
+    report), q_ccnet_tiers (per-language tier census) and
+    q_token_budget_pack (budget selection); checkpointed and memoized
+    per (session, sf_dir), see ``_LM_SCORES_MEMO``. Composition of
+    :func:`bigram_lm_model` (train) and :func:`lm_score_frame` (score)
+    — result-identical to the pre-split inline form."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _LM_SCORES_MEMO.get(key)
+    if memo is not None:
+        return memo
+    scores = (lm_score_frame(table(spark, sf_dir, "documents"),
+                             bigram_lm_model(spark, sf_dir))
+              .localCheckpoint(eager=False))
     _LM_SCORES_MEMO[key] = scores
     return scores
 

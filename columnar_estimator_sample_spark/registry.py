@@ -57,6 +57,7 @@ _OPERATOR_MODULES = [
     "columnar_estimator_sample_spark.operators.entity",
     "columnar_estimator_sample_spark.streaming.windows",
     "columnar_estimator_sample_spark.streaming.stateful",
+    "columnar_estimator_sample_spark.streaming.corpus",
 ]
 
 _loaded = False

@@ -72,3 +72,140 @@ def corpus_ingest_batch(docs: DataFrame) -> DataFrame:
     return (admitted.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_admitted"),
                  F.sum("n_tokens").alias("admitted_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# Streaming quality cascade: the r11 first-failing-gate attribution
+# funnel (operators/corpus.q_quality_cascade) as an online admission
+# ledger — structural gates fold into each micro-batch's scan, the
+# model gate scores arriving text against the STATIC corpus-trained
+# bigram LM (the written-model discipline: train offline, broadcast
+# into the scoring join), and per-batch (lang, verdict) partials sum to
+# the exact batch census because every document lands in exactly one
+# micro-batch and its verdict depends only on its own content + the
+# static model.
+# ---------------------------------------------------------------------------
+
+
+def cascade_signals(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_toks, verdict) for a (micro-)batch of documents
+    against a static bigram LM ``model`` — the EXACT batch-cascade
+    signal chain (operators/corpus._CASCADE_VERDICT over n_toks /
+    ttr_pm / lm_pm with the -1 no-score sentinel), factored so stream
+    and batch share one definition."""
+    from columnar_estimator_sample_spark.operators.corpus import (
+        _CASCADE_VERDICT,
+    )
+    from columnar_estimator_sample_spark.operators.textstats import (
+        lm_score_frame,
+    )
+    toks = F.split("text", " ")
+    base = docs.select(
+        "doc_id", "lang",
+        F.size(toks).alias("n_toks"),
+        F.expr("(1000 * size(array_distinct(split(text, ' '))))"
+               " DIV size(split(text, ' '))").alias("ttr_pm"))
+    scored = lm_score_frame(docs, model).select(
+        "doc_id", "lm_score_permille")
+    return (base.join(scored, "doc_id", "left")
+            .withColumn("lm_pm",
+                        F.coalesce("lm_score_permille", F.lit(-1)))
+            .select("doc_id", "lang", "n_toks",
+                    F.expr(_CASCADE_VERDICT).alias("verdict")))
+
+
+def quality_cascade_stream(spark: SparkSession, sf_dir: str,
+                           docs_stream: DataFrame | None = None
+                           ) -> DataFrame:
+    """Drain the documents file stream through the cascade and return
+    the landed (lang, verdict) admission ledger as a local frame.
+    ``docs_stream`` overrides the source (tests drive a multi-file
+    directory through one-file micro-batches to pin the partial-sum
+    path); the LM model always trains on ``sf_dir``'s static corpus.
+
+    Shape: the per-doc LM score needs its own keyed aggregation, and a
+    second (lang, verdict) aggregation on top is more chained stateful
+    operators than a watermark-less stream supports — so each
+    micro-batch is scored with the BATCH signal chain inside
+    ``foreachBatch`` (model broadcast, one explode + two keyed aggs per
+    batch) and only the (lang, verdict, count, tokens) PARTIALS leave
+    the batch; the ledger is their exact integer sum. This is the
+    production shape too: foreachBatch into an idempotent upsert of the
+    admission-ledger table."""
+    import shutil
+    import tempfile
+    from collections import defaultdict
+
+    from columnar_estimator_sample_spark.operators.textstats import (
+        bigram_lm_model,
+    )
+
+    model = bigram_lm_model(spark, sf_dir)
+    partials: list = []
+
+    def score_batch(bdf: DataFrame, epoch_id: int) -> None:
+        rows = (cascade_signals(bdf, model)
+                .groupBy("lang", "verdict")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                     F.sum("n_toks").cast("long").alias("n_tokens"))
+                .collect())
+        partials.append(rows)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_cascade_")
+    src = (documents_stream(spark, sf_dir)
+           if docs_stream is None else docs_stream)
+    try:
+        q = (src
+             .writeStream.foreachBatch(score_batch)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .start())
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    acc: dict = defaultdict(lambda: [0, 0])
+    for rows in partials:
+        for r in rows:
+            a = acc[(r["lang"], r["verdict"])]
+            a[0] += r["n_docs"]
+            a[1] += r["n_tokens"]
+    out = [(lg, v, n, t) for (lg, v), (n, t) in sorted(acc.items())]
+    return spark.createDataFrame(
+        out, "lang string, verdict string, n_docs long, n_tokens long")
+
+
+def _register_stream_cascade() -> None:
+    from columnar_estimator_sample_spark.operators.corpus import (
+        _CASCADE_VERDICT,
+    )
+    from columnar_estimator_sample_spark.operators.textstats import (
+        _DOC_LM_SQL,
+    )
+    from columnar_estimator_sample_spark.registry import register
+
+    register(
+        "q_stream_quality_cascade",
+        oracle=f"""
+        WITH {_DOC_LM_SQL},
+        sig AS (
+            SELECT d.doc_id, d.lang,
+                   len(string_split(d.text, ' ')) AS n_toks,
+                   (1000 * len(list_distinct(string_split(d.text, ' '))))
+                       // len(string_split(d.text, ' ')) AS ttr_pm,
+                   coalesce(s.lm_score_permille, -1) AS lm_pm
+            FROM documents d
+            LEFT JOIN scores s ON s.doc_id = d.doc_id
+        )
+        SELECT lang, {_CASCADE_VERDICT} AS verdict,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+        FROM sig
+        GROUP BY lang, verdict
+        ORDER BY lang, verdict
+        """,
+    )(lambda spark, sf_dir:
+      quality_cascade_stream(spark, sf_dir)
+      .orderBy("lang", "verdict"))
+
+
+_register_stream_cascade()

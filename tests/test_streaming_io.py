@@ -245,6 +245,46 @@ class TestStreamingCorpus:
         w = {tuple(r) for r in want.collect()}
         assert g == w and len(g) > 0
 
+class TestStreamingCascade:
+    def test_multi_batch_ledger_equals_batch_cascade(self, spark,
+                                                     sf_dir, tmp_path):
+        """Stream==batch parity for the quality cascade across REAL
+        micro-batch boundaries: the corpus is split into 3 files driven
+        one-per-trigger, so the ledger exercises the per-batch partial
+        summation; it must equal q_quality_cascade's census on the same
+        corpus row-for-row. Requires every doc's verdict to depend only
+        on its own content + the static LM model — which is the
+        operator's design contract."""
+        import pyspark.sql.functions as F
+        from columnar_estimator_sample_spark.operators.corpus import (
+            q_quality_cascade,
+        )
+        from columnar_estimator_sample_spark.sources import tables
+        from columnar_estimator_sample_spark.streaming.corpus import (
+            quality_cascade_stream,
+        )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sf = str(tmp_path)
+        # static corpus (model + batch twin) = the full table
+        docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+        # arrivals = the same rows split across 3 files
+        parts = str(tmp_path / "arrivals")
+        docs.withColumn("part", F.col("doc_id") % 3) \
+            .write.partitionBy("part").parquet(parts)
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(parts + "/part=*"))
+        try:
+            got = sorted(tuple(r) for r in
+                         quality_cascade_stream(spark, sf, stream)
+                         .collect())
+            want = sorted(tuple(r) for r in
+                          q_quality_cascade(spark, sf).collect())
+            assert got == want and len(got) > 0
+        finally:
+            tables.reset_handles()
+
+
 class TestCompaction:
     def test_compact_write_sizes_files(self, spark, sf_dir, tmp_path):
         from columnar_estimator_sample_spark.sources.io import (

@@ -123,6 +123,8 @@ BUILD_RUNS_JOBS = {
     "q_stream_sessions", "q_stream_sliding_value",
     "q_stream_user_totals", "q_tfrecord_stream_census",
     "q_tfrecord_roundtrip",
+    # r12: foreachBatch drain of the quality-cascade admission ledger
+    "q_stream_quality_cascade",
     # r10: the corpus-export builder WRITES the cleaned corpus parquet
     # (once per session) and returns the landed-table census — the IO
     # roundtrip is the point of the operator
@@ -190,6 +192,8 @@ COLLECT_ALLOWED = {
     "q_stream_user_totals": "drained census rows",
     "q_tfrecord_stream_census": "drained census rows",
     "q_tfrecord_roundtrip": "per-lang census rows (|langs| bounded)",
+    "q_stream_quality_cascade": ("(lang, verdict) partials per "
+                                 "micro-batch — |langs| x 5 bounded"),
 }
 
 
