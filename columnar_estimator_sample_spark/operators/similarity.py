@@ -599,13 +599,16 @@ _NLIST_MEMO: dict[str, int] = register_memo({})
 def _ivf_cells(spark: SparkSession, sf_dir: str):
     """(ranked, norms, ex): centroid-distance ranking for every vector.
 
-    ``ranked`` holds (vec_id, centroid_id, rnk) where rnk orders centroids
-    by exact cosine (desc, centroid_id tiebreak) — rnk=1 is the vector's
-    cell assignment; rnk<=NPROBE for a query vector is its probe list.
-    One broadcast join against the NLIST exploded centroids; shuffle is
-    O(N · NLIST) narrow rows. ``ranked``/``norms`` are lazily local-
-    checkpointed and memoized per (session, sf_dir) — see ``_IVF_MEMO``
-    (cluster: checkpoint() to the cluster FS, same shape).
+    ``ranked`` holds (vec_id, centroid_id, rnk) ordered by exact cosine
+    (desc, centroid_id tiebreak): rnk=1 for EVERY vector (its cell
+    assignment, computed as a map-side min_by argmax) plus the full
+    ranking for the N_QUERIES query vectors (their probe lists, the
+    only rows where rnk>1 is ever read). One broadcast join against the
+    NLIST exploded centroids; the assignment aggregate combines
+    partials map-side instead of window-sorting O(N · NLIST) rows.
+    ``ranked``/``norms`` are lazily local-checkpointed and memoized per
+    (session, sf_dir) — see ``_IVF_MEMO`` (cluster: checkpoint() to the
+    cluster FS, same shape).
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     memo = _IVF_MEMO.get(key)
@@ -633,10 +636,30 @@ def _ivf_cells(spark: SparkSession, sf_dir: str):
                  / (F.sqrt(F.col("nv_s").cast("double"))
                     * F.sqrt(F.col("nc_s").cast("double"))))
                 .alias("ccos")))
+    # ranked now holds exactly the rows its one consumer
+    # (ivf_bucketed_assignment) reads: rnk=1 for EVERY vector (the cell
+    # assignment) + the full centroid ranking for the N_QUERIES query
+    # vectors (the probe lists). The assignment argmax is a map-side-
+    # combinable min_by over the SAME ccos chain — the per-vector
+    # row_number window shuffled all O(N * NLIST) scored rows into
+    # per-vector sorts and was the IVF family's dominant 100x term
+    # (q_ann_ivf_topk 9.9 s at sf10); min_by combines partials before
+    # the exchange. Tie behavior identical: min_by on struct(-ccos,
+    # centroid_id) picks the window's (ccos DESC, centroid_id) head.
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"),
                                              F.asc("centroid_id"))
-    ranked = (scored.select("vec_id", "centroid_id",
-                            F.row_number().over(w).alias("rnk"))
+    qranked = (scored.filter(F.col("vec_id") < N_QUERIES)
+               .select("vec_id", "centroid_id",
+                       F.row_number().over(w).alias("rnk")))
+    assign1 = (scored.filter(F.col("vec_id") >= N_QUERIES)
+               .groupBy("vec_id")
+               .agg(F.min_by(
+                   "centroid_id",
+                   F.struct((-F.col("ccos")).alias("nc"),
+                            F.col("centroid_id"))).alias("centroid_id"))
+               .select("vec_id", "centroid_id",
+                       F.lit(1).alias("rnk")))
+    ranked = (qranked.unionByName(assign1)
               .localCheckpoint(eager=False))
     norms = norms.localCheckpoint(eager=False)
     memo = (ranked, norms, ex)
@@ -693,9 +716,28 @@ def ivf_bucketed_assignment(spark: SparkSession, sf_dir: str
                  os.path.basename(sf_dir.rstrip("/")) + "_"
                  + hashlib.md5(sf_dir.encode()).hexdigest()[:8] + "_"
                  + spark.sparkContext.applicationId)
-    ranked, _, _ = _ivf_cells(spark, sf_dir)
+    ranked, norms, _ = _ivf_cells(spark, sf_dir)
+    # The inverted file carries the PACKED int64 vector and its squared
+    # norm IN the list entry (the FAISS layout: vectors live in the
+    # index). Probe-time scoring then reads ONLY the co-bucketed list
+    # rows — before r12 the exact rescore joined back to the full
+    # exploded corpus on (neighbor_id, i), and that corpus-wide
+    # sort-merge shuffle was the ACTUAL 100x term (q_ann_ivf_topk held
+    # ~9 s at sf10 even after the assignment argmax stopped window-
+    # sorting; with vectors in the index it reads the probed lists).
+    packed = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_PACK_EXPR).alias("v"))
     assign = (ranked.filter(F.col("rnk") == 1)
-              .select("vec_id", "centroid_id"))
+              .select("vec_id", "centroid_id")
+              .join(packed, "vec_id")
+              .join(norms, "vec_id")
+              # the int8 code rides along too (FAISS ``IVF,SQ8``): the
+              # composed query's quantized shortlist reads it from the
+              # probed lists instead of shuffle-joining the corpus-wide
+              # quantized frame per run
+              .join(sq8_quantized(spark, sf_dir)
+                    .withColumnRenamed("qv", "dv"), "vec_id")
+              .select("vec_id", "centroid_id", "v", "n_s", "dv"))
     probes = (ranked.filter((F.col("vec_id") < N_QUERIES)
                             & (F.col("rnk") <= IVF_NPROBE))
               .select(F.col("vec_id").alias("query_id"), "centroid_id"))
@@ -973,36 +1015,32 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query. The brute-force :func:`q_similarity_topk` is the recall
     baseline; tests measure overlap.
     """
-    _, norms, ex = _ivf_cells(spark, sf_dir)
+    _, norms, _ = _ivf_cells(spark, sf_dir)
     assign, probes = ivf_bucketed_assignment(spark, sf_dir)
-    cand = (
+    # queries: packed int64 vector + squared norm, broadcast (N_QUERIES
+    # rows). Scoring touches ONLY the probed inverted-file rows — the
+    # vector and its norm travel IN the list entry, so no join back to
+    # the corpus table exists anywhere in this plan (the pre-r12 form's
+    # corpus-wide (neighbor_id, i) sort-merge rescore was its real
+    # linear term at 100x).
+    qv = (table(spark, sf_dir, "embeddings")
+          .filter(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.expr(_PACK_EXPR).alias("qv"))
+          .join(norms.select(F.col("vec_id").alias("query_id"),
+                             F.col("n_s").alias("nq_s")), "query_id"))
+    scored = (
         probes.join(assign, "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    q = ex.select(F.col("vec_id").alias("query_id"), "i",
-                  F.col("vi").alias("qv"))
-    d = ex.select(F.col("vec_id").alias("neighbor_id"), "i",
-                  F.col("vi").alias("dv"))
-    dots = (
-        cand.join(q, "query_id")
-        .join(d, ["neighbor_id", "i"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum(F.col("qv") * F.col("dv")).alias("dot_s"))
-    )
-    nq = norms.select(F.col("vec_id").alias("query_id"),
-                      F.col("n_s").alias("nq_s"))
-    nd = norms.select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("n_s").alias("nd_s"))
-    scored = (
-        dots.join(F.broadcast(nq), "query_id")
-        .join(F.broadcast(nd), "neighbor_id")
-        .select("query_id", "neighbor_id",
-                (F.col("dot_s").cast("double")
-                 / (F.sqrt(F.col("nq_s").cast("double"))
-                    * F.sqrt(F.col("nd_s").cast("double"))))
-                .alias("cosine")))
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            (F.expr("aggregate(zip_with(v, qv, (x, y) -> x * y),"
+                    " CAST(0 AS BIGINT), (acc, t) -> acc + t)")
+             .cast("double")
+             / (F.sqrt(F.col("nq_s").cast("double"))
+                * F.sqrt(F.col("n_s").cast("double"))))
+            .alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("neighbor_id"))
     return (
@@ -1988,49 +2026,47 @@ def q_ann_ivf_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sublinear); the quantized scoring join carries (query_id,
     neighbor_id, 64-byte int8 array); vectors never ride a shuffle past
     the candidate stage; rescore touches |Q| × SHORTLIST rows."""
-    _, norms, ex = _ivf_cells(spark, sf_dir)
+    _, norms, _ = _ivf_cells(spark, sf_dir)
     assign, probes = ivf_bucketed_assignment(spark, sf_dir)
-    cand = (probes.join(assign, "centroid_id")
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", F.col("vec_id").alias("neighbor_id"))
-            .dropDuplicates(["query_id", "neighbor_id"]))
-    qv = sq8_quantized(spark, sf_dir)
-    qq = (qv.filter(F.col("vec_id") < N_QUERIES)
+    # the probed list rows carry code (dv), exact vector (v) and norm
+    # (n_s) IN the inverted file, so neither the quantized shortlist
+    # nor the exact rescore ever joins back to a corpus-wide frame —
+    # pre-r12 both did (the quantized frame on neighbor_id, then the
+    # exploded corpus on (neighbor_id, i)), and those two corpus-wide
+    # sort-merge shuffles held this query at ~8 s at 100x while the
+    # candidate volume was only O(|Q| * nprobe * N/NLIST)
+    qq = (sq8_quantized(spark, sf_dir)
+          .filter(F.col("vec_id") < N_QUERIES)
           .select(F.col("vec_id").alias("query_id"),
-                  F.col("qv").alias("qqv")))
-    dq = qv.select(F.col("vec_id").alias("neighbor_id"),
-                   F.col("qv").alias("dv"))
-    qdots = (cand.join(dq, "neighbor_id")
+                  F.col("qv").alias("qqv"))
+          .join(table(spark, sf_dir, "embeddings")
+                .filter(F.col("vec_id") < N_QUERIES)
+                .select(F.col("vec_id").alias("query_id"),
+                        F.expr(_PACK_EXPR).alias("qe_v")), "query_id")
+          .join(norms.select(F.col("vec_id").alias("query_id"),
+                             F.col("n_s").alias("nq_s")), "query_id"))
+    qdots = (probes.join(assign, "centroid_id")
+             .filter(F.col("vec_id") != F.col("query_id"))
              .join(F.broadcast(qq), "query_id")
-             .select("query_id", "neighbor_id",
+             .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                     "v", "n_s", "qe_v", "nq_s",
                      F.expr("aggregate(zip_with(qqv, dv, (x, y) -> "
                             "CAST(x AS BIGINT) * y), CAST(0 AS BIGINT), "
                             "(acc, v) -> acc + v)").alias("qdot")))
     ws = Window.partitionBy("query_id").orderBy(F.desc("qdot"),
                                                 F.asc("neighbor_id"))
-    short = (qdots.select("query_id", "neighbor_id",
+    short = (qdots.select("query_id", "neighbor_id", "v", "n_s",
+                          "qe_v", "nq_s",
                           F.row_number().over(ws).alias("srk"))
-             .filter(F.col("srk") <= SQ8_SHORTLIST)
-             .select("query_id", "neighbor_id"))
-    q = ex.select(F.col("vec_id").alias("query_id"), "i",
-                  F.col("vi").alias("qe"))
-    d = ex.select(F.col("vec_id").alias("neighbor_id"), "i",
-                  F.col("vi").alias("de"))
-    dots = (short.join(q, "query_id")
-            .join(d, ["neighbor_id", "i"])
-            .groupBy("query_id", "neighbor_id")
-            .agg(F.sum(F.col("qe") * F.col("de")).alias("dot_s")))
-    nq = norms.select(F.col("vec_id").alias("query_id"),
-                      F.col("n_s").alias("nq_s"))
-    nd = norms.select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("n_s").alias("nd_s"))
-    scored = (dots.join(F.broadcast(nq), "query_id")
-              .join(F.broadcast(nd), "neighbor_id")
-              .select("query_id", "neighbor_id",
-                      (F.col("dot_s").cast("double")
-                       / (F.sqrt(F.col("nq_s").cast("double"))
-                          * F.sqrt(F.col("nd_s").cast("double"))))
-                      .alias("cosine")))
+             .filter(F.col("srk") <= SQ8_SHORTLIST))
+    scored = (short.select(
+        "query_id", "neighbor_id",
+        (F.expr("aggregate(zip_with(v, qe_v, (x, y) -> x * y),"
+                " CAST(0 AS BIGINT), (acc, t) -> acc + t)")
+         .cast("double")
+         / (F.sqrt(F.col("nq_s").cast("double"))
+            * F.sqrt(F.col("n_s").cast("double"))))
+        .alias("cosine")))
     wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                 F.asc("neighbor_id"))
     return (scored.select("query_id", "neighbor_id", "cosine",
