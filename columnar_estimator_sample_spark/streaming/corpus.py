@@ -27,12 +27,28 @@ from columnar_estimator_sample_spark.operators.pipeline import (
 )
 
 
-def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The documents table as a file stream (one parquet file per
-    micro-batch unit)."""
+def documents_stream(spark: SparkSession, sf_dir: str,
+                     files_per_trigger: int = 1) -> DataFrame:
+    """The documents table as a file stream (``files_per_trigger``
+    parquet files per micro-batch — 1 for gate/test determinism; raise
+    it on many-part corpora, where per-file batches are pure trigger
+    overhead: the 100x mirror drains the cascade in 148 s at 1
+    file/trigger vs 15 s at 32). Handles both layouts: a single
+    ``documents.parquet`` FILE (the driver's testdata) is picked out of
+    ``sf_dir`` by a leaf-name glob; a ``documents.parquet`` DIRECTORY
+    of part files (Spark-written corpora — the sf1/sf10 mirrors) is
+    streamed directly, since its parts are named ``part-*`` and a
+    leaf-name glob would silently match NOTHING (caught in r12: the
+    stream drained 0 rows on every generated scale factor)."""
+    import os
     static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(path):
+        return (spark.readStream.schema(static.schema)
+                .option("maxFilesPerTrigger", files_per_trigger)
+                .parquet(path))
     return (spark.readStream.schema(static.schema)
-            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerTrigger", files_per_trigger)
             .option("pathGlobFilter", "documents.parquet")
             .parquet(sf_dir))
 
