@@ -76,21 +76,28 @@ _loaded = False
 # in and out of the window is additionally verified by
 # ``tools/check_oracle.py`` (same compare semantics) before commit.
 #
-# Round-12 window (the round-11 verdict's lead item): the 14 round-11
-# operators that registered behind the r11 window and therefore have NO
-# driver CORRECTNESS row yet (in registration order), plus the 36
-# OLDEST r5-age re-certification rows (registration order; the 9 r5
-# leftovers — q_theilsen_trend q_expectations q_k_anonymity
-# q_capture_recapture q_embed_quantize q_benford q_tfrecord_roundtrip
-# q_stream_daily_counts q_stream_sessions — head the r13 window).
-# Round-12 NEW queries (incremental IVF maintenance, embedding
-# whitening apply) register BEHIND this window by design, exactly as
-# the r11 cohort did: each is differentially verified at BOTH gate SFs
-# by tools/check_oracle.py (rows merged into CORRECTNESS_LOCAL.json)
-# and becomes a front-of-window candidate for the r13 rotation.
-# Queries whose registered body changes this round but that are ALREADY
-# in this window (q_dedup_winnow: adaptive MAXDF; q_embed_pca: zero-mw
-# guard) need no displacement — the driver certifies the changed body.
+# Round-12 window (the round-11 verdict's lead item, amended by the
+# standing rotation rule that anything REWRITTEN in the current round
+# outranks re-certs — see tools/next_window.py):
+#   (a) the 14 round-11 operators that registered behind the r11 window
+#       and therefore had NO driver CORRECTNESS row (registration
+#       order) — q_dedup_winnow and q_embed_pca among them also changed
+#       body this round (adaptive MAXDF / zero-mw guard), as did
+#       q_ann_ivf_sq_topk and q_quality_cascade (in-file SQ codes /
+#       shared LM model), so their certs land on the new bodies;
+#   (b) the round-12 NEW queries (incremental IVF maintenance,
+#       whitening apply + recall census, streaming cascade) and the
+#       round-12 REWRITTEN bodies not already covered by (a): the IVF
+#       family's vectors-and-codes-in-the-inverted-file rework
+#       (q_ann_ivf_topk / _pq_topk / _pq_residual), the shared
+#       digest-census probe (q_dedup_minhash_lsh), and the bigram-LM
+#       model split (q_doc_lm_score / q_ccnet_tiers /
+#       q_token_budget_pack) — every rework is result-identical and
+#       locally re-verified at both gate SFs, but the driver row is the
+#       hard signal;
+#   (c) the 26 OLDEST r5-age re-certs (registration order). The 19 r5
+#       leftovers (q_weekday_seasonality .. q_inventory_clamped,
+#       q_theilsen_trend .. q_stream_sessions) head the r13 window.
 _DRIVER_WINDOW_R12 = [
     # (a) the 14 never-driver-certified r11 operators
     "q_dedup_soft", "q_dedup_winnow", "q_dedup_cross_source",
@@ -98,7 +105,13 @@ _DRIVER_WINDOW_R12 = [
     "q_ann_sq8_topk", "q_mmr_rerank", "q_ann_sq8_recall",
     "q_ann_ivf_sq_topk", "q_quality_cascade", "q_quality_ensemble",
     "q_embed_pca", "q_media_search",
-    # (b) the 36 oldest r5-age re-certs, registration order
+    # (b) round-12 new + rewritten bodies
+    "q_ann_ivf_incremental", "q_embed_whiten",
+    "q_stream_quality_cascade",
+    "q_ann_ivf_topk", "q_ann_ivf_pq_topk", "q_ann_ivf_pq_residual",
+    "q_dedup_minhash_lsh", "q_doc_lm_score", "q_ccnet_tiers",
+    "q_token_budget_pack",
+    # (c) the 26 oldest r5-age re-certs, registration order
     "q_rate_anomaly", "q_event_transitions", "q_slo_burn",
     "q_substring_hotspots", "q_cheapest_route", "q_two_hop_reach",
     "q_degree_histogram", "q_token_bigrams", "q_label_balance",
@@ -107,10 +120,7 @@ _DRIVER_WINDOW_R12 = [
     "q_length_percentiles", "q_kwic", "q_autocomplete",
     "q_token_colocation", "q_zipf_check", "q_corpus_prep_pipeline",
     "q_snapshot_diff", "q_resample_ohlc", "q_gap_fill", "q_ewma",
-    "q_rolling_active", "q_weekday_seasonality", "q_mad_outliers",
-    "q_seasonal_backtest", "q_burstiness", "q_haar_levels",
-    "q_cusum_changepoint", "q_tail_risk", "q_rolling_zscore",
-    "q_ols_trend", "q_inventory_clamped",
+    "q_rolling_active",
 ]
 
 
