@@ -873,9 +873,12 @@ def ivf_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return handle
 
 
-@register(
-    "q_ann_ivf_incremental",
-    oracle=f"""
+# Shared by q_ann_ivf_incremental (batch maintenance) and
+# streaming.corpus.q_stream_ann_ingest (the same maintenance driven by
+# a file stream): both lanes MUST converge to the identical maintained
+# index, so they certify against one oracle — the from-scratch
+# restatement of the full assignment split at the batch threshold.
+IVF_INC_ORACLE = f"""
     WITH ex AS ({_SQL_EX}
     ), cex AS (
         SELECT vec_id AS centroid_id, i, vi AS ci
@@ -912,8 +915,10 @@ def ivf_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM assign a CROSS JOIN thr
     GROUP BY a.centroid_id
     ORDER BY a.centroid_id
-    """,
-)
+    """
+
+
+@register("q_ann_ivf_incremental", oracle=IVF_INC_ORACLE)
 def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF maintenance census: per centroid, how many base
     vectors the warm index holds, how many of the arriving batch the

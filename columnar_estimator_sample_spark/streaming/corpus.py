@@ -225,3 +225,154 @@ def _register_stream_cascade() -> None:
 
 
 _register_stream_cascade()
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN ingestion: q_ann_ivf_incremental's maintenance step
+# driven by a FILE STREAM — embedding arrivals are coarse-assigned
+# against the existing centroids inside each micro-batch and appended
+# to the maintained bucketed inverted file (FAISS add() as a streaming
+# sink). Batch and stream faces converge to the identical index, so
+# they certify against the same oracle.
+# ---------------------------------------------------------------------------
+
+
+def embeddings_stream(spark: SparkSession, sf_dir: str,
+                      files_per_trigger: int = 1) -> DataFrame:
+    """The embeddings table as a file stream — same dual-layout
+    handling as :func:`documents_stream` (single file via leaf glob,
+    Spark-written directory streamed directly)."""
+    import os
+    static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(path):
+        return (spark.readStream.schema(static.schema)
+                .option("maxFilesPerTrigger", files_per_trigger)
+                .parquet(path))
+    return (spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir))
+
+
+# (applicationId, sf_dir) -> drained maintained-table handle (stream
+# face). Memoized post-drain so a re-invocation reads the table
+# instead of re-appending arrivals.
+_ANN_INGEST_TABLES: dict = None  # set below via register_memo
+
+
+def ann_ingest_stream(spark: SparkSession, sf_dir: str,
+                      arrivals: DataFrame | None = None) -> DataFrame:
+    """Maintained IVF inverted file fed by a stream: the base corpus's
+    assignment is written once (the warm index), then each micro-batch
+    of arriving vectors (vec_id >= the batch threshold — the same
+    simulated arrival set as the batch face) is coarse-assigned against
+    the EXISTING centroid frames inside ``foreachBatch`` — an
+    O(|micro-batch| * NLIST) broadcast join — and appended into the
+    bucketed layout. Returns the maintained table handle
+    (vec_id, centroid_id, phase).
+
+    ``arrivals`` overrides the source stream (tests drive multi-file
+    arrival directories through one-file micro-batches). Exactly-once
+    note: availableNow + append is at-least-once under mid-drain
+    failure; production pairs the append with an epoch-id dedup (the
+    q_stream_landing_census idempotent-sink pattern) — the gate drains
+    cleanly, and the memo prevents re-drains in-session."""
+    import hashlib
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from columnar_estimator_sample_spark.operators.partitioning import (
+        bucketed_ctas,
+    )
+    from columnar_estimator_sample_spark.operators.similarity import (
+        _exploded, _inc_coarse_assign, inc_batch_threshold, ivf_nlist_for,
+    )
+    from columnar_estimator_sample_spark.sources.tables import (
+        register_tempdir, table,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _ANN_INGEST_TABLES.get(key)
+    if memo is not None:
+        return memo
+    nlist = ivf_nlist_for(sf_dir)
+    thr = inc_batch_threshold(sf_dir)
+    ex = _exploded(table(spark, sf_dir, "embeddings"))
+    cex = (ex.filter(F.col("vec_id") < nlist)
+           .select(F.col("vec_id").alias("centroid_id"), "i",
+                   F.col("vi").alias("ci")))
+    cnorms = (cex.groupBy("centroid_id")
+              .agg(F.sum(F.col("ci") * F.col("ci")).alias("nc_s"))
+              .localCheckpoint(eager=False))
+    tag = re.sub(r"[^0-9A-Za-z]+", "_",
+                 os.path.basename(sf_dir.rstrip("/")) + "_"
+                 + hashlib.md5(sf_dir.encode()).hexdigest()[:8] + "_"
+                 + spark.sparkContext.applicationId)
+    name = f"ivf_ings_{tag}"
+    base = register_tempdir(tempfile.mkdtemp(prefix="spark-graft-ivfs-"))
+    bucketed_ctas(
+        spark, name,
+        _inc_coarse_assign(ex.filter(F.col("vec_id") < thr), cex,
+                           cnorms, "base"),
+        "centroid_id", n_buckets=nlist, path=os.path.join(base, "idx"))
+
+    def ingest_batch(bdf: DataFrame, epoch_id: int) -> None:
+        batch = bdf.filter(F.col("vec_id") >= thr)
+        (_inc_coarse_assign(_exploded(batch), cex, cnorms, "batch")
+         .write.mode("append").insertInto(name))
+
+    src = (embeddings_stream(spark, sf_dir)
+           if arrivals is None else arrivals)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ann_ingest_")
+    try:
+        q = (src.writeStream.foreachBatch(ingest_batch)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .start())
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    # foreachBatch runs in a CLONED session: its insertInto lands on
+    # disk but does NOT invalidate the parent session's cached file
+    # index for the table — without the refresh the census silently
+    # reads the pre-append listing (caught in r12 by the differential
+    # gate: n_batch=0 while the files were on disk)
+    spark.catalog.refreshTable(name)
+    handle = spark.table(name)
+    _ANN_INGEST_TABLES[key] = handle
+    return handle
+
+
+def _register_stream_ann_ingest() -> None:
+    from columnar_estimator_sample_spark.operators.similarity import (
+        IVF_INC_ORACLE,
+    )
+    from columnar_estimator_sample_spark.registry import register
+    from columnar_estimator_sample_spark.sources.tables import (
+        register_memo,
+    )
+
+    global _ANN_INGEST_TABLES
+    _ANN_INGEST_TABLES = register_memo({})
+
+    def q_stream_ann_ingest(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+        """Census of the STREAM-maintained inverted file — same
+        columns, same oracle as q_ann_ivf_incremental: the two
+        maintenance faces must converge to the identical index."""
+        idx = ann_ingest_stream(spark, sf_dir)
+        is_batch = (F.col("phase") == "batch").cast("int")
+        return (idx.groupBy("centroid_id")
+                .agg(F.sum(1 - is_batch).cast("long").alias("n_base"),
+                     F.sum(is_batch).cast("long").alias("n_batch"),
+                     F.count(F.lit(1)).cast("long").alias("n_total"))
+                .orderBy("centroid_id"))
+
+    register("q_stream_ann_ingest", oracle=IVF_INC_ORACLE)(
+        q_stream_ann_ingest)
+
+
+_register_stream_ann_ingest()

@@ -285,6 +285,46 @@ class TestStreamingCascade:
             tables.reset_handles()
 
 
+class TestStreamAnnIngest:
+    def test_multi_batch_ingest_equals_batch_face(self, spark, sf_dir,
+                                                  tmp_path):
+        """Stream==batch parity for IVF maintenance across REAL
+        micro-batch boundaries: the arriving 50-vector batch is split
+        across 3 files driven one-per-trigger; the stream-maintained
+        inverted file must equal the batch face's maintained table
+        (and therefore the from-scratch rebuild both certify against)
+        row-for-row, phases included."""
+        import pyspark.sql.functions as F
+        from columnar_estimator_sample_spark.operators.similarity import (
+            IVF_INC_BATCH, inc_batch_threshold, ivf_incremental_index,
+        )
+        from columnar_estimator_sample_spark.sources import tables
+        from columnar_estimator_sample_spark.streaming.corpus import (
+            ann_ingest_stream,
+        )
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        sf = str(tmp_path)
+        emb.coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+        thr = inc_batch_threshold(sf)
+        arrivals = str(tmp_path / "arrivals")
+        (emb.filter(F.col("vec_id") >= thr)
+         .withColumn("part", F.col("vec_id") % 3)
+         .write.partitionBy("part").parquet(arrivals))
+        stream = (spark.readStream.schema(emb.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(arrivals + "/part=*"))
+        try:
+            got = sorted(tuple(r) for r in
+                         ann_ingest_stream(spark, sf, stream).collect())
+            want = sorted(tuple(r) for r in
+                          ivf_incremental_index(spark, sf).collect())
+            assert got == want
+            assert sum(1 for _, _, p in got if p == "batch") \
+                == IVF_INC_BATCH
+        finally:
+            tables.reset_handles()
+
+
 class TestCompaction:
     def test_compact_write_sizes_files(self, spark, sf_dir, tmp_path):
         from columnar_estimator_sample_spark.sources.io import (
