@@ -262,7 +262,8 @@ _ANN_INGEST_TABLES: dict = None  # set below via register_memo
 
 
 def ann_ingest_stream(spark: SparkSession, sf_dir: str,
-                      arrivals: DataFrame | None = None) -> DataFrame:
+                      arrivals: DataFrame | None = None,
+                      files_per_trigger: int = 1) -> DataFrame:
     """Maintained IVF inverted file fed by a stream: the base corpus's
     assignment is written once (the warm index), then each micro-batch
     of arriving vectors (vec_id >= the batch threshold — the same
@@ -324,7 +325,7 @@ def ann_ingest_stream(spark: SparkSession, sf_dir: str,
         (_inc_coarse_assign(_exploded(batch), cex, cnorms, "batch")
          .write.mode("append").insertInto(name))
 
-    src = (embeddings_stream(spark, sf_dir)
+    src = (embeddings_stream(spark, sf_dir, files_per_trigger)
            if arrivals is None else arrivals)
     ckpt = tempfile.mkdtemp(prefix="ckpt_ann_ingest_")
     try:
