@@ -873,6 +873,44 @@ def ivf_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return handle
 
 
+_IVF_INC_GEN = [0]  # compaction generation counter (unique table names)
+
+
+def ivf_inc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact the maintained inverted file: after many ``add()``
+    batches the table holds O(appends x buckets) small files; rewrite
+    it as a fresh bucketed CTAS repartitioned on the EXPLICIT bucket id
+    ``pmod(hash(centroid_id), nlist)`` — SQL ``hash()`` is the
+    bucketing's Murmur3, so every bucket's rows share one shuffle key
+    and land in one task, which writes ONE file per non-empty bucket
+    (plain ``repartition(n, col)`` re-hashes the key row and split
+    each bucket across two tasks, measured). Content-identical by
+    construction (test-pinned) and the
+    memo re-points, so every later read — censuses, probe joins —
+    scans the compacted layout. The FAISS maintenance cycle completed:
+    build once -> append arrivals -> compact."""
+    import tempfile
+    from columnar_estimator_sample_spark.operators.partitioning import (
+        bucketed_ctas,
+    )
+    from columnar_estimator_sample_spark.sources.tables import (
+        register_tempdir,
+    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    handle = ivf_incremental_index(spark, sf_dir)
+    nlist = ivf_nlist_for(sf_dir)
+    _IVF_INC_GEN[0] += 1
+    base = register_tempdir(tempfile.mkdtemp(prefix="spark-graft-ivfc-"))
+    new = bucketed_ctas(
+        spark, f"ivf_inc_g{_IVF_INC_GEN[0]}_{abs(hash(key)) % 10**8}",
+        handle.repartition(
+            nlist, F.expr(f"pmod(hash(centroid_id), {nlist})")),
+        "centroid_id", n_buckets=nlist,
+        path=os.path.join(base, "idx"))
+    _IVF_INC_TABLES[key] = new
+    return new
+
+
 # Shared by q_ann_ivf_incremental (batch maintenance) and
 # streaming.corpus.q_stream_ann_ingest (the same maintenance driven by
 # a file stream): both lanes MUST converge to the identical maintained

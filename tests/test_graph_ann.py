@@ -232,6 +232,38 @@ class TestIvfIncremental:
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
         assert sum(r["n_batch"] for r in b) == IVF_INC_BATCH
 
+    def test_compaction_preserves_content_and_layout(self, spark,
+                                                     sf_dir):
+        """build -> append -> COMPACT: the rewritten file must hold the
+        identical rows, shrink to one file per non-empty bucket, and
+        re-point the memo so later reads scan the compacted layout."""
+        from columnar_estimator_sample_spark.operators.similarity import (
+            _IVF_INC_TABLES, ivf_inc_compact, ivf_incremental_index,
+            ivf_nlist_for,
+        )
+        idx = ivf_incremental_index(spark, sf_dir)
+        before = sorted(tuple(r) for r in idx.collect())
+        files_before = len(idx.inputFiles())
+        new = ivf_inc_compact(spark, sf_dir)
+        after = sorted(tuple(r) for r in new.collect())
+        assert after == before
+        nlist = ivf_nlist_for(sf_dir)
+        files_after = len(new.inputFiles())
+        assert files_after <= nlist
+        # base CTAS + batch append each write their own bucket files,
+        # so compaction must strictly shrink the listing
+        assert files_after < files_before
+        key = (spark.sparkContext.applicationId, sf_dir)
+        assert _IVF_INC_TABLES[key] is new
+        # and the maintained-census plan still rides the bucketing
+        from columnar_estimator_sample_spark.operators.similarity import (
+            q_ann_ivf_incremental,
+        )
+        plan = (q_ann_ivf_incremental(spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0])
+        assert "Exchange hashpartitioning" not in plan, plan
+
     def test_census_groupby_rides_bucketing(self, spark, sf_dir):
         """The maintained file keeps its bucketed layout THROUGH the
         append: grouping by centroid_id on the post-append scan needs no
