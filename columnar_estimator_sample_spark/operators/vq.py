@@ -1561,9 +1561,8 @@ def _whiten_recall_ctes(src: str, sfx: str) -> str:
     """DuckDB recall-census CTEs over a mil-lane source CTE — the
     _ann_recall_oracle blocks parameterized by input and suffix."""
     from columnar_estimator_sample_spark.operators.similarity import (
-        ANN_BANDS, ANN_PLANES, ANN_ROWS, RECALL_N,
+        ANN_PLANES, ANN_ROWS, RECALL_N,
     )
-    del ANN_BANDS  # band count is implied by planes // rows
     return f"""
     exb{sfx} AS MATERIALIZED (
         SELECT vec_id, i, vm FROM {src} WHERE vec_id < {RECALL_N}
