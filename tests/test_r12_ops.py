@@ -152,3 +152,54 @@ class TestAdaptiveWinnowCap:
         assert digest_census(spark, sf_dir) == ("sentinel", "sentinel")
         _DIGEST_CENSUS_MEMO[key] = a
         assert digest_census(spark, sf_dir) == a
+
+
+class TestWinnowLaneProperty:
+    """Seeded-random lane equality: random small corpora with
+    controlled duplication, shared token runs (so near-dup pairs arise
+    naturally), and enough member pairs to make the top-k cutoff bind —
+    the contracted lane's in-plan cutoff + expansion must reproduce the
+    direct doc-level join row-for-row every time."""
+
+    def test_random_corpora_lanes_equal(self, spark, tmp_path):
+        import random
+
+        import columnar_estimator_sample_spark.operators.dedup as D
+
+        rng = random.Random(20260816)
+        vocab = [f"w{i}" for i in range(12)]
+        for trial in range(6):
+            n_texts = rng.randint(2, 5)
+            texts = []
+            for _ in range(n_texts):
+                n_tok = rng.randint(8, 18)
+                # half the texts share a long common run to force
+                # cross-content fingerprint overlap
+                if rng.random() < 0.5 and texts:
+                    prefix = texts[-1].split(" ")[:9]
+                    rest = [rng.choice(vocab)
+                            for _ in range(max(n_tok - 9, 1))]
+                    texts.append(" ".join(prefix + rest))
+                else:
+                    texts.append(" ".join(rng.choice(vocab)
+                                          for _ in range(n_tok)))
+            rows, did = [], 0
+            for t in texts:
+                for _ in range(rng.randint(1, 6)):
+                    rows.append(
+                        f"(CAST({did} AS BIGINT), '{t}', 'aa', 'src0',"
+                        f" CAST({len(t)} AS BIGINT))")
+                    did += 1
+            sf = str(tmp_path / f"trial{trial}")
+            (tmp_path / f"trial{trial}").mkdir()
+            duckdb.sql(
+                "COPY (SELECT * FROM (VALUES " + ", ".join(rows)
+                + ") t(doc_id, text, lang, source, n_chars)) TO '"
+                + f"{sf}/documents.parquet' (FORMAT PARQUET)")
+            cap = D.winnow_maxdf(spark, sf)
+            direct = [tuple(r) for r in
+                      D._winnow_census_direct(spark, sf, cap).collect()]
+            contracted = [tuple(r) for r in
+                          D._winnow_census_contracted(spark, sf,
+                                                      cap).collect()]
+            assert contracted == direct, (trial, cap, texts)
