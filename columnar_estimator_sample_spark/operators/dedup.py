@@ -75,7 +75,12 @@ def duplication_estimate(spark: SparkSession, sf_dir: str) -> int:
     Gate/bench corpora are duplication-light (estimate 1, test-pinned),
     so consumers that embed static constants in their oracles stay
     byte-stable there; replicated corpora (the sf1/sf10 testbeds are
-    10/100-way mirrored) get the true factor."""
+    10/100-way mirrored) get the true factor. Honest note: ANALYZE's
+    column NDV is HLL-approximate, so the two lanes can disagree by a
+    few percent on a duplicated corpus — acceptable because the
+    estimate feeds tuning knobs (the winnow cap, the lane switch), not
+    result semantics, and at the oracle-pinned gate SFs both lanes are
+    exactly 1."""
     import os as _os
     import re as _re
     from columnar_estimator_sample_spark.sources.tables import (
