@@ -1583,6 +1583,29 @@ DSIR_PS = 10 ** 9   # bucket-probability scale
 DSIR_RS = 10 ** 6   # importance-ratio scale (ppm; 1e6 = "same as corpus")
 
 
+
+# Checkpoint the DSIR hashed-feature frame only while the pinned blocks
+# are safe: localCheckpoint blocks are UNEVICTABLE, and at the 100x
+# mirror (500k docs -> ~100M feature rows) the pinned frame exhausted
+# the unified pool (SparkOutOfMemoryError, measured) while the
+# double-scan form ran fine. Below the bound the checkpoint halves the
+# dominant md5 cost (2.60 -> 1.25 s at sf0.1, min-of-5); above it the
+# frame recomputes per reference — the footer row count picks the lane
+# at plan time (the ivf_nlist / ccnet / winnow discipline).
+DSIR_CKPT_MAX_DOCS = 100_000
+
+
+def _dsir_maybe_checkpoint(feats, sf_dir: str):
+    from columnar_estimator_sample_spark.sources.tables import (
+        parquet_num_rows,
+    )
+    import os as _os
+    n = parquet_num_rows(_os.path.join(sf_dir, "documents.parquet"))
+    if n <= DSIR_CKPT_MAX_DOCS:
+        return feats.localCheckpoint(eager=False)
+    return feats
+
+
 @register(
     "q_dsir_selection",
     oracle=f"""
@@ -1645,9 +1668,15 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram generalization only widens the explode, never the joins.
     """
     docs = table(spark, sf_dir, "documents")
-    tok = (docs.select("doc_id", "lang",
-                       F.explode(F.split("text", " ")).alias("w"))
-           .select("doc_id", "lang", (h64(F.col("w")) % DSIR_B).alias("b")))
+    # the hashed-feature frame feeds BOTH the bucket census and the
+    # scoring join; checkpoint it below the pinned-block safety bound
+    # (see _dsir_maybe_checkpoint) so the explode + md5 runs once per
+    # execution, not once per plan reference
+    tok = _dsir_maybe_checkpoint(
+        docs.select("doc_id", "lang",
+                    F.explode(F.split("text", " ")).alias("w"))
+        .select("doc_id", "lang", (h64(F.col("w")) % DSIR_B).alias("b")),
+        sf_dir)
     bc = tok.groupBy("b").agg(
         F.count("*").cast("long").alias("cs"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
@@ -1752,6 +1781,10 @@ def q_dsir_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
              """)).alias("w"))
              .select("doc_id", "lang",
                      (h64(F.col("w")) % DSIR_B).alias("b")))
+    # shared by the census and the scoring join: checkpoint below the
+    # pinned-block bound (2.60 -> 1.25 s at sf0.1; recompute lane past
+    # 100k docs — see _dsir_maybe_checkpoint)
+    feats = _dsir_maybe_checkpoint(feats, sf_dir)
     bc = feats.groupBy("b").agg(
         F.count("*").cast("long").alias("cs"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))

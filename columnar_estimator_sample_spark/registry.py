@@ -92,11 +92,13 @@ _loaded = False
 #       (q_ann_ivf_topk / _pq_topk / _pq_residual), the shared
 #       digest-census probe (q_dedup_minhash_lsh), and the bigram-LM
 #       model split (q_doc_lm_score / q_ccnet_tiers /
-#       q_token_budget_pack) — every rework is result-identical and
-#       locally re-verified at both gate SFs, but the driver row is the
-#       hard signal;
-#   (c) the 26 OLDEST r5-age re-certs (registration order). The 19 r5
-#       leftovers (q_weekday_seasonality .. q_inventory_clamped,
+#       q_token_budget_pack), and the DSIR pair's checkpointed
+#       feature frame (q_dsir_selection / q_dsir_bigram) — every
+#       rework is result-identical and locally re-verified at both
+#       gate SFs, but the driver row is the hard signal;
+#   (c) the 24 OLDEST r5-age re-certs (registration order). The 21 r5
+#       leftovers (q_ewma q_rolling_active,
+#       q_weekday_seasonality .. q_inventory_clamped,
 #       q_theilsen_trend .. q_stream_sessions) head the r13 window.
 _DRIVER_WINDOW_R12 = [
     # (a) the 14 never-driver-certified r11 operators
@@ -110,8 +112,8 @@ _DRIVER_WINDOW_R12 = [
     "q_stream_quality_cascade",
     "q_ann_ivf_topk", "q_ann_ivf_pq_topk", "q_ann_ivf_pq_residual",
     "q_dedup_minhash_lsh", "q_doc_lm_score", "q_ccnet_tiers",
-    "q_token_budget_pack",
-    # (c) the 26 oldest r5-age re-certs, registration order
+    "q_token_budget_pack", "q_dsir_selection", "q_dsir_bigram",
+    # (c) the 24 oldest r5-age re-certs, registration order
     "q_rate_anomaly", "q_event_transitions", "q_slo_burn",
     "q_substring_hotspots", "q_cheapest_route", "q_two_hop_reach",
     "q_degree_histogram", "q_token_bigrams", "q_label_balance",
@@ -119,8 +121,7 @@ _DRIVER_WINDOW_R12 = [
     "q_bigram_novelty", "q_hapax_share", "q_simpson_diversity",
     "q_length_percentiles", "q_kwic", "q_autocomplete",
     "q_token_colocation", "q_zipf_check", "q_corpus_prep_pipeline",
-    "q_snapshot_diff", "q_resample_ohlc", "q_gap_fill", "q_ewma",
-    "q_rolling_active",
+    "q_snapshot_diff", "q_resample_ohlc", "q_gap_fill",
 ]
 
 

@@ -91,6 +91,10 @@ BUILD_RUNS_JOBS = {
     "q_dedup_prefix_filter", "q_media_neardup", "q_media_search",
     "q_media_audio_neardup", "q_media_video_neardup", "q_semdedup",
     "q_er_sorted_neighborhood",
+    # r12: the hashed-feature frame (explode + md5) is lazily
+    # checkpointed — it feeds both the bucket census and the scoring
+    # join (2.60 -> 1.25 s at sf0.1)
+    "q_dsir_selection", "q_dsir_bigram",
     # r9: the IVF family shares one lazily-checkpointed coarse
     # assignment (similarity._IVF_MEMO); whichever builds first
     # materializes it (r10: q_ann_ivf_topk also writes the bucketed
