@@ -274,11 +274,15 @@ def ann_ingest_stream(spark: SparkSession, sf_dir: str,
     (vec_id, centroid_id, phase).
 
     ``arrivals`` overrides the source stream (tests drive multi-file
-    arrival directories through one-file micro-batches). Exactly-once
-    note: availableNow + append is at-least-once under mid-drain
-    failure; production pairs the append with an epoch-id dedup (the
-    q_stream_landing_census idempotent-sink pattern) — the gate drains
-    cleanly, and the memo prevents re-drains in-session."""
+    arrival directories through one-file micro-batches). EXACTLY-ONCE:
+    the table is hive-partitioned by ingest epoch (base rows land as
+    epoch=-1) and each micro-batch writes its epoch partition with
+    DYNAMIC partition overwrite, so a replayed epoch — availableNow
+    restarting after a mid-drain failure re-runs the last epoch —
+    overwrites its own rows instead of duplicating them (the
+    q_stream_landing_census idempotent-sink pattern; replay is
+    test-pinned). Bucketing by centroid_id within partitions keeps the
+    census/probe plans exchange-free (the corpus-export layout)."""
     import hashlib
     import os
     import re
@@ -317,17 +321,25 @@ def ann_ingest_stream(spark: SparkSession, sf_dir: str,
     bucketed_ctas(
         spark, name,
         _inc_coarse_assign(ex.filter(F.col("vec_id") < thr), cex,
-                           cnorms, "base"),
-        "centroid_id", n_buckets=nlist, path=os.path.join(base, "idx"))
+                           cnorms, "base")
+        .withColumn("epoch", F.lit(-1).cast("long")),
+        "centroid_id", n_buckets=nlist, path=os.path.join(base, "idx"),
+        partition_by="epoch")
 
     def ingest_batch(bdf: DataFrame, epoch_id: int) -> None:
         batch = bdf.filter(F.col("vec_id") >= thr)
-        (_inc_coarse_assign(_exploded(batch), cex, cnorms, "batch")
-         .write.mode("append").insertInto(name))
+        _ingest_epoch(_inc_coarse_assign(_exploded(batch), cex, cnorms,
+                                         "batch"), name, epoch_id)
 
     src = (embeddings_stream(spark, sf_dir, files_per_trigger)
            if arrivals is None else arrivals)
     ckpt = tempfile.mkdtemp(prefix="ckpt_ann_ingest_")
+    # dynamic partition overwrite is what makes an epoch replay
+    # idempotent; set on the parent session BEFORE the stream starts so
+    # the foreachBatch clone inherits it
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                               None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         q = (src.writeStream.foreachBatch(ingest_batch)
              .trigger(availableNow=True)
@@ -336,15 +348,30 @@ def ann_ingest_stream(spark: SparkSession, sf_dir: str,
         q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           prev_mode)
     # foreachBatch runs in a CLONED session: its insertInto lands on
     # disk but does NOT invalidate the parent session's cached file
     # index for the table — without the refresh the census silently
     # reads the pre-append listing (caught in r12 by the differential
     # gate: n_batch=0 while the files were on disk)
     spark.catalog.refreshTable(name)
-    handle = spark.table(name)
+    handle = spark.table(name).select("vec_id", "centroid_id", "phase")
     _ANN_INGEST_TABLES[key] = handle
     return handle
+
+
+def _ingest_epoch(assign: DataFrame, name: str, epoch_id: int) -> None:
+    """Land one epoch's assignment rows idempotently: the epoch column
+    is the hive partition, written with DYNAMIC overwrite — replaying
+    the epoch (streaming retry) overwrites its own partition instead of
+    appending duplicates. insertInto matches columns by POSITION and
+    the partition column must come last."""
+    (assign.withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
+     .write.mode("overwrite").insertInto(name))
 
 
 def _register_stream_ann_ingest() -> None:

@@ -325,6 +325,65 @@ class TestStreamAnnIngest:
             tables.reset_handles()
 
 
+class TestStreamAnnIngestReplay:
+    def test_epoch_replay_is_idempotent(self, spark, sf_dir, tmp_path):
+        """A streaming retry re-runs the last epoch: landing the same
+        epoch's assignment rows again must OVERWRITE its partition, not
+        duplicate it — the exactly-once contract of the epoch-
+        partitioned dynamic-overwrite sink."""
+        import pyspark.sql.functions as F
+        from columnar_estimator_sample_spark.operators.similarity import (
+            _exploded, _inc_coarse_assign, inc_batch_threshold,
+            ivf_nlist_for,
+        )
+        from columnar_estimator_sample_spark.sources import tables
+        from columnar_estimator_sample_spark.sources.tables import table
+        from columnar_estimator_sample_spark.streaming.corpus import (
+            _ingest_epoch, ann_ingest_stream,
+        )
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        sf = str(tmp_path)
+        emb.coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+        try:
+            drained = ann_ingest_stream(spark, sf)
+            before = sorted(tuple(r) for r in drained.collect())
+            # rebuild the drain's epoch-0 assignment and re-land it
+            nlist = ivf_nlist_for(sf)
+            thr = inc_batch_threshold(sf)
+            ex = _exploded(table(spark, sf, "embeddings"))
+            cex = (ex.filter(F.col("vec_id") < nlist)
+                   .select(F.col("vec_id").alias("centroid_id"), "i",
+                           F.col("vi").alias("ci")))
+            cnorms = cex.groupBy("centroid_id").agg(
+                F.sum(F.col("ci") * F.col("ci")).alias("nc_s"))
+            replay = _inc_coarse_assign(
+                ex.filter(F.col("vec_id") >= thr), cex, cnorms, "batch")
+            name = next(t.name for t in spark.catalog.listTables()
+                        if t.name.startswith("ivf_ings_"))
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", None)
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                _ingest_epoch(replay, name, 0)
+                _ingest_epoch(replay, name, 0)  # replay of the replay
+            finally:
+                if prev is None:
+                    spark.conf.unset(
+                        "spark.sql.sources.partitionOverwriteMode")
+                else:
+                    spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", prev)
+            spark.catalog.refreshTable(name)
+            after = sorted(
+                tuple(r) for r in
+                spark.table(name)
+                .select("vec_id", "centroid_id", "phase").collect())
+            assert after == before
+        finally:
+            tables.reset_handles()
+
+
 class TestCompaction:
     def test_compact_write_sizes_files(self, spark, sf_dir, tmp_path):
         from columnar_estimator_sample_spark.sources.io import (
