@@ -157,7 +157,11 @@ def quality_cascade_stream(spark: SparkSession, sf_dir: str,
     )
 
     model = bigram_lm_model(spark, sf_dir)
-    partials: list = []
+    # keyed by epoch id, not appended: a streaming retry re-runs the
+    # failed epoch, and keying makes the replay OVERWRITE its partials
+    # instead of double-counting them — the same exactly-once
+    # discipline as the ANN ingest's epoch-partitioned sink
+    partials: dict = {}
 
     def score_batch(bdf: DataFrame, epoch_id: int) -> None:
         rows = (cascade_signals(bdf, model)
@@ -165,7 +169,7 @@ def quality_cascade_stream(spark: SparkSession, sf_dir: str,
                 .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                      F.sum("n_toks").cast("long").alias("n_tokens"))
                 .collect())
-        partials.append(rows)
+        partials[int(epoch_id)] = rows
 
     ckpt = tempfile.mkdtemp(prefix="ckpt_stream_cascade_")
     src = (documents_stream(spark, sf_dir)
@@ -180,7 +184,7 @@ def quality_cascade_stream(spark: SparkSession, sf_dir: str,
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     acc: dict = defaultdict(lambda: [0, 0])
-    for rows in partials:
+    for rows in partials.values():
         for r in rows:
             a = acc[(r["lang"], r["verdict"])]
             a[0] += r["n_docs"]
