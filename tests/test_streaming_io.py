@@ -358,8 +358,18 @@ class TestStreamAnnIngestReplay:
                 F.sum(F.col("ci") * F.col("ci")).alias("nc_s"))
             replay = _inc_coarse_assign(
                 ex.filter(F.col("vec_id") >= thr), cex, cnorms, "batch")
-            name = next(t.name for t in spark.catalog.listTables()
-                        if t.name.startswith("ivf_ings_"))
+            # deterministic table name (other tests create their own
+            # ivf_ings_* tables in the shared session — picking the
+            # first listTables() match grabbed a stale one mid-suite)
+            import hashlib
+            import os
+            import re
+            tag = re.sub(
+                r"[^0-9A-Za-z]+", "_",
+                os.path.basename(sf.rstrip("/")) + "_"
+                + hashlib.md5(sf.encode()).hexdigest()[:8] + "_"
+                + spark.sparkContext.applicationId)
+            name = f"ivf_ings_{tag}"
             prev = spark.conf.get(
                 "spark.sql.sources.partitionOverwriteMode", None)
             spark.conf.set(
