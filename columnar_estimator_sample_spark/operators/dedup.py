@@ -65,9 +65,16 @@ def duplication_estimate(spark: SparkSession, sf_dir: str) -> int:
     integer-floored, >= 1). Two lanes, cheapest first:
 
       1. session catalog: ANALYZEd ``documents`` column stats for
-         ``text`` when the analyzed row count matches THIS sf_dir's
-         parquet footer count (zero jobs — the same freshness-guarded
-         lane as textstats._ccnet_docs_per_lang_bound);
+         ``text`` when the table PROVABLY derives from this sf_dir
+         (the ``ces.sf_dir`` table property or an external location
+         inside sf_dir — :func:`plans.stats.corpus_table_matches`) AND
+         the analyzed row count matches this sf_dir's parquet footer
+         count (zero jobs — the same guarded lane as
+         textstats._ccnet_docs_per_lang_bound). Row count alone is not
+         identity: two corpora with equal counts but different
+         duplication (a genuine sf1 vs a 10-way-replicated mirror)
+         must not silently swap estimates, because this estimate
+         scales the winnow cap and the lane switch;
       2. otherwise the memoized :func:`digest_census` probe (one
          2-scalar plan-time job — the minhash contraction gate's probe,
          shared).
@@ -89,9 +96,10 @@ def duplication_estimate(spark: SparkSession, sf_dir: str) -> int:
     n = parquet_num_rows(_os.path.join(sf_dir, "documents.parquet"))
     try:
         from columnar_estimator_sample_spark.plans.stats import (
-            catalog_stats, column_stats,
+            catalog_stats, column_stats, corpus_table_matches,
         )
-        if spark.catalog.tableExists("documents"):
+        if (spark.catalog.tableExists("documents")
+                and corpus_table_matches(spark, "documents", sf_dir)):
             stats = catalog_stats(spark, "documents").get("table", "")
             m = _re.search(r"(\d+)\s+rows", stats)
             if m and int(m.group(1)) == n:

@@ -646,6 +646,10 @@ def _ivf_cells(spark: SparkSession, sf_dir: str):
     # (q_ann_ivf_topk 9.9 s at sf10); min_by combines partials before
     # the exchange. Tie behavior identical: min_by on struct(-ccos,
     # centroid_id) picks the window's (ccos DESC, centroid_id) head.
+    # NULL parity with the window: a zero-norm vector/centroid makes
+    # ccos NULL (non-ANSI x/0), which desc() orders NULLS LAST but a
+    # NULL struct head would not — coalesce(-ccos, +inf) pins the
+    # degenerate rows to the same last place in both formulations.
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"),
                                              F.asc("centroid_id"))
     qranked = (scored.filter(F.col("vec_id") < N_QUERIES)
@@ -655,7 +659,8 @@ def _ivf_cells(spark: SparkSession, sf_dir: str):
                .groupBy("vec_id")
                .agg(F.min_by(
                    "centroid_id",
-                   F.struct((-F.col("ccos")).alias("nc"),
+                   F.struct(F.coalesce(-F.col("ccos"),
+                                       F.lit(float("inf"))).alias("nc"),
                             F.col("centroid_id"))).alias("centroid_id"))
                .select("vec_id", "centroid_id",
                        F.lit(1).alias("rnk")))
@@ -787,7 +792,9 @@ def _inc_coarse_assign(sub_ex: DataFrame, cex: DataFrame,
     within each vec_id group), so dropping it removes the corpus-sized
     norms join entirely — the batch path touches nothing but the batch
     rows and the NLIST-row centroid frames. The oracle ranks by the
-    textually identical double chain."""
+    textually identical double chain. Zero-norm centroids (NULL score
+    under non-ANSI x/0) are pinned last via coalesce(-score, +inf) —
+    same ordering as a desc() window's NULLS LAST."""
     vc = (sub_ex.join(F.broadcast(cex), "i")
           .groupBy("vec_id", "centroid_id")
           .agg(F.sum(F.col("vi") * F.col("ci")).alias("dot_s")))
@@ -799,7 +806,8 @@ def _inc_coarse_assign(sub_ex: DataFrame, cex: DataFrame,
     return (scored.groupBy("vec_id")
             .agg(F.min_by(
                 "centroid_id",
-                F.struct((-F.col("score")).alias("ns"),
+                F.struct(F.coalesce(-F.col("score"),
+                                    F.lit(float("inf"))).alias("ns"),
                          F.col("centroid_id"))).alias("centroid_id"))
             .select("vec_id", "centroid_id",
                     F.lit(phase).alias("phase")))

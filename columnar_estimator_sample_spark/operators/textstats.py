@@ -988,12 +988,18 @@ def _ccnet_docs_per_lang_bound(spark: SparkSession, sf_dir: str) -> int:
         # Spark logs a scary analyzer ERROR before we can catch it)
         if spark.catalog.tableExists("documents"):
             # the catalog name 'documents' is session-global, not keyed
-            # to sf_dir: trust its NDV only when its analyzed row count
-            # matches THIS sf_dir's footer count, else a stale ANALYZE
-            # of another corpus could pick the wrong lane
+            # to sf_dir: trust its NDV only when the table provably
+            # derives from THIS sf_dir (ces.sf_dir property / external
+            # location — the same identity guard as
+            # dedup.duplication_estimate) AND its analyzed row count
+            # matches this sf_dir's footer count; both lanes here are
+            # result-identical (tests pin them equal) so this guards
+            # only the perf switch, but the guard is shared
             from columnar_estimator_sample_spark.plans.stats import (
-                catalog_stats,
+                catalog_stats, corpus_table_matches,
             )
+            if not corpus_table_matches(spark, "documents", sf_dir):
+                return n
             import re as _re
             stats = catalog_stats(spark, "documents").get("table", "")
             m = _re.search(r"(\d+)\s+rows", stats)

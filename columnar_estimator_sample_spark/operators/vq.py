@@ -963,7 +963,11 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if codes is None:
         # the stored code list — argmin per (vector, subspace) via a
         # map-side-combinable min_by (no N*M*K window sort), written
-        # once per session like the inverted file it belongs to
+        # once per session like the inverted file it belongs to.
+        # Precondition: d2 is a sum of squares over non-NULL quantized
+        # components (no division), so the struct head is never NULL —
+        # unlike the cosine argmaxes in similarity.py, no coalesce is
+        # needed for window-parity here
         d = (sub.join(F.broadcast(cb), ["s", "j"])
              .groupBy("vec_id", "s", "code").agg(d2))
         codes = (d.groupBy("vec_id", "s")

@@ -27,13 +27,24 @@ from columnar_estimator_sample_spark.operators.pipeline import (
 )
 
 
+# Default micro-batch granularity for the REGISTERED drains: the
+# measured knee on the 100x mirror (cascade drain: 148 s at 1
+# file/trigger vs 15.5 s at 32 — per-trigger overhead dominates below
+# it, no further gain above it). Gate corpora are single-file, so the
+# default is behavior-identical there; tests that pin the partial-sum
+# path pass files_per_trigger=1 (or their own source) explicitly.
+STREAM_FILES_PER_TRIGGER = 32
+
+
 def documents_stream(spark: SparkSession, sf_dir: str,
                      files_per_trigger: int = 1) -> DataFrame:
     """The documents table as a file stream (``files_per_trigger``
-    parquet files per micro-batch — 1 for gate/test determinism; raise
-    it on many-part corpora, where per-file batches are pure trigger
-    overhead: the 100x mirror drains the cascade in 148 s at 1
-    file/trigger vs 15 s at 32). Handles both layouts: a single
+    parquet files per micro-batch — 1 pins per-file batches for tests;
+    the registered drains pass {STREAM_FILES_PER_TRIGGER}
+    (:data:`STREAM_FILES_PER_TRIGGER`), the measured knee on many-part
+    corpora, where per-file batches are pure trigger overhead: the 100x
+    mirror drains the cascade in 148 s at 1 file/trigger vs 15 s at
+    32). Handles both layouts: a single
     ``documents.parquet`` FILE (the driver's testdata) is picked out of
     ``sf_dir`` by a leaf-name glob; a ``documents.parquet`` DIRECTORY
     of part files (Spark-written corpora — the sf1/sf10 mirrors) is
@@ -131,13 +142,18 @@ def cascade_signals(docs: DataFrame, model: DataFrame) -> DataFrame:
 
 
 def quality_cascade_stream(spark: SparkSession, sf_dir: str,
-                           docs_stream: DataFrame | None = None
+                           docs_stream: DataFrame | None = None,
+                           files_per_trigger: int = STREAM_FILES_PER_TRIGGER
                            ) -> DataFrame:
     """Drain the documents file stream through the cascade and return
     the landed (lang, verdict) admission ledger as a local frame.
     ``docs_stream`` overrides the source (tests drive a multi-file
     directory through one-file micro-batches to pin the partial-sum
-    path); the LM model always trains on ``sf_dir``'s static corpus.
+    path); ``files_per_trigger`` sets the drain granularity of the
+    default source (default :data:`STREAM_FILES_PER_TRIGGER`, the
+    measured knee — the ledger is granularity-invariant because each
+    doc lands in exactly one epoch and partials sum exactly); the LM
+    model always trains on ``sf_dir``'s static corpus.
 
     Shape: the per-doc LM score needs its own keyed aggregation, and a
     second (lang, verdict) aggregation on top is more chained stateful
@@ -160,7 +176,12 @@ def quality_cascade_stream(spark: SparkSession, sf_dir: str,
     # keyed by epoch id, not appended: a streaming retry re-runs the
     # failed epoch, and keying makes the replay OVERWRITE its partials
     # instead of double-counting them — the same exactly-once
-    # discipline as the ANN ingest's epoch-partitioned sink
+    # discipline as the ANN ingest's epoch-partitioned sink. Idempotency
+    # here is IN-RUN only, and the checkpoint is deliberately fresh per
+    # invocation: the partials live on the driver, so resuming a prior
+    # run's checkpoint would skip its committed batches whose partials
+    # died with it (unlike ann_ingest_stream, whose sink is a persisted
+    # table and therefore DOES keep its checkpoint across retries)
     partials: dict = {}
 
     def score_batch(bdf: DataFrame, epoch_id: int) -> None:
@@ -172,7 +193,7 @@ def quality_cascade_stream(spark: SparkSession, sf_dir: str,
         partials[int(epoch_id)] = rows
 
     ckpt = tempfile.mkdtemp(prefix="ckpt_stream_cascade_")
-    src = (documents_stream(spark, sf_dir)
+    src = (documents_stream(spark, sf_dir, files_per_trigger)
            if docs_stream is None else docs_stream)
     try:
         q = (src
@@ -267,7 +288,8 @@ _ANN_INGEST_TABLES: dict = None  # set below via register_memo
 
 def ann_ingest_stream(spark: SparkSession, sf_dir: str,
                       arrivals: DataFrame | None = None,
-                      files_per_trigger: int = 1) -> DataFrame:
+                      files_per_trigger: int = STREAM_FILES_PER_TRIGGER
+                      ) -> DataFrame:
     """Maintained IVF inverted file fed by a stream: the base corpus's
     assignment is written once (the warm index), then each micro-batch
     of arriving vectors (vec_id >= the batch threshold — the same
@@ -285,8 +307,16 @@ def ann_ingest_stream(spark: SparkSession, sf_dir: str,
     restarting after a mid-drain failure re-runs the last epoch —
     overwrites its own rows instead of duplicating them (the
     q_stream_landing_census idempotent-sink pattern; replay is
-    test-pinned). Bucketing by centroid_id within partitions keeps the
-    census/probe plans exchange-free (the corpus-export layout)."""
+    test-pinned). The checkpoint lives at a DETERMINISTIC
+    per-(session, sf_dir) path and is deleted only after the drain
+    terminates cleanly, so a failed drain's re-invocation RESUMES it —
+    availableNow skips the committed epochs (their partitions are
+    already landed) and re-runs only the uncommitted one; the base
+    index build is likewise skipped when the table already exists from
+    the failed attempt. Without that, recovery was reachable only for
+    in-run batch retries (the round-12 advisory). Bucketing by
+    centroid_id within partitions keeps the census/probe plans
+    exchange-free (the corpus-export layout)."""
     import hashlib
     import os
     import re
@@ -321,14 +351,19 @@ def ann_ingest_stream(spark: SparkSession, sf_dir: str,
                  + hashlib.md5(sf_dir.encode()).hexdigest()[:8] + "_"
                  + spark.sparkContext.applicationId)
     name = f"ivf_ings_{tag}"
-    base = register_tempdir(tempfile.mkdtemp(prefix="spark-graft-ivfs-"))
-    bucketed_ctas(
-        spark, name,
-        _inc_coarse_assign(ex.filter(F.col("vec_id") < thr), cex,
-                           cnorms, "base")
-        .withColumn("epoch", F.lit(-1).cast("long")),
-        "centroid_id", n_buckets=nlist, path=os.path.join(base, "idx"),
-        partition_by="epoch")
+    # skip the base build when a FAILED prior drain in this session
+    # already landed it — rebuilding with overwrite would wipe the
+    # committed epochs the resumed checkpoint will not replay
+    if not spark.catalog.tableExists(name):
+        base = register_tempdir(
+            tempfile.mkdtemp(prefix="spark-graft-ivfs-"))
+        bucketed_ctas(
+            spark, name,
+            _inc_coarse_assign(ex.filter(F.col("vec_id") < thr), cex,
+                               cnorms, "base")
+            .withColumn("epoch", F.lit(-1).cast("long")),
+            "centroid_id", n_buckets=nlist,
+            path=os.path.join(base, "idx"), partition_by="epoch")
 
     def ingest_batch(bdf: DataFrame, epoch_id: int) -> None:
         batch = bdf.filter(F.col("vec_id") >= thr)
@@ -337,7 +372,14 @@ def ann_ingest_stream(spark: SparkSession, sf_dir: str,
 
     src = (embeddings_stream(spark, sf_dir, files_per_trigger)
            if arrivals is None else arrivals)
-    ckpt = tempfile.mkdtemp(prefix="ckpt_ann_ingest_")
+    # deterministic per-(session, sf_dir) checkpoint: a failed drain
+    # leaves it in place so the next invocation RESUMES (committed
+    # epochs skipped, last uncommitted epoch re-run against its own
+    # dynamically-overwritten partition); removed only after clean
+    # termination. register_tempdir still sweeps it at interpreter
+    # exit if the session dies without ever succeeding.
+    ckpt = register_tempdir(os.path.join(
+        tempfile.gettempdir(), f"ckpt_ann_ingest_{tag}"))
     # dynamic partition overwrite is what makes an epoch replay
     # idempotent; set on the parent session BEFORE the stream starts so
     # the foreachBatch clone inherits it
@@ -350,8 +392,8 @@ def ann_ingest_stream(spark: SparkSession, sf_dir: str,
              .option("checkpointLocation", ckpt)
              .start())
         q.awaitTermination()
-    finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+    finally:
         if prev_mode is None:
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         else:

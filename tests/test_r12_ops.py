@@ -131,6 +131,8 @@ class TestAdaptiveWinnowCap:
         try:
             spark.read.parquet(f"{sf}/documents.parquet") \
                 .write.saveAsTable("documents")
+            spark.sql("ALTER TABLE documents SET TBLPROPERTIES "
+                      f"('ces.sf_dir'='{sf}')")
             spark.sql("ANALYZE TABLE documents COMPUTE STATISTICS "
                       "FOR COLUMNS text")
 
@@ -139,6 +141,46 @@ class TestAdaptiveWinnowCap:
 
             monkeypatch.setattr(D, "digest_census", boom)
             assert D.duplication_estimate(spark, sf) == 25
+        finally:
+            spark.sql("DROP TABLE IF EXISTS documents")
+
+    def test_catalog_lane_requires_corpus_identity(self, spark, tmp_path,
+                                                   monkeypatch):
+        """Equal row counts are NOT identity: a catalog table ANALYZEd
+        from corpus A (25-way duplicated) must not answer for corpus B
+        (same row count, all-distinct texts) — the guard falls through
+        to the census, which returns B's true factor of 1. Without the
+        identity guard this returned 25 and silently rescaled the
+        winnow cap (the round-12 advisory)."""
+        import columnar_estimator_sample_spark.operators.dedup as D
+
+        (tmp_path / "a").mkdir()
+        sf_a = _replicated_fixture(tmp_path / "a", copies=25)
+        # corpus B: same total row count, every text distinct
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        n = pq.read_metadata(f"{sf_a}/documents.parquet").num_rows
+        sf_b = str(tmp_path / "b")
+        import os
+        os.makedirs(sf_b, exist_ok=True)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array([f"unique text number {i}" for i in range(n)]),
+        }), f"{sf_b}/documents.parquet")
+        spark.sql("DROP TABLE IF EXISTS documents")
+        try:
+            spark.read.parquet(f"{sf_a}/documents.parquet") \
+                .write.saveAsTable("documents")
+            spark.sql("ALTER TABLE documents SET TBLPROPERTIES "
+                      f"('ces.sf_dir'='{sf_a}')")
+            spark.sql("ANALYZE TABLE documents COMPUTE STATISTICS "
+                      "FOR COLUMNS text")
+            assert D.duplication_estimate(spark, sf_b) == 1
+            # and the tagged corpus still rides the catalog lane
+            def boom(s, d):
+                raise AssertionError("census probe ran on catalog lane")
+            monkeypatch.setattr(D, "digest_census", boom)
+            assert D.duplication_estimate(spark, sf_a) == 25
         finally:
             spark.sql("DROP TABLE IF EXISTS documents")
 

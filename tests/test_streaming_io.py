@@ -394,6 +394,72 @@ class TestStreamAnnIngestReplay:
             tables.reset_handles()
 
 
+class TestStreamAnnIngestRecovery:
+    def test_failed_drain_resumes_checkpoint(self, spark, sf_dir,
+                                             tmp_path, monkeypatch):
+        """Cross-invocation recovery (the round-12 advisory): a drain
+        that dies mid-stream leaves its deterministic checkpoint and
+        the partially-landed table; re-invoking ann_ingest_stream
+        RESUMES — the committed epoch is not re-run (its partition is
+        already landed), only the failed/remaining epochs are, and the
+        recovered index equals the batch face row-for-row."""
+        import pyspark.sql.functions as F
+        import pytest as _pytest
+        import columnar_estimator_sample_spark.streaming.corpus as SC
+        from columnar_estimator_sample_spark.operators.similarity import (
+            inc_batch_threshold, ivf_incremental_index,
+        )
+        from columnar_estimator_sample_spark.sources import tables
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        sf = str(tmp_path)
+        emb.coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+        thr = inc_batch_threshold(sf)
+        arrivals = str(tmp_path / "arrivals")
+        (emb.filter(F.col("vec_id") >= thr)
+         .withColumn("part", F.col("vec_id") % 3)
+         .write.partitionBy("part").parquet(arrivals))
+
+        def mkstream():
+            return (spark.readStream.schema(emb.schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(arrivals + "/part=*"))
+
+        real = SC._ingest_epoch
+        seen: list[int] = []
+
+        def flaky(assign, name, epoch_id):
+            seen.append(int(epoch_id))
+            if len(seen) == 2:
+                raise RuntimeError("injected mid-drain failure")
+            real(assign, name, epoch_id)
+
+        try:
+            monkeypatch.setattr(SC, "_ingest_epoch", flaky)
+            with _pytest.raises(Exception):
+                SC.ann_ingest_stream(spark, sf, mkstream())
+            committed = set(seen[:1])  # only the pre-failure epoch
+            recovery_seen: list[int] = []
+
+            def recorder(assign, name, epoch_id):
+                recovery_seen.append(int(epoch_id))
+                real(assign, name, epoch_id)
+
+            monkeypatch.setattr(SC, "_ingest_epoch", recorder)
+            got = sorted(tuple(r) for r in
+                         SC.ann_ingest_stream(spark, sf, mkstream())
+                         .collect())
+            # the committed epoch was skipped by the resumed checkpoint
+            assert not (committed & set(recovery_seen)), \
+                (committed, recovery_seen)
+            assert recovery_seen, "resume re-ran nothing"
+            want = sorted(tuple(r) for r in
+                          ivf_incremental_index(spark, sf).collect())
+            assert got == want
+        finally:
+            tables.reset_handles()
+
+
 class TestCompaction:
     def test_compact_write_sizes_files(self, spark, sf_dir, tmp_path):
         from columnar_estimator_sample_spark.sources.io import (
