@@ -99,12 +99,22 @@ class TestCrossSourceNonVacuous:
             ) t(doc_id, text, lang, source, n_chars)""")
         rows = [(r["source_a"], r["source_b"], r["n_shared_contents"])
                 for r in q_dedup_cross_source(spark, sf).collect()]
-        # distinct contents per pair: src0&src1 share {dup one, dup two};
-        # src0&src2 and src1&src2 share {dup two} (doc 6's repeat within
-        # src2 must NOT double-count — the matrix is over DISTINCT
-        # contents); ordering: n_shared desc, then source names
-        assert rows == [("src0", "src1", 2), ("src0", "src2", 1),
-                        ("src1", "src2", 1)]
+        # off-diagonal pair semantics (unchanged by the r13 diagonal
+        # addition): src0&src1 share {dup one, dup two}; src0&src2 and
+        # src1&src2 share {dup two} (doc 6's repeat within src2 must
+        # NOT double-count — the matrix is over DISTINCT contents)
+        assert [r for r in rows if r[0] != r[1]] == [
+            ("src0", "src1", 2), ("src0", "src2", 1),
+            ("src1", "src2", 1)]
+        # diagonal rows = distinct contents per source (the overlap
+        # denominators; they also de-vacuize the gate cert): src0 has
+        # {dup one, dup two, unique alpha}, src1 {dup one, dup two,
+        # unique beta}, src2 {dup two}
+        assert sorted(r for r in rows if r[0] == r[1]) == [
+            ("src0", "src0", 3), ("src1", "src1", 3),
+            ("src2", "src2", 1)]
+        # full ordering: n_shared desc, then source names
+        assert rows == sorted(rows, key=lambda r: (-r[2], r[0], r[1]))
 
 
 class TestHoldoutZeroOverlap:
