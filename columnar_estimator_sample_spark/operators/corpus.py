@@ -1584,14 +1584,21 @@ DSIR_RS = 10 ** 6   # importance-ratio scale (ppm; 1e6 = "same as corpus")
 
 
 
-# Checkpoint the DSIR hashed-feature frame only while the pinned blocks
-# are safe: localCheckpoint blocks are UNEVICTABLE, and at the 100x
-# mirror (500k docs -> ~100M feature rows) the pinned frame exhausted
-# the unified pool (SparkOutOfMemoryError, measured) while the
-# double-scan form ran fine. Below the bound the checkpoint halves the
-# dominant md5 cost (2.60 -> 1.25 s at sf0.1, min-of-5); above it the
-# frame recomputes per reference — the footer row count picks the lane
-# at plan time (the ivf_nlist / ccnet / winnow discipline).
+# Materialize the DSIR per-(doc, bucket) COUNT frame (<= DSIR_B rows
+# per document — the r13 contraction) so the md5 explode runs ONCE for
+# both consumers (bucket census + scoring join) at EVERY scale, picking
+# the medium by footer row count at plan time (the ivf_nlist / ccnet /
+# winnow discipline):
+#   * <= 100k docs: lazy localCheckpoint — in-memory, fastest, and the
+#     pinned (unevictable) blocks are bounded (~6.4M narrow rows);
+#   * above it: persist(DISK_ONLY) — serialized blocks go straight to
+#     local disk, ZERO pinned heap, still compute-once. The r12 lane
+#     above the bound was recompute-per-reference (the explode ran
+#     twice: 13.4 s at the 100x mirror); pinning instead was measured
+#     to OOM the 8 GB unified pool even for the 64x-contracted frame
+#     (32M rows at 500k docs), so disk is the only compute-once medium
+#     there. On a cluster the same lane is checkpoint() to the
+#     cluster FS.
 DSIR_CKPT_MAX_DOCS = 100_000
 
 
@@ -1603,7 +1610,51 @@ def _dsir_maybe_checkpoint(feats, sf_dir: str):
     n = parquet_num_rows(_os.path.join(sf_dir, "documents.parquet"))
     if n <= DSIR_CKPT_MAX_DOCS:
         return feats.localCheckpoint(eager=False)
-    return feats
+    from pyspark import StorageLevel
+    return feats.persist(StorageLevel.DISK_ONLY)
+
+
+def _dsir_report(spark: SparkSession, sf_dir: str,
+                 feats: DataFrame) -> DataFrame:
+    """Shared DSIR machinery over a hashed-feature frame ``feats``
+    (doc_id, lang, b): contract to per-(doc, bucket) occurrence counts
+    FIRST — one groupBy collapses the per-token rows to <= {DSIR_B} per
+    document, and that compact frame (not the token explode) is what
+    both consumers read and what gets checkpointed. The bucket census
+    is SUM(c) by bucket; the per-doc importance score is
+    SUM(c*r) DIV SUM(c), integer-identical to the oracle's
+    SUM(r) DIV COUNT(*) over token occurrences. Net effect at scale:
+    the md5 explode runs once instead of once per consumer, and the
+    checkpoint pins ~64 rows per doc instead of ~2 per token (the r12
+    sf10 term: 13.4 s, dominated by the doubled explode)."""
+    db = (feats.groupBy("doc_id", "lang", "b")
+          .agg(F.count("*").cast("long").alias("c")))
+    db = _dsir_maybe_checkpoint(db, sf_dir)
+    bc = db.groupBy("b").agg(
+        F.sum("c").cast("long").alias("cs"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0))
+        .cast("long").alias("ct"))
+    tot = bc.agg(F.sum("cs").cast("long").alias("ns"),
+                 F.sum("ct").cast("long").alias("nt"))
+    ratio = (bc.crossJoin(F.broadcast(tot))
+             .select("b", F.expr(
+                 f"((ct + 1) * {DSIR_PS} DIV (nt + {DSIR_B}))"
+                 f" * {DSIR_RS}"
+                 f" DIV GREATEST((cs + 1) * {DSIR_PS}"
+                 f" DIV (ns + {DSIR_B}), 1)").alias("r")))
+    scored = (db.join(F.broadcast(ratio), "b")
+              .groupBy("doc_id")
+              .agg(F.expr("SUM(c * r) DIV SUM(c)").cast("long")
+                   .alias("score_ppm")))
+    docs = table(spark, sf_dir, "documents")
+    sel = (scored.join(docs.select("doc_id", "lang"), "doc_id")
+           .orderBy(F.desc("score_ppm"), "doc_id")
+           .limit(DSIR_K))
+    return (sel.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_selected"),
+                 F.expr("SUM(score_ppm) DIV COUNT(*)").cast("long")
+                 .alias("mean_score_ppm"))
+            .orderBy("lang"))
 
 
 @register(
@@ -1668,39 +1719,11 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram generalization only widens the explode, never the joins.
     """
     docs = table(spark, sf_dir, "documents")
-    # the hashed-feature frame feeds BOTH the bucket census and the
-    # scoring join; checkpoint it below the pinned-block safety bound
-    # (see _dsir_maybe_checkpoint) so the explode + md5 runs once per
-    # execution, not once per plan reference
-    tok = _dsir_maybe_checkpoint(
-        docs.select("doc_id", "lang",
-                    F.explode(F.split("text", " ")).alias("w"))
-        .select("doc_id", "lang", (h64(F.col("w")) % DSIR_B).alias("b")),
-        sf_dir)
-    bc = tok.groupBy("b").agg(
-        F.count("*").cast("long").alias("cs"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-        .cast("long").alias("ct"))
-    tot = bc.agg(F.sum("cs").cast("long").alias("ns"),
-                 F.sum("ct").cast("long").alias("nt"))
-    ratio = (bc.crossJoin(F.broadcast(tot))
-             .select("b", F.expr(
-                 f"((ct + 1) * {DSIR_PS} DIV (nt + {DSIR_B}))"
-                 f" * {DSIR_RS}"
-                 f" DIV GREATEST((cs + 1) * {DSIR_PS}"
-                 f" DIV (ns + {DSIR_B}), 1)").alias("r")))
-    scored = (tok.join(F.broadcast(ratio), "b")
-              .groupBy("doc_id")
-              .agg(F.expr("SUM(r) DIV COUNT(*)").cast("long")
-                   .alias("score_ppm")))
-    sel = (scored.join(docs.select("doc_id", "lang"), "doc_id")
-           .orderBy(F.desc("score_ppm"), "doc_id")
-           .limit(DSIR_K))
-    return (sel.groupBy("lang")
-            .agg(F.count("*").cast("long").alias("n_selected"),
-                 F.expr("SUM(score_ppm) DIV COUNT(*)").cast("long")
-                 .alias("mean_score_ppm"))
-            .orderBy("lang"))
+    feats = (docs.select("doc_id", "lang",
+                         F.explode(F.split("text", " ")).alias("w"))
+             .select("doc_id", "lang",
+                     (h64(F.col("w")) % DSIR_B).alias("b")))
+    return _dsir_report(spark, sf_dir, feats)
 
 
 @register(
@@ -1781,34 +1804,7 @@ def q_dsir_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
              """)).alias("w"))
              .select("doc_id", "lang",
                      (h64(F.col("w")) % DSIR_B).alias("b")))
-    # shared by the census and the scoring join: checkpoint below the
-    # pinned-block bound (2.60 -> 1.25 s at sf0.1; recompute lane past
-    # 100k docs — see _dsir_maybe_checkpoint)
-    feats = _dsir_maybe_checkpoint(feats, sf_dir)
-    bc = feats.groupBy("b").agg(
-        F.count("*").cast("long").alias("cs"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-        .cast("long").alias("ct"))
-    tot = bc.agg(F.sum("cs").cast("long").alias("ns"),
-                 F.sum("ct").cast("long").alias("nt"))
-    ratio = (bc.crossJoin(F.broadcast(tot))
-             .select("b", F.expr(
-                 f"((ct + 1) * {DSIR_PS} DIV (nt + {DSIR_B}))"
-                 f" * {DSIR_RS}"
-                 f" DIV GREATEST((cs + 1) * {DSIR_PS}"
-                 f" DIV (ns + {DSIR_B}), 1)").alias("r")))
-    scored = (feats.join(F.broadcast(ratio), "b")
-              .groupBy("doc_id")
-              .agg(F.expr("SUM(r) DIV COUNT(*)").cast("long")
-                   .alias("score_ppm")))
-    sel = (scored.join(docs.select("doc_id", "lang"), "doc_id")
-           .orderBy(F.desc("score_ppm"), "doc_id")
-           .limit(DSIR_K))
-    return (sel.groupBy("lang")
-            .agg(F.count("*").cast("long").alias("n_selected"),
-                 F.expr("SUM(score_ppm) DIV COUNT(*)").cast("long")
-                 .alias("mean_score_ppm"))
-            .orderBy("lang"))
+    return _dsir_report(spark, sf_dir, feats)
 
 
 # ---------------------------------------------------------------------------
