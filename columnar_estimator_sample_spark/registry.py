@@ -76,59 +76,58 @@ _loaded = False
 # in and out of the window is additionally verified by
 # ``tools/check_oracle.py`` (same compare semantics) before commit.
 #
-# Round-12 window (the round-11 verdict's lead item, amended by the
-# standing rotation rule that anything REWRITTEN in the current round
-# outranks re-certs — see tools/next_window.py):
-#   (a) the 14 round-11 operators that registered behind the r11 window
-#       and therefore had NO driver CORRECTNESS row (registration
-#       order) — q_dedup_winnow and q_embed_pca among them also changed
-#       body this round (adaptive MAXDF / zero-mw guard), as did
-#       q_ann_ivf_sq_topk and q_quality_cascade (in-file SQ codes /
-#       shared LM model), so their certs land on the new bodies;
-#   (b) the round-12 NEW queries (incremental IVF maintenance,
-#       whitening apply + recall census, streaming cascade) and the
-#       round-12 REWRITTEN bodies not already covered by (a): the IVF
-#       family's vectors-and-codes-in-the-inverted-file rework
-#       (q_ann_ivf_topk / _pq_topk / _pq_residual), the shared
-#       digest-census probe (q_dedup_minhash_lsh), and the bigram-LM
-#       model split (q_doc_lm_score / q_ccnet_tiers /
-#       q_token_budget_pack), and the DSIR pair's checkpointed
-#       feature frame (q_dsir_selection / q_dsir_bigram) — every
-#       rework is result-identical and locally re-verified at both
-#       gate SFs, but the driver row is the hard signal;
-#   (c) the 24 OLDEST r5-age re-certs (registration order). The 21 r5
-#       leftovers (q_ewma q_rolling_active,
-#       q_weekday_seasonality .. q_inventory_clamped,
-#       q_theilsen_trend .. q_stream_sessions) head the r13 window.
-_DRIVER_WINDOW_R12 = [
-    # (a) the 14 never-driver-certified r11 operators
-    "q_dedup_soft", "q_dedup_winnow", "q_dedup_cross_source",
-    "q_link_prediction", "q_langid_classifier", "q_langid_holdout",
-    "q_ann_sq8_topk", "q_mmr_rerank", "q_ann_sq8_recall",
-    "q_ann_ivf_sq_topk", "q_quality_cascade", "q_quality_ensemble",
-    "q_embed_pca", "q_media_search",
-    # (b) round-12 new + rewritten bodies
-    "q_ann_ivf_incremental", "q_embed_whiten",
-    "q_stream_quality_cascade",
-    "q_ann_ivf_topk", "q_ann_ivf_pq_topk", "q_ann_ivf_pq_residual",
-    "q_dedup_minhash_lsh", "q_doc_lm_score", "q_ccnet_tiers",
-    "q_token_budget_pack", "q_dsir_selection", "q_dsir_bigram",
-    # (c) the 24 oldest r5-age re-certs, registration order
-    "q_rate_anomaly", "q_event_transitions", "q_slo_burn",
-    "q_substring_hotspots", "q_cheapest_route", "q_two_hop_reach",
-    "q_degree_histogram", "q_token_bigrams", "q_label_balance",
-    "q_repetition_ratios", "q_vocab_coverage", "q_bigram_lm",
-    "q_bigram_novelty", "q_hapax_share", "q_simpson_diversity",
-    "q_length_percentiles", "q_kwic", "q_autocomplete",
-    "q_token_colocation", "q_zipf_check", "q_corpus_prep_pipeline",
-    "q_snapshot_diff", "q_resample_ohlc", "q_gap_fill",
+# Round-13 window (the round-12 verdict's lead item, amended by the
+# standing rotation rule that anything NEW or REWRITTEN in the current
+# round outranks re-certs — see tools/next_window.py):
+#   (a) q_stream_ann_ingest FIRST — the only registry entry that has
+#       never had a driver CORRECTNESS row (it landed after the r12
+#       window was amended), plus the round-13 NEW queries
+#       (q_mmr_rerank_scaled — the forced-SQ8 shortlist lane;
+#       q_ann_ivf_cycle — build→append→compact census with the
+#       one-file-per-bucket layout pin) and the round-13 REWRITTEN
+#       bodies: q_dedup_cross_source (diagonal rows de-vacuize the
+#       gate cert), the DSIR pair (per-(doc,bucket) contraction +
+#       DISK_ONLY big lane), q_stream_quality_cascade (default drain
+#       granularity 32 files/trigger), q_dedup_winnow + q_ccnet_tiers
+#       (corpus-identity guard on the catalog-stats lane), q_mmr_rerank
+#       (shared-greedy refactor), and q_ann_ivf_topk +
+#       q_ann_ivf_incremental (NULL-safe coalesce in the coarse-assign
+#       argmax) — the rewrites are result-identical and locally
+#       re-verified at both gate SFs, but the driver row is the hard
+#       signal;
+#   (b) ALL 21 r5-age re-certs (registration order) — the oldest
+#       certification debt, seven rounds of source churn old;
+#   (c) the 17 oldest r7-age re-certs (registration order) that fit.
+#       The remaining 28 r7-age rows head the r14 window.
+_DRIVER_WINDOW_R13 = [
+    # (a) never-windowed + round-13 new + rewritten bodies
+    "q_stream_ann_ingest", "q_mmr_rerank_scaled", "q_ann_ivf_cycle",
+    "q_dedup_cross_source", "q_dsir_selection", "q_dsir_bigram",
+    "q_stream_quality_cascade", "q_dedup_winnow", "q_ccnet_tiers",
+    "q_mmr_rerank", "q_ann_ivf_topk", "q_ann_ivf_incremental",
+    # (b) the 21 r5-age re-certs, registration order
+    "q_ewma", "q_rolling_active", "q_weekday_seasonality",
+    "q_mad_outliers", "q_seasonal_backtest", "q_burstiness",
+    "q_haar_levels", "q_cusum_changepoint", "q_tail_risk",
+    "q_rolling_zscore", "q_ols_trend", "q_inventory_clamped",
+    "q_theilsen_trend", "q_expectations", "q_k_anonymity",
+    "q_capture_recapture", "q_embed_quantize", "q_benford",
+    "q_tfrecord_roundtrip", "q_stream_daily_counts",
+    "q_stream_sessions",
+    # (c) the 17 oldest r7-age re-certs, registration order
+    "q_table_checksum", "q_split_gini", "q_exact_auc",
+    "q_calibration_bins", "q_ks_test", "q_joinability",
+    "q_completeness", "q_dp_release", "q_f1_threshold",
+    "q_bitmap_retention", "q_bloom_fpr", "q_kmv_distinct",
+    "q_join_size_estimate", "q_quantile_filter", "q_source_mixture",
+    "q_seqlen_histogram", "q_chunk_sliding",
 ]
 
 
 def _window_order(d: dict) -> dict:
     """Reorder ``d`` so the current driver window comes first (names
     missing from ``d`` are ignored; the rest keep registration order)."""
-    front = [k for k in _DRIVER_WINDOW_R12 if k in d]
+    front = [k for k in _DRIVER_WINDOW_R13 if k in d]
     rest = [k for k in d if k not in set(front)]
     return {k: d[k] for k in front + rest}
 
