@@ -102,6 +102,10 @@ HEADLINE = [
     # round-12 tier representatives
     "q_ann_ivf_incremental",
     "q_embed_whiten",
+    # round-13 tier representatives
+    "q_mmr_rerank_scaled",
+    "q_ann_ivf_cycle",
+    "q_dsir_export",
 ]
 
 

@@ -31,7 +31,9 @@ from columnar_estimator_sample_spark.registry import register
 from columnar_estimator_sample_spark.operators.textstats import (
     _DOC_LM_SQL,
 )
-from columnar_estimator_sample_spark.sources.tables import table
+from columnar_estimator_sample_spark.sources.tables import (
+    register_memo, table,
+)
 
 # Context-window size (tokens) for sequence packing.
 CTX = 256
@@ -1627,6 +1629,19 @@ def _dsir_report(spark: SparkSession, sf_dir: str,
     the md5 explode runs once instead of once per consumer, and the
     checkpoint pins ~64 rows per doc instead of ~2 per token (the r12
     sf10 term: 13.4 s, dominated by the doubled explode)."""
+    sel = _dsir_selected(spark, sf_dir, feats)
+    return (sel.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_selected"),
+                 F.expr("SUM(score_ppm) DIV COUNT(*)").cast("long")
+                 .alias("mean_score_ppm"))
+            .orderBy("lang"))
+
+
+def _dsir_selected(spark: SparkSession, sf_dir: str,
+                   feats: DataFrame) -> DataFrame:
+    """The top-``DSIR_K`` selected documents (doc_id, lang, score_ppm)
+    under the shared DSIR machinery — the selection frame
+    :func:`_dsir_report` censuses and :func:`dsir_export_table` lands."""
     db = (feats.groupBy("doc_id", "lang", "b")
           .agg(F.count("*").cast("long").alias("c")))
     db = _dsir_maybe_checkpoint(db, sf_dir)
@@ -1647,14 +1662,9 @@ def _dsir_report(spark: SparkSession, sf_dir: str,
               .agg(F.expr("SUM(c * r) DIV SUM(c)").cast("long")
                    .alias("score_ppm")))
     docs = table(spark, sf_dir, "documents")
-    sel = (scored.join(docs.select("doc_id", "lang"), "doc_id")
-           .orderBy(F.desc("score_ppm"), "doc_id")
-           .limit(DSIR_K))
-    return (sel.groupBy("lang")
-            .agg(F.count("*").cast("long").alias("n_selected"),
-                 F.expr("SUM(score_ppm) DIV COUNT(*)").cast("long")
-                 .alias("mean_score_ppm"))
-            .orderBy("lang"))
+    return (scored.join(docs.select("doc_id", "lang"), "doc_id")
+            .orderBy(F.desc("score_ppm"), "doc_id")
+            .limit(DSIR_K))
 
 
 @register(
@@ -1726,9 +1736,9 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dsir_report(spark, sf_dir, feats)
 
 
-@register(
-    "q_dsir_bigram",
-    oracle=f"""
+# q_dsir_bigram's full oracle chain, named so the export face can
+# derive its landed-mix census from the identical selection CTEs.
+_DSIR_BIGRAM_ORACLE = f"""
     WITH wsrc AS (
         SELECT doc_id, lang, string_split(text, ' ') AS ws
         FROM documents
@@ -1772,8 +1782,10 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sel
     GROUP BY lang
     ORDER BY lang
-    """,
-)
+    """
+
+
+@register("q_dsir_bigram", oracle=_DSIR_BIGRAM_ORACLE)
 def q_dsir_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR with the paper's hashed N-GRAM features (Xie et al. 2023,
     arXiv:2302.03169 §3: unigrams AND bigrams hashed into a shared
@@ -1805,6 +1817,122 @@ def q_dsir_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc_id", "lang",
                      (h64(F.col("w")) % DSIR_B).alias("b")))
     return _dsir_report(spark, sf_dir, feats)
+
+
+def _dsir_bigram_feats(docs: DataFrame) -> DataFrame:
+    """q_dsir_bigram's hashed unigram+bigram feature frame, factored so
+    the export face selects with the identical features."""
+    return (docs
+            .select("doc_id", "lang", F.split("text", " ").alias("ws"))
+            .select("doc_id", "lang", F.explode(F.expr("""
+                concat(ws,
+                       CASE WHEN size(ws) >= 2
+                            THEN transform(sequence(0, size(ws) - 2),
+                                           i -> concat(ws[i], ' ',
+                                                       ws[i + 1]))
+                            ELSE array() END)
+            """)).alias("w"))
+            .select("doc_id", "lang",
+                    (h64(F.col("w")) % DSIR_B).alias("b")))
+
+
+# (applicationId, sf_dir) -> landed DSIR-mix table name (write-once per
+# session — the q_corpus_export discipline for the SELECTED mix).
+_DSIR_EXPORT_MEMO: dict = register_memo({})
+
+DSIR_EXPORT_BUCKETS = 16
+
+
+def dsir_export_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LANDED DSIR training mix (write-once per session): the
+    top-``DSIR_K`` documents under the hashed unigram+bigram importance
+    score, joined back to their text, written as a lang-partitioned
+    doc_id-bucketed+sorted parquet table — the same landing spec as the
+    dedup pipeline's corpus export, so any equally-bucketed downstream
+    side (pack assignments, labels) joins exchange-free. At 100 TB the
+    selection is TakeOrderedAndProject (per-partition partial top-k of
+    a corpus-sized scored frame — K rows ever cross the final exchange)
+    and the landing write is K-row, not corpus-sized."""
+    import hashlib
+    import os
+    import re
+    import tempfile
+
+    from columnar_estimator_sample_spark.operators.partitioning import (
+        bucketed_ctas,
+    )
+    from columnar_estimator_sample_spark.sources.tables import (
+        register_tempdir,
+    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    name = _DSIR_EXPORT_MEMO.get(key)
+    if name is None:
+        docs = table(spark, sf_dir, "documents")
+        sel = _dsir_selected(spark, sf_dir, _dsir_bigram_feats(docs))
+        tag = re.sub(r"[^0-9A-Za-z]+", "_",
+                     os.path.basename(sf_dir.rstrip("/")) + "_"
+                     + hashlib.md5(sf_dir.encode()).hexdigest()[:8] + "_"
+                     + spark.sparkContext.applicationId)
+        name = f"dsir_export_{tag}"
+        base = register_tempdir(
+            tempfile.mkdtemp(prefix="spark-graft-dsir-"))
+        bucketed_ctas(
+            spark, name,
+            sel.join(docs.select("doc_id", "n_chars"), "doc_id")
+            .select("doc_id", "lang", "score_ppm", "n_chars"),
+            "doc_id", n_buckets=DSIR_EXPORT_BUCKETS,
+            path=os.path.join(base, "mix"), partition_by="lang")
+        _DSIR_EXPORT_MEMO[key] = name
+    return spark.table(name)
+
+
+def _dsir_export_oracle() -> str:
+    # the q_dsir_bigram oracle chain up to sel, then the per-language
+    # census of the LANDED mix (chars come from the documents join)
+    return _DSIR_BIGRAM_ORACLE.replace(
+        """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm
+    FROM sel
+    GROUP BY lang
+    ORDER BY lang
+    """,
+        """
+    SELECT sel.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(sel.score_ppm) // COUNT(*) AS BIGINT)
+               AS mean_score_ppm,
+           CAST(SUM(d.n_chars) AS BIGINT) AS n_chars
+    FROM sel JOIN documents d ON d.doc_id = sel.doc_id
+    GROUP BY sel.lang
+    ORDER BY sel.lang
+    """, 1)
+
+
+@register("q_dsir_export", oracle=_dsir_export_oracle())
+def q_dsir_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's MATERIALIZATION step — the apply face every selection
+    census only priced (the q_corpus_export / q_dedup_apply pattern):
+    the top-``DSIR_K`` importance-resampled documents LAND as a real
+    lang-partitioned doc_id-bucketed parquet table
+    (:func:`dsir_export_table`), and the registered census reads the
+    LANDED files back — per language: docs selected, mean importance
+    score, total characters — so the driver's hash gate certifies the
+    bytes on disk, not an in-plan projection.
+
+    Scale: selection is the shared contracted-frame chain (one md5
+    explode, 64-row broadcast ratio table, partial top-k); the landing
+    write and this census touch K rows. Reference anchor: the
+    train/eval split materialization (trainer.py:158-168) — the
+    selected training subset becomes a first-class table."""
+    landed = dsir_export_table(spark, sf_dir)
+    return (landed.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_selected"),
+                 F.expr("SUM(score_ppm) DIV COUNT(*)").cast("long")
+                 .alias("mean_score_ppm"),
+                 F.sum("n_chars").cast("long").alias("n_chars"))
+            .orderBy("lang"))
 
 
 # ---------------------------------------------------------------------------

@@ -363,6 +363,42 @@ class TestDsirSelection:
         assert sum(v[0] for v in got.values()) == DSIR_K
 
 
+class TestDsirExport:
+    def test_landed_mix_equals_selection(self, spark, sf_dir):
+        """The landed DSIR-mix table must hold EXACTLY the top-DSIR_K
+        selection (same docs, scores, langs, chars as the in-plan
+        frame), and a re-invocation must read the memoized table
+        instead of re-landing."""
+        import columnar_estimator_sample_spark.operators.corpus as C
+        from columnar_estimator_sample_spark.sources import tables
+        from columnar_estimator_sample_spark.sources.tables import table
+
+        try:
+            landed = C.dsir_export_table(spark, sf_dir)
+            docs = table(spark, sf_dir, "documents")
+            want = sorted(
+                tuple(r) for r in
+                C._dsir_selected(spark, sf_dir, C._dsir_bigram_feats(docs))
+                .join(docs.select("doc_id", "n_chars"), "doc_id")
+                .select("doc_id", "lang", "score_ppm", "n_chars")
+                .collect())
+            got = sorted(tuple(r) for r in landed
+                         .select("doc_id", "lang", "score_ppm", "n_chars")
+                         .collect())
+            assert got == want
+            assert len(got) == C.DSIR_K
+            # memo: second invocation returns the same table name
+            key = (spark.sparkContext.applicationId, sf_dir)
+            name = C._DSIR_EXPORT_MEMO[key]
+            again = C.dsir_export_table(spark, sf_dir)
+            assert C._DSIR_EXPORT_MEMO[key] == name
+            assert sorted(tuple(r) for r in again
+                          .select("doc_id", "lang", "score_ppm",
+                                  "n_chars").collect()) == want
+        finally:
+            tables.reset_handles()
+
+
 class TestRound10ApplyOps:
     def test_token_budget_pack_matches_naive_single_window(self, spark,
                                                            sf_dir):

@@ -83,8 +83,9 @@ BUILD_RUNS_JOBS = {
     # sides, deg, anti-join) — lazily checkpointed like the LPA edges
     "q_link_prediction",
     # r11: MMR's shortlist + pairwise-sim frames feed every greedy round
-    # — both lazily checkpointed
-    "q_mmr_rerank",
+    # — both lazily checkpointed (r13: the forced-SQ8 lane twin shares
+    # the greedy and additionally builds the SQ8 shortlist memos)
+    "q_mmr_rerank", "q_mmr_rerank_scaled",
     # r12: the adaptive MAXDF cap falls back to the shared digest-census
     # probe when no fresh catalog stats exist (dedup.duplication_estimate)
     "q_dedup_winnow",
@@ -103,7 +104,9 @@ BUILD_RUNS_JOBS = {
     "q_ann_ivf_sq_topk",
     # r12: the maintained inverted file is written once (bucketed CTAS)
     # and the arriving batch appended at build — the IO is the operator
-    "q_ann_ivf_incremental",
+    # (r13: the cycle census additionally runs the one-shuffle
+    # compaction rewrite; the DSIR export lands the K-row selected mix)
+    "q_ann_ivf_incremental", "q_ann_ivf_cycle", "q_dsir_export",
     # r11: the Gram matrix feeds 8 unrolled power-iteration rounds
     # (r12: the trajectory is memoized and shared with the whiten apply)
     "q_embed_pca", "q_embed_whiten",
@@ -181,6 +184,8 @@ COLLECT_ALLOWED = {
     "q_ann_sq8_recall": "<=25 query vectors + 1 calibration row",
     "q_ann_ivf_sq_topk": "<=25 query vectors + 1 calibration row",
     "q_mmr_rerank": "|Q|*S shortlist + S^2 pair sims (config S=25)",
+    "q_mmr_rerank_scaled": "|Q|*S shortlist + S^2 pair sims (config "
+                           "S=25; SQ8-lane candidates, same bound)",
     "q_embed_pca": "dim^2 Gram frame (4096 rows, corpus-independent)",
     "q_embed_whiten": "dim^2 Gram frame (shared _PCA_MEMO trajectory)",
     # dogfood instrumentation: the profiled/estimated run IS the point
