@@ -437,13 +437,15 @@ def expand_member_pairs(pairs: DataFrame, members: DataFrame,
     )
 
 
-def _minhash_pair_ctes(k: int = MINHASH_K, n_bands: int = LSH_BANDS,
+def _minhash_band_ctes(k: int = MINHASH_K, n_bands: int = LSH_BANDS,
                        src: str = "documents") -> str:
-    """CTE list computing the verified MinHash-LSH near-dup pairs, ending in
-    ``pairs(doc_a, doc_b, jaccard)``. Shared by :func:`_minhash_oracle`,
-    the connected-components oracle in ``operators/graph.py``, (at
-    k=16/4 bands) the incremental-ingest oracle, and (over a contracted
-    ``src``) the precision census."""
+    """CTE list ending in ``bands(doc_id, band, band_key)`` — the LSH
+    band keys of every ``src`` document, bit-identical to
+    :func:`minhash_bands` (string_agg ORDER BY i == array_to_string of
+    the sig slice). Factored from :func:`_minhash_pair_ctes` so the
+    streaming band-index census (streaming/corpus.py) can certify
+    against the banding alone without dragging the unused pair
+    verification CTEs into its oracle."""
     a, bq = minhash_params(k)
     a_lit = "[{}]".format(",".join(str(v) for v in a))
     b_lit = "[{}]".format(",".join(str(v) for v in bq))
@@ -473,7 +475,17 @@ def _minhash_pair_ctes(k: int = MINHASH_K, n_bands: int = LSH_BANDS,
                md5(string_agg(CAST(sv AS VARCHAR), '-' ORDER BY i))
                    AS band_key
         FROM sigv GROUP BY doc_id, (i - 1) // {rows}
-    ), cand AS (
+    )"""
+
+
+def _minhash_pair_ctes(k: int = MINHASH_K, n_bands: int = LSH_BANDS,
+                       src: str = "documents") -> str:
+    """CTE list computing the verified MinHash-LSH near-dup pairs, ending in
+    ``pairs(doc_a, doc_b, jaccard)``. Shared by :func:`_minhash_oracle`,
+    the connected-components oracle in ``operators/graph.py``, (at
+    k=16/4 bands) the incremental-ingest oracle, and (over a contracted
+    ``src``) the precision census."""
+    return _minhash_band_ctes(k, n_bands, src) + f""", cand AS (
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
         FROM bands l JOIN bands r
           ON l.band = r.band AND l.band_key = r.band_key

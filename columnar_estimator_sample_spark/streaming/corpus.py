@@ -450,3 +450,183 @@ def _register_stream_ann_ingest() -> None:
 
 
 _register_stream_ann_ingest()
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup (MinHash-LSH) band-index ingestion: the LSH band
+# table — the candidate-generation structure every near-dup pass joins
+# on — maintained by a FILE STREAM. Banding is per-document independent
+# given the fixed hash family, so arrivals banded inside each
+# micro-batch converge to the identical band index a batch pass over
+# the full corpus builds, and the census certifies against the batch
+# restatement (the q_stream_ann_ingest discipline applied to the dedup
+# tier; reference anchor: the append-only event log, README.md:93,107).
+# ---------------------------------------------------------------------------
+
+# Arriving-document batch size (the highest doc_ids simulate the crawl
+# drop, the same fixed-size-arrival convention as similarity.IVF_INC_BATCH).
+NEARDUP_INC_BATCH = 200
+
+
+def neardup_batch_threshold(sf_dir: str) -> int:
+    """First doc_id of the simulated arrival batch (footer metadata
+    read, never a job)."""
+    import os
+    from columnar_estimator_sample_spark.sources.tables import (
+        parquet_col_max,
+    )
+    return (parquet_col_max(os.path.join(sf_dir, "documents.parquet"),
+                            "doc_id") - (NEARDUP_INC_BATCH - 1))
+
+
+_NEARDUP_INGEST_TABLES: dict = None  # set below via register_memo
+
+
+def neardup_ingest_stream(spark: SparkSession, sf_dir: str,
+                          arrivals: DataFrame | None = None,
+                          files_per_trigger: int = STREAM_FILES_PER_TRIGGER
+                          ) -> DataFrame:
+    """Maintained MinHash-LSH band index fed by a stream: the base
+    corpus's bands (doc_id < the batch threshold) are written once as a
+    band_key-bucketed table; each micro-batch of arriving documents is
+    banded inside ``foreachBatch`` — shingle→minhash→band is one
+    O(|batch| · k) pass, corpus-size-independent — and appended into
+    the bucketed layout. Returns the maintained table handle
+    (doc_id, band, band_key, phase).
+
+    EXACTLY-ONCE and RECOVERY are the ann_ingest_stream contract
+    verbatim: epoch-partitioned dynamic-overwrite landing (a replayed
+    epoch overwrites its own partition), deterministic per-(session,
+    sf_dir) checkpoint deleted only on clean termination (a failed
+    drain's re-invocation resumes, committed epochs skipped), and the
+    base build skipped when the table survives a failed attempt.
+
+    At 100 TB: the band index IS the structure a production near-dup
+    service maintains — candidate generation joins new bands against
+    this table on (band, band_key) with no rescan of history; bucketing
+    by band_key keeps that join and the bucket census exchange-free."""
+    import hashlib
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from columnar_estimator_sample_spark.operators.dedup import (
+        LSH_BANDS, minhash_bands,
+    )
+    from columnar_estimator_sample_spark.operators.partitioning import (
+        bucketed_ctas,
+    )
+    from columnar_estimator_sample_spark.sources.tables import (
+        register_tempdir, table,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _NEARDUP_INGEST_TABLES.get(key)
+    if memo is not None:
+        return memo
+    thr = neardup_batch_threshold(sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = re.sub(r"[^0-9A-Za-z]+", "_",
+                 os.path.basename(sf_dir.rstrip("/")) + "_"
+                 + hashlib.md5(sf_dir.encode()).hexdigest()[:8] + "_"
+                 + spark.sparkContext.applicationId)
+    name = f"lsh_ings_{tag}"
+    if not spark.catalog.tableExists(name):
+        base = register_tempdir(
+            tempfile.mkdtemp(prefix="spark-graft-lsh-"))
+        bucketed_ctas(
+            spark, name,
+            minhash_bands(docs.filter(F.col("doc_id") < thr))
+            .withColumn("band", F.col("band").cast("long"))
+            .withColumn("phase", F.lit("base"))
+            .withColumn("epoch", F.lit(-1).cast("long")),
+            "band_key", n_buckets=2 * LSH_BANDS,
+            path=os.path.join(base, "idx"), partition_by="epoch")
+
+    def ingest_batch(bdf: DataFrame, epoch_id: int) -> None:
+        batch = bdf.filter(F.col("doc_id") >= thr).select("doc_id", "text")
+        _ingest_epoch(
+            minhash_bands(batch)
+            .withColumn("band", F.col("band").cast("long"))
+            .withColumn("phase", F.lit("batch")),
+            name, epoch_id)
+
+    src = (documents_stream(spark, sf_dir, files_per_trigger)
+           if arrivals is None else arrivals)
+    ckpt = register_tempdir(os.path.join(
+        tempfile.gettempdir(), f"ckpt_neardup_ingest_{tag}"))
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                               None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        q = (src.writeStream.foreachBatch(ingest_batch)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .start())
+        q.awaitTermination()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    finally:
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           prev_mode)
+    spark.catalog.refreshTable(name)
+    handle = spark.table(name).select("doc_id", "band", "band_key",
+                                      "phase")
+    _NEARDUP_INGEST_TABLES[key] = handle
+    return handle
+
+
+def _register_stream_neardup_ingest() -> None:
+    from columnar_estimator_sample_spark.operators.dedup import (
+        _minhash_band_ctes,
+    )
+    from columnar_estimator_sample_spark.registry import register
+    from columnar_estimator_sample_spark.sources.tables import (
+        register_memo,
+    )
+
+    global _NEARDUP_INGEST_TABLES
+    _NEARDUP_INGEST_TABLES = register_memo({})
+
+    def q_stream_neardup_ingest(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+        """Census of the STREAM-maintained LSH band index — per band:
+        entries, distinct band keys, and the LSH candidate-pair count
+        (Σ c·(c−1)/2 over band-key buckets, the number the batch
+        minhash join would generate). The oracle restates the banding
+        over the FULL corpus, so the green row proves the streamed
+        index equals the batch build bit-for-bit (band keys are md5 of
+        the signature slice — any divergence flips the hash)."""
+        idx = neardup_ingest_stream(spark, sf_dir)
+        bc = (idx.groupBy("band", "band_key")
+              .agg(F.count(F.lit(1)).cast("long").alias("c")))
+        return (bc.groupBy("band")
+                .agg(F.sum("c").cast("long").alias("n_entries"),
+                     F.count(F.lit(1)).cast("long").alias("n_keys"),
+                     F.sum(F.expr("c * (c - 1) DIV 2")).cast("long")
+                     .alias("n_cand_pairs"))
+                .orderBy("band"))
+
+    register(
+        "q_stream_neardup_ingest",
+        oracle=f"""
+        WITH {_minhash_band_ctes()},
+        bc AS (
+            SELECT band, band_key, CAST(COUNT(*) AS BIGINT) AS c
+            FROM bands GROUP BY band, band_key
+        )
+        SELECT band,
+               CAST(SUM(c) AS BIGINT) AS n_entries,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_cand_pairs
+        FROM bc
+        GROUP BY band
+        ORDER BY band
+        """,
+    )(q_stream_neardup_ingest)
+
+
+_register_stream_neardup_ingest()

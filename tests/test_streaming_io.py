@@ -394,6 +394,52 @@ class TestStreamAnnIngestReplay:
             tables.reset_handles()
 
 
+class TestStreamNeardupIngest:
+    def test_multi_batch_index_equals_batch_banding(self, spark, sf_dir,
+                                                    tmp_path):
+        """Stream==batch parity for the LSH band index across REAL
+        micro-batch boundaries: the arriving 200-doc batch is split
+        across 3 files driven one-per-trigger; the stream-maintained
+        band table must equal the full-corpus batch banding
+        row-for-row (banding is per-doc independent given the fixed
+        hash family)."""
+        import pyspark.sql.functions as F
+        from columnar_estimator_sample_spark.operators.dedup import (
+            minhash_bands,
+        )
+        from columnar_estimator_sample_spark.sources import tables
+        from columnar_estimator_sample_spark.streaming.corpus import (
+            neardup_batch_threshold, neardup_ingest_stream,
+        )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sf = str(tmp_path)
+        docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+        thr = neardup_batch_threshold(sf)
+        arrivals = str(tmp_path / "arrivals")
+        (docs.filter(F.col("doc_id") >= thr)
+         .withColumn("part", F.col("doc_id") % 3)
+         .write.partitionBy("part").parquet(arrivals))
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(arrivals + "/part=*"))
+        try:
+            got = sorted(
+                (r["doc_id"], r["band"], r["band_key"]) for r in
+                neardup_ingest_stream(spark, sf, stream).collect())
+            want = sorted(
+                (r["doc_id"], r["band"], r["band_key"]) for r in
+                minhash_bands(docs.select("doc_id", "text")).collect())
+            assert got == want and len(got) > 0
+            # phase split: exactly the arrival docs carry phase='batch'
+            phases = {(r["doc_id"], r["phase"]) for r in
+                      neardup_ingest_stream(spark, sf, stream)
+                      .select("doc_id", "phase").distinct().collect()}
+            assert all(p == ("batch" if d >= thr else "base")
+                       for d, p in [(d, p) for d, p in phases])
+        finally:
+            tables.reset_handles()
+
+
 class TestStreamAnnIngestRecovery:
     def test_failed_drain_resumes_checkpoint(self, spark, sf_dir,
                                              tmp_path, monkeypatch):

@@ -133,8 +133,9 @@ BUILD_RUNS_JOBS = {
     # r12: foreachBatch drain of the quality-cascade admission ledger
     "q_stream_quality_cascade",
     # r12: base-index CTAS + foreachBatch append drain of the
-    # stream-maintained inverted file
-    "q_stream_ann_ingest",
+    # stream-maintained inverted file (r13: same contract for the
+    # stream-maintained LSH band index)
+    "q_stream_ann_ingest", "q_stream_neardup_ingest",
     # r10: the corpus-export builder WRITES the cleaned corpus parquet
     # (once per session) and returns the landed-table census — the IO
     # roundtrip is the point of the operator
