@@ -320,7 +320,6 @@ def ann_ingest_stream(spark: SparkSession, sf_dir: str,
     import hashlib
     import os
     import re
-    import shutil
     import tempfile
 
     from columnar_estimator_sample_spark.operators.partitioning import (
@@ -372,17 +371,42 @@ def ann_ingest_stream(spark: SparkSession, sf_dir: str,
 
     src = (embeddings_stream(spark, sf_dir, files_per_trigger)
            if arrivals is None else arrivals)
-    # deterministic per-(session, sf_dir) checkpoint: a failed drain
-    # leaves it in place so the next invocation RESUMES (committed
-    # epochs skipped, last uncommitted epoch re-run against its own
-    # dynamically-overwritten partition); removed only after clean
-    # termination. register_tempdir still sweeps it at interpreter
-    # exit if the session dies without ever succeeding.
-    ckpt = register_tempdir(os.path.join(
-        tempfile.gettempdir(), f"ckpt_ann_ingest_{tag}"))
-    # dynamic partition overwrite is what makes an epoch replay
-    # idempotent; set on the parent session BEFORE the stream starts so
-    # the foreachBatch clone inherits it
+    _epoch_drain(spark, src, ingest_batch, f"ckpt_ann_ingest_{tag}",
+                 name)
+    handle = spark.table(name).select("vec_id", "centroid_id", "phase")
+    _ANN_INGEST_TABLES[key] = handle
+    return handle
+
+
+def _epoch_drain(spark: SparkSession, src: DataFrame, ingest_batch,
+                 ckpt_name: str, table_name: str) -> None:
+    """The shared exactly-once maintained-index drain (ann + neardup
+    ingest): run ``src`` through ``foreachBatch(ingest_batch)`` with
+
+    * a DETERMINISTIC per-(session, corpus) checkpoint (``ckpt_name``):
+      a failed drain leaves it in place so the next invocation RESUMES
+      (committed epochs skipped, the uncommitted epoch re-run against
+      its own dynamically-overwritten partition); removed only after
+      clean termination. register_tempdir still sweeps it at
+      interpreter exit if the session dies without ever succeeding;
+    * dynamic partition overwrite set on the PARENT session before the
+      stream starts so the foreachBatch clone inherits it — what makes
+      an epoch replay idempotent — restored afterwards;
+    * a final ``refreshTable``: foreachBatch runs in a CLONED session,
+      so its insertInto lands on disk but does NOT invalidate the
+      parent session's cached file index — without the refresh the
+      census silently reads the pre-append listing (caught in r12 by
+      the differential gate: n_batch=0 while the files were on disk).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from columnar_estimator_sample_spark.sources.tables import (
+        register_tempdir,
+    )
+    ckpt = register_tempdir(os.path.join(tempfile.gettempdir(),
+                                         ckpt_name))
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                                None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -399,15 +423,7 @@ def ann_ingest_stream(spark: SparkSession, sf_dir: str,
         else:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                            prev_mode)
-    # foreachBatch runs in a CLONED session: its insertInto lands on
-    # disk but does NOT invalidate the parent session's cached file
-    # index for the table — without the refresh the census silently
-    # reads the pre-append listing (caught in r12 by the differential
-    # gate: n_batch=0 while the files were on disk)
-    spark.catalog.refreshTable(name)
-    handle = spark.table(name).select("vec_id", "centroid_id", "phase")
-    _ANN_INGEST_TABLES[key] = handle
-    return handle
+    spark.catalog.refreshTable(table_name)
 
 
 def _ingest_epoch(assign: DataFrame, name: str, epoch_id: int) -> None:
@@ -508,7 +524,6 @@ def neardup_ingest_stream(spark: SparkSession, sf_dir: str,
     import hashlib
     import os
     import re
-    import shutil
     import tempfile
 
     from columnar_estimator_sample_spark.operators.dedup import (
@@ -554,25 +569,8 @@ def neardup_ingest_stream(spark: SparkSession, sf_dir: str,
 
     src = (documents_stream(spark, sf_dir, files_per_trigger)
            if arrivals is None else arrivals)
-    ckpt = register_tempdir(os.path.join(
-        tempfile.gettempdir(), f"ckpt_neardup_ingest_{tag}"))
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                               None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        q = (src.writeStream.foreachBatch(ingest_batch)
-             .trigger(availableNow=True)
-             .option("checkpointLocation", ckpt)
-             .start())
-        q.awaitTermination()
-        shutil.rmtree(ckpt, ignore_errors=True)
-    finally:
-        if prev_mode is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                           prev_mode)
-    spark.catalog.refreshTable(name)
+    _epoch_drain(spark, src, ingest_batch, f"ckpt_neardup_ingest_{tag}",
+                 name)
     handle = spark.table(name).select("doc_id", "band", "band_key",
                                       "phase")
     _NEARDUP_INGEST_TABLES[key] = handle
