@@ -387,6 +387,11 @@ class TestCrossSource:
             by_fp[hashlib.md5(text.encode()).hexdigest()].add(source)
         cnt = Counter()
         for srcs in by_fp.values():
+            # r13: the matrix includes the DIAGONAL (per-source distinct
+            # contents — the overlap denominators that de-vacuize the
+            # gate cert) alongside the unchanged off-diagonal pairs
+            for s in srcs:
+                cnt[(s, s)] += 1
             for a, b in combinations(sorted(srcs), 2):
                 cnt[(a, b)] += 1
         rows = sorted(((a, b, n) for (a, b), n in cnt.items()),
