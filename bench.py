@@ -106,6 +106,7 @@ HEADLINE = [
     "q_mmr_rerank_scaled",
     "q_ann_ivf_cycle",
     "q_dsir_export",
+    "q_mixture_apply",
 ]
 
 

@@ -982,6 +982,95 @@ def q_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+@register(
+    "q_mixture_apply",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), n AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM toks WHERE len(tok) > 0 GROUP BY source
+    ), sq AS (
+        SELECT source, n_tokens,
+               CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS isq
+        FROM n
+    ), tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_n,
+               CAST(SUM(isq) AS BIGINT) AS tot_sq
+        FROM sq
+    ), boost AS (
+        SELECT s.source,
+               ((1000 * s.isq) // t.tot_sq) * 1000
+                   // GREATEST((1000 * s.n_tokens) // t.tot_n, 1)
+                   AS boost_pm
+        FROM sq s CROSS JOIN tot t
+    ), adm AS (
+        SELECT source,
+               (1000 * boost_pm) // (SELECT MAX(boost_pm) FROM boost)
+                   AS adm_pm
+        FROM boost
+    )
+    SELECT d.source, a.adm_pm,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(len(list_filter(string_split(d.text, ' '),
+                                    x -> len(x) > 0))) AS BIGINT)
+               AS n_tokens_kept
+    FROM documents d JOIN adm a ON a.source = d.source
+    WHERE {sql_h64("CAST(d.doc_id AS VARCHAR)")} % 1000 < a.adm_pm
+    GROUP BY d.source, a.adm_pm
+    ORDER BY d.source
+    """)
+def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temperature mixture APPLIED (one epoch, downsample-only):
+    q_source_temperature computes each source's alpha=0.5 boost; this
+    query turns the boosts into deterministic admission rates —
+    normalized so the MOST up-weighted source keeps everything
+    (``adm_pm = 1000·boost/max_boost``) — and admits a document iff
+    ``h64(doc_id) % 1000 < adm_pm(source)``, the reproducible hash-mod
+    sampling of q_hash_sample applied per-source. The census reports
+    each source's admission rate and the docs/tokens the mixed epoch
+    actually keeps (up-sampling beyond one epoch is q_source_mixture's
+    repeat machinery; composing the two is the standard XLM-R-style
+    mix).
+
+    Determinism: the one float step is IEEE sqrt (correctly rounded in
+    both engines) feeding integer floors; admission is a pure function
+    of (doc_id, source), so the kept set is bit-stable across engines,
+    runs, and partitionings — no RNG. Scale: one token scan collapses
+    to |sources| rows, rates broadcast back, and the admission filter
+    is a scan-local predicate (no shuffle added by sampling)."""
+    docs = table(spark, sf_dir, "documents")
+    n = (docs.select("source",
+                     F.explode(F.split("text", " ")).alias("tok"))
+         .filter(F.length("tok") > 0)
+         .groupBy("source")
+         .agg(F.count("*").cast("long").alias("n_tokens")))
+    sq = n.withColumn(
+        "isq",
+        F.expr("CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+    tot = sq.agg(F.sum("n_tokens").cast("long").alias("tot_n"),
+                 F.sum("isq").cast("long").alias("tot_sq"))
+    boost = (sq.crossJoin(F.broadcast(tot))
+             .select("source",
+                     F.expr("((1000 * isq) DIV tot_sq) * 1000"
+                            " DIV GREATEST((1000 * n_tokens) DIV tot_n,"
+                            " 1)").alias("boost_pm")))
+    maxb = boost.agg(F.max("boost_pm").alias("max_b"))
+    adm = (boost.crossJoin(F.broadcast(maxb))
+           .select("source",
+                   F.expr("(1000 * boost_pm) DIV max_b").alias("adm_pm")))
+    kept = (docs.join(F.broadcast(adm), "source")
+            .filter(h64(F.col("doc_id").cast("string")) % 1000
+                    < F.col("adm_pm")))
+    return (kept.groupBy("source", "adm_pm")
+            .agg(F.count("*").cast("long").alias("n_docs_kept"),
+                 F.sum(F.size(F.filter(F.split("text", " "),
+                                       lambda x: F.length(x) > 0)))
+                 .cast("long").alias("n_tokens_kept"))
+            .orderBy("source"))
+
+
 # ---------------------------------------------------------------------------
 # Cross-source overlap matrix (contamination generalized)
 # ---------------------------------------------------------------------------
