@@ -107,6 +107,7 @@ HEADLINE = [
     "q_ann_ivf_cycle",
     "q_dsir_export",
     "q_mixture_apply",
+    "q_semdedup_apply",
 ]
 
 

@@ -517,10 +517,10 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEM_T = ANN_COS_T
 
 
-@register(
-    "q_semdedup",
-    oracle=f"""
-    WITH ex AS ({_SQL_EX}
+# The SemDeDup oracle chain up to ``pruned`` (per-vector cross-pair
+# prune verdicts over the UNCONTRACTED corpus) — shared by the census
+# oracle and the r13 apply-face oracle.
+_SEMDEDUP_ORACLE_CTES = f"""ex AS ({_SQL_EX}
     ), norms AS (
         SELECT vec_id, CAST(SUM(vi * vi) AS BIGINT) AS n_s
         FROM ex GROUP BY vec_id
@@ -575,7 +575,13 @@ SEM_T = ANN_COS_T
         FROM pairs p
         JOIN mem ma ON ma.vec_id = p.va
         JOIN mem mb ON mb.vec_id = p.vb
-    ), mc AS (
+    )"""
+
+
+@register(
+    "q_semdedup",
+    oracle=f"""
+    WITH {_SEMDEDUP_ORACLE_CTES}, mc AS (
         SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members
         FROM mem GROUP BY centroid_id
     ), pc AS (
@@ -619,45 +625,13 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_census(table(spark, sf_dir, "embeddings"))
 
 
-def semdedup_census(emb: DataFrame) -> DataFrame:
-    """Core SemDeDup census over an (vec_id, embedding, ...) frame, with
-    EXACT-DUP CONTRACTION (the engine's standard move for replicated
-    corpora, cf. operators/dedup.contract_exact_dups): identical payloads
-    collapse to their min-id representative before assignment/scoring,
-    and the census re-expands in closed form —
-
-      * identical vectors share every cosine, so a group lands in ONE
-        cell and its members pair with each other at cos 1.0 >= SEM_T:
-        within-group dup pairs = C(m, 2), within-group pruned = m - 1
-        (every member pair ties on centroid-cos, pruning the higher id,
-        so the survivor is the min id = the representative);
-      * a scored rep pair (g, h) expands to m_g * m_h member pairs, all
-        with the SAME cosines — if c_g > c_h every member of g is pruned
-        (its rep already counts the non-rep members via m - 1, so only
-        the rep flips from kept to pruned: +1); ties (c_g == c_h)
-        prune the higher-gid rep, exactly the member-level rule applied
-        to the reps (gid_h < u for every u in g iff gid_h < gid_g).
-
-    So n_pruned(cell) = Σ(m - 1) + |cross-pruned reps| — bit-identical
-    to the member-level spec the DuckDB oracle computes exhaustively
-    (certified at sf0.01 where the table happens to be dup-free, and by
-    the duplicated-fixture unit test where it isn't).
-
-    PRECONDITION (enforced): every embedding has a non-zero norm. The
-    contraction's closed form assumes identical vectors pair at
-    cos 1.0 >= SEM_T, but an all-zero group has NaN cosine — the
-    relational spec (and the DuckDB oracle) counts NO pairs for it,
-    so the closed form would silently diverge. A plan-side
-    ``assert_true(n_s > 0)`` guard fails the job loudly if a zero
-    vector ever enters the corpus instead of producing a wrong census.
-
-    Pair scoring rides :func:`similarity.score_candidates_gather` (the
-    LSH tier's distributed join-gather + Arrow int64 einsum, bit-
-    identical to the relational form and already threshold-filtered at
-    ANN_COS_T == SEM_T): the within-cell candidate self-join emits
-    |cell|²/2 NARROW id pairs, where the previous (cell, dim)-keyed
-    explode-join shuffled 64× that many rows through a 512-key SMJ —
-    measured 5.1 s → 0.6 s on the scoring stage at sf0.1."""
+def _semdedup_frames(emb: DataFrame):
+    """(groups, mem, pairs): the shared SemDeDup computation both the
+    census and the apply face consume — exact-dup contraction, cell
+    assignment (lazily checkpointed; it feeds five consumers), and the
+    threshold-filtered within-cell pair frame carrying the member
+    multiplicities. See :func:`semdedup_census` for the contraction
+    semantics and precondition."""
     from columnar_estimator_sample_spark.operators.dedup import (
         contract_exact_dups,
     )
@@ -676,7 +650,7 @@ def semdedup_census(emb: DataFrame) -> DataFrame:
 
     ex = _exploded(reps)
     # assert_true is NULL when the guard holds (keeping every row) and
-    # raises on a zero-norm vector — the contraction precondition above,
+    # raises on a zero-norm vector — the contraction precondition,
     # enforced in-plan with no extra job.
     norms = (ex.groupBy("vec_id")
              .agg(F.sum(F.col("vi") * F.col("vi")).alias("n_s"))
@@ -716,6 +690,49 @@ def semdedup_census(emb: DataFrame) -> DataFrame:
              .join(gb, "vb")
              .select("centroid_id", "va", "vb", "m_a", "m_b")
              .localCheckpoint(eager=False))
+    return groups, mem, pairs
+
+
+def semdedup_census(emb: DataFrame) -> DataFrame:
+    """Core SemDeDup census over an (vec_id, embedding, ...) frame, with
+    EXACT-DUP CONTRACTION (the engine's standard move for replicated
+    corpora, cf. operators/dedup.contract_exact_dups): identical payloads
+    collapse to their min-id representative before assignment/scoring,
+    and the census re-expands in closed form —
+
+      * identical vectors share every cosine, so a group lands in ONE
+        cell and its members pair with each other at cos 1.0 >= SEM_T:
+        within-group dup pairs = C(m, 2), within-group pruned = m - 1
+        (every member pair ties on centroid-cos, pruning the higher id,
+        so the survivor is the min id = the representative);
+      * a scored rep pair (g, h) expands to m_g * m_h member pairs, all
+        with the SAME cosines — if c_g > c_h every member of g is pruned
+        (its rep already counts the non-rep members via m - 1, so only
+        the rep flips from kept to pruned: +1); ties (c_g == c_h)
+        prune the higher-gid rep, exactly the member-level rule applied
+        to the reps (gid_h < u for every u in g iff gid_h < gid_g).
+
+    So n_pruned(cell) = Σ(m - 1) + |cross-pruned reps| — bit-identical
+    to the member-level spec the DuckDB oracle computes exhaustively
+    (certified at sf0.01 where the table happens to be dup-free, and by
+    the duplicated-fixture unit test where it isn't).
+
+    PRECONDITION (enforced): every embedding has a non-zero norm. The
+    contraction's closed form assumes identical vectors pair at
+    cos 1.0 >= SEM_T, but an all-zero group has NaN cosine — the
+    relational spec (and the DuckDB oracle) counts NO pairs for it,
+    so the closed form would silently diverge. A plan-side
+    ``assert_true(n_s > 0)`` guard fails the job loudly if a zero
+    vector ever enters the corpus instead of producing a wrong census.
+
+    Pair scoring rides :func:`similarity.score_candidates_gather` (the
+    LSH tier's distributed join-gather + Arrow int64 einsum, bit-
+    identical to the relational form and already threshold-filtered at
+    ANN_COS_T == SEM_T): the within-cell candidate self-join emits
+    |cell|²/2 NARROW id pairs, where the previous (cell, dim)-keyed
+    explode-join shuffled 64× that many rows through a 512-key SMJ —
+    measured 5.1 s → 0.6 s on the scoring stage at sf0.1."""
+    groups, mem, pairs = _semdedup_frames(emb)
 
     # NOTE: ca/cb are one row per DISTINCT vector (the whole mem frame) —
     # broadcasting them would ship the full corpus to every executor at
@@ -755,6 +772,91 @@ def semdedup_census(emb: DataFrame) -> DataFrame:
                     (F.col("n_members") - F.col("n_pruned")).cast("long"))
         .orderBy("centroid_id")
     )
+
+
+# Membership-checksum modulus for the apply face: h64 values are 60-bit,
+# so summing them raw would overflow int64 past ~8 vectors; reducing mod
+# a prime first keeps SUM exact to ~9·10^12 kept vectors while still
+# pinning the exact kept SET through the value hash (a different set
+# collides with probability ~1/prime per cell).
+SEM_APPLY_MOD = 1_000_003
+
+
+@register(
+    "q_semdedup_apply",
+    oracle=None,  # attached below (shares the census oracle CTEs)
+)
+def q_semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup APPLIED — the kept set itself, certified: the survivors
+    of the cluster-blocked cosine pruning (exact-dup groups keep their
+    min-id member; a cross-pair prunes the member closer to the
+    centroid) reported per cell as count, id range, and a membership
+    CHECKSUM (Σ h64(vec_id) mod {SEM_APPLY_MOD}) — so the driver's
+    value hash pins WHICH vectors survive, not just how many (the
+    census's n_kept). This is the diagnose→apply completion for the
+    semantic family, matching q_dedup_apply (MinHash clusters) and
+    q_contamination_apply.
+
+    Scale: shares :func:`_semdedup_frames` (contraction, checkpointed
+    assignment, blocked pair scoring — O(Σ cᵢ²) on distinct content);
+    the kept frame is one anti-join of reps against the pruned set and
+    the output is K cells wide. Kept members beyond the rep never
+    exist by construction (identical vectors keep exactly their min
+    id), so reps-minus-pruned IS the member-level kept set."""
+    return semdedup_kept_census(table(spark, sf_dir, "embeddings"))
+
+
+def semdedup_kept(emb: DataFrame) -> DataFrame:
+    """(centroid_id, vec_id) — the surviving vectors of the SemDeDup
+    prune over ``emb`` (reps anti-joined against the pruned set; see
+    q_semdedup_apply's docstring for why that equals the member-level
+    kept set)."""
+    groups, mem, pairs = _semdedup_frames(emb)
+    ca = mem.select(F.col("vec_id").alias("va"), F.col("cos").alias("ca"))
+    cb = mem.select(F.col("vec_id").alias("vb"), F.col("cos").alias("cb"))
+    pv = (pairs.join(ca, "va").join(cb, "vb")
+          .select(F.when(F.col("ca") > F.col("cb"), F.col("va"))
+                  .otherwise(F.col("vb")).alias("vec_id"))
+          .distinct())
+    return (mem.join(pv, "vec_id", "left_anti")
+            .select("centroid_id", "vec_id"))
+
+
+def semdedup_kept_census(emb: DataFrame) -> DataFrame:
+    from columnar_estimator_sample_spark.functions.hashing import h64
+    kept = semdedup_kept(emb)
+    return (kept.groupBy("centroid_id")
+            .agg(F.count("*").cast("long").alias("n_kept"),
+                 F.min("vec_id").cast("long").alias("min_kept"),
+                 F.max("vec_id").cast("long").alias("max_kept"),
+                 F.sum(h64(F.col("vec_id").cast("string"))
+                       % SEM_APPLY_MOD)
+                 .cast("long").alias("kept_checksum"))
+            .orderBy("centroid_id"))
+
+
+def _semdedup_apply_oracle() -> str:
+    from columnar_estimator_sample_spark.functions.hashing import sql_h64
+    return f"""
+    WITH {_SEMDEDUP_ORACLE_CTES}, kept AS (
+        SELECT m.centroid_id, m.vec_id
+        FROM mem m
+        WHERE m.vec_id NOT IN (SELECT pv FROM pruned)
+    )
+    SELECT centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(vec_id) AS BIGINT) AS min_kept,
+           CAST(MAX(vec_id) AS BIGINT) AS max_kept,
+           CAST(SUM({sql_h64("CAST(vec_id AS VARCHAR)")}
+                    % {SEM_APPLY_MOD}) AS BIGINT) AS kept_checksum
+    FROM kept
+    GROUP BY centroid_id
+    ORDER BY centroid_id
+    """
+
+
+from columnar_estimator_sample_spark import registry as _vq_registry  # noqa: E402
+_vq_registry._ORACLES["q_semdedup_apply"] = _semdedup_apply_oracle()
 
 
 # ---------------------------------------------------------------------------

@@ -194,6 +194,69 @@ class TestSemDeDup:
                                [v for _, v in all_rows])
         assert got == want
 
+    def test_apply_kept_set_matches_brute_on_duplicated_corpus(
+            self, spark, sf_dir):
+        """The apply face's kept SET (not just counts) must equal the
+        member-level brute force on a corpus WITH exact duplicates —
+        the r13 contraction claim 'reps-minus-pruned IS the member-level
+        kept set' pinned id-for-id (same fixture construction as the
+        census contraction test)."""
+        import numpy as np
+        from columnar_estimator_sample_spark.operators.vq import (
+            K, SEM_T, semdedup_kept,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+
+        base = (table(spark, sf_dir, "embeddings")
+                .select("vec_id", "embedding").orderBy("vec_id").collect())
+        rows = [(int(r.vec_id), list(r.embedding)) for r in base]
+        nxt = max(i for i, _ in rows) + 1
+        dup_rows = []
+        for i, v in rows:
+            if i % 4 == 0 or i == 3:
+                for _ in range(3 if i % 8 == 0 else 1):
+                    dup_rows.append((nxt, v))
+                    nxt += 1
+        all_rows = rows + dup_rows
+        emb = spark.createDataFrame(
+            all_rows, "vec_id long, embedding array<float>")
+        got = {(r.centroid_id, r.vec_id)
+               for r in semdedup_kept(emb).collect()}
+
+        # member-level brute kept set (mirrors _semdedup_brute but keeps
+        # the surviving ids)
+        ids = np.asarray([i for i, _ in all_rows])
+        Xi = np.round(np.round(np.asarray([v for _, v in all_rows],
+                                          dtype=np.float64), 6)
+                      * 1_000_000).astype(np.int64)
+        norms = (Xi * Xi).sum(axis=1)
+        cent_rows = {v: k for k, v in enumerate(ids) if v < K}
+        C = Xi[[cent_rows[c] for c in range(K)]]
+        cn = (C * C).sum(axis=1)
+        cos_c = (Xi @ C.T).astype(np.float64) / (
+            np.sqrt(norms.astype(np.float64))[:, None]
+            * np.sqrt(cn.astype(np.float64))[None, :])
+        cell = cos_c.argmax(axis=1)
+        ccos = cos_c[np.arange(len(ids)), cell]
+        want = set()
+        for c in range(K):
+            rws = np.where(cell == c)[0]
+            pruned = set()
+            for ai in range(len(rws)):
+                for bi in range(ai + 1, len(rws)):
+                    a, b = rws[ai], rws[bi]
+                    if ids[a] > ids[b]:
+                        a, b = b, a
+                    dot = int(Xi[a] @ Xi[b])
+                    cos = dot / (np.sqrt(float(norms[a]))
+                                 * np.sqrt(float(norms[b])))
+                    if cos >= SEM_T:
+                        pruned.add(ids[a] if ccos[a] > ccos[b]
+                                   else ids[b])
+            want |= {(c, int(ids[r])) for r in rws
+                     if int(ids[r]) not in pruned}
+        assert got == want and len(got) > 0
+
     def test_prune_rule_keeps_diverse_member(self, spark, sf_dir):
         """The pruned member of every dup pair must sit CLOSER to its
         centroid than a kept pair-mate (the paper's diversity rule) —

@@ -49,7 +49,9 @@ ARROW_ALLOWED = {"q_media_features", "q_similarity_topk_fast",
                  # bounds the BatchEvalPython invariant: checkpointed
                  # subtrees are vouched for by their oracles + tests,
                  # not by this grep)
-                 "q_semdedup"}
+                 # r13: the apply face shares the same
+                 # checkpointed gather-scorer subtree
+                 "q_semdedup", "q_semdedup_apply"}
 
 # Queries whose BUILDER legitimately runs Spark jobs. Everything else
 # must build its plan with ZERO jobs: a scan at plan/registry time is
@@ -91,7 +93,7 @@ BUILD_RUNS_JOBS = {
     "q_dedup_winnow",
     "q_dedup_prefix_filter", "q_media_neardup", "q_media_search",
     "q_media_audio_neardup", "q_media_video_neardup", "q_semdedup",
-    "q_er_sorted_neighborhood",
+    "q_er_sorted_neighborhood", "q_semdedup_apply",
     # r12: the hashed-feature frame (explode + md5) is lazily
     # checkpointed — it feeds both the bucket census and the scoring
     # join (2.60 -> 1.25 s at sf0.1)
