@@ -465,6 +465,13 @@ class TestMmrScaledLane:
         for q, _, n, rel, _ in scaled:
             if (q, n) in brute_rel:
                 assert rel == brute_rel[(q, n)]
+        # r13: the REGISTERED scaled query must equal the forced lane
+        # row-for-row — q_mmr_rerank_scaled IS this code path with its
+        # own oracle, not a reimplementation
+        monkeypatch.undo()
+        registered = [tuple(r) for r in
+                      S.q_mmr_rerank_scaled(spark, sf_dir).collect()]
+        assert registered == scaled
 
 
 class TestQualityEnsemble:
