@@ -108,6 +108,7 @@ HEADLINE = [
     "q_dsir_export",
     "q_mixture_apply",
     "q_semdedup_apply",
+    "q_pretrain_mix_pipeline",
 ]
 
 

@@ -2101,6 +2101,136 @@ def q_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang", "verdict"))
 
 
+@register(
+    "q_pretrain_mix_pipeline",
+    oracle=f"""
+    WITH {_DOC_LM_SQL},
+    sig AS (
+        SELECT d.doc_id, d.source, d.text,
+               len(string_split(d.text, ' ')) AS n_toks,
+               (1000 * len(list_distinct(string_split(d.text, ' '))))
+                   // len(string_split(d.text, ' ')) AS ttr_pm,
+               coalesce(s.lm_score_permille, -1) AS lm_pm
+        FROM documents d
+        LEFT JOIN scores s ON s.doc_id = d.doc_id
+    ), kept0 AS (
+        SELECT doc_id, source, text FROM sig
+        WHERE ({_CASCADE_VERDICT}) = 'keep'
+    ), reps AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM kept0 GROUP BY md5(text)
+    ), surv AS (
+        SELECT k.doc_id, k.source,
+               CAST(len(list_filter(string_split(k.text, ' '),
+                                    x -> len(x) > 0)) AS BIGINT)
+                   AS n_tok_ne
+        FROM kept0 k JOIN reps r ON r.doc_id = k.doc_id
+    ), n AS (
+        SELECT source, CAST(SUM(n_tok_ne) AS BIGINT) AS n_tokens
+        FROM surv GROUP BY source
+    ), sq AS (
+        SELECT source, n_tokens,
+               CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS isq
+        FROM n
+    ), tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_n,
+               CAST(SUM(isq) AS BIGINT) AS tot_sq
+        FROM sq
+    ), boost AS (
+        SELECT s.source,
+               ((1000 * s.isq) // t.tot_sq) * 1000
+                   // GREATEST((1000 * s.n_tokens) // t.tot_n, 1)
+                   AS boost_pm
+        FROM sq s CROSS JOIN tot t
+    ), adm AS (
+        SELECT source,
+               (1000 * boost_pm) // (SELECT MAX(boost_pm) FROM boost)
+                   AS adm_pm
+        FROM boost
+    )
+    SELECT sv.source, a.adm_pm,
+           CAST(COUNT(*) AS BIGINT) AS n_survivors,
+           CAST(SUM(CASE WHEN {sql_h64("CAST(sv.doc_id AS VARCHAR)")}
+                              % 1000 < a.adm_pm
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+           CAST(SUM(CASE WHEN {sql_h64("CAST(sv.doc_id AS VARCHAR)")}
+                              % 1000 < a.adm_pm
+                         THEN sv.n_tok_ne ELSE 0 END) AS BIGINT)
+               AS n_tokens_admitted
+    FROM surv sv JOIN adm a ON a.source = sv.source
+    GROUP BY sv.source, a.adm_pm
+    ORDER BY sv.source
+    """)
+def q_pretrain_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern pretraining-data funnel END-TO-END, one certified
+    plan: quality cascade (keep only docs passing every structural gate
+    and the corpus-LM gate) → exact dedup (md5 min-id survivor among
+    the kept) → temperature mixing (alpha=0.5 boosts recomputed over
+    the SURVIVING corpus, deterministic hash-mod admission) → per-source
+    admission census. Every stage is the already-certified operator
+    (q_quality_cascade's verdict chain, q_dedup_exact's survivor rule,
+    q_mixture_apply's integer rate chain) composed in the order a
+    production pipeline runs them — the composition itself is what this
+    query certifies, the way q_corpus_prep_pipeline certified the
+    r7-era funnel.
+
+    Scale: one documents scan feeds the verdict chain (LM scores join
+    from the shared written-scores frame); dedup shuffles 16-byte
+    digests; the temperature chain collapses to |sources| broadcast
+    rows; admission is a scan-local predicate. No stage adds a
+    corpus-sized shuffle beyond the digest groupBy the exact-dedup
+    stage always costs."""
+    from columnar_estimator_sample_spark.operators.textstats import (
+        doc_lm_scores,
+    )
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sig = (docs.select(
+               "doc_id", "source", "text",
+               F.size(toks).alias("n_toks"),
+               F.expr("(1000 * size(array_distinct(split(text, ' '))))"
+                      " DIV size(split(text, ' '))").alias("ttr_pm"))
+           .join(doc_lm_scores(spark, sf_dir)
+                 .select("doc_id", "lm_score_permille"),
+                 "doc_id", "left")
+           .withColumn("lm_pm",
+                       F.coalesce("lm_score_permille", F.lit(-1))))
+    kept0 = (sig.filter(F.expr(_CASCADE_VERDICT) == "keep")
+             .select("doc_id", "source", "text"))
+    reps = (kept0.groupBy(F.md5("text").alias("fp"))
+            .agg(F.min("doc_id").alias("doc_id")))
+    surv = (kept0.join(reps.select("doc_id"), "doc_id")
+            .select("doc_id", "source",
+                    F.size(F.filter(F.split("text", " "),
+                                    lambda x: F.length(x) > 0))
+                    .cast("long").alias("n_tok_ne")))
+    n = surv.groupBy("source").agg(
+        F.sum("n_tok_ne").cast("long").alias("n_tokens"))
+    sq = n.withColumn(
+        "isq",
+        F.expr("CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+    tot = sq.agg(F.sum("n_tokens").cast("long").alias("tot_n"),
+                 F.sum("isq").cast("long").alias("tot_sq"))
+    boost = (sq.crossJoin(F.broadcast(tot))
+             .select("source",
+                     F.expr("((1000 * isq) DIV tot_sq) * 1000"
+                            " DIV GREATEST((1000 * n_tokens) DIV tot_n,"
+                            " 1)").alias("boost_pm")))
+    maxb = boost.agg(F.max("boost_pm").alias("max_b"))
+    adm = (boost.crossJoin(F.broadcast(maxb))
+           .select("source",
+                   F.expr("(1000 * boost_pm) DIV max_b").alias("adm_pm")))
+    hit = (h64(F.col("doc_id").cast("string")) % 1000
+           < F.col("adm_pm")).cast("int")
+    return (surv.join(F.broadcast(adm), "source")
+            .groupBy("source", "adm_pm")
+            .agg(F.count("*").cast("long").alias("n_survivors"),
+                 F.sum(hit).cast("long").alias("n_admitted"),
+                 F.sum(F.col("n_tok_ne") * hit).cast("long")
+                 .alias("n_tokens_admitted"))
+            .orderBy("source"))
+
+
 # ---------------------------------------------------------------------------
 # Quality ensemble: reciprocal-rank-fusion blend of quality signals
 # ---------------------------------------------------------------------------

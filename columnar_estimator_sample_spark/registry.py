@@ -99,16 +99,18 @@ _loaded = False
 #       (the DSIR apply face — landed-mix census),
 #       q_stream_neardup_ingest (stream-maintained LSH band index) and
 #       q_mixture_apply (deterministic temperature-mix admission)
-#       and q_semdedup_apply (the semantic kept set, checksummed);
+#       q_semdedup_apply (the semantic kept set, checksummed), and
+#       q_pretrain_mix_pipeline (the composed quality→dedup→temperature
+#       funnel);
 #   (b) ALL 21 r5-age re-certs (registration order) — the oldest
 #       certification debt, seven rounds of source churn old;
-#   (c) the 13 oldest r7-age re-certs (registration order) that fit.
-#       The remaining 32 r7-age rows head the r14 window.
+#   (c) the 12 oldest r7-age re-certs (registration order) that fit.
+#       The remaining 33 r7-age rows head the r14 window.
 _DRIVER_WINDOW_R13 = [
     # (a) never-windowed + round-13 new + rewritten bodies
     "q_stream_ann_ingest", "q_mmr_rerank_scaled", "q_ann_ivf_cycle",
     "q_dsir_export", "q_stream_neardup_ingest", "q_mixture_apply",
-    "q_semdedup_apply",
+    "q_semdedup_apply", "q_pretrain_mix_pipeline",
     "q_dedup_cross_source", "q_dsir_selection", "q_dsir_bigram",
     "q_stream_quality_cascade", "q_dedup_winnow", "q_ccnet_tiers",
     "q_mmr_rerank", "q_ann_ivf_topk", "q_ann_ivf_incremental",
@@ -121,12 +123,11 @@ _DRIVER_WINDOW_R13 = [
     "q_capture_recapture", "q_embed_quantize", "q_benford",
     "q_tfrecord_roundtrip", "q_stream_daily_counts",
     "q_stream_sessions",
-    # (c) the 13 oldest r7-age re-certs, registration order
+    # (c) the 12 oldest r7-age re-certs, registration order
     "q_table_checksum", "q_split_gini", "q_exact_auc",
     "q_calibration_bins", "q_ks_test", "q_joinability",
     "q_completeness", "q_dp_release", "q_f1_threshold",
     "q_bitmap_retention", "q_bloom_fpr", "q_kmv_distinct",
-    "q_join_size_estimate",
 ]
 
 

@@ -116,6 +116,7 @@ BUILD_RUNS_JOBS = {
     # doc_lm_scores frame (textstats._LM_SCORES_MEMO)
     "q_doc_lm_score", "q_ccnet_tiers", "q_token_budget_pack",
     "q_quality_cascade", "q_quality_ensemble",
+    "q_pretrain_mix_pipeline",
     # r10: the ExactSubstr family shares one lazily-checkpointed anchor
     # frame (dedup._EXACTSUBSTR_ANCHORS_MEMO)
     "q_dedup_exactsubstr", "q_dedup_exactsubstr_savings",
