@@ -1001,24 +1001,24 @@ def q_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sq
     ), boost AS (
         SELECT s.source,
-               ((1000 * s.isq) // t.tot_sq) * 1000
-                   // GREATEST((1000 * s.n_tokens) // t.tot_n, 1)
-                   AS boost_pm
+               ((1000000 * s.isq) // t.tot_sq) * 1000000
+                   // GREATEST((1000000 * s.n_tokens) // t.tot_n, 1)
+                   AS boost_ppm
         FROM sq s CROSS JOIN tot t
     ), adm AS (
         SELECT source,
-               (1000 * boost_pm) // (SELECT MAX(boost_pm) FROM boost)
-                   AS adm_pm
+               (1000000 * boost_ppm)
+                   // (SELECT MAX(boost_ppm) FROM boost) AS adm_ppm
         FROM boost
     )
-    SELECT d.source, a.adm_pm,
+    SELECT d.source, a.adm_ppm,
            CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
            CAST(SUM(len(list_filter(string_split(d.text, ' '),
                                     x -> len(x) > 0))) AS BIGINT)
                AS n_tokens_kept
     FROM documents d JOIN adm a ON a.source = d.source
-    WHERE {sql_h64("CAST(d.doc_id AS VARCHAR)")} % 1000 < a.adm_pm
-    GROUP BY d.source, a.adm_pm
+    WHERE {sql_h64("CAST(d.doc_id AS VARCHAR)")} % 1000000 < a.adm_ppm
+    GROUP BY d.source, a.adm_ppm
     ORDER BY d.source
     """)
 def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1026,9 +1026,15 @@ def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_source_temperature computes each source's alpha=0.5 boost; this
     query turns the boosts into deterministic admission rates —
     normalized so the MOST up-weighted source keeps everything
-    (``adm_pm = 1000·boost/max_boost``) — and admits a document iff
-    ``h64(doc_id) % 1000 < adm_pm(source)``, the reproducible hash-mod
-    sampling of q_hash_sample applied per-source. The census reports
+    (``adm_ppm = 10⁶·boost/max_boost``) — and admits a document iff
+    ``h64(doc_id) % 10⁶ < adm_ppm(source)``, the reproducible hash-mod
+    sampling of q_hash_sample applied per-source. The whole rate chain
+    runs at parts-per-MILLION precision (q_source_temperature's
+    permille is a report granularity; flooring rates at permille
+    zeroed any source below ~0.1% of the sqrt-mass AND could not
+    express a heavy source's sub-1/1000 downsample rate against a
+    strongly boosted tail — ppm pushes both cliffs three orders of
+    magnitude out). The census reports
     each source's admission rate and the docs/tokens the mixed epoch
     actually keeps (up-sampling beyond one epoch is q_source_mixture's
     repeat machinery; composing the two is the standard XLM-R-style
@@ -1053,17 +1059,18 @@ def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("isq").cast("long").alias("tot_sq"))
     boost = (sq.crossJoin(F.broadcast(tot))
              .select("source",
-                     F.expr("((1000 * isq) DIV tot_sq) * 1000"
-                            " DIV GREATEST((1000 * n_tokens) DIV tot_n,"
-                            " 1)").alias("boost_pm")))
-    maxb = boost.agg(F.max("boost_pm").alias("max_b"))
+                     F.expr("((1000000 * isq) DIV tot_sq) * 1000000"
+                            " DIV GREATEST((1000000 * n_tokens)"
+                            " DIV tot_n, 1)").alias("boost_ppm")))
+    maxb = boost.agg(F.max("boost_ppm").alias("max_b"))
     adm = (boost.crossJoin(F.broadcast(maxb))
            .select("source",
-                   F.expr("(1000 * boost_pm) DIV max_b").alias("adm_pm")))
+                   F.expr("(1000000 * boost_ppm) DIV max_b")
+                   .alias("adm_ppm")))
     kept = (docs.join(F.broadcast(adm), "source")
-            .filter(h64(F.col("doc_id").cast("string")) % 1000
-                    < F.col("adm_pm")))
-    return (kept.groupBy("source", "adm_pm")
+            .filter(h64(F.col("doc_id").cast("string")) % 1_000_000
+                    < F.col("adm_ppm")))
+    return (kept.groupBy("source", "adm_ppm")
             .agg(F.count("*").cast("long").alias("n_docs_kept"),
                  F.sum(F.size(F.filter(F.split("text", " "),
                                        lambda x: F.length(x) > 0)))
@@ -2138,27 +2145,27 @@ def q_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sq
     ), boost AS (
         SELECT s.source,
-               ((1000 * s.isq) // t.tot_sq) * 1000
-                   // GREATEST((1000 * s.n_tokens) // t.tot_n, 1)
-                   AS boost_pm
+               ((1000000 * s.isq) // t.tot_sq) * 1000000
+                   // GREATEST((1000000 * s.n_tokens) // t.tot_n, 1)
+                   AS boost_ppm
         FROM sq s CROSS JOIN tot t
     ), adm AS (
         SELECT source,
-               (1000 * boost_pm) // (SELECT MAX(boost_pm) FROM boost)
-                   AS adm_pm
+               (1000000 * boost_ppm)
+                   // (SELECT MAX(boost_ppm) FROM boost) AS adm_ppm
         FROM boost
     )
-    SELECT sv.source, a.adm_pm,
+    SELECT sv.source, a.adm_ppm,
            CAST(COUNT(*) AS BIGINT) AS n_survivors,
            CAST(SUM(CASE WHEN {sql_h64("CAST(sv.doc_id AS VARCHAR)")}
-                              % 1000 < a.adm_pm
+                              % 1000000 < a.adm_ppm
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
            CAST(SUM(CASE WHEN {sql_h64("CAST(sv.doc_id AS VARCHAR)")}
-                              % 1000 < a.adm_pm
+                              % 1000000 < a.adm_ppm
                          THEN sv.n_tok_ne ELSE 0 END) AS BIGINT)
                AS n_tokens_admitted
     FROM surv sv JOIN adm a ON a.source = sv.source
-    GROUP BY sv.source, a.adm_pm
+    GROUP BY sv.source, a.adm_ppm
     ORDER BY sv.source
     """)
 def q_pretrain_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2213,17 +2220,18 @@ def q_pretrain_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("isq").cast("long").alias("tot_sq"))
     boost = (sq.crossJoin(F.broadcast(tot))
              .select("source",
-                     F.expr("((1000 * isq) DIV tot_sq) * 1000"
-                            " DIV GREATEST((1000 * n_tokens) DIV tot_n,"
-                            " 1)").alias("boost_pm")))
-    maxb = boost.agg(F.max("boost_pm").alias("max_b"))
+                     F.expr("((1000000 * isq) DIV tot_sq) * 1000000"
+                            " DIV GREATEST((1000000 * n_tokens)"
+                            " DIV tot_n, 1)").alias("boost_ppm")))
+    maxb = boost.agg(F.max("boost_ppm").alias("max_b"))
     adm = (boost.crossJoin(F.broadcast(maxb))
            .select("source",
-                   F.expr("(1000 * boost_pm) DIV max_b").alias("adm_pm")))
-    hit = (h64(F.col("doc_id").cast("string")) % 1000
-           < F.col("adm_pm")).cast("int")
+                   F.expr("(1000000 * boost_ppm) DIV max_b")
+                   .alias("adm_ppm")))
+    hit = (h64(F.col("doc_id").cast("string")) % 1_000_000
+           < F.col("adm_ppm")).cast("int")
     return (surv.join(F.broadcast(adm), "source")
-            .groupBy("source", "adm_pm")
+            .groupBy("source", "adm_ppm")
             .agg(F.count("*").cast("long").alias("n_survivors"),
                  F.sum(hit).cast("long").alias("n_admitted"),
                  F.sum(F.col("n_tok_ne") * hit).cast("long")

@@ -363,6 +363,56 @@ class TestDsirSelection:
         assert sum(v[0] for v in got.values()) == DSIR_K
 
 
+class TestMixtureApplySkew:
+    def test_ppm_rates_express_both_tails(self, spark, tmp_path):
+        """On a 1000:1 skewed corpus the permille rate chain both
+        zeroed the tiny source's boost AND could not express the heavy
+        source's sub-1/1000 downsample — the ppm chain must give the
+        tiny source full admission (it is the most boosted) and the
+        heavy source a small but NON-ZERO rate, with every count
+        matching a Python replay of the identical integer chain."""
+        import hashlib
+        import duckdb
+        from columnar_estimator_sample_spark.operators.corpus import (
+            q_mixture_apply,
+        )
+
+        rows = []
+        for i in range(1000):
+            rows.append(f"(CAST({i} AS BIGINT), 'w1 w2 w3 w4 w5 w6 w7 "
+                        f"w8 w9 w10', 'aa', 'big', CAST(29 AS BIGINT))")
+        rows.append("(CAST(5000 AS BIGINT), 'w1 w2 w3 w4 w5 w6 w7 w8 "
+                    "w9 w10', 'aa', 'tiny', CAST(29 AS BIGINT))")
+        sf = str(tmp_path)
+        duckdb.sql("COPY (SELECT * FROM (VALUES " + ", ".join(rows)
+                   + ") t(doc_id, text, lang, source, n_chars)) TO '"
+                   + f"{sf}/documents.parquet' (FORMAT PARQUET)")
+
+        got = {r["source"]: (r["adm_ppm"], r["n_docs_kept"])
+               for r in q_mixture_apply(spark, sf).collect()}
+
+        # Python replay of the integer chain
+        import math
+        n = {"big": 10_000, "tiny": 10}
+        isq = {s: math.isqrt(v) for s, v in n.items()}
+        tot_n, tot_sq = sum(n.values()), sum(isq.values())
+        boost = {s: ((10**6 * isq[s]) // tot_sq) * 10**6
+                 // max((10**6 * n[s]) // tot_n, 1) for s in n}
+        maxb = max(boost.values())
+        adm = {s: (10**6 * b) // maxb for s, b in boost.items()}
+        assert adm["tiny"] == 1_000_000
+        assert 0 < adm["big"] < 1_000_000
+
+        def h64(x: str) -> int:
+            return int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
+        kept = {"big": sum(1 for i in range(1000)
+                           if h64(str(i)) % 10**6 < adm["big"]),
+                "tiny": 1}
+        want = {s: (adm[s], kept[s]) for s in n if kept[s] > 0}
+        assert got == want
+
+
 class TestDsirExport:
     def test_landed_mix_equals_selection(self, spark, sf_dir):
         """The landed DSIR-mix table must hold EXACTLY the top-DSIR_K
