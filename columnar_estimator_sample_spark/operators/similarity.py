@@ -646,10 +646,14 @@ def _ivf_cells(spark: SparkSession, sf_dir: str):
     # (q_ann_ivf_topk 9.9 s at sf10); min_by combines partials before
     # the exchange. Tie behavior identical: min_by on struct(-ccos,
     # centroid_id) picks the window's (ccos DESC, centroid_id) head.
-    # NULL parity with the window: a zero-norm vector/centroid makes
-    # ccos NULL (non-ANSI x/0), which desc() orders NULLS LAST but a
-    # NULL struct head would not — coalesce(-ccos, +inf) pins the
-    # degenerate rows to the same last place in both formulations.
+    # Degenerate-input contract (r13, test-pinned): the engine AND the
+    # driver's plain Spark 4 session run ANSI-on, so a zero-norm
+    # vector/centroid's x/0 cosine RAISES (fail-loud, the semdedup
+    # assert_true philosophy). Under an ANSI-OFF deployment x/0 is
+    # NULL instead, which desc() orders NULLS LAST but a NULL struct
+    # head would not — coalesce(-ccos, +inf) pins those rows to the
+    # same last place in both formulations, so no mode silently
+    # mis-assigns.
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"),
                                              F.asc("centroid_id"))
     qranked = (scored.filter(F.col("vec_id") < N_QUERIES)
@@ -792,9 +796,12 @@ def _inc_coarse_assign(sub_ex: DataFrame, cex: DataFrame,
     within each vec_id group), so dropping it removes the corpus-sized
     norms join entirely — the batch path touches nothing but the batch
     rows and the NLIST-row centroid frames. The oracle ranks by the
-    textually identical double chain. Zero-norm centroids (NULL score
-    under non-ANSI x/0) are pinned last via coalesce(-score, +inf) —
-    same ordering as a desc() window's NULLS LAST."""
+    textually identical double chain. Zero-norm centroids fail loudly
+    under the session's ANSI mode (x/0 raises — test-pinned); under an
+    ANSI-off deployment their NULL scores are pinned last via
+    coalesce(-score, +inf), the same ordering as a desc() window's
+    NULLS LAST. Ties pick the lower centroid_id (test-pinned against
+    the window reference)."""
     vc = (sub_ex.join(F.broadcast(cex), "i")
           .groupBy("vec_id", "centroid_id")
           .agg(F.sum(F.col("vi") * F.col("ci")).alias("dot_s")))

@@ -170,6 +170,68 @@ class TestIvfAnn:
             assert cosines == sorted(cosines, reverse=True)
 
 
+class TestCoarseAssignDegenerateInputs:
+    @staticmethod
+    def _frames(spark, cents):
+        def ex_frame(rows):
+            return (spark.createDataFrame(
+                        rows, "vec_id long, v array<long>")
+                    .select("vec_id", F.posexplode("v").alias("i", "vi")))
+        vecs = [(10, [1, 0]), (11, [0, 1]), (12, [2, 1]), (13, [1, 3])]
+        sub_ex = ex_frame(vecs)
+        cex = (ex_frame(cents)
+               .select(F.col("vec_id").alias("centroid_id"), "i",
+                       F.col("vi").alias("ci")))
+        cnorms = cex.groupBy("centroid_id").agg(
+            F.sum(F.col("ci") * F.col("ci")).alias("nc_s"))
+        return sub_ex, cex, cnorms
+
+    def test_zero_norm_centroid_fails_loudly_under_ansi(self, spark):
+        """The engine (and the driver's plain Spark 4 session) runs
+        ANSI-on, so a zero-norm centroid's x/0 cosine RAISES — the
+        degenerate input can never silently mis-assign (the
+        q_semdedup assert_true philosophy; under an ANSI-off
+        deployment the r12-advisory coalesce(-score, +inf) instead
+        pins the NULL scores to the window's NULLS-LAST place)."""
+        import pytest
+        from columnar_estimator_sample_spark.operators.similarity import (
+            _inc_coarse_assign,
+        )
+        sub_ex, cex, cnorms = self._frames(
+            spark, [(0, [1, 0]), (1, [0, 0]), (2, [0, 1])])
+        with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+            _inc_coarse_assign(sub_ex, cex, cnorms, "t").collect()
+
+    def test_min_by_argmax_equals_window_reference(self, spark):
+        """On finite scores the min_by argmax must reproduce the
+        ROW_NUMBER window it replaced (score DESC, centroid_id
+        tiebreak) exactly — including a deliberate tie (vector 11
+        equidistant from centroids 1 and 2 picks the LOWER id)."""
+        from pyspark.sql import Window
+        from columnar_estimator_sample_spark.operators.similarity import (
+            _inc_coarse_assign,
+        )
+        sub_ex, cex, cnorms = self._frames(
+            spark, [(0, [1, 0]), (1, [0, 1]), (2, [0, 1])])
+        got = {(r["vec_id"], r["centroid_id"]) for r in
+               _inc_coarse_assign(sub_ex, cex, cnorms, "t").collect()}
+        vc = (sub_ex.join(cex, "i")
+              .groupBy("vec_id", "centroid_id")
+              .agg(F.sum(F.col("vi") * F.col("ci")).alias("dot_s")))
+        scored = (vc.join(cnorms, "centroid_id")
+                  .select("vec_id", "centroid_id",
+                          (F.col("dot_s").cast("double")
+                           / F.sqrt(F.col("nc_s").cast("double")))
+                          .alias("score")))
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("score"), F.asc("centroid_id"))
+        want = {(r["vec_id"], r["centroid_id"]) for r in
+                scored.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") == 1).collect()}
+        assert got == want
+        assert (11, 1) in got  # tie resolved to the lower centroid id
+
+
 class TestIvfIncremental:
     def test_incremental_equals_rebuild(self, spark, sf_dir):
         """Append-after-assign must reproduce a from-scratch rebuild
