@@ -194,14 +194,32 @@ def _dbscan_oracle() -> str:
         SELECT c.node, LEAST(c.lab, p.lab) AS lab
         FROM n{r} c JOIN n{r} p ON p.node = c.lab
     )""")
-    return ("WITH " + ",".join(ctes) + f"""
-    SELECT l.lab AS cluster_id,
-           CAST(COUNT(*) AS BIGINT) AS n_cells,
-           CAST(SUM(d.n_pts) AS BIGINT) AS n_points
-    FROM l{DBSCAN_ROUNDS} l JOIN dense d ON d.node = l.node
-    GROUP BY l.lab
-    ORDER BY n_points DESC, cluster_id
-    LIMIT {DBSCAN_TOP}""")
+    return ("WITH " + ",".join(ctes) + f""",
+    clus AS (
+        SELECT l.lab AS cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(d.n_pts) AS BIGINT) AS n_points
+        FROM l{DBSCAN_ROUNDS} l JOIN dense d ON d.node = l.node
+        GROUP BY l.lab
+        ORDER BY n_points DESC, cluster_id
+        LIMIT {DBSCAN_TOP}
+    ), census AS (
+        SELECT CAST(-2 AS BIGINT) AS cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(COALESCE(SUM(n_pts), 0) AS BIGINT) AS n_points
+        FROM cells
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(n_pts), 0) AS BIGINT)
+        FROM cells WHERE n_pts < {DBSCAN_MINPTS}
+    )
+    SELECT cluster_id, n_cells, n_points FROM (
+        SELECT cluster_id, n_cells, n_points FROM census
+        UNION ALL
+        SELECT cluster_id, n_cells, n_points FROM clus)
+    ORDER BY CASE WHEN cluster_id < 0 THEN 0 ELSE 1 END,
+             n_points DESC, cluster_id""")
 
 
 @register("q_geo_dbscan", oracle=_dbscan_oracle())
@@ -216,7 +234,13 @@ def q_geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join is banded by construction (|Δcell| ≤ 1 in both axes).
     Rounds are unrolled (grid diameter is small and bounded by
     geography, not data volume); cluster id = min node key, fully
-    deterministic. Report: largest clusters by contained points.
+    deterministic. Report: largest clusters by contained points,
+    PLUS two always-present census rows keyed by negative cluster_id
+    (−2 = all-cells census, −1 = noise-cell census) so the result
+    pins real computation even on corpora too sparse for any cell to
+    reach MINPTS — the de-vacuization treatment q_dedup_cross_source
+    got in round 13 (round-13 verdict item 4); cluster semantics are
+    unchanged.
 
     The same composition (dense-bucket census → bucket-graph connected
     components) is how the dedup tier clusters near-duplicate pairs
@@ -228,7 +252,8 @@ def q_geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_floor_div('lat', GEO_CELL, 'spark')} AS cla",
         f"{_floor_div('lon', GEO_CELL, 'spark')} AS clo")
         .groupBy("cla", "clo")
-        .agg(F.count("*").cast("long").alias("n_pts")))
+        .agg(F.count("*").cast("long").alias("n_pts"))
+        .localCheckpoint(eager=False))  # reused by dense + both censuses
     dense = (cells.filter(F.col("n_pts") >= DBSCAN_MINPTS)
              .withColumn("node",
                          F.expr("cla * 1000000 + clo + 500000"))
@@ -249,9 +274,23 @@ def q_geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = (nm.join(parent, nm.lab == F.col("p_node"))
                   .select("node",
                           F.least("lab", "p_lab").alias("lab")))
-    return (labels.join(dense.select("node", "n_pts"), "node")
+    clus = (labels.join(dense.select("node", "n_pts"), "node")
             .groupBy(F.col("lab").alias("cluster_id"))
             .agg(F.count("*").cast("long").alias("n_cells"),
                  F.sum("n_pts").cast("long").alias("n_points"))
             .orderBy(F.desc("n_points"), "cluster_id")
             .limit(DBSCAN_TOP))
+
+    def _census(src: DataFrame, cid: int) -> DataFrame:
+        return src.agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.coalesce(F.sum("n_pts"), F.lit(0)).cast("long")
+            .alias("n_points")).select(
+                F.lit(cid).cast("long").alias("cluster_id"),
+                "n_cells", "n_points")
+
+    census = _census(cells, -2).unionByName(
+        _census(cells.filter(F.col("n_pts") < DBSCAN_MINPTS), -1))
+    return (census.unionByName(clus)
+            .orderBy(F.expr("CASE WHEN cluster_id < 0 THEN 0 ELSE 1 END"),
+                     F.desc("n_points"), "cluster_id"))

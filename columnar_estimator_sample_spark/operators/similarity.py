@@ -1886,14 +1886,24 @@ MMR_BRUTE_MAX = 50_000
 
 
 def mmr_shortlist(spark: SparkSession, sf_dir: str,
-                  force_scaled: bool = False) -> DataFrame:
+                  lane: str = "auto") -> DataFrame:
     """(query_id, neighbor_id, rel, d_emb, d_nrm): each query's
-    ``MMR_SHORTLIST`` candidates with EXACT relevance cosines. Lane
-    choice by corpus size (parquet-footer metadata read, never a job):
-    brute force below ``MMR_BRUTE_MAX`` vectors, the SQ8 int8 shortlist
-    + exact rescore above it. ``force_scaled`` pins the SQ8 lane
-    regardless of size — q_mmr_rerank_scaled's driver-certification
-    knob."""
+    ``MMR_SHORTLIST`` candidates with EXACT relevance cosines.
+
+    ``lane`` picks the shortlist source:
+
+    * ``"auto"`` — corpus size decides (parquet-footer metadata read,
+      never a job): brute force below ``MMR_BRUTE_MAX`` vectors, the
+      SQ8 int8 shortlist + exact rescore above it. Library default.
+    * ``"brute"`` — exact brute force, and FAIL LOUD past
+      ``MMR_BRUTE_MAX``: the lane q_mmr_rerank registers, so its
+      static brute-force oracle can never silently diverge from the
+      running lane on a big sf_dir (the round-13 verdict's
+      lane-divergence item). The error names q_mmr_rerank_scaled as
+      the certified big-corpus query.
+    * ``"scaled"`` — the SQ8 lane regardless of size:
+      q_mmr_rerank_scaled's driver-certification knob.
+    """
     import os as _os
 
     from columnar_estimator_sample_spark.sources.tables import (
@@ -1909,7 +1919,13 @@ def mmr_shortlist(spark: SparkSession, sf_dir: str,
                        F.col("embedding").alias("q_emb"),
                        nrm.alias("q_nrm")))
     n_vec = parquet_num_rows(_os.path.join(sf_dir, "embeddings.parquet"))
-    if force_scaled or n_vec > MMR_BRUTE_MAX:
+    if lane == "brute" and n_vec > MMR_BRUTE_MAX:
+        raise ValueError(
+            f"q_mmr_rerank is pinned to the exact brute-force lane and "
+            f"{sf_dir} holds {n_vec} vectors (> MMR_BRUTE_MAX="
+            f"{MMR_BRUTE_MAX}); run q_mmr_rerank_scaled instead — it is "
+            f"the driver-certified SQ8 shortlist lane for big corpora.")
+    if lane == "scaled" or (lane == "auto" and n_vec > MMR_BRUTE_MAX):
         ids = sq8_shortlist(spark, sf_dir)  # int8 lane bounds the scan
         return (ids.join(corpus, "neighbor_id")
                 .join(F.broadcast(queries), "query_id")
@@ -1938,10 +1954,13 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection rule diverse-sampling data curation uses to avoid filling
     a budget with near-identical documents.
 
-    Scale: the shortlist lane switches by corpus size
-    (:func:`mmr_shortlist` — exact brute force at gate/bench SFs, the
-    SQ8 int8 shortlist + exact rescore past ``MMR_BRUTE_MAX``; footer
-    metadata decides, never a job); MMR itself only ever sees
+    Lane contract (round-14 fix): this registered query is PINNED to
+    the exact brute-force shortlist so it always matches its static
+    brute-force oracle; past ``MMR_BRUTE_MAX`` vectors it fails loud
+    (:func:`mmr_shortlist` ``lane="brute"``) pointing at
+    :func:`q_mmr_rerank_scaled`, the SQ8 lane with its OWN oracle —
+    there is no sf_dir on which this query's gate row can silently go
+    red by design. MMR itself only ever sees
     |Q| x SHORTLIST rows, and candidate-pair similarities are computed
     once (|Q| x SHORTLIST² tiny frame). Both frames are
     bounded by CONFIG, not corpus size, so the greedy argmax runs
@@ -1950,7 +1969,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 4.2 s of stage latency for a 125-row problem — 1.2 s this
     way). All cosines are the exact decimal lane, the MMR combination is
     the identical IEEE chain the oracle unrolls."""
-    return _mmr_greedy(spark, mmr_shortlist(spark, sf_dir))
+    return _mmr_greedy(spark, mmr_shortlist(spark, sf_dir, lane="brute"))
 
 
 @register("q_mmr_rerank_scaled", oracle=_mmr_oracle(scaled=True))
@@ -1964,7 +1983,7 @@ def q_mmr_rerank_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-12 verdict's missing-oracle item). Greedy selection and all
     exact-decimal rescoring are shared with q_mmr_rerank."""
     return _mmr_greedy(spark,
-                       mmr_shortlist(spark, sf_dir, force_scaled=True))
+                       mmr_shortlist(spark, sf_dir, lane="scaled"))
 
 
 def _mmr_greedy(spark: SparkSession, cand: DataFrame) -> DataFrame:

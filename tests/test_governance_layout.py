@@ -749,7 +749,23 @@ class TestGeoDBSCAN:
             comp_pts[r] += n
         want = sorted(((comp_pts[c], comp_cells[c])
                        for c in comp_cells), reverse=True)
-        got_rows = q_geo_dbscan(spark, sf_dir).collect()
+        all_rows = q_geo_dbscan(spark, sf_dir).collect()
+        # r14: two census rows (cluster_id -2 all cells, -1 noise) lead
+        # the result so the query is never vacuous on sparse corpora
+        census = {r.cluster_id: r for r in all_rows if r.cluster_id < 0}
+        got_rows = [r for r in all_rows if r.cluster_id >= 0]
+        assert set(census) == {-2, -1}
+        all_cells = (table(spark, sf_dir, "customer")
+                     .selectExpr(f"{_floor_div(_LAT, GEO_CELL, 'spark')}"
+                                 " AS cla",
+                                 f"{_floor_div(_LON, GEO_CELL, 'spark')}"
+                                 " AS clo")
+                     .groupBy("cla", "clo").count()).collect()
+        assert census[-2].n_cells == len(all_cells)
+        assert census[-2].n_points == sum(r["count"] for r in all_cells)
+        noise = [r for r in all_cells if r["count"] < DBSCAN_MINPTS]
+        assert census[-1].n_cells == len(noise)
+        assert census[-1].n_points == sum(r["count"] for r in noise)
         got = [(r.n_points, r.n_cells) for r in got_rows]
         assert got == want[:len(got)]
         # cluster ids are distinct roots

@@ -449,11 +449,13 @@ class TestWinnowGuaranteeProperty:
 
 class TestMmrScaledLane:
     def test_sq8_lane_obeys_greedy_rule_and_overlaps_brute(
-            self, spark, sf_dir, monkeypatch):
+            self, spark, sf_dir):
         import columnar_estimator_sample_spark.operators.similarity as S
         brute = [tuple(r) for r in S.q_mmr_rerank(spark, sf_dir).collect()]
-        monkeypatch.setattr(S, "MMR_BRUTE_MAX", 0)  # force the sq8 lane
-        scaled = [tuple(r) for r in S.q_mmr_rerank(spark, sf_dir).collect()]
+        # r14: the registered scaled query IS the forced SQ8 lane — no
+        # monkeypatch indirection; q_mmr_rerank is pinned to brute
+        scaled = [tuple(r) for r in
+                  S.q_mmr_rerank_scaled(spark, sf_dir).collect()]
         assert len(scaled) == len(brute)
         # rank-1 = pure relevance argmax over the shortlist; with the
         # int8 lane recovering ~all of the exact top (TestSq8Ann), the
@@ -465,13 +467,24 @@ class TestMmrScaledLane:
         for q, _, n, rel, _ in scaled:
             if (q, n) in brute_rel:
                 assert rel == brute_rel[(q, n)]
-        # r13: the REGISTERED scaled query must equal the forced lane
-        # row-for-row — q_mmr_rerank_scaled IS this code path with its
-        # own oracle, not a reimplementation
-        monkeypatch.undo()
-        registered = [tuple(r) for r in
-                      S.q_mmr_rerank_scaled(spark, sf_dir).collect()]
-        assert registered == scaled
+
+    def test_brute_lane_fails_loud_past_cap(self, spark, sf_dir,
+                                            monkeypatch):
+        # r14 lane contract: q_mmr_rerank is PINNED to the brute-force
+        # lane its static oracle unrolls; on a corpus past
+        # MMR_BRUTE_MAX it must refuse (naming the certified scaled
+        # twin) rather than silently switch lanes and diverge from its
+        # own gate oracle (round-13 verdict item 3).
+        import pytest
+
+        import columnar_estimator_sample_spark.operators.similarity as S
+        monkeypatch.setattr(S, "MMR_BRUTE_MAX", 0)
+        with pytest.raises(ValueError, match="q_mmr_rerank_scaled"):
+            S.q_mmr_rerank(spark, sf_dir)
+        # the scaled twin keeps working on any corpus size
+        assert S.q_mmr_rerank_scaled(spark, sf_dir).count() > 0
+        # auto lane (library surface) still switches instead of failing
+        assert S.mmr_shortlist(spark, sf_dir, lane="auto").count() > 0
 
 
 class TestQualityEnsemble:
