@@ -314,25 +314,141 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate tier + optimizer probes: rows-only (no oracle — sketch values
-# and estimates are engine-defined by design; the exact twins live in
-# q_ndv_catalog / q_percentiles).
+# Approximate tier + optimizer probes. The estimate columns are
+# engine-defined by design (sketch internals differ across engines), so
+# the PARENT queries are rows-only — but each parent now also emits its
+# deterministic counterparts (exact NDVs, actual rowcounts) plus
+# guarantee booleans, and a hash-checked TWIN projects exactly those
+# (round-13 verdict item 5: the rows-only ledger pins values now, not
+# just shape).
 # ---------------------------------------------------------------------------
+
+# Sketch-guarantee slack used by the booleans below. approx_count_distinct
+# runs at rsd=0.02 (2% target standard deviation) — 5% is a 2.5-sigma
+# acceptance band; percentile_approx(accuracy=1000) guarantees rank error
+# <= n/1000 — 0.002 doubles that window for the acceptance check.
+APPROX_NDV_RTOL = 0.05
+APPROX_RANK_EPS = 0.002
+
+
+def approx_rank_ok(lt: int, le: int, n: int, q: float) -> bool:
+    """True iff some rank interpretation of a value with ``lt`` rows
+    strictly below it and ``le`` rows at-or-below it lies within
+    ``APPROX_RANK_EPS`` relative rank of quantile ``q``: strictly-below
+    can't overshoot the window's top, at-or-below can't undershoot its
+    bottom."""
+    return (lt <= (q + APPROX_RANK_EPS) * n
+            and le >= (q - APPROX_RANK_EPS) * n)
+
+
+def approx_ndv_ok(approx: int, exact: int) -> bool:
+    """True iff the NDV estimate sits within ``APPROX_NDV_RTOL`` of the
+    exact distinct count."""
+    return abs(int(approx) - int(exact)) <= APPROX_NDV_RTOL * int(exact)
+
+
+def _approx_stats_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row frame pairing each sketch estimate with its exact
+    counterpart and a guarantee boolean:
+
+    * ``approx_*`` — HLL++ NDVs (rsd 0.02) and KLL-style percentiles
+      (accuracy 1000): engine-defined values, the 100 TB single-scan
+      replacements for exact passes.
+    * ``exact_orders`` / ``exact_parts`` — exact COUNT(DISTINCT),
+      differentially checkable against any SQL engine.
+    * ``ndv_*_ok`` — |approx − exact| <= APPROX_NDV_RTOL * exact.
+    * ``p50_rank_ok`` / ``p99_rank_ok`` — the sketch's returned value
+      sits within APPROX_RANK_EPS relative RANK of the target quantile,
+      verified by counting rows strictly-below / at-or-below it (the
+      published GK/KLL guarantee, re-measured on the data rather than
+      trusted).
+
+    Two bounded collects (one aggregate row each — corpus-size
+    independent, audit-allowlisted): the first pulls the sketch outputs
+    and exact scalars, the second counts ranks of the two returned
+    percentile values."""
+    li = table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000))
+         .alias("p50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(1000))
+         .alias("p99"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    ranks = li.agg(
+        F.sum(F.when(F.col("l_extendedprice") < row["p50"], 1)
+              .otherwise(0)).alias("lt50"),
+        F.sum(F.when(F.col("l_extendedprice") <= row["p50"], 1)
+              .otherwise(0)).alias("le50"),
+        F.sum(F.when(F.col("l_extendedprice") < row["p99"], 1)
+              .otherwise(0)).alias("lt99"),
+        F.sum(F.when(F.col("l_extendedprice") <= row["p99"], 1)
+              .otherwise(0)).alias("le99"),
+    ).collect()[0]
+    n = int(row["n"])
+    out = [(int(row["approx_orders"]), int(row["approx_parts"]),
+            float(row["p50"]), float(row["p99"]),
+            int(row["exact_orders"]), int(row["exact_parts"]),
+            approx_ndv_ok(row["approx_orders"], row["exact_orders"]),
+            approx_ndv_ok(row["approx_parts"], row["exact_parts"]),
+            approx_rank_ok(int(ranks["lt50"]), int(ranks["le50"]), n, 0.5),
+            approx_rank_ok(int(ranks["lt99"]), int(ranks["le99"]), n,
+                           0.99))]
+    return spark.createDataFrame(
+        out,
+        "approx_orders long, approx_parts long,"
+        " approx_median_price double, approx_p99_price double,"
+        " exact_orders long, exact_parts long,"
+        " ndv_orders_ok boolean, ndv_parts_ok boolean,"
+        " p50_rank_ok boolean, p99_rank_ok boolean")
+
 
 @register("q_approx_stats")
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct + approximate percentiles — the sketches
     that replace exact passes at 100 TB (mergeable, single-scan, bounded
-    error). Rows-only check: values are engine-defined."""
-    li = table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000))
-         .alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(1000))
-         .alias("approx_p99_price"),
-    )
+    error) — now emitted ALONGSIDE their exact counterparts and the
+    measured guarantee booleans (:func:`_approx_stats_frame`). Rows-only
+    check here (the approx columns are engine-defined);
+    :func:`q_approx_stats_exact` hash-checks the deterministic
+    projection."""
+    return _approx_stats_frame(spark, sf_dir)
+
+
+@register(
+    "q_approx_stats_exact",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS ndv_orders_ok, TRUE AS ndv_parts_ok,
+           TRUE AS p50_rank_ok, TRUE AS p99_rank_ok
+    FROM lineitem
+    """,
+)
+def q_approx_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic projection of :func:`q_approx_stats`, carved
+    out so the sketch tier carries a FULL driver oracle: exact NDVs are
+    differentially recomputed by the oracle, and the guarantee booleans
+    are pinned TRUE — the oracle asserts the sketch CONTRACT (estimates
+    within their published bounds, measured against the data by the
+    Spark side), so an estimator drifting out of tolerance turns this
+    gate row red even though the estimate values themselves stay
+    engine-defined."""
+    return q_approx_stats(spark, sf_dir).select(
+        "exact_orders", "exact_parts", "ndv_orders_ok", "ndv_parts_ok",
+        "p50_rank_ok", "p99_rank_ok")
+
+
+# q_cbo_estimation's probe set: (table, predicate) pairs whose predicate
+# strings are registered VERBATIM in both engines (the twin's oracle
+# re-counts each predicate independently).
+CBO_PROBES = [("lineitem", "l_quantity > 25"),
+              ("orders", "o_orderstatus = 'F'"),
+              ("customer", "c_acctbal > 5000")]
 
 
 @register("q_cbo_estimation")
@@ -340,13 +456,13 @@ def q_cbo_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimator-quality probe: optimizer row estimates vs executed counts
     for a filtered scan — the observable face of the statistics module
     (plans/stats.py), mirroring the reference's estimated-cardinality
-    bookkeeping (vocab_size consumption, trainer.py:262-267)."""
+    bookkeeping (vocab_size consumption, trainer.py:262-267). Rows-only
+    (est_size_bytes is engine-defined); :func:`q_cbo_actuals`
+    hash-checks the deterministic projection."""
     import re as _re
 
     rows = []
-    for tbl, pred in [("lineitem", "l_quantity > 25"),
-                      ("orders", "o_orderstatus = 'F'"),
-                      ("customer", "c_acctbal > 5000")]:
+    for tbl, pred in CBO_PROBES:
         df = table(spark, sf_dir, tbl).filter(pred)
         plan = df._jdf.queryExecution().stringWithStats()
         m = _re.search(r"sizeInBytes=([0-9.]+) (B|KiB|MiB|GiB)", plan)
@@ -358,6 +474,38 @@ def q_cbo_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "table_name string, predicate string, est_size_bytes double,"
               " actual_rows long")
+
+
+@register(
+    "q_cbo_actuals",
+    oracle="""
+    SELECT table_name, predicate, actual_rows, TRUE AS est_present
+    FROM (
+        SELECT 'lineitem' AS table_name, 'l_quantity > 25' AS predicate,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                WHERE l_quantity > 25) AS actual_rows
+        UNION ALL
+        SELECT 'orders', 'o_orderstatus = ''F''',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                WHERE o_orderstatus = 'F')
+        UNION ALL
+        SELECT 'customer', 'c_acctbal > 5000',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+                WHERE c_acctbal > 5000)
+    ) ORDER BY table_name
+    """,
+)
+def q_cbo_actuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic projection of :func:`q_cbo_estimation`: probe
+    names, their predicate strings, and the EXECUTED rowcounts — each
+    recomputed independently by the oracle's own COUNT(*) per predicate —
+    plus ``est_present`` pinned TRUE (the optimizer produced a size
+    estimate for every probe; a stats-module regression that stops
+    estimating turns this red)."""
+    return (q_cbo_estimation(spark, sf_dir)
+            .select("table_name", "predicate", "actual_rows",
+                    (F.col("est_size_bytes") > 0).alias("est_present"))
+            .orderBy("table_name"))
 
 
 @register(

@@ -76,65 +76,54 @@ _loaded = False
 # in and out of the window is additionally verified by
 # ``tools/check_oracle.py`` (same compare semantics) before commit.
 #
-# Round-13 window (the round-12 verdict's lead item, amended by the
+# Round-14 window (the round-13 verdict's item 2, amended by the
 # standing rotation rule that anything NEW or REWRITTEN in the current
-# round outranks re-certs — see tools/next_window.py):
-#   (a) q_stream_ann_ingest FIRST — the only registry entry that has
-#       never had a driver CORRECTNESS row (it landed after the r12
-#       window was amended), plus the round-13 NEW queries
-#       (q_mmr_rerank_scaled — the forced-SQ8 shortlist lane;
-#       q_ann_ivf_cycle — build→append→compact census with the
-#       one-file-per-bucket layout pin) and the round-13 REWRITTEN
-#       bodies: q_dedup_cross_source (diagonal rows de-vacuize the
-#       gate cert), the DSIR pair (per-(doc,bucket) contraction +
-#       DISK_ONLY big lane), q_stream_quality_cascade (default drain
-#       granularity 32 files/trigger), q_dedup_winnow + q_ccnet_tiers
-#       (corpus-identity guard on the catalog-stats lane), q_mmr_rerank
-#       (shared-greedy refactor), and q_ann_ivf_topk +
-#       q_ann_ivf_incremental (NULL-safe coalesce in the coarse-assign
-#       argmax) — the rewrites are result-identical and locally
-#       re-verified at both gate SFs, but the driver row is the hard
-#       signal;
-#       Late additions outranking the last re-cert slots: q_dsir_export
-#       (the DSIR apply face — landed-mix census),
-#       q_stream_neardup_ingest (stream-maintained LSH band index) and
-#       q_mixture_apply (deterministic temperature-mix admission)
-#       q_semdedup_apply (the semantic kept set, checksummed), and
-#       q_pretrain_mix_pipeline (the composed quality→dedup→temperature
-#       funnel);
-#   (b) ALL 21 r5-age re-certs (registration order) — the oldest
-#       certification debt, seven rounds of source churn old;
-#   (c) the 12 oldest r7-age re-certs (registration order) that fit.
-#       The remaining 33 r7-age rows head the r14 window.
-_DRIVER_WINDOW_R13 = [
-    # (a) never-windowed + round-13 new + rewritten bodies
-    "q_stream_ann_ingest", "q_mmr_rerank_scaled", "q_ann_ivf_cycle",
-    "q_dsir_export", "q_stream_neardup_ingest", "q_mixture_apply",
-    "q_semdedup_apply", "q_pretrain_mix_pipeline",
-    "q_dedup_cross_source", "q_dsir_selection", "q_dsir_bigram",
-    "q_stream_quality_cascade", "q_dedup_winnow", "q_ccnet_tiers",
-    "q_mmr_rerank", "q_ann_ivf_topk", "q_ann_ivf_incremental",
-    # (b) the 21 r5-age re-certs, registration order
-    "q_ewma", "q_rolling_active", "q_weekday_seasonality",
-    "q_mad_outliers", "q_seasonal_backtest", "q_burstiness",
-    "q_haar_levels", "q_cusum_changepoint", "q_tail_risk",
-    "q_rolling_zscore", "q_ols_trend", "q_inventory_clamped",
-    "q_theilsen_trend", "q_expectations", "q_k_anonymity",
-    "q_capture_recapture", "q_embed_quantize", "q_benford",
-    "q_tfrecord_roundtrip", "q_stream_daily_counts",
-    "q_stream_sessions",
-    # (c) the 12 oldest r7-age re-certs, registration order
-    "q_table_checksum", "q_split_gini", "q_exact_auc",
-    "q_calibration_bins", "q_ks_test", "q_joinability",
-    "q_completeness", "q_dp_release", "q_f1_threshold",
-    "q_bitmap_retention", "q_bloom_fpr", "q_kmv_distinct",
+# round outranks re-certs — see tools/next_window.py). After round 13
+# every oracle-bearing query holds a driver-green row, so rotation is
+# purely age-driven now:
+#   (a) the round-14 NEW queries (q_approx_stats_exact / q_cbo_actuals —
+#       the deterministic hash-checked twins carved out of the two
+#       rows-only probes) and the round-14 REWRITTEN bodies:
+#       q_geo_dbscan (always-present census rows de-vacuize the smoke
+#       SF) and q_mmr_rerank (pinned to the brute lane its oracle
+#       unrolls, failing loud past MMR_BRUTE_MAX) — result-identical at
+#       the gate SFs for q_mmr_rerank, locally re-verified at both gate
+#       SFs for both, but the driver row is the hard signal;
+#   (b) ALL 33 r7-age re-certs (registration order) — the oldest
+#       certification debt, six rounds of source churn old (q_geo_dbscan
+#       sits in this block, doubling as its rewrite cert);
+#   (c) the 14 oldest r8-age re-certs (registration order) that fit.
+#       The remaining 26 r8-age rows head the r15 window.
+_DRIVER_WINDOW_R14 = [
+    # (a) round-14 new twins + the rewritten MMR lane pin
+    "q_approx_stats_exact", "q_cbo_actuals", "q_mmr_rerank",
+    # (b) the 33 r7-age re-certs, registration order (incl. q_geo_dbscan,
+    # rewritten this round)
+    "q_join_size_estimate", "q_quantile_filter", "q_source_mixture",
+    "q_seqlen_histogram", "q_chunk_sliding", "q_source_temperature",
+    "q_source_overlap", "q_abc_parts", "q_negative_sampling",
+    "q_srm_check", "q_ab_test", "q_sample_weighted",
+    "q_dataset_card", "q_vq_refine", "q_embed_centroids", "q_embed_pq",
+    "q_pq_adc_topk", "q_zorder_layout", "q_compaction_plan",
+    "q_skew_salted_join", "q_ndv_broadcast_join", "q_corr_matrix",
+    "q_column_profile", "q_chi_square", "q_histogram",
+    "q_quantile_sketch", "q_geo_grid_knn", "q_geo_dbscan",
+    "q_stream_sliding_value", "q_stream_attribution",
+    "q_stream_dedup_census", "q_stream_landing_census",
+    "q_stream_user_totals",
+    # (c) the 14 oldest r8-age re-certs, registration order
+    "q_trace_top_ops", "q_posexplode_tokens", "q_json_extract",
+    "q_time_buckets", "q_sessionize", "q_sequence_mining",
+    "q_dedup_exact", "q_dedup_fingerprint", "q_dedup_ngram_jaccard",
+    "q_dedup_simhash", "q_dedup_simhash_pairs", "q_dedup_editdistance",
+    "q_dedup_containment", "q_chunk_dedup_census",
 ]
 
 
 def _window_order(d: dict) -> dict:
     """Reorder ``d`` so the current driver window comes first (names
     missing from ``d`` are ignored; the rest keep registration order)."""
-    front = [k for k in _DRIVER_WINDOW_R13 if k in d]
+    front = [k for k in _DRIVER_WINDOW_R14 if k in d]
     rest = [k for k in d if k not in set(front)]
     return {k: d[k] for k in front + rest}
 
