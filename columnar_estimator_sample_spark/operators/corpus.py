@@ -44,7 +44,7 @@ EN_PERMILLE = 100
 OTHER_PERMILLE = 500
 
 
-def two_phase_cumsum(df: DataFrame, order_col: str, value_col: str,
+def two_phase_cumsum(df: DataFrame, order_col, value_col: str,
                      out_col: str, n_parts: int = 32) -> DataFrame:
     """Global running sum of ``value_col`` in ``order_col`` order WITHOUT
     a single-partition window.
@@ -58,11 +58,15 @@ def two_phase_cumsum(df: DataFrame, order_col: str, value_col: str,
     ``Window.orderBy(...)`` with no partitionBy (which Spark executes as
     ONE task holding the whole table).
 
-    Rows within equal ``order_col`` values must be unique (here: doc_id).
+    ``order_col`` is a column name or a LIST of sort expressions
+    (e.g. ``[F.desc("n_shared"), "train_gid"]`` — r14, for the
+    multi-key cum-prefix consumers). Rows within equal order values
+    must be unique (here: doc_id / the key tiebreaks).
     """
-    ranged = df.repartitionByRange(n_parts, order_col).withColumn(
+    order_exprs = order_col if isinstance(order_col, list) else [order_col]
+    ranged = df.repartitionByRange(n_parts, *order_exprs).withColumn(
         "__pid", F.spark_partition_id())
-    w_local = (Window.partitionBy("__pid").orderBy(order_col)
+    w_local = (Window.partitionBy("__pid").orderBy(*order_exprs)
                .rowsBetween(Window.unboundedPreceding, 0))
     local = ranged.withColumn("__local_cum", F.sum(value_col).over(w_local))
     # n_parts rows: safe to window globally and broadcast.
@@ -75,7 +79,38 @@ def two_phase_cumsum(df: DataFrame, order_col: str, value_col: str,
                .select("__pid", "__offset"))
     return (local.join(F.broadcast(offsets), "__pid")
             .withColumn(out_col, F.col("__local_cum") + F.col("__offset"))
-            .drop("__pid", "__local_cum"))
+            .drop("__pid", "__local_cum", "__offset"))
+
+
+def two_phase_rank(df: DataFrame, order_exprs: list, out_col: str,
+                   n_parts: int = 32) -> DataFrame:
+    """Global ROW_NUMBER in the total order given by ``order_exprs``
+    (sort expressions, e.g. ``[F.desc("frequency"), "custkey"]``)
+    WITHOUT a single-partition window — :func:`two_phase_cumsum`'s
+    shape applied to ranking (r14: replaces the corpus-sized
+    ``Window.orderBy`` ranks the plan-audit window gate flagged).
+
+    Phase 1 range-partitions on the sort order and runs a LOCAL
+    row_number per partition; phase 2 cumulates one count per partition
+    (an ``n_parts``-row frame) into broadcast offsets. Correct for any
+    range split because range partitioning preserves global order
+    across partitions; ``order_exprs`` must be a total order (unique
+    tiebreak key), same contract as the window it replaces."""
+    ranged = df.repartitionByRange(n_parts, *order_exprs).withColumn(
+        "__pid", F.spark_partition_id())
+    w_local = Window.partitionBy("__pid").orderBy(*order_exprs)
+    local = ranged.withColumn("__lrn", F.row_number().over(w_local))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (local.groupBy("__pid")
+               .agg(F.count(F.lit(1)).alias("__pid_n"))
+               .withColumn("__offset",
+                           F.coalesce(F.sum("__pid_n").over(w_off),
+                                      F.lit(0)))
+               .select("__pid", "__offset"))
+    return (local.join(F.broadcast(offsets), "__pid")
+            .withColumn(out_col,
+                        (F.col("__lrn") + F.col("__offset")).cast("long"))
+            .drop("__pid", "__lrn", "__offset"))
 
 
 @register(
@@ -624,18 +659,21 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("mult", F.col("n_tr") * F.col("n_ev")))
     # keep the minimal n_shared-desc prefix whose member-pair
     # multiplicity covers 20, closing ties at the cutoff value — every
-    # member pair that can reach the global top-20 survives
-    w_cum = (Window.orderBy(F.desc("n_shared"), "train_gid", "eval_gid")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    w_all = (Window.partitionBy()
-             .rowsBetween(Window.unboundedPreceding,
-                          Window.unboundedFollowing))
-    cut = (rep_pairs
+    # member pair that can reach the global top-20 survives. r14: the
+    # running multiplicity is a range-partitioned two-phase prefix sum
+    # (multi-key order) and the cutoff a broadcast 1-row aggregate — no
+    # single-task window on the pair frame (plan-audit gate); the frame
+    # is lazily checkpointed because both consumers reference it.
+    cum = (two_phase_cumsum(
+               rep_pairs,
+               [F.desc("n_shared"), "train_gid", "eval_gid"],
+               "mult", "cum_incl")
            .withColumn("cum_before",
-                       F.coalesce(F.sum("mult").over(w_cum), F.lit(0)))
-           .withColumn("min_kept",
-                       F.min(F.when(F.col("cum_before") < 20,
-                                    F.col("n_shared"))).over(w_all))
+                       F.col("cum_incl") - F.col("mult"))
+           .localCheckpoint(eager=False))
+    mk = cum.agg(F.min(F.when(F.col("cum_before") < 20,
+                              F.col("n_shared"))).alias("min_kept"))
+    cut = (cum.crossJoin(F.broadcast(mk))
            .filter(F.col("n_shared") >= F.col("min_kept")))
     return (
         cut.join(tr_m.select(F.col("gid").alias("train_gid"),

@@ -1302,8 +1302,15 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     to q_funnel's stage counts (how MANY convert there; how FAST here).
 
     Scale: first-touch times are one user-keyed conditional-MIN
-    aggregate over the raw stream; ranking runs on the converted-user
-    frame only. Integer µs -> s floor division, timezone-invariant."""
+    aggregate over the raw stream; converted users then collapse to the
+    ttc-SECOND value histogram (one combiner aggregate), and the
+    nearest-rank percentiles come from a two-phase prefix sum over that
+    level frame (r14 — was a global row_number over converted users,
+    the single-task shape the plan-audit window gate now rejects).
+    Integer µs -> s floor division, timezone-invariant."""
+    from columnar_estimator_sample_spark.operators.corpus import (
+        two_phase_cumsum,
+    )
     ev = table(spark, sf_dir, "events")
     firsts = (ev.groupBy("user_id")
               .agg(F.min(F.when(F.col("event_type") == "view",
@@ -1316,14 +1323,18 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("t_buy") >= F.col("t_view")))
             .select("user_id",
                     F.expr("(t_buy - t_view) div 1000000").alias("ttc_s")))
-    w = Window.orderBy("ttc_s", "user_id")
-    ranked = (conv.withColumn("rn", F.row_number().over(w))
-              .withColumn("n", F.count("*").over(Window.partitionBy())))
-    sels = [F.max(F.when(
-                F.expr(f"rn = 1 + ((n - 1) * {p}) div 100"),
+    levels = (conv.groupBy("ttc_s")
+              .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    tot = levels.agg(F.sum("c").cast("long").alias("n"))
+    cum = two_phase_cumsum(levels, "ttc_s", "c", "cum")
+    # nearest-rank value = smallest level whose running count reaches
+    # the target rank (identical to the former row_number selection)
+    sels = [F.min(F.when(
+                F.expr(f"cum >= 1 + ((n - 1) * {p}) div 100"),
                 F.col("ttc_s"))).alias(f"p{p}_seconds")
             for p in TTC_PCTS]
-    return (ranked.groupBy(F.col("n").cast("long").alias("n_converted"))
+    return (cum.crossJoin(F.broadcast(tot))
+            .groupBy(F.col("n").alias("n_converted"))
             .agg(*sels, F.max("ttc_s").alias("max_seconds"))
             .drop("n"))
 
@@ -1443,25 +1454,32 @@ def q_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     churn-risk windows, and LTV discounting assumptions.
 
     Scale: the purchase stream filters BEFORE the user-keyed LAG
-    exchange; ranking runs on the intervals frame (one row per repeat
-    purchase), total-ordered with (user, time) tiebreaks."""
+    exchange; intervals then collapse to the whole-DAY value histogram
+    (bounded by the observation window, not purchase count) and the
+    nearest-rank percentiles come from a two-phase prefix sum over that
+    level frame (r14 — was a global row_number over every interval,
+    the single-task shape the plan-audit window gate now rejects)."""
+    from columnar_estimator_sample_spark.operators.corpus import (
+        two_phase_cumsum,
+    )
     ev = table(spark, sf_dir, "events")
     p = (ev.filter(F.col("event_type") == "purchase")
          .select("user_id", "event_id", "us"))
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
     g = (p.withColumn(
             "gap_days",
             F.expr(f"(us - LAG(us) OVER (PARTITION BY user_id"
                    f" ORDER BY us, event_id)) div {US_PER_DAY}"))
          .filter(F.col("gap_days").isNotNull()))
-    wr = Window.orderBy("gap_days", "user_id", "us")
-    ranked = (g.withColumn("rn", F.row_number().over(wr))
-              .withColumn("n", F.count("*").over(Window.partitionBy())))
-    sels = [F.max(F.when(
-                F.expr(f"rn = 1 + ((n - 1) * {pct}) div 100"),
+    levels = (g.groupBy("gap_days")
+              .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    tot = levels.agg(F.sum("c").cast("long").alias("n"))
+    cum = two_phase_cumsum(levels, "gap_days", "c", "cum")
+    sels = [F.min(F.when(
+                F.expr(f"cum >= 1 + ((n - 1) * {pct}) div 100"),
                 F.col("gap_days"))).alias(f"p{pct}_days")
             for pct in IPI_PCTS]
-    return (ranked.groupBy(F.col("n").cast("long").alias("n_intervals"))
+    return (cum.crossJoin(F.broadcast(tot))
+            .groupBy(F.col("n").alias("n_intervals"))
             .agg(*sels, F.max("gap_days").alias("max_days"))
             .drop("n"))
 

@@ -257,10 +257,13 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the term filter pushes into the token explode BEFORE any
     shuffle (candidates only — same containment shape as q_bm25_search);
-    the df side is a |terms|-row broadcast; both rank windows ride the
-    candidate set (bounded by matches, not corpus), with per-partition
-    partial top-k as the production variant when candidates outgrow one
-    partition."""
+    the df side is a |terms|-row broadcast; both ranks run as
+    value-histogram rank decompositions (corpus.rrf_rank — a prefix sum
+    over the |distinct score values| frame plus an embarrassingly
+    parallel within-value row_number; r14 — was a global row_number
+    over the candidate set, the single-task shape the plan-audit
+    window gate now rejects)."""
+    from columnar_estimator_sample_spark.operators.corpus import rrf_rank
     docs = table(spark, sf_dir, "documents")
     m = (docs.select("doc_id",
                      F.explode(F.split("text", " ")).alias("term"))
@@ -274,10 +277,12 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.sum(F.expr("1000000 div df")).cast("long")
                    .alias("score_rarity")))
     ranked = (scores
-              .withColumn("rank_tf", F.row_number().over(
-                  Window.orderBy(F.desc("score_tf"), "doc_id")))
-              .withColumn("rank_rarity", F.row_number().over(
-                  Window.orderBy(F.desc("score_rarity"), "doc_id"))))
+              .join(rrf_rank(scores, "score_tf")
+                    .withColumnRenamed("rank_score_tf", "rank_tf"),
+                    "doc_id")
+              .join(rrf_rank(scores, "score_rarity")
+                    .withColumnRenamed("rank_score_rarity", "rank_rarity"),
+                    "doc_id"))
     return (ranked
             .select("doc_id", "rank_tf", "rank_rarity",
                     F.expr(f"(1000000 div ({RRF_K} + rank_tf))"

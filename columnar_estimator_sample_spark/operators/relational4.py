@@ -659,9 +659,9 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     population — the marketing-warehouse classic.
 
     Scale: orders collapse to one row per customer first; the three
-    quintile ranks are global windows over the CUSTOMER table — at
-    100 TB these become three two_phase_cumsum-style range ranks
-    (see q_abc_parts), the report shape is unchanged. All integer."""
+    quintile ranks ARE range-partitioned two-phase ranks
+    (corpus.two_phase_rank, r14 — was a promised-at-100TB global
+    window), so no task ever holds the customer table. All integer."""
     orders = table(spark, sf_dir, "orders")
     per_cust = (orders.groupBy(F.col("o_custkey").alias("custkey"))
                 .agg(F.max(F.expr(
@@ -676,16 +676,20 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (F.col("now_day") - F.col("last_day"))
                    .alias("recency_days"),
                    "frequency", "monetary_cents"))
-    from pyspark.sql import Window
-    n = Window.partitionBy()
-    w_r = Window.orderBy("recency_days", "custkey")
-    w_f = Window.orderBy(F.desc("frequency"), "custkey")
-    w_m = Window.orderBy(F.desc("monetary_cents"), "custkey")
-    scored = (rfm
-              .withColumn("rn_r", F.row_number().over(w_r))
-              .withColumn("rn_f", F.row_number().over(w_f))
-              .withColumn("rn_m", F.row_number().over(w_m))
-              .withColumn("n_all", F.count("*").over(n))
+    # r14: the three global quintile ranks run as range-partitioned
+    # two-phase ranks (corpus.two_phase_rank) and the population total
+    # as a broadcast 1-row aggregate — no single-task window anywhere
+    # (the plan-audit unpartitioned-window gate enforces this now)
+    from columnar_estimator_sample_spark.operators.corpus import (
+        two_phase_rank,
+    )
+    tot = rfm.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    ranked = two_phase_rank(rfm, ["recency_days", "custkey"], "rn_r")
+    ranked = two_phase_rank(ranked, [F.desc("frequency"), "custkey"],
+                            "rn_f")
+    ranked = two_phase_rank(ranked, [F.desc("monetary_cents"), "custkey"],
+                            "rn_m")
+    scored = (ranked.crossJoin(F.broadcast(tot))
               .select("custkey", "monetary_cents",
                       F.expr("1 + ((rn_r - 1) * 5) div n_all")
                       .alias("r_score"),
@@ -1022,7 +1026,8 @@ def q_first_order_predictiveness(spark: SparkSession,
 
     Scale: first orders by one custkey-keyed rank, LTV by one custkey
     aggregate, the quintile by a global rank over the customer table
-    (range-rank two_phase shape at 100 TB). All integer floor means."""
+    (corpus.two_phase_rank — an actual range rank since r14, not a
+    single-task window). All integer floor means."""
     orders = table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey"),
         F.expr(_OCENTS).alias("cents"),
@@ -1036,10 +1041,14 @@ def q_first_order_predictiveness(spark: SparkSession,
     ltv = (orders.groupBy("custkey")
            .agg(F.sum("cents").cast("long").alias("total_cents")))
     joined = firsts.join(ltv, "custkey")
-    wq = Window.orderBy("first_cents", "custkey")
-    scored = (joined
-              .withColumn("rn", F.row_number().over(wq))
-              .withColumn("nt", F.count("*").over(Window.partitionBy()))
+    # r14: global quintile rank as a range-partitioned two-phase rank +
+    # broadcast total (no single-task window — plan-audit gate)
+    from columnar_estimator_sample_spark.operators.corpus import (
+        two_phase_rank,
+    )
+    tot = joined.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    scored = (two_phase_rank(joined, ["first_cents", "custkey"], "rn")
+              .crossJoin(F.broadcast(tot))
               .withColumn("quintile",
                           F.expr("1 + ((rn - 1) * 5) div nt")))
     return (scored.groupBy("quintile")

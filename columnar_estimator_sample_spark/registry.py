@@ -85,18 +85,26 @@ _loaded = False
 #       the deterministic hash-checked twins carved out of the two
 #       rows-only probes) and the round-14 REWRITTEN bodies:
 #       q_geo_dbscan (always-present census rows de-vacuize the smoke
-#       SF) and q_mmr_rerank (pinned to the brute lane its oracle
-#       unrolls, failing loud past MMR_BRUTE_MAX) — result-identical at
-#       the gate SFs for q_mmr_rerank, locally re-verified at both gate
-#       SFs for both, but the driver row is the hard signal;
+#       SF), q_mmr_rerank (pinned to the brute lane its oracle
+#       unrolls, failing loud past MMR_BRUTE_MAX), and the six queries
+#       whose corpus-sized single-task windows the new plan-audit
+#       unpartitioned-window gate flagged and that were decomposed to
+#       two_phase_rank / two_phase_cumsum / rrf_rank shapes
+#       (q_rfm_segments, q_first_order_predictiveness, q_funnel_latency,
+#       q_purchase_intervals, q_hybrid_rrf, q_contamination_check) —
+#       all result-identical and locally re-verified at both gate SFs,
+#       but the driver row is the hard signal;
 #   (b) ALL 33 r7-age re-certs (registration order) — the oldest
 #       certification debt, six rounds of source churn old (q_geo_dbscan
 #       sits in this block, doubling as its rewrite cert);
-#   (c) the 14 oldest r8-age re-certs (registration order) that fit.
-#       The remaining 26 r8-age rows head the r15 window.
+#   (c) the 8 oldest r8-age re-certs (registration order) that fit.
+#       The remaining 32 r8-age rows head the r15 window.
 _DRIVER_WINDOW_R14 = [
-    # (a) round-14 new twins + the rewritten MMR lane pin
+    # (a) round-14 new twins + the rewritten MMR lane pin + the six
+    # window-gate decompositions
     "q_approx_stats_exact", "q_cbo_actuals", "q_mmr_rerank",
+    "q_rfm_segments", "q_first_order_predictiveness", "q_funnel_latency",
+    "q_purchase_intervals", "q_hybrid_rrf", "q_contamination_check",
     # (b) the 33 r7-age re-certs, registration order (incl. q_geo_dbscan,
     # rewritten this round)
     "q_join_size_estimate", "q_quantile_filter", "q_source_mixture",
@@ -111,12 +119,10 @@ _DRIVER_WINDOW_R14 = [
     "q_stream_sliding_value", "q_stream_attribution",
     "q_stream_dedup_census", "q_stream_landing_census",
     "q_stream_user_totals",
-    # (c) the 14 oldest r8-age re-certs, registration order
+    # (c) the 8 oldest r8-age re-certs, registration order
     "q_trace_top_ops", "q_posexplode_tokens", "q_json_extract",
     "q_time_buckets", "q_sessionize", "q_sequence_mining",
-    "q_dedup_exact", "q_dedup_fingerprint", "q_dedup_ngram_jaccard",
-    "q_dedup_simhash", "q_dedup_simhash_pairs", "q_dedup_editdistance",
-    "q_dedup_containment", "q_chunk_dedup_census",
+    "q_dedup_exact", "q_dedup_fingerprint",
 ]
 
 

@@ -1,9 +1,17 @@
 """Round-14 additions: deterministic twins for the (former) rows-only
-duo, and the sketch-guarantee predicates they rest on."""
+duo, the sketch-guarantee predicates they rest on, the two_phase_rank
+decomposition that replaced the corpus-sized global windows, and the
+plan-audit unpartitioned-window detector."""
 
 from __future__ import annotations
 
+import os
+import sys
+
 import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))), "tools"))
 
 
 class TestApproxGuaranteePredicates:
@@ -79,3 +87,80 @@ class TestCboActualsTwin:
             assert rows[tbl]["actual_rows"] == want
             assert rows[tbl]["predicate"] == pred
             assert rows[tbl]["est_present"] is True
+
+class TestTwoPhaseRank:
+    def test_equals_naive_global_row_number(self, spark):
+        """two_phase_rank must reproduce the single-task
+        Window.orderBy row_number exactly, including multi-key orders
+        with DESC components and duplicate leading values."""
+        from pyspark.sql.window import Window
+
+        from columnar_estimator_sample_spark.operators.corpus import (
+            two_phase_rank,
+        )
+        df = spark.range(500).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("a"),
+            ((F.col("id") * 37) % 11).alias("b"))
+        for order in ([F.desc("a"), "k"],
+                      ["a", F.desc("b"), "k"],
+                      ["k"]):
+            want = {r["k"]: r["rn"] for r in df.withColumn(
+                "rn", F.row_number().over(
+                    Window.orderBy(*order)).cast("long")).collect()}
+            got = {r["k"]: r["rn"] for r in
+                   two_phase_rank(df, list(order), "rn", n_parts=8)
+                   .collect()}
+            assert got == want
+        # internals must not leak (chaining two ranks relies on this)
+        out = two_phase_rank(df, ["k"], "rn")
+        assert set(out.columns) == {"k", "a", "b", "rn"}
+
+    def test_multikey_cumsum_matches_naive(self, spark):
+        from pyspark.sql.window import Window
+
+        from columnar_estimator_sample_spark.operators.corpus import (
+            two_phase_cumsum,
+        )
+        df = spark.range(300).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).alias("a"),
+            ((F.col("id") * 13) % 17 + 1).alias("v"))
+        order = [F.desc("a"), "k"]
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, 0)
+        want = {r["k"]: r["c"] for r in
+                df.withColumn("c", F.sum("v").over(w)).collect()}
+        got = {r["k"]: r["c"] for r in
+               two_phase_cumsum(df, list(order), "v", "c", n_parts=8)
+               .collect()}
+        assert got == want
+
+
+class TestUnpartitionedWindowDetector:
+    def test_classifies_all_four_window_shapes(self, spark):
+        """The plan-audit gate must count order-only and global-frame
+        windows (single-task shapes) and ignore partitioned and
+        partition-only ones."""
+        from pyspark.sql.window import Window
+
+        from audit_plans import _unpartitioned_window_lines
+
+        df = spark.range(20).select(
+            F.col("id"), (F.col("id") % 3).alias("g"))
+
+        def plan(frame):
+            return frame._jdf.queryExecution().executedPlan().toString()
+
+        order_only = df.select(F.row_number().over(
+            Window.orderBy("id")).alias("r"))
+        assert _unpartitioned_window_lines(plan(order_only)) == 1
+        global_frame = df.withColumn(
+            "n", F.count("*").over(Window.partitionBy()))
+        assert _unpartitioned_window_lines(plan(global_frame)) == 1
+        partitioned = df.select(F.row_number().over(
+            Window.partitionBy("g").orderBy("id")).alias("r"))
+        assert _unpartitioned_window_lines(plan(partitioned)) == 0
+        partition_only = df.withColumn(
+            "m", F.min("id").over(Window.partitionBy("g")))
+        assert _unpartitioned_window_lines(plan(partition_only)) == 0

@@ -74,6 +74,10 @@ BUILD_RUNS_JOBS = {
     # dogfood instrumentation: the profiler / NDV-catalog queries RUN
     # instrumented jobs by design (plans/profiler.py, plans/stats.py)
     "q_cbo_estimation", "q_ndv_broadcast_join",
+    # r14: the deterministic twins run their parents' bounded probes at
+    # build (q_cbo_actuals executes the 3 probe counts; the approx pair
+    # runs the two one-row sketch/rank aggregates)
+    "q_cbo_actuals", "q_approx_stats", "q_approx_stats_exact",
     # bounded query-set collect: the <=25-vector packed query set
     # (operators/similarity.py:134,792)
     "q_similarity_topk_fast",
@@ -98,6 +102,9 @@ BUILD_RUNS_JOBS = {
     # checkpointed — it feeds both the bucket census and the scoring
     # join (2.60 -> 1.25 s at sf0.1)
     "q_dsir_selection", "q_dsir_bigram",
+    # r14: the contamination cum-prefix frame feeds both the cutoff
+    # aggregate and the survivor filter — lazily checkpointed
+    "q_contamination_check",
     # r9: the IVF family shares one lazily-checkpointed coarse
     # assignment (similarity._IVF_MEMO); whichever builds first
     # materializes it (r10: q_ann_ivf_topk also writes the bucketed
@@ -219,6 +226,95 @@ COLLECT_ALLOWED = {
 }
 
 
+# Queries whose plans may contain an UNPARTITIONED Window (a WindowExec
+# with no PARTITION BY — Spark funnels its whole input through ONE task).
+# Legal only when the window's input frame is bounded by SIGNAL
+# cardinality (a value histogram, a config-K row set), never by corpus
+# size; every entry names that bound. An unlisted unpartitioned window
+# exits 1 (round-13 verdict item 6: this was a documented claim, now a
+# gate). Detection: a `Window` plan node with two top-level bracket
+# groups (exprs, order) instead of three (exprs, partition, order).
+UNPARTITIONED_WINDOW_ALLOWED: dict[str, str] = {
+    # two_phase_cumsum / two_phase_rank phase 2: the ONLY globally
+    # ordered window is the n_parts-row partition-offset frame
+    "q_abc_parts": "32-row partition-offset frame (two_phase phase 2)",
+    "q_max_concurrency": "32-row partition-offset frame (two_phase "
+                         "phase 2)",
+    "q_pack_chunks": "32-row partition-offset frame (two_phase phase 2)",
+    "q_rfm_segments": "32-row partition-offset frames (two_phase_rank "
+                      "phase 2, one per R/F/M rank)",
+    "q_first_order_predictiveness": "32-row partition-offset frame "
+                                    "(two_phase_rank phase 2)",
+    "q_contamination_check": "32-row partition-offset frame (two_phase "
+                             "phase 2; behind a lazy checkpoint)",
+    # value-histogram frames: one row per DISTINCT VALUE of a bounded
+    # signal, never one per document/customer/event
+    "q_activity_lorenz": "activity-level histogram (distinct per-user "
+                         "event counts)",
+    "q_exact_auc": "distinct score-value histogram (config score expr)",
+    "q_f1_threshold": "distinct score-value histogram (config score "
+                      "expr)",
+    "q_ks_test": "distinct metric-value rows (two-sample value "
+                 "histogram)",
+    "q_quality_ensemble": "rrf_rank value histograms (|distinct signal "
+                          "values| per rank signal)",
+    "q_hybrid_rrf": "rrf_rank value histograms (|distinct score "
+                    "values| per ranker)",
+    "q_skyline_parts": "distinct price-level rows (value histogram)",
+    "q_funnel_latency": "ttc-second value histogram + 32-row two_phase "
+                        "offsets",
+    "q_purchase_intervals": "gap-day value histogram + 32-row two_phase "
+                            "offsets",
+    "q_churn_hazard": "lifespan-day level rows (observation-window-"
+                      "bounded)",
+    # config/calendar-bounded aggregate frames
+    "q_benford": "9 leading-digit census rows",
+    "q_quantile_sketch": "20-bin histogram rows (config bins)",
+    "q_seqlen_histogram": "8-token-bin histogram rows + 32-row "
+                          "two_phase offsets",
+    "q_slo_burn": "per-day aggregate rows (calendar-bounded)",
+    "q_tail_risk": "per-day aggregate rows (calendar-bounded)",
+    "q_theilsen_trend": "day-pair slope rows (|days|^2/2, calendar-"
+                        "bounded)",
+    "q_zipf_check": "top-ZIPF_TOP token rows (config)",
+}
+
+
+def _unpartitioned_window_lines(plan: str) -> int:
+    """Count WindowExec nodes with NO partition spec but a global ORDER —
+    the single-task shape. The node prints
+    ``Window [exprs], [partition], [order]`` (3 top-level bracket
+    groups) when fully specified and 2 groups when either partition or
+    order is absent; the two 2-group cases are told apart by the LAST
+    group: a sort spec carries ``ASC NULLS``/``DESC NULLS`` markers,
+    a bare partition list does not (partition-only windows — e.g. the
+    dedup tier's ``min(id) OVER (PARTITION BY fingerprint)`` — scale
+    fine and are not counted). A single-group node (``Window [exprs]``,
+    no partition AND no order — ``Window.partitionBy()`` with no args)
+    is the same single-task shape and is counted too."""
+    n = 0
+    for line in plan.splitlines():
+        stripped = line.lstrip(" +-:*")
+        if not stripped.startswith("Window ["):
+            continue
+        groups: list[str] = []
+        depth = 0
+        for ch in stripped:
+            if ch == "[":
+                if depth == 0:
+                    groups.append("")
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            elif depth >= 1:
+                groups[-1] += ch
+        if len(groups) == 1 or (
+                len(groups) == 2 and (" ASC NULLS" in groups[-1]
+                                      or " DESC NULLS" in groups[-1])):
+            n += 1
+    return n
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     sys.path.insert(0, os.path.dirname(os.path.dirname(
@@ -309,6 +405,12 @@ def main() -> int:
             violations.append(f"{name}: CartesianProduct (shuffle cartesian)")
         if has_arrow and name not in ARROW_ALLOWED:
             violations.append(f"{name}: Arrow Python outside allowlist")
+        n_upw = _unpartitioned_window_lines(plan)
+        if n_upw and name not in UNPARTITIONED_WINDOW_ALLOWED:
+            violations.append(
+                f"{name}: {n_upw} unpartitioned Window node(s) (single-"
+                "task window outside UNPARTITIONED_WINDOW_ALLOWED — "
+                "document the cardinality bound or partition the window)")
         rows.append((
             name,
             plan.count("Exchange "),
@@ -318,6 +420,7 @@ def main() -> int:
             plan.count("Generate "),
             "arrow" if has_arrow else "",
             n_collects or "",
+            n_upw or "",
         ))
     dt = time.time() - t_start
     _DF.collect, _DF.toPandas = _orig_collect, _orig_topandas
@@ -344,11 +447,11 @@ def main() -> int:
             "allowlist below (every listed bound is corpus-size-"
             "independent — an unlisted collect exits 1).\n\n"
             "| query | exchanges | broadcast joins | sort-merge joins | "
-            "top-k | generators | python | collects |\n"
-            "|---|---|---|---|---|---|---|---|\n")
+            "top-k | generators | python | collects | unpart. windows |\n"
+            "|---|---|---|---|---|---|---|---|---|\n")
         for r in sorted(rows):
             f.write(f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | {r[4]} | "
-                    f"{r[5]} | {r[6]} | {r[7]} |\n")
+                    f"{r[5]} | {r[6]} | {r[7]} | {r[8]} |\n")
         f.write("\n## Bounded-collect allowlist\n\n"
                 "Queries permitted to materialize a frame on the driver, "
                 "with the documented bound (COLLECT_ALLOWED in "
@@ -356,6 +459,15 @@ def main() -> int:
                 "| query | driver-side bound |\n|---|---|\n")
         for q in sorted(COLLECT_ALLOWED):
             f.write(f"| {q} | {COLLECT_ALLOWED[q]} |\n")
+        f.write("\n## Unpartitioned-window allowlist\n\n"
+                "Queries permitted a Window with no PARTITION BY (single-"
+                "task window), with the documented input-cardinality "
+                "bound — every bound is signal/config/calendar-sized, "
+                "never corpus-sized (UNPARTITIONED_WINDOW_ALLOWED in "
+                "`tools/audit_plans.py`; an unlisted one exits 1):\n\n"
+                "| query | window-input bound |\n|---|---|\n")
+        for q in sorted(UNPARTITIONED_WINDOW_ALLOWED):
+            f.write(f"| {q} | {UNPARTITIONED_WINDOW_ALLOWED[q]} |\n")
         if violations:
             f.write("\n## VIOLATIONS\n\n")
             for v in violations:
