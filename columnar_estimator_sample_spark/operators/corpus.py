@@ -68,7 +68,15 @@ def two_phase_cumsum(df: DataFrame, order_col, value_col: str,
         "__pid", F.spark_partition_id())
     w_local = (Window.partitionBy("__pid").orderBy(*order_exprs)
                .rowsBetween(Window.unboundedPreceding, 0))
-    local = ranged.withColumn("__local_cum", F.sum(value_col).over(w_local))
+    # The frame feeds BOTH the offsets aggregate and the final join, and
+    # repartitionByRange's sampled boundaries depend on upstream row
+    # ORDER — two independent recomputations can land boundary rows in
+    # different partitions, mismatching the offsets against the layout
+    # they're joined to (caught by the r14 sf0.1 full-registry sweep on
+    # q_rfm_segments). Checkpointing pins ONE layout for both consumers.
+    local = (ranged.withColumn("__local_cum",
+                               F.sum(value_col).over(w_local))
+             .localCheckpoint(eager=False))
     # n_parts rows: safe to window globally and broadcast.
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (local.groupBy("__pid")
@@ -99,7 +107,10 @@ def two_phase_rank(df: DataFrame, order_exprs: list, out_col: str,
     ranged = df.repartitionByRange(n_parts, *order_exprs).withColumn(
         "__pid", F.spark_partition_id())
     w_local = Window.partitionBy("__pid").orderBy(*order_exprs)
-    local = ranged.withColumn("__lrn", F.row_number().over(w_local))
+    # checkpoint for the same double-consumer layout-pinning reason as
+    # two_phase_cumsum above
+    local = (ranged.withColumn("__lrn", F.row_number().over(w_local))
+             .localCheckpoint(eager=False))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (local.groupBy("__pid")
                .agg(F.count(F.lit(1)).alias("__pid_n"))

@@ -79,6 +79,42 @@ def test_local_ledger_matches_source_tree():
         "ledger in the same change.")
 
 
+def test_sf01_ledger_covers_registry_and_matches_source_tree():
+    """The sf0.1 full-registry differential (round-13 verdict lead item)
+    is a per-round committed artifact with the same disciplines as the
+    local ledger: full registry coverage, zero fails, and a source-tree
+    stamp that goes red on any post-generation source edit. It
+    certifies the lanes that only engage above the gate SFs (winnow's
+    adaptive cap, CCNet's catalog lane, DSIR's checkpoint bound, the
+    MMR footer rule) — regenerate with
+    ``tools/check_oracle.py /root/testdata/sf0.1 --json --out
+    CORRECTNESS_SF01.json``."""
+    import json
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from check_oracle import source_tree_hash
+
+    path = os.path.join(repo, "CORRECTNESS_SF01.json")
+    assert os.path.exists(path), (
+        "CORRECTNESS_SF01.json missing — run the sf0.1 sweep from the "
+        "close checklist (README.md §Running)")
+    ledger = json.load(open(path))
+    assert ledger["sf_dir"].rstrip("/").endswith("sf0.1")
+    missing = sorted(set(QUERIES) - set(ledger["queries"]))
+    assert not missing, (
+        f"queries registered but absent from CORRECTNESS_SF01.json: "
+        f"{missing}")
+    assert ledger["n_fail"] == 0
+    assert ledger["source_sha"] == source_tree_hash(repo), (
+        "CORRECTNESS_SF01.json is STALE: package sources changed after "
+        "the sf0.1 sweep. Re-run it (at least the affected queries, "
+        "with --json --out CORRECTNESS_SF01.json) and commit the "
+        "ledger in the same change.")
+
+
 def test_oracle_result_types_spark_representable(sf_dir):
     """Every oracle's PREPARED DuckDB result types must be in the
     Spark-representable set.

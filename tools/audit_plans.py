@@ -105,6 +105,14 @@ BUILD_RUNS_JOBS = {
     # r14: the contamination cum-prefix frame feeds both the cutoff
     # aggregate and the survivor filter — lazily checkpointed
     "q_contamination_check",
+    # r14: every two_phase_cumsum / two_phase_rank consumer — the
+    # helper lazily checkpoints its ranged-local frame so the offsets
+    # aggregate and the final join see ONE range layout (sampled
+    # boundaries are row-order-dependent across recomputations; the
+    # sf0.1 sweep caught the divergence on q_rfm_segments)
+    "q_pack_chunks", "q_abc_parts", "q_max_concurrency", "q_ks_test",
+    "q_funnel_latency", "q_purchase_intervals", "q_rfm_segments",
+    "q_first_order_predictiveness",
     # r9: the IVF family shares one lazily-checkpointed coarse
     # assignment (similarity._IVF_MEMO); whichever builds first
     # materializes it (r10: q_ann_ivf_topk also writes the bucketed

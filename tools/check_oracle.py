@@ -168,6 +168,11 @@ def _eq(a, b) -> bool:
 def main() -> int:
     argv = [a for a in sys.argv[1:] if a != "--json"]
     emit_json = "--json" in sys.argv[1:]
+    out_name = "CORRECTNESS_LOCAL.json"
+    if "--out" in argv:  # r14: the sf0.1 sweep writes its own ledger
+        i = argv.index("--out")
+        out_name = argv[i + 1]
+        del argv[i:i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -232,7 +237,7 @@ def main() -> int:
         import json
         import subprocess
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        out = os.path.join(repo, "CORRECTNESS_LOCAL.json")
+        out = os.path.join(repo, out_name)
         prev = None
         if only and os.path.exists(out):
             # subset run: MERGE the fresh rows into the existing ledger
