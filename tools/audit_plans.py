@@ -210,10 +210,11 @@ COLLECT_ALLOWED = {
     # dogfood instrumentation: the profiled/estimated run IS the point
     "q_cbo_estimation": "per-operator metric rows of ONE profiled plan",
     "q_cbo_actuals": "same bound (projection of q_cbo_estimation)",
-    # sketch-guarantee measurement: two ONE-ROW aggregate collects
-    # (sketch outputs + exact scalars, then ranks of the two returned
-    # percentile values) — corpus-size independent by construction
-    "q_approx_stats": "2 one-row aggregate collects",
+    # sketch-guarantee measurement: three ONE-ROW aggregate collects
+    # (sketch outputs; exact distincts — a separate job, see the
+    # expand-fallback note in _approx_stats_frame; then ranks of the
+    # two returned percentile values) — corpus-size independent
+    "q_approx_stats": "3 one-row aggregate collects",
     "q_approx_stats_exact": "same bound (projection of q_approx_stats)",
     "q_ndv_broadcast_join": "catalog NDV rows (1 row/column)",
     "q_ndv_catalog": "catalog NDV rows (1 row/column)",
