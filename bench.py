@@ -109,6 +109,9 @@ HEADLINE = [
     "q_mixture_apply",
     "q_semdedup_apply",
     "q_pretrain_mix_pipeline",
+    # round-14 tier representatives
+    "q_curriculum_schedule",
+    "q_shard_layout",
 ]
 
 

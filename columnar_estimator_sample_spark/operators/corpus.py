@@ -2390,3 +2390,81 @@ def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "rank_n_toks", rrf.cast("long").alias("rrf_nano"))
             .orderBy(F.desc("rrf_nano"), "doc_id")
             .limit(RRF_TOP))
+
+
+# Curriculum phases: the corpus is split into this many difficulty
+# stages (easy -> hard) for staged pretraining.
+CURRICULUM_PHASES = 4
+
+
+@register(
+    "q_curriculum_schedule",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               n_chars
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id, source, n_tokens,
+               (n_chars * 1000) // n_tokens AS diff_milli
+        FROM t
+    ),
+    r AS (
+        SELECT source, n_tokens, diff_milli,
+               ROW_NUMBER() OVER (ORDER BY diff_milli, doc_id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM d
+    )
+    SELECT CAST(((rk - 1) * {CURRICULUM_PHASES}) // n + 1 AS INTEGER)
+               AS phase,
+           source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(MIN(diff_milli) AS BIGINT) AS min_diff_milli,
+           CAST(MAX(diff_milli) AS BIGINT) AS max_diff_milli
+    FROM r
+    GROUP BY 1, 2
+    ORDER BY phase, source
+    """,
+)
+def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule: rank every document by a difficulty proxy
+    (mean token length in millichars — longer tokens ~ rarer/harder
+    text), cut the global order into ``CURRICULUM_PHASES`` equal stages
+    (easy -> hard), and emit the per-(phase, source) training schedule:
+    document count, token budget, and the difficulty band each phase
+    spans. The staged-epoch face of the reference's repeat/epoch knob
+    (trainer.py:229-233 — epochs replay the SAME distribution; a
+    curriculum replays a difficulty-ordered slice per stage).
+
+    Scale: the only global ordering is :func:`two_phase_rank` over
+    (diff_milli, doc_id) — range-partitioned local row_numbers plus a
+    32-row offset frame, never a single-task window. The corpus size
+    that converts ranks to phases rides a broadcast one-row aggregate,
+    and the schedule itself collapses to |phases| x |sources| rows."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        "n_chars",
+    ).withColumn(
+        "diff_milli",
+        F.expr("(n_chars * 1000) DIV n_tokens"),
+    )
+    ranked = two_phase_rank(base, ["diff_milli", "doc_id"], "rk")
+    n = base.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(
+            "phase",
+            (F.expr(f"((rk - 1) * {CURRICULUM_PHASES}) DIV __n") + 1)
+            .cast("int"))
+        .groupBy("phase", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("n_tokens").alias("sum_tokens"),
+             F.min("diff_milli").alias("min_diff_milli"),
+             F.max("diff_milli").alias("max_diff_milli"))
+        .orderBy("phase", "source")
+    )

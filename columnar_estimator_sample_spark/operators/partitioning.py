@@ -366,3 +366,71 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              dsum(revenue, "revenue"))
         .orderBy("n_name")
     )
+
+
+# Training-export shard count. Real exports write O(10k) shards; 16
+# keeps the census readable at test SFs while the assignment rule is
+# the one that runs at any shard count.
+NSHARDS = 16
+
+
+@register(
+    "q_shard_layout",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST({sql_h64("CAST(doc_id AS VARCHAR)")} % {{n}} AS
+                   INTEGER) AS shard_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               source, lang
+        FROM documents
+    ),
+    per AS (
+        SELECT shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM s GROUP BY shard_id
+    ),
+    tot AS (SELECT SUM(n_docs) AS t FROM per)
+    SELECT shard_id, n_docs, sum_tokens, n_sources, n_langs,
+           CAST((n_docs * {{n}} * 1000) // t AS BIGINT) AS load_permille
+    FROM per, tot
+    ORDER BY shard_id
+    """.replace("{n}", str(NSHARDS)),
+)
+def q_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export shard layout: every document is assigned to one
+    of ``NSHARDS`` shards by a deterministic content-independent hash of
+    its id (the portable md5 lane, so the oracle reproduces the exact
+    assignment), and the census reports per-shard document count, token
+    mass, source/language spread, and ``load_permille`` — the shard's
+    share of the corpus scaled so a perfectly balanced shard reads 1000.
+    The layout face of the reference's file-interleave parallelism
+    (trainer.py:216-238): downstream trainers stream shards
+    independently, so shard-size skew IS the straggler budget.
+
+    Scale: one hash-keyed groupBy (the only shuffle), then the corpus
+    total joins back as a broadcast one-row aggregate; output is
+    |shards| rows regardless of corpus size. At a real export the same
+    plan writes `partitionBy(shard_id)` with one task per shard."""
+    docs = _table(spark, sf_dir, "documents")
+    sh = docs.select(
+        (h64(F.col("doc_id").cast("string")) % F.lit(NSHARDS))
+        .cast("int").alias("shard_id"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        "source", "lang",
+    )
+    per = (sh.groupBy("shard_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_tokens").alias("sum_tokens"),
+                F.countDistinct("source").alias("n_sources"),
+                F.countDistinct("lang").alias("n_langs")))
+    tot = per.agg(F.sum("n_docs").alias("__t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("load_permille",
+                    F.expr(f"(n_docs * {NSHARDS} * 1000) DIV __t"))
+        .drop("__t")
+        .orderBy("shard_id")
+    )

@@ -97,11 +97,16 @@ _loaded = False
 #   (b) ALL 33 r7-age re-certs (registration order) — the oldest
 #       certification debt, six rounds of source churn old (q_geo_dbscan
 #       sits in this block, doubling as its rewrite cert);
-#   (c) the 8 oldest r8-age re-certs (registration order) that fit.
-#       The remaining 32 r8-age rows head the r15 window.
+#   (c) the 6 oldest r8-age re-certs (registration order) that fit.
+#       The remaining 34 r8-age rows (from q_dedup_exact) head the r15
+#       window.
 _DRIVER_WINDOW_R14 = [
-    # (a) round-14 new twins + the rewritten MMR lane pin + the six
+    # (a) round-14 new operators (the curriculum schedule and the
+    # hash-shard export layout landed late in the round and outrank the
+    # last two re-cert slots per the standing rotation rule), the new
+    # deterministic twins, the rewritten MMR lane pin, and the six
     # window-gate decompositions
+    "q_curriculum_schedule", "q_shard_layout",
     "q_approx_stats_exact", "q_cbo_actuals", "q_mmr_rerank",
     "q_rfm_segments", "q_first_order_predictiveness", "q_funnel_latency",
     "q_purchase_intervals", "q_hybrid_rrf", "q_contamination_check",
@@ -119,10 +124,9 @@ _DRIVER_WINDOW_R14 = [
     "q_stream_sliding_value", "q_stream_attribution",
     "q_stream_dedup_census", "q_stream_landing_census",
     "q_stream_user_totals",
-    # (c) the 8 oldest r8-age re-certs, registration order
+    # (c) the 6 oldest r8-age re-certs, registration order
     "q_trace_top_ops", "q_posexplode_tokens", "q_json_extract",
     "q_time_buckets", "q_sessionize", "q_sequence_mining",
-    "q_dedup_exact", "q_dedup_fingerprint",
 ]
 
 

@@ -164,3 +164,78 @@ class TestUnpartitionedWindowDetector:
         partition_only = df.withColumn(
             "m", F.min("id").over(Window.partitionBy("g")))
         assert _unpartitioned_window_lines(plan(partition_only)) == 0
+
+
+class TestCurriculumSchedule:
+    def test_phases_partition_the_corpus_evenly(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.corpus import (
+            CURRICULUM_PHASES, q_curriculum_schedule,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        rows = q_curriculum_schedule(spark, sf_dir).collect()
+        n = table(spark, sf_dir, "documents").count()
+        assert sum(r["n_docs"] for r in rows) == n
+        per_phase = {}
+        for r in rows:
+            per_phase[r["phase"]] = per_phase.get(r["phase"], 0) \
+                + r["n_docs"]
+        assert set(per_phase) <= set(range(1, CURRICULUM_PHASES + 1))
+        # the floor((rk-1)*K/N) cut gives every phase floor or ceil of
+        # N/K documents — no phase is starved or bloated
+        lo, hi = n // CURRICULUM_PHASES, -(-n // CURRICULUM_PHASES)
+        for cnt in per_phase.values():
+            assert lo <= cnt <= hi
+
+    def test_difficulty_bands_are_monotone(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.corpus import (
+            q_curriculum_schedule,
+        )
+        rows = q_curriculum_schedule(spark, sf_dir).collect()
+        band = {}
+        for r in rows:
+            p = r["phase"]
+            band.setdefault(p, [r["min_diff_milli"], r["max_diff_milli"]])
+            band[p][0] = min(band[p][0], r["min_diff_milli"])
+            band[p][1] = max(band[p][1], r["max_diff_milli"])
+        phases = sorted(band)
+        for a, b in zip(phases, phases[1:]):
+            # ranks order by (diff, doc_id): a later phase can TIE the
+            # previous band edge but never dip below it
+            assert band[b][0] >= band[a][1] or band[b][0] >= band[a][0]
+            assert band[b][1] >= band[a][1]
+
+
+class TestShardLayout:
+    def test_census_matches_pure_python_md5_replay(self, spark, sf_dir):
+        """Third-implementation pin: hashlib.md5 vs Spark md5 vs the
+        DuckDB oracle (the driver compares the latter two; this pins
+        the first against the query output at the smoke SF)."""
+        import hashlib
+        from collections import defaultdict
+
+        from columnar_estimator_sample_spark.operators.partitioning import (
+            NSHARDS, q_shard_layout,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        docs = (table(spark, sf_dir, "documents")
+                .select("doc_id", "text", "source", "lang").collect())
+        exp_docs = defaultdict(int)
+        exp_tokens = defaultdict(int)
+        exp_sources = defaultdict(set)
+        for d in docs:
+            h = int(hashlib.md5(str(d["doc_id"]).encode())
+                    .hexdigest()[:15], 16)
+            s = h % NSHARDS
+            exp_docs[s] += 1
+            exp_tokens[s] += len(d["text"].split(" "))
+            exp_sources[s].add(d["source"])
+        rows = q_shard_layout(spark, sf_dir).collect()
+        assert {r["shard_id"] for r in rows} == set(exp_docs)
+        total = sum(exp_docs.values())
+        for r in rows:
+            s = r["shard_id"]
+            assert r["n_docs"] == exp_docs[s]
+            assert r["sum_tokens"] == exp_tokens[s]
+            assert r["n_sources"] == len(exp_sources[s])
+            assert r["load_permille"] == \
+                r["n_docs"] * NSHARDS * 1000 // total

@@ -112,7 +112,7 @@ BUILD_RUNS_JOBS = {
     # sf0.1 sweep caught the divergence on q_rfm_segments)
     "q_pack_chunks", "q_abc_parts", "q_max_concurrency", "q_ks_test",
     "q_funnel_latency", "q_purchase_intervals", "q_rfm_segments",
-    "q_first_order_predictiveness",
+    "q_first_order_predictiveness", "q_curriculum_schedule",
     # r9: the IVF family shares one lazily-checkpointed coarse
     # assignment (similarity._IVF_MEMO); whichever builds first
     # materializes it (r10: q_ann_ivf_topk also writes the bucketed
@@ -254,6 +254,8 @@ UNPARTITIONED_WINDOW_ALLOWED: dict[str, str] = {
                       "phase 2, one per R/F/M rank)",
     "q_first_order_predictiveness": "32-row partition-offset frame "
                                     "(two_phase_rank phase 2)",
+    "q_curriculum_schedule": "32-row partition-offset frame "
+                             "(two_phase_rank phase 2)",
     "q_contamination_check": "32-row partition-offset frame (two_phase "
                              "phase 2; behind a lazy checkpoint)",
     # value-histogram frames: one row per DISTINCT VALUE of a bounded
