@@ -112,6 +112,7 @@ HEADLINE = [
     # round-14 tier representatives
     "q_curriculum_schedule",
     "q_shard_layout",
+    "q_domain_mixture",
 ]
 
 

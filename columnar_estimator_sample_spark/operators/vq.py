@@ -1795,3 +1795,165 @@ def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         _WHITEN_LANES_MEMO[key] = memo
     return (_recall_census_two_lane(spark, *memo)
             .orderBy("variant"))
+
+
+# ---------------------------------------------------------------------------
+# Domain-balanced mixture (embedding-cluster domains -> temperature mix)
+# ---------------------------------------------------------------------------
+
+# Domains = coarse embedding cells, matching the IVF/VQ scale above.
+DOMAIN_K = K
+
+
+def _domain_mixture_oracle() -> str:
+    from columnar_estimator_sample_spark.functions.hashing import sql_h64
+    return f"""
+    WITH ex AS ({_SQL_EX}
+    ), norms AS (
+        SELECT vec_id, CAST(SUM(vi * vi) AS BIGINT) AS n_s
+        FROM ex GROUP BY vec_id
+    ), cb AS (
+        SELECT vec_id AS code, i, vi AS ci FROM ex
+        WHERE vec_id < {DOMAIN_K}
+    ), cns AS (
+        SELECT code, CAST(SUM(ci * ci) AS BIGINT) AS c_s
+        FROM cb GROUP BY code
+    ), dots AS (
+        SELECT v.vec_id, c.code, CAST(SUM(v.vi * c.ci) AS BIGINT) AS dot_s
+        FROM ex v JOIN cb c ON c.i = v.i GROUP BY 1, 2
+    ), d2 AS (
+        SELECT d.vec_id, d.code, n.n_s - 2 * d.dot_s + c.c_s AS d2
+        FROM dots d JOIN norms n USING (vec_id) JOIN cns c USING (code)
+    ), a AS (
+        SELECT vec_id, code AS domain FROM (
+            SELECT vec_id, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, code) AS rnk
+            FROM d2
+        ) WHERE rnk = 1
+    ), docs AS (
+        SELECT a.domain, d.doc_id,
+               CAST(len(list_filter(string_split(d.text, ' '),
+                                    x -> len(x) > 0)) AS BIGINT) AS ntok
+        FROM documents d JOIN a ON a.vec_id = d.doc_id
+    ), n AS (
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs_domain,
+               CAST(SUM(ntok) AS BIGINT) AS n_tokens_domain
+        FROM docs GROUP BY domain
+    ), sq AS (
+        SELECT domain, n_docs_domain, n_tokens_domain,
+               CAST(FLOOR(SQRT(CAST(n_tokens_domain AS DOUBLE)))
+                   AS BIGINT) AS isq
+        FROM n
+    ), tot AS (
+        SELECT CAST(SUM(n_tokens_domain) AS BIGINT) AS tot_n,
+               CAST(SUM(isq) AS BIGINT) AS tot_sq
+        FROM sq
+    ), boost AS (
+        SELECT s.domain, s.n_docs_domain, s.n_tokens_domain,
+               ((1000000 * s.isq) // t.tot_sq) * 1000000
+                   // GREATEST((1000000 * s.n_tokens_domain)
+                               // t.tot_n, 1) AS boost_ppm
+        FROM sq s CROSS JOIN tot t
+    ), adm AS (
+        SELECT domain, n_docs_domain, n_tokens_domain,
+               (1000000 * boost_ppm)
+                   // (SELECT MAX(boost_ppm) FROM boost) AS adm_ppm
+        FROM boost
+    ), kept AS (
+        SELECT dd.domain, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+               CAST(SUM(dd.ntok) AS BIGINT) AS n_tokens_kept
+        FROM docs dd JOIN adm a2 USING (domain)
+        WHERE {sql_h64("CAST(dd.doc_id AS VARCHAR)")} % 1000000
+              < a2.adm_ppm
+        GROUP BY dd.domain
+    )
+    SELECT a.domain, a.n_docs_domain, a.n_tokens_domain, a.adm_ppm,
+           COALESCE(k.n_docs_kept, CAST(0 AS BIGINT)) AS n_docs_kept,
+           COALESCE(k.n_tokens_kept, CAST(0 AS BIGINT)) AS n_tokens_kept
+    FROM adm a LEFT JOIN kept k USING (domain)
+    ORDER BY domain
+    """
+
+
+@register("q_domain_mixture", oracle=_domain_mixture_oracle())
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-balanced pretraining mixture, DoReMi-shaped: domains are
+    EMBEDDING CLUSTERS (nearest of the first-``DOMAIN_K`` deterministic
+    centroids by exact integer squared-L2 — no metadata needed), the
+    1:1 vec_id/doc_id bridge attaches every document to its domain, and
+    q_mixture_apply's alpha=0.5 temperature chain runs over DOMAIN
+    token mass instead of source labels: boost_ppm from sqrt-mass
+    shares, admission rates normalized so the most up-weighted domain
+    keeps everything, membership by the reproducible
+    ``h64(doc_id) % 10^6 < adm_ppm`` rule. Census emits ALL domains
+    (kept counts coalesced to 0) so every SF pins the full rate vector,
+    not just surviving groups.
+
+    Determinism: assignment is pure int64 (d2 = n_s - 2*dot + c_s on
+    the 1e6-scaled lane, min_by (d2, code)); the one float step is the
+    IEEE sqrt both engines round identically. Scale: the explode joins
+    a BROADCAST |K x dim| codebook and collapses map-side (min_by);
+    the rate chain is |domains| broadcast rows; admission is a
+    scan-local predicate — no corpus-sized shuffle beyond the token
+    count groupBy."""
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents")
+    ex = _exploded(emb)
+    cb = (ex.filter(F.col("vec_id") < DOMAIN_K)
+          .select(F.col("vec_id").alias("code"), "i",
+                  F.col("vi").alias("ci")))
+    norms = ex.groupBy("vec_id").agg(
+        F.sum(F.col("vi") * F.col("vi")).cast("long").alias("n_s"))
+    cns = cb.groupBy("code").agg(
+        F.sum(F.col("ci") * F.col("ci")).cast("long").alias("c_s"))
+    dots = (ex.join(F.broadcast(cb), "i")
+            .groupBy("vec_id", "code")
+            .agg(F.sum(F.col("vi") * F.col("ci")).cast("long")
+                 .alias("dot_s")))
+    assign = (dots.join(norms, "vec_id").join(F.broadcast(cns), "code")
+              .withColumn("d2", F.col("n_s") - 2 * F.col("dot_s")
+                          + F.col("c_s"))
+              .groupBy("vec_id")
+              .agg(F.min_by(F.col("code"), F.struct("d2", "code"))
+                   .alias("domain")))
+    dtoks = (docs.join(assign, docs.doc_id == assign.vec_id)
+             .select("domain", "doc_id",
+                     F.size(F.filter(F.split("text", " "),
+                                     lambda x: F.length(x) > 0))
+                     .cast("long").alias("ntok")))
+    n = (dtoks.groupBy("domain")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs_domain"),
+              F.sum("ntok").cast("long").alias("n_tokens_domain")))
+    sq = n.withColumn(
+        "isq",
+        F.expr("CAST(FLOOR(SQRT(CAST(n_tokens_domain AS DOUBLE)))"
+               " AS BIGINT)"))
+    tot = sq.agg(F.sum("n_tokens_domain").cast("long").alias("tot_n"),
+                 F.sum("isq").cast("long").alias("tot_sq"))
+    boost = (sq.crossJoin(F.broadcast(tot))
+             .select("domain", "n_docs_domain", "n_tokens_domain",
+                     F.expr("((1000000 * isq) DIV tot_sq) * 1000000"
+                            " DIV GREATEST((1000000 * n_tokens_domain)"
+                            " DIV tot_n, 1)").alias("boost_ppm")))
+    maxb = boost.agg(F.max("boost_ppm").alias("max_b"))
+    adm = (boost.crossJoin(F.broadcast(maxb))
+           .select("domain", "n_docs_domain", "n_tokens_domain",
+                   F.expr("(1000000 * boost_ppm) DIV max_b")
+                   .alias("adm_ppm")))
+    from columnar_estimator_sample_spark.functions.hashing import h64
+    kept = (dtoks.join(F.broadcast(adm.select("domain", "adm_ppm")),
+                       "domain")
+            .filter(h64(F.col("doc_id").cast("string")) % 1_000_000
+                    < F.col("adm_ppm"))
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+                 F.sum("ntok").cast("long").alias("n_tokens_kept")))
+    return (adm.join(kept, "domain", "left")
+            .select("domain", "n_docs_domain", "n_tokens_domain",
+                    "adm_ppm",
+                    F.coalesce("n_docs_kept", F.lit(0).cast("long"))
+                    .alias("n_docs_kept"),
+                    F.coalesce("n_tokens_kept", F.lit(0).cast("long"))
+                    .alias("n_tokens_kept"))
+            .orderBy("domain"))

@@ -97,16 +97,17 @@ _loaded = False
 #   (b) ALL 33 r7-age re-certs (registration order) — the oldest
 #       certification debt, six rounds of source churn old (q_geo_dbscan
 #       sits in this block, doubling as its rewrite cert);
-#   (c) the 6 oldest r8-age re-certs (registration order) that fit.
-#       The remaining 34 r8-age rows (from q_dedup_exact) head the r15
-#       window.
+#   (c) the 5 oldest r8-age re-certs (registration order) that fit.
+#       The remaining 35 r8-age rows (from q_sequence_mining) head the
+#       r15 window.
 _DRIVER_WINDOW_R14 = [
-    # (a) round-14 new operators (the curriculum schedule and the
-    # hash-shard export layout landed late in the round and outrank the
-    # last two re-cert slots per the standing rotation rule), the new
+    # (a) round-14 new operators (the curriculum schedule, the
+    # hash-shard export layout, and the embedding-domain mixture landed
+    # late in the round and outrank the last three re-cert slots per
+    # the standing rotation rule), the new
     # deterministic twins, the rewritten MMR lane pin, and the six
     # window-gate decompositions
-    "q_curriculum_schedule", "q_shard_layout",
+    "q_curriculum_schedule", "q_shard_layout", "q_domain_mixture",
     "q_approx_stats_exact", "q_cbo_actuals", "q_mmr_rerank",
     "q_rfm_segments", "q_first_order_predictiveness", "q_funnel_latency",
     "q_purchase_intervals", "q_hybrid_rrf", "q_contamination_check",
@@ -124,9 +125,9 @@ _DRIVER_WINDOW_R14 = [
     "q_stream_sliding_value", "q_stream_attribution",
     "q_stream_dedup_census", "q_stream_landing_census",
     "q_stream_user_totals",
-    # (c) the 6 oldest r8-age re-certs, registration order
+    # (c) the 5 oldest r8-age re-certs, registration order
     "q_trace_top_ops", "q_posexplode_tokens", "q_json_extract",
-    "q_time_buckets", "q_sessionize", "q_sequence_mining",
+    "q_time_buckets", "q_sessionize",
 ]
 
 

@@ -239,3 +239,58 @@ class TestShardLayout:
             assert r["n_sources"] == len(exp_sources[s])
             assert r["load_permille"] == \
                 r["n_docs"] * NSHARDS * 1000 // total
+
+
+class TestDomainMixture:
+    def test_assignment_matches_numpy_argmin_replay(self, spark, sf_dir):
+        """Third-implementation pin: numpy L2 argmin over the same
+        integer-scaled lane must reproduce the domain token masses."""
+        from collections import defaultdict
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+
+        from columnar_estimator_sample_spark.operators.vq import (
+            DOMAIN_K, q_domain_mixture,
+        )
+        from columnar_estimator_sample_spark.sources.tables import table
+        emb = (table(spark, sf_dir, "embeddings")
+               .select("vec_id", "embedding").collect())
+        vecs = {}
+        for r in emb:
+            vecs[r["vec_id"]] = np.array(
+                [int(Decimal(repr(float(v))).quantize(
+                     Decimal("0.000001"), rounding=ROUND_HALF_UP)
+                     * 1_000_000) for v in r["embedding"]],
+                dtype=np.int64)
+        cb = {k: vecs[k] for k in range(DOMAIN_K)}
+        docs = (table(spark, sf_dir, "documents")
+                .select("doc_id", "text").collect())
+        exp_docs = defaultdict(int)
+        exp_toks = defaultdict(int)
+        for d in docs:
+            v = vecs[d["doc_id"]]
+            d2 = {c: int(((v - cv) ** 2).sum()) for c, cv in cb.items()}
+            dom = min(d2, key=lambda c: (d2[c], c))
+            exp_docs[dom] += 1
+            exp_toks[dom] += len([t for t in d["text"].split(" ") if t])
+        rows = q_domain_mixture(spark, sf_dir).collect()
+        assert {r["domain"] for r in rows} == set(exp_docs)
+        for r in rows:
+            assert r["n_docs_domain"] == exp_docs[r["domain"]]
+            assert r["n_tokens_domain"] == exp_toks[r["domain"]]
+
+    def test_mixture_invariants(self, spark, sf_dir):
+        from columnar_estimator_sample_spark.operators.vq import (
+            q_domain_mixture,
+        )
+        rows = q_domain_mixture(spark, sf_dir).collect()
+        assert rows, "domain census must not be vacuous"
+        top = max(rows, key=lambda r: r["adm_ppm"])
+        # the most up-weighted domain keeps everything by construction
+        assert top["adm_ppm"] == 1_000_000
+        assert top["n_docs_kept"] == top["n_docs_domain"]
+        for r in rows:
+            assert 0 <= r["adm_ppm"] <= 1_000_000
+            assert r["n_docs_kept"] <= r["n_docs_domain"]
+            assert r["n_tokens_kept"] <= r["n_tokens_domain"]
