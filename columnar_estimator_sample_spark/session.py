@@ -70,6 +70,16 @@ def get_spark(app_name: str = "columnar_estimator_sample_spark",
         .config("spark.sql.shuffle.partitions", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescer floors post-shuffle partitions at 1 MB by
+        # default; on CPU-dense small-byte exchanges (candidate-pair
+        # verification: winnow / prefix-filter / cosine set-join) that
+        # floor serializes multi-second stages onto 1-4 cores. 64k keeps
+        # those spread across the executor (r14 interleaved A/B: -0.9 to
+        # -1.4 s each at sf0.1, neutral elsewhere). Scale-safe: the floor
+        # only binds when partitions are sub-MB — at production sizes
+        # coalescing targets advisoryPartitionSizeInBytes regardless.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
