@@ -321,10 +321,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (inter.cast("double") / union).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )
+    # r14: hash-exchange on the sort keys below the final sort so the
+    # range exchange's boundary-sampling pass re-reads shuffle bytes of
+    # the output-proportional pair frame instead of re-executing the
+    # whole verification pipeline (measured: a 4.2 s sampler twin stage
+    # re-running the array_intersect verification; guide §2.4/§7.2)
     if not contract:
-        return verified.orderBy("doc_a", "doc_b")
+        return (verified.repartition(F.col("doc_a"), F.col("doc_b"))
+                .orderBy("doc_a", "doc_b"))
     return (expand_member_pairs(verified, members, "doc_a", "doc_b",
                                 id_col="doc_id")
+            .repartition(F.col("doc_a"), F.col("doc_b"))
             .orderBy("doc_a", "doc_b"))
 
 
@@ -1381,7 +1388,9 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pruning is complete, not just fast."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     key = (spark.sparkContext.applicationId, sf_dir)
+    # r14: pre-sort hash exchange — see q_dedup_minhash_lsh's tail note
     return (prefix_filter_pairs(docs, memo_key=key)
+            .repartition(F.col("doc_a"), F.col("doc_b"))
             .orderBy("doc_a", "doc_b"))
 
 
@@ -1434,7 +1443,9 @@ def q_dedup_cosine_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     key = (spark.sparkContext.applicationId, sf_dir)
+    # r14: pre-sort hash exchange — see q_dedup_minhash_lsh's tail note
     return (cosine_setjoin_pairs(docs, memo_key=key)
+            .repartition(F.col("doc_a"), F.col("doc_b"))
             .orderBy("doc_a", "doc_b"))
 
 
@@ -2240,12 +2251,17 @@ def q_dedup_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    verified = (cand.join(sa, "doc_a").join(sb, "doc_b")
-                .filter((inter.cast("double") / union) >= JACCARD_T))
-    agg = (cand.agg(F.count("*").cast("long").alias("n_candidates"))
-           .crossJoin(F.broadcast(
-               verified.agg(F.count("*").cast("long")
-                            .alias("n_verified")))))
+    # r14: ONE pass computes both counts. The previous shape aggregated
+    # `cand` and `verified` as two separate subtrees, so the candidate
+    # join executed twice (a measured 3.7 s broadcast-build twin stage);
+    # the shingle joins are 1:1 (one shingle set per doc id), so
+    # count(*) over the joined frame equals count(*) over cand and the
+    # verified count becomes a conditional aggregate of the same pass.
+    joined = cand.join(sa, "doc_a").join(sb, "doc_b")
+    agg = joined.agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.count(F.when((inter.cast("double") / union) >= JACCARD_T,
+                       F.lit(1))).cast("long").alias("n_verified"))
     return agg.select(
         "n_candidates", "n_verified",
         F.expr("CAST(1000000 * n_verified"

@@ -2148,5 +2148,7 @@ def q_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("supp").cast("long").alias("supp"),
             F.expr("(1000 * supp) DIV greatest(n_users, 1)")
             .cast("long").alias("supp_pm"))
+        # r14: pre-sort hash exchange (sampler-twin fix, see q_sessionize)
+        .repartition(F.col("k"), F.col("supp"), F.col("seq"))
         .orderBy("k", F.desc("supp"), "seq")
     )

@@ -39,6 +39,29 @@ N_QUERIES = 5   # vec_id < 5 are the query vectors
 TOP_K = 5
 
 
+def _list_matrix(col, np):
+    """Zero-copy ``(n, dim)`` matrix view of an Arrow ``list<numeric>``
+    column whose rows are equal-length and null-free (the engine's
+    packed-vector contract).
+
+    The values buffer of such a column IS the row-major matrix, so
+    reading it is a buffer reshape. The previous ``mapInPandas`` +
+    ``np.stack(pdf[c].to_numpy())`` path materialized one Python numpy
+    object per ROW before re-copying into a matrix — measured 2.4 s per
+    250k×64 batch against 0.7 ms for the reshape — and was the entire
+    CPU cost of the scoring stages (guide §4.2: hand whole batches to
+    vectorized kernels; re-slice buffers instead of copying rows)."""
+    offs = col.offsets.to_numpy()
+    n = len(offs) - 1
+    vals = col.values.to_numpy(zero_copy_only=True)
+    if n == 0:
+        return vals.reshape(0, 0)
+    dim = offs[1] - offs[0]
+    if not (np.diff(offs) == dim).all():
+        raise ValueError("ragged vector batch: equal-length contract")
+    return vals[offs[0]:offs[-1]].reshape(n, dim)
+
+
 def _dot_dec(a: str, b: str) -> F.Column:
     """Exact one-expression dot product of two array<float> columns:
     per-element double products rounded once to DECIMAL(30,6), folded into
@@ -137,23 +160,32 @@ def cosine_topk_fast(spark: SparkSession, sf_dir: str,
     q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            d_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    def score(batches):
+        import pyarrow as pa
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            cols = {f: i for i, f in enumerate(rb.schema.names)}
+            d_mat = _list_matrix(rb.column(cols["embedding"]), np) \
+                .astype(np.float64)
+            d_ids = rb.column(cols["vec_id"]).to_numpy(zero_copy_only=True)
             d_mat /= np.linalg.norm(d_mat, axis=1, keepdims=True)
             sims = d_mat @ q_mat.T  # (batch, |Q|)
-            out = []
+            qs_out, ns_out, cs_out = [], [], []
             for qi, qid in enumerate(q_ids):
                 col = sims[:, qi]
                 take = min(k + 1, len(col))
                 idx = np.argpartition(-col, take - 1)[:take]
-                for j in idx:
-                    out.append((int(qid), int(pdf["vec_id"].iloc[j]),
-                                float(col[j])))
-            yield pd.DataFrame(out,
-                               columns=["query_id", "neighbor_id", "cosine"])
+                qs_out.append(np.full(len(idx), qid, dtype=np.int64))
+                ns_out.append(d_ids[idx])
+                cs_out.append(col[idx])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(qs_out)),
+                 pa.array(np.concatenate(ns_out)),
+                 pa.array(np.concatenate(cs_out))],
+                ["query_id", "neighbor_id", "cosine"])
 
-    partial = emb.select("vec_id", "embedding").mapInPandas(
+    partial = emb.select("vec_id", "embedding").mapInArrow(
         score, "query_id long, neighbor_id long, cosine double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("neighbor_id"))
@@ -282,26 +314,28 @@ def ann_signatures_arrow(emb: DataFrame,
     packed = emb.select("vec_id", F.expr(_PACK_EXPR).alias("v"))
 
     def project(batches):
+        import pyarrow as pa
         sign_cache: dict = {}
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            V = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+            cols = {f: i for i, f in enumerate(rb.schema.names)}
+            V = _list_matrix(rb.column(cols["v"]), np)
             dim = V.shape[1]
             if dim not in sign_cache:
                 sign_cache[dim] = np.array(
                     [_plane_signs(p, dim) for p in range(n_planes)],
                     dtype=np.int64).T          # dim × planes
             proj = V @ sign_cache[dim]         # int64, exact
-            out = pdf[["vec_id"]].copy()
             bits = (proj > 0).astype(np.int32)
-            for p in range(n_planes):
-                out[f"b{p}"] = bits[:, p]
-            yield out
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(cols["vec_id"])]
+                + [pa.array(bits[:, p]) for p in range(n_planes)],
+                ["vec_id"] + [f"b{p}" for p in range(n_planes)])
 
     schema = ("vec_id long, "
               + ", ".join(f"b{p} int" for p in range(n_planes)))
-    return packed.mapInPandas(project, schema)
+    return packed.mapInArrow(project, schema)
 
 
 def ann_lsh_candidates(spark: SparkSession, sf_dir: str,
@@ -448,11 +482,13 @@ def score_candidates_gather(cand: DataFrame, vecs: DataFrame) -> DataFrame:
     threshold = ANN_COS_T
 
     def score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        import pyarrow as pa
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            A = np.stack(pdf["va"].to_numpy()).astype(np.int64)
-            B = np.stack(pdf["vb"].to_numpy()).astype(np.int64)
+            cols = {f: i for i, f in enumerate(rb.schema.names)}
+            A = _list_matrix(rb.column(cols["va"]), np)
+            B = _list_matrix(rb.column(cols["vb"]), np)
             dot = np.einsum("ij,ij->i", A, B)            # int64, exact
             na = np.einsum("ij,ij->i", A, A)
             nb = np.einsum("ij,ij->i", B, B)
@@ -461,11 +497,14 @@ def score_candidates_gather(cand: DataFrame, vecs: DataFrame) -> DataFrame:
                 np.sqrt(na.astype(np.float64))
                 * np.sqrt(nb.astype(np.float64)))
             keep = cos >= threshold
-            out = pdf.loc[keep, ["vec_a", "vec_b"]].copy()
-            out["cosine"] = cos[keep]
-            yield out
+            va = rb.column(cols["vec_a"]).to_numpy(zero_copy_only=True)
+            vb = rb.column(cols["vec_b"]).to_numpy(zero_copy_only=True)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(va[keep]), pa.array(vb[keep]),
+                 pa.array(cos[keep])],
+                ["vec_a", "vec_b", "cosine"])
 
-    return gathered.mapInPandas(
+    return gathered.mapInArrow(
         score, "vec_a long, vec_b long, cosine double")
 
 
@@ -516,8 +555,16 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from columnar_estimator_sample_spark.operators.dedup import (
         expand_member_pairs,
     )
+    # The final global sort's range exchange SAMPLES its child to pick
+    # boundaries, which re-executes the whole gather+score pipeline a
+    # second time (measured: two ~10 s stages both reading the 50 MB
+    # gather). A hash exchange on the sort keys just below the sort
+    # materializes the pipeline ONCE as a shuffle stage; the sampling
+    # pass then re-reads shuffle bytes of the output-proportional pair
+    # frame instead of recomputing the scoring (guide §2.4/§7.2).
     return (expand_member_pairs(scored, members, "vec_a", "vec_b",
                                 id_col="vec_id")
+            .repartition(F.col("vec_a"), F.col("vec_b"))
             .orderBy("vec_a", "vec_b"))
 
 
@@ -1282,29 +1329,35 @@ def q_similarity_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .astype(np.float64))
     k = TOP_K
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    def score(batches):
+        import pyarrow as pa
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            d_mat = np.stack(pdf["v"].to_numpy()).astype(np.int64)
-            d_ids = pdf["vec_id"].to_numpy()
+            cols = {f: i for i, f in enumerate(rb.schema.names)}
+            d_mat = _list_matrix(rb.column(cols["v"]), np)
+            d_ids = rb.column(cols["vec_id"]).to_numpy(zero_copy_only=True)
             d_norm = np.sqrt(np.einsum("ij,ij->i", d_mat, d_mat)
                              .astype(np.float64))
             dots = d_mat @ q_mat.T                       # int64, exact
-            out = []
+            qs_out, ns_out, cs_out = [], [], []
             for qi, qid in enumerate(q_ids):
                 cos = dots[:, qi].astype(np.float64) / (d_norm * q_norm[qi])
                 mask = d_ids != qid
                 ids_m, cos_m = d_ids[mask], cos[mask]
                 order = np.lexsort((ids_m, -cos_m))[:k]
-                for j in order:
-                    out.append((int(qid), int(ids_m[j]), float(cos_m[j])))
-            yield pd.DataFrame(
-                out, columns=["query_id", "neighbor_id", "cosine"])
+                qs_out.append(np.full(len(order), qid, dtype=np.int64))
+                ns_out.append(ids_m[order])
+                cs_out.append(cos_m[order])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(qs_out)),
+                 pa.array(np.concatenate(ns_out)),
+                 pa.array(np.concatenate(cs_out))],
+                ["query_id", "neighbor_id", "cosine"])
 
     partial = (emb.select("vec_id", F.expr(_PACK_EXPR).alias("v"))
-               .mapInPandas(score,
-                            "query_id long, neighbor_id long, cosine double"))
+               .mapInArrow(score,
+                           "query_id long, neighbor_id long, cosine double"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("neighbor_id"))
     return (partial

@@ -1917,14 +1917,29 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("vec_id")
               .agg(F.min_by(F.col("code"), F.struct("d2", "code"))
                    .alias("domain")))
+    from columnar_estimator_sample_spark.functions.hashing import h64
+    # r14 optimization: the census needs TWO aggregates of the per-doc
+    # frame — the full per-domain mass and the kept-per-domain mass under
+    # the (data-dependent) adm_ppm threshold. Aggregating the corpus once
+    # by (domain, pm = admission hash) lets both derive from ONE shared
+    # exchange (ReuseExchange): previously the whole corpus subtree
+    # (explode + codebook join + assignment + docs join) was planned and
+    # executed twice (190 Exchange mentions -> ~half; the admission
+    # predicate is a filter on the pre-aggregated pm column, so kept
+    # counts are unchanged).
     dtoks = (docs.join(assign, docs.doc_id == assign.vec_id)
-             .select("domain", "doc_id",
+             .select("domain",
+                     (h64(F.col("doc_id").cast("string")) % 1_000_000)
+                     .alias("pm"),
                      F.size(F.filter(F.split("text", " "),
                                      lambda x: F.length(x) > 0))
                      .cast("long").alias("ntok")))
-    n = (dtoks.groupBy("domain")
-         .agg(F.count(F.lit(1)).cast("long").alias("n_docs_domain"),
-              F.sum("ntok").cast("long").alias("n_tokens_domain")))
+    g = (dtoks.groupBy("domain", "pm")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs_pm"),
+              F.sum("ntok").cast("long").alias("n_toks_pm")))
+    n = (g.groupBy("domain")
+         .agg(F.sum("n_docs_pm").cast("long").alias("n_docs_domain"),
+              F.sum("n_toks_pm").cast("long").alias("n_tokens_domain")))
     sq = n.withColumn(
         "isq",
         F.expr("CAST(FLOOR(SQRT(CAST(n_tokens_domain AS DOUBLE)))"
@@ -1941,14 +1956,12 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("domain", "n_docs_domain", "n_tokens_domain",
                    F.expr("(1000000 * boost_ppm) DIV max_b")
                    .alias("adm_ppm")))
-    from columnar_estimator_sample_spark.functions.hashing import h64
-    kept = (dtoks.join(F.broadcast(adm.select("domain", "adm_ppm")),
-                       "domain")
-            .filter(h64(F.col("doc_id").cast("string")) % 1_000_000
-                    < F.col("adm_ppm"))
+    kept = (g.join(F.broadcast(adm.select("domain", "adm_ppm")),
+                   "domain")
+            .filter(F.col("pm") < F.col("adm_ppm"))
             .groupBy("domain")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
-                 F.sum("ntok").cast("long").alias("n_tokens_kept")))
+            .agg(F.sum("n_docs_pm").cast("long").alias("n_docs_kept"),
+                 F.sum("n_toks_pm").cast("long").alias("n_tokens_kept")))
     return (adm.join(kept, "domain", "left")
             .select("domain", "n_docs_domain", "n_tokens_domain",
                     "adm_ppm",

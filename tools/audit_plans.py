@@ -409,7 +409,8 @@ def main() -> int:
                 "time (outside the documented allowlist)")
         has_pyrow = "BatchEvalPython" in plan
         has_cart = "CartesianProduct" in plan
-        has_arrow = ("ArrowEvalPython" in plan) or ("MapInPandas" in plan)
+        has_arrow = ("ArrowEvalPython" in plan) or ("MapInPandas" in plan) \
+            or ("MapInArrow" in plan)
         if has_pyrow:
             violations.append(f"{name}: BatchEvalPython (row Python)")
         if has_cart:
