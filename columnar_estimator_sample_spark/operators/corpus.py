@@ -1881,7 +1881,11 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the explode dominates and is embarrassingly parallel; the
     n-gram generalization only widens the explode, never the joins.
     """
-    docs = table(spark, sf_dir, "documents")
+    # r14: fanout — the per-token md5 kernel otherwise runs inside the
+    # scan's single local split (measured 0.5 s one-task stage)
+    from columnar_estimator_sample_spark.sources.tables import fanout
+    docs = fanout(table(spark, sf_dir, "documents")
+                  .select("doc_id", "lang", "text"))
     feats = (docs.select("doc_id", "lang",
                          F.explode(F.split("text", " ")).alias("w"))
              .select("doc_id", "lang",
@@ -1956,7 +1960,11 @@ def q_dsir_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket/ratio tables stay {DSIR_B} broadcast rows. Selection remains
     TakeOrderedAndProject. At 100 TB this is the same embarrassingly
     parallel scan shape as the unigram query, ~2x the exploded rows."""
-    docs = table(spark, sf_dir, "documents")
+    # r14: fanout — the per-token md5 kernel otherwise runs inside the
+    # scan's single local split (measured 1.2 s one-task stage)
+    from columnar_estimator_sample_spark.sources.tables import fanout
+    docs = fanout(table(spark, sf_dir, "documents")
+                  .select("doc_id", "lang", "text"))
     feats = (docs
              .select("doc_id", "lang", F.split("text", " ").alias("ws"))
              .select("doc_id", "lang", F.explode(F.expr("""

@@ -1536,9 +1536,13 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     is priced as a fixed cost on the bounded slice (same contract as
     q_ann_recall's RECALL_N audit slice); the banded lane is the
     production shape."""
-    docs = (table(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") < 500)
-            .select("doc_id", "lang", "text"))
+    from columnar_estimator_sample_spark.sources.tables import fanout
+    # r14: fanout — every downstream kernel (the banded md5 signatures,
+    # the shingle explode) otherwise runs inside the scan's single local
+    # split (four measured one-task 0.3-0.7 s stages)
+    docs = fanout(table(spark, sf_dir, "documents")
+                  .filter(F.col("doc_id") < 500)
+                  .select("doc_id", "lang", "text"))
     bands = minhash_bands(docs.select("doc_id", "text"))
     left, right = bands.alias("l"), bands.alias("r")
     cand = (left.join(right,
@@ -1576,16 +1580,17 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / (F.col("na") + F.col("nb") - F.col("i")))
                      >= JACCARD_T)
              .select("lang", "doc_a", "doc_b"))
-    hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
-    tc = truth.groupBy("lang").agg(
-        F.count("*").cast("long").alias("n_truth"))
-    hc = hits.groupBy("lang").agg(
-        F.count("*").cast("long").alias("n_hits"))
-    return (tc.join(hc, "lang", "left")
-            .select("lang", "n_truth",
-                    F.coalesce("n_hits", F.lit(0)).cast("long")
-                    .alias("n_hits"),
-                    F.expr("CAST(1000000 * COALESCE(n_hits, 0)"
+    # r14: ONE pass over truth — the left_semi + two-groupBy + join shape
+    # consumed the exhaustive truth subtree twice; a left join against
+    # the (distinct) candidate pairs with a hit marker folds n_truth and
+    # n_hits into one aggregation of the same frame.
+    hitflag = cand.withColumn("__hit", F.lit(1))
+    j = truth.join(hitflag, ["doc_a", "doc_b"], "left")
+    return (j.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_truth"),
+                 F.count("__hit").cast("long").alias("n_hits"))
+            .select("lang", "n_truth", "n_hits",
+                    F.expr("CAST(1000000 * n_hits"
                            " DIV n_truth AS BIGINT)").alias("recall_ppm"))
             .orderBy("lang"))
 

@@ -829,6 +829,9 @@ def encode_media_batches(docs: DataFrame) -> DataFrame:
                         encode_wav_pcm16(samples, rate))
             yield pd.DataFrame(out)
 
+    # r14 NOTE: fanout of this doc-id feed was tried and measured
+    # +0.3 s (interleaved A/B at sf0.1): the parallel encode win does
+    # not cover the extra exchange + build-time partition probe here.
     return docs.select("doc_id").mapInPandas(
         run, "doc_id long, media_type string, payload binary")
 

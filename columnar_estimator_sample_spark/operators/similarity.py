@@ -33,7 +33,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from columnar_estimator_sample_spark.registry import register
-from columnar_estimator_sample_spark.sources.tables import register_memo, table
+from columnar_estimator_sample_spark.sources.tables import (
+    fanout, register_memo, table,
+)
 
 N_QUERIES = 5   # vec_id < 5 are the query vectors
 TOP_K = 5
@@ -118,9 +120,12 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     over |Q|·N score rows."""
     emb = table(spark, sf_dir, "embeddings")
     nrm = F.sqrt(_dot_dec("embedding", "embedding"))
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
-                        F.col("embedding").alias("d_emb"),
-                        nrm.alias("d_nrm"))
+    # r14: fan the corpus side to session width — the decimal-exact
+    # dot/norm kernel otherwise runs inside the scan's single local
+    # split (a measured single-task hot stage)
+    corpus = fanout(emb).select(F.col("vec_id").alias("neighbor_id"),
+                                F.col("embedding").alias("d_emb"),
+                                nrm.alias("d_nrm"))
     queries = (emb.filter(F.col("vec_id") < N_QUERIES)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("q_emb"),
@@ -1580,7 +1585,11 @@ def q_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical cost profile to the within-set LSH dedup, minus its
     self-join."""
     emb = table(spark, sf_dir, "embeddings")
-    bits = ann_signatures(spark, sf_dir, ANN_PLANES, emb=emb)
+    # r14: the batch-matmul signature kernel (bit-identical, see
+    # ann_signatures_arrow) replaces the 16-sum codegen aggregate that
+    # profiled at 21 s of executor time here; this query is already on
+    # the plan-audit Arrow allowlist via the gather scorer.
+    bits = ann_signatures_arrow(emb, ANN_PLANES)
     band_keys = [
         sum((F.col(f"b{b * ANN_ROWS + r}") * (2 ** r)
              for r in range(ANN_ROWS)), start=F.lit(0))
@@ -1597,19 +1606,21 @@ def q_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_a", "vec_b")
             .dropDuplicates(["vec_a", "vec_b"]))
     scored = score_candidates_gather(cand, emb)  # keeps cos >= ANN_COS_T
-    w = Window.partitionBy("vec_a").orderBy(F.desc("cosine"),
-                                            F.asc("vec_b"))
-    top = (scored.withColumn("rnk", F.row_number().over(w))
-           .filter(F.col("rnk") == 1)
-           .select(F.col("vec_a").alias("eval_id"),
-                   F.col("vec_b").alias("top_match"),
-                   F.col("cosine").alias("top_cos")))
+    # r14: ONE aggregation replaces the window-rank + separate census —
+    # those were two consumers of `scored`, re-running the gather+score
+    # pipeline twice. max_by on (cosine, -vec_b) is the same
+    # (cosine DESC, vec_b ASC) top-1 rule; top_cos is that row's cosine
+    # = MAX(cosine).
     census = (scored.groupBy(F.col("vec_a").alias("eval_id"))
-              .agg(F.count("*").cast("long").alias("n_flagged")))
+              .agg(F.count("*").cast("long").alias("n_flagged"),
+                   F.max_by("vec_b",
+                            F.struct(F.col("cosine"),
+                                     (-F.col("vec_b")).alias("nb")))
+                   .alias("top_match"),
+                   F.max("cosine").alias("top_cos")))
     spine = (spark.range(SEMCON_NEVAL)
              .select(F.col("id").cast("long").alias("eval_id")))
     return (spine.join(census, "eval_id", "left")
-            .join(top, "eval_id", "left")
             .select("eval_id",
                     F.coalesce("n_flagged", F.lit(0)).cast("long")
                     .alias("n_flagged"),
@@ -1964,9 +1975,12 @@ def mmr_shortlist(spark: SparkSession, sf_dir: str,
     )
     emb = table(spark, sf_dir, "embeddings")
     nrm = F.sqrt(_dot_dec("embedding", "embedding"))
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
-                        F.col("embedding").alias("d_emb"),
-                        nrm.alias("d_nrm"))
+    # r14: fan the corpus side to session width — the decimal-exact
+    # dot/norm kernel otherwise runs inside the scan's single local
+    # split (a measured single-task hot stage)
+    corpus = fanout(emb).select(F.col("vec_id").alias("neighbor_id"),
+                                F.col("embedding").alias("d_emb"),
+                                nrm.alias("d_nrm"))
     queries = (emb.filter(F.col("vec_id") < N_QUERIES)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("q_emb"),
