@@ -1632,20 +1632,25 @@ def _recall_census_two_lane(spark: SparkSession, raw: DataFrame,
                     F.col("l.vec_id").alias("vec_a"),
                     F.col("r.vec_id").alias("vec_b"))
             .dropDuplicates(["variant", "vec_a", "vec_b"]))
-    found = truth.join(cand, ["variant", "vec_a", "vec_b"], "left_semi")
+    # r14: ONE pass over truth — the left_semi + separate truth census
+    # executed the expensive exact-dot subtree twice; a left join
+    # against the (distinct) candidate pairs with a hit marker folds
+    # n_truth and n_found into one aggregation. cand's dedup aggregate
+    # tops an exchange, so its two consumers share one execution via
+    # exchange reuse.
+    hit = cand.withColumn("__hit", F.lit(1))
+    tf = (truth.join(hit, ["variant", "vec_a", "vec_b"], "left")
+          .groupBy("variant")
+          .agg(F.count("*").cast("long").alias("n_truth"),
+               F.count("__hit").cast("long").alias("n_found")))
     # per-variant scalars; n_vec (always RECALL_N rows per variant) is
     # the base frame so a variant with an empty truth/candidate set
     # still reports its zeros
     base = norms.groupBy("variant").agg(
         F.count("*").cast("long").alias("n_vec"))
-    t = truth.groupBy("variant").agg(
-        F.count("*").cast("long").alias("n_truth"))
-    f_ = found.groupBy("variant").agg(
-        F.count("*").cast("long").alias("n_found"))
     c = cand.groupBy("variant").agg(
         F.count("*").cast("long").alias("n_candidates"))
-    agg = (base.join(F.broadcast(t), "variant", "left")
-           .join(F.broadcast(f_), "variant", "left")
+    agg = (base.join(F.broadcast(tf), "variant", "left")
            .join(F.broadcast(c), "variant", "left")
            .select("variant",
                    F.coalesce("n_truth", F.lit(0)).alias("n_truth"),
@@ -1927,6 +1932,9 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # executed twice (190 Exchange mentions -> ~half; the admission
     # predicate is a filter on the pre-aggregated pm column, so kept
     # counts are unchanged).
+    # (fanout of the tokenize feed was tried and measured +0.2 s in an
+    # interleaved A/B — the extra exchange costs more than the parallel
+    # tokenize here; the scan-fused single-split tokenize stays)
     dtoks = (docs.join(assign, docs.doc_id == assign.vec_id)
              .select("domain",
                      (h64(F.col("doc_id").cast("string")) % 1_000_000)
