@@ -69,6 +69,14 @@ def basket_minsups(sf_dir: str) -> tuple[int, int]:
         parquet_num_rows(os.path.join(sf_dir, "orders.parquet")))
 
 
+def dedup_items(li: DataFrame) -> DataFrame:
+    """Distinct (ok, pk) basket items, hash-partitioned by ``ok`` (see
+    frequent_pair_supports' r15 note). Every consumer of the dedup MUST
+    build it through this one helper so the exchange subtrees stay
+    textually identical and AQE's exchange reuse materializes it once."""
+    return li.repartition(F.col("ok")).dropDuplicates(["ok", "pk"])
+
+
 def frequent_pair_supports(li: DataFrame, item_minsup: int,
                            pair_minsup: int):
     """A-priori frequent-pair mining by basket expansion, shared by
@@ -83,11 +91,21 @@ def frequent_pair_supports(li: DataFrame, item_minsup: int,
     which is what makes the hint safe at scale.
 
     One fact scan, not three (r9): item supports and baskets both
-    derive from one shared ``items`` dedup — the (ok, pk) exchange is
+    derive from one shared ``items`` dedup — the dedup exchange is
     identical in every consumer subtree, so runtime exchange reuse
     (AQE) materializes it once; after the dedup, per-pk counts are
-    plain COUNT(*) and baskets are collect_list, no per-group set."""
-    items = li.dropDuplicates(["ok", "pk"])
+    plain COUNT(*) and baskets are collect_list, no per-group set.
+
+    r15 (guide §2.4): the dedup exchange is keyed by ``ok`` ALONE —
+    hash partitioning on a subset of the dedup keys is a valid
+    clustered distribution for the (ok, pk) aggregate, and the basket
+    build's groupBy(ok) then reuses that partitioning instead of
+    paying its own full shuffle of the item frame (broadcast joins
+    preserve partitioning). Dedup itself is order-free, so results
+    are unchanged; the exchange ships raw fact rows instead of
+    map-side-deduped ones — near-identical volume on this schema
+    (duplicate (ok, pk) lineitems are rare)."""
+    items = dedup_items(li)
     freq = (items.groupBy("pk")
             .agg(F.count("*").cast("long").alias("c"))
             .filter(F.col("c") >= item_minsup))
@@ -170,7 +188,7 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan-construction time — same contract as q_markov_stationary).
     # Derived through the SAME (ok, pk) dedup subtree as
     # frequent_pair_supports so the exchange is reused, not re-scanned.
-    n_ord = (li.dropDuplicates(["ok", "pk"])
+    n_ord = (dedup_items(li)
              .agg(F.count_distinct("ok").cast("long")
                   .alias("n_orders")))
     item_ms, pair_ms = basket_minsups(sf_dir)  # == floors at gate/bench SFs

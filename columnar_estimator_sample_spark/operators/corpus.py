@@ -911,6 +911,12 @@ def budget_pack(pool: DataFrame, budget_permille: int,
     holds millions of documents therefore never funnels into a
     single-task sort (the naive (lang, score) window would — measured
     7.8 s at 100× data; this shape cut it to ~4 s)."""
+    # r15 NOTE: a lazy localCheckpoint on ``pool`` (it feeds FOUR
+    # consumers) was tried and measured +0.17 s in an interleaved
+    # two-JVM A/B at sf0.1 — the checkpoint write+read of the frame
+    # costs more than the consumers' re-executed scan+tokenize subtree
+    # here (the broadcast score join keeps each re-execution narrow).
+    # Left un-checkpointed on that measurement.
     bud = (pool.groupBy("lang")
            .agg(F.expr(f"CAST(SUM(n_toks) * {budget_permille}"
                        " DIV 1000 AS BIGINT)").alias("budget_tokens")))
@@ -1881,11 +1887,14 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the explode dominates and is embarrassingly parallel; the
     n-gram generalization only widens the explode, never the joins.
     """
-    # r14: fanout — the per-token md5 kernel otherwise runs inside the
-    # scan's single local split (measured 0.5 s one-task stage)
-    from columnar_estimator_sample_spark.sources.tables import fanout
-    docs = fanout(table(spark, sf_dir, "documents")
-                  .select("doc_id", "lang", "text"))
+    # r15: the r14 fanout was REVERTED here — with the 1m floor pin in
+    # place, an interleaved on/off A/B measured the extra exchange net
+    # NEGATIVE for the unigram kernel (ON 1.014 s vs OFF 0.942 s min;
+    # the r14 keep was "neutral min, better median" and the r14 driver
+    # read 0.87x). q_dsir_bigram's heavier kernel keeps its fanout
+    # (same A/B: +0.69 s without it).
+    docs = (table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "text"))
     feats = (docs.select("doc_id", "lang",
                          F.explode(F.split("text", " ")).alias("w"))
              .select("doc_id", "lang",

@@ -2148,7 +2148,10 @@ def q_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("supp").cast("long").alias("supp"),
             F.expr("(1000 * supp) DIV greatest(n_users, 1)")
             .cast("long").alias("supp_pm"))
-        # r14: pre-sort hash exchange (sampler-twin fix, see q_sessionize)
-        .repartition(F.col("k"), F.col("supp"), F.col("seq"))
+        # r15: the r14 pre-sort hash exchange (sampler-twin fix) was
+        # REVERTED here — the result frame is a |types|^k-bounded
+        # aggregate, so the sampler twin it suppressed was tiny, and
+        # the added exchange measured net-negative (driver r14: 0.74x;
+        # re-A/B'd this round, see OPTIMIZATION_r15.md).
         .orderBy("k", F.desc("supp"), "seq")
     )

@@ -482,16 +482,24 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (3 * PR_SCALE) // (20 * n_nodes)
 
     pr = nodes.select("node", F.lit(init).cast("long").alias("pr"))
-    src_nodes = p.select("src").distinct()
     for _ in range(PR_ITERS):
-        # dangling nodes redistribute their mass uniformly (scalar, tiny)
-        dang = (pr.join(src_nodes, pr.node == src_nodes.src, "left_anti")
-                .agg(F.coalesce(F.sum("pr"), F.lit(0)).alias("dtot"))
+        # r15 (guide §2.4): edge contributions and the dangling-mass
+        # total were two separate passes over pr (a left_anti + agg and
+        # a join + agg). One LEFT join of pr against the edge list
+        # yields both: a node with out-edges emits one (dst, c) row per
+        # edge; a dangling node emits a single null-dst row carrying
+        # its whole mass, so the null-dst group of ONE aggregate is
+        # exactly the old dtot. Identical integer arithmetic.
+        contrib_all = (pr.join(p, pr.node == p.src, "left")
+                       .select("dst",
+                               F.when(F.col("src").isNull(), F.col("pr"))
+                               .otherwise(F.expr(
+                                   f"(pr * p_ppm) DIV {PPM}")).alias("c"))
+                       .groupBy("dst").agg(F.sum("c").alias("s")))
+        dang = (contrib_all.filter(F.col("dst").isNull())
+                .agg(F.coalesce(F.sum("s"), F.lit(0)).alias("dtot"))
                 .select(F.expr(f"dtot DIV {n_nodes}").alias("dshare")))
-        contrib = (p.join(pr, p.src == pr.node)
-                   .select("dst", F.expr(f"(pr * p_ppm) DIV {PPM}")
-                           .alias("c"))
-                   .groupBy("dst").agg(F.sum("c").alias("s")))
+        contrib = contrib_all.filter(F.col("dst").isNotNull())
         pr = (nodes.join(contrib, nodes.node == contrib.dst, "left")
               .crossJoin(F.broadcast(dang))
               .select("node",
@@ -919,7 +927,17 @@ def _lpa_label_frame(spark: SparkSession, sf_dir: str):
         # round (A/B at both scales: plain 1.17/1.35 s vs forced
         # broadcast 1.57/1.91 s for the 3 rounds at sf0.1/sf1). The vote
         # count is map-side combinable either way.
+        # r15 (guide §2.4): ONE exchange per superstep instead of two.
+        # The vote count groups by (dst, lab) and the argmax by dst; a
+        # single hash repartition on dst satisfies BOTH (HashPartitioning
+        # on a subset of the grouping keys is a valid clustered
+        # distribution, and aggregate output partitioning is
+        # alias-aware), so the (dst, lab) exchange and the node exchange
+        # collapse into one. The vote rows it ships are raw (one per
+        # edge) instead of map-side-combined — on the support-pruned
+        # graph that is a narrow O(E) frame either way.
         votes = (edges.join(labels, edges.src == labels.node)
+                 .repartition(F.col("dst"))
                  .groupBy(F.col("dst").alias("node"), "lab")
                  .agg(F.count("*").cast("long").alias("cnt")))
         # top-1 per node as a MAX over (cnt, -lab) structs — one hash

@@ -57,7 +57,13 @@ def _list_matrix(col, np):
     n = len(offs) - 1
     vals = col.values.to_numpy(zero_copy_only=True)
     if n == 0:
-        return vals.reshape(0, 0)
+        # The vector dimension is unrecoverable from an empty column, so
+        # a (0, 0) matrix would shape-mismatch downstream matmuls in a
+        # confusing place. Fail here instead: every caller must skip
+        # empty record batches (they all do — `rb.num_rows == 0` guard).
+        raise ValueError(
+            "_list_matrix on an empty batch: callers must skip "
+            "rb.num_rows == 0 batches")
     dim = offs[1] - offs[0]
     if not (np.diff(offs) == dim).all():
         raise ValueError("ragged vector batch: equal-length contract")

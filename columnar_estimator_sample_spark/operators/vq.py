@@ -738,16 +738,25 @@ def semdedup_census(emb: DataFrame) -> DataFrame:
     # broadcasting them would ship the full corpus to every executor at
     # scale. pairs is post-threshold and id-keyed, so the shuffled
     # (sort-merge / shuffle-hash) join is cheap and scale-safe.
+    #
+    # r15 (guide §2.4): the cross-pair census and the pruned-rep census
+    # were TWO aggregation pipelines over the same pairs frame (one of
+    # them through a distinct + regroup). The centroid-cos joins are
+    # needed for the prune rule anyway, so ONE aggregation computes both:
+    # n_cross_pairs = SUM(m_a*m_b) (the joins are 1:1 on vec_id, so the
+    # sum is unchanged) and n_rep_pruned = COUNT(DISTINCT pv) — exactly
+    # the old distinct-then-count, folded.
     ca = mem.select(F.col("vec_id").alias("va"), F.col("cos").alias("ca"))
     cb = mem.select(F.col("vec_id").alias("vb"), F.col("cos").alias("cb"))
-    cross_pruned = (pairs.join(ca, "va")
-                    .join(cb, "vb")
-                    .select("centroid_id",
-                            F.when(F.col("ca") > F.col("cb"), F.col("va"))
-                            .otherwise(F.col("vb")).alias("pv"))
-                    .distinct()
-                    .groupBy("centroid_id")
-                    .agg(F.count("*").cast("long").alias("n_rep_pruned")))
+    pcc = (pairs.join(ca, "va")
+           .join(cb, "vb")
+           .groupBy("centroid_id")
+           .agg(F.expr("CAST(SUM(m_a * m_b) AS BIGINT)")
+                .alias("n_cross_pairs"),
+                F.count_distinct(
+                    F.when(F.col("ca") > F.col("cb"), F.col("va"))
+                    .otherwise(F.col("vb")))
+                .cast("long").alias("n_rep_pruned")))
 
     mc = (mem.join(groups, "vec_id")
           .groupBy("centroid_id")
@@ -755,11 +764,8 @@ def semdedup_census(emb: DataFrame) -> DataFrame:
                F.expr("CAST(SUM(m * (m - 1) DIV 2) AS BIGINT)")
                .alias("n_within_pairs"),
                F.expr("CAST(SUM(m - 1) AS BIGINT)").alias("n_base_pruned")))
-    pc = pairs.groupBy("centroid_id").agg(
-        F.expr("CAST(SUM(m_a * m_b) AS BIGINT)").alias("n_cross_pairs"))
     return (
-        mc.join(pc, "centroid_id", "left")
-        .join(cross_pruned, "centroid_id", "left")
+        mc.join(pcc, "centroid_id", "left")
         .select(
             "centroid_id", "n_members",
             (F.col("n_within_pairs")
@@ -1567,62 +1573,118 @@ def whitened_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _recall_census_two_lane(spark: SparkSession, raw: DataFrame,
                             white: DataFrame) -> DataFrame:
-    """Two-row LSH-recall census over BOTH mil-lane exploded frames
-    (vec_id, i, vm) at once, keyed by a variant column — the
+    """Two-row LSH-recall census over BOTH mil-lane PACKED frames
+    (vec_id, v: array<long>) at once, keyed by a variant column — the
     q_ann_recall machinery run as ONE plan so the raw and whitened
     lanes share every stage boundary (two independent censuses unioned
     measured 4.3 s at sf0.1, mostly duplicated stage latency; this
-    variant-keyed form halves the stage count). The math per variant is
-    textually identical to the single-lane form, so values are
-    unchanged."""
+    variant-keyed form halves the stage count).
+
+    r15 (guide §4.2): ground truth and signatures ride the packed-vector
+    Arrow kernels instead of the element-explode joins — the exact-dot
+    truth was a (variant, i)-keyed self-join with only 2·dim distinct
+    keys shuffling |pairs|·dim rows through SMJ, and the 48 plane sums
+    were a broadcast-join + 48-sum codegen aggregate. Both now run as
+    int64 einsums/matmuls over `_list_matrix` views (bit-identical:
+    int64 sums are exact and order-free; the cosine threshold applies
+    the same float64 expression tree, with Spark/DuckDB's NaN>=T
+    semantics preserved via not(cos < T)). Values are unchanged."""
+    import numpy as np
+
     from columnar_estimator_sample_spark.operators.similarity import (
-        ANN_BANDS, ANN_PLANES, ANN_ROWS, RECALL_N, _plane_signs,
+        ANN_BANDS, ANN_PLANES, ANN_ROWS, RECALL_N, _list_matrix,
+        _plane_signs,
     )
-    exb = (raw.select(F.lit("raw").alias("variant"), "vec_id", "i", "vm")
-           .unionByName(white.select(
-               F.lit("whitened").alias("variant"), "vec_id", "i", "vm"))
-           .filter(F.col("vec_id") < RECALL_N))
-    norms = (exb.groupBy("variant", "vec_id")
-             .agg(F.sum(F.expr("vm * vm")).cast("long").alias("n_s")))
-    l, r = exb.alias("l"), exb.alias("r")
-    dots = (l.join(r, (F.col("l.variant") == F.col("r.variant"))
-                   & (F.col("l.i") == F.col("r.i"))
-                   & (F.col("l.vec_id") < F.col("r.vec_id")))
-            .groupBy(F.col("l.variant").alias("variant"),
-                     F.col("l.vec_id").alias("vec_a"),
-                     F.col("r.vec_id").alias("vec_b"))
-            .agg(F.sum(F.expr("l.vm * r.vm")).cast("long")
-                 .alias("dot_s")))
-    na = norms.select("variant", F.col("vec_id").alias("vec_a"),
-                      F.col("n_s").alias("na_s"))
-    nbn = norms.select("variant", F.col("vec_id").alias("vec_b"),
-                       F.col("n_s").alias("nb_s"))
-    truth = (dots.join(F.broadcast(na), ["variant", "vec_a"])
-             .join(F.broadcast(nbn), ["variant", "vec_b"])
-             .filter(F.expr(
-                 "CAST(dot_s AS DOUBLE) / (sqrt(CAST(na_s AS DOUBLE))"
-                 f" * sqrt(CAST(nb_s AS DOUBLE))) >= {ANN_COS_T}"))
-             .select("variant", "vec_a", "vec_b"))
-    plane = [_plane_signs(p, PCA_DIM) for p in range(ANN_PLANES)]
-    sign_rows = [(i, *[plane[p][i] for p in range(ANN_PLANES)])
-                 for i in range(PCA_DIM)]
-    signs = spark.createDataFrame(
-        sign_rows, ["i"] + [f"g{p}" for p in range(ANN_PLANES)])
-    sums = [F.sum(F.col("vm") * F.col(f"g{p}")).alias(f"s{p}")
-            for p in range(ANN_PLANES)]
-    bits = (exb.join(F.broadcast(signs), "i")
-            .groupBy("variant", "vec_id").agg(*sums)
-            .select("variant", "vec_id",
-                    *[F.when(F.col(f"s{p}") > 0, 1).otherwise(0)
-                      .alias(f"b{p}") for p in range(ANN_PLANES)]))
-    band_keys = [
-        sum((F.col(f"b{b * ANN_ROWS + k}") * (2 ** k)
-             for k in range(ANN_ROWS)), start=F.lit(0))
-        for b in range(ANN_BANDS)
-    ]
-    bands = bits.select(
-        "variant", "vec_id",
-        F.posexplode(F.array(*band_keys)).alias("band", "band_key"))
+    from columnar_estimator_sample_spark.operators.similarity import (
+        ANN_COS_T as _COS_T,
+    )
+    packed = (raw.select(F.lit("raw").alias("variant"), "vec_id", "v")
+              .unionByName(white.select(
+                  F.lit("whitened").alias("variant"), "vec_id", "v"))
+              .filter(F.col("vec_id") < RECALL_N))
+    # one row per vector with >= 1 element — the exploded form's norms
+    # frame (empty arrays never explode, so they were absent there too)
+    nonempty = packed.filter(F.size("v") > 0)
+
+    # ---- exact-cosine ground truth: all-pairs within variant through
+    # the gather + int64-einsum kernel (RECALL_N-bounded by contract)
+    ids = nonempty.select("variant", "vec_id")
+    cand_all = (ids.select("variant", F.col("vec_id").alias("vec_a"))
+                .join(ids.select("variant", F.col("vec_id").alias("vec_b")),
+                      "variant")
+                .filter(F.col("vec_a") < F.col("vec_b")))
+    ga = nonempty.select("variant", F.col("vec_id").alias("vec_a"),
+                         F.col("v").alias("va"))
+    gb = nonempty.select("variant", F.col("vec_id").alias("vec_b"),
+                         F.col("v").alias("vb"))
+    gathered = (cand_all
+                .join(ga.hint("shuffle_hash"), ["variant", "vec_a"])
+                .join(gb.hint("shuffle_hash"), ["variant", "vec_b"]))
+    threshold = _COS_T
+
+    def score(batches):
+        import pyarrow as pa
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            cols = {f: i for i, f in enumerate(rb.schema.names)}
+            A = _list_matrix(rb.column(cols["va"]), np)
+            B = _list_matrix(rb.column(cols["vb"]), np)
+            dot = np.einsum("ij,ij->i", A, B)            # int64, exact
+            na = np.einsum("ij,ij->i", A, A)
+            nb = np.einsum("ij,ij->i", B, B)
+            cos = dot.astype(np.float64) / (
+                np.sqrt(na.astype(np.float64))
+                * np.sqrt(nb.astype(np.float64)))
+            # not(cos < T), NOT cos >= T: Spark and DuckDB both order
+            # NaN above every number, numpy orders it below — an
+            # all-zero pair (0/0 = NaN) must stay a truth pair exactly
+            # as it did in the relational form
+            keep = np.logical_not(cos < threshold)
+            mask = pa.array(keep)
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(cols["variant"]).filter(mask),
+                 rb.column(cols["vec_a"]).filter(mask),
+                 rb.column(cols["vec_b"]).filter(mask)],
+                ["variant", "vec_a", "vec_b"])
+
+    truth = gathered.mapInArrow(
+        score, "variant string, vec_a long, vec_b long")
+
+    # ---- LSH band keys: V @ S int64 matmul per batch (the relational
+    # form's inner sign join on i silently restricted sums to the first
+    # PCA_DIM elements; min(dim, PCA_DIM) replicates that exactly)
+    def project(batches):
+        import pyarrow as pa
+        sign_cache: dict = {}
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            cols = {f: i for i, f in enumerate(rb.schema.names)}
+            V = _list_matrix(rb.column(cols["v"]), np)
+            d = min(V.shape[1], PCA_DIM)
+            if d not in sign_cache:
+                sign_cache[d] = np.array(
+                    [_plane_signs(p, d) for p in range(ANN_PLANES)],
+                    dtype=np.int64).T              # d × planes
+            proj = V[:, :d] @ sign_cache[d]        # int64, exact
+            bits = (proj > 0).astype(np.int64)
+            n = len(bits)
+            keys = np.zeros((n, ANN_BANDS), dtype=np.int64)
+            for b in range(ANN_BANDS):
+                for k in range(ANN_ROWS):
+                    keys[:, b] += bits[:, b * ANN_ROWS + k] << k
+            idx = pa.array(np.repeat(np.arange(n), ANN_BANDS))
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(cols["variant"]).take(idx),
+                 rb.column(cols["vec_id"]).take(idx),
+                 pa.array(np.tile(np.arange(ANN_BANDS, dtype=np.int64),
+                                  n)),
+                 pa.array(keys.reshape(-1))],
+                ["variant", "vec_id", "band", "band_key"])
+
+    bands = nonempty.mapInArrow(
+        project, "variant string, vec_id long, band long, band_key long")
     bl, br = bands.alias("l"), bands.alias("r")
     cand = (bl.join(br, (F.col("l.variant") == F.col("r.variant"))
                     & (F.col("l.band") == F.col("r.band"))
@@ -1645,8 +1707,9 @@ def _recall_census_two_lane(spark: SparkSession, raw: DataFrame,
                F.count("__hit").cast("long").alias("n_found")))
     # per-variant scalars; n_vec (always RECALL_N rows per variant) is
     # the base frame so a variant with an empty truth/candidate set
-    # still reports its zeros
-    base = norms.groupBy("variant").agg(
+    # still reports its zeros (counted over nonempty — exactly the
+    # vectors the exploded form's norms frame held)
+    base = nonempty.groupBy("variant").agg(
         F.count("*").cast("long").alias("n_vec"))
     c = cand.groupBy("variant").agg(
         F.count("*").cast("long").alias("n_candidates"))
@@ -1789,13 +1852,41 @@ def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     memo = _WHITEN_LANES_MEMO.get(key)
     if memo is None:
-        raw = (_exploded(table(spark, sf_dir, "embeddings"))
-               .select("vec_id", "i", F.expr(_PCA_MIL).alias("vm"))
-               .filter(F.col("vec_id") < RECALL_N)
+        # r15: the lanes are PACKED (vec_id, v: array<long>) for the
+        # census's Arrow kernels. The mil array is the identical
+        # per-element chain as _PCA_MIL over _exploded (transform
+        # preserves element order = the explode's i order), and the
+        # whitened lane folds whitened_exploded's pn aggregate and rm
+        # join into one zip_with over the same literal eigenvector —
+        # int64 sums and the rm double chain are textually identical,
+        # so both lanes are bit-identical to the exploded form.
+        mil_arr = F.expr(
+            "transform(embedding, vf -> CAST(floor("
+            "CAST(CAST(CAST(vf AS DOUBLE) AS DECIMAL(18,6)) * 1000000"
+            " AS BIGINT) / 1000.0) AS BIGINT))")
+        base = (table(spark, sf_dir, "embeddings")
+                .filter(F.col("vec_id") < RECALL_N)
+                .select("vec_id", mil_arr.alias("mv")))
+        raw = (base.select("vec_id", F.col("mv").alias("v"))
                .localCheckpoint(eager=False))
-        white = (whitened_exploded(spark, sf_dir)
-                 .filter(F.col("vec_id") < RECALL_N)
-                 .localCheckpoint(eager=False))
+        _, vq, n2 = _pca_eigvec(spark, sf_dir)
+        if n2 == 0:
+            # degenerate all-zero corpus: no direction to remove
+            white = raw
+        else:
+            vq_lit = "array(" + ",".join(f"{int(q)}L" for q in vq) + ")"
+            rm = _PCA_RM.format(
+                n2=f"CAST('{n2}' AS DECIMAL(38,0))").replace(
+                "CAST(vq AS DOUBLE)", "CAST(q AS DOUBLE)")
+            white = (base
+                     .withColumn("pn", F.expr(
+                         f"aggregate(zip_with(mv, {vq_lit},"
+                         " (x, y) -> x * y), CAST(0 AS BIGINT),"
+                         " (a, t) -> a + t)"))
+                     .select("vec_id", F.expr(
+                         f"zip_with(mv, {vq_lit}, (x, q) -> x - {rm})")
+                         .alias("v"))
+                     .localCheckpoint(eager=False))
         memo = (raw, white)
         _WHITEN_LANES_MEMO[key] = memo
     return (_recall_census_two_lane(spark, *memo)
@@ -1952,15 +2043,23 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "isq",
         F.expr("CAST(FLOOR(SQRT(CAST(n_tokens_domain AS DOUBLE)))"
                " AS BIGINT)"))
-    tot = sq.agg(F.sum("n_tokens_domain").cast("long").alias("tot_n"),
-                 F.sum("isq").cast("long").alias("tot_sq"))
-    boost = (sq.crossJoin(F.broadcast(tot))
+    # r15 (guide §2.4): the rate chain was four serial tiny-frame
+    # barriers (tot agg -> broadcast cross-join -> max agg -> broadcast
+    # cross-join). Two unpartitioned window passes over the SAME
+    # single-partition exchange compute the identical integer chain in
+    # one barrier; the window input is the per-domain frame, bounded by
+    # DOMAIN_K rows by construction, never corpus-sized
+    # (UNPARTITIONED_WINDOW_ALLOWED entry).
+    w_all = Window.partitionBy()
+    boost = (sq.withColumn("tot_n",
+                           F.sum("n_tokens_domain").over(w_all)
+                           .cast("long"))
+             .withColumn("tot_sq", F.sum("isq").over(w_all).cast("long"))
              .select("domain", "n_docs_domain", "n_tokens_domain",
                      F.expr("((1000000 * isq) DIV tot_sq) * 1000000"
                             " DIV GREATEST((1000000 * n_tokens_domain)"
                             " DIV tot_n, 1)").alias("boost_ppm")))
-    maxb = boost.agg(F.max("boost_ppm").alias("max_b"))
-    adm = (boost.crossJoin(F.broadcast(maxb))
+    adm = (boost.withColumn("max_b", F.max("boost_ppm").over(w_all))
            .select("domain", "n_docs_domain", "n_tokens_domain",
                    F.expr("(1000000 * boost_ppm) DIV max_b")
                    .alias("adm_ppm")))

@@ -15,7 +15,9 @@ here.
 
 from __future__ import annotations
 
+import functools
 import importlib
+import os
 from collections.abc import Callable
 from typing import Optional
 
@@ -25,6 +27,70 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
+
+# ---------------------------------------------------------------------------
+# Per-query runtime-conf pins.
+#
+# The AQE coalescing floor (`coalescePartitions.minPartitionSize`) is a
+# LOCAL-MODE width/latency tradeoff: it only binds on sub-MB post-shuffle
+# partitions (at production sizes the coalescer targets
+# advisoryPartitionSizeInBytes regardless), and the r15 suite-wide
+# interleaved A/B (1m vs 64k, all 68 headline queries, one warm JVM)
+# measured it BIMODAL — the CPU-dense set-similarity/verification family
+# needs the 64k floor (winnow −0.98 s, prefix_filter −0.69, cosine_setjoin
+# −0.64, embed_whiten −0.71, minhash_lsh −0.48, contamination_check −0.47,
+# token_budget_pack −0.30), while many-small-exchange iteration/scan
+# queries pay a per-task latency tax for the extra width
+# (link_prediction +1.06 s, dsir_bigram +0.46, q01 +0.31, dsir_selection
+# +0.29, lpa/pagerank +0.25). No single constant is right, so the floor
+# stays 64k session-wide (session.py, env-overridable) and the measured
+# losers pin the 1 MB default back per query. Pins are applied at query
+# BUILD time via the registration wrapper below (runtime SQL confs are
+# read at execution, and every harness — bench, oracle gates, driver —
+# builds then immediately drains, so the pinned value governs the drain).
+# Perf-only: no pin can change results.
+_FLOOR_KEY = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+# The 1m pins below are the queries where BOTH r15 interleaved runs
+# (r14-close tree and post-rewrite tree) measured the 64k floor net-
+# negative by >= ~0.07 s at sf0.1 (full tables in SCALE.md §r15).
+# q_link_prediction / q_pagerank / q_copurchase were floor-negative on
+# the r14 tree but their r15 exchange-fusion rewrites flipped them
+# floor-positive — rewrites first, conf pins only for what remains.
+_QUERY_CONF_PINS: dict[str, dict[str, str]] = {
+    name: {_FLOOR_KEY: "1m"} for name in (
+        "q01_pricing_summary",      # +0.31 / +0.10
+        "q_posexplode_tokens",      # +0.15 / +0.10
+        "q_funnel_exclusion",       # +0.07 / +0.09
+        "q_lpa_communities",        # +0.25 / +0.22 (post-rewrite)
+        "q_media_audio_neardup",    # +0.18 / +0.25
+        "q_dsir_bigram",            # +0.46 / +0.49
+        "q_dsir_selection",         # +0.29 / +0.19
+        "q_dedup_embedding_lsh",    # +0.17 / +0.07
+        "q_mmr_rerank_scaled",      # +0.12 / +0.07
+        "q_domain_mixture",         # +0.05 / +0.32 (post-rewrite)
+    )
+}
+
+
+def _default_confs() -> dict[str, str]:
+    """Session-default values re-asserted before every un-pinned query so
+    a pinned build can never leak its conf into the next query."""
+    return {_FLOOR_KEY: os.environ.get(
+        "SPARK_GRAFT_MIN_PARTITION_SIZE", "64k")}
+
+
+def _with_conf_pins(name: str, fn: QueryFn) -> QueryFn:
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        confs = dict(_default_confs())
+        confs.update(_QUERY_CONF_PINS.get(name, {}))
+        for k, v in confs.items():
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # read-only/static conf on an exotic session: skip
+        return fn(spark, sf_dir)
+    return wrapped
 
 # Modules that register queries on import. Kept explicit so a broken
 # optional module can't silently drop the whole registry.
@@ -100,41 +166,56 @@ _loaded = False
 #   (c) the 5 oldest r8-age re-certs (registration order) that fit.
 #       The remaining 35 r8-age rows (from q_sequence_mining) head the
 #       r15 window.
-_DRIVER_WINDOW_R14 = [
-    # (a) round-14 new operators (the curriculum schedule, the
-    # hash-shard export layout, and the embedding-domain mixture landed
-    # late in the round and outrank the last three re-cert slots per
-    # the standing rotation rule), the new
-    # deterministic twins, the rewritten MMR lane pin, and the six
-    # window-gate decompositions
-    "q_curriculum_schedule", "q_shard_layout", "q_domain_mixture",
-    "q_approx_stats_exact", "q_cbo_actuals", "q_mmr_rerank",
-    "q_rfm_segments", "q_first_order_predictiveness", "q_funnel_latency",
-    "q_purchase_intervals", "q_hybrid_rrf", "q_contamination_check",
-    # (b) the 33 r7-age re-certs, registration order (incl. q_geo_dbscan,
-    # rewritten this round)
-    "q_join_size_estimate", "q_quantile_filter", "q_source_mixture",
-    "q_seqlen_histogram", "q_chunk_sliding", "q_source_temperature",
-    "q_source_overlap", "q_abc_parts", "q_negative_sampling",
-    "q_srm_check", "q_ab_test", "q_sample_weighted",
-    "q_dataset_card", "q_vq_refine", "q_embed_centroids", "q_embed_pq",
-    "q_pq_adc_topk", "q_zorder_layout", "q_compaction_plan",
-    "q_skew_salted_join", "q_ndv_broadcast_join", "q_corr_matrix",
-    "q_column_profile", "q_chi_square", "q_histogram",
-    "q_quantile_sketch", "q_geo_grid_knn", "q_geo_dbscan",
-    "q_stream_sliding_value", "q_stream_attribution",
-    "q_stream_dedup_census", "q_stream_landing_census",
-    "q_stream_user_totals",
-    # (c) the 5 oldest r8-age re-certs, registration order
-    "q_trace_top_ops", "q_posexplode_tokens", "q_json_extract",
-    "q_time_buckets", "q_sessionize",
+# Round-15 window (r14 verdict items 4 and 7, via the standing rotation
+# rule: anything REWRITTEN in the current round outranks everything,
+# then the r14-rewritten bodies that never got an r14 driver row, then
+# the oldest re-certs):
+#   (a) the 12 r15-rewritten bodies — semdedup census fold; embed_whiten
+#       packed-kernel census; the LPA/pagerank superstep fusions (and
+#       q_modularity, which shares the LPA label frame); the basket
+#       miner's ok-keyed dedup (copurchase / item_cf / link_prediction);
+#       q_sequence_mining's pre-sort-exchange revert; q_domain_mixture's
+#       window rate chain; q_dsir_selection's fanout revert — all
+#       result-identical and locally re-verified at sf0.001/0.01/0.1,
+#       but the driver row is the hard signal;
+#   (b) the 12 r14-rewritten bodies (F1-F5) whose certification still
+#       rests on r13-era driver rows plus the local sweeps;
+#   (c) 24 r8-age re-certs (registration order) — the oldest
+#       certification debt; then the 2 oldest r9-age rows to fill 50.
+_DRIVER_WINDOW_R15 = [
+    # (a) r15 rewrites
+    "q_semdedup", "q_semdedup_apply", "q_embed_whiten",
+    "q_lpa_communities", "q_modularity", "q_pagerank", "q_copurchase",
+    "q_item_cf", "q_link_prediction", "q_sequence_mining",
+    "q_domain_mixture", "q_dsir_selection",
+    # (b) r14 rewrites without an r14 driver row
+    "q_dedup_minhash_lsh", "q_dedup_embedding_lsh",
+    "q_dedup_prefix_filter", "q_dedup_cosine_setjoin", "q_dedup_winnow",
+    "q_contamination_semantic", "q_similarity_topk",
+    "q_similarity_topk_fast", "q_dedup_minhash_precision",
+    "q_dedup_minhash_recall", "q_dsir_bigram", "q_mmr_rerank_scaled",
+    # (c) r8-age re-certs, registration order
+    "q_ann_recall", "q_bm25_search", "q_bpe_learn",
+    "q_chunk_dedup_census", "q_countmin_hh", "q_dedup_containment",
+    "q_dedup_editdistance", "q_dedup_embedding_cosine", "q_dedup_exact",
+    "q_dedup_fingerprint", "q_dedup_ngram_jaccard", "q_dedup_simhash",
+    "q_dedup_simhash_pairs", "q_er_sorted_neighborhood", "q_hll_ndv",
+    "q_hll_rollup", "q_inverted_index", "q_kcore_census",
+    "q_media_audio_neardup", "q_media_dedup", "q_media_neardup",
+    "q_media_video_neardup", "q_text_bpe_tokens", "q_text_fingerprint",
+    "q_tfrecord_stream_census",
+    # oldest r9-age re-cert to fill 50
+    "q01_pricing_summary",
 ]
+
+# (The round-14 window list was replaced in place; its composition is
+# recorded in CORRECTNESS_r14.json and the r14 section of this comment.)
 
 
 def _window_order(d: dict) -> dict:
     """Reorder ``d`` so the current driver window comes first (names
     missing from ``d`` are ignored; the rest keep registration order)."""
-    front = [k for k in _DRIVER_WINDOW_R14 if k in d]
+    front = [k for k in _DRIVER_WINDOW_R15 if k in d]
     rest = [k for k in d if k not in set(front)]
     return {k: d[k] for k in front + rest}
 
@@ -145,7 +226,7 @@ def register(name: str, oracle: Optional[str] = None):
     def deco(fn: QueryFn) -> QueryFn:
         if name in _QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        _QUERIES[name] = fn
+        _QUERIES[name] = _with_conf_pins(name, fn)
         if oracle is not None:
             _ORACLES[name] = oracle
         return fn

@@ -197,6 +197,18 @@ def register_views(spark: SparkSession, sf_dir: str,
         table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+# (applicationId, analyzed-plan semanticHash) -> probed split count.
+# fanout()'s `df.rdd.getNumPartitions()` probe is not free: under AQE it
+# materializes the plan driver-side, and when the input subtree contains
+# a shuffle it EXECUTES those upstream stages at DataFrame-BUILD time
+# (r14 measured this on the reverted media-feed placements). Every bench
+# pass and oracle re-check rebuilds the same frames, so memoizing on the
+# analyzed plan's semantic hash makes all but the first probe per
+# (session, plan) free. Registered so reset_handles() clears it with the
+# table handles it derives from.
+_FANOUT_SPLITS: dict[tuple[str, int], int] = register_memo({})
+
+
 def fanout(df: DataFrame) -> DataFrame:
     """Fan a frame out to the session's core count when its scan yields
     fewer splits — one small parquet file locally, a few huge files on a
@@ -206,9 +218,22 @@ def fanout(df: DataFrame) -> DataFrame:
     source already has healthy split counts (any real 100 TB scan).
     Placement-only: every downstream aggregate in this engine is
     order-free (exact integer/decimal lanes), so results are unchanged.
+
+    CAVEAT (eager probe): the split-count probe touches ``df.rdd``,
+    which under AQE materializes the physical plan and — whenever the
+    input subtree contains an exchange — runs those upstream stages at
+    BUILD time. Prefer placing fanout directly on scan-rooted frames;
+    the per-(session, plan) memo below caps the cost at one probe for
+    repeated builds either way.
     """
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    key = (sc.applicationId,
+           df._jdf.queryExecution().analyzed().semanticHash())
+    n = _FANOUT_SPLITS.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _FANOUT_SPLITS[key] = n
+    if n < par:
         return df.repartition(par)
     return df

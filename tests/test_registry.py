@@ -290,7 +290,7 @@ def test_driver_window_invariants():
     certification slot), no duplicates, and queries() must lead with it
     in order."""
     from columnar_estimator_sample_spark import registry
-    W = registry._DRIVER_WINDOW_R14
+    W = registry._DRIVER_WINDOW_R15
     assert len(W) == 50
     assert len(set(W)) == 50
     qs = list(registry.queries())

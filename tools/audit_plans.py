@@ -51,7 +51,12 @@ ARROW_ALLOWED = {"q_media_features", "q_similarity_topk_fast",
                  # not by this grep)
                  # r13: the apply face shares the same
                  # checkpointed gather-scorer subtree
-                 "q_semdedup", "q_semdedup_apply"}
+                 "q_semdedup", "q_semdedup_apply",
+                 # r15: the whiten recall census scores its exact-dot
+                 # ground truth and LSH band keys through the packed
+                 # int64 einsum/matmul kernels (guide §4.2), downstream
+                 # of the checkpointed audit lanes
+                 "q_embed_whiten"}
 
 # Queries whose BUILDER legitimately runs Spark jobs. Everything else
 # must build its plan with ZERO jobs: a scan at plan/registry time is
@@ -288,6 +293,9 @@ UNPARTITIONED_WINDOW_ALLOWED: dict[str, str] = {
     "q_theilsen_trend": "day-pair slope rows (|days|^2/2, calendar-"
                         "bounded)",
     "q_zipf_check": "top-ZIPF_TOP token rows (config)",
+    # r15: the temperature rate chain runs two window passes over the
+    # per-domain frame — DOMAIN_K (config) rows by construction
+    "q_domain_mixture": "DOMAIN_K per-domain rate rows (config K)",
 }
 
 

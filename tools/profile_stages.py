@@ -56,7 +56,7 @@ def main(argv: list[str]) -> int:
         print(f"==== {name}: wall {wall:.3f}s, {len(new)} stages ====")
         total_run = sum(s.get("executorRunTime") or 0 for s in new)
         print(f"  sum executorRunTime {total_run/1000.0:.3f}s "
-              f"(x{32} cores available)")
+              f"(x{spark.sparkContext.defaultParallelism} cores available)")
         from datetime import datetime
 
         def ts(v):
